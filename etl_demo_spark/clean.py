@@ -1,0 +1,78 @@
+"""Cleaning / data-quality operators (SURVEY.md §2 O-2…O-6).
+
+Reference semantics (`etl_weekly_trades.py:20-49`): coerce-to-NULL numeric
+and strict-format timestamp parsing, then drop any row containing a NULL.
+All of it stays JVM-side (non-ANSI casts + ``to_timestamp``) — no UDFs —
+so cleaning is part of the same whole-stage-codegen span as the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TS_FORMAT = "yyyy-MM-dd HH:mm:ss"  # reference strict format (%Y-%m-%d %H:%M:%S)
+
+
+def null_row_count(df: DataFrame) -> int:
+    """O-2 (`etl_weekly_trades.py:24-25`): rows with ≥1 NULL column."""
+    pred = None
+    for c in df.columns:
+        cond = F.col(c).isNull()
+        pred = cond if pred is None else (pred | cond)
+    return df.where(pred).count()
+
+
+def distinct_values(df: DataFrame, columns: list[str]) -> dict[str, list]:
+    """O-3 (`etl_weekly_trades.py:27-30`): categorical-domain screen.
+
+    Diagnostic (small-cardinality columns only) — collects per-column
+    distincts, which are tiny after the distinct aggregation.
+    """
+    out: dict[str, list] = {}
+    for c in columns:
+        out[c] = [r[0] for r in df.select(c).distinct().collect()]
+    return out
+
+
+def coerce_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
+    """O-4 (`etl_weekly_trades.py:33-35`): ``to_numeric(errors='coerce')``.
+
+    Non-ANSI ``cast('double')`` returns NULL on garbage — exact match.
+    """
+    return df.withColumns({c: F.col(c).cast("double") for c in columns})
+
+
+def parse_timestamp(df: DataFrame, column: str, fmt: str = TS_FORMAT) -> DataFrame:
+    """O-5 (`etl_weekly_trades.py:37-43`): strict-format parse, invalid→NULL."""
+    return df.withColumn(column, F.to_timestamp(F.col(column), fmt))
+
+
+def invalid_timestamp_values(df: DataFrame, column: str, fmt: str = TS_FORMAT) -> DataFrame:
+    """O-5 diagnostics (`etl_weekly_trades.py:40-41`): distinct raw strings
+    that fail the strict parse. Returns a (small) DataFrame."""
+    parsed = F.to_timestamp(F.col(column), fmt)
+    return (
+        df.where(F.col(column).isNotNull() & parsed.isNull())
+        .select(F.col(column).alias("invalid_raw"))
+        .distinct()
+    )
+
+
+def drop_any_null(df: DataFrame) -> DataFrame:
+    """O-6 (`etl_weekly_trades.py:46-48`): keep rows with ALL columns set."""
+    return df.na.drop("any")
+
+
+def clean_trades(df: DataFrame) -> DataFrame:
+    """The reference's full ``clean_prepare`` (`etl_weekly_trades.py:20-49`):
+    coerce quantity/price, strict-parse timestamp, cast user_id, drop any-null.
+    Input: all-string raw trades frame (columns per FIXTURES.md §A1)."""
+    df = coerce_numeric(df, ["quantity", "price"])
+    df = parse_timestamp(df, "timestamp")
+    df = df.withColumn("user_id", F.col("user_id").cast("long"))
+    return drop_any_null(df)
+
+
+def non_null(c: str) -> Column:
+    return F.col(c).isNotNull()

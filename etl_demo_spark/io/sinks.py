@@ -1,0 +1,72 @@
+"""Sinks: Parquet (primary), SQLite (reference parity), Excel (report tail).
+
+Reference O-17 (`etl_weekly_trades.py:134-156`) appends to SQLite via pandas
+``to_sql``. At scale the primary sink is partitioned Parquet; the SQLite and
+Excel writers exist only for reference parity and the tiny report tail, so
+they deliberately run driver-side over ``toPandas()`` of an
+already-aggregated (small) result.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Primary sink. ``partition_by`` (e.g. a date bucket) is the 100 TB
+    lever: downstream readers partition-prune instead of full-scanning."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def _ensure_parent(path: str) -> None:
+    # Reference O-18 (`etl_weekly_trades.py:158-165`): mkdir -p the parent.
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
+
+
+def write_sqlite_append(df: DataFrame, sqlite_path: str, table: str) -> int:
+    """Reference-parity SQLite append sink (O-17, `etl_weekly_trades.py:134-156`).
+
+    Appends (creating the table if absent) like pandas ``to_sql(
+    if_exists='append')``. Driver-side by design: the reference only ever
+    writes the post-aggregation table (hundreds of rows). Returns rows
+    written. NaN→NULL happens in sqlite3 binding, matching the reference's
+    artifact (`agg_result.db` has NULL cells for sell-only groups).
+    """
+    _ensure_parent(sqlite_path)
+    pdf = df.toPandas()
+    con = sqlite3.connect(sqlite_path)
+    try:
+        pdf.to_sql(table, con, if_exists="append", index=False)
+        con.commit()
+    finally:
+        con.close()
+    return len(pdf)
+
+
+def write_excel(df: DataFrame, path: str) -> str:
+    """Excel report sink (O-24, `etl_weekly_trades.py:214-217`).
+
+    Driver-side over a tiny aggregate. Falls back to CSV when openpyxl is
+    not installed (this container), keeping the same frame contents.
+    """
+    _ensure_parent(path)
+    pdf = df.toPandas()
+    try:
+        pdf.to_excel(path, index=False)
+        return path
+    except ImportError:
+        alt = os.path.splitext(path)[0] + ".csv"
+        pdf.to_csv(alt, index=False)
+        return alt

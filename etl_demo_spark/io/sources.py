@@ -1,0 +1,85 @@
+"""Sources: Parquet / CSV / JSON scans (SURVEY.md §2 O-1, X-1).
+
+Everything goes through ``spark.read`` so Catalyst pushes filters and prunes
+columns into the scan (check ``PushedFilters`` / ``ReadSchema`` in
+``.explain("formatted")``). At 100 TB the parquet reader is the single most
+important operator: vectorized, predicate-pushing, partition-pruning — none
+of which we re-implement.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# Driver testdata tables (TESTDATA.md / FIXTURES.md §B).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV scan (reference O-1, `etl_weekly_trades.py:9-18`).
+
+    With an explicit all-string schema the clean layer owns coercion
+    (reference semantics: garbage → NULL, SURVEY.md §1.4); with
+    ``schema=None`` Spark infers like ``pd.read_csv`` does.
+    """
+    reader = spark.read.option("header", str(header).lower()).option("sep", sep)
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    return reader.option("inferSchema", "true").csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = TESTDATA_TABLES,
+    register_views: bool = False,
+) -> dict[str, DataFrame]:
+    """Load the driver testdata star schema from ``sf_dir``.
+
+    ``register_views=True`` also registers each table as a temp view so
+    ``spark.sql`` queries can reference them by name.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        df = spark.read.parquet(path)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def all_string_schema(columns: list[str]) -> T.StructType:
+    """Explicit all-string schema — raw layer for the clean operators."""
+    return T.StructType([T.StructField(c, T.StringType(), True) for c in columns])

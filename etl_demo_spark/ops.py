@@ -1,0 +1,171 @@
+"""Relational operator verbs (SURVEY.md §2 O-7…O-25, X-2…X-9).
+
+Thin, composable wrappers over pyspark.sql — each verb declares a logical
+plan and lets Catalyst pick the physical strategy. Nothing here collects,
+loops, or leaves the JVM.
+
+Scale notes per verb are inline; the common rules:
+  * aggregations get map-side partial aggregation for free;
+  * ``orderBy().limit(n)`` compiles to TakeOrderedAndProject (per-partition
+    top-K + merge), never a full sort;
+  * small dimensions are broadcast (explicitly or by AQE).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Projections (O-7, O-8, O-9)
+# ---------------------------------------------------------------------------
+
+
+def week_start(ts: Column | str) -> Column:
+    """O-7 (`etl_weekly_trades.py:61-62`): Monday of the ISO week, as DATE.
+
+    Spark's ``date_trunc('week')`` is Monday-based — exact reference match,
+    including year-boundary buckets (a 2023-01-01 trade lands in 2022-12-26).
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.to_date(F.date_trunc("week", c))
+
+
+def masked(value: Column, condition: Column) -> Column:
+    """O-9 (`etl_weekly_trades.py:73-78`): ``value WHERE condition ELSE NULL``.
+
+    Pre-masking columns before a single hash aggregation is the vectorized
+    alternative to per-group branching — one shuffle computes every
+    conditional sum.
+    """
+    return F.when(condition, value)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (O-10, O-20, X-4, X-5)
+# ---------------------------------------------------------------------------
+
+
+def sum0(c: Column | str) -> Column:
+    """Reference NaN-semantics shim (SURVEY.md §2.1 O-10): pandas ``sum`` of
+    an all-NaN group is 0.0; Spark ``SUM`` of all-NULL is NULL. ``sum0``
+    matches pandas. Cheap: coalesce happens post-aggregation."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.coalesce(F.sum(col), F.lit(0.0))
+
+
+def grouped_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column]) -> DataFrame:
+    """O-10 (`etl_weekly_trades.py:67-96`): multi-key hash aggregation with
+    named aggregates. One shuffle on the group keys; partial (map-side)
+    aggregation reduces shuffle volume before the exchange."""
+    return df.groupBy(*keys).agg(*[v.alias(k) for k, v in aggs.items()])
+
+
+def last_value_by(df: DataFrame, key: str, value: str, order: str) -> DataFrame:
+    """O-11 (`etl_weekly_trades.py:123-131`): per-key value of the max-order
+    row (argmax / global as-of). Single-pass ``max_by`` aggregate — no sort,
+    no window, one shuffle on ``key``."""
+    return df.groupBy(key).agg(F.max_by(value, order).alias(value))
+
+
+# ---------------------------------------------------------------------------
+# Joins (O-12, X-2, X-3)
+# ---------------------------------------------------------------------------
+
+
+def broadcast_enrich(df: DataFrame, dim: DataFrame, on: str | list[str], how: str = "left") -> DataFrame:
+    """O-12 (`etl_weekly_trades.py:117-118`): broadcast hash join against a
+    small dimension — the dict-lookup of the reference, distributed. No
+    shuffle of the fact side."""
+    return df.join(F.broadcast(dim), on=on, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """X-3: as-of join — for each left row, the latest right row with
+    ``right_ts <= left_ts`` within the same ``on`` key.
+
+    Implementation: union the two sides tagged by origin, then one window
+    pass ``last(value, ignorenulls) OVER (PARTITION BY on ORDER BY ts, tag)``
+    — a single shuffle on the key, no range-join explosion. This is the
+    scalable pattern: a naive theta-join ``l.ts >= r.ts`` is O(n·m) per key;
+    the union trick is O((n+m) log(n+m)) per key and AQE-skew-splittable.
+    """
+    lcols = [F.col(c) for c in left.columns]
+    l_tagged = left.select(
+        F.col(on).alias("__k"), F.col(left_ts).alias("__ts"), F.lit(1).alias("__is_left"),
+        F.struct(*lcols).alias("__lrow"), *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__k"), F.col(right_ts).alias("__ts"), F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    # right rows sort before left rows at equal ts (__is_left ascending) so a
+    # right row AT the left row's ts is visible to it (<=, as-of semantics).
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*", *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in value_cols]
+    )
+    out = filled.where(F.col("__is_left") == 1).select(
+        *[F.col("__lrow")[c].alias(c) for c in left.columns],
+        *[F.col(f"__f_{c}").alias(c) for c in value_cols],
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Reporting verbs (O-19…O-23, O-25)
+# ---------------------------------------------------------------------------
+
+
+def top_k(df: DataFrame, metric: str, k: int, tiebreak: Sequence[str] = ()) -> DataFrame:
+    """O-21 (`etl_weekly_trades.py:195-201`): top-K by metric desc.
+
+    Compiles to TakeOrderedAndProject — per-partition heap + driver merge,
+    no global sort. ``tiebreak`` keys make ties deterministic (pandas sort
+    is stable; Spark needs an explicit total order)."""
+    order = [F.col(metric).desc()] + [F.col(c).asc() for c in tiebreak]
+    return df.orderBy(*order).limit(k)
+
+
+def ranked(df: DataFrame, metric: str, partition_by: Sequence[str] = ()) -> DataFrame:
+    """O-22 (`etl_weekly_trades.py:202`): rank over metric desc.
+
+    pandas default is *average* rank on ties; emulated exactly as
+    ``avg(row_number) OVER (PARTITION BY metric value)`` — tie-free data
+    degenerates to plain rank. Single-partition window only for report-tail
+    frames (post-aggregation, small); partition_by spreads it otherwise."""
+    w_order = Window.partitionBy(*partition_by).orderBy(F.col(metric).desc()) if partition_by else Window.orderBy(F.col(metric).desc())
+    rn = F.row_number().over(w_order)
+    w_tie = Window.partitionBy(*partition_by, metric) if partition_by else Window.partitionBy(metric)
+    return df.withColumn("__rn", rn).withColumn("rank", F.avg("__rn").over(w_tie)).drop("__rn")
+
+
+def union_all(frames: Sequence[DataFrame]) -> DataFrame:
+    """O-23 (`etl_weekly_trades.py:207`): vertical concat by column name."""
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def pivot_wide(
+    df: DataFrame, index: str, pivot_col: str, value_col: str, fill: float = 0
+) -> DataFrame:
+    """O-25 (`etl_weekly_trades.py:256`): long→wide pivot with fill.
+
+    Spark pivots need the distinct pivot values; letting Spark collect them
+    is an extra job — fine for low-cardinality report pivots."""
+    return df.groupBy(index).pivot(pivot_col).sum(value_col).na.fill(fill)

@@ -1,0 +1,66 @@
+"""Reference-parity pipeline: the whole of `etl_weekly_trades.py:270-281`
+(``run_etl``) as one lazy Spark plan with a single action per sink.
+
+Unlike the reference, optional stages raise real errors (SURVEY.md §2.1
+"quirks": bare ``except`` at `:89-90`/`:191-192` is intentionally NOT
+reproduced — we implement the intended semantics)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_demo_spark.clean import clean_trades
+from etl_demo_spark.io.sinks import write_sqlite_append
+from etl_demo_spark.io.sources import all_string_schema, read_csv
+from etl_demo_spark.pnl import transform
+from etl_demo_spark.report import export_report, top_clients
+
+TRADES_COLUMNS = ["timestamp", "user_id", "client_type", "symbol", "side", "quantity", "price"]
+
+
+@dataclass
+class EtlResult:
+    aggregated: DataFrame
+    rows_loaded: int = 0
+    report: DataFrame | None = None
+    report_path: str | None = None
+    extras: dict = field(default_factory=dict)
+
+
+def extract(spark: SparkSession, input_csv: str) -> DataFrame:
+    """O-1 (`etl_weekly_trades.py:9-18`): CSV scan, all-string schema — the
+    clean layer owns type repair (reference's read_csv-then-coerce)."""
+    return read_csv(spark, input_csv, schema=all_string_schema(TRADES_COLUMNS))
+
+
+def run_etl(
+    spark: SparkSession,
+    input_csv: str,
+    sqlite_path: str | None = None,
+    table_name: str = "agg_trades_weekly",
+    compute_pnl: bool = True,
+    report_path: str | None = None,
+    client_type: str = "bronze",
+    top_n: int = 3,
+) -> EtlResult:
+    """extract → clean → transform(+PnL) → [load] → [report].
+
+    Mirrors `etl_weekly_trades.py:270-281`; sinks are opt-in so tests can
+    stay lazy. The aggregate is small (one row per (week, client, user,
+    symbol)) so sink-side driver crossings are bounded by output size,
+    not input size.
+    """
+    raw = extract(spark, input_csv)
+    cleaned = clean_trades(raw)
+    agg = transform(cleaned, compute_pnl=compute_pnl)
+    result = EtlResult(aggregated=agg)
+    if sqlite_path is not None:
+        result.rows_loaded = write_sqlite_append(agg, sqlite_path, table_name)
+    if report_path is not None or compute_pnl:
+        metrics = ["total_volume", "total_pnl"] if compute_pnl else ["total_volume"]
+        result.report = top_clients(agg, client_type=client_type, top_n=top_n, metrics=metrics)
+        if report_path is not None:
+            result.report_path = export_report(result.report, report_path)
+    return result

@@ -1,0 +1,73 @@
+"""Reporting verbs + export tail (SURVEY.md §2 O-19…O-26).
+
+The reference's ``reporting`` (`etl_weekly_trades.py:167-227`): filter one
+client_type, roll up per user, take top-K per metric with ranks, union with
+a provenance label, export. Everything before the export is distributed;
+only the final ≤ top_n×metrics rows cross to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_demo_spark.io.sinks import write_excel
+from etl_demo_spark.ops import ranked, top_k, union_all
+
+DEFAULT_METRICS = ["total_volume", "total_pnl"]
+
+
+def client_rollup(df_agg: DataFrame, client_type: str, metrics: list[str]) -> DataFrame:
+    """O-19 + O-20 (`etl_weekly_trades.py:186-190`): equality filter then
+    per-user rollup. Filter-before-aggregate: Catalyst pushes the predicate
+    to the scan, the rollup shuffles only the surviving client_type."""
+    rolled = (
+        df_agg.filter(F.col("client_type") == client_type)
+        .groupBy("user_id")
+        .agg(*[F.sum(m).alias(m) for m in metrics])
+        .withColumn("client_type", F.lit(client_type))
+    )
+    return rolled
+
+
+def top_clients(
+    df_agg: DataFrame,
+    client_type: str = "bronze",
+    top_n: int = 3,
+    metrics: list[str] | None = None,
+) -> DataFrame:
+    """O-19…O-23 (`etl_weekly_trades.py:182-207`): per-metric top-K with
+    pandas-style average rank over ALL users of the client type, unioned
+    with a ``top_label`` provenance column."""
+    metrics = metrics or DEFAULT_METRICS
+    rolled = client_rollup(df_agg, client_type, metrics)
+    frames = []
+    for m in metrics:
+        with_rank = ranked(rolled, m)  # rank over ALL users, like reference :202
+        frames.append(
+            top_k(with_rank, m, top_n, tiebreak=["user_id"]).withColumn("top_label", F.lit(m))
+        )
+    return union_all(frames).select("user_id", *metrics, "client_type", "top_label", "rank")
+
+
+def export_report(df: DataFrame, path: str) -> str:
+    """O-24: Excel sink (CSV fallback in this container)."""
+    return write_excel(df, path)
+
+
+def weekly_volume_series(df_agg: DataFrame) -> DataFrame:
+    """O-26 data source (`etl_weekly_trades.py:239-253`): weekly total
+    volume — the chart itself is a driver-side matplotlib concern."""
+    return df_agg.groupBy("week_start_date").agg(F.sum("total_volume").alias("total_volume")).orderBy("week_start_date")
+
+
+def weekly_counts_by_client(df_agg: DataFrame) -> DataFrame:
+    """O-25 (`etl_weekly_trades.py:256`): pivot week × client_type on
+    trade_count, zero-filled."""
+    return (
+        df_agg.groupBy("week_start_date")
+        .pivot("client_type")
+        .sum("trade_count")
+        .na.fill(0)
+        .orderBy("week_start_date")
+    )

@@ -1,0 +1,65 @@
+"""SparkSession factory with the engine's config posture.
+
+Scale notes (100 TB design, local[32] test): every knob here is chosen so the
+same code runs unchanged on a 1000-executor cluster —
+
+* ``spark.sql.adaptive.enabled`` — AQE re-plans at runtime: coalesces small
+  shuffle partitions, converts sort-merge joins to broadcast when the built
+  side turns out small, and splits skewed partitions. This is the main
+  defense against skew at 100 TB.
+* ``spark.sql.ansi.enabled=false`` — the reference's cleaning semantics
+  (garbage→NULL casts, div-by-zero→NULL; SURVEY.md §2.1 O-4/O-5/O-13)
+  require non-ANSI evaluation. Spark 4 defaults to ANSI on, so we must set
+  this explicitly.
+* ``spark.sql.session.timeZone=UTC`` — deterministic date/ts semantics and
+  parity with the DuckDB oracle (naive timestamps).
+* Arrow on — every pandas_udf / applyInPandas / toPandas crossing is
+  Arrow-batched, never row-at-a-time pickling.
+* ``spark.sql.shuffle.partitions`` — sized to cores locally; on a real
+  cluster AQE coalescing makes the static number mostly irrelevant as long
+  as it is not too small.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "etl_demo_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's posture.
+
+    If a session already exists, Spark returns it (configs on an existing
+    session are not re-applied — tests share one session via conftest).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,70 @@
+"""Driver-contract smoke tests: entry() runs, queries()/oracle_sql() agree."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF001 = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.count()
+    assert rows > 0
+    assert "revenue" in df.columns
+
+
+def test_every_oracle_key_has_query():
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) > 0
+
+
+def _duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
+def test_query_matches_oracle(spark, name):
+    """Local replica of the driver's t2 check at sf0.01: row count, column
+    names, and order-insensitive value comparison vs the DuckDB oracle."""
+    sdf = entrymod.queries()[name](spark, SF001)
+    spark_pdf = sdf.toPandas()
+    con = _duckdb_con(SF001)
+    duck_pdf = con.sql(entrymod.oracle_sql()[name]).df()
+
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), name
+    assert len(spark_pdf) == len(duck_pdf), name
+
+    cols = sorted(spark_pdf.columns)
+    a = spark_pdf[cols].copy()
+    b = duck_pdf[cols].copy()
+
+    import datetime
+
+    import pandas as pd
+
+    def norm(v):
+        if v is None or v != v:
+            return None
+        if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+            return pd.Timestamp(v).isoformat()
+        if isinstance(v, float):
+            return f"{v:.6f}"
+        return str(v)
+
+    for df in (a, b):
+        for c in cols:
+            df[c] = df[c].map(norm)
+    a_sorted = sorted(map(tuple, a.itertuples(index=False, name=None)))
+    b_sorted = sorted(map(tuple, b.itertuples(index=False, name=None)))
+    assert a_sorted == b_sorted, f"{name}: value mismatch"
