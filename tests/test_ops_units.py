@@ -1,0 +1,118 @@
+"""Edge-case unit tests (FIXTURES.md §A4) on tiny in-memory frames."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_demo_spark.ops import asof_join, ranked, top_k, week_start
+from etl_demo_spark.pnl import transform
+
+
+def _trades(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "timestamp timestamp, user_id long, client_type string, symbol string, side string, quantity double, price double",
+    )
+
+
+def test_week_bucket_year_boundary(spark):
+    """A Sunday 2023-01-01 trade buckets to Monday 2022-12-26 (reference
+    artifact exhibits exactly this week)."""
+    df = spark.createDataFrame(
+        [
+            (datetime.datetime(2023, 1, 1, 23, 59, 59),),
+            (datetime.datetime(2023, 1, 2, 0, 0, 0),),
+            (datetime.datetime(2022, 12, 26, 0, 0, 0),),
+        ],
+        "ts timestamp",
+    )
+    got = [r[0] for r in df.select(week_start("ts")).collect()]
+    assert got == [
+        datetime.date(2022, 12, 26),
+        datetime.date(2023, 1, 2),
+        datetime.date(2022, 12, 26),
+    ]
+
+
+def test_sell_only_group_null_chain(spark):
+    """Sell-only group: buy_qty 0.0 (pandas sum-of-empty), avg_buy_price /
+    realized / unrealized / total NULL (NULL-propagating arithmetic)."""
+    df = _trades(
+        spark,
+        [(datetime.datetime(2023, 3, 1, 10, 0), 1, "gold", "AAPL", "sell", 2.0, 100.0)],
+    )
+    row = transform(df).collect()[0]
+    assert row["buy_qty"] == 0.0
+    assert row["sell_qty"] == 2.0
+    assert row["sell_value"] == 200.0
+    assert row["avg_buy_price"] is None
+    assert row["realized_pnl"] is None
+    assert row["unrealized_pnl"] is None
+    assert row["total_pnl"] is None
+    assert row["mark_price"] == 100.0  # latest trade is the sell itself
+
+
+def test_buy_only_group_zero_realized(spark):
+    df = _trades(
+        spark,
+        [(datetime.datetime(2023, 3, 1, 10, 0), 1, "gold", "AAPL", "buy", 2.0, 100.0),
+         (datetime.datetime(2023, 3, 1, 11, 0), 1, "gold", "AAPL", "buy", 2.0, 110.0)],
+    )
+    row = transform(df).collect()[0]
+    assert row["buy_qty"] == 4.0
+    assert row["sell_qty"] == 0.0
+    assert row["avg_buy_price"] == 105.0
+    assert row["realized_pnl"] == 0.0  # sell_value 0.0 - avg*0.0
+    assert row["net_qty"] == 4.0
+    assert row["mark_price"] == 110.0
+    assert row["unrealized_pnl"] == (110.0 - 105.0) * 4.0
+
+
+def test_mark_price_from_latest_even_if_sell(spark):
+    """Mark price is global-latest per symbol, across weeks, sells included
+    (reference quirk: computed pre-aggregation, `etl_weekly_trades.py:87`)."""
+    df = _trades(
+        spark,
+        [(datetime.datetime(2023, 3, 1, 10, 0), 1, "gold", "AAPL", "buy", 1.0, 100.0),
+         (datetime.datetime(2023, 3, 20, 10, 0), 2, "silver", "AAPL", "sell", 1.0, 123.0)],
+    )
+    rows = transform(df).collect()
+    assert all(r["mark_price"] == 123.0 for r in rows)
+
+
+def test_average_rank_on_ties(spark):
+    """pandas rank(method='average'): tied metric values share the mean of
+    their row positions."""
+    df = spark.createDataFrame(
+        [Row(user_id=1, m=10.0), Row(user_id=2, m=10.0), Row(user_id=3, m=5.0)]
+    )
+    got = {r["user_id"]: r["rank"] for r in ranked(df, "m").collect()}
+    assert got == {1: 1.5, 2: 1.5, 3: 3.0}
+
+
+def test_top_k_deterministic_ties(spark):
+    df = spark.createDataFrame([Row(user_id=u, m=1.0) for u in range(10)])
+    got = [r["user_id"] for r in top_k(df, "m", 3, tiebreak=["user_id"]).collect()]
+    assert got == [0, 1, 2]
+
+
+def test_asof_join_nearest_past(spark):
+    quotes = spark.createDataFrame(
+        [("A", datetime.datetime(2023, 1, 1, 10, 0), 100.0),
+         ("A", datetime.datetime(2023, 1, 1, 12, 0), 105.0),
+         ("B", datetime.datetime(2023, 1, 1, 11, 0), 50.0)],
+        "symbol string, qts timestamp, quote double",
+    )
+    trades = spark.createDataFrame(
+        [("A", datetime.datetime(2023, 1, 1, 11, 0)),   # after 10:00 quote
+         ("A", datetime.datetime(2023, 1, 1, 12, 0)),   # exactly at 12:00 quote (<=)
+         ("B", datetime.datetime(2023, 1, 1, 10, 0)),   # before any quote -> NULL
+         ("B", datetime.datetime(2023, 1, 1, 23, 0))],
+        "symbol string, ts timestamp",
+    )
+    out = asof_join(trades, quotes, on="symbol", left_ts="ts", right_ts="qts", value_cols=["quote"])
+    got = {(r["symbol"], r["ts"].hour): r["quote"] for r in out.collect()}
+    assert got == {("A", 11): 100.0, ("A", 12): 105.0, ("B", 10): None, ("B", 23): 50.0}
