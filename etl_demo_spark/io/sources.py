@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Driver testdata tables (TESTDATA.md / FIXTURES.md §B).
@@ -73,7 +74,17 @@ def load_tables(
     out: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        df = spark.read.parquet(path)
+        if name == "events":
+            # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+            # rejects outright; read nanos as long and truncate to a real
+            # microsecond timestamp (integer `div`, no double round-trip —
+            # ns-since-epoch exceeds double's exact-integer range).
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:
+            df = spark.read.parquet(path)
         if register_views:
             df.createOrReplaceTempView(name)
         out[name] = df

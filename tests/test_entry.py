@@ -55,7 +55,7 @@ def test_query_matches_oracle(spark, name):
 
     def norm(v):
         if v is None or v != v:
-            return None
+            return "\x00NULL"
         if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
             return pd.Timestamp(v).isoformat()
         if isinstance(v, float):
