@@ -21,15 +21,64 @@ from etl_demo_spark import corpus  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def _engine_posture(spark: SparkSession) -> None:
+    """Apply the engine's session posture to a caller-owned session.
+
+    The driver builds its own SparkSession (Spark 4 defaults: ANSI ON).
+    This engine's semantics require non-ANSI evaluation — coerce-to-NULL
+    casts (O-4/O-5), div-by-zero→NULL (O-13), and wrapping long arithmetic
+    in the MinHash/SimHash hash families — so set it explicitly on every
+    entry point (runtime-settable conf)."""
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make etl_demo_spark importable on executor Python workers.
+
+    The driver process gets the package via the sys.path insert above, but
+    executor workers are separate interpreters: any UDF pickled by
+    reference needs the package on their path too. Zip it once per session
+    and addPyFile — harmless in local mode, required on a real cluster."""
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import tempfile
+    import zipfile
+
+    zpath = Path(tempfile.gettempdir()) / "etl_demo_spark_pkg.zip"
+    pkg = Path(_REPO) / "etl_demo_spark"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for p in sorted(pkg.rglob("*.py")):
+            zf.write(p, p.relative_to(Path(_REPO)))
+    spark.sparkContext.addPyFile(str(zpath))
+    _SHIPPED_SESSIONS.add(key)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _engine_posture(spark)
+    _ship_package(spark)
     return corpus.flagship_weekly_revenue(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(corpus.QUERIES)
+
+    def wrap(fn: corpus.QueryFn) -> corpus.QueryFn:
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _engine_posture(spark)
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        run.__name__ = fn.__name__
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {name: wrap(fn) for name, fn in corpus.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

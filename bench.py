@@ -1,0 +1,85 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing = full plan execution to a no-op sink (`format("noop")`): every
+operator runs, nothing collects to the driver, no sink I/O noise. Session
+startup is excluded (amortized in any real deployment); a small warm-up
+query primes the JVM/codegen paths first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+# Headline set: one per operator family — scan+agg, TPC-H joins, windows,
+# full PnL pipeline, dedup (exact + LSH), vector top-k, streaming.
+HEADLINE = [
+    "flagship_weekly_revenue",
+    "pricing_summary",
+    "regional_revenue",
+    "orders_running_total",
+    "weekly_trades_pnl",
+    "exact_dedup_fingerprint",
+    "minhash_near_dup",
+    "ann_topk_bruteforce",
+    "stream_hourly_event_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from etl_demo_spark.session import get_spark
+
+    spark = get_spark(app_name="etl_demo_spark-bench")
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+
+    # warm-up (not timed): JVM/codegen/Arrow paths
+    queries["flagship_weekly_revenue"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        # steady-state measurement: first execution pays one-time codegen /
+        # file-listing / shuffle-service setup; report the second run
+        # (what a resident cluster actually sustains), per BASELINE.md's
+        # startup-excluded convention.
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

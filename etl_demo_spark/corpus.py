@@ -592,3 +592,555 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (X-14) over documents.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+           CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-14: whitespace + BPE-ish token counts and the normalized-text md5
+    fingerprint. Narrow projection — fully codegen'd, no shuffle."""
+    from etl_demo_spark.text import bpe_ish_token_count, fingerprint, token_count
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+@query(
+    "doc_quality",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+             CAST(length(list_filter(string_split_regex(trim(text), '\\s+'),
+                  t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS n_stopwords
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens, n_punct, n_stopwords,
+           0.5 * least((CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 2, 1.0)
+         + 0.3 * least((CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 10, 1.0)
+         - 0.2 * (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) AS quality_score
+    FROM f
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-14 quality scoring: length/punctuation/stopword ratios combined in
+    a fixed-order arithmetic expression (bit-deterministic across engines)."""
+    from etl_demo_spark.text import quality_features
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id", "n_chars", "n_tokens", "n_punct", "n_stopwords", "quality_score"
+    )
+
+
+@query(
+    "lang_source_profile",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling rollup by language × source (integer sums — exact)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+@query("lang_id_heuristic")  # Python-stage (pandas_udf): rows-only check
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-11/X-14: Arrow-batched pandas_udf language-ID; distribution of
+    predictions. (Heuristic logic is Python — no SQL oracle; accuracy is
+    unit-tested on known-language fixtures instead.)"""
+    from etl_demo_spark.text import lang_id
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup (X-12) over documents.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "exact_dedup_fingerprint",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def exact_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-12 exact dedup on normalized-text fingerprint: shuffles 16-byte
+    keys, not documents; deterministic keeper = min(doc_id)."""
+    from etl_demo_spark.dedup import exact_dedup_by_fingerprint
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return exact_dedup_by_fingerprint(docs)
+
+
+@query("minhash_near_dup")  # LSH candidates: no exact SQL oracle (rows-only)
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-12 MinHash+LSH near-dup candidates with exact-Jaccard verification
+    on candidates only (never all-pairs). Verified against a brute-force
+    oracle on planted near-dups in unit tests."""
+    from etl_demo_spark.dedup import jaccard_verify, minhash_lsh_candidates
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+    return jaccard_verify(cands, docs, threshold=0.5)
+
+
+@query("simhash_profile")  # bit-level hash fold: no SQL oracle (rows-only)
+def simhash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-12 SimHash: 64-bit signature per doc via a pure aggregate fold
+    (no UDF, no shuffle); profiled by leading byte."""
+    from etl_demo_spark.dedup import pack_bits, simhash_bits
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    packed = pack_bits(simhash_bits("text"))
+    return (
+        docs.select(packed.alias("simhash"))
+        .groupBy((F.col("simhash").bitwiseAND(F.lit(255))).alias("lead_byte"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector similarity (X-13) over embeddings.
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return [float(v) for v in row[0]]
+
+
+@query(
+    "ann_topk_bruteforce",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id,
+           ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+    FROM embeddings, q
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-13 exact cosine top-k (the correctness baseline / re-rank stage):
+    zip_with+aggregate dot products, TakeOrderedAndProject top-k."""
+    from etl_demo_spark.vec import brute_force_topk
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+@query("ann_topk_lsh")  # approximate: no SQL oracle (recall tested vs brute force)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-13 scale path: sign-LSH bucketing restricts the exact re-rank to
+    the query's bucket; recall vs brute force asserted in unit tests."""
+    from etl_demo_spark.vec import lsh_topk
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, _query_vec(spark, sf_dir), k=10, planes=6)
+
+
+@query("embedding_near_dups")  # approximate candidate set (rows-only)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-12/X-13 embedding-cosine near-dup pairs via LSH buckets (exact
+    cosine within buckets only)."""
+    from etl_demo_spark.vec import embedding_near_dup_pairs
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.9, planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns + Arrow-batched Python stage).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "media_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           sha256(text) AS sha256,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents → binary media table →
+    mapInPandas (Arrow-batched) feature extraction. The sha256/byte-length
+    features are oracle-checked — proving the binary column and the Python
+    batch stage produce byte-identical content on both engines."""
+    from etl_demo_spark.multimodal import documents_as_media, extract_features
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return extract_features(documents_as_media(docs)).select("media_id", "sha256", "n_bytes")
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity PnL pipeline mapped onto lineitem (O-7…O-16 end-to-end).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weekly_trades_pnl",
+    oracle=f"""
+    WITH trades AS (
+      SELECT l_shipdate AS ts,
+             l_suppkey AS user_id,
+             l_linestatus AS client_type,
+             l_returnflag AS symbol,
+             CASE WHEN l_linenumber % 2 = 1 THEN 'buy' ELSE 'sell' END AS side,
+             CAST(l_quantity AS {DEC_SQL}) AS quantity,
+             CAST(l_extendedprice AS {DEC_SQL}) AS price,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    marks AS (
+      SELECT symbol, price AS mark_price FROM (
+        SELECT symbol, price,
+               ROW_NUMBER() OVER (PARTITION BY symbol
+                                  ORDER BY ts DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+        FROM trades
+      ) WHERE rn = 1
+    ),
+    agg AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start_date,
+             client_type, user_id, symbol,
+             CAST(COALESCE(SUM(CASE WHEN side = 'buy'  THEN quantity END), 0) AS DOUBLE) AS buy_qty,
+             CAST(COALESCE(SUM(CASE WHEN side = 'sell' THEN quantity END), 0) AS DOUBLE) AS sell_qty,
+             CAST(COALESCE(SUM(CASE WHEN side = 'buy'  THEN quantity * price END), 0) AS DOUBLE) AS buy_value,
+             CAST(COALESCE(SUM(CASE WHEN side = 'sell' THEN quantity * price END), 0) AS DOUBLE) AS sell_value,
+             CAST(SUM(quantity * price) AS DOUBLE) AS total_volume,
+             COUNT(ts) AS trade_count
+      FROM trades
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT a.week_start_date, a.client_type, a.user_id, a.symbol,
+           a.buy_qty, a.sell_qty, a.buy_value, a.sell_value,
+           a.total_volume, a.trade_count,
+           CASE WHEN a.buy_qty <> 0 THEN a.buy_value / a.buy_qty END AS avg_buy_price,
+           a.buy_qty - a.sell_qty AS net_qty,
+           a.sell_value - (CASE WHEN a.buy_qty <> 0 THEN a.buy_value / a.buy_qty END) * a.sell_qty AS realized_pnl,
+           CAST(m.mark_price AS DOUBLE) AS mark_price,
+           (CAST(m.mark_price AS DOUBLE) - (CASE WHEN a.buy_qty <> 0 THEN a.buy_value / a.buy_qty END)) * (a.buy_qty - a.sell_qty) AS unrealized_pnl,
+           (a.sell_value - (CASE WHEN a.buy_qty <> 0 THEN a.buy_value / a.buy_qty END) * a.sell_qty)
+             + ((CAST(m.mark_price AS DOUBLE) - (CASE WHEN a.buy_qty <> 0 THEN a.buy_value / a.buy_qty END)) * (a.buy_qty - a.sell_qty)) AS total_pnl
+    FROM agg a LEFT JOIN marks m USING (symbol)
+    """,
+)
+def weekly_trades_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE analytical core (O-7…O-16) as one oracle-
+    checked query, with lineitem playing the trades table (side from
+    line-number parity, mark price = price of the latest trade per symbol
+    with a deterministic (ts, orderkey, linenumber) tiebreak).
+
+    Decimal space for every SUM; all post-agg scalars are fixed-order
+    double arithmetic on identical inputs — bit-identical across engines.
+    """
+    from pyspark.sql import Window
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    trades = li.select(
+        F.col("l_shipdate").alias("ts"),
+        F.col("l_suppkey").alias("user_id"),
+        F.col("l_linestatus").alias("client_type"),
+        F.col("l_returnflag").alias("symbol"),
+        F.when(F.col("l_linenumber") % 2 == 1, "buy").otherwise("sell").alias("side"),
+        dec("l_quantity").alias("quantity"),
+        dec("l_extendedprice").alias("price"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    # mark price: deterministic argmax via max_by on a (ts, orderkey, line) struct
+    marks = trades.groupBy("symbol").agg(
+        F.max_by("price", F.struct("ts", "l_orderkey", "l_linenumber")).alias("mark_price")
+    )
+    is_buy = F.col("side") == "buy"
+    is_sell = F.col("side") == "sell"
+    notional = F.col("quantity") * F.col("price")
+    zero = F.lit(0).cast("decimal(38,8)")
+    agg = trades.groupBy(
+        F.to_date(F.date_trunc("week", "ts")).alias("week_start_date"),
+        "client_type",
+        "user_id",
+        "symbol",
+    ).agg(
+        F.coalesce(F.sum(F.when(is_buy, F.col("quantity"))), F.lit(0).cast(DEC)).cast("double").alias("buy_qty"),
+        F.coalesce(F.sum(F.when(is_sell, F.col("quantity"))), F.lit(0).cast(DEC)).cast("double").alias("sell_qty"),
+        F.coalesce(F.sum(F.when(is_buy, notional)), zero).cast("double").alias("buy_value"),
+        F.coalesce(F.sum(F.when(is_sell, notional)), zero).cast("double").alias("sell_value"),
+        F.sum(notional).cast("double").alias("total_volume"),
+        F.count("ts").alias("trade_count"),
+    )
+    avg_buy = F.when(F.col("buy_qty") != 0, F.col("buy_value") / F.col("buy_qty"))
+    out = (
+        agg.join(F.broadcast(marks), "symbol", "left")
+        .withColumn("avg_buy_price", avg_buy)
+        .withColumn("net_qty", F.col("buy_qty") - F.col("sell_qty"))
+        .withColumn("realized_pnl", F.col("sell_value") - F.col("avg_buy_price") * F.col("sell_qty"))
+        .withColumn("mark_price", F.col("mark_price").cast("double"))
+        .withColumn("unrealized_pnl", (F.col("mark_price") - F.col("avg_buy_price")) * F.col("net_qty"))
+        .withColumn("total_pnl", F.col("realized_pnl") + F.col("unrealized_pnl"))
+    )
+    return out.select(
+        "week_start_date", "client_type", "user_id", "symbol",
+        "buy_qty", "sell_qty", "buy_value", "sell_value",
+        "total_volume", "trade_count", "avg_buy_price", "net_qty",
+        "realized_pnl", "mark_price", "unrealized_pnl", "total_pnl",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (X-10) over events — REAL streaming executions
+# (availableNow trigger → memory sink), oracle-checked where SQL-expressible.
+# ---------------------------------------------------------------------------
+
+_STREAM_SEQ = 0
+
+
+def _stream_table_name() -> str:
+    # memory-sink table names must be unique per execution within a session
+    global _STREAM_SEQ
+    _STREAM_SEQ += 1
+    return f"stream_result_{_STREAM_SEQ}"
+
+
+@query(
+    "stream_hourly_event_stats",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-10 tumbling-window streaming aggregation, executed by the real
+    streaming engine (incremental micro-batches, watermarked state,
+    availableNow trigger) — then differentially checked against a plain
+    GROUP BY oracle. Batch/stream unification made testable."""
+    from etl_demo_spark.streaming import (
+        hourly_event_stats,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_memory(spark, hourly_event_stats(stream), _stream_table_name())
+
+
+@query(
+    "session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP))
+                       OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT MIN(ts) AS session_start, user_id,
+           COUNT(*) AS n_events, MAX(ts) AS last_ts
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-10 session windows (30-min inactivity gap) per user — Spark's
+    session_window vs a gaps-and-islands SQL oracle. Runs on the batch
+    frame (same function serves streams; the streaming path is exercised
+    by stream_hourly_event_stats and stream_user_counters)."""
+    from etl_demo_spark.streaming import session_window_agg
+
+    (events,) = _t(spark, sf_dir, "events")
+    return session_window_agg(events)
+
+
+@query(
+    "sliding_window_counts",
+    oracle="""
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL 12 HOURS, CAST(ts AS TIMESTAMP), TIMESTAMP '1970-01-01') AS b0,
+             event_type
+      FROM events
+    ),
+    expanded AS (
+      SELECT b0 AS window_start, event_type FROM buckets
+      UNION ALL
+      SELECT b0 - INTERVAL 12 HOURS AS window_start, event_type FROM buckets
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def sliding_window_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-10 sliding windows (1 day size, 12 h slide): every event counts in
+    two windows; oracle expands each event into both epoch-aligned buckets."""
+    from etl_demo_spark.streaming import sliding_window_counts
+
+    (events,) = _t(spark, sf_dir, "events")
+    return sliding_window_counts(events)
+
+
+@query("stream_user_counters")  # custom stateful operator: rows-only
+def stream_user_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-10/X-11 applyInPandasWithState: per-user running counters evolved
+    in GroupState across micro-batches (update mode). Final per-user values
+    are asserted against batch aggregates in unit tests."""
+    from etl_demo_spark.streaming import read_events_stream, run_stream_to_memory
+    from etl_demo_spark.streaming.stateful import user_running_counters
+
+    stream = read_events_stream(spark, sf_dir)
+    counters = user_running_counters(stream)
+    out = run_stream_to_memory(spark, counters, _stream_table_name(), output_mode="update")
+    # update-mode memory sink may hold one row per state update; keep the last per user
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (X-3) and reporting verbs (O-19…O-23).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_asof_last_purchase",
+    oracle="""
+    SELECT a.event_id, a.user_id,
+           CAST(a.ts AS TIMESTAMP) AS ts,
+           CAST(p.ts AS TIMESTAMP) AS last_purchase_ts
+    FROM events a
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON a.user_id = p.user_id AND a.ts >= p.ts
+    """,
+)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 as-of join: for every event, the most recent prior (<=) purchase
+    time of the same user — attribution's core primitive. Implemented with
+    the union+window trick (one shuffle per key, O((n+m)log) per key);
+    DuckDB's native ASOF JOIN is the oracle."""
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("last_purchase_ts")
+    )
+    left = events.select("event_id", "user_id", "ts")
+    return asof_join(
+        left,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="last_purchase_ts",
+        value_cols=["last_purchase_ts"],
+    )
+
+
+@query(
+    "top_clients_report",
+    oracle=f"""
+    WITH rolled AS (
+      SELECT o_custkey AS user_id,
+             CAST(SUM(CAST(o_totalprice AS {DEC_SQL})) AS DOUBLE) AS total_spend,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders
+      FROM orders WHERE o_orderstatus = 'O'
+      GROUP BY 1
+    ),
+    by_spend AS (
+      SELECT user_id, total_spend, n_orders,
+             AVG(rn) OVER (PARTITION BY total_spend) AS rank
+      FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY total_spend DESC, user_id) AS rn FROM rolled)
+    ),
+    by_orders AS (
+      SELECT user_id, total_spend, n_orders,
+             AVG(rn) OVER (PARTITION BY n_orders) AS rank
+      FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_orders DESC, user_id) AS rn FROM rolled)
+    )
+    SELECT * FROM (
+      SELECT user_id, total_spend, n_orders, rank, 'total_spend' AS top_label
+      FROM by_spend ORDER BY total_spend DESC, user_id LIMIT 3)
+    UNION ALL
+    SELECT * FROM (
+      SELECT user_id, total_spend, n_orders, rank, 'n_orders' AS top_label
+      FROM by_orders ORDER BY n_orders DESC, user_id LIMIT 3)
+    """,
+)
+def top_clients_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-19…O-23 as one oracle-checked report: equality filter → per-user
+    rollup → per-metric top-K with pandas-style average rank over ALL users
+    → union with provenance label. Mirrors the reference's reporting stage
+    (`etl_weekly_trades.py:182-207`) on the orders table."""
+    from etl_demo_spark.ops import ranked, top_k, union_all
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    rolled = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(
+            dsum(dec("o_totalprice")).alias("total_spend"),
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+        )
+    )
+    frames = []
+    for metric in ["total_spend", "n_orders"]:
+        with_rank = ranked(rolled, metric)
+        frames.append(
+            top_k(with_rank, metric, 3, tiebreak=["user_id"]).withColumn(
+                "top_label", F.lit(metric)
+            )
+        )
+    return union_all(frames).select("user_id", "total_spend", "n_orders", "rank", "top_label")

@@ -1,0 +1,215 @@
+"""Deduplication operators (SURVEY.md §2.2 X-12): exact, MinHash+LSH,
+SimHash, n-gram Jaccard verification.
+
+Spark-first design: every stage is built-in DataFrame functions —
+``split/transform/slice/xxhash64/array_min/explode/groupBy`` — so the whole
+pipeline stays JVM-side with whole-stage codegen. No pyspark.ml, no Python
+UDFs.
+
+Scale shape (100 TB): per-doc signature computation is narrow (no shuffle);
+the only shuffles are (a) the explode-band → groupBy(band) bucket join,
+whose fan-in is bounded by band count × docs, and (b) the candidate-pair
+verification join, bounded by LSH candidate volume (tunable via
+bands/rows). That is the standard scalable near-dup topology — never the
+O(n²) all-pairs join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_demo_spark.text import fingerprint, tokens
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup, deterministic keeper: min(id) per duplicate group.
+    (``dropDuplicates`` keeps an arbitrary row — fine for pipelines,
+    useless for differential testing.) One hash-agg shuffle on key_cols."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def exact_dedup_by_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the normalized-text md5 fingerprint — robust to
+    whitespace/case formatting, shuffles 16-byte keys instead of full
+    documents (the 100 TB version of groupBy(text))."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Shingles + MinHash + LSH banding
+# --------------------------------------------------------------------------
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """k-token shingle strings. Built-ins: sequence over start positions,
+    slice + concat_ws per position. Distinct via array_distinct (set
+    semantics for Jaccard)."""
+    toks = tokens(text)
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+# Odd multipliers/offsets for the (a*h + b) hash family, derived from the
+# golden-ratio constant (splitmix64-style). Long overflow wraps (non-ANSI)
+# — exactly what a hash mix wants, and deterministic.
+_MIX_A = 0x9E3779B97F4A7C15
+_MIX_B = 0xBF58476D1CE4E5B9
+
+
+def hash_shingles(shingle_col: Column) -> Column:
+    """One xxhash64 per shingle — materialize this as its own projection so
+    the string hashing runs exactly once (it is the expensive part)."""
+    return F.transform(shingle_col, lambda s: F.xxhash64(s))
+
+
+def minhash_signature(hash_col: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature over precomputed shingle hashes.
+
+    The j-th hash function is the affine mix ``a_j * h + b_j`` over the
+    long hashes — 64 minhashes cost one string-hash pass (hash_shingles)
+    plus cheap integer ops, instead of 64 separate string-hash passes.
+    Wrapping long arithmetic is deterministic and fine for a hash family."""
+    def mix(a: Column, b: Column):
+        # closure, not default args: pyspark reads lambda arity and a
+        # 1-element higher-order function needs a 1-parameter lambda
+        return lambda h: a * h + b
+
+    sig = []
+    for j in range(num_hashes):
+        a = F.lit(((2 * j + 1) * _MIX_A) % (1 << 63)).cast("long")
+        b = F.lit(((j + 1) * _MIX_B) % (1 << 63)).cast("long")
+        sig.append(F.array_min(F.transform(hash_col, mix(a, b))))
+    return F.array(*sig)
+
+
+def lsh_band_keys(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+    """Band keys: hash of each ``rows_per_band``-slice of the signature.
+    Docs sharing any band key become candidates."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), F.concat_ws(",", F.transform(F.slice(sig_col, b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")))
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash LSH banding.
+
+    explode(bands) → self-join on band key with id< id ordering →
+    distinct pairs. Estimated Jaccard = matching signature positions.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = (
+        df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh"))
+        .select("id", hash_shingles(F.col("sh")).alias("shh"))
+        .select("id", minhash_signature(F.col("shh"), num_hashes).alias("sig"))
+    )
+    banded = sigs.select(
+        "id", "sig", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("band_key")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right, (F.col("l.band_key") == F.col("r.band_key")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"))
+        .distinct()
+    )
+    # estimated jaccard = fraction of equal signature positions
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x)).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard on LSH candidates only (never all-pairs):
+    |A∩B| / |A∪B| over distinct shingle sets."""
+    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = (
+        candidates.join(a, candidates.id_a == F.col("a.id"))
+        .join(b, candidates.id_b == F.col("b.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                / F.size(F.array_union("a.sh", "b.sh")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return joined.filter(F.col("jaccard") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash_bits(text: Column | str, bits: int = 64) -> Column:
+    """SimHash: per token, xxhash64 contributes ±1 to each bit position;
+    output bit = sign of the accumulated vector. Expressed as a pure
+    aggregate fold over the token array — zero shuffles, zero UDFs.
+    Bit positions are unrolled statically (shift amounts must be literals
+    in the DataFrame API)."""
+
+    def bit_contrib(t: Column) -> Column:
+        h = F.xxhash64(t)
+        return F.array(
+            *[
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for i in range(bits)
+            ]
+        )
+
+    toks = F.array_distinct(tokens(text))
+    zero = F.array_repeat(F.lit(0), bits)
+    acc = F.aggregate(toks, zero, lambda acc, t: F.zip_with(acc, bit_contrib(t), lambda a, b: a + b))
+    return F.transform(acc, lambda v: (v > 0).cast("int"))
+
+
+def pack_bits(bits_col: Column, bits: int = 64) -> Column:
+    """Pack an int-0/1 array into a single signed long (static shifts)."""
+    packed = F.lit(0).cast("long")
+    for i in range(bits):
+        packed = packed.bitwiseOR(
+            F.shiftleft(F.element_at(bits_col, i + 1).cast("long"), i)
+        )
+    return packed
+
+
+def hamming_distance(bits_a: Column, bits_b: Column) -> Column:
+    return F.size(F.filter(F.zip_with(bits_a, bits_b, lambda a, b: a != b), lambda x: x))

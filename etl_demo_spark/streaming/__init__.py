@@ -1,0 +1,15 @@
+from etl_demo_spark.streaming.windows import (
+    hourly_event_stats,
+    read_events_stream,
+    run_stream_to_memory,
+    session_window_agg,
+    sliding_window_counts,
+)
+
+__all__ = [
+    "hourly_event_stats",
+    "read_events_stream",
+    "run_stream_to_memory",
+    "session_window_agg",
+    "sliding_window_counts",
+]

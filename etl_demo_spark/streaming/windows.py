@@ -1,0 +1,111 @@
+"""Structured Streaming operators (SURVEY.md §2.2 X-10).
+
+Batch/stream unification is the design center: every transform here takes a
+DataFrame and works identically on a batch frame and a `readStream` frame —
+the reference's weekly batch aggregation (O-10) IS a tumbling window, so the
+same function serves both (SURVEY.md §7 step 5).
+
+Watermarks bound state: at 100 TB/day of events, an unbounded window state
+OOMs; ``withWatermark`` lets Spark drop state for windows older than the
+lateness budget and handles late data deterministically up to that bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (driver testdata).
+
+    ``pathGlobFilter`` scopes the directory listing to the events file;
+    nanos ts comes in as long (see io/sources.py) and is truncated to a
+    microsecond timestamp. In production this is the same code over a
+    growing directory / Kafka source — the transforms don't change."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_event_stats(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour window × event_type: count + exact-decimal value sum.
+
+    Works on batch and stream alike; on a stream the watermark bounds
+    window state and admits late events up to 1 hour."""
+    with_wm = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        with_wm.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_window_counts(events: DataFrame, size: str = "1 day", slide: str = "12 hours") -> DataFrame:
+    """Sliding window (size 1d, slide 12h): each event lands in
+    size/slide windows. Spark aligns window origins to the epoch."""
+    with_wm = events.withWatermark("ts", "1 hour") if events.isStreaming else events
+    return (
+        with_wm.groupBy(F.window("ts", size, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity. Emits session start, event count, and last-event time —
+    all SQL-emulable (gaps-and-islands) for the oracle."""
+    with_wm = events.withWatermark("ts", "1 hour") if events.isStreaming else events
+    return (
+        with_wm.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "last_ts",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, stream_df: DataFrame, table_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion over the available input
+    (availableNow trigger → memory sink) and return the result table.
+
+    This is a REAL Structured Streaming execution — incremental planning,
+    state store, watermarks — not a batch rewrite; used by the corpus so
+    the driver's differential check covers the streaming engine."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)

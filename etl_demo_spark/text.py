@@ -1,0 +1,142 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.2 X-14).
+
+Everything in the hot path is built-in `pyspark.sql.functions` (JVM-side,
+codegen'd): tokenization, quality ratios, fingerprints. The only Python
+stage is language-ID, which is a vectorized Arrow-batched pandas_udf
+(X-11) — and even that is per-batch numpy/str ops, not per-row Python.
+
+At 100 TB: all of these are narrow (per-row) transformations — no shuffle,
+fully pipelined into the parquet scan, trivially parallel across any number
+of executors.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Tokens: whitespace split of trimmed text (matches DuckDB
+# string_split_regex(trim(x), '\s+') exactly, including the empty-string
+# edge: both produce a single empty token).
+TOKEN_RE = r"\s+"
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), TOKEN_RE)
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count — the cheap len() every pipeline wants."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish token estimate: count word/number/punctuation units with the
+    GPT-2-style pre-tokenizer regex family (letters runs, digit runs,
+    punctuation singles). Pure regexp — no tokenizer library needed for a
+    size estimate."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def punct_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c) - F.length(F.regexp_replace(c, r"[.,!?;:]", ""))
+
+
+def stopword_count(text: Column | str) -> Column:
+    toks = tokens(text)
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features + a composite score in [0,1]-ish range.
+
+    The score is a fixed-order arithmetic expression over small-integer
+    ratios, so it is bit-deterministic across engines (each ratio is an
+    exact small-int division; the linear combination evaluates in a fixed
+    order)."""
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_tokens = token_count(text_col).cast("long")
+    n_punct = punct_count(text_col).cast("long")
+    n_stop = stopword_count(text_col).cast("long")
+    punct_ratio = n_punct.cast("double") / n_chars.cast("double")
+    stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
+    avg_token_len = n_chars.cast("double") / n_tokens.cast("double")
+    score = (
+        F.lit(0.5) * F.least(stop_ratio * 2, F.lit(1.0))
+        + F.lit(0.3) * F.least(avg_token_len / 10, F.lit(1.0))
+        - F.lit(0.2) * punct_ratio
+    )
+    return df.withColumns(
+        {
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "n_punct": n_punct,
+            "n_stopwords": n_stop,
+            "punct_ratio": punct_ratio,
+            "stopword_ratio": stop_ratio,
+            "avg_token_len": avg_token_len,
+            "quality_score": score,
+        }
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    Exact-dedup key that survives formatting differences."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def rolling_hashes(text: Column | str, window: int = 8) -> Column:
+    """Per-document rolling token-window hashes (winnowing-style
+    fingerprints): xxhash64 of each ``window``-token shingle. Built-ins
+    only: sequence → transform → slice → concat — no UDF, no explode."""
+    toks = tokens(text)
+    n = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language ID — the one Python stage: Arrow-batched pandas_udf (X-11).
+# --------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "with", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "que", "pour"),
+    "es": ("el", "la", "los", "que", "es", "y", "por"),
+}
+
+
+@F.pandas_udf(T.StringType())
+def lang_id(texts: pd.Series) -> pd.Series:
+    """Heuristic language ID: CJK-codepoint screen, then stopword-marker
+    voting. Deterministic; vectorized per Arrow batch. A real pipeline
+    would swap in fastText/CLD3 here — the Spark plumbing (scalar
+    pandas_udf over a string column) is identical."""
+
+    def detect(t: str) -> str:
+        if not t:
+            return "und"
+        cjk = sum(1 for ch in t[:200] if "一" <= ch <= "鿿")
+        if cjk > len(t[:200]) * 0.2:
+            return "zh"
+        toks = set(t.lower().split())
+        best, best_hits = "und", 0
+        for lang in sorted(_LANG_MARKERS):  # sorted → deterministic ties
+            hits = len(toks & set(_LANG_MARKERS[lang]))
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    return texts.map(detect)

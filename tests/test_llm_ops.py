@@ -1,0 +1,193 @@
+"""Unit tests for dedup / similarity / text / multimodal operators —
+the approximate ones get brute-force oracles on planted fixtures."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 1
+    (3, "completely different content about spark query engines and shuffles here"),
+    (4, "The  Quick Brown fox jumps over the lazy dog near the river bank today"),  # case/ws dup of 1
+    (5, "entirely unrelated text regarding neural networks and training corpora"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in DOCS])
+
+
+def test_exact_dedup_fingerprint_normalizes(spark, docs_df):
+    from etl_demo_spark.dedup import exact_dedup_by_fingerprint
+
+    out = exact_dedup_by_fingerprint(docs_df).collect()
+    groups = {r["keeper_id"]: r["n_copies"] for r in out}
+    assert groups[1] == 2  # doc 4 collapses onto doc 1 (case+whitespace)
+    assert groups[2] == 1 and groups[3] == 1 and groups[5] == 1
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark, docs_df):
+    from etl_demo_spark.dedup import jaccard_verify, minhash_lsh_candidates
+
+    cands = minhash_lsh_candidates(docs_df, num_hashes=32, bands=16, shingle_k=3)
+    verified = jaccard_verify(cands, docs_df, threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert (1, 2) in pairs or (1, 4) in pairs  # the planted near-dups surface
+    # unrelated docs never pair
+    assert not any({3, 5} & {a, b} and {a, b} != {3, 5} and {a, b} <= {3, 5} for a, b in pairs)
+    assert (3, 5) not in pairs
+
+
+def test_jaccard_values_match_bruteforce(spark, docs_df):
+    """Exact Jaccard from the Spark pipeline equals a Python brute force."""
+    from etl_demo_spark.dedup import jaccard_verify, minhash_lsh_candidates
+
+    def shingle_set(t: str, k=3):
+        toks = t.strip().split()
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    cands = minhash_lsh_candidates(docs_df, num_hashes=32, bands=16)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_verify(cands, docs_df, threshold=0.0).collect()}
+    texts = dict(DOCS)
+    for (a, b), j in got.items():
+        sa, sb = shingle_set(texts[a]), shingle_set(texts[b])
+        expected = len(sa & sb) / len(sa | sb)
+        assert abs(j - expected) < 1e-12, (a, b)
+
+
+def test_simhash_near_for_near_dups_far_for_unrelated(spark, docs_df):
+    from etl_demo_spark.dedup import hamming_distance, simhash_bits
+
+    sigs = docs_df.select("doc_id", simhash_bits("text").alias("bits"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    dists = {
+        (r["ida"], r["idb"]): r["d"]
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("ida"),
+            F.col("b.doc_id").alias("idb"),
+            hamming_distance(F.col("a.bits"), F.col("b.bits")).alias("d"),
+        )
+        .collect()
+    }
+    assert dists[(1, 2)] < dists[(1, 3)]
+    assert dists[(1, 2)] < dists[(3, 5)]
+
+
+# ---------------------------------------------------------------------------
+# Vector similarity
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    from etl_demo_spark.vec import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in lsh_topk(emb, qv, k=10, planes=4).collect()]
+    # planes=4 → 16 buckets over 500 vecs (~31/bucket): decent recall floor;
+    # the query vector itself must always be found (cos=1.0)
+    assert 0 in approx
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, f"recall {recall}"
+
+
+def test_cosine_self_is_one(spark):
+    from etl_demo_spark.vec import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    top = brute_force_topk(emb, qv, k=1).collect()[0]
+    assert top["vec_id"] == 0
+    assert abs(top["cos_sim"] - 1.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Text
+# ---------------------------------------------------------------------------
+
+
+def test_lang_id_on_known_languages(spark):
+    from etl_demo_spark.text import lang_id
+
+    samples = [
+        ("en", "the cat and the dog went to the park and it is sunny"),
+        ("de", "der hund und die katze sind nicht mit dem mann"),
+        ("fr", "le chat est dans la maison et les enfants pour jouer"),
+        ("es", "el perro y el gato que es de los niños por la casa"),
+        ("zh", "今天天气很好我们一起去公园散步吧这是一个测试"),
+    ]
+    df = spark.createDataFrame([Row(lang=l, text=t) for l, t in samples])
+    got = {r["lang"]: r["pred"] for r in df.select("lang", lang_id("text").alias("pred")).collect()}
+    assert got == {l: l for l, _ in samples}
+
+
+def test_rolling_hashes_shift_invariance(spark):
+    """Identical 8-token windows produce identical hashes regardless of
+    surrounding context (the property winnowing relies on)."""
+    from etl_demo_spark.text import rolling_hashes
+
+    shared = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=f"PREFIX {shared} SUFFIX"), Row(doc_id=2, text=f"{shared} other tail words")]
+    )
+    rows = df.select("doc_id", rolling_hashes("text", window=8).alias("h")).collect()
+    h = {r["doc_id"]: set(r["h"]) for r in rows}
+    assert h[1] & h[2], "shared shingle hash must appear in both docs"
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_media_features_deterministic(spark, docs_df):
+    from etl_demo_spark.multimodal import documents_as_media, extract_features
+
+    media = documents_as_media(docs_df)
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    for doc_id, text in DOCS:
+        b = text.encode("utf-8")
+        r = feats[doc_id]
+        assert r["sha256"] == hashlib.sha256(b).hexdigest()
+        assert r["n_bytes"] == len(b)
+        assert abs(r["byte_mean"] - sum(b) / len(b)) < 1e-12
+
+
+def test_decode_stubs_raise_cleanly(spark, docs_df):
+    from etl_demo_spark.multimodal import decode_image, documents_as_media, sample_video_frames
+
+    media = documents_as_media(docs_df)
+    with pytest.raises(NotImplementedError):
+        decode_image(media)
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(media)
+
+
+# ---------------------------------------------------------------------------
+# Every corpus query executes at sf0.001 (incl. rows-only ones)
+# ---------------------------------------------------------------------------
+
+
+def test_all_queries_execute_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF0001)
+        n = df.count()
+        assert n >= 0, name
+        assert df.columns, name

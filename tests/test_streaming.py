@@ -1,0 +1,77 @@
+"""Structured Streaming tests: the streaming engine must produce exactly
+the batch results over the same input (batch/stream unification)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_demo_spark.io.sources import load_tables
+from etl_demo_spark.streaming import (
+    hourly_event_stats,
+    read_events_stream,
+    run_stream_to_memory,
+)
+from etl_demo_spark.streaming.stateful import user_running_counters
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def test_stream_equals_batch_hourly(spark):
+    stream = read_events_stream(spark, SF0001)
+    got = run_stream_to_memory(spark, hourly_event_stats(stream), "t_stream_hourly")
+
+    batch = load_tables(spark, SF0001, tables=("events",))["events"]
+    want = hourly_event_stats(batch)
+
+    a = {(r["hour_start"], r["event_type"]): (r["n_events"], r["total_value"]) for r in got.collect()}
+    b = {(r["hour_start"], r["event_type"]): (r["n_events"], r["total_value"]) for r in want.collect()}
+    assert a == b
+
+
+def test_stateful_counters_match_batch(spark):
+    stream = read_events_stream(spark, SF0001)
+    out = run_stream_to_memory(
+        spark, user_running_counters(stream), "t_stream_state", output_mode="update"
+    )
+    # last update per user = final state
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["max_value"])
+        for r in out.withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()
+    }
+
+    batch = load_tables(spark, SF0001, tables=("events",))["events"]
+    want = {
+        r["user_id"]: (r["n"], r["tot"], r["mx"])
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tot"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert set(final) == set(want)
+    for u in want:
+        assert final[u][0] == want[u][0], u
+        assert abs(final[u][1] - want[u][1]) < 1e-6, u
+        assert final[u][2] == want[u][2], u
+
+
+def test_session_window_closes_on_gap(spark):
+    import datetime
+
+    from etl_demo_spark.streaming import session_window_agg
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base),
+        (1, base + datetime.timedelta(minutes=10)),   # same session
+        (1, base + datetime.timedelta(minutes=55)),   # > 30 min gap → new session
+        (2, base),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = session_window_agg(df).collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(by_user[1]) == [1, 2]
+    assert by_user[2] == [1]
