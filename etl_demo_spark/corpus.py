@@ -1144,3 +1144,50 @@ def top_clients_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return union_all(frames).select("user_id", "total_spend", "n_orders", "rank", "top_label")
+
+
+@query(
+    "supplier_brand_lists",
+    oracle="""
+    SELECT l_suppkey,
+           array_to_string(list_sort(list(DISTINCT p_brand)), ',') AS brands,
+           COUNT(DISTINCT p_brand) AS n_brands
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY l_suppkey
+    """,
+)
+def supplier_brand_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8 array functions: collect_set → sort_array → array_join rendered
+    as a deterministic string (sorted, comma-joined) so the array surface
+    is oracle-comparable."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("p_brand")), ",").alias("brands"),
+            F.countDistinct("p_brand").alias("n_brands"),
+        )
+    )
+
+
+@query(
+    "events_props_map",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8 map/JSON: from_json into MAP<STRING,BIGINT> + element_at — the
+    single-parse, schema-typed path (vs get_json_object's per-path parse
+    in events_json_extract). At scale parse once, extract many."""
+    (events,) = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    k = F.element_at(m, "k")
+    return events.select(F.col("event_type"), k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"), F.max("k").cast("long").alias("max_k")
+    )

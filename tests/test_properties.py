@@ -1,0 +1,93 @@
+"""Property-based tests (SURVEY.md §5): cleaning idempotence, group-sum
+conservation, net-qty checksum — on hypothesis-generated trade tables."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_demo_spark.clean import clean_trades, drop_any_null
+from etl_demo_spark.pnl import aggregate_weekly, project_trades, transform
+
+SIDES = ["buy", "sell"]
+SYMBOLS = ["AAPL", "MSFT", "GOOGL"]
+CLIENTS = ["gold", "silver", "bronze"]
+
+
+def trade_row(valid: bool):
+    ts = st.datetimes(
+        min_value=datetime.datetime(2022, 12, 1), max_value=datetime.datetime(2023, 4, 1)
+    ).map(lambda d: d.replace(microsecond=0).strftime("%Y-%m-%d %H:%M:%S"))
+    qty = st.decimals(min_value="0.01", max_value="99.99", places=2).map(str)
+    price = st.decimals(min_value="1.00", max_value="3000.00", places=2).map(str)
+    if not valid:
+        ts = st.sampled_from(["not_a_date", "", "2023-13-45 99:99:99"])
+    return st.tuples(
+        ts,
+        st.integers(1001, 3005).map(str),
+        st.sampled_from(CLIENTS),
+        st.sampled_from(SYMBOLS),
+        st.sampled_from(SIDES),
+        qty,
+        price,
+    )
+
+
+rows_strategy = st.lists(
+    st.one_of(trade_row(True), trade_row(False)), min_size=1, max_size=60
+)
+
+SCHEMA = "timestamp string, user_id string, client_type string, symbol string, side string, quantity string, price string"
+
+
+@pytest.fixture(scope="module")
+def mk_df(spark):
+    def make(rows):
+        return spark.createDataFrame(rows, SCHEMA)
+
+    return make
+
+
+@given(rows=rows_strategy)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_cleaning_idempotent(mk_df, rows):
+    """clean(clean(x)) == clean(x): a second drop_any_null pass removes
+    nothing, and no valid row is lost (valid = parseable everywhere)."""
+    df = mk_df(rows)
+    cleaned = clean_trades(df)
+    n1 = cleaned.count()
+    assert drop_any_null(cleaned).count() == n1
+    n_valid = sum(1 for r in rows if r[0] not in ("not_a_date", "", "2023-13-45 99:99:99"))
+    assert n1 == n_valid
+
+
+@given(rows=rows_strategy)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_group_sum_conservation(mk_df, rows):
+    """sum(total_volume) is conserved through the 4-key aggregation."""
+    cleaned = clean_trades(mk_df(rows))
+    if cleaned.count() == 0:
+        return
+    pre = project_trades(cleaned).agg(F.sum("total_volume")).first()[0]
+    post = aggregate_weekly(cleaned).agg(F.sum("total_volume")).first()[0]
+    assert abs(pre - post) < 1e-6 * max(1.0, abs(pre))
+
+
+@given(rows=rows_strategy)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_net_qty_checksum(mk_df, rows):
+    """Global net_qty == buys − sells computed straight off the rows
+    (the reference's `:113` checksum)."""
+    cleaned = clean_trades(mk_df(rows))
+    if cleaned.count() == 0:
+        return
+    agg = transform(cleaned)
+    got = agg.agg(F.sum("net_qty")).first()[0]
+    direct = cleaned.agg(
+        F.sum(F.when(F.col("side") == "buy", F.col("quantity")).otherwise(-F.col("quantity")))
+    ).first()[0]
+    assert abs(got - direct) < 1e-6 * max(1.0, abs(direct))
