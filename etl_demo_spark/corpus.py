@@ -728,13 +728,12 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-12 SimHash: 64-bit signature per doc via a pure aggregate fold
     (no UDF, no shuffle); profiled by leading byte."""
-    from etl_demo_spark.dedup import pack_bits, simhash_bits
+    from etl_demo_spark.dedup import simhash_table
 
     (docs,) = _t(spark, sf_dir, "documents")
-    packed = pack_bits(simhash_bits("text"))
+    sim = simhash_table(docs)
     return (
-        docs.select(packed.alias("simhash"))
-        .groupBy((F.col("simhash").bitwiseAND(F.lit(255))).alias("lead_byte"))
+        sim.groupBy((F.col("simhash").bitwiseAND(F.lit(255))).alias("lead_byte"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
@@ -1190,4 +1189,123 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.element_at(m, "k")
     return events.select(F.col("event_type"), k.alias("k")).groupBy("event_type").agg(
         F.sum("k").alias("sum_k"), F.max("k").cast("long").alias("max_k")
+    )
+
+
+@query(
+    "grouping_sets_sql",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS {DEC_SQL})) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5 GROUPING SETS through the SQL entry point (spark.sql over
+    registered temp views) — a set rollup/cube can't express
+    ((status),(priority)) without the cross terms."""
+    load_tables(spark, sf_dir, tables=("orders",), register_views=True)
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "orders_range_frame",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS {DEC_SQL}))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY datediff('day', DATE '1995-01-01', o_orderdate)
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+    FROM orders
+    """,
+)
+def orders_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 RANGE frame: per-customer trailing-30-day spend. The order key
+    is a day offset so the range bound is numeric on both engines; equal
+    order values share one frame (RANGE semantics), so the result is
+    deterministic even with same-day orders."""
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+    )
+
+
+@query(
+    "segment_demeaned_balance",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment,
+           c_acctbal - CAST(SUM(CAST(c_acctbal AS {DEC_SQL}))
+                            OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+                       / (COUNT(*) OVER (PARTITION BY c_mktsegment)) AS acctbal_demeaned
+    FROM customer
+    """,
+)
+def segment_demeaned_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-11 applyInPandas (grouped-map): per-segment demeaning in an
+    Arrow-batched pandas stage. The mean is computed with exact Decimal
+    summation inside the UDF so it is order-independent and equals the
+    oracle's decimal-window mean bit-for-bit."""
+    (customer,) = _t(spark, sf_dir, "customer")
+
+    def demean(pdf):
+        import decimal
+
+        import pandas as pd
+
+        total = sum((decimal.Decimal(str(v)).quantize(decimal.Decimal("0.0001"))
+                     for v in pdf["c_acctbal"]), decimal.Decimal(0))
+        mean = float(total) / len(pdf)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "acctbal_demeaned": pdf["c_acctbal"] - mean,
+            }
+        )
+
+    return customer.groupBy("c_mktsegment").applyInPandas(
+        demean, "c_custkey long, c_mktsegment string, acctbal_demeaned double"
+    )
+
+
+@query(
+    "weekly_counts_pivot",
+    oracle="""
+    SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start_date,
+           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN 1 END), 0) AS BIGINT) AS "F",
+           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN 1 END), 0) AS BIGINT) AS "O"
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def weekly_counts_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-25 on the trades mapping: week × client_type(linestatus) trade
+    counts, wide — the chart-feeding pivot of the reference
+    (`etl_weekly_trades.py:256`)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(week_start("l_shipdate").alias("week_start_date"))
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
     )

@@ -123,6 +123,13 @@ def minhash_lsh_candidates(
     distinct pairs. Estimated Jaccard = matching signature positions.
     """
     rows_per_band = num_hashes // bands
+    # CPU-heavy per-row stage: a small parquet input arrives as 1-2
+    # partitions, which would serialize the signature computation on one
+    # core. Spread to the cluster's parallelism first (the shuffle moves
+    # only raw text — cheap relative to the per-doc hashing saved).
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism // 2:
+        df = df.repartition(sc.defaultParallelism)
     sigs = (
         df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh"))
         .select("id", hash_shingles(F.col("sh")).alias("shh"))
@@ -156,6 +163,9 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact n-gram Jaccard on LSH candidates only (never all-pairs):
     |A∩B| / |A∪B| over distinct shingle sets."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism // 2:
+        df = df.repartition(sc.defaultParallelism)
     sh = df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -199,6 +209,35 @@ def simhash_bits(text: Column | str, bits: int = 64) -> Column:
     zero = F.array_repeat(F.lit(0), bits)
     acc = F.aggregate(toks, zero, lambda acc, t: F.zip_with(acc, bit_contrib(t), lambda a, b: a + b))
     return F.transform(acc, lambda v: (v > 0).cast("int"))
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """Scalable SimHash: explode tokens → one xxhash64 per token → 64
+    conditional SUMs in a single hash aggregation → sign → packed long.
+
+    This shape beats the per-row array fold at scale: the aggregation is
+    vectorized with map-side partial aggregation (the explode never hits
+    the shuffle — only 64 partial sums per doc do), and the generated code
+    per expression stays small. One shuffle on ``id_col``."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    h = F.xxhash64("tok")
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*sums)
+    packed = F.lit(0).cast("long")
+    for i in range(bits):
+        packed = packed.bitwiseOR(
+            F.shiftleft((F.col(f"b{i}") > 0).cast("long"), i)
+        )
+    return agg.select("id", packed.alias("simhash"))
 
 
 def pack_bits(bits_col: Column, bits: int = 64) -> Column:

@@ -68,6 +68,19 @@ def test_jaccard_values_match_bruteforce(spark, docs_df):
         assert abs(j - expected) < 1e-12, (a, b)
 
 
+def test_simhash_table_equals_columnwise_fold(spark, docs_df):
+    """The scalable explode+agg SimHash must produce identical signatures
+    to the per-row array fold."""
+    from etl_demo_spark.dedup import pack_bits, simhash_bits, simhash_table
+
+    a = {r["id"]: r["simhash"] for r in simhash_table(docs_df).collect()}
+    b = {
+        r["doc_id"]: r["s"]
+        for r in docs_df.select("doc_id", pack_bits(simhash_bits("text")).alias("s")).collect()
+    }
+    assert a == b
+
+
 def test_simhash_near_for_near_dups_far_for_unrelated(spark, docs_df):
     from etl_demo_spark.dedup import hamming_distance, simhash_bits
 
