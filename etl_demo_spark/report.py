@@ -61,6 +61,45 @@ def weekly_volume_series(df_agg: DataFrame) -> DataFrame:
     return df_agg.groupBy("week_start_date").agg(F.sum("total_volume").alias("total_volume")).orderBy("week_start_date")
 
 
+def save_charts(df_agg: DataFrame, out_dir: str) -> list[str]:
+    """O-26 (`etl_weekly_trades.py:229-268`): weekly-volume line + stacked
+    weekly-count bars. Driver-side matplotlib over the tiny aggregate when
+    available; otherwise falls back to writing the chart-feeding frames as
+    CSV (this container has no matplotlib) — the distributed part (the
+    aggregations) is identical either way."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    series = weekly_volume_series(df_agg).toPandas()
+    counts = weekly_counts_by_client(df_agg).toPandas()
+    written: list[str] = []
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots()
+        ax.plot(series["week_start_date"], series["total_volume"])
+        ax.set_title("Weekly total volume")
+        p1 = os.path.join(out_dir, "weekly_volume.png")
+        fig.savefig(p1)
+        plt.close(fig)
+        fig, ax = plt.subplots()
+        counts.set_index("week_start_date").plot(kind="bar", stacked=True, ax=ax)
+        p2 = os.path.join(out_dir, "weekly_counts.png")
+        fig.savefig(p2)
+        plt.close(fig)
+        written += [p1, p2]
+    except ImportError:
+        p1 = os.path.join(out_dir, "weekly_volume.csv")
+        p2 = os.path.join(out_dir, "weekly_counts.csv")
+        series.to_csv(p1, index=False)
+        counts.to_csv(p2, index=False)
+        written += [p1, p2]
+    return written
+
+
 def weekly_counts_by_client(df_agg: DataFrame) -> DataFrame:
     """O-25 (`etl_weekly_trades.py:256`): pivot week × client_type on
     trade_count, zero-filled."""
