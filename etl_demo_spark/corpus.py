@@ -1309,3 +1309,70 @@ def weekly_counts_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0)
     )
+
+
+@query(
+    "parts_above_avg_price",
+    oracle=f"""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice > (
+      SELECT CAST(SUM(CAST(p_retailprice AS {DEC_SQL})) AS DOUBLE) / COUNT(*) FROM part)
+    """,
+)
+def parts_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2/X-8 scalar subquery: parts priced above the global mean (mean
+    as exact-decimal sum / count on both engines). Catalyst plans the
+    subquery as a one-row broadcast."""
+    load_tables(spark, sf_dir, tables=("part",), register_views=True)
+    return spark.sql(
+        f"""
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_retailprice > (
+          SELECT CAST(SUM(CAST(p_retailprice AS {DEC})) AS DOUBLE) / COUNT(*) FROM part)
+        """
+    )
+
+
+@query(
+    "orders_with_bulky_items",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+    """,
+)
+def orders_with_bulky_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 IN-subquery (decorrelates to a left-semi join over the filtered
+    lineitem scan — predicate pushed to parquet)."""
+    load_tables(spark, sf_dir, tables=("orders", "lineitem"), register_views=True)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+        """
+    )
+
+
+@query(
+    "customer_max_order",
+    oracle=f"""
+    SELECT c.c_custkey,
+           (SELECT MAX(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order
+    FROM customer c
+    """,
+)
+def customer_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 correlated scalar subquery (decorrelates to an aggregate +
+    left outer join). MAX of raw doubles is order-independent — no decimal
+    lift needed."""
+    load_tables(spark, sf_dir, tables=("orders", "customer"), register_views=True)
+    return spark.sql(
+        """
+        SELECT c.c_custkey,
+               (SELECT MAX(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order
+        FROM customer c
+        """
+    )

@@ -129,6 +129,52 @@ def asof_join(
 
 
 # ---------------------------------------------------------------------------
+# Skew & co-location tools (100 TB posture)
+# ---------------------------------------------------------------------------
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[Column, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: aggregate on (keys, salt)
+    first — spreading a hot key over ``salt_buckets`` reducers — then
+    merge the partials on the true keys.
+
+    ``aggs`` maps output name → (partial aggregate expression, merge fn
+    name in {'sum','min','max'}): only decomposable aggregates are valid
+    (a count merges with 'sum'). AQE's skew-join splitting covers joins;
+    this covers aggregations whose hot keys overwhelm single reducers."""
+    merge_fns = {"sum": F.sum, "min": F.min, "max": F.max}
+    salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[expr.alias(name) for name, (expr, _) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[merge_fns[merge](name).alias(name) for name, (_, merge) in aggs.items()]
+    )
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_cols: Sequence[str], num_buckets: int = 32
+) -> None:
+    """Persist a table bucketed (and sorted) by the join/agg key.
+
+    Two tables bucketed identically join WITHOUT a shuffle (the plan shows
+    no Exchange on either side) — at 100 TB this is the difference between
+    re-shuffling the fact table on every query and shuffling it once at
+    write time. Requires a catalog table (saveAsTable)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Reporting verbs (O-19…O-23, O-25)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,73 @@
+"""Skew/co-location tools: salted aggregation correctness, bucketed joins
+eliminating the shuffle (Exchange-free plans)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_demo_spark.ops import salted_agg, write_bucketed
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    """Salting must not change results — only the shuffle shape."""
+    li = spark.read.parquet(f"{SF0001}/lineitem.parquet")
+    plain = {
+        r["l_returnflag"]: (r["n"], r["q"], r["mx"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"),
+            F.max("l_quantity").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: (r["n"], r["q"], r["mx"])
+        for r in salted_agg(
+            li,
+            ["l_returnflag"],
+            {
+                "n": (F.count(F.lit(1)), "sum"),
+                "q": (F.sum(F.col("l_quantity").cast("decimal(18,4)")), "sum"),
+                "mx": (F.max("l_quantity"), "max"),
+            },
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert plain[k][0] == salted[k][0], k
+        assert plain[k][1] == salted[k][1], k  # decimal: exact equality
+        assert plain[k][2] == salted[k][2], k
+
+
+def test_salted_agg_spreads_partials(spark):
+    """The phase-1 aggregation must produce multiple partials per hot key."""
+    li = spark.read.parquet(f"{SF0001}/lineitem.parquet")
+    salted = li.withColumn("__salt", (F.rand(seed=42) * 16).cast("int"))
+    partials = (
+        salted.groupBy("l_returnflag", "__salt").count().groupBy("l_returnflag").count()
+    )
+    assert all(r["count"] > 1 for r in partials.collect())
+
+
+@pytest.mark.usefixtures("spark")
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Identically bucketed tables join without an Exchange on either side."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(f"{SF0001}/orders.parquet")
+        li = spark.read.parquet(f"{SF0001}/lineitem.parquet")
+        write_bucketed(orders, "b_orders", ["o_orderkey"], 8)
+        write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", ["o_orderkey"], 8)
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
