@@ -1376,3 +1376,34 @@ def customer_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer c
         """
     )
+
+
+@query(
+    "lineitem_quality_profile",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS null_quantity,
+           CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT) AS null_shipdate,
+           COUNT(DISTINCT l_returnflag) AS n_returnflags,
+           COUNT(DISTINCT l_linestatus) AS n_linestatuses,
+           MIN(CAST(l_shipdate AS DATE)) AS min_shipdate,
+           MAX(CAST(l_shipdate AS DATE)) AS max_shipdate
+    FROM lineitem
+    """,
+)
+def lineitem_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-2/O-3 as a first-class query: null counts per column, categorical
+    cardinalities, and value ranges — the data-quality screen the
+    reference prints as diagnostics (`etl_weekly_trades.py:24-30`),
+    computed in one aggregation pass."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    return li.agg(
+        n.alias("n_rows"),
+        (n - F.count("l_quantity")).alias("null_quantity"),
+        (n - F.count("l_shipdate")).alias("null_shipdate"),
+        F.countDistinct("l_returnflag").alias("n_returnflags"),
+        F.countDistinct("l_linestatus").alias("n_linestatuses"),
+        F.min(F.to_date("l_shipdate")).alias("min_shipdate"),
+        F.max(F.to_date("l_shipdate")).alias("max_shipdate"),
+    )

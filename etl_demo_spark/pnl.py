@@ -102,10 +102,36 @@ def with_pnl(agg: DataFrame, marks: DataFrame) -> DataFrame:
     )
 
 
-def transform(cleaned: DataFrame, compute_pnl: bool = True) -> DataFrame:
+def transform(cleaned: DataFrame, compute_pnl: bool = True, single_pass: bool = True) -> DataFrame:
     """The reference's ``transform`` (`etl_weekly_trades.py:52-97`), lazily
-    composed. Output schema matches FIXTURES.md §A2 exactly."""
-    agg = aggregate_weekly(cleaned, compute_pnl=compute_pnl)
+    composed. Output schema matches FIXTURES.md §A2 exactly.
+
+    ``single_pass=True`` (default) derives mark prices from per-group
+    argmaxes carried through the weekly aggregation instead of a second
+    scan of the trades — argmax is associative, so the per-symbol argmax
+    over group-level (last_price, last_ts) equals the global argmax. At
+    100 TB this halves the input IO of the PnL pipeline; the two-scan
+    form is kept for differential testing."""
     if not compute_pnl:
-        return agg
-    return with_pnl(agg, mark_prices(cleaned))
+        return aggregate_weekly(cleaned, compute_pnl=False)
+    if not single_pass:
+        return with_pnl(aggregate_weekly(cleaned), mark_prices(cleaned))
+    projected = project_trades(cleaned)
+    agg = grouped_agg(
+        projected,
+        GROUP_KEYS,
+        {
+            "buy_qty": sum0("buy_qty"),
+            "sell_qty": sum0("sell_qty"),
+            "buy_value": sum0("buy_value"),
+            "sell_value": sum0("sell_value"),
+            "total_volume": sum0("total_volume"),
+            "trade_count": F.count("timestamp"),
+            "__last_price": F.max_by("price", "timestamp"),
+            "__last_ts": F.max("timestamp"),
+        },
+    )
+    marks = agg.groupBy("symbol").agg(
+        F.max_by("__last_price", "__last_ts").alias("mark_price")
+    )
+    return with_pnl(agg.drop("__last_price", "__last_ts"), marks)

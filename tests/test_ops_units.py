@@ -116,3 +116,31 @@ def test_asof_join_nearest_past(spark):
     out = asof_join(trades, quotes, on="symbol", left_ts="ts", right_ts="qts", value_cols=["quote"])
     got = {(r["symbol"], r["ts"].hour): r["quote"] for r in out.collect()}
     assert got == {("A", 11): 100.0, ("A", 12): 105.0, ("B", 10): None, ("B", 23): 50.0}
+
+
+def test_single_pass_pnl_equals_two_scan(spark):
+    """Single-pass mark derivation (argmax over per-group argmaxes) must
+    equal the two-scan form on the full reference dataset."""
+    from etl_demo_spark.clean import clean_trades
+    from etl_demo_spark.pipelines.weekly_trades import extract
+
+    cleaned = clean_trades(extract(spark, "/root/reference/trades (1) (2) (1).csv"))
+    key = ["week_start_date", "client_type", "user_id", "symbol"]
+
+    def snapshot(df):
+        return {
+            tuple(str(r[k]) for k in key): tuple(
+                r[c] for c in df.columns if c not in key
+            )
+            for r in df.collect()
+        }
+
+    one = snapshot(transform(cleaned, single_pass=True))
+    two = snapshot(transform(cleaned, single_pass=False))
+    assert one.keys() == two.keys()
+    for k in one:
+        for a, b in zip(one[k], two[k]):
+            if a is None or b is None:
+                assert a == b, k
+            else:
+                assert abs(a - b) < 1e-9 or a == b, k
