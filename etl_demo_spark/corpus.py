@@ -879,8 +879,6 @@ def weekly_trades_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decimal space for every SUM; all post-agg scalars are fixed-order
     double arithmetic on identical inputs — bit-identical across engines.
     """
-    from pyspark.sql import Window
-
     (li,) = _t(spark, sf_dir, "lineitem")
     trades = li.select(
         F.col("l_shipdate").alias("ts"),
@@ -893,14 +891,11 @@ def weekly_trades_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    # mark price: deterministic argmax via max_by on a (ts, orderkey, line) struct
-    marks = trades.groupBy("symbol").agg(
-        F.max_by("price", F.struct("ts", "l_orderkey", "l_linenumber")).alias("mark_price")
-    )
     is_buy = F.col("side") == "buy"
     is_sell = F.col("side") == "sell"
     notional = F.col("quantity") * F.col("price")
     zero = F.lit(0).cast("decimal(38,8)")
+    order_key = F.struct("ts", "l_orderkey", "l_linenumber")
     agg = trades.groupBy(
         F.to_date(F.date_trunc("week", "ts")).alias("week_start_date"),
         "client_type",
@@ -913,7 +908,16 @@ def weekly_trades_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(is_sell, notional)), zero).cast("double").alias("sell_value"),
         F.sum(notional).cast("double").alias("total_volume"),
         F.count("ts").alias("trade_count"),
+        # single-pass mark derivation: per-group argmax + its order key,
+        # merged per symbol below (argmax is associative; deterministic
+        # via the (ts, orderkey, linenumber) total order)
+        F.max_by("price", order_key).alias("__last_price"),
+        F.max(order_key).alias("__last_key"),
     )
+    marks = agg.groupBy("symbol").agg(
+        F.max_by("__last_price", "__last_key").alias("mark_price")
+    )
+    agg = agg.drop("__last_price", "__last_key")
     avg_buy = F.when(F.col("buy_qty") != 0, F.col("buy_value") / F.col("buy_qty"))
     out = (
         agg.join(F.broadcast(marks), "symbol", "left")

@@ -35,20 +35,24 @@ def _ensure_parent(path: str) -> None:
     os.makedirs(parent, exist_ok=True)
 
 
-def write_sqlite_append(df: DataFrame, sqlite_path: str, table: str) -> int:
-    """Reference-parity SQLite append sink (O-17, `etl_weekly_trades.py:134-156`).
+def write_sqlite_append(
+    df: DataFrame, sqlite_path: str, table: str, if_exists: str = "append"
+) -> int:
+    """Reference-parity SQLite sink (O-17, `etl_weekly_trades.py:134-156`).
 
-    Appends (creating the table if absent) like pandas ``to_sql(
-    if_exists='append')``. Driver-side by design: the reference only ever
-    writes the post-aggregation table (hundreds of rows). Returns rows
-    written. NaN→NULL happens in sqlite3 binding, matching the reference's
-    artifact (`agg_result.db` has NULL cells for sell-only groups).
+    Default ``append`` creates the table if absent and accumulates across
+    runs, like pandas ``to_sql(if_exists='append')`` — including the
+    reference's documented duplicate-on-rerun behavior (`README.md:29`).
+    ``if_exists='replace'`` is the idempotent variant the reference's
+    README discusses (`README.md:46`). Driver-side by design: only the
+    post-aggregation table (hundreds of rows) ever crosses. NaN→NULL
+    happens in sqlite3 binding, matching the golden artifact's NULL cells.
     """
     _ensure_parent(sqlite_path)
     pdf = df.toPandas()
     con = sqlite3.connect(sqlite_path)
     try:
-        pdf.to_sql(table, con, if_exists="append", index=False)
+        pdf.to_sql(table, con, if_exists=if_exists, index=False)
         con.commit()
     finally:
         con.close()

@@ -91,6 +91,27 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def run_stream_foreach_batch(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str, mode: str = "overwrite"
+) -> None:
+    """foreachBatch sink: per-micro-batch custom writes with the batch id
+    available for idempotence. Here each batch lands as parquet partitioned
+    by batch id — the pattern for sinks Spark has no native writer for
+    (JDBC upserts, external indexes). The checkpoint dir gives exactly-once
+    batch tracking across restarts."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode(mode).parquet(f"{out_dir}/batch_id={batch_id}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_to_memory(
     spark: SparkSession, stream_df: DataFrame, table_name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -75,3 +75,32 @@ def test_session_window_closes_on_gap(spark):
         by_user.setdefault(r["user_id"], []).append(r["n_events"])
     assert sorted(by_user[1]) == [1, 2]
     assert by_user[2] == [1]
+
+
+def test_foreach_batch_sink_writes_parquet(spark, tmp_path):
+    from etl_demo_spark.streaming.windows import run_stream_foreach_batch
+
+    stream = read_events_stream(spark, SF0001)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    run_stream_foreach_batch(stream.select("event_id", "user_id", "value"), out, ckpt)
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    # restart with same checkpoint: no new batches, no duplication
+    stream2 = read_events_stream(spark, SF0001)
+    run_stream_foreach_batch(stream2.select("event_id", "user_id", "value"), out, ckpt)
+    assert spark.read.parquet(out).count() == 1000
+
+
+def test_sqlite_replace_idempotent(spark, tmp_path):
+    import sqlite3
+
+    from etl_demo_spark.io.sinks import write_sqlite_append
+
+    df = spark.read.parquet(f"{SF0001}/region.parquet")
+    db = str(tmp_path / "r.db")
+    write_sqlite_append(df, db, "t", if_exists="replace")
+    write_sqlite_append(df, db, "t", if_exists="replace")
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM t").fetchone()[0] == 5
+    con.close()
