@@ -1411,3 +1411,78 @@ def lineitem_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.to_date("l_shipdate")).alias("min_shipdate"),
         F.max(F.to_date("l_shipdate")).alias("max_shipdate"),
     )
+
+
+@query(
+    "udaf_status_spend",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS {DEC_SQL})) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def udaf_status_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-11 UDAF: GROUPED_AGG pandas_udf. The aggregation body sums with
+    exact ``decimal.Decimal`` (order-independent), so even a Python UDAF
+    is oracle-checkable bit-for-bit. Arrow ships each group's column as
+    one batch; Spark handles the shuffle and grouping."""
+    def dec_sum(v):
+        import decimal
+
+        q = decimal.Decimal("0.0001")
+        total = sum((decimal.Decimal(str(x)).quantize(q) for x in v), decimal.Decimal(0))
+        return float(total)
+
+    # explicit functionType: the module uses `from __future__ import
+    # annotations`, so signature-based inference can't see pd.Series
+    dec_sum = F.pandas_udf(dec_sum, "double", F.PandasUDFType.GROUPED_AGG)
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        dec_sum("o_totalprice").alias("total_spend")
+    )
+
+
+@query(
+    "orders_first_last_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)  OVER w AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def orders_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 analytic window functions over the full partition frame with a
+    deterministic total order."""
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+@query("approx_percentiles")  # sketch-based: engine-specific estimates (rows-only)
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 family: approx_percentile (KLL/GK-style sketch) — the 100 TB
+    replacement for exact percentiles (no global sort). Exact quantiles
+    returned alongside for the rows-only sanity read."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("approx_p"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("exact_p"),
+    )
