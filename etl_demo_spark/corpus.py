@@ -338,13 +338,15 @@ def orders_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (orders,) = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # ranking functions are INT in Spark but BIGINT in DuckDB/ANSI — cast
+    # to long so a type-strict schema comparison agrees
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.lag("o_orderkey").over(w).alias("prev_orderkey"),
         F.lead("o_orderkey").over(w).alias("next_orderkey"),
     )
