@@ -1488,3 +1488,98 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("approx_p"),
         F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("exact_p"),
     )
+
+
+@query(
+    "busy_suppliers_having",
+    oracle=f"""
+    SELECT l_suppkey,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS {DEC_SQL})) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) > 550
+    """,
+)
+def busy_suppliers_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4/X-9 HAVING: post-aggregation filter (Catalyst plans it as a
+    Filter above the final HashAggregate — no second shuffle)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(dec("l_quantity")).alias("total_qty"),
+        )
+        .filter(F.col("n_items") > 550)
+    )
+
+
+@query(
+    "richest_supplier_per_nation",
+    oracle="""
+    SELECT n_name, s_name AS richest_supplier, s_acctbal AS best_acctbal
+    FROM (
+      SELECT n.n_name, s.s_name, s.s_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                ORDER BY s.s_acctbal DESC, s.s_suppkey ASC) AS rn
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ) WHERE rn = 1
+    """,
+)
+def richest_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-11 generalized: per-group argmax with a deterministic tiebreak via
+    max_by on an ordering struct (single-pass aggregate, no window sort).
+    The oracle uses the window formulation — both must agree."""
+    supplier, nation = _t(spark, sf_dir, "supplier", "nation")
+    joined = supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+    # order by (acctbal DESC, suppkey ASC) == max_by (acctbal, -suppkey)
+    return joined.groupBy("n_name").agg(
+        F.max_by("s_name", F.struct(F.col("s_acctbal"), -F.col("s_suppkey"))).alias("richest_supplier"),
+        F.max("s_acctbal").alias("best_acctbal"),
+    )
+
+
+@query(
+    "loyal_customers_semi_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+)
+def loyal_customers_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 semi + anti composed: customers with orders but none pending."""
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    with_orders = customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+    pending = orders.filter(F.col("o_orderstatus") == "P")
+    return with_orders.join(
+        pending, with_orders.c_custkey == pending.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "order_value_buckets",
+    oracle=f"""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS {DEC_SQL})) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def order_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8 CASE WHEN bucketing + aggregation."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(dec("o_totalprice")).alias("revenue"),
+    )

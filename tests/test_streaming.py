@@ -104,3 +104,64 @@ def test_sqlite_replace_idempotent(spark, tmp_path):
     con = sqlite3.connect(db)
     assert con.execute("SELECT COUNT(*) FROM t").fetchone()[0] == 5
     con.close()
+
+
+def test_watermark_finalizes_windows_append_mode(spark, tmp_path):
+    """Append-mode windowed agg with a watermark emits a window exactly
+    once, only after the watermark passes its end — and withholds windows
+    that are still open. (Late-row *dropping* is explicitly best-effort in
+    Spark and not asserted; finalization semantics are the guarantee.)
+    Two micro-batches via maxFilesPerTrigger=1."""
+    import datetime
+
+    src = tmp_path / "src"
+    src.mkdir()
+    early = spark.createDataFrame(
+        [
+            (datetime.datetime(2024, 1, 1, 0, 5), "a", 1.0),
+            (datetime.datetime(2024, 1, 1, 9, 0), "a", 1.0),  # watermark -> 08:00
+        ],
+        "ts timestamp, k string, v double",
+    )
+    late = spark.createDataFrame(
+        [
+            (datetime.datetime(2024, 1, 1, 0, 10), "a", 1.0),  # window 00:00 << 08:00 -> dropped
+            (datetime.datetime(2024, 1, 1, 9, 10), "a", 1.0),  # current -> kept in state
+        ],
+        "ts timestamp, k string, v double",
+    )
+    early.coalesce(1).write.parquet(str(src / "b0"))
+    late.coalesce(1).write.parquet(str(src / "b1"))
+
+    from pyspark.sql import functions as F2
+
+    stream = (
+        spark.readStream.schema("ts timestamp, k string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src) + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F2.window("ts", "1 hour").alias("w"), "k")
+        .agg(F2.count("*").alias("n"))
+        .select(F2.col("w.start").alias("ws"), "k", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [(r["ws"].hour, r["n"]) for r in spark.table("t_late").collect()]
+    finalized_hours = [h for h, _ in rows]
+    # exactly one emission, for the closed 00:00 window only
+    assert finalized_hours == [0], rows
+    # the 09:00 window is still open (watermark hasn't passed 10:00) and
+    # must NOT have been emitted
+    assert 9 not in finalized_hours, rows
+    # the watermark did advance past the first batch's max event time
+    watermarks = [p["eventTime"].get("watermark") for p in q.recentProgress]
+    assert any(w and w.startswith("2024-01-01T08") for w in watermarks), watermarks
