@@ -46,10 +46,13 @@ def _ship_package(spark: SparkSession) -> None:
     key = id(spark)
     if key in _SHIPPED_SESSIONS:
         return
+    import os
     import tempfile
     import zipfile
 
-    zpath = Path(tempfile.gettempdir()) / "etl_demo_spark_pkg.zip"
+    # pid-unique path: concurrent driver processes must not clobber each
+    # other's zip mid-addPyFile
+    zpath = Path(tempfile.gettempdir()) / f"etl_demo_spark_pkg_{os.getpid()}.zip"
     pkg = Path(_REPO) / "etl_demo_spark"
     with zipfile.ZipFile(zpath, "w") as zf:
         for p in sorted(pkg.rglob("*.py")):
