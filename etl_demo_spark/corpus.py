@@ -1583,3 +1583,28 @@ def order_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(dec("o_totalprice")).alias("revenue"),
     )
+
+
+@query(
+    "stream_click_to_purchase",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-10 stream-stream join executed by the REAL streaming engine
+    (watermarked both sides, time-range-bounded state), checked against
+    the plain batch SQL join. Attribution's join, streaming-native."""
+    from etl_demo_spark.streaming import read_events_stream, run_stream_to_memory
+    from etl_demo_spark.streaming.windows import purchases_after_clicks
+
+    stream = read_events_stream(spark, sf_dir)
+    joined = purchases_after_clicks(stream)
+    return run_stream_to_memory(spark, joined, _stream_table_name(), output_mode="append")

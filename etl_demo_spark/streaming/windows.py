@@ -130,3 +130,40 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def purchases_after_clicks(events: DataFrame, within: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: purchases within ``within`` AFTER a click
+    by the same user. On streams both sides are watermarked and the time-
+    range condition bounds the join state (Spark drops click state once
+    the purchase watermark passes click_ts + within). Works identically
+    on batch frames — the corpus oracle is the plain SQL join."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    if clicks.isStreaming:
+        clicks = clicks.withWatermark("click_ts", "1 hour")
+        purchases = purchases.withWatermark("purchase_ts", "1 hour")
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id",
+        "click_ts", "purchase_ts",
+    )
+
+
+def dedup_stream(events: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keeps state
+    only for the watermark horizon — bounded memory on an infinite stream
+    (plain dropDuplicates on a stream grows state forever)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)

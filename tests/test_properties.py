@@ -91,3 +91,56 @@ def test_net_qty_checksum(mk_df, rows):
         F.sum(F.when(F.col("side") == "buy", F.col("quantity")).otherwise(-F.col("quantity")))
     ).first()[0]
     assert abs(got - direct) < 1e-6 * max(1.0, abs(direct))
+
+
+@pytest.fixture(scope="module")
+def spark_handle(spark):
+    return spark
+
+
+@given(
+    quotes=st.lists(
+        st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 1000), st.floats(1, 100, allow_nan=False)),
+        max_size=25,
+    ),
+    lookups=st.lists(st.tuples(st.sampled_from(["A", "B"]), st.integers(0, 1000)), min_size=1, max_size=25),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_join_matches_bisect_reference(spark_handle, quotes, lookups):
+    """asof_join == per-key sorted-scan Python reference (latest quote at
+    ts<=t). Quote (key, ts) pairs are deduped: equal-ts quotes have no
+    defined winner in either implementation."""
+    import datetime
+
+    from etl_demo_spark.ops import asof_join
+
+    sp = spark_handle
+    seen = set()
+    q2 = []
+    for k, t, v in quotes:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            q2.append((k, t, round(v, 3)))
+    base = datetime.datetime(2024, 1, 1)
+
+    qdf = sp.createDataFrame(
+        [(k, base + datetime.timedelta(seconds=t), v) for k, t, v in q2] or [("Z", base, 0.0)],
+        "k string, qts timestamp, quote double",
+    )
+    ldf = sp.createDataFrame(
+        [(k, base + datetime.timedelta(seconds=t)) for k, t in set(lookups)],
+        "k string, ts timestamp",
+    )
+    out = asof_join(ldf, qdf, on="k", left_ts="ts", right_ts="qts", value_cols=["quote"])
+    got = {(r["k"], r["ts"]): r["quote"] for r in out.collect()}
+
+    by_key = {}
+    for k, t, v in q2:
+        by_key.setdefault(k, []).append((t, v))
+    for k in by_key:
+        by_key[k].sort()
+    for (k, t) in set(lookups):
+        cands = [(qt, v) for qt, v in by_key.get(k, []) if qt <= t]
+        expect = cands[-1][1] if cands else None
+        key = (k, base + datetime.timedelta(seconds=t))
+        assert got[key] == expect, (k, t, got[key], expect)

@@ -165,3 +165,50 @@ def test_watermark_finalizes_windows_append_mode(spark, tmp_path):
     # the watermark did advance past the first batch's max event time
     watermarks = [p["eventTime"].get("watermark") for p in q.recentProgress]
     assert any(w and w.startswith("2024-01-01T08") for w in watermarks), watermarks
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark removes duplicates arriving within
+    the watermark horizon, with bounded state."""
+    import datetime
+
+    from etl_demo_spark.streaming.windows import dedup_stream
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    base = datetime.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        (1, base, "a"),
+        (1, base + datetime.timedelta(minutes=1), "a"),  # dup key within horizon
+        (2, base + datetime.timedelta(minutes=2), "b"),
+    ]
+    spark.createDataFrame(rows, "k long, ts timestamp, v string").coalesce(1).write.parquet(
+        str(src / "f0")
+    )
+    stream = spark.readStream.schema("k long, ts timestamp, v string").parquet(str(src) + "/*")
+    out = dedup_stream(stream, ["k"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["k"] for r in spark.table("t_dedup").collect())
+    assert got == [1, 2]
+
+
+def test_stream_stream_join_equals_batch(spark):
+    from etl_demo_spark.io.sources import load_tables
+    from etl_demo_spark.streaming.windows import purchases_after_clicks
+
+    stream = read_events_stream(spark, SF0001)
+    streamed = run_stream_to_memory(
+        spark, purchases_after_clicks(stream), "t_ssj", output_mode="append"
+    )
+    batch = load_tables(spark, SF0001, tables=("events",))["events"]
+    want = purchases_after_clicks(batch)
+    a = {(r["click_id"], r["purchase_id"]) for r in streamed.collect()}
+    b = {(r["click_id"], r["purchase_id"]) for r in want.collect()}
+    assert a == b and len(a) > 0
