@@ -1608,3 +1608,66 @@ def stream_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     joined = purchases_after_clicks(stream)
     return run_stream_to_memory(spark, joined, _stream_table_name(), output_mode="append")
+
+
+@query(
+    "top_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split_regex(trim(text), '\\s+') AS l FROM documents
+    ),
+    bigrams AS (
+      SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bigrams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-14 n-gram extraction: per-doc bigrams (transform over token
+    positions — no UDF), exploded and counted corpus-wide, top-20. The
+    explode feeds map-side partial aggregation, so the shuffle carries
+    (bigram, partial count), not every occurrence."""
+    from etl_demo_spark.text import tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "null_handling_funcs",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(SUM(CASE WHEN NULLIF(c_acctbal, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS zero_or_null_bal,
+           CAST(SUM(CAST(COALESCE(NULLIF(c_acctbal, 0.0), -1.0) AS {DEC_SQL})) AS DOUBLE) AS adjusted_sum,
+           CAST(COUNT(c_acctbal) AS BIGINT) AS non_null_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8 NULL-handling library: nullif / coalesce / conditional counting."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    adjusted = F.coalesce(F.nullif(F.col("c_acctbal"), F.lit(0.0)), F.lit(-1.0))
+    return customer.groupBy("c_mktsegment").agg(
+        F.sum(F.when(F.nullif(F.col("c_acctbal"), F.lit(0.0)).isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("zero_or_null_bal"),
+        dsum(dec(adjusted)).alias("adjusted_sum"),
+        F.count("c_acctbal").alias("non_null_bal"),
+    )
