@@ -13,7 +13,14 @@ Conventions (driver contract, `__spark_entry__.py` docstring):
     the identical double after the final cast. The input columns are 2dp
     quantities/prices, so double→decimal(_,4) conversion is lossless;
   * counts are BIGINT on both sides (DuckDB SUM(int) would be HUGEINT —
-    always CAST in the oracle).
+    always CAST in the oracle);
+  * decimal→double conversion is only correctly rounded on both engines
+    when the scaled integer (value × 10^scale) fits in 2^53 — beyond that
+    DuckDB's int128/10^scale double path can differ from Java by 1 ULP.
+    Large-magnitude scale-8 sums are therefore ROUNDed to scale 2 in
+    exact decimal space (identical on both engines: half-up on positive
+    decimals) before the cast. Caught by the sf0.1 sweep; rule of thumb:
+    |sum| × 10^scale < 9e15.
 """
 
 from __future__ import annotations
@@ -88,8 +95,8 @@ def dsum(c: F.Column) -> F.Column:
     oracle=f"""
     SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start_date,
            l_returnflag,
-           CAST(SUM(CAST(l_extendedprice AS {DEC_SQL})
-                    * (1 - CAST(l_discount AS {RATE_SQL}))) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS {DEC_SQL})
+                          * (1 - CAST(l_discount AS {RATE_SQL}))), 2) AS DOUBLE) AS revenue,
            CAST(SUM(CAST(l_quantity AS {DEC_SQL})) AS DOUBLE) AS sum_qty,
            COUNT(*) AS trade_count
     FROM lineitem
@@ -110,7 +117,7 @@ def flagship_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
         )
         .agg(
-            dsum(notional).alias("revenue"),
+            F.round(F.sum(notional), 2).cast("double").alias("revenue"),
             dsum(dec("l_quantity")).alias("sum_qty"),
             F.count(F.lit(1)).alias("trade_count"),
         )
@@ -128,8 +135,8 @@ def flagship_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS {DEC_SQL})) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS {DEC_SQL})) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS {DEC_SQL}) * (1 - CAST(l_discount AS {RATE_SQL}))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS {DEC_SQL}) * (1 - CAST(l_discount AS {RATE_SQL})) * (1 + CAST(l_tax AS {RATE_SQL}))) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS {DEC_SQL}) * (1 - CAST(l_discount AS {RATE_SQL}))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS {DEC_SQL}) * (1 - CAST(l_discount AS {RATE_SQL})) * (1 + CAST(l_tax AS {RATE_SQL}))), 2) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS {DEC_SQL})) AS DOUBLE) / COUNT(*) AS avg_qty,
            CAST(SUM(CAST(l_discount AS {RATE_SQL})) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
@@ -150,8 +157,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum(dec("l_quantity")).alias("sum_qty"),
         dsum(dec("l_extendedprice")).alias("sum_base_price"),
-        dsum(disc_price).alias("sum_disc_price"),
-        dsum(charge).alias("sum_charge"),
+        F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
         (dsum(dec("l_quantity")) / cnt).alias("avg_qty"),
         (dsum(rate("l_discount")) / cnt).alias("avg_disc"),
         cnt.alias("count_order"),
@@ -183,7 +190,7 @@ def segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regional_revenue",
     oracle=f"""
     SELECT r_name,
-           CAST(SUM(CAST(l_extendedprice AS {DEC_SQL}) * (1 - CAST(l_discount AS {RATE_SQL}))) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice AS {DEC_SQL}) * (1 - CAST(l_discount AS {RATE_SQL}))), 2) AS DOUBLE) AS revenue
     FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -205,7 +212,7 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
-        .agg(dsum(revenue).alias("revenue"))
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
     )
 
 
