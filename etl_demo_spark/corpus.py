@@ -1678,3 +1678,65 @@ def null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(dec(adjusted)).alias("adjusted_sum"),
         F.count("c_acctbal").alias("non_null_bal"),
     )
+
+
+@query(
+    "forecast_revenue_q6",
+    oracle=f"""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS {DEC_SQL}) * CAST(l_discount AS {RATE_SQL})), 2) AS DOUBLE) AS promo_revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective conjunctive filter + global sum.
+    Every predicate is scan-pushable (check PushedFilters) — at 100 TB this
+    query reads a fraction of the row groups via parquet min/max stats."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(dec("l_extendedprice") * rate("l_discount")), 2)
+            .cast("double")
+            .alias("promo_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "priority_late_orders_q4",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_late_orders_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a correlated inequality (decorrelates
+    to a left-semi join with a non-equi residual)."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    window_orders = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    late = window_orders.join(
+        li,
+        (window_orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(window_orders.o_orderdate, 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))

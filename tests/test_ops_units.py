@@ -144,3 +144,20 @@ def test_single_pass_pnl_equals_two_scan(spark):
                 assert a == b, k
             else:
                 assert abs(a - b) < 1e-9 or a == b, k
+
+
+def test_clean_diagnostics(spark):
+    """O-2/O-3/O-5 diagnostics on the reference CSV: null-row count and
+    invalid-timestamp listing match the dirty-data contract."""
+    from etl_demo_spark.clean import distinct_values, invalid_timestamp_values, null_row_count
+    from etl_demo_spark.pipelines.weekly_trades import extract
+
+    raw = extract(spark, "/root/reference/trades (1) (2) (1).csv")
+    # 10 dirty rows: 5 with empty timestamp (rest valid) + 5 with
+    # timestamp="not_a_date" and empty symbol/quantity/price
+    assert null_row_count(raw) == 10
+    bad_ts = [r["invalid_raw"] for r in invalid_timestamp_values(raw, "timestamp").collect()]
+    assert bad_ts == ["not_a_date"]
+    domains = distinct_values(raw, ["client_type", "side"])
+    assert set(domains["client_type"]) == {"gold", "silver", "bronze"}
+    assert set(domains["side"]) == {"buy", "sell"}
