@@ -1740,3 +1740,39 @@ def priority_late_orders_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "salted_status_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS {DEC_SQL})) AS DOUBLE) AS total_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def salted_status_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew tool in the correctness gate: two-phase salted aggregation
+    (keys+salt partials → merge) must equal the plain GROUP BY — so the
+    plain SQL is its oracle. Decimal sums keep the merge exact."""
+    from etl_demo_spark.ops import salted_agg
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n_items": (F.count(F.lit(1)), "sum"),
+            "total_qty": (F.sum(dec("l_quantity")), "sum"),
+            "max_qty": (F.max("l_quantity"), "max"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("total_qty").cast("double").alias("total_qty"),
+        "max_qty",
+    )
