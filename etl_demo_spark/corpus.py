@@ -1776,3 +1776,21 @@ def salted_status_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_qty").cast("double").alias("total_qty"),
         "max_qty",
     )
+
+
+@query(
+    "events_props_entries",
+    oracle="""
+    SELECT event_id, k AS prop_key,
+           CAST(json_extract_string(props, '$.' || k) AS BIGINT) AS prop_value
+    FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+    """,
+)
+def events_props_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8 map explode (UDTF-shaped): one row per JSON property via
+    from_json → explode(map). DuckDB's json_each table function is the
+    oracle. At scale: explode is a narrow op; the single from_json parse
+    happens once per row regardless of key count."""
+    (events,) = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return events.select("event_id", F.explode(m).alias("prop_key", "prop_value"))

@@ -64,3 +64,55 @@ def run_etl(
         if report_path is not None:
             result.report_path = export_report(result.report, report_path)
     return result
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI parity with the reference's ``__main__`` invocation
+    (`etl_weekly_trades.py:283-292`): run the full ETL headless.
+
+    Usage: python -m etl_demo_spark.pipelines.weekly_trades \
+             --input trades.csv --sqlite out/agg.db [--no-pnl] \
+             [--report out/top_clients.xlsx] [--charts out/charts]
+    """
+    import argparse
+
+    from etl_demo_spark.session import get_spark
+
+    p = argparse.ArgumentParser(description="weekly trades ETL (reference-parity)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--sqlite", default=None)
+    p.add_argument("--table", default="agg_trades_weekly")
+    p.add_argument("--no-pnl", action="store_true")
+    p.add_argument("--report", default=None)
+    p.add_argument("--charts", default=None)
+    p.add_argument("--client-type", default="bronze")
+    p.add_argument("--top-n", type=int, default=3)
+    args = p.parse_args(argv)
+
+    spark = get_spark(app_name="weekly_trades_etl")
+    res = run_etl(
+        spark,
+        args.input,
+        sqlite_path=args.sqlite,
+        table_name=args.table,
+        compute_pnl=not args.no_pnl,
+        report_path=args.report,
+        client_type=args.client_type,
+        top_n=args.top_n,
+    )
+    print(f"aggregated groups: {res.aggregated.count()}")
+    if args.sqlite:
+        print(f"loaded {res.rows_loaded} rows into {args.sqlite}:{args.table}")
+    if res.report_path:
+        print(f"report: {res.report_path}")
+    if args.charts:
+        from etl_demo_spark.report import save_charts
+
+        for path in save_charts(res.aggregated, args.charts):
+            print(f"chart: {path}")
+    # echo the head like the reference does (`etl_weekly_trades.py:292`)
+    res.aggregated.show(5, truncate=False)
+
+
+if __name__ == "__main__":
+    main()
