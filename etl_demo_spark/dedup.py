@@ -166,6 +166,17 @@ def jaccard_verify(
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism // 2:
         df = df.repartition(sc.defaultParallelism)
+    # the verify stage must touch CANDIDATE docs only: semi-join the corpus
+    # down to ids that appear in a candidate pair before shingling —
+    # shingle hashing cost scales with candidates, not corpus size.
+    # Persist the (tiny) candidate set: it feeds both the semi-join and
+    # the verification join, and without caching the whole LSH pipeline
+    # would execute twice.
+    candidates = candidates.persist()
+    cand_ids = candidates.select(F.col("id_a").alias("cid")).unionByName(
+        candidates.select(F.col("id_b").alias("cid"))
+    )
+    df = df.join(cand_ids.distinct(), df[id_col] == F.col("cid"), "left_semi")
     sh = df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh"))
     a = sh.alias("a")
     b = sh.alias("b")
