@@ -1794,3 +1794,30 @@ def events_props_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
     return events.select("event_id", F.explode(m).alias("prop_key", "prop_value"))
+
+
+@query(
+    "price_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.95) AS p95,
+           MIN(l_extendedprice) AS p0,
+           MAX(l_extendedprice) AS p100
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 exact percentiles: both engines linearly interpolate between
+    the same order statistics, so results are bit-identical (verified) —
+    unlike SUM, the computation touches at most two values. At 100 TB use
+    percentile_approx (see approx_percentiles) — exact percentile
+    materializes per-group sorted state."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        F.min("l_extendedprice").alias("p0"),
+        F.max("l_extendedprice").alias("p100"),
+    )

@@ -103,10 +103,8 @@ def save_charts(df_agg: DataFrame, out_dir: str) -> list[str]:
 def weekly_counts_by_client(df_agg: DataFrame) -> DataFrame:
     """O-25 (`etl_weekly_trades.py:256`): pivot week × client_type on
     trade_count, zero-filled."""
-    return (
-        df_agg.groupBy("week_start_date")
-        .pivot("client_type")
-        .sum("trade_count")
-        .na.fill(0)
-        .orderBy("week_start_date")
+    from etl_demo_spark.ops import pivot_wide
+
+    return pivot_wide(df_agg, "week_start_date", "client_type", "trade_count").orderBy(
+        "week_start_date"
     )
