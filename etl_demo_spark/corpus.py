@@ -950,14 +950,15 @@ def weekly_trades_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (availableNow trigger → memory sink), oracle-checked where SQL-expressible.
 # ---------------------------------------------------------------------------
 
-_STREAM_SEQ = 0
+import itertools as _itertools
+
+_STREAM_SEQ = _itertools.count(1)  # thread-safe under the GIL (single next())
 
 
 def _stream_table_name() -> str:
     # memory-sink table names must be unique per execution within a session
-    global _STREAM_SEQ
-    _STREAM_SEQ += 1
-    return f"stream_result_{_STREAM_SEQ}"
+    # even if the driver runs corpus queries concurrently
+    return f"stream_result_{next(_STREAM_SEQ)}"
 
 
 @query(
