@@ -1822,3 +1822,71 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("p0"),
         F.max("l_extendedprice").alias("p100"),
     )
+
+
+@query(
+    "custkey_multiset_ops",
+    oracle="""
+    SELECT o_custkey, 'both_statuses' AS src FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    UNION ALL
+    SELECT o_custkey, 'open_minus_final' AS src FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def custkey_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-7 bag-semantics set ops: INTERSECT ALL / EXCEPT ALL preserve
+    multiplicities (duplicate custkeys survive per occurrence count)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.intersectAll(f).withColumn("src", F.lit("both_statuses")).unionByName(
+        o.exceptAll(f).withColumn("src", F.lit("open_minus_final"))
+    )
+
+
+@query(
+    "weekly_revenue_spine",
+    oracle=f"""
+    WITH spine AS (
+      SELECT CAST(unnest(generate_series(DATE '1996-01-01', DATE '1996-12-30', INTERVAL 7 DAY)) AS DATE) AS week_start
+    ),
+    rev AS (
+      SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week_start,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS {DEC_SQL})), 2) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1
+    )
+    SELECT s.week_start, COALESCE(r.revenue, 0.0) AS revenue
+    FROM spine s LEFT JOIN rev r USING (week_start)
+    """,
+)
+def weekly_revenue_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8 date-spine pattern: generate a complete weekly calendar with
+    ``sequence`` + explode and left-join the aggregate, so silent gaps
+    (weeks with zero sales) appear as explicit zeros — the correct input
+    for time-series charts/models. 1996-01-01 is a Monday, so the 7-day
+    spine aligns with date_trunc('week') buckets."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-01-01").cast("date"),
+                F.lit("1996-12-30").cast("date"),
+                F.expr("INTERVAL 7 DAY"),
+            )
+        ).alias("week_start")
+    )
+    rev = (
+        li.filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+        .groupBy(F.to_date(F.date_trunc("week", "l_shipdate")).alias("week_start"))
+        .agg(F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("revenue"))
+    )
+    return spine.join(rev, "week_start", "left").select(
+        "week_start", F.coalesce("revenue", F.lit(0.0)).alias("revenue")
+    )
