@@ -1890,3 +1890,278 @@ def weekly_revenue_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(rev, "week_start", "left").select(
         "week_start", F.coalesce("revenue", F.lit(0.0)).alias("revenue")
     )
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped relational breadth, batch 2 (X-2/X-6): distribution joins,
+# conditional-aggregate ratios, group-filter subqueries, global-argmax CTEs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_count_distribution",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (X-2 + X-4): customer ⋈left orders, per-customer
+    order count, then the count-of-counts histogram. The left join keeps
+    orderless customers (n_orders = 0 via COUNT of NULL key).
+
+    Scale: the first agg shuffles on c_custkey (high cardinality, even);
+    the histogram agg is over ≤ a few dozen distinct counts — AQE
+    coalesces it to a handful of partitions."""
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT year(l_shipdate) AS yr,
+           CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                               THEN CAST(l_extendedprice AS {DEC_SQL})
+                                    * (1 - CAST(l_discount AS {RATE_SQL}))
+                               ELSE 0 END), 2) AS DOUBLE)
+           / CAST(ROUND(SUM(CAST(l_extendedprice AS {DEC_SQL})
+                            * (1 - CAST(l_discount AS {RATE_SQL}))), 2) AS DOUBLE)
+             AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share
+    per ship-year). part broadcasts (dim side); both sums accumulate in
+    exact decimal and the share is one double division — deterministic
+    across engines (reference O-9/O-10 masked-aggregation pattern).
+
+    Scale: single shuffle on the year key after a broadcast join; the
+    CASE mask is codegen'd into the probe side."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    notional = dec("l_extendedprice") * (1 - rate("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", notional).otherwise(F.lit(0).cast("decimal(1,0)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.year("l_shipdate").alias("yr"))
+        .agg(
+            (
+                F.round(F.sum(promo), 2).cast("double")
+                / F.round(F.sum(notional), 2).cast("double")
+            ).alias("promo_share")
+        )
+    )
+
+
+@query(
+    "large_quantity_orders",
+    oracle=f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_quantity AS {DEC_SQL})) AS DOUBLE) AS total_qty
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS {DEC_SQL})) > 200
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+    """,
+)
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold (group-HAVING subquery → semi join), enriched with the
+    customer and re-aggregated.
+
+    Scale: the HAVING subquery and the outer agg both shuffle lineitem
+    on l_orderkey — co-keyed, so Catalyst reuses one exchange; the
+    surviving-order set is small (skew-safe) and joins back semi-style."""
+    customer, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(big, "l_orderkey", "left_semi")
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+        .agg(dsum(dec("l_quantity")).alias("total_qty"))
+    )
+
+
+@query(
+    "nation_trade_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS yr,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS {DEC_SQL})
+                          * (1 - CAST(l_discount AS {RATE_SQL}))), 2) AS DOUBLE) AS volume
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name < n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between nation pairs by
+    ship-year. Six-table join; the nation dimension joins twice under
+    different roles (self-join aliasing).
+
+    Scale: lineitem⋈orders is the only large shuffle (both sides keyed
+    on orderkey); supplier/customer/nation broadcast; the asymmetric
+    pair filter halves the output without a post-join distinct."""
+    li, supplier, orders, customer, nation = _t(
+        spark, sf_dir, "lineitem", "supplier", "orders", "customer", "nation"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = dec("l_extendedprice") * (1 - rate("l_discount"))
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("yr"))
+        .agg(F.round(F.sum(volume), 2).cast("double").alias("volume"))
+    )
+
+
+@query(
+    "top_revenue_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS {DEC_SQL})
+                            * (1 - CAST(l_discount AS {RATE_SQL}))), 2) AS DOUBLE) AS total_rev
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue per supplier; keep the global argmax via
+    a scalar subquery over the same aggregate (view reuse).
+
+    Scale: one shuffle on l_suppkey; the MAX scalar is a tiny broadcast
+    back onto the aggregate — no global sort."""
+    li, supplier = _t(spark, sf_dir, "lineitem", "supplier")
+    volume = dec("l_extendedprice") * (1 - rate("l_discount"))
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(volume), 2).cast("double").alias("total_rev")
+    )
+    best = rev.agg(F.max("total_rev").alias("best_rev"))
+    return (
+        supplier.join(rev, supplier.s_suppkey == rev.l_suppkey)
+        .join(F.broadcast(best), F.col("total_rev") == F.col("best_rev"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
+    "wealthy_inactive_customers",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS {DEC_SQL})) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS {DEC_SQL})) AS DOUBLE) / COUNT(*)
+            FROM customer WHERE c_acctbal > 0
+          )
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no *recent*
+    orders (none in the data's final year) — scalar aggregate subquery +
+    anti join, rolled up by segment.
+
+    The average is exact-decimal sum / count (one double division) so
+    both engines compare against the bit-identical threshold.
+
+    Scale: the threshold is a 1-row broadcast; the anti join reduces
+    orders to its distinct custkeys before probing (Catalyst rewrites
+    NOT EXISTS to left-anti); final agg is over 5 segments."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        (dsum(dec("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(F.col("o_orderdate") >= "2001-01-01"),
+            customer.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum(dec("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "orders_window_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4)       OVER w AS price_quartile,
+           CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank,
+           CAST(cume_dist()    OVER w AS DOUBLE) AS cume,
+           row_number()   OVER w AS rn
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def orders_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 distribution window functions: ntile / percent_rank /
+    cume_dist over per-priority price order. The (price, orderkey)
+    compound sort key makes every function deterministic under ties.
+
+    Scale: one shuffle on o_orderpriority + per-partition sort. Note a
+    low-cardinality partition key concentrates data (5 priorities →
+    5 active tasks); at 100 TB, window partitioning needs a
+    higher-cardinality key or a pre-bucketed layout."""
+    from pyspark.sql.window import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+        F.cume_dist().over(w).cast("double").alias("cume"),
+        F.row_number().over(w).alias("rn"),
+    )
