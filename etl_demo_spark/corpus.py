@@ -2165,3 +2165,207 @@ def orders_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).cast("double").alias("cume"),
         F.row_number().over(w).alias("rn"),
     )
+
+# ---------------------------------------------------------------------------
+# Range join, exact n-gram Jaccard, vector norms, regexp/math/bit functions.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "clicks_before_purchase",
+    oracle="""
+    SELECT p.event_id AS purchase_id, COUNT(c.c_id) AS n_clicks
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+               FROM events WHERE event_type = 'click') c
+      ON c.c_user = p.user_id
+     AND c.c_ts >  p.ts - INTERVAL 1 HOUR
+     AND c.c_ts <= p.ts
+    GROUP BY p.event_id
+    """,
+)
+def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 range/interval join: for every purchase, the number of clicks
+    by the same user in the preceding hour (event-attribution pattern).
+
+    Scale: the equi key (user_id) drives a sort-merge join; the interval
+    predicate is evaluated inside the merge, so no cartesian blowup.
+    A pure range join (no equi key) would instead bucketize ts to
+    1-hour grains and join on the grain ± 1 — same composition, one
+    extra explode. Reference parity: generalizes O-11's "latest before
+    t" lookup from a global argmax to a windowed count."""
+    (ev,) = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (c.c_user == p.user_id)
+        & (c.c_ts > p.ts - F.expr("INTERVAL 1 HOUR"))
+        & (c.c_ts <= p.ts)
+    )
+    return p.join(c, cond, "left").groupBy("purchase_id").agg(
+        F.count("c_id").alias("n_clicks")
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(text) - 4),
+                                          i -> substring(text, i, 5))) AS shingles
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.6
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-12 exact n-gram Jaccard near-dup detection: character 5-gram
+    shingle sets, pairwise |A∩B| / |A∪B| ≥ 0.6 over a bounded doc window
+    (doc_id < 200, so the oracle's quadratic check stays constant-cost
+    at every sf).
+
+    Scale: this exact verifier is the *second* stage of near-dup dedup —
+    at 100 TB the candidate pairs come from MinHash-LSH banding
+    (`minhash_near_dup`), and this exact Jaccard runs only on candidates
+    (see dedup.verify_jaccard). The set ops stay JVM-side:
+    array_distinct/array_intersect/array_union, no Python UDF.
+    Jaccard is an exact int/int division — bit-identical on both
+    engines. Assumes len(text) ≥ 5 (testdata min is 48); shorter docs
+    would need a sequence() guard."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    sh = docs.filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(1, length(text) - 4),"
+            " i -> substring(text, i, 5)))"
+        ).alias("shingles"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS DOUBLE) AS sq_norm,
+           CAST(MAX(ABS(CAST(x AS DOUBLE))) AS DOUBLE) AS max_abs
+    FROM embeddings, UNNEST(embedding) AS t(x)
+    GROUP BY vec_id, label
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-13 vector arithmetic staying JVM-side: squared L2 norm via a
+    sequential `aggregate` fold and max-|x| via array `reduce` — the
+    building blocks of cosine similarity, as whole-stage-codegen'd
+    higher-order functions (no UDF, no shuffle; embarrassingly
+    parallel over partitions).
+
+    Determinism: the fold adds 64 doubles in list order; the oracle's
+    UNNEST+SUM accumulates in the same order, so the doubles agree
+    bit-for-bit (verified exactly at sf0.1)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        ).alias("sq_norm"),
+        F.expr(
+            "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            " (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+        ).alias("max_abs"),
+    )
+
+
+@query(
+    "doc_regexp_funcs",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, 'spark')) AS n_spark,
+           regexp_extract(text, '\\b(w[a-z]+)', 1) AS first_w_word,
+           len(string_split(text, ' ')) AS n_tokens,
+           regexp_replace(substring(text, 1, 40), '[aeiou]', '_', 'g') AS devoweled_head
+    FROM documents
+    """,
+)
+def doc_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8/X-14 regexp function breadth: count-all-matches, first
+    capture group, split-count, global replace — all JVM-side string
+    kernels (regexp_count / regexp_extract / split / regexp_replace),
+    narrow and shuffle-free.
+
+    Patterns are kept in the RE2 ∩ Java-regex common dialect so both
+    engines match identically."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("spark")).cast("bigint").alias("n_spark"),
+        F.regexp_extract("text", r"\b(w[a-z]+)", 1).alias("first_w_word"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "_").alias(
+            "devoweled_head"
+        ),
+    )
+
+
+@query(
+    "math_bit_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(sqrt(l_quantity) AS DOUBLE) AS qty_sqrt,
+           CAST(floor(l_extendedprice) AS DOUBLE) AS p_floor,
+           CAST(ceil(l_extendedprice) AS DOUBLE) AS p_ceil,
+           CAST(abs(l_discount - 0.05) AS DOUBLE) AS disc_dev,
+           CAST(sign(l_quantity - 25) AS DOUBLE) AS qty_sign,
+           l_orderkey % 7 AS key_mod,
+           xor(l_orderkey, l_partkey) AS key_xor,
+           l_orderkey & 255 AS key_and,
+           l_orderkey | 1 AS key_or
+    FROM lineitem
+    """,
+)
+def math_bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8 math + bitwise scalar breadth. Only IEEE-exact kernels are
+    used (sqrt is correctly rounded; floor/ceil/abs/sign/% are exact;
+    &/|/^ are integer ops) so values are bit-identical across engines —
+    transcendentals (exp/ln/pow) are deliberately excluded: libm results
+    differ by 1 ULP between engines and would need rounded comparison.
+
+    Narrow projection, no shuffle; all whole-stage codegen."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.floor("l_extendedprice").cast("double").alias("p_floor"),
+        F.ceil("l_extendedprice").cast("double").alias("p_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.signum(F.col("l_quantity") - 25).alias("qty_sign"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("key_xor"),
+        (F.col("l_orderkey").bitwiseAND(F.lit(255))).alias("key_and"),
+        (F.col("l_orderkey").bitwiseOR(F.lit(1))).alias("key_or"),
+    )
