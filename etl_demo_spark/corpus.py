@@ -792,6 +792,19 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, _query_vec(spark, sf_dir), k=10, planes=6)
 
 
+@query("ann_topk_ivf")  # approximate: no SQL oracle (recall tested vs brute force)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-13 IVF scale path: deterministic seed-centroid coarse quantizer,
+    scan only the nprobe best cells, exact cosine re-rank within them.
+    ~nprobe/n_cells of the brute-force scan cost; with a cell-partitioned
+    layout the skipped cells are pruned at file level. Recall vs brute
+    force asserted in tests/test_llm_ops.py."""
+    from etl_demo_spark.vec import ivf_topk
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _query_vec(spark, sf_dir), k=10, n_cells=16, nprobe=4)
+
+
 @query("embedding_near_dups")  # approximate candidate set (rows-only)
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-12/X-13 embedding-cosine near-dup pairs via LSH buckets (exact

@@ -161,3 +161,86 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: pick ``n_cells`` deterministic seed vectors as
+    centroids (rows with the smallest xxhash64(id) — stable across runs
+    and engines, no RNG state), assign every vector to its best-cosine
+    cell via JVM-side folds.
+
+    Returns (assigned_df with a ``cell`` column, centroid list). The
+    centroid set is tiny (n_cells × dim floats) and rides along as plan
+    literals — the same driver→executor broadcast shape a trained k-means
+    codebook would have. At 100 TB the assigned table is written
+    ``partitionBy("cell")`` so a query's probes map to partition pruning,
+    and the seed centroids are replaced by a k-means|| codebook without
+    changing this dataflow."""
+    seeds = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [[float(v) for v in r[1]] for r in seeds]
+    import math
+
+    cnorms = [math.sqrt(sum(x * x for x in cen)) or 1.0 for cen in centroids]
+
+    def cell_of(vec: Column) -> Column:
+        # argmax_c cos(v, c) = argmax_c dot(v, c)/|c| — |v| is constant per
+        # row, so skip it: one fold per centroid instead of three.
+        scores = F.array(
+            *[
+                dot(vec, F.array(*[F.lit(c) for c in cen])) / F.lit(cn)
+                for cen, cn in zip(centroids, cnorms)
+            ]
+        )
+        return F.array_position(scores, F.array_max(scores)).cast("int")
+
+    return df.withColumn("cell", cell_of(F.col(vec_col))), centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: score the query against the codebook on the driver
+    (n_cells dot products — microseconds), scan only the ``nprobe``
+    best cells, exact cosine re-rank inside them.
+
+    Candidate cost is ~nprobe/n_cells of the full scan; with the cell-
+    partitioned layout the non-probed cells are pruned at the file level
+    and never read."""
+    import math
+
+    assigned, centroids = ivf_assign(df, n_cells, id_col, vec_col)
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: (-cos_py(query_vec, centroids[i]), i),
+    )
+    probes = [i + 1 for i in ranked[:nprobe]]  # cells are 1-based (array_position)
+
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cands = assigned.filter(F.col("cell").isin(probes))
+    scored = cands.select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim")
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)

@@ -119,6 +119,34 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
     assert recall >= 0.3, f"recall {recall}"
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    from etl_demo_spark.vec import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(emb, qv, k=10, n_cells=8, nprobe=3).collect()]
+    # the query vector lives in its own best cell, so it must be found
+    assert 0 in approx
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, f"recall {recall}"
+
+
+def test_ivf_assign_covers_all_rows(spark):
+    from etl_demo_spark.vec import ivf_assign
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    assigned, centroids = ivf_assign(emb, n_cells=8)
+    assert len(centroids) == 8
+    stats = assigned.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cell").alias("lo"),
+        F.max("cell").alias("hi"),
+    ).first()
+    assert stats["n"] == emb.count()
+    assert 1 <= stats["lo"] and stats["hi"] <= 8
+
+
 def test_cosine_self_is_one(spark):
     from etl_demo_spark.vec import brute_force_topk
 
