@@ -83,6 +83,39 @@ def dsum(c: F.Column) -> F.Column:
     return F.sum(c).cast("double")
 
 
+# Fixed-point fast path: per-row decimal MULTIPLICATION dominates the cost of
+# the money aggregates (measured ~2.4× a long multiply at sf0.1). The inputs
+# are ≤2dp decimals stored as doubles, so price×(1−disc)[×(1+tax)] is computed
+# exactly in scaled-integer space — cents × basis points — with long
+# arithmetic, and only the final SUM accumulates in decimal (overflow-proof
+# at cluster scale; a per-row product is < 7×10^10, so even petabyte row
+# counts can't overflow the decimal(28,0) accumulator, while a long SUM
+# would wrap at ~1.3×10^8 rows/partition). The mathematical value is
+# identical to the dec()/rate() path — verified bit-for-bit at sf0.1 —
+# so oracles keep their decimal formulation.
+
+
+def money_c(c: str | F.Column) -> F.Column:
+    """Money column → exact cents as long (inputs are ≤2dp)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(col * 100, 0).cast("long")
+
+
+def rate_bp(c: str | F.Column) -> F.Column:
+    """Rate column → exact basis points as long (inputs are ≤4dp)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(col * 10000, 0).cast("long")
+
+
+def ssum(scaled: F.Column, frac_digits: int) -> F.Column:
+    """SUM a scaled-long product exactly and rescale: decimal accumulation,
+    one exact decimal division by 10^frac_digits (Spark's division scale
+    max(6, s1+p2+1) always exceeds frac_digits, so no rounding), ROUND to
+    2dp in decimal space (half-up on both engines), then one double cast."""
+    total = F.sum(scaled.cast("decimal(28,0)")) / F.lit(10**frac_digits)
+    return F.round(total, 2).cast("double")
+
+
 # ---------------------------------------------------------------------------
 # Flagship (SURVEY.md §7 step 1): weekly 4-key-ish aggregation on lineitem —
 # the reference's O-7 week bucket + O-8 notional + O-10 multi-key hash agg,
@@ -110,14 +143,14 @@ def flagship_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     are codegen'd into the scan stage; parquet reader prunes to the four
     referenced columns (check ReadSchema)."""
     li = load_tables(spark, sf_dir, tables=("lineitem",))["lineitem"]
-    notional = dec("l_extendedprice") * (1 - rate("l_discount"))
+    notional_s = money_c("l_extendedprice") * (10000 - rate_bp("l_discount"))
     return (
         li.groupBy(
             week_start("l_shipdate").alias("week_start_date"),
             "l_returnflag",
         )
         .agg(
-            F.round(F.sum(notional), 2).cast("double").alias("revenue"),
+            ssum(notional_s, 6).alias("revenue"),
             dsum(dec("l_quantity")).alias("sum_qty"),
             F.count(F.lit(1)).alias("trade_count"),
         )
@@ -151,14 +184,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     one identical double division at the end (a native AVG would float-
     accumulate in engine-specific order)."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    disc_price = dec("l_extendedprice") * (1 - rate("l_discount"))
-    charge = dec("l_extendedprice") * (1 - rate("l_discount")) * (1 + rate("l_tax"))
+    disc_price_s = money_c("l_extendedprice") * (10000 - rate_bp("l_discount"))
+    charge_s = disc_price_s * (10000 + rate_bp("l_tax"))
     cnt = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum(dec("l_quantity")).alias("sum_qty"),
         dsum(dec("l_extendedprice")).alias("sum_base_price"),
-        F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
-        F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+        ssum(disc_price_s, 6).alias("sum_disc_price"),
+        ssum(charge_s, 10).alias("sum_charge"),
         (dsum(dec("l_quantity")) / cnt).alias("avg_qty"),
         (dsum(rate("l_discount")) / cnt).alias("avg_disc"),
         cnt.alias("count_order"),
@@ -205,14 +238,14 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders, customer, nation, region = _t(
         spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
     )
-    revenue = dec("l_extendedprice") * (1 - rate("l_discount"))
+    revenue_s = money_c("l_extendedprice") * (10000 - rate_bp("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
-        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .agg(ssum(revenue_s, 6).alias("revenue"))
     )
 
 
@@ -898,8 +931,11 @@ def weekly_trades_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
     line-number parity, mark price = price of the latest trade per symbol
     with a deterministic (ts, orderkey, linenumber) tiebreak).
 
-    Decimal space for every SUM; all post-agg scalars are fixed-order
-    double arithmetic on identical inputs — bit-identical across engines.
+    Every SUM accumulates exactly — scaled-long products (cents×cents)
+    into a decimal(28,0) accumulator, rescaled once per group — and all
+    post-agg scalars are fixed-order double arithmetic on identical
+    inputs, so results are bit-identical across engines against the
+    oracle's decimal formulation.
     """
     (li,) = _t(spark, sf_dir, "lineitem")
     trades = li.select(
@@ -908,15 +944,31 @@ def weekly_trades_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linestatus").alias("client_type"),
         F.col("l_returnflag").alias("symbol"),
         F.when(F.col("l_linenumber") % 2 == 1, "buy").otherwise("sell").alias("side"),
-        dec("l_quantity").alias("quantity"),
-        dec("l_extendedprice").alias("price"),
+        money_c("l_quantity").alias("qty_c"),
+        money_c("l_extendedprice").alias("price_c"),
         "l_orderkey",
         "l_linenumber",
     )
     is_buy = F.col("side") == "buy"
     is_sell = F.col("side") == "sell"
-    notional = F.col("quantity") * F.col("price")
-    zero = F.lit(0).cast("decimal(38,8)")
+    # fixed-point fast path: quantity and price are ≤2dp, so the notional
+    # is exact in cents×cents space (long mul, ×10^4); only the SUM runs
+    # in decimal. Same rational as quantity*price in decimal — the /10^4
+    # rescale and double cast land on the identical double (2^53 bound
+    # holds per group).
+    notional_s = F.col("qty_c") * F.col("price_c")
+    zero28 = F.lit(0).cast("decimal(28,0)")
+
+    def fsum(scaled, cond, frac_digits: int) -> F.Column:
+        masked = F.when(cond, scaled) if cond is not None else scaled
+        return (
+            (
+                F.coalesce(F.sum(masked.cast("decimal(28,0)")), zero28)
+                / F.lit(10**frac_digits)
+            )
+            .cast("double")
+        )
+
     order_key = F.struct("ts", "l_orderkey", "l_linenumber")
     agg = trades.groupBy(
         F.to_date(F.date_trunc("week", "ts")).alias("week_start_date"),
@@ -924,22 +976,24 @@ def weekly_trades_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "symbol",
     ).agg(
-        F.coalesce(F.sum(F.when(is_buy, F.col("quantity"))), F.lit(0).cast(DEC)).cast("double").alias("buy_qty"),
-        F.coalesce(F.sum(F.when(is_sell, F.col("quantity"))), F.lit(0).cast(DEC)).cast("double").alias("sell_qty"),
-        F.coalesce(F.sum(F.when(is_buy, notional)), zero).cast("double").alias("buy_value"),
-        F.coalesce(F.sum(F.when(is_sell, notional)), zero).cast("double").alias("sell_value"),
-        F.sum(notional).cast("double").alias("total_volume"),
+        fsum(F.col("qty_c"), is_buy, 2).alias("buy_qty"),
+        fsum(F.col("qty_c"), is_sell, 2).alias("sell_qty"),
+        fsum(notional_s, is_buy, 4).alias("buy_value"),
+        fsum(notional_s, is_sell, 4).alias("sell_value"),
+        fsum(notional_s, None, 4).alias("total_volume"),
         F.count("ts").alias("trade_count"),
-        # single-pass mark derivation: per-group argmax + its order key,
-        # merged per symbol below (argmax is associative; deterministic
-        # via the (ts, orderkey, linenumber) total order)
-        F.max_by("price", order_key).alias("__last_price"),
-        F.max(order_key).alias("__last_key"),
     )
-    marks = agg.groupBy("symbol").agg(
-        F.max_by("__last_price", "__last_key").alias("mark_price")
+    # marks as a separate narrow aggregate rather than max_by buffers
+    # carried through the big shuffle: the group count of the main agg is
+    # ~rows (partial aggregation barely reduces), so every extra buffer
+    # byte is shuffled ~once per input row — measurably slower than a
+    # second scan that column-prunes to (symbol, price, order key) and
+    # collapses map-side to one row per symbol per task.
+    marks = trades.groupBy("symbol").agg(
+        (F.max_by("price_c", order_key).cast("decimal(28,0)") / F.lit(100)).alias(
+            "mark_price"
+        )
     )
-    agg = agg.drop("__last_price", "__last_key")
     avg_buy = F.when(F.col("buy_qty") != 0, F.col("buy_value") / F.col("buy_qty"))
     out = (
         agg.join(F.broadcast(marks), "symbol", "left")
@@ -2381,4 +2435,99 @@ def math_bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("key_xor"),
         (F.col("l_orderkey").bitwiseAND(F.lit(255))).alias("key_and"),
         (F.col("l_orderkey").bitwiseOR(F.lit(1))).alias("key_or"),
+    )
+
+# ---------------------------------------------------------------------------
+# Array-function breadth, string distance, multi-grain time rollup.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "part_array_funcs",
+    oracle="""
+    SELECT p_brand,
+           array_to_string(list_sort(list(DISTINCT p_type)), ',') AS types_sorted,
+           array_to_string(list_sort(list(DISTINCT p_type))[1:2], ',') AS first_two,
+           list_contains(list(DISTINCT p_type), 'PROMO') AS has_promo,
+           array_to_string(list_reverse(list_sort(list(DISTINCT p_type))), ',') AS types_desc,
+           COUNT(DISTINCT p_type) AS n_types
+    FROM part GROUP BY p_brand
+    """,
+)
+def part_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8 array-function breadth: collect_set → sort_array → slice /
+    array_contains / reverse / array_join. Arrays render as sorted
+    comma-joined strings so the surface is oracle-comparable; set
+    construction is the only shuffle (25 brand groups)."""
+    (part,) = _t(spark, sf_dir, "part")
+    types = F.sort_array(F.collect_set("p_type"))
+    return part.groupBy("p_brand").agg(
+        F.array_join(types, ",").alias("types_sorted"),
+        F.array_join(F.slice(types, 1, 2), ",").alias("first_two"),
+        F.array_contains(F.collect_set("p_type"), "PROMO").alias("has_promo"),
+        F.array_join(F.reverse(types), ",").alias("types_desc"),
+        F.countDistinct("p_type").alias("n_types"),
+    )
+
+
+@query(
+    "supplier_name_distance",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           levenshtein(s_name, 'Supplier#000000000') AS edit_dist,
+           CAST(instr(s_name, '#') AS BIGINT) AS hash_pos,
+           upper(substring(s_name, 1, 8)) AS head_upper
+    FROM supplier
+    """,
+)
+def supplier_name_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8/X-14 string-distance kernel: levenshtein edit distance against
+    a fixed probe (fuzzy entity matching primitive), plus instr/upper/
+    substring. All JVM string kernels, narrow, shuffle-free."""
+    (supplier,) = _t(spark, sf_dir, "supplier")
+    return supplier.select(
+        "s_suppkey",
+        "s_name",
+        F.levenshtein("s_name", F.lit("Supplier#000000000")).cast("bigint").alias("edit_dist"),
+        F.instr("s_name", "#").cast("bigint").alias("hash_pos"),
+        F.upper(F.substring("s_name", 1, 8)).alias("head_upper"),
+    )
+
+
+@query(
+    "multi_grain_event_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           CAST(GROUPING(date_trunc('hour', ts)) AS INT) AS is_day_grain
+    FROM events
+    GROUP BY GROUPING SETS ((date_trunc('day', ts)),
+                            (date_trunc('day', ts), date_trunc('hour', ts)))
+    """,
+)
+def multi_grain_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: one pass producing the
+    hourly grain AND the daily rollup (GROUPING SETS over time buckets),
+    with grouping() disambiguating grain rows.
+
+    Scale: Spark expands grouping sets into one Expand + single shuffle —
+    fine while the grain count is small. At 100 TB with many grains the
+    better topology is cascading rollups (hour from raw, day from hour,
+    week from day), each re-aggregating the previous (much smaller)
+    grain — the streaming variant maintains the hour grain incrementally
+    and cascades on trigger."""
+    load_tables(spark, sf_dir, tables=("events",), register_views=True)
+    return spark.sql(
+        """
+        SELECT date_trunc('day', ts) AS day_start,
+               date_trunc('hour', ts) AS hour_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+               CAST(GROUPING(date_trunc('hour', ts)) AS INT) AS is_day_grain
+        FROM events
+        GROUP BY GROUPING SETS ((date_trunc('day', ts)),
+                                (date_trunc('day', ts), date_trunc('hour', ts)))
+        """
     )

@@ -138,6 +138,13 @@ def minhash_lsh_candidates(
     banded = sigs.select(
         "id", "sig", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("band_key")
     )
+    # Both sides of the self-join read `banded`. Plan-level exchange reuse
+    # usually makes that one computation, but AQE can re-plan the two sides
+    # independently and recompute the (CPU-dominant) signature stage twice —
+    # observed as bimodal runtimes. Persisting pins it to exactly one pass;
+    # the banded signatures are num_hashes longs + key per doc×band, a tiny
+    # fraction of the input corpus, so memory cost is negligible at scale.
+    banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

@@ -144,3 +144,31 @@ def test_asof_join_matches_bisect_reference(spark_handle, quotes, lookups):
         expect = cands[-1][1] if cands else None
         key = (k, base + datetime.timedelta(seconds=t))
         assert got[key] == expect, (k, t, got[key], expect)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.decimals(min_value="0.01", max_value="99999999.99", places=2),
+            st.decimals(min_value="0.0000", max_value="0.9999", places=4),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_fixed_point_sum_equals_decimal_sum(spark, rows):
+    """The scaled-long money path (money_c/rate_bp/ssum) must produce the
+    bit-identical double as the exact-decimal path (dec/rate + round/cast)
+    for any ≤2dp money × ≤4dp rate inputs — the equivalence the corpus
+    fixed-point queries rely on."""
+    from etl_demo_spark.corpus import dec, money_c, rate, rate_bp, ssum
+
+    df = spark.createDataFrame(
+        [(float(m), float(r)) for m, r in rows], "money double, disc double"
+    )
+    got = df.agg(
+        ssum(money_c("money") * (10000 - rate_bp("disc")), 6).alias("s"),
+        F.round(F.sum(dec("money") * (1 - rate("disc"))), 2).cast("double").alias("d"),
+    ).first()
+    assert got["s"] == got["d"], (got["s"], got["d"])
