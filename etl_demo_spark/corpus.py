@@ -2531,3 +2531,92 @@ def multi_grain_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (date_trunc('day', ts), date_trunc('hour', ts)))
         """
     )
+
+# ---------------------------------------------------------------------------
+# Batch sessionization and exact-sum statistical dispersion.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_sessions_batch",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM d
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def event_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 batch sessionization: 30-minute-gap sessions via lag → boolean
+    session-start flags → running-sum session ids → per-session rollup.
+    The batch twin of the streaming `session_windows` query (same gap
+    semantics, differently expressed).
+
+    Scale: one shuffle on user_id serves both window functions AND the
+    final group (same partitioning, Catalyst reuses the exchange); the
+    (ts, event_id) compound order makes session ids deterministic under
+    timestamp ties."""
+    from pyspark.sql.window import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond precision to match the oracle's INTERVAL comparison —
+    # a seconds cast would truncate and disagree on exact-boundary gaps
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ev.select(
+        "user_id", "ts", "event_id", is_new.alias("is_new")
+    ).select(
+        "user_id", "ts", F.sum("is_new").over(run).alias("session_id")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "lineitem_dispersion",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS {DEC_SQL})) AS DOUBLE) AS qty_sum,
+           sqrt((CAST(SUM(CAST(l_quantity AS {DEC_SQL}) * CAST(l_quantity AS {DEC_SQL})) AS DOUBLE)
+                 - CAST(SUM(CAST(l_quantity AS {DEC_SQL})) AS DOUBLE)
+                   * CAST(SUM(CAST(l_quantity AS {DEC_SQL})) AS DOUBLE) / COUNT(*))
+                / (COUNT(*) - 1)) AS qty_stddev
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4/X-8 statistical aggregates computed deterministically: sample
+    stddev from EXACT decimal moments (Σx, Σx²) + one fixed-order double
+    formula — a native stddev_samp float-accumulates in engine-specific
+    order and can't be hash-compared across engines. Same single-shuffle
+    plan as any grouped agg; the moments combine associatively (partial
+    aggregation safe)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    q = dec("l_quantity")
+    n = F.count(F.lit(1))
+    s1 = F.sum(q).cast("double")
+    s2 = F.sum(q * q).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        s1.alias("qty_sum"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - 1)).alias("qty_stddev"),
+    )
