@@ -74,3 +74,8 @@ def write_excel(df: DataFrame, path: str) -> str:
         alt = os.path.splitext(path)[0] + ".csv"
         pdf.to_csv(alt, index=False)
         return alt
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (X-1) — second columnar format, same writer surface."""
+    df.write.mode(mode).orc(path)

@@ -60,6 +60,21 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (X-1) — columnar like parquet: vectorized reader, predicate
+    pushdown, and partition pruning all apply."""
+    return spark.read.orc(path)
+
+
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan with schema merging across files — the engine's answer
+    to the reference's append-drift failure (README.md:29: appending a
+    no-PnL frame after a PnL frame corrupts the SQLite table). Files
+    written with a column subset read back with NULLs in the missing
+    columns instead of erroring."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,

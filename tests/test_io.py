@@ -68,3 +68,37 @@ def test_save_charts_fallback(spark, tmp_path):
     import os
 
     assert all(os.path.exists(p) for p in paths)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from etl_demo_spark.io.sinks import write_orc
+    from etl_demo_spark.io.sources import read_orc
+
+    df = read_parquet(spark, f"{SF0001}/supplier.parquet")
+    out = str(tmp_path / "supplier_orc")
+    write_orc(df, out)
+    back = read_orc(spark, out)
+    assert back.count() == df.count()
+    assert back.schema == df.schema
+
+
+def test_parquet_schema_drift_append_reads_merged(spark, tmp_path):
+    """The reference's documented failure (append a reduced-schema frame
+    after a full one → corrupt SQLite table) must be survivable here:
+    mergeSchema reads the union schema with NULLs for missing columns."""
+    from etl_demo_spark.io.sources import read_parquet_merged
+
+    out = str(tmp_path / "drifting")
+    full = spark.createDataFrame(
+        [(1, 10.0, 0.5)], "user_id long, total_volume double, total_pnl double"
+    )
+    reduced = spark.createDataFrame(
+        [(2, 20.0)], "user_id long, total_volume double"
+    )
+    write_parquet(full, out, mode="overwrite")
+    write_parquet(reduced, out, mode="append")
+    back = read_parquet_merged(spark, out)
+    assert set(back.columns) == {"user_id", "total_volume", "total_pnl"}
+    rows = {r["user_id"]: r for r in back.collect()}
+    assert rows[2]["total_pnl"] is None
+    assert rows[1]["total_pnl"] == 0.5
