@@ -2620,3 +2620,52 @@ def lineitem_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         s1.alias("qty_sum"),
         F.sqrt((s2 - s1 * s1 / n) / (n - 1)).alias("qty_stddev"),
     )
+
+# ---------------------------------------------------------------------------
+# Python UDTF (X-11): table-valued quality-rule expansion.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_quality_issues",
+    oracle="""
+    SELECT doc_id, 'too_short' AS issue, CAST(len(text) AS BIGINT) AS metric
+    FROM documents WHERE len(text) < 60
+    UNION ALL
+    SELECT doc_id, 'few_tokens', CAST(len(string_split(text, ' ')) AS BIGINT)
+    FROM documents WHERE len(string_split(text, ' ')) < 10
+    UNION ALL
+    SELECT doc_id, 'mentions_slow', CAST(len(regexp_extract_all(text, 'slow')) AS BIGINT)
+    FROM documents WHERE contains(text, 'slow')
+    """,
+)
+def doc_quality_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-11 Python UDTF: a table-valued function emitting zero-or-more
+    (issue, metric) rows per document — the lateral-join shape rule
+    engines need, where per-row fan-out is data-dependent.
+
+    Scale: UDTFs are the Python slow path (use built-in explode when the
+    rule set is SQL-expressible — the oracle shows this one is); the
+    point here is the *surface*. The UDTF runs Arrow-batched, narrow,
+    and embarrassingly parallel — no shuffle; rule evaluation cost
+    scales with input partitions."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, issue string, metric bigint")
+    class QualityIssues:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF contract
+            n = len(text)
+            if n < 60:
+                yield doc_id, "too_short", n
+            toks = text.split(" ")
+            if len(toks) < 10:
+                yield doc_id, "few_tokens", len(toks)
+            c = text.count("slow")
+            if c > 0:
+                yield doc_id, "mentions_slow", c
+
+    load_tables(spark, sf_dir, tables=("documents",), register_views=True)
+    spark.udtf.register("doc_quality_issues_udtf", QualityIssues)
+    return spark.sql(
+        "SELECT q.* FROM documents, LATERAL doc_quality_issues_udtf(doc_id, text) q"
+    )
