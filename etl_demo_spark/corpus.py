@@ -2669,3 +2669,74 @@ def doc_quality_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT q.* FROM documents, LATERAL doc_quality_issues_udtf(doc_id, text) q"
     )
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide→long melt) and IGNORE-NULLS forward fill.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+    FROM lineitem WHERE l_orderkey < 200
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey < 200
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-25's inverse (wide→long melt) via the native unpivot operator —
+    the normalization step feeding generic per-measure pipelines.
+
+    Scale: unpivot is a narrow Expand (k output rows per input row, no
+    shuffle); the key-range filter pushes into the parquet scan on both
+    engines."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") < 200).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+@query(
+    "event_value_ffill",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CASE WHEN event_type <> 'click' THEN value END AS raw_value,
+           last_value(CASE WHEN event_type <> 'click' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM events
+    """,
+)
+def event_value_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6 gap-fill / forward-fill: last non-NULL value per user ordered
+    by time (last_value with ignorenulls over a running frame) — the
+    time-series as-of-carry pattern (clicks carry the last non-click
+    value forward).
+
+    Scale: one shuffle on user_id + per-partition sort; the running
+    frame is O(1) state per row. Values pass through unchanged (no
+    float arithmetic), so cross-engine comparison is exact."""
+    from pyspark.sql.window import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    raw = F.when(F.col("event_type") != "click", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        raw.alias("raw_value"),
+        F.last(raw, ignorenulls=True).over(w).alias("filled_value"),
+    )
