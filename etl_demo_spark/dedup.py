@@ -203,6 +203,101 @@ def jaccard_verify(
 
 
 # --------------------------------------------------------------------------
+# Fused near-dup pipeline (single pass, no persist)
+# --------------------------------------------------------------------------
+
+
+def minhash_signature_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """``(id, sig, hset)`` per document via explode → hash aggregation.
+
+    Scale shape: this beats the per-row higher-order-function fold
+    (``minhash_signature``) the same way ``simhash_table`` beats
+    ``simhash_bits`` — explode the shingles, hash each string ONCE, and
+    compute all ``num_hashes`` mins as plain MIN aggregates inside one
+    whole-stage-codegen'd hash aggregation with map-side partial combine.
+    Only ``num_hashes`` longs + the distinct-shingle hash set per doc cross
+    the shuffle; the hash set (``hset``) rides along via ``collect_set`` so
+    exact-Jaccard verification later needs NO second pass over the corpus.
+
+    Empty docs (< shingle_k tokens) keep a row with all-NULL mins and an
+    empty hset, matching ``array_min`` over an empty array."""
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(shingles(text_col, shingle_k)).alias("sh")
+    ).select(
+        "id",
+        # NULL shingle (empty doc) must hash to NULL so MIN ignores it —
+        # bare xxhash64(NULL) would return the seed hash, a real value.
+        F.when(F.col("sh").isNotNull(), F.xxhash64("sh")).alias("h"),
+    )
+    mins = []
+    for j in range(num_hashes):
+        a = F.lit(((2 * j + 1) * _MIX_A) % (1 << 63)).cast("long")
+        b = F.lit(((j + 1) * _MIX_B) % (1 << 63)).cast("long")
+        mins.append(F.min(a * F.col("h") + b).alias(f"m{j}"))
+    agg = ex.groupBy("id").agg(*mins, F.collect_set("h").alias("hset"))
+    return agg.select(
+        "id", F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("sig"), "hset"
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end near-dup pairs: MinHash LSH candidates + exact n-gram
+    Jaccard verification, fused into one single-pass pipeline.
+
+    Topology (the 100 TB shape): one narrow shingle+hash stage feeding one
+    hash-agg shuffle on doc id; the band-key self-join shuffles only
+    ``(id, band_key)`` rows (both sides share the exchange — ReusedExchange,
+    no recompute, no persist needed); verification joins the candidate pairs
+    back to the signature table's shingle-hash sets, so exact Jaccard costs
+    candidates × set-intersection, never a second corpus scan. Returns
+    ``(id_a, id_b, est_jaccard, jaccard)`` with ``jaccard >= threshold``."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        "id", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("band_key")
+    )
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band_key") == F.col("r.band_key")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), F.col("hset").alias("hset_a"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), F.col("hset").alias("hset_b"))
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda x: x)).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    jac = (
+        F.size(F.array_intersect("hset_a", "hset_b")).cast("double")
+        / F.size(F.array_union("hset_a", "hset_b")).cast("double")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"), jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

@@ -68,6 +68,46 @@ def test_jaccard_values_match_bruteforce(spark, docs_df):
         assert abs(j - expected) < 1e-12, (a, b)
 
 
+def test_fused_near_dup_matches_two_stage(spark, docs_df):
+    """The fused single-pass pipeline (explode→hash-agg signatures with
+    hash-set verification) must produce the same pairs + identical exact
+    Jaccard as the legacy candidates→jaccard_verify composition, and its
+    signature mins must equal the per-row array-fold signature."""
+    from etl_demo_spark.dedup import (
+        hash_shingles,
+        jaccard_verify,
+        minhash_lsh_candidates,
+        minhash_near_dup_pairs,
+        minhash_signature,
+        minhash_signature_table,
+        shingles,
+    )
+
+    legacy = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_verify(
+            minhash_lsh_candidates(docs_df, num_hashes=32, bands=16), docs_df, threshold=0.0
+        ).collect()
+    }
+    fused = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(docs_df, num_hashes=32, bands=16, threshold=0.0).collect()
+    }
+    assert fused == legacy
+
+    fold_sigs = {
+        r["id"]: r["sig"]
+        for r in docs_df.select(
+            F.col("doc_id").alias("id"),
+            minhash_signature(hash_shingles(shingles("text", 3)), 32).alias("sig"),
+        ).collect()
+    }
+    agg_sigs = {
+        r["id"]: r["sig"] for r in minhash_signature_table(docs_df, num_hashes=32).collect()
+    }
+    assert agg_sigs == fold_sigs
+
+
 def test_simhash_table_equals_columnwise_fold(spark, docs_df):
     """The scalable explode+agg SimHash must produce identical signatures
     to the per-row array fold."""
