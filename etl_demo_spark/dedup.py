@@ -216,14 +216,20 @@ def minhash_signature_table(
 ) -> DataFrame:
     """``(id, sig, hset)`` per document via explode → hash aggregation.
 
-    Scale shape: this beats the per-row higher-order-function fold
-    (``minhash_signature``) the same way ``simhash_table`` beats
-    ``simhash_bits`` — explode the shingles, hash each string ONCE, and
-    compute all ``num_hashes`` mins as plain MIN aggregates inside one
+    Alternative to the per-row higher-order-function fold
+    (``minhash_signature``): explode the shingles, hash each string ONCE,
+    and compute all ``num_hashes`` mins as plain MIN aggregates inside one
     whole-stage-codegen'd hash aggregation with map-side partial combine.
-    Only ``num_hashes`` longs + the distinct-shingle hash set per doc cross
-    the shuffle; the hash set (``hset``) rides along via ``collect_set`` so
-    exact-Jaccard verification later needs NO second pass over the corpus.
+    The shingle-hash set (``hset``) rides along via ``collect_set`` so
+    exact-Jaccard verification later needs no second pass over the corpus.
+
+    Measured A/B at bench scale (5k docs × ~300 chars, local[32], warm):
+    the narrow fold + candidate-only rescan wins ~2× end-to-end — this
+    path's agg shuffle carries the hash sets, and shuffled bytes cost more
+    than re-deriving sets from the pruned columnar scan. Use this variant
+    when the source scan is NOT cheaply re-derivable (e.g. documents
+    arriving from a joined/decoded upstream stage that would otherwise
+    recompute).
 
     Empty docs (< shingle_k tokens) keep a row with all-NULL mins and an
     empty hset, matching ``array_min`` over an empty array."""
@@ -256,14 +262,16 @@ def minhash_near_dup_pairs(
     threshold: float = 0.7,
 ) -> DataFrame:
     """End-to-end near-dup pairs: MinHash LSH candidates + exact n-gram
-    Jaccard verification, fused into one single-pass pipeline.
+    Jaccard verification, fused into one single-pass pipeline over the
+    hash-agg signature table (see ``minhash_signature_table`` for when to
+    prefer this over the scan-recompute composition used by the corpus
+    query — at bench scale the latter measures ~2× faster).
 
-    Topology (the 100 TB shape): one narrow shingle+hash stage feeding one
-    hash-agg shuffle on doc id; the band-key self-join shuffles only
-    ``(id, band_key)`` rows (both sides share the exchange — ReusedExchange,
-    no recompute, no persist needed); verification joins the candidate pairs
-    back to the signature table's shingle-hash sets, so exact Jaccard costs
-    candidates × set-intersection, never a second corpus scan. Returns
+    Topology: one narrow shingle+hash stage feeding one hash-agg shuffle on
+    doc id; the band-key self-join shuffles only ``(id, band_key)`` rows;
+    verification joins the candidate pairs back to the signature table's
+    shingle-hash sets, so exact Jaccard costs candidates ×
+    set-intersection, never a second corpus scan. Returns
     ``(id_a, id_b, est_jaccard, jaccard)`` with ``jaccard >= threshold``."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_k)
