@@ -3271,3 +3271,147 @@ def nation_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value") > F.col("threshold"))
         .select("n_name", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-analytics breadth: first-touch funnel, weekly cohort retention,
+# groupwise top-k — the product-analytics staples over the events table.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_funnel",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(t_signup) AS stage_signup,
+           CAST(SUM(CASE WHEN t_signup < t_view THEN 1 ELSE 0 END) AS BIGINT)
+             AS stage_view,
+           CAST(SUM(CASE WHEN t_signup < t_view AND t_view < t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+           CAST(SUM(CASE WHEN t_signup < t_view AND t_view < t_click
+                          AND t_click < t_purchase
+                         THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
+    FROM u
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel signup→view→click→purchase: a user advances a
+    stage only if the first occurrence of each step strictly follows the
+    first occurrence of the previous one. NULL stage times propagate
+    through the comparisons to "did not reach" (non-ANSI NULL < x ⇒ NULL
+    ⇒ counted 0) — identical in both engines.
+
+    Scale: ONE pass over events (conditional MIN per stage inside a
+    single hash agg on user_id), then a single-row rollup — no joins,
+    no windows, no per-stage rescans."""
+    (ev,) = _t(spark, sf_dir, "events")
+    stage_min = {
+        s: F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+        for s in ("signup", "view", "click", "purchase")
+    }
+    u = ev.groupBy("user_id").agg(*stage_min.values())
+    reached_view = F.col("t_signup") < F.col("t_view")
+    reached_click = reached_view & (F.col("t_view") < F.col("t_click"))
+    reached_purchase = reached_click & (F.col("t_click") < F.col("t_purchase"))
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return u.agg(
+        F.count("t_signup").alias("stage_signup"),
+        flag(reached_view).alias("stage_view"),
+        flag(reached_click).alias("stage_click"),
+        flag(reached_purchase).alias("stage_purchase"),
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort_week,
+           CAST(datediff('day', cohort_week,
+                         CAST(date_trunc('week', ts) AS DATE)) / 7 AS BIGINT)
+             AS week_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-activity week,
+    counted as active per whole-week offset from their cohort week
+    (offsets are exact multiples of 7 days, so the /7 is lossless in
+    both engines).
+
+    Scale: the cohort table and the activity probe shuffle on the SAME
+    user_id key — co-keyed join, one exchange each; the retention agg
+    groups on (cohort_week, offset), a few hundred cells, with the
+    count-distinct expanding to the standard two-level dedup agg."""
+    (ev,) = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(week_start(F.min("ts")).alias("cohort_week"))
+    return (
+        ev.join(f, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(week_start(F.col("ts")), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "top_suppliers_per_nation",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n_name, s_name,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS {DEC_SQL})
+                            * (1 - CAST(l_discount AS {RATE_SQL}))), 2) AS DOUBLE)
+               AS revenue
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT n_name, s_name, revenue,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY revenue DESC, s_name) AS rk
+      FROM rev
+    )
+    SELECT n_name, s_name, revenue, rk FROM r WHERE rk <= 3
+    """,
+)
+def top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groupwise top-k (X-6): the top-3 revenue suppliers within every
+    nation — rank-within-partition then filter, with the unique s_name
+    as tiebreak so both engines pick identical rows.
+
+    Scale: supplier/nation broadcast; one shuffle aggregates lineitem on
+    the (nation, supplier) pair; the window repartitions only the tiny
+    aggregate by nation. The rank filter prunes before anything leaves
+    the exchange (WindowGroupLimit pushes the k=3 limit into the
+    sort)."""
+    from pyspark.sql.window import Window
+
+    li, supplier, nation = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    vol = dec("l_extendedprice") * (1 - rate("l_discount"))
+    rev = (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "s_name")
+        .agg(F.round(F.sum(vol), 2).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("revenue").desc(), "s_name")
+    return (
+        rev.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+    )
