@@ -68,3 +68,37 @@ def test_no_python_udf_in_relational_hot_path(spark):
 def test_weekly_pnl_mark_join_broadcasts(spark):
     df = entrymod.queries()["weekly_trades_pnl"](spark, SF001)
     assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_q3_shape_is_takeordered_with_broadcast_dims(spark):
+    """shipping_priority: deterministic top-10 must compile to
+    TakeOrderedAndProject (per-partition top-k + merge, no global sort)
+    with the filtered customer dimension broadcast."""
+    p = plan_of(entrymod.queries()["shipping_priority"](spark, SF001))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_groupwise_topk_uses_window_group_limit(spark):
+    """top_suppliers_per_nation: the rank<=3 filter must push into the
+    window sort as WindowGroupLimit — per-partition heap of size k
+    instead of ranking every group member."""
+    p = plan_of(entrymod.queries()["top_suppliers_per_nation"](spark, SF001))
+    assert "WindowGroupLimit" in p
+
+
+def test_market_share_broadcasts_every_dimension(spark):
+    """nation_market_share joins seven dimension copies; every one must
+    broadcast — the only shuffle joins lineitem to orders."""
+    p = plan_of(entrymod.queries()["nation_market_share"](spark, SF001))
+    assert p.count("BroadcastHashJoin") >= 6
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_funnel_is_two_exchange_plan(spark):
+    """event_funnel: one shuffle for the per-user conditional-MIN agg,
+    one single-partition exchange for the global rollup — any join or
+    per-stage rescan would add exchanges."""
+    p = plan_of(entrymod.queries()["event_funnel"](spark, SF001))
+    assert p.count("Exchange") <= 2
+    assert "Join" not in p
