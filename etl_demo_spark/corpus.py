@@ -3415,3 +3415,105 @@ def top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data preparation: deterministic splits and the composed
+# filter→dedup→split corpus-prep pipeline over documents.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "deterministic_split",
+    oracle="""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+             AS total_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split keyed on the doc-id
+    hash (string-threshold comparison on the first md5 hex byte — see
+    ``text.split_assign``), with per-split document and token counts.
+
+    Scale: the assignment is a narrow projection (one md5 of a ~10-byte
+    string per row — not the document body); the rollup is a 3-group
+    agg that collapses map-side. Adding workers or re-running never
+    reshuffles documents between splits."""
+    from etl_demo_spark.text import split_assign, token_count
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(split_assign("doc_id").alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text").cast("long")).alias("total_tokens"),
+        )
+    )
+
+
+@query(
+    "corpus_prep_pipeline",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hb
+      FROM documents
+      WHERE length(text) >= 150
+    ), qq AS (
+      SELECT * FROM q WHERE n_tokens >= 25
+    ), keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM qq GROUP BY fp
+    )
+    SELECT lang,
+           CASE WHEN hb < 'cd' THEN 'train'
+                WHEN hb < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM qq JOIN keep USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus preparation pipeline: length +
+    token-count quality gates → exact dedup on the normalized-text
+    fingerprint (deterministic min-id keeper) → hash-based 80/10/10
+    split → per-(lang, split) document/token accounting. One query, all
+    JVM-side built-ins.
+
+    Scale: the quality gates prune before anything shuffles; dedup
+    shuffles 16-byte fingerprints (never document bodies); the keeper
+    set semi-joins back; the final rollup has ≲ languages × 3 groups.
+    This is the shape of the real 100 TB job — the only full-width
+    columns ever in flight are in the initial pruned scan."""
+    from etl_demo_spark.text import fingerprint, split_assign, token_count
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    q = (
+        docs.filter(F.length("text") >= 150)
+        .select(
+            "doc_id",
+            "lang",
+            token_count("text").alias("n_tokens"),
+            fingerprint("text").alias("fp"),
+            split_assign("doc_id").alias("split"),
+        )
+        .filter(F.col("n_tokens") >= 25)
+    )
+    keep = q.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    return (
+        q.join(keep, "doc_id", "left_semi")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        )
+    )

@@ -140,3 +140,25 @@ def lang_id(texts: pd.Series) -> pd.Series:
         return best
 
     return texts.map(detect)
+
+
+def split_assign(
+    id_col: Column | str, train: float = 0.8, val: float = 0.1
+) -> Column:
+    """Deterministic train/val/test assignment from a stable id hash.
+
+    Buckets the md5 of the id's decimal string by its first hex byte and
+    compares against fraction thresholds AS STRINGS — no hex→int
+    conversion, so the expression is exactly mirrorable in ANSI SQL
+    (DuckDB: ``substr(md5(CAST(id AS VARCHAR)), 1, 2)``). Content-
+    independent: editing a document never moves it between splits, and
+    the assignment is reproducible across engines, runs, and cluster
+    sizes (the property a training pipeline needs for leak-free
+    evaluation)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    hb = F.substring(F.md5(c.cast("string")), 1, 2)
+    t1 = format(round(256 * train), "02x")
+    t2 = format(round(256 * (train + val)), "02x")
+    return (
+        F.when(hb < t1, "train").when(hb < t2, "val").otherwise("test")
+    )
