@@ -3517,3 +3517,98 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Slowly-changing-dimension history build and time-weighted averaging —
+# the temporal-table patterns over the events stream.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_purchase_history",
+    oracle="""
+    SELECT user_id, value AS attr_value, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_purchase_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 history build: each purchase event versions the user's
+    purchase-value attribute, valid from its own timestamp until the
+    next purchase (open/NULL interval = current row). The (ts, event_id)
+    ordering makes interval edges deterministic under timestamp ties.
+
+    Scale: one shuffle on user_id + per-partition sort; lead() is O(1)
+    state. This is the batch path of CDC compaction — the streaming
+    twin is the applyInPandasWithState counter in streaming/."""
+    from pyspark.sql.window import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("value").alias("attr_value"),
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+    )
+
+
+@query(
+    "user_value_twap",
+    oracle="""
+    WITH t AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             epoch_us(ts) AS tus,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(cents * (nxt - tus)) AS DOUBLE)
+             / CAST(SUM(nxt - tus) AS DOUBLE) / 100.0 AS twap
+    FROM t WHERE nxt IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's event value: every value
+    holds until the user's next event, weighted by exact microsecond
+    duration. The weighted sum runs in integer space — cents × µs
+    accumulated in an overflow-proof decimal — so both engines divide
+    the identical exact integers (fixed-order double math at the end).
+
+    Scale: one shuffle on user_id feeding BOTH the lead() window and
+    the final agg (co-keyed — the groupBy reuses the window's
+    partitioning, no second exchange)."""
+    from pyspark.sql.window import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "user_id",
+        money_c("value").alias("cents"),
+        F.unix_micros("ts").alias("tus"),
+        F.lead(F.unix_micros("ts")).over(w).alias("nxt"),
+    )
+    dur = F.col("nxt") - F.col("tus")
+    return (
+        t.filter(F.col("nxt").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum((F.col("cents") * dur).cast("decimal(28,0)")).cast("double")
+                / F.sum(dur.cast("decimal(28,0)")).cast("double")
+                / F.lit(100.0)
+            ).alias("twap")
+        )
+    )
