@@ -1,0 +1,87 @@
+"""Physical-layout tools for the 100 TB posture: Z-order clustered
+writes for multi-dimensional data skipping.
+
+A parquet scan can prune row groups / files only when the filter column's
+min-max ranges are narrow per file. A sort on one column gives perfect
+pruning on that column and none on the others; Z-ordering interleaves the
+bits of several columns so every file covers a small hyper-rectangle of
+the key space — all interleaved dimensions prune well (the technique
+popularized by lakehouse table formats, implemented here with nothing but
+built-in column expressions; see docs/SCALE_LAYOUT.md).
+
+Scale shape: one tiny min/max aggregate per write (driver-side, the only
+extra pass), then a narrow key projection, a range repartition on the key
+(one shuffle — the same shuffle a plain sorted write would do), and a
+within-partition sort. Nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 16 bits per dimension: 2 dims fill 32 bits, 4 dims fill 64. More
+# resolution than files-per-write in any sane layout job.
+_BITS = 16
+
+
+def _quantize(c: Column, lo: float, hi: float, bits: int = _BITS) -> Column:
+    """Scale a numeric column to an integer in [0, 2^bits) via its global
+    min/max. Layout-only math — result ordering, not row values, so double
+    rounding here is harmless."""
+    span = hi - lo
+    if span <= 0:  # constant column: every row in bucket 0
+        return F.lit(0).cast("long")
+    scaled = (c.cast("double") - F.lit(float(lo))) / F.lit(float(span))
+    return F.least(
+        F.greatest((scaled * F.lit(float((1 << bits) - 1))).cast("long"), F.lit(0)),
+        F.lit((1 << bits) - 1),
+    )
+
+
+def zorder_key(quantized: list[Column], bits: int = _BITS) -> Column:
+    """Interleave the bits of pre-quantized integer columns into one long
+    (Morton code). Pure built-ins — shiftleft/shiftright/bitwise — so the
+    whole key is whole-stage-codegen'd."""
+    terms = []
+    n = len(quantized)
+    for i in range(bits):
+        for j, q in enumerate(quantized):
+            bit = F.shiftright(q, i).bitwiseAND(F.lit(1))
+            terms.append(F.shiftleft(bit, i * n + j))
+    return reduce(lambda a, b: a.bitwiseOR(b), terms).cast("long")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet clustered by the Z-order of ``cols``.
+
+    Two passes: a min/max agg over the cluster columns (tiny — one row to
+    the driver), then range-repartition + sort on the Morton key and a
+    plain parquet write. Every output file then spans a compact
+    hyper-rectangle in ``cols`` space, so min/max footer stats prune scans
+    filtered on ANY of the clustered columns — not just a lead sort key."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    stats = df.agg(*aggs).collect()[0]
+    quantized = [
+        _quantize(F.col(c), float(stats[f"__lo_{c}"]), float(stats[f"__hi_{c}"]))
+        for c in cols
+    ]
+    key = zorder_key(quantized)
+    (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(num_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
