@@ -3612,3 +3612,56 @@ def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap")
         )
     )
+
+
+@query(
+    "price_qty_correlation",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           (COUNT(*) * CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(8,2))
+                                      * CAST(l_extendedprice AS DECIMAL(19,4))), 0) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE)
+              * CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE))
+           / sqrt(COUNT(*) * CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(8,2))
+                                            * CAST(l_quantity AS DECIMAL(8,2))), 0) AS DOUBLE)
+                  - CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE)
+                    * CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE))
+           / sqrt(COUNT(*) * CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                                            * CAST(l_extendedprice AS DECIMAL(19,4))), 0) AS DOUBLE)
+                  - CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
+                    * CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE))
+             AS qty_price_corr
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def price_qty_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group from EXACT decimal co-moments
+    (Σx, Σy, Σxy, Σx², Σy²) + one fixed-order double formula — native
+    corr() float-accumulates in engine-specific order and cannot be
+    hash-compared across engines (same trick as lineitem_dispersion).
+    Second moments are ROUNDed to integer in exact decimal space before
+    the double cast so the scaled value stays inside the 2^53
+    correctly-rounded-cast bound through sf0.1 (larger SFs would round
+    to coarser units — the same knob, one constant).
+
+    Scale: the five moments ride one hash aggregation (associative —
+    partial-agg safe); the formula runs post-agg on a handful of
+    groups."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    # operand widths differ per engine but the VALUES are identical exact
+    # decimals: the oracle uses DECIMAL(19,4) to force DuckDB's int128
+    # multiply path, while Spark stays at (18,4)/(8,2) so p1+p2+1 <= 38
+    # keeps its products exact (no precision-cap scale loss)
+    x = F.col("l_quantity").cast("decimal(8,2)")
+    y = dec("l_extendedprice")
+    n = F.count(F.lit(1))
+    sx = F.sum(x).cast("double")
+    sy = F.sum(y).cast("double")
+    sxy = F.round(F.sum(x * y), 0).cast("double")
+    sxx = F.round(F.sum(x * x), 0).cast("double")
+    syy = F.round(F.sum(y * y), 0).cast("double")
+    corr = (n * sxy - sx * sy) / F.sqrt(n * sxx - sx * sx) / F.sqrt(n * syy - sy * sy)
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"), corr.alias("qty_price_corr")
+    )
