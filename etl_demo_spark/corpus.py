@@ -3665,3 +3665,37 @@ def price_qty_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         n.alias("n"), corr.alias("qty_price_corr")
     )
+
+
+@query("near_dup_clusters")  # iterative algorithm: rows-only driver check
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-12 end-to-end dedup clustering: MinHash LSH candidate pairs →
+    exact-Jaccard verification → connected components → cluster roster
+    ``(component, cluster_size, doc_ids)``. The keeper policy is then
+    "min doc_id per component" — exactly what a 100 TB near-dup pass
+    feeds into its delete list. Component labeling is verified against a
+    Python union-find oracle in unit tests (no SQL oracle: iterative
+    fixpoint).
+
+    Scale: the iterative stage runs on the PAIR graph only (LSH-bounded,
+    ≪ corpus); rounds are co-keyed joins; the roster agg is one shuffle
+    of (component, id) pairs."""
+    from etl_demo_spark.dedup import (
+        connected_components,
+        jaccard_verify,
+        minhash_lsh_candidates,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = jaccard_verify(
+        minhash_lsh_candidates(docs, num_hashes=32, bands=8), docs, threshold=0.5
+    )
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sort_array(F.collect_list("id")).alias("doc_ids"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+    )

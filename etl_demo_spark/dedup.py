@@ -373,3 +373,78 @@ def pack_bits(bits_col: Column, bits: int = 64) -> Column:
 
 def hamming_distance(bits_a: Column, bits_b: Column) -> Column:
     return F.size(F.filter(F.zip_with(bits_a, bits_b, lambda a, b: a != b), lambda x: x))
+
+
+# --------------------------------------------------------------------------
+# Connected components: near-dup pairs → duplicate clusters
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Label every vertex of the pair graph with its component's minimum
+    id — the step that turns near-dup PAIRS into duplicate CLUSTERS (keep
+    ``component``, drop the rest).
+
+    Algorithm: iterative min-label propagation. Each round every vertex
+    adopts the smallest label in its closed neighborhood; converges in
+    O(diameter) rounds — near-dup graphs are unions of small cliques from
+    LSH buckets, so the diameter (and round count) is tiny. Each round is
+    one co-keyed join + one agg on vertex id; intermediates are
+    checkpoint-free because the edge set is re-derived from the (small)
+    candidate pairs, not the corpus. The driver-side loop only compares a
+    scalar convergence count per round (no data collects).
+
+    At 100 TB: rounds are sequential Spark jobs over the PAIR set —
+    bounded by LSH candidate volume, orders of magnitude below corpus
+    size. For adversarial long-chain graphs swap in large-star/small-star
+    (same join shape, O(log²(n)) rounds); near-dup clustering never needs
+    it.
+
+    Returns ``(id, component)`` for every vertex that appears in an edge.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    sym.persist()
+    labels = sym.select(F.col("u").alias("vid")).distinct().select(
+        "vid", F.col("vid").alias("label")
+    )
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                sym.join(labels, F.col("v") == F.col("vid"))
+                .groupBy(F.col("u").alias("nu"))
+                .agg(F.min("label").alias("nmin"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, F.col("vid") == F.col("nu"), "left")
+                .select(
+                    "vid",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ).alias("label"),
+                )
+            )
+            new_labels.persist()
+            changed = (
+                new_labels.select("vid", F.col("label").alias("new_label"))
+                .join(labels, "vid")
+                .filter(F.col("new_label") != F.col("label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("vid").alias("id"), F.col("label").alias("component")
+        )
+    finally:
+        sym.unpersist()

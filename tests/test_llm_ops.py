@@ -272,3 +272,34 @@ def test_all_queries_execute_smoke(spark):
         n = df.count()
         assert n >= 0, name
         assert df.columns, name
+
+
+def test_connected_components_match_union_find(spark):
+    """Min-label propagation must produce exactly the components a
+    Python union-find derives from the same edge list — including
+    chains (A-B, B-C) that LSH-bucket cliques don't exercise."""
+    from etl_demo_spark.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (5, 6), (7, 7), (10, 11), (11, 12), (12, 13), (3, 4)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == expected
