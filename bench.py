@@ -33,6 +33,7 @@ HEADLINE = [
     "weekly_trades_pnl",
     "exact_dedup_fingerprint",
     "minhash_near_dup",
+    "corpus_prep_pipeline",
     "ann_topk_bruteforce",
     "stream_hourly_event_stats",
 ]
