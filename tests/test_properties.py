@@ -172,3 +172,58 @@ def test_fixed_point_sum_equals_decimal_sum(spark, rows):
         F.round(F.sum(dec("money") * (1 - rate("disc"))), 2).cast("double").alias("d"),
     ).first()
     assert got["s"] == got["d"], (got["s"], got["d"])
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_zorder_key_matches_python_morton(spark_handle, pts):
+    """The built-in-expression Morton key must equal the reference bit
+    interleave for arbitrary quantized inputs."""
+    from etl_demo_spark.io.layout import zorder_key
+
+    def morton(x: int, y: int) -> int:
+        out = 0
+        for i in range(16):
+            out |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    spark = spark_handle
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = [
+        r["k"]
+        for r in df.select(
+            zorder_key([F.col("x"), F.col("y")]).alias("k")
+        ).collect()
+    ]
+    assert got == [morton(x, y) for x, y in pts]
+
+
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=100, unique=True))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_split_assign_deterministic_and_total(spark_handle, ids):
+    """Every id gets exactly one split, the assignment is stable across
+    evaluations, and matches the reference md5-prefix rule."""
+    import hashlib
+
+    from etl_demo_spark.text import split_assign
+
+    def expected(i: int) -> str:
+        hb = hashlib.md5(str(i).encode()).hexdigest()[:2]
+        return "train" if hb < "cd" else ("val" if hb < "e6" else "test")
+
+    spark = spark_handle
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", split_assign("doc_id").alias("s")).collect()
+    }
+    assert got == {i: expected(i) for i in ids}
