@@ -303,3 +303,36 @@ def test_connected_components_match_union_find(spark):
 
     got = {r["id"]: r["component"] for r in connected_components(df).collect()}
     assert got == expected
+
+
+def test_corpus_prep_pipeline_end_to_end(spark, tmp_path):
+    """The composed prep job: output is split-partitioned, every kept doc
+    passes the gates, no two kept docs share a fingerprint, and the
+    near-dup representatives are the min-id per cluster."""
+    from etl_demo_spark.pipelines.corpus_prep import (
+        CorpusPrepConfig,
+        run_corpus_prep,
+    )
+    from etl_demo_spark.text import fingerprint
+
+    out = str(tmp_path / "prep")
+    stats = run_corpus_prep(
+        spark, "/root/testdata/sf0.01/documents.parquet", out,
+        CorpusPrepConfig(min_chars=50, min_tokens=5),
+    )
+    assert set(stats) <= {"train", "val", "test"}
+    assert "train" in stats and stats["train"]["n_docs"] > 0
+
+    back = spark.read.parquet(out)
+    assert "split" in back.columns
+    import pyspark.sql.functions as F
+
+    assert back.filter(F.length("text") < 50).count() == 0
+    dupes = (
+        back.select(fingerprint("text").alias("fp"))
+        .groupBy("fp").count().filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0
+    # train fraction lands near 80% (hash-uniform; wide tolerance)
+    total = sum(s["n_docs"] for s in stats.values())
+    assert 0.6 < stats["train"]["n_docs"] / total < 0.95
