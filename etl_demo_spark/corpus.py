@@ -3699,3 +3699,59 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cluster_size") >= 2)
     )
+
+
+@query(
+    "weekly_flag_full_outer",
+    oracle=f"""
+    WITH r AS (
+      SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS wk,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS {DEC_SQL})
+                            * (1 - CAST(l_discount AS {RATE_SQL}))), 2) AS DOUBLE)
+               AS returned_rev
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+    ), a AS (
+      SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS wk,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS {DEC_SQL})
+                            * (1 - CAST(l_discount AS {RATE_SQL}))), 2) AS DOUBLE)
+               AS accepted_rev
+      FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1
+    )
+    SELECT COALESCE(r.wk, a.wk) AS wk,
+           COALESCE(returned_rev, 0.0) AS returned_rev,
+           COALESCE(accepted_rev, 0.0) AS accepted_rev,
+           (r.wk IS NULL OR a.wk IS NULL) AS one_sided
+    FROM r FULL JOIN a ON r.wk = a.wk
+    """,
+)
+def weekly_flag_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 FULL OUTER join (the last join type in the matrix — right
+    outer is the mirror of the covered left): weekly returned-vs-accepted
+    revenue series aligned on week, keeping weeks where either side is
+    absent (coalesced to 0 with a one-sided marker).
+
+    Scale: both inputs aggregate the SAME scan on the same week key, so
+    the two branches share one exchange; the full join itself runs on
+    the tiny weekly aggregates."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    notional_s = money_c("l_extendedprice") * (10000 - rate_bp("l_discount"))
+
+    def side(flag: str, out: str) -> DataFrame:
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .groupBy(week_start("l_shipdate").alias("wk"))
+            .agg(ssum(notional_s, 6).alias(out))
+        )
+
+    r = side("R", "returned_rev")
+    a = side("A", "accepted_rev")
+    return (
+        r.withColumnRenamed("wk", "rwk")
+        .join(a, F.col("rwk") == a.wk, "full_outer")
+        .select(
+            F.coalesce(F.col("rwk"), F.col("wk")).alias("wk"),
+            F.coalesce("returned_rev", F.lit(0.0)).alias("returned_rev"),
+            F.coalesce("accepted_rev", F.lit(0.0)).alias("accepted_rev"),
+            (F.col("rwk").isNull() | F.col("wk").isNull()).alias("one_sided"),
+        )
+    )
