@@ -3755,3 +3755,39 @@ def weekly_flag_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rwk").isNull() | F.col("wk").isNull()).alias("one_sided"),
         )
     )
+
+
+@query(
+    "stream_segment_purchases",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           c_mktsegment,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def stream_segment_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-10 stream-STATIC join, executed by the real streaming engine:
+    purchase events enrich against the broadcast customer dimension per
+    micro-batch (no join state), then tumble into hourly per-segment
+    stats — differentially checked against the batch join + GROUP BY
+    oracle.
+
+    Scale: the static dimension broadcasts once per micro-batch; the
+    windowed agg keeps watermark-bounded state only. This is the
+    standard streaming-enrichment topology (dimension lookups without
+    stream-stream state)."""
+    from etl_demo_spark.streaming import (
+        enriched_purchase_stats,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_memory(
+        spark, enriched_purchase_stats(stream, customer), _stream_table_name()
+    )

@@ -1,4 +1,5 @@
 from etl_demo_spark.streaming.windows import (
+    enriched_purchase_stats,
     hourly_event_stats,
     read_events_stream,
     run_stream_to_memory,
@@ -7,6 +8,7 @@ from etl_demo_spark.streaming.windows import (
 )
 
 __all__ = [
+    "enriched_purchase_stats",
     "hourly_event_stats",
     "read_events_stream",
     "run_stream_to_memory",

@@ -167,3 +167,35 @@ def dedup_stream(events: DataFrame, keys: list[str], watermark: str = "1 hour") 
     if events.isStreaming:
         return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
+
+
+def enriched_purchase_stats(
+    events: DataFrame, customers: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-static join + windowed aggregation: purchases enriched with
+    the customer's market segment (the static side broadcasts — each
+    micro-batch probes the dimension, no stream state for the join), then
+    a tumbling hourly count + exact-decimal value sum per segment.
+
+    Works identically on a batch frame (the oracle path). At scale the
+    static side is the broadcast-refreshed dimension pattern: re-read per
+    restart, pinned per micro-batch."""
+    purchases = events.filter(F.col("event_type") == "purchase")
+    with_wm = (
+        purchases.withWatermark("ts", watermark) if events.isStreaming else purchases
+    )
+    dim = F.broadcast(customers.select("c_custkey", "c_mktsegment"))
+    return (
+        with_wm.join(dim, with_wm.user_id == dim.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "c_mktsegment",
+            "n_purchases",
+            "total_value",
+        )
+    )
