@@ -3791,3 +3791,30 @@ def stream_segment_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         spark, enriched_purchase_stats(stream, customer), _stream_table_name()
     )
+
+
+@query(
+    "media_frame_counts",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(ceil(octet_length(encode(text)) / 40.0) AS BIGINT) AS n_frames
+    FROM documents
+    WHERE octet_length(encode(text)) > 0
+    """,
+)
+def media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal fan-out check: the frame-sampling mapInPandas (one
+    blob → N frame rows, fake codec — ffmpeg stubbed) must emit exactly
+    ceil(bytes/40) frames per media item; the oracle recomputes that
+    count arithmetically from the blob length. Verifies the Python
+    row-expansion plumbing, not just the codec.
+
+    Scale: the sampler is a narrow Arrow-batched pass (no shuffle
+    carries blobs); only (media_id, frame_idx) pairs reach the counting
+    agg."""
+    from etl_demo_spark.multimodal import documents_as_media, sample_video_frames
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    frames = sample_video_frames(media, every_n=40, use_fake_codec=True)
+    return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))

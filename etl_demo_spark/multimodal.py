@@ -83,26 +83,129 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, FEATURE_SCHEMA)
 
 
-def decode_image(media: DataFrame) -> DataFrame:
-    """STUB — image decode (PIL not available in this container).
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mode", T.StringType()),
+    ]
+)
 
-    Real implementation: mapInPandas batch -> PIL.Image.open per blob ->
-    (width, height, mode, pixel array). The schema and batch shape are
-    fixed here so downstream code is written against the real contract.
-    """
-    raise NotImplementedError(
-        "image decode requires PIL/opencv; not installed in this environment. "
-        "Plumbing contract: mapInPandas(media) -> media_id, width INT, height INT, mode STRING"
-    )
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", T.StructType([
+            T.StructField("mime", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+        ])),
+    ]
+)
 
 
-def sample_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
-    """STUB — video frame sampling (ffmpeg not available in this container).
+def decode_image(media: DataFrame, *, use_fake_codec: bool = False) -> DataFrame:
+    """Image decode. The CODEC is stubbed (no PIL/opencv in this
+    container): the default raises; ``use_fake_codec=True`` runs the REAL
+    mapInPandas plumbing — Arrow batches, fixed output schema — with a
+    deterministic fake that derives (width, height, mode) from the blob's
+    sha256. A real deployment swaps only the per-blob body for
+    ``PIL.Image.open``; schema, batching, and partitioning stay as
+    tested here."""
+    if not use_fake_codec:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv; not installed in this environment. "
+            "Re-run with use_fake_codec=True for the deterministic-fake plumbing. "
+            "Contract: mapInPandas(media) -> media_id, width INT, height INT, mode STRING"
+        )
 
-    Real implementation: mapInPandas batch -> ffmpeg pipe per blob ->
-    one row per sampled frame (media_id, frame_idx, frame_blob).
-    """
-    raise NotImplementedError(
-        "video frame sampling requires ffmpeg; not installed in this environment. "
-        "Plumbing contract: mapInPandas(media) -> media_id, frame_idx INT, frame BINARY"
-    )
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            digests = pdf["content"].map(lambda b: hashlib.sha256(bytes(b)).digest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": digests.map(lambda d: 1 + d[0] % 64).astype("int32"),
+                    "height": digests.map(lambda d: 1 + d[1] % 64).astype("int32"),
+                    "mode": digests.map(lambda d: "RGB" if d[2] % 2 else "L"),
+                }
+            )
+
+    return media.mapInPandas(batches, DECODE_SCHEMA)
+
+
+def sample_video_frames(
+    media: DataFrame, every_n: int = 30, *, use_fake_codec: bool = False
+) -> DataFrame:
+    """Video frame sampling — the ROW-EXPANDING mapInPandas shape (one
+    input blob → N frame rows). The codec is stubbed (no ffmpeg); the
+    fake emits one "frame" per ``every_n`` bytes of content as a
+    deterministic slice, exercising the fan-out plumbing a real ffmpeg
+    pipe would use."""
+    if not use_fake_codec:
+        raise NotImplementedError(
+            "video frame sampling requires ffmpeg; not installed in this environment. "
+            "Re-run with use_fake_codec=True for the deterministic-fake plumbing. "
+            "Contract: mapInPandas(media) -> media_id, frame_idx INT, frame BINARY"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob)
+                for i, off in enumerate(range(0, len(b), every_n)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(b[off : off + every_n])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype=object),
+                }
+            )
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame, target_bytes: int = 64, *, use_fake_codec: bool = False
+) -> DataFrame:
+    """Image resize — blob-in/blob-out mapInPandas (same media schema
+    out, so resize stages compose/chain). The codec is stubbed; the fake
+    "resizes" by deterministic truncation/zero-padding of the blob to
+    ``target_bytes``, preserving the metadata contract (n_bytes updated,
+    mime tagged)."""
+    if not use_fake_codec:
+        raise NotImplementedError(
+            "image resize requires PIL/opencv; not installed in this environment. "
+            "Re-run with use_fake_codec=True for the deterministic-fake plumbing. "
+            "Contract: mapInPandas(media) -> media_id, content BINARY, meta STRUCT"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = pdf["content"].map(
+                lambda b: bytes(b)[:target_bytes].ljust(target_bytes, b"\0")
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": resized,
+                    "meta": [
+                        {"mime": "image/fake-resized", "n_bytes": target_bytes}
+                        for _ in range(len(pdf))
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZE_SCHEMA)

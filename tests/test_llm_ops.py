@@ -250,13 +250,64 @@ def test_media_features_deterministic(spark, docs_df):
 
 
 def test_decode_stubs_raise_cleanly(spark, docs_df):
-    from etl_demo_spark.multimodal import decode_image, documents_as_media, sample_video_frames
+    from etl_demo_spark.multimodal import (
+        decode_image,
+        documents_as_media,
+        resize_images,
+        sample_video_frames,
+    )
 
     media = documents_as_media(docs_df)
     with pytest.raises(NotImplementedError):
         decode_image(media)
     with pytest.raises(NotImplementedError):
         sample_video_frames(media)
+    with pytest.raises(NotImplementedError):
+        resize_images(media)
+
+
+def test_fake_codec_plumbing_end_to_end(spark, docs_df):
+    """The decode / frame-sample / resize plumbing must run for real
+    (Arrow batches, declared schemas) with the deterministic fake codec:
+    fixed schemas, deterministic values, correct fan-out counts, and a
+    composable blob-in/blob-out resize."""
+    import hashlib
+
+    from etl_demo_spark.multimodal import (
+        decode_image,
+        documents_as_media,
+        extract_features,
+        resize_images,
+        sample_video_frames,
+    )
+
+    media = documents_as_media(docs_df)
+    blobs = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+
+    dec = {r["media_id"]: r for r in decode_image(media, use_fake_codec=True).collect()}
+    assert set(dec) == set(blobs)
+    for mid, b in blobs.items():
+        d = hashlib.sha256(b).digest()
+        assert dec[mid]["width"] == 1 + d[0] % 64
+        assert dec[mid]["height"] == 1 + d[1] % 64
+
+    frames = sample_video_frames(media, every_n=40, use_fake_codec=True).collect()
+    by_id: dict[int, list] = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for mid, b in blobs.items():
+        expected_n = (len(b) + 39) // 40
+        got = sorted(by_id[mid], key=lambda r: r["frame_idx"])
+        assert len(got) == expected_n, mid
+        assert bytes(got[0]["frame"]) == b[:40]
+
+    resized = resize_images(media, target_bytes=32, use_fake_codec=True)
+    # blob-in/blob-out: the resized table feeds the SAME feature stage
+    feats = {r["media_id"]: r for r in extract_features(resized).collect()}
+    for mid, b in blobs.items():
+        assert feats[mid]["n_bytes"] == 32
+        expected = b[:32].ljust(32, b"\0")
+        assert feats[mid]["sha256"] == hashlib.sha256(expected).hexdigest()
 
 
 # ---------------------------------------------------------------------------
