@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_demo_spark.ops import spread_for_cpu
 from etl_demo_spark.text import fingerprint, tokens
 
 
@@ -123,13 +124,8 @@ def minhash_lsh_candidates(
     distinct pairs. Estimated Jaccard = matching signature positions.
     """
     rows_per_band = num_hashes // bands
-    # CPU-heavy per-row stage: a small parquet input arrives as 1-2
-    # partitions, which would serialize the signature computation on one
-    # core. Spread to the cluster's parallelism first (the shuffle moves
-    # only raw text — cheap relative to the per-doc hashing saved).
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism // 2:
-        df = df.repartition(sc.defaultParallelism)
+    # CPU-heavy per-row signature stage: spread a too-narrow input first
+    df = spread_for_cpu(df)
     sigs = (
         df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh"))
         .select("id", hash_shingles(F.col("sh")).alias("shh"))
@@ -170,9 +166,7 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact n-gram Jaccard on LSH candidates only (never all-pairs):
     |A∩B| / |A∪B| over distinct shingle sets."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism // 2:
-        df = df.repartition(sc.defaultParallelism)
+    df = spread_for_cpu(df)
     # the verify stage must touch CANDIDATE docs only: semi-join the corpus
     # down to ids that appear in a candidate pair before shingling —
     # shingle hashing cost scales with candidates, not corpus size.
