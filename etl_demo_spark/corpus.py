@@ -3831,3 +3831,51 @@ def media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(docs)
     frames = sample_video_frames(media, every_n=40, use_fake_codec=True)
     return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+@query(
+    "customer_upsert_merge",
+    oracle="""
+    WITH source AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 10.0 AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, 'NEW_' || CAST(c_custkey AS VARCHAR),
+             c_nationkey, 0.0, c_mktsegment
+      FROM customer WHERE c_custkey % 100 = 0
+    )
+    SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+           COALESCE(s.c_name, t.c_name) AS c_name,
+           COALESCE(s.c_nationkey, t.c_nationkey) AS c_nationkey,
+           COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal,
+           COALESCE(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+    FROM customer t FULL JOIN source s ON t.c_custkey = s.c_custkey
+    """,
+)
+def customer_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE emulation (the guide's SCD1 upsert shape, no
+    table-format dependence): a derived change set — every 10th customer
+    with a balance adjustment plus synthetic new keys — merges into the
+    customer table via ops.merge_upsert (full-outer join + column-wise
+    source-wins coalesce).
+
+    Scale: one co-keyed shuffle; with target and changes bucketed on the
+    key the merge is exchange-free, and dynamic partition overwrite
+    rewrites only touched partitions."""
+    from etl_demo_spark.ops import merge_upsert
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    updates = (
+        customer.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(10.0))
+    )
+    inserts = customer.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        F.concat(F.lit("NEW_"), F.col("c_custkey").cast("string")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    source = updates.unionByName(inserts)
+    return merge_upsert(customer, source, ["c_custkey"])

@@ -229,3 +229,30 @@ def spread_for_cpu(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < sc.defaultParallelism // 2:
         return df.repartition(sc.defaultParallelism)
     return df
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE INTO emulation on plain parquet (no table-format dependence):
+    WHEN MATCHED THEN UPDATE SET *  /  WHEN NOT MATCHED THEN INSERT *,
+    expressed as one full-outer join on the key with column-wise
+    COALESCE(source, target) — source rows win on match, unmatched target
+    rows pass through, unmatched source rows insert. Source must share the
+    target's schema.
+
+    Scale: one co-keyed shuffle join; with both sides bucketed on the key
+    (write_bucketed) the merge is exchange-free. Rewrite the result
+    partition-by-partition (dynamic partition overwrite) to avoid
+    rewriting untouched partitions."""
+    # rename the source side up front: change sets are typically DERIVED
+    # from the target (CDC reads, corrections), and shared lineage makes
+    # unqualified column references ambiguous in the self-join
+    renamed = source.select(
+        *[F.col(c).alias(f"__src_{c}") for c in target.columns]
+    )
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__src_{k}"))
+        cond = c if cond is None else (cond & c)
+    return target.join(renamed, cond, "full_outer").select(
+        *[F.coalesce(F.col(f"__src_{c}"), F.col(c)).alias(c) for c in target.columns]
+    )
