@@ -256,3 +256,58 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
     return target.join(renamed, cond, "full_outer").select(
         *[F.coalesce(F.col(f"__src_{c}"), F.col(c)).alias(c) for c in target.columns]
     )
+
+
+def scd2_apply(
+    history: DataFrame,
+    changes: DataFrame,
+    key: str,
+    attrs: list[str],
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 apply on plain parquet: close the
+    current version of every changed key (``valid_to`` = change time) and
+    append the new version as the open row. Unchanged keys' rows pass
+    through untouched; already-closed rows always pass through.
+
+    ``changes`` carries one row per key: (key, attrs..., ts). A real CDC
+    feed with several changes per key per batch applies the LAST one
+    (dedupe upstream with ``last_value_by``); no-op changes (attributes
+    equal to the current version) are ignored, so re-applying a feed is
+    idempotent.
+
+    Scale: two co-keyed joins on the dimension key (broadcast when the
+    change batch is small — the common case) + one union. History grows
+    append-only; partition it by ``valid_to IS NULL`` (current vs closed)
+    so point-in-time reads prune."""
+    cur = history.filter(F.col(valid_to).isNull())
+    closed = history.filter(F.col(valid_to).isNotNull())
+
+    ch = changes.select(
+        F.col(key).alias("__ck"),
+        F.col(ts_col).alias("__cts"),
+        *[F.col(a).alias(f"__c_{a}") for a in attrs],
+    )
+    differs = None
+    for a in attrs:
+        d = ~F.col(a).eqNullSafe(F.col(f"__c_{a}"))
+        differs = d if differs is None else (differs | d)
+    joined = cur.join(ch, F.col(key) == F.col("__ck"), "left")
+    changed = F.col("__ck").isNotNull() & differs
+
+    untouched = joined.filter(~F.coalesce(changed, F.lit(False))).select(history.columns)
+    newly_closed = joined.filter(changed).select(
+        *[F.col(c) for c in history.columns if c != valid_to],
+        F.col("__cts").alias(valid_to),
+    ).select(history.columns)
+    new_versions = joined.filter(changed).select(
+        F.col(key),
+        *[F.col(f"__c_{a}").alias(a) for a in attrs],
+        F.col("__cts").alias(valid_from),
+        F.lit(None).cast(history.schema[valid_to].dataType).alias(valid_to),
+    ).select(history.columns)
+    return closed.unionByName(untouched).unionByName(newly_closed).unionByName(
+        new_versions
+    )

@@ -161,3 +161,46 @@ def test_clean_diagnostics(spark):
     domains = distinct_values(raw, ["client_type", "side"])
     assert set(domains["client_type"]) == {"gold", "silver", "bronze"}
     assert set(domains["side"]) == {"buy", "sell"}
+
+
+def test_scd2_apply_versions_changed_keys(spark):
+    """SCD2 apply: changed keys get their open row closed at the change
+    time plus a new open version; unchanged and no-op keys pass through;
+    re-applying the same feed is a no-op (idempotent)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.ops import scd2_apply
+
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 2, 1)
+    history = spark.createDataFrame(
+        [
+            (1, "gold", t0, None),     # will change
+            (2, "silver", t0, None),   # no-op change arrives
+            (3, "bronze", t0, None),   # no change row at all
+            (1, "silver", datetime.datetime(2023, 6, 1), t0),  # already closed
+        ],
+        "k int, tier string, valid_from timestamp, valid_to timestamp",
+    )
+    changes = spark.createDataFrame(
+        [(1, "platinum", t1), (2, "silver", t1)],
+        "k int, tier string, ts timestamp",
+    )
+
+    def snapshot(df):
+        return sorted(
+            (r["k"], r["tier"], r["valid_from"], r["valid_to"]) for r in df.collect()
+        )
+
+    out = scd2_apply(history, changes, "k", ["tier"])
+    got = snapshot(out)
+    assert (1, "gold", t0, t1) in got          # closed at change time
+    assert (1, "platinum", t1, None) in got    # new open version
+    assert (2, "silver", t0, None) in got      # no-op ignored
+    assert (3, "bronze", t0, None) in got      # untouched
+    assert len(got) == 5
+
+    again = scd2_apply(out, changes, "k", ["tier"])
+    assert snapshot(again) == got
