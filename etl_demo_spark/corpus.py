@@ -3879,3 +3879,22 @@ def customer_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     source = updates.unionByName(inserts)
     return merge_upsert(customer, source, ["c_custkey"])
+
+
+@query("stratified_doc_sample")  # seeded randomness: engine-specific (rows-only)
+def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy): a per-language sampling fraction —
+    downsample the dominant language, keep the rest — the corpus
+    rebalancing step of a training pipeline. Seeded, so the sample is
+    reproducible within Spark; cross-engine comparison is rows-only
+    (RNG streams differ), with per-stratum proportion bounds asserted in
+    unit tests.
+
+    Scale: sampleBy is a narrow per-row Bernoulli filter (no shuffle);
+    the per-language rates ship as a literal map. For exact-size strata
+    use the deterministic hash-threshold pattern (text.split_assign)
+    instead."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "it": 1.0}
+    sample = docs.sampleBy("lang", fractions=fractions, seed=42)
+    return sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))

@@ -387,3 +387,20 @@ def test_corpus_prep_pipeline_end_to_end(spark, tmp_path):
     # train fraction lands near 80% (hash-uniform; wide tolerance)
     total = sum(s["n_docs"] for s in stats.values())
     assert 0.6 < stats["train"]["n_docs"] / total < 0.95
+
+
+def test_stratified_sample_proportions(spark):
+    """sampleBy must land near the requested per-stratum fractions and be
+    reproducible for a fixed seed."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    fractions = {lang: 0.5 for lang in totals}
+    s1 = docs.sampleBy("lang", fractions=fractions, seed=7)
+    s2 = docs.sampleBy("lang", fractions=fractions, seed=7)
+    n1 = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n2 = {r["lang"]: r["n"] for r in s2.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert n1 == n2  # seeded reproducibility
+    for lang, total in totals.items():
+        if total >= 40:  # skip tiny strata where variance dominates
+            frac = n1.get(lang, 0) / total
+            assert 0.3 < frac < 0.7, (lang, frac, total)
