@@ -3898,3 +3898,72 @@ def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "it": 1.0}
     sample = docs.sampleBy("lang", fractions=fractions, seed=42)
     return sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@query(
+    "rolling_active_users",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             list_distinct(list(user_id)) AS users
+      FROM events GROUP BY 1
+    )
+    SELECT day,
+           CAST(len(list_distinct(flatten(
+             list(users) OVER (ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                               AND CURRENT ROW)))) AS BIGINT) AS wau
+    FROM daily
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users (WAU): Spark has no
+    COUNT(DISTINCT) over a window frame, so the scalable composition is
+    per-day distinct-user SETS (one hash agg) + a range-frame window that
+    flattens and re-distincts the trailing week — state per row is the
+    day-set list, bounded by 7 × daily actives, never the raw events.
+
+    Scale: events aggregate once on day (map-side partial dedup via
+    collect_set); the window runs over ~days rows. The same shape gives
+    MAU with a 29-day frame; for billions of actives swap the sets for
+    mergeable HLL sketches (see daily_user_sketches)."""
+    from pyspark.sql.window import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.collect_set("user_id").alias("users")
+    )
+    w = (
+        Window.orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        F.size(F.array_distinct(F.flatten(F.collect_list("users").over(w))))
+        .cast("long")
+        .alias("wau"),
+    )
+
+
+@query("daily_user_sketches")  # HLL estimates are engine-specific (rows-only)
+def daily_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-day HLL sketches of active users,
+    unioned into one weekly distinct estimate per week — the lakehouse
+    pattern where daily sketches are STORED and any date range's
+    distinct count is answered by merging sketches instead of rescanning
+    events. Estimates are engine/implementation-specific → rows-only
+    driver check; the estimate-vs-exact error bound is asserted in unit
+    tests.
+
+    Scale: sketch state is KBs per group regardless of cardinality; the
+    weekly merge shuffles sketches, not user ids."""
+    (ev,) = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    return (
+        daily.groupBy(F.to_date(F.date_trunc("week", "day")).alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )

@@ -404,3 +404,26 @@ def test_stratified_sample_proportions(spark):
         if total >= 40:  # skip tiny strata where variance dominates
             frac = n1.get(lang, 0) / total
             assert 0.3 < frac < 0.7, (lang, frac, total)
+
+
+def test_hll_sketch_rollup_near_exact(spark):
+    """Merged daily HLL sketches must estimate weekly distinct users
+    within HLL error bounds (lgK=12 → ~2% typical; assert 10%)."""
+    import __spark_entry__ as em
+
+    sketches = {
+        r["week"]: r["approx_users"]
+        for r in em.queries()["daily_user_sketches"](spark, "/root/testdata/sf0.01").collect()
+    }
+    from etl_demo_spark.io.sources import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.01", tables=("events",))["events"]
+    exact = {
+        r["week"]: r["n"]
+        for r in ev.groupBy(
+            F.to_date(F.date_trunc("week", F.date_trunc("day", "ts"))).alias("week")
+        ).agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(sketches) == set(exact)
+    for wk, est in sketches.items():
+        assert abs(est - exact[wk]) / exact[wk] < 0.10, (wk, est, exact[wk])
