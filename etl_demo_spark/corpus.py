@@ -3967,3 +3967,39 @@ def daily_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_days"),
         )
     )
+
+
+@query(
+    "stream_minute_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_unique
+    FROM (SELECT DISTINCT user_id, event_type, date_trunc('minute', ts)
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def stream_minute_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-10 streaming exact dedup on the real streaming engine:
+    dropDuplicatesWithinWatermark on (user, type, minute) — state is
+    bounded by the watermark horizon instead of growing forever — then a
+    per-type count of surviving rows. The horizon exceeds the fixture's
+    time span so no row is late-dropped and the result is exactly the
+    batch DISTINCT (the oracle); in production the horizon is the
+    dedup-correctness window you are willing to pay state for.
+
+    Scale: dedup state is one entry per key within the horizon; the
+    count aggregate rides the same micro-batch pipeline (complete
+    mode)."""
+    from etl_demo_spark.streaming import read_events_stream, run_stream_to_memory
+    from etl_demo_spark.streaming.windows import dedup_stream
+
+    stream = read_events_stream(spark, sf_dir).withColumn(
+        "minute", F.date_trunc("minute", "ts")
+    )
+    deduped = dedup_stream(
+        stream.select("user_id", "event_type", "minute", "ts"),
+        ["user_id", "event_type", "minute"],
+        watermark="40 days",
+    )
+    counts = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+    return run_stream_to_memory(spark, counts, _stream_table_name())
