@@ -4003,3 +4003,76 @@ def stream_minute_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
     return run_stream_to_memory(spark, counts, _stream_table_name())
+
+
+@query(
+    "min_cost_supplier",
+    oracle=f"""
+    WITH cost AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS {DEC_SQL})), 2) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS {DEC_SQL})) AS DOUBLE) AS unit_cost
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY 1, 2
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, unit_cost
+    FROM part
+      JOIN cost     ON p_partkey = pk
+      JOIN supplier ON sk = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_size = 15 AND p_type = 'STANDARD'
+      AND unit_cost = (SELECT MIN(unit_cost) FROM cost c2 WHERE c2.pk = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 10
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — the last of the 22: for STANDARD size-15 parts,
+    the European supplier offering the minimum unit cost (derived from
+    lineitem since the schema has no partsupp), selected via the
+    correlated per-part minimum. The (acctbal, nation, supplier, part)
+    ordering with unique tiebreaks makes the top-10 deterministic.
+
+    Scale: Catalyst decorrelates the MIN subquery into a per-part
+    aggregate joined back on partkey — co-keyed with the cost table's
+    own grouping, so the exchange is reused; supplier/nation/region and
+    the filtered part set broadcast; the double equality compares the
+    identical round-then-divide result on both sides."""
+    li, supplier, nation, region, part = _t(
+        spark, sf_dir, "lineitem", "supplier", "nation", "region", "part"
+    )
+    eu_supp = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(eu_supp.select("s_suppkey")),
+                li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(
+            (
+                F.round(F.sum(dec("l_extendedprice")), 2).cast("double")
+                / F.sum(dec("l_quantity")).cast("double")
+            ).alias("unit_cost")
+        )
+    )
+    best = cost.groupBy(F.col("pk").alias("bpk")).agg(F.min("unit_cost").alias("best_cost"))
+    return (
+        cost.join(best, (F.col("pk") == F.col("bpk")) & (F.col("unit_cost") == F.col("best_cost")))
+        .join(
+            F.broadcast(
+                part.filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+            ),
+            F.col("pk") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(eu_supp), F.col("sk") == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(10)
+    )
