@@ -4076,3 +4076,72 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(10)
     )
+
+
+@query(
+    "similar_user_timeseries",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), spine AS (
+      SELECT DISTINCT day FROM daily
+    ), users AS (
+      SELECT DISTINCT user_id FROM daily WHERE user_id <> 1
+    ), filled AS (
+      SELECT u.user_id, s.day, COALESCE(d.cents, 0) AS cents
+      FROM users u CROSS JOIN spine s
+      LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = s.day
+    ), tgt AS (
+      SELECT s.day, COALESCE(d.cents, 0) AS tcents
+      FROM spine s LEFT JOIN daily d ON d.user_id = 1 AND d.day = s.day
+    )
+    SELECT f.user_id,
+           CAST(SUM((f.cents - t.tcents) * (f.cents - t.tcents)) AS BIGINT) AS dist2
+    FROM filled f JOIN tgt t ON f.day = t.day
+    GROUP BY 1
+    ORDER BY dist2, user_id
+    LIMIT 5
+    """,
+)
+def similar_user_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the EDBT'19/REPOSE problem shape,
+    batch variant): each user's activity is a gap-filled daily-value
+    series; find the 5 users closest to user 1 by squared Euclidean
+    distance. All math is exact integers — daily sums in cents, integer
+    differences squared — so both engines rank identical distances, and
+    the unique user_id tiebreak pins the top-5.
+
+    Scale: one shuffle aggregates events to (user, day); the date spine
+    and the target series are tiny broadcasts; distances reduce per
+    user with map-side combine, and the top-5 is TakeOrderedAndProject.
+    For large k·users swap brute force for the LSH/IVF paths in vec.py
+    over the same series-as-vector representation."""
+    (ev,) = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.sum(money_c("value")).alias("cents"))
+    spine = daily.select("day").distinct()
+    users = daily.select("user_id").distinct().filter(F.col("user_id") != 1)
+    filled = (
+        users.crossJoin(F.broadcast(spine))
+        .join(daily, ["user_id", "day"], "left")
+        .select("user_id", "day", F.coalesce("cents", F.lit(0)).alias("cents"))
+    )
+    tgt = (
+        spine.join(
+            daily.filter(F.col("user_id") == 1).select("day", F.col("cents").alias("tcents")),
+            "day",
+            "left",
+        )
+        .select("day", F.coalesce("tcents", F.lit(0)).alias("tcents"))
+    )
+    diff = F.col("cents") - F.col("tcents")
+    return (
+        filled.join(F.broadcast(tgt), "day")
+        .groupBy("user_id")
+        .agg(F.sum(diff * diff).cast("long").alias("dist2"))
+        .orderBy("dist2", "user_id")
+        .limit(5)
+    )
