@@ -427,3 +427,18 @@ def test_hll_sketch_rollup_near_exact(spark):
     assert set(sketches) == set(exact)
     for wk, est in sketches.items():
         assert abs(est - exact[wk]) / exact[wk] < 0.10, (wk, est, exact[wk])
+
+
+def test_approx_sketches_within_error_bounds(spark):
+    """The rows-only sketch queries must estimate within their configured
+    error: approx_count_distinct rsd=0.02 (assert 5%), percentile_approx
+    accuracy=10000 (assert 1% relative on each quantile)."""
+    import __spark_entry__ as em
+
+    q = em.queries()
+    row = q["approx_distinct_parts"](spark, "/root/testdata/sf0.01").collect()[0]
+    assert abs(row["approx_parts"] - row["exact_parts"]) / row["exact_parts"] < 0.05
+
+    row = q["approx_percentiles"](spark, "/root/testdata/sf0.01").collect()[0]
+    for est, exact in zip(row["approx_p"], row["exact_p"]):
+        assert abs(est - exact) / exact < 0.01, (est, exact)
