@@ -117,3 +117,50 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
     a = spark.read.parquet(zpath)
     assert a.count() == li.count()
     assert a.columns == li.columns
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The session's AQE posture must split a skewed shuffle-join
+    partition at runtime: with one hot key carrying half the rows, the
+    FINAL adaptive plan shows SortMergeJoin(skew=true) reading skewed
+    AQEShuffleRead splits. Thresholds are lowered to make local data
+    sizes qualify and restored afterwards (salting in ops.salted_agg
+    covers skewed AGGREGATIONS; this covers joins)."""
+    import pyspark.sql.functions as F
+
+    conf = spark.conf
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ]
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        big = spark.range(400000).select(
+            F.when(F.col("id") % 2 == 0, 7).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload_payload_payload_"), F.col("id").cast("string")).alias("pay"),
+        )
+        small = spark.range(5000).select(F.col("id").alias("k"), F.lit("dim").alias("d"))
+        j = big.join(small, "k").select(F.sum(F.length("pay")).alias("s"))
+        j.collect()  # the SAME DataFrame's query execution holds the final plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
