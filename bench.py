@@ -58,12 +58,13 @@ def main() -> None:
         fn = queries[name]
         # steady-state measurement: first execution pays one-time codegen /
         # file-listing / shuffle-service setup and is discarded; report the
-        # best of two subsequent runs (what a resident cluster actually
-        # sustains — a single sample occasionally catches a major GC pause
-        # in the shared JVM), per BASELINE.md's startup-excluded convention.
+        # best of three subsequent runs (what a resident cluster actually
+        # sustains — single samples on this shared host occasionally catch
+        # multi-second GC/noisy-neighbor pauses, observed up to 4x),
+        # per BASELINE.md's startup-excluded convention.
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
