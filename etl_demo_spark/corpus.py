@@ -4145,3 +4145,49 @@ def similar_user_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist2", "user_id")
         .limit(5)
     )
+
+
+@query(
+    "null_safe_priority_join",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS prio
+      FROM orders
+    ), dim AS (
+      SELECT NULLIF(p, '4-NOT SPECIFIED') AS prio, w FROM (VALUES
+        ('1-URGENT', 100), ('2-HIGH', 80), ('3-MEDIUM', 50),
+        ('4-NOT SPECIFIED', 0), ('5-LOW', 10)) AS t(p, w)
+    )
+    SELECT COALESCE(o.prio, 'unspecified') AS priority,
+           CAST(SUM(w) AS BIGINT) AS weight_total,
+           COUNT(*) AS n_orders
+    FROM o JOIN dim ON o.prio IS NOT DISTINCT FROM dim.prio
+    GROUP BY 1
+    """,
+)
+def null_safe_priority_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 null-safe equality join (<=> / IS NOT DISTINCT FROM): the
+    unspecified priority maps to NULL on both sides and still matches —
+    the dimension-with-a-NULL-member pattern a plain equi-join silently
+    drops.
+
+    Scale: the five-row dimension broadcasts; null-safe equality is
+    hash-join-able (NULL hashes like any value under <=>), so no
+    fallback to nested-loop."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")).alias("prio")
+    )
+    dim = spark.createDataFrame(
+        [("1-URGENT", 100), ("2-HIGH", 80), ("3-MEDIUM", 50),
+         ("4-NOT SPECIFIED", 0), ("5-LOW", 10)],
+        "p string, w int",
+    ).select(F.nullif(F.col("p"), F.lit("4-NOT SPECIFIED")).alias("dprio"), "w")
+    return (
+        o.join(F.broadcast(dim), o.prio.eqNullSafe(F.col("dprio")))
+        .groupBy(F.coalesce(F.col("prio"), F.lit("unspecified")).alias("priority"))
+        .agg(
+            F.sum("w").cast("long").alias("weight_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
