@@ -164,3 +164,29 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Joining a date/flag-partitioned fact with a filtered dimension must
+    inject a dynamicpruning subquery into the fact scan's partition
+    filters — at 100 TB this is what keeps a dim-filtered join from
+    listing and reading every fact partition."""
+    import pyspark.sql.functions as F
+
+    fact_path = str(tmp_path / "li_part")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    # the dim must come from a real source with a non-foldable filter —
+    # a literal local relation folds away and skips DPP
+    dim = (
+        spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+        .select("p_brand").distinct()
+        .withColumn("flag", F.when(F.col("p_brand") == "Brand#1", "R").otherwise("Z"))
+        .filter(F.col("flag") == "R")
+        .select("flag")
+    )
+    j = fact.join(dim, fact.l_returnflag == dim.flag).agg(F.count(F.lit(1)).alias("n"))
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
