@@ -395,9 +395,9 @@ def connected_components(
 
     At 100 TB: rounds are sequential Spark jobs over the PAIR set —
     bounded by LSH candidate volume, orders of magnitude below corpus
-    size. For adversarial long-chain graphs swap in large-star/small-star
-    (same join shape, O(log²(n)) rounds); near-dup clustering never needs
-    it.
+    size. For adversarial long-chain graphs use
+    ``connected_components_star`` (large-star/small-star, O(log²(n))
+    rounds); near-dup clustering rarely needs it.
 
     Returns ``(id, component)`` for every vertex that appears in an edge.
     """
@@ -442,3 +442,100 @@ def connected_components(
         )
     finally:
         sym.unpersist()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log² n)-round variant for graphs with long chains / large
+    diameter, where plain min-label propagation
+    (``connected_components``) needs O(diameter) rounds.
+
+    Each round rewires edges toward stars rooted at component minima:
+    large-star re-attaches every neighbor LARGER than u to the minimum
+    of u's closed neighborhood; small-star re-attaches u and its
+    not-larger neighbors to that minimum. Both are one co-keyed hash
+    aggregation + join over the (LSH-bounded) pair set. Rounds are
+    localCheckpoint-ed: without truncation the plan lineage compounds
+    per round and analysis cost explodes long before data cost does.
+    Convergence = the canonical edge set's (count, hash-sum) fingerprint
+    stabilizing — one aggregate action per round, no full comparison.
+
+    Returns ``(id, component)`` for every vertex in an edge, identical
+    output contract to ``connected_components``."""
+
+    def canon(e: DataFrame) -> DataFrame:
+        return (
+            e.filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+            .distinct()
+        )
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def nbr_min(e_sym: DataFrame) -> DataFrame:
+        # min of the CLOSED neighborhood (neighbors ∪ self)
+        return (
+            e_sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        es = sym(e)
+        j = es.join(nbr_min(es), "u")
+        return canon(
+            j.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        es = sym(e)
+        j = es.join(nbr_min(es), "u")
+        smaller = j.filter(F.col("v") <= F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_link = j.select(F.col("u"), F.col("m").alias("v"))
+        return canon(smaller.union(self_link))
+
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # vertices from the RAW edges: a self-loop-only vertex is its own
+    # component and must survive even though canon() drops the loop edge
+    vertices = (
+        raw.select(F.col("u").alias("vid"))
+        .union(raw.select(F.col("v").alias("vid")))
+        .distinct()
+    )
+    cur = canon(raw)
+    vertices = vertices.localCheckpoint(eager=True)
+    cur = cur.localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iterations):
+        nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
+        sig = tuple(
+            nxt.agg(
+                F.count(F.lit(1)), F.sum(F.xxhash64("u", "v"))
+            ).collect()[0]
+        )
+        cur = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    comp = (
+        sym(cur).groupBy("u").agg(F.min("v").alias("mn"))
+        .select("u", F.least("u", "mn").alias("component"))
+    )
+    return (
+        vertices.join(comp, vertices.vid == comp.u, "left")
+        .select(
+            F.col("vid").alias("id"),
+            F.coalesce("component", F.col("vid")).alias("component"),
+        )
+    )

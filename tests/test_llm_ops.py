@@ -442,3 +442,44 @@ def test_approx_sketches_within_error_bounds(spark):
     row = q["approx_percentiles"](spark, "/root/testdata/sf0.01").collect()[0]
     for est, exact in zip(row["approx_p"], row["exact_p"]):
         assert abs(est - exact) / exact < 0.01, (est, exact)
+
+
+def test_star_components_match_union_find_on_random_graphs(spark):
+    """large-star/small-star must agree with Python union-find on random
+    graphs including long chains (the case that stresses its O(log^2 n)
+    advantage over plain label propagation)."""
+    import random
+
+    from etl_demo_spark.dedup import connected_components_star
+
+    rng = random.Random(7)
+    cases = []
+    # a long chain, a star, and three random graphs
+    cases.append([(i, i + 1) for i in range(16)])
+    cases.append([(0, i) for i in range(1, 12)])
+    for _ in range(2):
+        n = 30
+        cases.append([
+            (rng.randrange(n), rng.randrange(n)) for _ in range(20)
+        ])
+
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {x: find(x) for x in parent}
+
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r["id"]: r["component"] for r in connected_components_star(df).collect()}
+        assert got == expected, edges
