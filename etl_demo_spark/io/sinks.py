@@ -79,3 +79,10 @@ def write_excel(df: DataFrame, path: str) -> str:
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink (X-1) — second columnar format, same writer surface."""
     df.write.mode(mode).orc(path)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Raw text sink: exactly one string column, one line per row — the
+    export shape for plain-text training shards (pair with
+    ``repartition(n)`` upstream to control shard count/size)."""
+    df.write.mode(mode).text(path)

@@ -109,3 +109,14 @@ def load_tables(
 def all_string_schema(columns: list[str]) -> T.StructType:
     """Explicit all-string schema — raw layer for the clean operators."""
     return T.StructType([T.StructField(c, T.StringType(), True) for c in columns])
+
+
+def read_text(
+    spark: SparkSession, path: str, whole_file: bool = False
+) -> DataFrame:
+    """Raw text source: one row per line (``value: string``), or one row
+    per FILE with ``wholetext`` — the ingestion path for plain-text
+    corpora before any parsing. Line mode splits large files across
+    tasks; whole-file mode keeps document boundaries (one task per file —
+    size files accordingly upstream)."""
+    return spark.read.text(path, wholetext=whole_file)

@@ -102,3 +102,29 @@ def test_parquet_schema_drift_append_reads_merged(spark, tmp_path):
     rows = {r["user_id"]: r for r in back.collect()}
     assert rows[2]["total_pnl"] is None
     assert rows[1]["total_pnl"] == 0.5
+
+
+def test_text_roundtrip_line_and_wholefile(spark, tmp_path):
+    """Text source/sink: line mode round-trips rows; whole-file mode
+    yields one row per shard file with newlines preserved."""
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.io.sinks import write_text
+    from etl_demo_spark.io.sources import read_text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lines = docs.select(F.regexp_replace("text", r"[\r\n]", " ").alias("value"))
+    out = str(tmp_path / "txt")
+    write_text(lines.repartition(4), out)
+
+    back = read_text(spark, out)
+    assert back.columns == ["value"]
+    assert back.count() == lines.count()
+    assert {r["value"] for r in back.collect()} == {r["value"] for r in lines.collect()}
+
+    whole = read_text(spark, out, whole_file=True)
+    assert whole.count() == 4  # one row per shard file
+    total_lines = sum(
+        len(r["value"].rstrip("\n").split("\n")) for r in whole.collect()
+    )
+    assert total_lines == lines.count()
