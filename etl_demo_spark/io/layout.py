@@ -85,3 +85,44 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def file_inventory(df: DataFrame) -> DataFrame:
+    """Per-file inventory of a file-sourced DataFrame via the hidden
+    ``_metadata`` struct: path, size, row count. The maintenance view
+    that decides WHEN to compact (many small files) — no directory
+    listing on the driver, the scan itself carries the metadata."""
+    return (
+        df.select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.file_size").alias("file_size"),
+        )
+        .groupBy("file_path", "file_size")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+) -> int:
+    """Compact a small-files parquet directory into ~``target_file_bytes``
+    outputs; returns the file count written. Output count is estimated
+    from the CURRENT total byte size (compression carries over ~1:1 for
+    a rewrite). At 100 TB this runs per partition directory after
+    streaming ingestion (foreachBatch writers produce one file per
+    micro-batch per partition — the canonical small-files source).
+
+    Writes to a NEW path: compaction must be atomic-swap (write, verify,
+    rename/repoint), never in-place."""
+    df = spark.read.parquet(src_path)
+    total_bytes = (
+        df.select(F.col("_metadata.file_path").alias("p"), F.col("_metadata.file_size").alias("s"))
+        .groupBy("p").agg(F.first("s").alias("s"))
+        .agg(F.sum("s")).collect()[0][0]
+    ) or 1
+    n_files = max(1, -(-int(total_bytes) // target_file_bytes))
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files

@@ -128,3 +128,24 @@ def test_text_roundtrip_line_and_wholefile(spark, tmp_path):
         len(r["value"].rstrip("\n").split("\n")) for r in whole.collect()
     )
     assert total_lines == lines.count()
+
+
+def test_compaction_and_file_inventory(spark, tmp_path):
+    """Many small files compact into the estimated count with identical
+    rows; file_inventory reports one row per physical file."""
+    from etl_demo_spark.io.layout import compact_parquet, file_inventory
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    frag = str(tmp_path / "fragmented")
+    li.repartition(24).write.mode("overwrite").parquet(frag)
+
+    inv = file_inventory(spark.read.parquet(frag)).collect()
+    assert len(inv) == 24
+    assert sum(r["n_rows"] for r in inv) == li.count()
+
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, frag, dst, target_file_bytes=10**12)
+    assert n == 1
+    back = spark.read.parquet(dst)
+    assert back.count() == li.count()
+    assert len(file_inventory(back).collect()) == 1
