@@ -204,3 +204,39 @@ def test_scd2_apply_versions_changed_keys(spark):
 
     again = scd2_apply(out, changes, "k", ["tier"])
     assert snapshot(again) == got
+
+
+def test_operators_survive_empty_inputs(spark):
+    """Edge robustness: pipelines and operators must return empty (or
+    identity) results on empty inputs, not crash — the behavior a
+    scheduled job hits on a quiet partition."""
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.dedup import (
+        connected_components,
+        exact_dedup_by_fingerprint,
+        minhash_lsh_candidates,
+    )
+    from etl_demo_spark.ops import merge_upsert, scd2_apply
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup_by_fingerprint(docs).count() == 0
+    assert minhash_lsh_candidates(docs, num_hashes=8, bands=2).count() == 0
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(edges).count() == 0
+
+    target = spark.createDataFrame([(1, "a")], "k int, v string")
+    empty_src = spark.createDataFrame([], "k int, v string")
+    merged = merge_upsert(target, empty_src, ["k"])
+    assert [(r["k"], r["v"]) for r in merged.collect()] == [(1, "a")]
+
+    import datetime
+
+    hist = spark.createDataFrame(
+        [(1, "x", datetime.datetime(2024, 1, 1), None)],
+        "k int, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    empty_changes = spark.createDataFrame([], "k int, attr string, ts timestamp")
+    out = scd2_apply(hist, empty_changes, "k", ["attr"])
+    assert out.count() == 1
