@@ -311,3 +311,31 @@ def scd2_apply(
     return closed.unionByName(untouched).unionByName(newly_closed).unionByName(
         new_versions
     )
+
+
+def incremental_agg_merge(
+    stored: DataFrame,
+    new_partials: DataFrame,
+    keys: Sequence[str],
+    merge: dict[str, str],
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance (continuous-
+    aggregate refresh): merge freshly aggregated partials into the stored
+    aggregate table instead of recomputing from all history.
+
+    ``merge`` maps column → merge function in {'sum','min','max'} —
+    decomposable aggregates only (COUNT merges with 'sum'; AVG must be
+    stored as sum+count and finalized on read; exact DISTINCT is not
+    decomposable — store HLL sketches and merge those instead, see the
+    daily_user_sketches corpus query).
+
+    Scale: the refresh touches |stored keys| + |new keys| rows, never the
+    fact history; both sides are pre-aggregated so the union + groupBy
+    shuffles partials only. Pair with partitioned storage so the rewrite
+    is per-partition (only partitions with new keys rewrite)."""
+    merge_fns = {"sum": F.sum, "min": F.min, "max": F.max}
+    cols = list(keys) + list(merge)
+    both = stored.select(*cols).unionByName(new_partials.select(*cols))
+    return both.groupBy(*keys).agg(
+        *[merge_fns[how](c).alias(c) for c, how in merge.items()]
+    )

@@ -240,3 +240,34 @@ def test_operators_survive_empty_inputs(spark):
     empty_changes = spark.createDataFrame([], "k int, attr string, ts timestamp")
     out = scd2_apply(hist, empty_changes, "k", ["attr"])
     assert out.count() == 1
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark):
+    """Maintaining a weekly aggregate incrementally (stored + new batch)
+    must equal recomputing from the full history — counts, exact decimal
+    sums, and min/max all merge correctly, including brand-new keys."""
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.io.sources import load_tables
+    from etl_demo_spark.ops import incremental_agg_merge, week_start
+
+    li = load_tables(spark, "/root/testdata/sf0.001", tables=("lineitem",))["lineitem"]
+    old = li.filter(F.col("l_shipdate") < "1999-01-01")
+    new = li.filter(F.col("l_shipdate") >= "1999-01-01")
+
+    def agg(df):
+        return df.groupBy(week_start("l_shipdate").alias("wk")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+
+    merged = incremental_agg_merge(
+        agg(old), agg(new), ["wk"],
+        {"n": "sum", "qty": "sum", "min_price": "min", "max_price": "max"},
+    )
+    full = agg(li)
+    m = {r["wk"]: (r["n"], r["qty"], r["min_price"], r["max_price"]) for r in merged.collect()}
+    f = {r["wk"]: (r["n"], r["qty"], r["min_price"], r["max_price"]) for r in full.collect()}
+    assert m == f
