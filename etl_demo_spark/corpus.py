@@ -4191,3 +4191,34 @@ def null_safe_priority_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@query(
+    "events_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via the VARIANT type (Spark 4): parse_json
+    once into the binary variant encoding, then typed path extraction
+    with variant_get — the modern alternative to per-access JSON string
+    re-parsing (get_json_object re-parses the string for every path;
+    a variant column parses once and serves many extractions).
+
+    Scale: parse + extraction are narrow codegen'd stages; only the
+    5-group aggregate shuffles. At rest, store the variant column in
+    parquet and every downstream path access skips string parsing."""
+    (ev,) = _t(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("pv"))
+    k = F.variant_get(F.col("pv"), "$.k", "bigint")
+    return v.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("k_total"),
+        F.max(k).cast("long").alias("k_max"),
+        F.count(F.lit(1)).alias("n"),
+    )
