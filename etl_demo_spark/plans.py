@@ -1,0 +1,65 @@
+"""Plan introspection utilities: summarize a DataFrame's physical plan
+into the handful of numbers the 100 TB posture cares about.
+
+``plan_digest`` powers ad-hoc plan review and regression tests: instead
+of eyeballing ``explain()`` output, assert on the digest — "this query
+has one exchange, two broadcasts, and no Python stages" survives plan
+renames and id churn that break raw string matching.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class PlanDigest:
+    exchanges: int            # shuffles (excluding broadcast exchanges)
+    broadcasts: int           # broadcast exchanges (small-side dims)
+    scans: int                # file scans
+    sort_merge_joins: int
+    broadcast_hash_joins: int
+    wholestage_codegen_spans: int
+    python_stages: int        # ArrowEvalPython / BatchEvalPython / mapInPandas
+    take_ordered: bool        # top-k compiled to TakeOrderedAndProject
+    read_columns: tuple[str, ...]  # union of pruned scan schemas
+
+    def as_dict(self) -> dict:
+        return asdict(self)
+
+
+def plan_digest(df: DataFrame) -> PlanDigest:
+    """Digest the CURRENT physical plan (pre-execution; for the final
+    adaptive plan run an action on ``df`` first — AQE rewrites joins and
+    partition counts at runtime)."""
+    p = df._jdf.queryExecution().executedPlan().toString()
+    read_cols: set[str] = set()
+    # ReadSchema appears in formatted explain; the compact tree shows the
+    # scan's pruned output list as `FileScan parquet [col#1,col#2]`
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", p):
+        for field in m.group(1).split(","):
+            name = field.split(":")[0].strip()
+            if name:
+                read_cols.add(name)
+    for m in re.finditer(r"FileScan \w+ \[([^\]]*)\]", p):
+        for field in m.group(1).split(","):
+            name = field.split("#")[0].strip()
+            if name:
+                read_cols.add(name)
+    return PlanDigest(
+        exchanges=len(re.findall(r"\bExchange (?:hash|range|SinglePartition)", p)),
+        broadcasts=p.count("BroadcastExchange"),
+        scans=p.count("Scan parquet") + p.count("Scan csv") + p.count("Scan orc")
+        + p.count("Scan json") + p.count("Scan text"),
+        sort_merge_joins=p.count("SortMergeJoin"),
+        broadcast_hash_joins=p.count("BroadcastHashJoin"),
+        # only present once codegen has run (post-execution / final plan)
+        wholestage_codegen_spans=len(set(re.findall(r"\*\((\d+)\)", p))),
+        python_stages=p.count("EvalPython") + p.count("MapInPandas")
+        + p.count("FlatMapGroupsInPandas"),
+        take_ordered=("TakeOrderedAndProject" in p),
+        read_columns=tuple(sorted(read_cols)),
+    )

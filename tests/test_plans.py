@@ -102,3 +102,26 @@ def test_funnel_is_two_exchange_plan(spark):
     p = plan_of(entrymod.queries()["event_funnel"](spark, SF001))
     assert p.count("Exchange") <= 2
     assert "Join" not in p
+
+
+def test_plan_digest_summarizes_flagship(spark):
+    """plan_digest must report the flagship's known shape: one shuffle,
+    no joins, pruned scan columns, codegen throughout, no Python."""
+    from etl_demo_spark.plans import plan_digest
+
+    d = plan_digest(entrymod.queries()["flagship_weekly_revenue"](spark, SF001))
+    assert d.exchanges == 1
+    assert d.sort_merge_joins == 0 and d.broadcast_hash_joins == 0
+    assert d.python_stages == 0
+    assert set(d.read_columns) == {
+        "l_shipdate", "l_returnflag", "l_extendedprice", "l_discount", "l_quantity",
+    }
+    assert d.as_dict()["scans"] == 1
+
+
+def test_plan_digest_counts_broadcasts(spark):
+    from etl_demo_spark.plans import plan_digest
+
+    d = plan_digest(entrymod.queries()["nation_market_share"](spark, SF001))
+    assert d.broadcasts >= 6
+    assert d.sort_merge_joins <= 1
