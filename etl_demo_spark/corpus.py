@@ -4222,3 +4222,64 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).cast("long").alias("k_max"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "cogroup_click_purchase_stats",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS n_clicks, MIN(ts) AS first_click
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ), p AS (
+      SELECT user_id, COUNT(*) AS n_purchases, MIN(ts) AS first_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           CAST(COALESCE(n_clicks, 0) AS BIGINT) AS n_clicks,
+           CAST(COALESCE(n_purchases, 0) AS BIGINT) AS n_purchases,
+           (first_purchase > first_click) AS clicked_first
+    FROM c FULL JOIN p ON c.user_id = p.user_id
+    """,
+)
+def cogroup_click_purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-11 COGROUPED applyInPandas: clicks and purchases arrive as two
+    per-user pandas frames in one Python function — the API shape for
+    per-key cross-frame logic (pd.merge_asof, per-entity
+    reconciliation) that no single-input UDF covers. Here the function
+    computes per-user counts and first-event ordering, checked against
+    a two-CTE FULL JOIN oracle.
+
+    Scale: both sides shuffle once on the cogroup key; each key's two
+    frames stream through Arrow together (state = one user's events,
+    never the corpus)."""
+    import pandas as pd
+
+    (ev,) = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+
+    def stats(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        first_click = left["ts"].min() if len(left) else pd.NaT
+        first_purchase = right["ts"].min() if len(right) else pd.NaT
+        clicked_first = (
+            None
+            if pd.isna(first_click) or pd.isna(first_purchase)
+            else bool(first_purchase > first_click)
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_clicks": [len(left)],
+                "n_purchases": [len(right)],
+                "clicked_first": [clicked_first],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            stats,
+            "user_id long, n_clicks long, n_purchases long, clicked_first boolean",
+        )
+    )
