@@ -4259,8 +4259,16 @@ def cogroup_click_purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
 
     def stats(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        first_click = left["ts"].min() if len(left) else pd.NaT
-        first_purchase = right["ts"].min() if len(right) else pd.NaT
+        # a side with no rows for this key can arrive as a COLUMN-LESS
+        # empty frame on some Arrow deserialization paths (observed when
+        # the events scan runs under the nanos-as-long legacy conf that
+        # the streaming queries enable) — guard on column presence, not
+        # just length
+        def first_ts(pdf: pd.DataFrame):
+            return pdf["ts"].min() if ("ts" in pdf.columns and len(pdf)) else pd.NaT
+
+        first_click = first_ts(left)
+        first_purchase = first_ts(right)
         clicked_first = (
             None
             if pd.isna(first_click) or pd.isna(first_purchase)

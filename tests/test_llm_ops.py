@@ -483,3 +483,22 @@ def test_star_components_match_union_find_on_random_graphs(spark):
         df = spark.createDataFrame(edges, ["id_a", "id_b"])
         got = {r["id"]: r["component"] for r in connected_components_star(df).collect()}
         assert got == expected, edges
+
+
+def test_cogroup_survives_streaming_legacy_conf(spark):
+    """Regression: with the nanos-as-long legacy conf enabled (as the
+    streaming queries leave it in a shared session), the cogroup query's
+    worker frames can arrive column-less on one side — the function must
+    treat that as an empty side, not crash."""
+    import __spark_entry__ as em
+
+    saved = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        df = em.queries()["cogroup_click_purchase_stats"](spark, "/root/testdata/sf0.001")
+        assert df.count() > 0
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", saved)
