@@ -227,3 +227,35 @@ def test_split_assign_deterministic_and_total(spark_handle, ids):
         for r in df.select("doc_id", split_assign("doc_id").alias("s")).collect()
     }
     assert got == {i: expected(i) for i in ids}
+
+
+@given(
+    target=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(-100, 100)),
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+    source=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(-100, 100)),
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_merge_upsert_matches_dict_semantics(spark_handle, target, source):
+    """merge_upsert == dict.update: source wins on matched keys,
+    unmatched target rows pass through, unmatched source rows insert."""
+    from etl_demo_spark.ops import merge_upsert
+
+    spark = spark_handle
+    t = spark.createDataFrame(target or [(99, 0)], "k int, v int")
+    s_rows = source or []
+    s = (
+        spark.createDataFrame(s_rows, "k int, v int")
+        if s_rows
+        else spark.createDataFrame([], "k int, v int")
+    )
+    expected = dict(target or [(99, 0)])
+    expected.update(dict(s_rows))
+    got = {r["k"]: r["v"] for r in merge_upsert(t, s, ["k"]).collect()}
+    assert got == expected
