@@ -4291,3 +4291,39 @@ def cogroup_click_purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id long, n_clicks long, n_purchases long, clicked_first boolean",
         )
     )
+
+
+@query(
+    "props_map_transform",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CASE WHEN 2 * CAST(json_extract(props, '$.k') AS BIGINT) >= 60
+                         THEN 2 * CAST(json_extract(props, '$.k') AS BIGINT)
+                    END) AS BIGINT) AS kept_total,
+           CAST(SUM(CASE WHEN 2 * CAST(json_extract(props, '$.k') AS BIGINT) >= 60
+                         THEN 1 ELSE 0 END) AS BIGINT) AS kept_entries,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def props_map_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8 map higher-order functions: props parse into a real MapType,
+    transform_values doubles every value and map_filter keeps entries
+    over a threshold — all JVM-side map algebra — then the kept entries
+    explode into per-type totals. The oracle computes the same values
+    through flat JSON scalar SQL, verifying the map pipeline's results
+    exactly.
+
+    Scale: narrow map stages into one 5-group aggregate; maps never
+    shuffle (only the exploded scalars do)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    kept = F.map_filter(doubled, lambda k, v: v >= 60)
+    ex = ev.select("event_type", F.explode_outer(kept).alias("k", "v"))
+    return ex.groupBy("event_type").agg(
+        F.sum("v").cast("long").alias("kept_total"),
+        F.count("v").alias("kept_entries"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
