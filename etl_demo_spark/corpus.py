@@ -4327,3 +4327,19 @@ def props_map_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("v").alias("kept_entries"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query("knn_self_join")  # bucket-limited ANN join: rows-only driver check
+def knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-13 batch k-NN join: every embedding queries the corpus at once
+    (LSH-bucket equi-join + per-query exact re-rank + WindowGroupLimit)
+    — the offline-retrieval shape where per-query search doesn't scale.
+    Self-match at rank 1 for every query is asserted in unit tests.
+
+    Scale: candidates are bounded by bucket collision counts (hash join
+    on a long key, never all-pairs); the rank filter pushes k into the
+    window sort."""
+    from etl_demo_spark.vec import knn_join
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return knn_join(emb, emb, k=3)

@@ -17,7 +17,7 @@ and therefore deterministic) — no UDF in the hot loop.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -244,3 +244,49 @@ def ivf_topk(
         F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim")
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Batch k-NN JOIN: top-k corpus neighbors for EVERY query vector at
+    once — the offline-retrieval / embedding-dedup shape (one query at a
+    time, as in ``lsh_topk``, doesn't scale to millions of queries).
+
+    Both sides compute their sign-LSH bucket; candidates come from the
+    bucket equi-join (hash join on a long key — never the quadratic
+    cross product); exact cosine re-ranks within buckets and a
+    per-query WindowGroupLimit keeps k. Single-bucket probing — for
+    higher recall union the Hamming-1 probe buckets on the query side
+    (same expansion as lsh_topk) at planes× candidate cost.
+
+    Returns ``(q_id, c_id, cos_sim, rank)``; approximate by
+    construction (bucket-limited), so driver checks are rows-only and
+    recall/self-match are asserted in unit tests."""
+    qb = queries.select(
+        F.col(q_id).alias("q_id"),
+        F.col(vec_col).alias("q_emb"),
+        lsh_bucket(F.col(vec_col), planes, dim).alias("b"),
+    )
+    cb = corpus.select(
+        F.col(c_id).alias("c_id"),
+        F.col(vec_col).alias("c_emb"),
+        lsh_bucket(F.col(vec_col), planes, dim).alias("b"),
+    )
+    scored = qb.join(cb, "b").select(
+        "q_id",
+        "c_id",
+        F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

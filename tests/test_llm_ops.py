@@ -502,3 +502,21 @@ def test_cogroup_survives_streaming_legacy_conf(spark):
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", saved)
+
+
+def test_knn_join_self_match_ranks_first(spark):
+    """In the self-join every query's nearest neighbor must be itself
+    (cosine 1.0 at rank 1 — same bucket by construction), and each query
+    returns at most k ranked candidates."""
+    from etl_demo_spark.vec import knn_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = knn_join(emb, emb, k=3).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert len(by_q) == emb.count()
+    for q, rows in by_q.items():
+        assert len(rows) <= 3
+        top = min(rows, key=lambda r: r["rank"])
+        assert top["rank"] == 1 and top["c_id"] == q and top["cos_sim"] == 1.0, q
