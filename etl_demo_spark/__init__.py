@@ -11,6 +11,16 @@ Design posture (SURVEY.md §4/§7):
     div-by-zero→NULL match the reference semantics exactly.
   * AQE on; broadcast small dimensions; no driver-side collects in the
     hot path.
+
+Public surface (import submodules for the full toolkit):
+  * ``session.get_spark`` — the engine's session posture.
+  * ``pipelines.weekly_trades.run_etl`` — reference-parity ETL.
+  * ``pipelines.corpus_prep.run_corpus_prep`` — training-data prep.
+  * ``ops`` — relational verbs, as-of join, salting, MERGE/SCD2,
+    incremental aggregate maintenance.
+  * ``dedup`` / ``vec`` / ``text`` — LLM-pipeline operators.
+  * ``io.layout`` — Z-order writes, compaction, file inventory.
+  * ``plans.plan_digest`` — physical-plan introspection.
 """
 
 from etl_demo_spark.session import get_spark
