@@ -426,14 +426,16 @@ def connected_components(
                     ).alias("label"),
                 )
             )
-            new_labels.persist()
+            # localCheckpoint truncates the per-round lineage (analysis
+            # cost would compound across rounds) and leaves nothing
+            # persisted behind after the call returns
+            new_labels = new_labels.localCheckpoint(eager=True)
             changed = (
                 new_labels.select("vid", F.col("label").alias("new_label"))
                 .join(labels, "vid")
                 .filter(F.col("new_label") != F.col("label"))
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 break
