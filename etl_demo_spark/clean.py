@@ -76,3 +76,27 @@ def clean_trades(df: DataFrame) -> DataFrame:
 
 def non_null(c: str) -> Column:
     return F.col(c).isNotNull()
+
+
+def observed(df: DataFrame, name: str = "quality", **metrics: Column):
+    """Attach zero-extra-pass data-quality metrics to a plan
+    (``Dataset.observe``): the metrics evaluate DURING the next action on
+    ``df`` — at 100 TB a separate ``count()`` or profile pass costs a
+    full scan; an observation rides the scan the job already does.
+
+    Returns ``(observed_df, observation)``; read ``observation.get``
+    AFTER an action has run. Default metrics when none are given: row
+    count + per-column null counts (the reference's O-2 diagnostics,
+    aggregated for free).
+
+    Works on batch and streaming (streaming surfaces the metrics per
+    micro-batch through the query-progress listener)."""
+    from pyspark.sql import Observation
+
+    if not metrics:
+        metrics = {"rows": F.count(F.lit(1))}
+        for c in df.columns:
+            metrics[f"nulls_{c}"] = F.sum(F.col(c).isNull().cast("long"))
+    obs = Observation(name)
+    out = df.observe(obs, *[m.alias(k) for k, m in metrics.items()])
+    return out, obs

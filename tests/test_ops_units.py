@@ -271,3 +271,27 @@ def test_incremental_agg_merge_equals_full_recompute(spark):
     m = {r["wk"]: (r["n"], r["qty"], r["min_price"], r["max_price"]) for r in merged.collect()}
     f = {r["wk"]: (r["n"], r["qty"], r["min_price"], r["max_price"]) for r in full.collect()}
     assert m == f
+
+
+def test_observed_metrics_ride_the_action(spark):
+    """observed() must report row and null counts from the SAME action
+    that consumes the frame — no second scan — matching a direct
+    computation."""
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.clean import observed
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "id int, v string"
+    )
+    out, obs = observed(df)
+    n = out.filter(F.col("id") > 0).count()  # one action drives both
+    assert n == 4
+    got = obs.get
+    assert got["rows"] == 4
+    assert got["nulls_v"] == 2 and got["nulls_id"] == 0
+
+    # custom metric expressions
+    out2, obs2 = observed(df, name="sums", id_sum=F.sum("id"))
+    out2.write.format("noop").mode("overwrite").save()
+    assert obs2.get["id_sum"] == 10
