@@ -89,9 +89,18 @@ def run_corpus_prep(
     Output layout: ``{output_path}/split=train|val|test/part-*.parquet``
     (partition-pruned reads for training jobs).
     """
+    import uuid
+
+    from etl_demo_spark.clean import observed
+
     cfg = cfg or CorpusPrepConfig()
     docs = spark.read.parquet(input_path)
+    # zero-extra-pass accounting: these observations evaluate during the
+    # output write below, not as separate scans (names unique per session)
+    tag = uuid.uuid4().hex[:8]
+    docs, obs_in = observed(docs, f"prep_in_{tag}", rows=F.count(F.lit(1)))
     gated = quality_gate(docs, cfg)
+    gated, obs_gated = observed(gated, f"prep_gated_{tag}", rows=F.count(F.lit(1)))
     deduped = exact_dedup_keep(gated)
     drops = near_dup_delete_list(deduped, cfg)
     kept = deduped.join(drops, "doc_id", "left_anti")
@@ -112,10 +121,16 @@ def run_corpus_prep(
         )
         .collect()
     )
-    return {
+    stats = {
         r["split"]: {"n_docs": r["n_docs"], "total_tokens": r["total_tokens"]}
         for r in stats_rows
     }
+    stats["_pipeline"] = {
+        "input_docs": obs_in.get["rows"],
+        "passed_quality_gates": obs_gated.get["rows"],
+        "kept_after_dedup": sum(v["n_docs"] for k, v in stats.items() if k != "_pipeline"),
+    }
+    return stats
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -142,6 +157,13 @@ def main(argv: list[str] | None = None) -> None:
             near_dup_threshold=args.near_dup_threshold,
         ),
     )
+    pipe = stats.pop("_pipeline", {})
+    if pipe:
+        print(
+            f"input: {pipe['input_docs']} docs -> "
+            f"{pipe['passed_quality_gates']} past gates -> "
+            f"{pipe['kept_after_dedup']} kept"
+        )
     for split, s in sorted(stats.items()):
         print(f"{split}: {s['n_docs']} docs, {s['total_tokens']} tokens")
 

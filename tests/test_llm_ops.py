@@ -371,8 +371,13 @@ def test_corpus_prep_pipeline_end_to_end(spark, tmp_path):
         spark, "/root/testdata/sf0.01/documents.parquet", out,
         CorpusPrepConfig(min_chars=50, min_tokens=5),
     )
-    assert set(stats) <= {"train", "val", "test"}
+    assert set(stats) <= {"train", "val", "test", "_pipeline"}
     assert "train" in stats and stats["train"]["n_docs"] > 0
+    pipe = stats["_pipeline"]
+    assert pipe["input_docs"] >= pipe["passed_quality_gates"] >= pipe["kept_after_dedup"]
+    assert pipe["kept_after_dedup"] == sum(
+        v["n_docs"] for k, v in stats.items() if k != "_pipeline"
+    )
 
     back = spark.read.parquet(out)
     assert "split" in back.columns
@@ -385,7 +390,7 @@ def test_corpus_prep_pipeline_end_to_end(spark, tmp_path):
     )
     assert dupes == 0
     # train fraction lands near 80% (hash-uniform; wide tolerance)
-    total = sum(s["n_docs"] for s in stats.values())
+    total = sum(v["n_docs"] for k, v in stats.items() if k != "_pipeline")
     assert 0.6 < stats["train"]["n_docs"] / total < 0.95
 
 
