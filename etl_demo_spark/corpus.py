@@ -774,7 +774,10 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("simhash_profile")  # bit-level hash fold: no SQL oracle (rows-only)
 def simhash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-12 SimHash: 64-bit signature per doc via a pure aggregate fold
-    (no UDF, no shuffle); profiled by leading byte."""
+    (no UDF, no shuffle); profiled by leading byte. No SQL oracle — the
+    bit-fold hash family is engine-specific; signature correctness is
+    asserted in unit tests (hamming ordering on planted near-dups,
+    explode-agg table == per-row fold)."""
     from etl_demo_spark.dedup import simhash_table
 
     (docs,) = _t(spark, sf_dir, "documents")
