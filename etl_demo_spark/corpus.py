@@ -839,7 +839,8 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan only the nprobe best cells, exact cosine re-rank within them.
     ~nprobe/n_cells of the brute-force scan cost; with a cell-partitioned
     layout the skipped cells are pruned at file level. Recall vs brute
-    force asserted in tests/test_llm_ops.py."""
+    force asserted in unit tests (tests/test_llm_ops.py) — rows-only for
+    the driver, as ANN results are approximate by construction."""
     from etl_demo_spark.vec import ivf_topk
 
     (emb,) = _t(spark, sf_dir, "embeddings")
@@ -849,7 +850,9 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("embedding_near_dups")  # approximate candidate set (rows-only)
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-12/X-13 embedding-cosine near-dup pairs via LSH buckets (exact
-    cosine within buckets only)."""
+    cosine within buckets only). Rows-only for the driver — the bucket
+    candidate set is approximate; pair correctness (cosine values,
+    planted-duplicate recall) is asserted in unit tests."""
     from etl_demo_spark.vec import embedding_near_dup_pairs
 
     (emb,) = _t(spark, sf_dir, "embeddings")
