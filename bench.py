@@ -35,6 +35,7 @@ HEADLINE = [
     "minhash_near_dup",
     "corpus_prep_pipeline",
     "ann_topk_bruteforce",
+    "media_features",
     "stream_hourly_event_stats",
 ]
 
