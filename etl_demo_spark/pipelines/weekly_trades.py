@@ -44,6 +44,7 @@ def run_etl(
     report_path: str | None = None,
     client_type: str = "bronze",
     top_n: int = 3,
+    diagnose: bool = False,
 ) -> EtlResult:
     """extract → clean → transform(+PnL) → [load] → [report].
 
@@ -53,7 +54,25 @@ def run_etl(
     not input size.
     """
     raw = extract(spark, input_csv)
+    obs_raw = obs_clean = None
+    if diagnose:
+        # zero-extra-pass O-2 diagnostics: observations evaluate during
+        # the sink action below instead of separate count() scans
+        import uuid
+
+        from etl_demo_spark.clean import observed
+
+        tag = uuid.uuid4().hex[:8]
+        raw, obs_raw = observed(raw, f"etl_raw_{tag}")
     cleaned = clean_trades(raw)
+    if diagnose:
+        from pyspark.sql import functions as F
+
+        from etl_demo_spark.clean import observed
+
+        cleaned, obs_clean = observed(
+            cleaned, f"etl_clean_{tag}", rows=F.count(F.lit(1))
+        )
     agg = transform(cleaned, compute_pnl=compute_pnl)
     result = EtlResult(aggregated=agg)
     if sqlite_path is not None:
@@ -63,6 +82,16 @@ def run_etl(
         result.report = top_clients(agg, client_type=client_type, top_n=top_n, metrics=metrics)
         if report_path is not None:
             result.report_path = export_report(result.report, report_path)
+    if diagnose and obs_raw is not None and result.rows_loaded:
+        raw_metrics = obs_raw.get
+        result.extras["diagnostics"] = {
+            "raw_rows": raw_metrics["rows"],
+            "raw_null_cells_by_column": {
+                k[len("nulls_"):]: v for k, v in raw_metrics.items()
+                if k.startswith("nulls_")
+            },
+            "cleaned_rows": obs_clean.get["rows"],
+        }
     return result
 
 

@@ -94,3 +94,25 @@ def test_report_matches_golden_xlsx(spark):
             if r[0] == exp[0] and _close(r[1], exp[1], 1e-6) and _close(r[2], exp[2], 1e-6) and r[4] == exp[4]
         ]
         assert match, f"report row missing: {exp}"
+
+
+def test_run_etl_diagnostics_match_dirty_contract(spark, tmp_path):
+    """diagnose=True surfaces the dirty-data contract (800 raw rows, 790
+    cleaned — SURVEY §1.5) from observations riding the sink action, with
+    no separate diagnostic scans."""
+    from etl_demo_spark.pipelines.weekly_trades import run_etl
+
+    res = run_etl(
+        spark,
+        "/root/reference/trades (1) (2) (1).csv",
+        sqlite_path=str(tmp_path / "agg.db"),
+        report_path=None,
+        diagnose=True,
+    )
+    d = res.extras["diagnostics"]
+    assert d["raw_rows"] == 800
+    assert d["cleaned_rows"] == 790
+    # raw layer is all-string: only truly EMPTY cells are NULL here (the
+    # 5 "not_a_date" strings null out later, at the strict parse)
+    assert d["raw_null_cells_by_column"]["timestamp"] == 5
+    assert d["raw_null_cells_by_column"]["quantity"] == 5
