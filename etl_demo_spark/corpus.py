@@ -4349,3 +4349,53 @@ def knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     return knn_join(emb, emb, k=3)
+
+
+@query(
+    "rollup_grouping_labels",
+    oracle=f"""
+    SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                ELSE o_orderstatus END AS status,
+           CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                ELSE o_orderpriority END AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+             AS grouping_level,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS {DEC_SQL})) AS DOUBLE) AS total_value
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_grouping_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-5 ROLLUP with GROUPING() disambiguation: subtotal rows are
+    labeled 'ALL' and carry a numeric grouping level — the function that
+    distinguishes a real NULL group member from a rollup subtotal (the
+    only reliable way once nullable group keys enter).
+
+    Scale: rollup expands each row into level-count copies BEFORE the
+    exchange (Expand operator), then one hash agg — same single-shuffle
+    posture as a plain groupBy at level-count × input cost."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    g_status = F.grouping("o_orderstatus")
+    g_prio = F.grouping("o_orderpriority")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            (g_status * 2 + g_prio).cast("long").alias("grouping_level"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec("o_totalprice")).alias("total_value"),
+        )
+        .select(
+            # grouping()/grouping_id() are only valid inside the rollup
+            # aggregate, so labels derive from the materialized level bits
+            F.when(F.col("grouping_level") >= 2, "ALL")
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            F.when(F.col("grouping_level").bitwiseAND(1) == 1, "ALL")
+            .otherwise(F.col("o_orderpriority"))
+            .alias("priority"),
+            "grouping_level",
+            "n_orders",
+            "total_value",
+        )
+    )
