@@ -4257,7 +4257,11 @@ def cogroup_click_purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both sides shuffle once on the cogroup key; each key's two
     frames stream through Arrow together (state = one user's events,
-    never the corpus)."""
+    never the corpus). Per-GROUP Python dispatch dominates when groups
+    are tiny (measured ~3 ms/group here) — reach for cogroup only when
+    the per-key logic genuinely needs pandas; this query's own oracle
+    (FULL JOIN + conditional aggregates) is the JVM-side formulation to
+    prefer when the logic is SQL-expressible."""
     import pandas as pd
 
     (ev,) = _t(spark, sf_dir, "events")
