@@ -290,3 +290,35 @@ def knn_join(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def cosine_batch_udf(query_vec: list[float]):
+    """Vectorized pandas-UDF cosine against a fixed query vector — the
+    Arrow/numpy alternative to the JVM higher-order-function fold
+    (``cosine``). The HOF path is interpreted per element; this path
+    pays one Arrow transfer per batch and then runs C-speed numpy
+    matmul — it wins when dim × candidates is large enough to amortize
+    the transfer (measure; at small scale the JVM fold wins).
+
+    Returns a UDF usable as ``df.select(udf(col))``; the query vector is
+    captured by value (broadcast with the task closure)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    # no parameter annotations: this module uses
+    # `from __future__ import annotations`, which stringifies hints and
+    # Spark's pandas_udf signature inference rejects string annotations —
+    # an unannotated function defaults to the scalar Series->Series kind
+    def _cos(col):
+        m = np.stack(col.map(lambda v: np.asarray(v, dtype=np.float64)))
+        dots = m @ q
+        norms = np.linalg.norm(m, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = dots / (norms * qn)
+        return pd.Series(out)
+
+    return pandas_udf(_cos, "double")

@@ -525,3 +525,25 @@ def test_knn_join_self_match_ranks_first(spark):
         assert len(rows) <= 3
         top = min(rows, key=lambda r: r["rank"])
         assert top["rank"] == 1 and top["c_id"] == q and top["cos_sim"] == 1.0, q
+
+
+def test_cosine_batch_udf_matches_hof_fold(spark):
+    """The numpy pandas-UDF cosine must agree with the JVM fold to float
+    tolerance on real embeddings (different accumulation orders — exact
+    equality is not expected)."""
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.vec import cosine, cosine_batch_udf
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = [r["embedding"] for r in emb.filter(F.col("vec_id") == 0).collect()][0]
+    qcol = F.array(*[F.lit(float(v)) for v in qv])
+    hof = {r["vec_id"]: r["c"] for r in emb.select(
+        "vec_id", cosine(F.col("embedding"), qcol).alias("c")).collect()}
+    udf = cosine_batch_udf([float(v) for v in qv])
+    vec = {r["vec_id"]: r["c"] for r in emb.select(
+        "vec_id", udf(F.col("embedding")).alias("c")).collect()}
+    assert set(hof) == set(vec)
+    for k in hof:
+        assert abs(hof[k] - vec[k]) < 1e-9, k
+    assert abs(vec[0] - 1.0) < 1e-9  # self-cosine
