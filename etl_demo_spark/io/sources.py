@@ -75,6 +75,31 @@ def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Events scan normalizing ``ts`` to session-zoned TIMESTAMP.
+
+    The testdata generator has shipped ``ts`` under three physical types
+    across driver rounds; this reader accepts all of them so the engine
+    is layout-agnostic:
+
+    - parquet TIMESTAMP(NANOS): Spark's reader rejects it outright, so
+      enable the nanos-as-long legacy read and truncate to microseconds
+      (integer ``div`` — ns-since-epoch exceeds double's exact range);
+    - TIMESTAMP(MICROS) without tz: arrives as TIMESTAMP_NTZ; cast to
+      TIMESTAMP (a value no-op under the engine's UTC session zone) so
+      downstream window/watermark/date arithmetic sees one type;
+    - tz-aware TIMESTAMP: already the target type.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,
@@ -90,14 +115,7 @@ def load_tables(
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if name == "events":
-            # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-            # rejects outright; read nanos as long and truncate to a real
-            # microsecond timestamp (integer `div`, no double round-trip —
-            # ns-since-epoch exceeds double's exact-integer range).
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(path).withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+            df = read_events(spark, path)
         else:
             df = spark.read.parquet(path)
         if register_views:

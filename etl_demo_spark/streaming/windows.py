@@ -16,32 +16,48 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (driver testdata).
 
-    ``pathGlobFilter`` scopes the directory listing to the events file;
-    nanos ts comes in as long (see io/sources.py) and is truncated to a
-    microsecond timestamp. In production this is the same code over a
-    growing directory / Kafka source — the transforms don't change."""
+    ``pathGlobFilter`` scopes the directory listing to the events file.
+    The testdata's ``ts`` physical type has varied across driver rounds
+    (TIMESTAMP(NANOS) → long via legacy read; TIMESTAMP(MICROS) →
+    TIMESTAMP_NTZ), so probe the footer with a batch read (file metadata
+    only — no data scan) and normalize to session-zoned TIMESTAMP exactly
+    as the batch reader does (io/sources.py:read_events). In production
+    this is the same code over a growing directory / Kafka source — the
+    transforms don't change."""
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .schema["ts"]
+        .dataType
+    )
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(ts_type))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def hourly_event_stats(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
