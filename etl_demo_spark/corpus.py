@@ -4403,3 +4403,101 @@ def rollup_grouping_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyword retrieval (X-14): corpus term statistics + BM25 scoring — the
+# index-free retrieval layer of a training-data pipeline.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_term_stats",
+    oracle="""
+    WITH per_doc AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    )
+    SELECT term,
+           COUNT(*) AS doc_freq,
+           CAST(SUM(tf) AS BIGINT) AS total_tf
+    FROM per_doc
+    GROUP BY term
+    """,
+)
+def corpus_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-14 vocabulary mining: per-term document frequency + total term
+    frequency, all-integer (exact across engines). The (doc, term)
+    pre-aggregation collapses within-doc repeats before the per-term
+    shuffle, so shuffle volume is bounded by distinct pairs, not tokens."""
+    from etl_demo_spark.ops import spread_for_cpu
+    from etl_demo_spark.text import term_stats
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return term_stats(spread_for_cpu(docs))
+
+
+# Fixed keyword query for the BM25 corpus entry: terms present in the
+# synthetic documents' vocabulary (TESTDATA.md).
+BM25_TERMS = ["spark", "query", "join"]
+
+
+@query(
+    "bm25_keyword_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl FROM toks),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(l) AS term FROM toks)
+      WHERE term IN ('spark', 'query', 'join')
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS dfq FROM tf GROUP BY term),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM dl),
+    contrib AS (
+      SELECT tf.doc_id, tf.term,
+             ln((s.n_docs - d.dfq + 0.5) / (d.dfq + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) AS c
+      FROM tf
+      JOIN dfreq d ON tf.term = d.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           ROUND(  COALESCE(MAX(CASE WHEN term = 'spark' THEN c END), 0.0)
+                 + COALESCE(MAX(CASE WHEN term = 'query' THEN c END), 0.0)
+                 + COALESCE(MAX(CASE WHEN term = 'join'  THEN c END), 0.0), 4)
+             AS bm25
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-14 retrieval: top-10 documents by Okapi BM25 (k1=1.2, b=0.75) for
+    a fixed keyword query, no external index. The term filter precedes the
+    (doc, term) shuffle — only query-term occurrences move; df and the
+    global (N, avgdl) pair are broadcast. Scores are summed over terms in
+    a FIXED column order (double addition is order-dependent) and rounded
+    to 4dp: ln() is the one engine-dependent (1-ULP) primitive, and the
+    rounding absorbs it (transcendental scores never sit on a 4dp half
+    boundary — unlike money columns, where round-on-double is unsafe;
+    see corpus.py module docstring)."""
+    from etl_demo_spark.text import bm25_scores
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, BM25_TERMS)
+    return (
+        scored.select("doc_id", F.round("bm25", 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )

@@ -162,3 +162,86 @@ def split_assign(
     return (
         F.when(hb < t1, "train").when(hb < t2, "val").otherwise("test")
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyword retrieval: term statistics, TF-IDF, BM25 (SURVEY.md §2.2 X-14 —
+# the retrieval half of a training-data pipeline: mine corpus vocabulary,
+# score documents against keyword queries without an external index).
+# ---------------------------------------------------------------------------
+
+
+def term_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-term corpus statistics: document frequency + total term frequency.
+
+    Two-level aggregation keeps the shuffle payload small at scale: the
+    first groupBy (id, term) collapses within-document repeats map-side
+    (partial agg), so the second shuffle carries one row per distinct
+    (doc, term) — bounded by vocabulary × docs, not token count. No
+    count-distinct expansion anywhere."""
+    per_doc = (
+        df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("tf").alias("total_tf"),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 relevance of every matching document against ``query_terms``.
+
+    Returns (id, bm25) for documents containing at least one query term.
+    Okapi BM25: idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1), term score =
+    idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+
+    Scale shape: the term filter lands BEFORE the (id, term) shuffle, so
+    only query-term occurrences move; document frequencies and the global
+    (N, avgdl) pair are tiny aggregates broadcast back onto the scored
+    rows. The per-document sum over query terms is pivoted into a fixed
+    column order and added left-to-right — double addition is
+    order-dependent, and a fixed-order sum is what makes the score
+    bit-reproducible across engines and partitionings (corpus.py module
+    docstring; only ln() itself is 1-ULP engine-dependent).
+    """
+    toks = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+    dl = toks.select("_id", F.size("_toks").cast("long").alias("dl"))
+    tf = (
+        toks.select("_id", F.explode("_toks").alias("term"))
+        .where(F.col("term").isin(*query_terms))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "_id",
+            "term",
+            (
+                F.log((F.col("n_docs") - F.col("dfq") + F.lit(0.5)) / (F.col("dfq") + F.lit(0.5)) + F.lit(1.0))
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl"))))
+            ).alias("c"),
+        )
+    )
+    per_term = contrib.groupBy("_id").pivot("term", query_terms).agg(F.first("c"))
+    score = F.coalesce(F.col(f"`{query_terms[0]}`"), F.lit(0.0))
+    for t in query_terms[1:]:
+        score = score + F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
+    return per_term.select(F.col("_id").alias(id_col), score.alias("bm25"))

@@ -547,3 +547,56 @@ def test_cosine_batch_udf_matches_hof_fold(spark):
     for k in hof:
         assert abs(hof[k] - vec[k]) < 1e-9, k
     assert abs(vec[0] - 1.0) < 1e-9  # self-cosine
+
+
+def test_term_stats_counts_docs_and_occurrences(spark):
+    """df counts documents containing the term (not occurrences); total_tf
+    counts occurrences. Repeats within a doc must not inflate doc_freq."""
+    from etl_demo_spark.text import term_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "c c c")], "doc_id long, text string"
+    )
+    got = {r.term: (r.doc_freq, r.total_tf) for r in term_stats(docs).collect()}
+    assert got == {"a": (2, 3), "b": (1, 1), "c": (2, 4)}
+
+
+def test_bm25_matches_python_reference(spark):
+    """Spark BM25 equals a straightforward Python implementation on a tiny
+    corpus, and a doc with more query-term hits outscores a longer doc
+    with fewer."""
+    import math
+
+    from etl_demo_spark.text import bm25_scores
+
+    corpus = {
+        10: "spark join spark filter",
+        11: "join scan scan scan scan scan scan",
+        12: "filter scan sort",
+        13: "spark",
+    }
+    terms = ["spark", "join"]
+    k1, b = 1.2, 0.75
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {r.doc_id: r.bm25 for r in bm25_scores(docs, terms).collect()}
+
+    n = len(corpus)
+    dls = {d: len(t.split()) for d, t in corpus.items()}
+    avgdl = sum(dls.values()) / n
+    dfq = {t: sum(1 for txt in corpus.values() if t in txt.split()) for t in terms}
+
+    def ref_score(doc_id):
+        s = 0.0
+        for t in terms:
+            tf = corpus[doc_id].split().count(t)
+            if tf == 0:
+                continue
+            idf = math.log((n - dfq[t] + 0.5) / (dfq[t] + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1 - b + b * dls[doc_id] / avgdl))
+        return s
+
+    expected = {d: ref_score(d) for d in corpus if ref_score(d) > 0.0}
+    assert set(got) == set(expected)
+    for d in expected:
+        assert got[d] == pytest.approx(expected[d], abs=1e-12), d
+    assert got[10] > got[11]  # two hits in a short doc beat one hit in a long one
