@@ -4501,3 +4501,64 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality expectations (quality.py) — the reference's
+# inline diagnostics (O-2/O-3/O-5 screens) generalized to a one-pass
+# constraint suite.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_quality_report",
+    oracle="""
+    WITH agg AS (
+      SELECT COUNT(*) AS total,
+             CAST(SUM(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+             CAST(SUM(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+             CAST(SUM(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.1 THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+             CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+             CAST(SUM(CASE WHEN l_extendedprice > 0.0 THEN 0 ELSE 1 END) AS BIGINT) AS v4,
+             CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS v5
+      FROM lineitem
+    ),
+    fk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+    )
+    SELECT r.check, r.violations, CAST(a.total AS BIGINT) AS total,
+           r.violations = 0 AS passed
+    FROM agg a, fk,
+    LATERAL (VALUES ('not_null(l_orderkey)', a.v0),
+                    ('in_range(l_quantity)', a.v1),
+                    ('in_range(l_discount)', a.v2),
+                    ('in_domain(l_returnflag)', a.v3),
+                    ('positive_price', a.v4),
+                    ('unique_key(l_orderkey,l_linenumber)', a.v5),
+                    ('references(l_orderkey)', fk.v)) AS r("check", violations)
+    """,
+)
+def lineitem_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass declarative expectation suite over lineitem (quality.py):
+    five row-level constraints + a composite-key uniqueness check share a
+    single aggregation (one scan at any scale), and a referential
+    constraint against orders rides a broadcast anti-join; the union is
+    the full report. All counters are integers — exact across engines."""
+    from etl_demo_spark import quality as Q
+
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    report = Q.run_checks(
+        lineitem,
+        [
+            Q.not_null("l_orderkey"),
+            Q.in_range("l_quantity", 1, 50),
+            Q.in_range("l_discount", 0.0, 0.1),
+            Q.in_domain("l_returnflag", ("A", "N", "R")),
+            Q.satisfies("positive_price", F.col("l_extendedprice") > 0.0),
+        ],
+        unique_keys=[["l_orderkey", "l_linenumber"]],
+    )
+    fk = Q.references(lineitem, "l_orderkey", orders, "o_orderkey")
+    return report.unionByName(fk)

@@ -1,0 +1,140 @@
+"""Declarative data-quality expectations (Deequ-style, library-light).
+
+The reference's de-facto quality layer is a handful of inline diagnostic
+prints — null-row counts (`etl_weekly_trades.py:25`), categorical domain
+screens (`:27-30`), invalid-timestamp listings (`:39-41`) — run as separate
+eager passes. This module generalizes them into declarative, composable
+constraints evaluated in ONE Spark job:
+
+* row-level checks (not-null, domain, range, regex, custom predicate)
+  compile to conditional-count aggregate expressions and share a single
+  aggregation over the table — at 100 TB you pay one scan for the whole
+  suite, with every counter accumulated map-side;
+* table-level checks (unique key) ride the same pass via distinct-count
+  aggregates;
+* cross-table checks (foreign-key references) are separate broadcast-able
+  anti-join counts, unioned into the same report.
+
+Output is one row per constraint: (check, violations, total, passed) —
+small enough to alert on, join into CI gates, or track over time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """A named row-level expectation. ``predicate`` is True where the row
+    is OK; NULL evaluates as a violation (SQL three-valued logic would
+    otherwise let NULLs slip through every comparison check)."""
+
+    name: str
+    predicate: Column
+
+
+def not_null(col: str) -> Check:
+    return Check(f"not_null({col})", F.col(col).isNotNull())
+
+
+def in_domain(col: str, values: tuple[str, ...]) -> Check:
+    return Check(f"in_domain({col})", F.col(col).isin(*values))
+
+
+def in_range(col: str, lo: float, hi: float) -> Check:
+    return Check(f"in_range({col})", (F.col(col) >= lo) & (F.col(col) <= hi))
+
+
+def matches(col: str, regex: str) -> Check:
+    return Check(f"matches({col})", F.col(col).rlike(regex))
+
+
+def satisfies(name: str, predicate: Column) -> Check:
+    """Escape hatch: any boolean Column as a named expectation."""
+    return Check(name, predicate)
+
+
+def _violations(check: Check) -> Column:
+    # NULL predicate → violation: coalesce the tri-state bool to False.
+    ok = F.coalesce(check.predicate, F.lit(False))
+    return F.sum(F.when(ok, 0).otherwise(1)).cast("long")
+
+
+def run_checks(
+    df: DataFrame,
+    checks: list[Check],
+    unique_keys: list[list[str]] | None = None,
+) -> DataFrame:
+    """Evaluate all expectations in one aggregation pass over ``df``.
+
+    Every row-level check becomes one conditional-count aggregate; a
+    unique-key expectation adds a count-distinct over the key struct
+    (violations = rows beyond the first per duplicated key). The result
+    is unpivoted to one row per check via an array-of-structs explode —
+    a single driver-sized row becomes len(checks) rows, no extra job.
+    """
+    unique_keys = unique_keys or []
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    names: list[str] = []
+    for c in checks:
+        names.append(c.name)
+        aggs.append(_violations(c).alias(f"_v{len(names) - 1}"))
+    for keys in unique_keys:
+        names.append(f"unique_key({','.join(keys)})")
+        aggs.append(
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(F.struct(*[F.col(k) for k in keys]))
+            )
+            .cast("long")
+            .alias(f"_v{len(names) - 1}")
+        )
+    wide = df.agg(*aggs)
+    report = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("check"),
+                F.col(f"_v{i}").alias("violations"),
+                F.col("_total").alias("total"),
+            )
+            for i, n in enumerate(names)
+        ]
+    )
+    return (
+        wide.select(F.explode(report).alias("r"))
+        .select("r.check", "r.violations", "r.total")
+        .withColumn("passed", F.col("violations") == 0)
+    )
+
+
+def references(
+    df: DataFrame, fk: str, dim: DataFrame, pk: str, total: int | None = None
+) -> DataFrame:
+    """Referential-integrity expectation: every non-null ``fk`` value in
+    ``df`` exists as ``dim.pk``. Violations via LEFT ANTI join — Catalyst
+    broadcasts small dims automatically, and AQE converts at runtime when
+    stats only materialize then. Returns the same report shape as
+    ``run_checks`` so callers can union the two."""
+    viol = (
+        df.where(F.col(fk).isNotNull())
+        .join(dim.select(F.col(pk).alias(fk)).distinct(), on=fk, how="left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+    )
+    tot = (
+        df.agg(F.count(F.lit(1)).cast("long").alias("total"))
+        if total is None
+        else None
+    )
+    base = viol.crossJoin(tot) if tot is not None else viol.withColumn(
+        "total", F.lit(total).cast("long")
+    )
+    return base.select(
+        F.lit(f"references({fk})").alias("check"),
+        "violations",
+        "total",
+        (F.col("violations") == 0).alias("passed"),
+    )

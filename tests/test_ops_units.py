@@ -295,3 +295,51 @@ def test_observed_metrics_ride_the_action(spark):
     out2, obs2 = observed(df, name="sums", id_sum=F.sum("id"))
     out2.write.format("noop").mode("overwrite").save()
     assert obs2.get["id_sum"] == 10
+
+
+def test_quality_checks_count_planted_violations(spark):
+    """Each expectation counts exactly its planted violations in one pass;
+    NULLs violate comparison checks (no three-valued-logic slip-through)."""
+    from etl_demo_spark import quality as Q
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (1, -5.0, "A"),     # dup key + range violation
+            (2, None, "B"),     # null qty violates range; bad domain
+            (None, 3.0, "A"),   # null key
+        ],
+        "k long, qty double, flag string",
+    )
+    rep = {
+        r.check: (r.violations, r.total, r.passed)
+        for r in Q.run_checks(
+            df,
+            [
+                Q.not_null("k"),
+                Q.in_range("qty", 0.0, 100.0),
+                Q.in_domain("flag", ("A",)),
+            ],
+            unique_keys=[["k"]],
+        ).collect()
+    }
+    assert rep["not_null(k)"] == (1, 4, False)
+    assert rep["in_range(qty)"] == (2, 4, False)  # -5 and NULL
+    assert rep["in_domain(flag)"] == (1, 4, False)
+    # 4 rows, 3 distinct k values (1, 2, NULL) -> 1 surplus row
+    assert rep["unique_key(k)"] == (1, 4, False)
+
+
+def test_quality_references_counts_orphans(spark):
+    """FK expectation counts non-null orphans only; NULL FKs are the
+    not_null check's job, not referential integrity's."""
+    from etl_demo_spark import quality as Q
+
+    fact = spark.createDataFrame(
+        [(1,), (2,), (2,), (9,), (None,)], "fk long"
+    )
+    dim = spark.createDataFrame([(1,), (2,)], "pk long")
+    row = Q.references(fact, "fk", dim, "pk").collect()[0]
+    assert (row.check, row.violations, row.total, row.passed) == (
+        "references(fk)", 1, 5, False,
+    )
