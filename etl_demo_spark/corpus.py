@@ -4562,3 +4562,124 @@ def lineitem_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fk = Q.references(lineitem, "l_orderkey", orders, "o_orderkey")
     return report.unionByName(fk)
+
+
+@query(
+    "event_value_interpolation",
+    oracle="""
+    WITH masked AS (
+      SELECT event_id, user_id, ts, epoch_us(ts) AS tsu,
+             CASE WHEN event_type <> 'click' THEN value END AS raw_value
+      FROM events
+    ),
+    bounded AS (
+      SELECT event_id, user_id, ts, tsu, raw_value,
+             last_value(CASE WHEN raw_value IS NOT NULL THEN raw_value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN raw_value IS NOT NULL THEN tsu END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(CASE WHEN raw_value IS NOT NULL THEN raw_value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN raw_value IS NOT NULL THEN tsu END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM masked
+    )
+    SELECT event_id, user_id, ts, raw_value,
+           CASE WHEN raw_value IS NOT NULL THEN raw_value
+                WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt > pt
+                  THEN pv + (nv - pv) * ((tsu - pt) / (nt - pt))
+           END AS interp_value
+    FROM bounded
+    """,
+)
+def event_value_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series linear interpolation of gaps (X-6): click rows are
+    value gaps; each gap takes prev + (next − prev) · elapsed-fraction
+    between its non-gap neighbors per user. Leading/trailing gaps (no
+    neighbor on one side) and zero-width intervals stay NULL — spelled
+    as explicit CASE arms so both engines agree instead of relying on
+    divide-by-zero semantics (non-ANSI Spark → NULL, DuckDB → ±inf).
+
+    Determinism: the fraction is a single exactly-rounded long/long
+    division in [0,1]; the interpolation is fixed-order +,−,× on top —
+    bit-identical across engines (no transcendentals).
+
+    Scale: one shuffle on user_id, one per-partition sort serving all
+    four running aggregates; O(1) window state per row."""
+    from pyspark.sql.window import Window
+
+    (ev,) = _t(spark, sf_dir, "events")
+    raw = F.when(F.col("event_type") != "click", F.col("value"))
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    m = ev.select(
+        "event_id", "user_id", "ts",
+        F.unix_micros("ts").alias("tsu"),
+        raw.alias("raw_value"),
+    )
+    nn = F.col("raw_value").isNotNull()
+    b = m.select(
+        "event_id", "user_id", "ts", "tsu", "raw_value",
+        F.last(F.when(nn, F.col("raw_value")), ignorenulls=True).over(back).alias("pv"),
+        F.last(F.when(nn, F.col("tsu")), ignorenulls=True).over(back).alias("pt"),
+        F.first(F.when(nn, F.col("raw_value")), ignorenulls=True).over(fwd).alias("nv"),
+        F.first(F.when(nn, F.col("tsu")), ignorenulls=True).over(fwd).alias("nt"),
+    )
+    interp = (
+        F.when(nn, F.col("raw_value"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull() & (F.col("nt") > F.col("pt")),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * ((F.col("tsu") - F.col("pt")) / (F.col("nt") - F.col("pt"))),
+        )
+    )
+    return b.select("event_id", "user_id", "ts", "raw_value", interp.alias("interp_value"))
+
+
+@query(
+    "lateral_top_orders_per_customer",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 2
+    ) t
+    """,
+)
+def lateral_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-2 correlated LATERAL join (SQL surface): each customer's top-2
+    orders by price via a per-row correlated subquery with ORDER BY +
+    LIMIT. Catalyst decorrelates this into a ranked window over a single
+    orders shuffle (same physical plan family as top_suppliers_per_nation)
+    rather than executing the subquery per customer row — the plan to
+    check at scale (no nested-loop re-execution). Prices pass through
+    unchanged — exact comparison."""
+    load_tables(spark, sf_dir, tables=("customer", "orders"), register_views=True)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC
+          LIMIT 2
+        ) t
+        """
+    )

@@ -343,3 +343,61 @@ def test_quality_references_counts_orphans(spark):
     assert (row.check, row.violations, row.total, row.passed) == (
         "references(fk)", 1, 5, False,
     )
+
+
+def test_linear_interpolation_edges(spark):
+    """Interior gaps interpolate by elapsed-time fraction; leading/trailing
+    gaps (missing neighbor) stay NULL; non-gap rows pass through.
+
+    Evaluates the same window expression as corpus.event_value_interpolation
+    on a hand-computable fixture."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(seconds=0), 7, "click", 99.0),   # leading gap
+        (2, base + dt.timedelta(seconds=10), 7, "view", 10.0),
+        (3, base + dt.timedelta(seconds=13), 7, "click", 99.0),  # 3/10 of the way
+        (4, base + dt.timedelta(seconds=20), 7, "view", 30.0),
+        (5, base + dt.timedelta(seconds=30), 7, "click", 99.0),  # trailing gap
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    raw = F.when(F.col("event_type") != "click", F.col("value"))
+    back = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fwd = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    m = df.select(
+        "event_id", "user_id", "ts", F.unix_micros("ts").alias("tsu"),
+        raw.alias("raw_value"),
+    )
+    nn = F.col("raw_value").isNotNull()
+    b = m.select(
+        "event_id", "tsu", "raw_value",
+        F.last(F.when(nn, F.col("raw_value")), ignorenulls=True).over(back).alias("pv"),
+        F.last(F.when(nn, F.col("tsu")), ignorenulls=True).over(back).alias("pt"),
+        F.first(F.when(nn, F.col("raw_value")), ignorenulls=True).over(fwd).alias("nv"),
+        F.first(F.when(nn, F.col("tsu")), ignorenulls=True).over(fwd).alias("nt"),
+    )
+    interp = (
+        F.when(nn, F.col("raw_value"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull() & (F.col("nt") > F.col("pt")),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv")) * ((F.col("tsu") - F.col("pt")) / (F.col("nt") - F.col("pt"))),
+        )
+    )
+    got = {r.event_id: r.i for r in b.select("event_id", interp.alias("i")).collect()}
+
+    assert got[1] is None               # leading gap: no prev neighbor
+    assert got[2] == 10.0               # pass-through
+    assert got[3] == 10.0 + 20.0 * 0.3  # 3s into a 10s gap from 10 -> 30
+    assert got[4] == 30.0
+    assert got[5] is None               # trailing gap: no next neighbor
