@@ -4683,3 +4683,23 @@ def lateral_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
         ) t
         """
     )
+
+
+@query("embedding_kmeans_profile")  # iterative algorithm: rows-only check
+def embedding_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-13 clustering: distributed Lloyd's k-means over the embedding
+    column (vec.py:kmeans_fit — deterministic hash seeding, per-iteration
+    cost = one Arrow-batched assignment + one k×dim aggregate), profiled
+    as cluster sizes. Iterative and RNG-free but not SQL-expressible —
+    driver does a rows-only check; geometry is unit-tested on separable
+    blobs (test_llm_ops.py)."""
+    from etl_demo_spark.vec import kmeans_fit, kmeans_predict
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=8, n_iter=3)
+    return (
+        kmeans_predict(emb, centroids)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("cluster")
+    )

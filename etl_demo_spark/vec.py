@@ -17,6 +17,7 @@ and therefore deterministic) — no UDF in the hot loop.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -322,3 +323,78 @@ def cosine_batch_udf(query_vec: list[float]):
         return pd.Series(out)
 
     return pandas_udf(_cos, "double")
+
+
+def kmeans_assign_udf(centroids: list[list[float]]):
+    """Arrow-batched cluster assignment against a broadcast codebook:
+    one numpy matmul per batch (batch × dim @ dim × k) instead of k
+    interpreted folds per row. Returns 0-based cluster ids (int)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)  # k × dim
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        M = np.asarray(vecs.tolist(), dtype=np.float64)  # batch × dim
+        # argmin_c |x − c|² = argmin_c (|c|² − 2x·c); |x|² is row-constant
+        d = (C * C).sum(axis=1)[None, :] - 2.0 * (M @ C.T)
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return _assign
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means over an embedding column.
+
+    Deterministic seeding (smallest xxhash64(id) rows — no RNG state,
+    reproducible across runs/cluster sizes, same scheme as ivf_assign);
+    each iteration is one narrow Arrow-batched assignment plus ONE
+    aggregation computing all k × dim centroid means as per-element
+    ``avg(vec[i])`` expressions — partial (map-side) aggregation, no
+    posexplode row expansion, and only k × dim floats ever reach the
+    driver. Empty clusters keep their previous centroid.
+
+    At 100 TB this is the canonical iterative-algorithm shape: per-pass
+    cost = one scan + one tiny shuffle; driver state stays O(k · dim).
+    """
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("kmeans_fit: empty input")
+        dim = first["d"]
+    seeds = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(v) for v in r[1]] for r in seeds]
+    for _ in range(n_iter):
+        assign = kmeans_assign_udf(centroids)
+        means = (
+            df.select(assign(F.col(vec_col)).alias("cluster"), vec_col)
+            .groupBy("cluster")
+            .agg(*[F.avg(F.col(vec_col)[i]).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        new_c = list(centroids)
+        for r in means:
+            new_c[r["cluster"]] = [float(r[f"m{i}"]) for i in range(dim)]
+        centroids = new_c
+    return centroids
+
+
+def kmeans_predict(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach a ``cluster`` column (0-based) from a fitted codebook."""
+    assign = kmeans_assign_udf(centroids)
+    return df.withColumn("cluster", assign(F.col(vec_col)))

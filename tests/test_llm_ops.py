@@ -600,3 +600,32 @@ def test_bm25_matches_python_reference(spark):
     for d in expected:
         assert got[d] == pytest.approx(expected[d], abs=1e-12), d
     assert got[10] > got[11]  # two hits in a short doc beat one hit in a long one
+
+
+def test_kmeans_recovers_separable_blobs(spark):
+    """Lloyd's iterations on three well-separated blobs: members of a blob
+    land in one cluster, distinct blobs land in distinct clusters, and the
+    fitted centroids sit at the blob means."""
+    from etl_demo_spark.vec import kmeans_fit, kmeans_predict
+
+    blobs = {0: [100.0, 0.0], 1: [0.0, 100.0], 2: [-100.0, -100.0]}
+    rows = []
+    vid = 0
+    for b, center in blobs.items():
+        for dx, dy in [(0, 0), (1, 0), (0, 1), (-1, 0), (0, -1)]:
+            rows.append((vid, b, [center[0] + dx, center[1] + dy]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, blob int, embedding array<double>")
+
+    centroids = kmeans_fit(df, k=3, n_iter=4)
+    out = kmeans_predict(df, centroids).select("vec_id", "blob", "cluster").collect()
+    by_blob: dict[int, set[int]] = {}
+    for r in out:
+        by_blob.setdefault(r.blob, set()).add(r.cluster)
+    assert all(len(cs) == 1 for cs in by_blob.values()), by_blob
+    assert len({next(iter(cs)) for cs in by_blob.values()}) == 3
+
+    # converged centroids == blob means (offsets cancel)
+    got = sorted(tuple(round(x, 9) for x in c) for c in centroids)
+    want = sorted((float(c[0]), float(c[1])) for c in blobs.values())
+    assert got == [tuple(w) for w in want]
