@@ -4703,3 +4703,48 @@ def embedding_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vecs"))
         .orderBy("cluster")
     )
+
+
+# Shared body of the recursive-spine query: Spark additionally needs the
+# MAX RECURSION LEVEL clause (its recursion guard defaults to 100 and the
+# clause is Spark-specific syntax); DuckDB runs the plain form.
+_RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE spine(month_start) {levelclause} AS (
+  SELECT CAST('1998-01-01' AS DATE)
+  UNION ALL
+  SELECT CAST(month_start + INTERVAL 1 MONTH AS DATE) FROM spine
+  WHERE month_start < CAST('1998-12-01' AS DATE)
+),
+rev AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month_start,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS gross,
+         COUNT(*) AS n_items
+  FROM lineitem
+  WHERE l_shipdate >= CAST('1998-01-01' AS DATE)
+    AND l_shipdate < CAST('1999-01-01' AS DATE)
+  GROUP BY 1
+)
+SELECT s.month_start,
+       COALESCE(r.gross, CAST(0.0 AS DOUBLE)) AS gross,
+       COALESCE(r.n_items, 0) AS n_items
+FROM spine s LEFT JOIN rev r ON s.month_start = r.month_start
+"""
+
+
+@query(
+    "recursive_month_spine",
+    oracle=_RECURSIVE_SPINE_SQL.format(levelclause=""),
+)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8/SQL surface: WITH RECURSIVE (Spark 4 UnionLoopExec) generating a
+    monthly calendar spine, gap-filled against monthly gross revenue via
+    LEFT JOIN — the recursive twin of the sequence()-based
+    weekly_revenue_spine. Recursion depth is bounded (12 iterations):
+    each Spark recursion level is a separate job, so unbounded recursion
+    over data-dependent ranges belongs to sequence()/explode — recursion
+    is for genuinely iterative references (hierarchies, closures) with
+    SMALL depth. Revenue aggregates in exact decimal (corpus rules)."""
+    load_tables(spark, sf_dir, tables=("lineitem",), register_views=True)
+    return spark.sql(
+        _RECURSIVE_SPINE_SQL.format(levelclause="MAX RECURSION LEVEL 20")
+    )
