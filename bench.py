@@ -33,6 +33,8 @@ HEADLINE = [
     "weekly_trades_pnl",
     "exact_dedup_fingerprint",
     "minhash_near_dup",
+    "bm25_keyword_search",
+    "lineitem_quality_report",
     "corpus_prep_pipeline",
     "ann_topk_bruteforce",
     "media_features",

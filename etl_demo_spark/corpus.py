@@ -4748,3 +4748,68 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _RECURSIVE_SPINE_SQL.format(levelclause="MAX RECURSION LEVEL 20")
     )
+
+
+@query(
+    "doc_pack_chunks",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, lang,
+             CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - n_tokens AS tok_start
+      FROM sized
+    )
+    SELECT lang,
+           tok_start // 512 AS chunk_id,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
+    FROM placed
+    GROUP BY lang, tok_start // 512
+    """,
+)
+def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data sequence packing (concat-and-chunk, GPT-style): per
+    language stream, documents are laid end-to-end in stable doc_id order
+    and sliced into fixed 512-token windows; each document is attributed
+    to the chunk its first token lands in. Pure integer arithmetic —
+    exact across engines.
+
+    Scale: one shuffle on lang + per-partition sort for the running
+    offset, then a partial-aggregated groupBy — the same two-exchange
+    shape regardless of corpus size. (True per-bin first-fit packing is
+    inherently sequential; the concat-and-chunk formulation is the one
+    production pretraining pipelines use precisely because it stays
+    data-parallel.)"""
+    from pyspark.sql.window import Window
+
+    from etl_demo_spark.text import token_count
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = docs.select(
+        "doc_id", "lang", token_count("text").cast("long").alias("n_tokens")
+    )
+    placed = sized.withColumn(
+        "tok_start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        placed.groupBy(
+            "lang", F.expr("tok_start div 512").alias("chunk_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum("n_tokens").alias("chunk_tokens"),
+        )
+    )
