@@ -1,0 +1,146 @@
+"""SQLite as a first-class Spark source (Python DataSource API, Spark 4).
+
+The reference's only database surface is a SQLite file it appends to with
+pandas ``to_sql`` (``etl_weekly_trades.py:134-156``, artifact
+``agg_result.db``). Our engine writes that format for parity
+(io/sinks.py:write_sqlite_append) — this module closes the loop so a user
+of the reference can also READ their accumulated SQLite artifacts through
+Spark without an intermediate export.
+
+Built on the Python DataSource API (``pyspark.sql.datasource``): the
+driver probes the table's schema and rowid range with stdlib ``sqlite3``,
+then hands each executor a disjoint rowid slice — the same parallel-scan
+shape as a partitioned JDBC read (``partitionColumn``/``lowerBound``/
+``upperBound``), so a large table scans with N tasks rather than one.
+Rows stream out of each partition cursor in fetchmany batches; nothing
+materializes whole on either driver or executor.
+
+Scale posture: SQLite files live on one filesystem, so this source is for
+modest side tables (the reference's artifacts), not 100 TB facts — but
+the partitioned-reader pattern is exactly what a sharded operational
+store (many SQLite/JDBC shards) plugs into: one InputPartition per shard.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Any, Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql import types as T
+
+# SQLite declared type → Spark type. SQLite affinity rules are loose; we
+# map the declarations pandas/to_sql and common DDL produce.
+_TYPE_MAP = {
+    "INTEGER": T.LongType(),
+    "BIGINT": T.LongType(),
+    "INT": T.LongType(),
+    "REAL": T.DoubleType(),
+    "FLOAT": T.DoubleType(),
+    "DOUBLE": T.DoubleType(),
+    "TEXT": T.StringType(),
+    "VARCHAR": T.StringType(),
+    "DATE": T.DateType(),
+    "TIMESTAMP": T.TimestampType(),
+    "DATETIME": T.TimestampType(),
+    "BLOB": T.BinaryType(),
+}
+
+
+def _decl_to_spark(decl: str) -> T.DataType:
+    d = (decl or "").strip().upper()
+    for key, typ in _TYPE_MAP.items():
+        if d.startswith(key):
+            return typ
+    return T.StringType()
+
+
+def _table_schema(path: str, table: str) -> T.StructType:
+    import sqlite3
+
+    with sqlite3.connect(path) as con:
+        cols = con.execute(f'PRAGMA table_info("{table}")').fetchall()
+    if not cols:
+        raise ValueError(f"sqlite source: table {table!r} not found in {path}")
+    return T.StructType(
+        [T.StructField(c[1], _decl_to_spark(c[2]), True) for c in cols]
+    )
+
+
+class _RowidSlice(InputPartition):
+    def __init__(self, lo: int, hi: int):
+        self.lo = lo
+        self.hi = hi
+
+
+class SQLiteReader(DataSourceReader):
+    def __init__(self, options: dict, schema: T.StructType):
+        self.path = options["path"]
+        self.table = options["table"]
+        self.n_parts = int(options.get("numpartitions", "4"))
+        self.schema = schema
+
+    def partitions(self) -> list[_RowidSlice]:
+        import sqlite3
+
+        with sqlite3.connect(self.path) as con:
+            row = con.execute(
+                f'SELECT MIN(rowid), MAX(rowid) FROM "{self.table}"'
+            ).fetchone()
+        lo, hi = row
+        if lo is None:  # empty table: one no-op slice
+            return [_RowidSlice(0, -1)]
+        n = max(1, min(self.n_parts, hi - lo + 1))
+        step = (hi - lo + 1 + n - 1) // n
+        return [
+            _RowidSlice(lo + i * step, min(hi, lo + (i + 1) * step - 1))
+            for i in range(n)
+        ]
+
+    def read(self, partition: _RowidSlice) -> Iterator[tuple]:
+        import sqlite3
+
+        convs = [_converter(f.dataType) for f in self.schema.fields]
+        names = ", ".join(f'"{f.name}"' for f in self.schema.fields)
+        with sqlite3.connect(self.path) as con:
+            cur = con.execute(
+                f'SELECT {names} FROM "{self.table}" WHERE rowid BETWEEN ? AND ?',
+                (partition.lo, partition.hi),
+            )
+            while True:
+                batch = cur.fetchmany(10_000)
+                if not batch:
+                    break
+                for row in batch:
+                    yield tuple(c(v) for c, v in zip(convs, row))
+
+
+def _converter(typ: T.DataType):
+    """SQLite stores dates/timestamps as ISO text; Spark wants objects."""
+    if isinstance(typ, T.DateType):
+        return lambda v: dt.date.fromisoformat(v[:10]) if isinstance(v, str) else v
+    if isinstance(typ, T.TimestampType):
+        return lambda v: dt.datetime.fromisoformat(v) if isinstance(v, str) else v
+    return lambda v: v
+
+
+class SQLiteDataSource(DataSource):
+    """``spark.read.format("sqlite").option("path", f).option("table", t)``.
+
+    Options: ``path`` (file), ``table``, ``numPartitions`` (default 4).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "sqlite"
+
+    def schema(self) -> T.StructType:
+        return _table_schema(self.options["path"], self.options["table"])
+
+    def reader(self, schema: T.StructType) -> SQLiteReader:
+        return SQLiteReader(self.options, schema)
+
+
+def register_sqlite_source(spark: Any) -> None:
+    """Idempotent registration of the ``sqlite`` format on a session."""
+    spark.dataSource.register(SQLiteDataSource)

@@ -149,3 +149,77 @@ def test_compaction_and_file_inventory(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == li.count()
     assert len(file_inventory(back).collect()) == 1
+
+
+def test_sqlite_source_reads_reference_artifact(spark):
+    """The custom Python DataSource reads the reference's golden SQLite
+    artifact back through Spark: full 545 rows across multiple rowid-range
+    partitions, schema mapped from the declared DDL types, and values
+    agreeing with a direct sqlite3 scan."""
+    import sqlite3
+
+    from etl_demo_spark.io.sqlite_source import register_sqlite_source
+
+    register_sqlite_source(spark)
+    path = "/root/reference/agg_result.db"
+    df = (
+        spark.read.format("sqlite")
+        .option("path", path)
+        .option("table", "agg_trades_weekly")
+        .option("numPartitions", "5")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    rows = df.collect()
+    assert len(rows) == 545
+    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert schema["week_start_date"] == "date"
+    assert schema["user_id"] == "bigint"
+    assert schema["total_volume"] == "double"
+    assert schema["client_type"] == "string"
+
+    with sqlite3.connect(path) as con:
+        want_vol = con.execute(
+            "SELECT ROUND(SUM(total_volume), 2) FROM agg_trades_weekly"
+        ).fetchone()[0]
+        want_weeks = con.execute(
+            "SELECT COUNT(DISTINCT week_start_date) FROM agg_trades_weekly"
+        ).fetchone()[0]
+    got_vol = round(sum(r.total_volume for r in rows), 2)
+    assert got_vol == want_vol
+    assert len({r.week_start_date for r in rows}) == want_weeks
+
+
+def test_sqlite_source_roundtrip_with_engine_sink(spark, tmp_path):
+    """Write with the engine's SQLite sink, read back with the sqlite
+    source: the reference's append-accumulation workflow becomes fully
+    queryable."""
+    from etl_demo_spark.io.sinks import write_sqlite_append
+    from etl_demo_spark.io.sqlite_source import register_sqlite_source
+
+    register_sqlite_source(spark)
+    db = str(tmp_path / "rt.db")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double"
+    )
+    write_sqlite_append(df, db, "t")
+    write_sqlite_append(df, db, "t")  # append semantics accumulate
+    back = (
+        spark.read.format("sqlite")
+        .option("path", db).option("table", "t").load()
+    )
+    assert back.count() == 4
+    assert {r.s for r in back.collect()} == {"a", "b"}
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """Spark 4 native XML source round-trips typed rows (X-1 breadth)."""
+    out = str(tmp_path / "x")
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double")
+    df.write.format("xml").option("rootTag", "rows").option("rowTag", "row").mode(
+        "overwrite"
+    ).save(out)
+    back = spark.read.format("xml").option("rowTag", "row").load(out)
+    assert sorted((r.id, r.s, r.v) for r in back.collect()) == [
+        (1, "a", 1.5), (2, "b", 2.5),
+    ]
