@@ -4813,3 +4813,56 @@ def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("chunk_tokens"),
         )
     )
+
+
+@query(
+    "doc_pii_scrub",
+    oracle="""
+    WITH enriched AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1 555-867-' || CAST(5000 + doc_id % 1000 AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(length(regexp_extract_all(text,
+                '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS INT) AS n_phones,
+           md5(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM enriched
+    """,
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data PII hygiene (X-14): email/phone detection counts and
+    the md5 of the redacted text. PII is planted deterministically from
+    doc_id (every 7th doc) on BOTH engines so the scrub provably fires;
+    the regex families avoid lookaround/backreferences so Java regex
+    (Spark) and RE2 (DuckDB) agree. Narrow projection — codegen'd, no
+    shuffle; comparing md5 of the scrubbed text checks the full
+    replacement semantics, not just the counts."""
+    from etl_demo_spark.text import pii_counts, scrub_pii
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-867-"),
+            (F.lit(5000) + F.col("doc_id") % 1000).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    enriched = docs.select("doc_id", planted.alias("text"))
+    n_em, n_ph = pii_counts("text")
+    return enriched.select(
+        "doc_id",
+        n_em.alias("n_emails"),
+        n_ph.alias("n_phones"),
+        F.md5(scrub_pii("text")).alias("scrubbed_md5"),
+    )

@@ -245,3 +245,27 @@ def bm25_scores(
     for t in query_terms[1:]:
         score = score + F.coalesce(F.col(f"`{t}`"), F.lit(0.0))
     return per_term.select(F.col("_id").alias(id_col), score.alias("bm25"))
+
+
+# PII scrubbing: regex families chosen to mean the same thing in Java
+# regex (Spark) and RE2 (DuckDB) — no backreferences, no lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact email addresses and phone-shaped numbers (training-data
+    hygiene gate). Two chained JVM-side regexp_replace passes — narrow,
+    codegen'd, no Python."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+
+
+def pii_counts(text: Column | str) -> tuple[Column, Column]:
+    """(email_count, phone_count) per row — audit metrics for the scrub."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0)),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), 0)),
+    )

@@ -629,3 +629,31 @@ def test_kmeans_recovers_separable_blobs(spark):
     got = sorted(tuple(round(x, 9) for x in c) for c in centroids)
     want = sorted((float(c[0]), float(c[1])) for c in blobs.values())
     assert got == [tuple(w) for w in want]
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    """Emails and phone-shaped numbers are replaced and counted; clean text
+    passes through byte-identical."""
+    from etl_demo_spark.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@foo.co.uk or call 555-867-5309 x"),
+            (2, "nothing sensitive here"),
+            (3, "two mails: a@b.io c@d.org and +1 415 555 1234"),
+        ],
+        "id long, text string",
+    )
+    n_em, n_ph = pii_counts("text")
+    got = {
+        r.id: (r.e, r.p, r.s)
+        for r in df.select(
+            "id", n_em.alias("e"), n_ph.alias("p"), scrub_pii("text").alias("s")
+        ).collect()
+    }
+    assert got[1][0] == 1 and got[1][1] == 1
+    assert got[1][2] == "mail me at <EMAIL> or call <PHONE> x"
+    assert got[2] == (0, 0, "nothing sensitive here")
+    assert got[3][0] == 2 and got[3][1] == 1
+    assert "<EMAIL>" in got[3][2] and "<PHONE>" in got[3][2]
+    assert "@" not in got[3][2]
