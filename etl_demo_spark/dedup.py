@@ -541,3 +541,45 @@ def connected_components_star(
             F.coalesce("component", F.col("vid")).alias("component"),
         )
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    seen_fps: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-batch exact dedup against a persistent fingerprint store.
+
+    A continuously-ingesting training pipeline must not re-admit a
+    document it accepted in ANY earlier batch — global re-dedup per batch
+    is O(corpus) and unaffordable at 100 TB. This keeps a store of
+    16-byte fingerprints instead: the new batch dedups within itself
+    (min-id keeper), anti-joins the store to drop cross-batch repeats,
+    and emits the updated store for the next batch.
+
+    Returns ``(kept, new_store)`` — ``kept`` the surviving (id, fp) rows
+    of this batch, ``new_store`` = old store ∪ kept fingerprints.
+
+    Scale: the store is fingerprints only (16 bytes/doc — ~1.6 TB per
+    100 G docs, parquet-partitionable by fp prefix); the anti-join is a
+    shuffle on fp that co-partitions with a fp-bucketed store layout, and
+    within-batch dedup shuffles only the incoming batch.
+    """
+    fps = batch.select(
+        F.col(id_col), fingerprint(text_col).alias("fp")
+    )
+    within = (
+        fps.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    )
+    kept = (
+        within
+        if seen_fps is None
+        else within.join(seen_fps.select("fp"), on="fp", how="left_anti")
+    )
+    new_store = (
+        kept.select("fp")
+        if seen_fps is None
+        else seen_fps.select("fp").unionByName(kept.select("fp"))
+    )
+    return kept.select(id_col, "fp"), new_store

@@ -657,3 +657,28 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert got[3][0] == 2 and got[3][1] == 1
     assert "<EMAIL>" in got[3][2] and "<PHONE>" in got[3][2]
     assert "@" not in got[3][2]
+
+
+def test_incremental_dedup_across_batches(spark):
+    """Batch 2 drops docs whose fingerprints were accepted in batch 1
+    (even under whitespace/case reformatting), keeps novel docs, and the
+    store accumulates exactly the kept fingerprints."""
+    from etl_demo_spark.dedup import incremental_dedup
+
+    b1 = spark.createDataFrame(
+        [(1, "the quick fox"), (2, "hello world"), (3, "the  QUICK fox")],
+        "doc_id long, text string",
+    )
+    kept1, store1 = incremental_dedup(b1, None)
+    assert {r.doc_id for r in kept1.collect()} == {1, 2}  # 3 dups 1 within-batch
+
+    b2 = spark.createDataFrame(
+        [(10, "Hello   World"), (11, "genuinely new"), (12, "genuinely new")],
+        "doc_id long, text string",
+    )
+    kept2, store2 = incremental_dedup(b2, store1)
+    assert {r.doc_id for r in kept2.collect()} == {11}  # 10 dups batch-1 doc 2
+    assert store2.count() == 3  # fox, world, new
+    # idempotence: replaying batch 2 against the new store admits nothing
+    kept3, _ = incremental_dedup(b2, store2)
+    assert kept3.count() == 0
