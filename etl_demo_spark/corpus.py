@@ -4866,3 +4866,54 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ph.alias("n_phones"),
         F.md5(scrub_pii("text")).alias("scrubbed_md5"),
     )
+
+
+@query(
+    "split_contamination_report",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT fp,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT split) AS INT) AS n_splits,
+           array_to_string(list_sort(list(DISTINCT split)), ',') AS splits,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc
+    FROM assigned
+    GROUP BY fp
+    HAVING COUNT(DISTINCT split) > 1
+    """,
+)
+def split_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: duplicate documents (by normalized
+    fingerprint) whose copies land in DIFFERENT splits — the leak that
+    silently inflates eval scores. Composition of the deterministic
+    split assignment and fingerprint dedup; emits each contaminated
+    fingerprint group with its split set.
+
+    Scale: one shuffle on the 16-byte fingerprint; the split label is a
+    narrow projection. The HAVING keeps only leaking groups, so output
+    is proportional to contamination, not corpus size."""
+    from etl_demo_spark.text import fingerprint, split_assign
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        split_assign("doc_id").alias("split"),
+    )
+    return (
+        assigned.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("split").cast("int").alias("n_splits"),
+            F.array_join(F.array_sort(F.collect_set("split")), ",").alias("splits"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
