@@ -4917,3 +4917,70 @@ def split_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_splits") > 1)
     )
+
+
+@query(
+    "user_value_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+                      * CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) AS s2
+      FROM events
+      GROUP BY user_id
+    ),
+    stats AS (
+      SELECT user_id, n,
+             s1 / n AS mean_c,
+             sqrt((s2 - (s1 * s1) / n) / n) AS sd_c
+      FROM m WHERE n >= 10
+    )
+    SELECT e.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_outliers,
+           CAST(MIN(e.event_id) AS BIGINT) AS first_outlier_event
+    FROM events e
+    JOIN stats st ON e.user_id = st.user_id
+    WHERE st.sd_c > 0.0
+      AND abs(CAST(ROUND(e.value * 100, 0) AS BIGINT) - st.mean_c) > 3.0 * st.sd_c
+    GROUP BY e.user_id
+    """,
+)
+def user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 3-sigma outlier detection from EXACT moments: per-user
+    count/sum/sum-of-squares accumulate in integer cent space, the
+    mean/σ/threshold chain is fixed-order double arithmetic (÷, ×, sqrt
+    and abs are all correctly-rounded IEEE ops — deterministic across
+    engines, unlike a transcendental), and events beyond mean ± 3σ are
+    counted per user.
+
+    Scale: one shuffle for the moments, then the per-user stats (tiny)
+    broadcast back onto the events scan — same two-pass shape as any
+    profile-then-filter pipeline; no window state."""
+    (ev,) = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    # decimal accumulators: a long SUM of squared cents wraps at cluster
+    # scale; decimal(28,0) accumulation is exact at any row count and
+    # casts to the same correctly-rounded double as DuckDB's HUGEINT sum
+    m = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents.cast("decimal(28,0)")).cast("double").alias("s1"),
+        F.sum((cents * cents).cast("decimal(28,0)")).cast("double").alias("s2"),
+    )
+    stats = (
+        m.filter(F.col("n") >= 10)
+        .select(
+            "user_id",
+            (F.col("s1") / F.col("n")).alias("mean_c"),
+            F.sqrt((F.col("s2") - (F.col("s1") * F.col("s1")) / F.col("n")) / F.col("n")).alias("sd_c"),
+        )
+    )
+    joined = ev.join(F.broadcast(stats), "user_id").filter(
+        (F.col("sd_c") > 0.0)
+        & (F.abs(cents - F.col("mean_c")) > F.lit(3.0) * F.col("sd_c"))
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_outliers"),
+        F.min("event_id").alias("first_outlier_event"),
+    )
