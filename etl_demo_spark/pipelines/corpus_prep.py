@@ -1,5 +1,6 @@
 """Training-corpus preparation pipeline: quality gates → exact dedup →
-near-dup clustering → deterministic splits → partitioned parquet.
+near-dup clustering → PII scrub → deterministic splits → partitioned
+parquet.
 
 The batch job an LLM-data team runs per corpus version, composed from the
 engine's operators (SURVEY.md §2.2 X-12/X-14). Every stage is lazy; the
@@ -24,7 +25,7 @@ from etl_demo_spark.dedup import (
     jaccard_verify,
     minhash_lsh_candidates,
 )
-from etl_demo_spark.text import fingerprint, split_assign, token_count
+from etl_demo_spark.text import fingerprint, pii_counts, scrub_pii, split_assign, token_count
 
 
 @dataclass
@@ -104,7 +105,17 @@ def run_corpus_prep(
     deduped = exact_dedup_keep(gated)
     drops = near_dup_delete_list(deduped, cfg)
     kept = deduped.join(drops, "doc_id", "left_anti")
-    final = kept.withColumn(
+    # PII hygiene: redact emails/phones in-place; the audit counter rides
+    # the write action via observe (no extra scan)
+    n_em, n_ph = pii_counts("text")
+    kept = kept.withColumn("_pii_hits", n_em + n_ph)
+    kept, obs_pii = observed(
+        kept,
+        f"prep_pii_{tag}",
+        docs_with_pii=F.sum(F.when(F.col("_pii_hits") > 0, 1).otherwise(0)),
+    )
+    scrubbed = kept.withColumn("text", scrub_pii(F.col("text"))).drop("_pii_hits")
+    final = scrubbed.withColumn(
         "split", split_assign("doc_id", cfg.train_frac, cfg.val_frac)
     )
     writer = final.write.mode("overwrite")
@@ -129,6 +140,7 @@ def run_corpus_prep(
         "input_docs": obs_in.get["rows"],
         "passed_quality_gates": obs_gated.get["rows"],
         "kept_after_dedup": sum(v["n_docs"] for k, v in stats.items() if k != "_pipeline"),
+        "docs_with_pii_scrubbed": obs_pii.get["docs_with_pii"],
     }
     return stats
 
