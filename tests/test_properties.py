@@ -259,3 +259,62 @@ def test_merge_upsert_matches_dict_semantics(spark_handle, target, source):
     expected.update(dict(s_rows))
     got = {r["k"]: r["v"] for r in merge_upsert(t, s, ["k"]).collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup ≡ global dedup (cross-batch composition property)
+# ---------------------------------------------------------------------------
+
+_TEXT_POOL = [
+    "alpha beta gamma", "delta epsilon", "zeta eta theta", "iota kappa",
+    "lambda mu nu", "Alpha  BETA gamma",  # normalizes equal to pool[0]
+]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.lists(st.sampled_from(_TEXT_POOL), min_size=0, max_size=6),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_incremental_dedup_equals_global_dedup(spark, batches):
+    """Feeding batches sequentially through incremental_dedup keeps exactly
+    the min-id doc per normalized fingerprint across the WHOLE stream —
+    identical to one global exact dedup over the concatenation."""
+    from etl_demo_spark.dedup import incremental_dedup
+    from etl_demo_spark.text import fingerprint
+
+    all_rows, next_id = [], 0
+    batch_rows = []
+    for b in batches:
+        rows = []
+        for t in b:
+            rows.append((next_id, t))
+            all_rows.append((next_id, t))
+            next_id += 1
+        batch_rows.append(rows)
+
+    store = None
+    kept_ids: set[int] = set()
+    for rows in batch_rows:
+        if not rows:
+            continue
+        bdf = spark.createDataFrame(rows, "doc_id long, text string")
+        kept, store = incremental_dedup(bdf, store)
+        kept_ids |= {r.doc_id for r in kept.collect()}
+
+    if not all_rows:
+        assert kept_ids == set()
+        return
+    full = spark.createDataFrame(all_rows, "doc_id long, text string")
+    want = {
+        r.keeper for r in full.select(fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp").agg(F.min("doc_id").alias("keeper")).collect()
+    }
+    assert kept_ids == want
