@@ -4984,3 +4984,51 @@ def user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_outliers"),
         F.min("event_id").alias("first_outlier_event"),
     )
+
+
+@query(
+    "incremental_dedup_two_batches",
+    oracle="""
+    WITH b1 AS (
+      SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    b2 AS (
+      SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    k1 AS (SELECT fp, MIN(doc_id) AS doc_id FROM b1 GROUP BY fp),
+    k2 AS (
+      SELECT w.fp, w.doc_id
+      FROM (SELECT fp, MIN(doc_id) AS doc_id FROM b2 GROUP BY fp) w
+      WHERE NOT EXISTS (SELECT 1 FROM k1 WHERE k1.fp = w.fp)
+    )
+    SELECT 'batch1' AS batch, COUNT(*) AS n_kept,
+           CAST(MIN(doc_id) AS BIGINT) AS min_kept_doc FROM k1
+    UNION ALL
+    SELECT 'batch2' AS batch, COUNT(*) AS n_kept,
+           CAST(MIN(doc_id) AS BIGINT) AS min_kept_doc FROM k2
+    """,
+)
+def incremental_dedup_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-12 cross-batch incremental dedup (dedup.incremental_dedup) with
+    the corpus split into two ingest batches by doc_id parity: batch 2
+    must admit only fingerprints never accepted in batch 1. The oracle
+    states the same semantics declaratively (min-id per fp within a
+    batch; NOT EXISTS against the earlier batch's store)."""
+    from etl_demo_spark.dedup import incremental_dedup
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    kept1, store = incremental_dedup(b1, None)
+    kept2, _ = incremental_dedup(b2, store)
+
+    def summarize(kept: DataFrame, label: str) -> DataFrame:
+        return kept.agg(
+            F.lit(label).alias("batch"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_kept_doc"),
+        ).select("batch", "n_kept", "min_kept_doc")
+
+    return summarize(kept1, "batch1").unionByName(summarize(kept2, "batch2"))
