@@ -125,3 +125,30 @@ def test_plan_digest_counts_broadcasts(spark):
     d = plan_digest(entrymod.queries()["nation_market_share"](spark, SF001))
     assert d.broadcasts >= 6
     assert d.sort_merge_joins <= 1
+
+
+def test_lateral_decorrelates_to_window_group_limit(spark):
+    """The correlated LATERAL + LIMIT subquery must compile to a ranked
+    window with WindowGroupLimit (map-side partial top-k) and a broadcast
+    join — never a per-row nested-loop re-execution."""
+    df = entrymod.queries()["lateral_top_orders_per_customer"](spark, SF001)
+    plan = plan_of(df)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_bm25_filters_before_shuffle_and_takes_ordered(spark):
+    """BM25's term filter must reach the scan side (only query-term tokens
+    shuffle) and the final top-10 must be TakeOrderedAndProject, not a
+    global sort."""
+    df = entrymod.queries()["bm25_keyword_search"](spark, SF001)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange") >= 2  # dfreq + global stats
+
+
+def test_pii_scrub_is_shuffle_free(spark):
+    """The scrub is a narrow projection: no exchange anywhere."""
+    df = entrymod.queries()["doc_pii_scrub"](spark, SF001)
+    assert "Exchange" not in plan_of(df)
