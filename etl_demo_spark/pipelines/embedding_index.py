@@ -32,7 +32,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_demo_spark.vec import cosine, ivf_assign
+from etl_demo_spark.vec import cosine, ivf_assign, kmeans_assign_udf, kmeans_fit
 
 CODEBOOK_FILE = "_codebook.json"
 
@@ -44,13 +44,26 @@ def build_index(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 0,
 ) -> int:
     """Assign cells and write the cell-partitioned corpus + codebook.
+
+    ``kmeans_iters=0`` uses the hash-seeded IVF coarse quantizer;
+    ``kmeans_iters>0`` trains a Lloyd's k-means codebook first (tighter
+    cells → better recall at the same nprobe) — the dataflow and the
+    on-disk layout are identical either way.
 
     Returns the number of cells written. The codebook sidecar lives
     inside the index directory so the index is self-describing."""
     df = spark.read.parquet(src)
-    assigned, centroids = ivf_assign(df, n_cells, id_col, vec_col)
+    if kmeans_iters > 0:
+        centroids = kmeans_fit(df, k=n_cells, n_iter=kmeans_iters,
+                               id_col=id_col, vec_col=vec_col)
+        assign = kmeans_assign_udf(centroids)
+        # cells are 1-based on disk (matches ivf_assign's array_position)
+        assigned = df.withColumn("cell", assign(F.col(vec_col)) + F.lit(1))
+    else:
+        assigned, centroids = ivf_assign(df, n_cells, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(dest)
     sidecar = Path(dest) / CODEBOOK_FILE
     sidecar.write_text(json.dumps({"centroids": centroids, "id_col": id_col, "vec_col": vec_col}))

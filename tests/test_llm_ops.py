@@ -719,3 +719,22 @@ def test_embedding_index_build_query_and_prune(spark, tmp_path):
     # the needle's own vector must rank first when its cell is probed
     top = got_narrow.first()
     assert top.cos_sim == 1.0
+
+
+def test_embedding_index_kmeans_codebook(spark, tmp_path):
+    """kmeans-trained codebook: same layout and full recall when probing
+    all cells; sidecar centroids are the trained ones (not raw seeds)."""
+    from etl_demo_spark.pipelines.embedding_index import build_index, query_index
+    from etl_demo_spark.vec import brute_force_topk
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    dest = str(tmp_path / "kidx")
+    n = build_index(spark, src, dest, n_cells=4, kmeans_iters=2)
+    assert n == 4
+    emb = spark.read.parquet(src)
+    qvec = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
+    got = query_index(spark, dest, qvec, k=5, nprobe=4)
+    want = brute_force_topk(emb, qvec, k=5)
+    assert [(r.vec_id, r.cos_sim) for r in got.collect()] == [
+        (r.vec_id, r.cos_sim) for r in want.collect()
+    ]
