@@ -5032,3 +5032,216 @@ def incremental_dedup_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame
         ).select("batch", "n_kept", "min_kept_doc")
 
     return summarize(kept1, "batch1").unionByName(summarize(kept2, "batch2"))
+
+
+# ---------------------------------------------------------------------------
+# Business-analytics shapes (X-6/X-2 composition): time intelligence,
+# segmentation, concentration, co-occurrence.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_yoy_growth",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             CAST(SUM(CAST(o_totalprice AS {DEC_SQL})) AS DOUBLE) AS revenue
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT month_start, revenue,
+           lag(revenue, 12) OVER (ORDER BY month_start) AS revenue_prev_year,
+           CASE WHEN lag(revenue, 12) OVER (ORDER BY month_start) IS NOT NULL
+                THEN (revenue - lag(revenue, 12) OVER (ORDER BY month_start))
+                     / lag(revenue, 12) OVER (ORDER BY month_start)
+           END AS yoy_growth
+    FROM m
+    """,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time intelligence: month revenue vs the same month last year
+    (lag 12 over the monthly series) and relative growth. Revenue
+    aggregates exactly in decimal; the growth ratio is one exactly-
+    rounded division of identical doubles on both engines.
+
+    Scale: the window runs over the MONTHLY aggregate (≤ a few hundred
+    rows regardless of fact size) — the unpartitioned ORDER BY is on
+    post-agg data, not facts."""
+    from pyspark.sql.window import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start")
+    ).agg(dsum(dec("o_totalprice")).alias("revenue"))
+    w = Window.orderBy("month_start")
+    prev = F.lag("revenue", 12).over(w)
+    return m.select(
+        "month_start",
+        "revenue",
+        prev.alias("revenue_prev_year"),
+        F.when(prev.isNotNull(), (F.col("revenue") - prev) / prev).alias("yoy_growth"),
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey AS c_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS {DEC_SQL})) AS DOUBLE) AS monetary
+      FROM orders
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT c_custkey,
+             ntile(4) OVER (ORDER BY last_order ASC, c_custkey ASC) AS r_score,
+             ntile(4) OVER (ORDER BY n_orders ASC, c_custkey ASC) AS f_score,
+             ntile(4) OVER (ORDER BY monetary ASC, c_custkey ASC) AS m_score
+      FROM per_cust
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           CAST(MIN(c_custkey) AS BIGINT) AS example_cust
+    FROM scored
+    GROUP BY 1, 2, 3
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary quartiles
+    (ntile with a custkey tiebreak — ntile is deterministic only under a
+    total order) rolled up to segment sizes.
+
+    Scale: one shuffle for the per-customer profile; the three ntile
+    windows each need a global sort of CUSTOMER-grain rows (not facts).
+    At 100 TB grain, swap ntile for approx-percentile bucket joins — same
+    output contract."""
+    from pyspark.sql.window import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(dec("o_totalprice")).alias("monetary"),
+    )
+    scored = per_cust.select(
+        "c_custkey",
+        F.ntile(4).over(Window.orderBy(F.col("last_order").asc(), F.col("c_custkey").asc())).alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.col("n_orders").asc(), F.col("c_custkey").asc())).alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.col("monetary").asc(), F.col("c_custkey").asc())).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("c_custkey").alias("example_cust"),
+    )
+
+
+@query(
+    "supplier_pareto",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS {DEC_SQL})
+                 * (1 - CAST(l_discount AS {RATE_SQL}))) AS rev_d
+      FROM lineitem
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT l_suppkey,
+             CAST(ROUND(rev_d, 2) AS DOUBLE) AS revenue,
+             CAST(ROUND(SUM(rev_d) OVER (ORDER BY rev_d DESC, l_suppkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+                  / CAST(ROUND(SUM(rev_d) OVER (), 2) AS DOUBLE) AS cum_share
+      FROM s
+    )
+    SELECT l_suppkey, revenue, cum_share,
+           cum_share <= 0.8 AS in_top80
+    FROM ranked
+    """,
+)
+def supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: suppliers ranked by revenue with cumulative
+    revenue share and the 80% concentration flag. The running sum and the
+    grand total both accumulate in EXACT decimal (order-independent), so
+    the one double division per row is over identical operands on both
+    engines.
+
+    Scale: supplier-grain window (not facts); the running frame needs a
+    global sort of suppliers — at extreme supplier cardinality this
+    becomes a two-pass percentile bucketing, same contract."""
+    from pyspark.sql.window import Window
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.sum(dec("l_extendedprice") * (1 - rate("l_discount"))).alias("rev_d")
+    )
+    w_run = Window.orderBy(F.col("rev_d").desc(), F.col("l_suppkey").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = s.select(
+        "l_suppkey",
+        F.round(F.col("rev_d"), 2).cast("double").alias("revenue"),
+        # exact decimal sums, ROUNDed to scale 2 in decimal space before
+        # the double cast (scale-8 magnitudes here exceed the 2^53
+        # correctly-rounded-cast bound — module docstring), then one
+        # exactly-rounded double division; decimal/decimal division would
+        # instead hit Spark's precision-38 cap and truncate to scale 6
+        (
+            F.round(F.sum("rev_d").over(w_run), 2).cast("double")
+            / F.round(F.sum("rev_d").over(w_all), 2).cast("double")
+        ).alias("cum_share"),
+    )
+    return ranked.select(
+        "l_suppkey", "revenue", "cum_share", (F.col("cum_share") <= 0.8).alias("in_top80")
+    )
+
+
+@query(
+    "basket_part_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders_together
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    ORDER BY n_orders_together DESC, part_a ASC, part_b ASC
+    LIMIT 20
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in the
+    same order, top-20 by support (≥2 orders). The distinct projection
+    collapses repeated parts per order BEFORE the self-join, and the
+    a<b predicate halves the fan-out; the join is co-keyed on orderkey
+    (one shuffle feeds both sides — exchange reuse), so pair volume is
+    Σ k_i² over per-order item counts, bounded by basket size, never
+    corpus².
+
+    All-integer counts — exact."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders_together"))
+        .filter(F.col("n_orders_together") >= 2)
+        .orderBy(
+            F.col("n_orders_together").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+        )
+        .limit(20)
+    )
