@@ -5245,3 +5245,115 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+@query(
+    "doc_repetition_profile",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CAST(len(l) AS BIGINT) AS n_tokens,
+             CAST(len(l) - len(list_distinct(l)) AS BIGINT) AS dup_tokens,
+             list_transform(range(1, greatest(len(l) - 2, 0) + 1),
+                            i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS g3
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, dup_tokens,
+           CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) AS dup_3grams,
+           CASE WHEN len(g3) > 0
+                THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+                ELSE 0.0 END AS rep_3gram_ratio
+    FROM grams
+    """,
+)
+def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token count
+    and the duplicate-3-gram ratio (the fraction of trigram positions
+    whose trigram already occurred — the standard boilerplate/looping
+    filter in pretraining pipelines). All counts are set-vs-list length
+    differences (exact integers); the one ratio is an exactly-rounded
+    division of identical operands.
+
+    Scale: narrow per-row array work (no shuffle) — JVM higher-order
+    functions, no Python; the 3-gram list lives only inside the row."""
+    from etl_demo_spark.text import tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n1 = F.greatest(F.size(toks) - 2, F.lit(0))
+    g3 = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.zip_with(F.slice(toks, 2, n1), F.slice(toks, 3, n1),
+                   lambda b, c: F.concat_ws(" ", b, c)),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(toks) - F.size(F.array_distinct(toks))).cast("long").alias("dup_tokens"),
+        g3.alias("g3"),
+    )
+    dup3 = (F.size("g3") - F.size(F.array_distinct("g3"))).cast("long")
+    return d.select(
+        "doc_id", "n_tokens", "dup_tokens",
+        dup3.alias("dup_3grams"),
+        F.when(F.size("g3") > 0, dup3.cast("double") / F.size("g3").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("rep_3gram_ratio"),
+    )
+
+
+@query(
+    "doc_oov_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+        ORDER BY n DESC, term ASC LIMIT 20
+      )
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.term = v.term
+    GROUP BY t.doc_id
+    """,
+)
+def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own top-20
+    vocabulary (deterministic count-then-term tiebreak) — the cheap
+    distribution-shift / gibberish gate a pretraining pipeline runs
+    before anything model-based. Integer counts + one exact division.
+
+    Scale: the vocabulary is a TakeOrdered top-k (tiny) broadcast back
+    onto the token stream; per-doc aggregation partial-aggregates
+    map-side. Two shuffles total regardless of corpus size."""
+    from etl_demo_spark.ops import spread_for_cpu
+    from etl_demo_spark.text import tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    t = spread_for_cpu(docs).select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    vocab = (
+        t.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(20)
+        .select("term", F.lit(1).alias("_in_vocab"))
+    )
+    oov = F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).cast("long")
+    return t.join(F.broadcast(vocab), "term", "left").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        oov.alias("n_oov"),
+        (oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+    )
