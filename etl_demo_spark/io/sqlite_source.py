@@ -32,17 +32,32 @@ from pyspark.sql import types as T
 # SQLite declared type → Spark type. SQLite affinity rules are loose; we
 # map the declarations pandas/to_sql and common DDL produce.
 _TYPE_MAP = {
+    # integer affinity (SQLite stores BOOLEAN as 0/1 integers)
     "INTEGER": T.LongType(),
     "BIGINT": T.LongType(),
+    "SMALLINT": T.LongType(),
+    "TINYINT": T.LongType(),
+    "MEDIUMINT": T.LongType(),
+    "BOOLEAN": T.LongType(),
+    "BOOL": T.LongType(),
     "INT": T.LongType(),
+    # real / numeric affinity
     "REAL": T.DoubleType(),
     "FLOAT": T.DoubleType(),
     "DOUBLE": T.DoubleType(),
+    "NUMERIC": T.DoubleType(),
+    "DECIMAL": T.DoubleType(),
+    # text affinity
     "TEXT": T.StringType(),
     "VARCHAR": T.StringType(),
-    "DATE": T.DateType(),
-    "TIMESTAMP": T.TimestampType(),
+    "NVARCHAR": T.StringType(),
+    "CHAR": T.StringType(),
+    "CLOB": T.StringType(),
+    # DATETIME must precede DATE: matching is prefix-based and
+    # "DATETIME".startswith("DATE") would otherwise win
     "DATETIME": T.TimestampType(),
+    "TIMESTAMP": T.TimestampType(),
+    "DATE": T.DateType(),
     "BLOB": T.BinaryType(),
 }
 

@@ -62,11 +62,18 @@ def build_index(
         assign = kmeans_assign_udf(centroids)
         # cells are 1-based on disk (matches ivf_assign's array_position)
         assigned = df.withColumn("cell", assign(F.col(vec_col)) + F.lit(1))
+        metric = "l2"  # Lloyd's assigns by Euclidean distance
     else:
         assigned, centroids = ivf_assign(df, n_cells, id_col, vec_col)
+        metric = "cosine"  # ivf_assign assigns by best cosine
     assigned.write.mode("overwrite").partitionBy("cell").parquet(dest)
     sidecar = Path(dest) / CODEBOOK_FILE
-    sidecar.write_text(json.dumps({"centroids": centroids, "id_col": id_col, "vec_col": vec_col}))
+    sidecar.write_text(
+        json.dumps(
+            {"centroids": centroids, "id_col": id_col, "vec_col": vec_col,
+             "metric": metric}
+        )
+    )
     return len(centroids)
 
 
@@ -77,10 +84,16 @@ def query_index(
     k: int = 10,
     nprobe: int = 4,
 ) -> DataFrame:
-    """Top-k by cosine from a built index, reading only nprobe cells."""
+    """Top-k by cosine from a built index, reading only nprobe cells.
+
+    Probe cells are ranked with the SAME metric the build assigned
+    vectors with (sidecar ``metric``): ranking a Euclidean-assigned
+    (k-means) codebook by cosine would probe the wrong cells and
+    silently lose recall on unnormalized embeddings."""
     meta = json.loads((Path(index_dir) / CODEBOOK_FILE).read_text())
     centroids = meta["centroids"]
     id_col, vec_col = meta["id_col"], meta["vec_col"]
+    metric = meta.get("metric", "cosine")
 
     def cos_py(a: list[float], b: list[float]) -> float:
         d = sum(x * y for x, y in zip(a, b))
@@ -88,8 +101,12 @@ def query_index(
         nb = math.sqrt(sum(y * y for y in b))
         return d / (na * nb) if na and nb else 0.0
 
+    def neg_l2_py(a: list[float], b: list[float]) -> float:
+        return -sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    score = cos_py if metric == "cosine" else neg_l2_py
     ranked = sorted(
-        range(len(centroids)), key=lambda i: (-cos_py(query_vec, centroids[i]), i)
+        range(len(centroids)), key=lambda i: (-score(query_vec, centroids[i]), i)
     )
     probes = [i + 1 for i in ranked[:nprobe]]  # cells are 1-based
 
@@ -105,22 +122,40 @@ def query_index(
     )
 
 
-def main() -> None:
-    import sys
+def main(argv: list[str] | None = None) -> None:
+    import argparse
 
     from etl_demo_spark.session import get_spark
 
-    src, dest = sys.argv[1], sys.argv[2]
-    n_cells = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    p = argparse.ArgumentParser(description="IVF ANN index build/serve")
+    p.add_argument("src", help="embeddings parquet path")
+    p.add_argument("dest", help="index output directory")
+    p.add_argument("n_cells", type=int, nargs="?", default=16)
+    p.add_argument("--kmeans-iters", type=int, default=0)
+    p.add_argument("--query", type=int, default=None, metavar="ID",
+                   help="after building, run a demo top-10 query using this vector id as the needle")
+    args = p.parse_args(argv)
+
     spark = get_spark(app_name="embedding-index")
-    n = build_index(spark, src, dest, n_cells)
-    total = spark.read.parquet(dest).count()
-    print(f"index: {total} vectors in {n} cells at {dest}")
-    files = [
-        str(p)
-        for p in Path(dest).rglob("*.parquet")
-    ]
+    n = build_index(spark, args.src, args.dest, args.n_cells,
+                    kmeans_iters=args.kmeans_iters)
+    total = spark.read.parquet(args.dest).count()
+    print(f"index: {total} vectors in {n} cells at {args.dest}")
+    files = [str(p) for p in Path(args.dest).rglob("*.parquet")]
     print(f"cells on disk: {len({os.path.dirname(f) for f in files})} partition dirs")
+    if args.query is not None:
+        meta = json.loads((Path(args.dest) / CODEBOOK_FILE).read_text())
+        row = (
+            spark.read.parquet(args.src)
+            .filter(F.col(meta["id_col"]) == args.query)
+            .select(meta["vec_col"])
+            .first()
+        )
+        if row is None:
+            raise SystemExit(f"--query: no vector with id {args.query}")
+        needle = [float(v) for v in row[0]]
+        for r in query_index(spark, args.dest, needle, k=10).collect():
+            print(f"  {r[0]}\t{r[1]}")
 
 
 if __name__ == "__main__":

@@ -60,8 +60,11 @@ def satisfies(name: str, predicate: Column) -> Check:
 
 def _violations(check: Check) -> Column:
     # NULL predicate → violation: coalesce the tri-state bool to False.
+    # The outer coalesce handles the empty-table case: SUM over zero rows
+    # is NULL, and a quality gate must report 0 violations / passed=true
+    # there, not a NULL that fails neither `passed` nor `NOT passed`.
     ok = F.coalesce(check.predicate, F.lit(False))
-    return F.sum(F.when(ok, 0).otherwise(1)).cast("long")
+    return F.coalesce(F.sum(F.when(ok, 0).otherwise(1)), F.lit(0)).cast("long")
 
 
 def run_checks(

@@ -213,7 +213,12 @@ def bm25_scores(
     bit-reproducible across engines and partitionings (corpus.py module
     docstring; only ln() itself is 1-ULP engine-dependent).
     """
-    toks = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+    # three branches (tf, the dl join, the global stats agg) all consume
+    # the tokenized corpus; persist it so the regex tokenization — the
+    # dominant per-row cost — runs once, not once per branch. The cache
+    # holds (id, tokens), comparable to the input text in size; at
+    # extreme scale, store dl as a column at ingest and drop the cache.
+    toks = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks")).persist()
     dl = toks.select("_id", F.size("_toks").cast("long").alias("dl"))
     tf = (
         toks.select("_id", F.explode("_toks").alias("term"))

@@ -223,3 +223,35 @@ def test_xml_roundtrip(spark, tmp_path):
     assert sorted((r.id, r.s, r.v) for r in back.collect()) == [
         (1, "a", 1.5), (2, "b", 2.5),
     ]
+
+
+def test_sqlite_source_maps_wider_declared_types(spark, tmp_path):
+    """SMALLINT/BOOLEAN/DECIMAL/CHAR/DATETIME declarations map to usable
+    Spark types (prefix matching, DATETIME before DATE), and the values
+    round-trip."""
+    import sqlite3
+
+    from etl_demo_spark.io.sqlite_source import register_sqlite_source
+
+    register_sqlite_source(spark)
+    db = str(tmp_path / "t.db")
+    with sqlite3.connect(db) as con:
+        con.execute(
+            "CREATE TABLE w (a SMALLINT, b BOOLEAN, c DECIMAL(10,2), "
+            "d CHAR(8), e DATETIME)"
+        )
+        con.execute(
+            "INSERT INTO w VALUES (7, 1, 2.5, 'hi', '2024-03-01 12:30:00')"
+        )
+    df = (
+        spark.read.format("sqlite")
+        .option("path", db).option("table", "w").load()
+    )
+    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert schema == {
+        "a": "bigint", "b": "bigint", "c": "double",
+        "d": "string", "e": "timestamp",
+    }
+    r = df.collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (7, 1, 2.5, "hi")
+    assert r.e.year == 2024 and r.e.hour == 12

@@ -731,6 +731,14 @@ def test_embedding_index_kmeans_codebook(spark, tmp_path):
     dest = str(tmp_path / "kidx")
     n = build_index(spark, src, dest, n_cells=4, kmeans_iters=2)
     assert n == 4
+    import json as _json
+    from pathlib import Path as _P
+
+    from etl_demo_spark.pipelines.embedding_index import CODEBOOK_FILE
+
+    meta = _json.loads((_P(dest) / CODEBOOK_FILE).read_text())
+    assert meta["metric"] == "l2"  # k-means assigns by Euclidean distance
+
     emb = spark.read.parquet(src)
     qvec = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
     got = query_index(spark, dest, qvec, k=5, nprobe=4)
@@ -738,3 +746,9 @@ def test_embedding_index_kmeans_codebook(spark, tmp_path):
     assert [(r.vec_id, r.cos_sim) for r in got.collect()] == [
         (r.vec_id, r.cos_sim) for r in want.collect()
     ]
+
+    # narrow probe must rank cells by the ASSIGNMENT metric (l2): the
+    # needle's own cell is its l2-nearest centroid, so probing 1 cell
+    # must still find the needle itself at cos_sim == 1.0
+    top1 = query_index(spark, dest, qvec, k=1, nprobe=1).first()
+    assert top1.cos_sim == 1.0

@@ -401,3 +401,23 @@ def test_linear_interpolation_edges(spark):
     assert got[3] == 10.0 + 20.0 * 0.3  # 3s into a 10s gap from 10 -> 30
     assert got[4] == 30.0
     assert got[5] is None               # trailing gap: no next neighbor
+
+
+def test_quality_checks_on_empty_table_pass_with_zero_counts(spark):
+    """An empty table must report 0 violations / passed=True for every
+    constraint (SUM over zero rows is NULL in SQL — the suite must
+    coalesce, or a CI gate testing `passed` gets three-valued limbo)."""
+    from etl_demo_spark import quality as Q
+
+    df = spark.createDataFrame([], "k long, qty double")
+    rep = {
+        r.check: (r.violations, r.passed)
+        for r in Q.run_checks(
+            df, [Q.not_null("k"), Q.in_range("qty", 0.0, 1.0)], unique_keys=[["k"]]
+        ).collect()
+    }
+    assert rep == {
+        "not_null(k)": (0, True),
+        "in_range(qty)": (0, True),
+        "unique_key(k)": (0, True),
+    }
