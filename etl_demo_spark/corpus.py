@@ -5357,3 +5357,56 @@ def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         oov.alias("n_oov"),
         (oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
     )
+
+
+@query(
+    "stream_trending_types",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+             event_type,
+             COUNT(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT hour_start, event_type, n_events,
+             row_number() OVER (PARTITION BY hour_start
+                                ORDER BY n_events DESC, event_type ASC) AS rnk
+      FROM counts
+    )
+    SELECT hour_start, event_type, n_events, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def stream_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-10 stream-then-serve: windowed counts computed by the REAL
+    streaming engine (micro-batches into a memory sink — the streaming
+    gold table), then per-window top-3 trending event types ranked
+    batch-side over the sink — the standard lambda-free serving pattern
+    (stream maintains the aggregate, cheap batch query serves ranks).
+    Deterministic row_number tiebreak on event_type.
+
+    Scale: the streaming agg holds one row of state per (hour, type)
+    under the watermark; the ranking runs over the (tiny) finalized
+    aggregate, never the raw stream."""
+    from pyspark.sql.window import Window
+
+    from etl_demo_spark.streaming import (
+        hourly_event_stats,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    gold = run_stream_to_memory(
+        spark, hourly_event_stats(stream), _stream_table_name()
+    )
+    w = Window.partitionBy("hour_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        gold.select("hour_start", "event_type", "n_events")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
