@@ -110,3 +110,27 @@ def test_bench_contract_emits_one_json_line(tmp_path):
     assert set(payload) >= {"metric", "value", "unit", "queries", "sf"}
     assert payload["unit"] == "sec" and payload["sf"] == 0.001
     assert payload["value"] > 0 and len(payload["queries"]) >= 10
+
+
+def test_doc_totals_match_registry():
+    """COVERAGE.md and SURVEY.md §8 both state corpus totals; they must
+    track the live registry (the review caught them drifting apart)."""
+    import re
+    from pathlib import Path
+
+    from etl_demo_spark.corpus import ORACLES, QUERIES
+
+    repo = Path(__file__).resolve().parent.parent
+    cov = (repo / "COVERAGE.md").read_text()
+    m = re.search(r"Corpus totals: (\d+) queries, (\d+) with DuckDB oracles, (\d+) rows-only", cov)
+    assert m, "COVERAGE.md totals line missing"
+    assert (int(m[1]), int(m[2]), int(m[3])) == (
+        len(QUERIES), len(ORACLES), len(QUERIES) - len(ORACLES),
+    ), "COVERAGE.md totals drifted from the registry"
+
+    survey = (repo / "SURVEY.md").read_text()
+    m2 = re.search(r"End-of-round-\d+ state: (\d+) corpus queries \((\d+) with DuckDB oracles, (\d+)", survey)
+    assert m2, "SURVEY.md §8 totals line missing"
+    assert (int(m2[1]), int(m2[2]), int(m2[3])) == (
+        len(QUERIES), len(ORACLES), len(QUERIES) - len(ORACLES),
+    ), "SURVEY.md §8 totals drifted from the registry"
