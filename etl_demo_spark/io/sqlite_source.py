@@ -26,7 +26,20 @@ from __future__ import annotations
 import datetime as dt
 from typing import Any, Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
 from pyspark.sql import types as T
 
 # SQLite declared type → Spark type. SQLite affinity rules are loose; we
@@ -88,12 +101,55 @@ class _RowidSlice(InputPartition):
         self.hi = hi
 
 
+_PUSHABLE_OPS = {
+    EqualTo: "=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
+
+# value types SQLite compares natively; dates/decimals stay Spark-side
+_PUSHABLE_VALUES = (int, float, str, bool)
+
+
 class SQLiteReader(DataSourceReader):
     def __init__(self, options: dict, schema: T.StructType):
         self.path = options["path"]
         self.table = options["table"]
         self.n_parts = int(options.get("numpartitions", "4"))
         self.schema = schema
+        self._where: list[str] = []
+        self._params: list = []
+
+    def pushFilters(self, filters: list[Filter]):
+        """Translate supported filters into the SQLite WHERE clause so the
+        database evaluates them — the same pushdown a partitioned JDBC
+        read gets. Unsupported shapes are returned for Spark to apply
+        post-scan (the API contract: yielded filters stay Spark-side)."""
+        names = {f.name for f in self.schema.fields}
+        for f in filters:
+            clause = None
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr is not None and len(attr) == 1 else None
+            if col is not None and col in names:
+                op = _PUSHABLE_OPS.get(type(f))
+                if op is not None and isinstance(f.value, _PUSHABLE_VALUES):
+                    clause = (f'"{col}" {op} ?', [f.value])
+                elif isinstance(f, In) and f.value and all(
+                    isinstance(v, _PUSHABLE_VALUES) for v in f.value
+                ):
+                    marks = ", ".join("?" for _ in f.value)
+                    clause = (f'"{col}" IN ({marks})', list(f.value))
+                elif isinstance(f, IsNull):
+                    clause = (f'"{col}" IS NULL', [])
+                elif isinstance(f, IsNotNull):
+                    clause = (f'"{col}" IS NOT NULL', [])
+            if clause is None:
+                yield f
+            else:
+                self._where.append(clause[0])
+                self._params.extend(clause[1])
 
     def partitions(self) -> list[_RowidSlice]:
         import sqlite3
@@ -117,10 +173,11 @@ class SQLiteReader(DataSourceReader):
 
         convs = [_converter(f.dataType) for f in self.schema.fields]
         names = ", ".join(f'"{f.name}"' for f in self.schema.fields)
+        where = " AND ".join(["rowid BETWEEN ? AND ?", *self._where])
         with sqlite3.connect(self.path) as con:
             cur = con.execute(
-                f'SELECT {names} FROM "{self.table}" WHERE rowid BETWEEN ? AND ?',
-                (partition.lo, partition.hi),
+                f'SELECT {names} FROM "{self.table}" WHERE {where}',
+                (partition.lo, partition.hi, *self._params),
             )
             while True:
                 batch = cur.fetchmany(10_000)
@@ -157,5 +214,10 @@ class SQLiteDataSource(DataSource):
 
 
 def register_sqlite_source(spark: Any) -> None:
-    """Idempotent registration of the ``sqlite`` format on a session."""
+    """Idempotent registration of the ``sqlite`` format on a session.
+
+    Also enables Python-datasource filter pushdown (runtime-settable
+    SQL conf, default off in Spark 4.1): with it off, Spark refuses any
+    reader that implements ``pushFilters``."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SQLiteDataSource)

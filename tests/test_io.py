@@ -255,3 +255,50 @@ def test_sqlite_source_maps_wider_declared_types(spark, tmp_path):
     r = df.collect()[0]
     assert (r.a, r.b, r.c, r.d) == (7, 1, 2.5, "hi")
     assert r.e.year == 2024 and r.e.hour == 12
+
+
+def test_sqlite_source_pushes_filters_down(spark, tmp_path):
+    """Supported predicates are translated into the SQLite WHERE clause
+    (reader-level check) and the end-to-end filtered read returns exactly
+    the matching rows; unsupported shapes are yielded back to Spark."""
+    import sqlite3
+
+    from pyspark.sql.datasource import EqualTo, In, IsNotNull, StringContains
+    from etl_demo_spark.io.sqlite_source import SQLiteReader, register_sqlite_source
+    from pyspark.sql import functions as F
+
+    db = str(tmp_path / "pf.db")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE t (id INTEGER, grp TEXT, v REAL)")
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?, ?)",
+            [(i, "ab"[i % 2], float(i)) for i in range(100)],
+        )
+
+    # reader-level: which filters are absorbed vs yielded back
+    from etl_demo_spark.io.sqlite_source import _table_schema
+
+    rdr = SQLiteReader({"path": db, "table": "t"}, _table_schema(db, "t"))
+    leftover = list(
+        rdr.pushFilters(
+            [
+                EqualTo(("grp",), "a"),
+                In(("id",), (1, 2, 3)),
+                IsNotNull(("v",)),
+                StringContains(("grp",), "a"),  # not translated
+            ]
+        )
+    )
+    assert [type(f) for f in leftover] == [StringContains]
+    assert rdr._where == ['"grp" = ?', '"id" IN (?, ?, ?)', '"v" IS NOT NULL']
+    rows = list(rdr.read(rdr.partitions()[0]))
+    assert [r[0] for r in rows] == [2]  # grp='a' ∧ id∈{1,2,3} → id 2 only
+
+    # end-to-end through Spark
+    register_sqlite_source(spark)
+    df = (
+        spark.read.format("sqlite")
+        .option("path", db).option("table", "t").load()
+        .filter((F.col("grp") == "b") & (F.col("id") < 10))
+    )
+    assert sorted(r.id for r in df.collect()) == [1, 3, 5, 7, 9]
