@@ -56,11 +56,20 @@ def exact_dedup_by_fingerprint(df: DataFrame, text_col: str = "text", id_col: st
 def shingles(text: Column | str, k: int = 3) -> Column:
     """k-token shingle strings. Built-ins: sequence over start positions,
     slice + concat_ws per position. Distinct via array_distinct (set
-    semantics for Jaccard)."""
+    semantics for Jaccard).
+
+    Documents with fewer than k tokens yield an EMPTY array (their
+    MinHash signature becomes all-NULL): Spark's ``sequence(1, 0)``
+    counts DOWN to [1, 0] (default step −1 when start > stop), which
+    would feed ``slice`` an invalid start of 0 and crash the job — the
+    conditional makes the short-doc branch explicit instead."""
     toks = tokens(text)
-    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    n = F.size(toks) - F.lit(k - 1)
+    positions = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        F.transform(positions, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
     )
 
 
@@ -99,11 +108,22 @@ def minhash_signature(hash_col: Column, num_hashes: int = 64) -> Column:
 
 def lsh_band_keys(sig_col: Column, bands: int, rows_per_band: int) -> Column:
     """Band keys: hash of each ``rows_per_band``-slice of the signature.
-    Docs sharing any band key become candidates."""
+    Docs sharing any band key become candidates. NULL signature positions
+    serialize as an explicit marker — ``concat_ws`` silently DROPS NULLs,
+    which would make [1, NULL, 2] and [1, 2, NULL] falsely collide."""
+    def ser(x: Column) -> Column:
+        return F.coalesce(x.cast("string"), F.lit("\u2205"))
+
     return F.array(
         *[
             F.xxhash64(
-                F.lit(b), F.concat_ws(",", F.transform(F.slice(sig_col, b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")))
+                F.lit(b),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(sig_col, b * rows_per_band + 1, rows_per_band), ser
+                    ),
+                ),
             )
             for b in range(bands)
         ]
@@ -123,11 +143,23 @@ def minhash_lsh_candidates(
     explode(bands) → self-join on band key with id< id ordering →
     distinct pairs. Estimated Jaccard = matching signature positions.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}): "
+            "trailing signature positions would be computed but never banded, "
+            "silently changing the LSH S-curve"
+        )
     rows_per_band = num_hashes // bands
     # CPU-heavy per-row signature stage: spread a too-narrow input first
     df = spread_for_cpu(df)
     sigs = (
         df.select(F.col(id_col).alias("id"), shingles(text_col, shingle_k).alias("sh"))
+        # docs with no shingles (< k tokens) have no MinHash evidence and
+        # would all share identical all-NULL signatures — every pair of
+        # them becomes a candidate (O(n²) on boilerplate-stripped empties).
+        # They cannot be near-dup candidates by this family; exact dedup
+        # (fingerprint) owns identical short docs.
+        .filter(F.size("sh") > 0)
         .select("id", hash_shingles(F.col("sh")).alias("shh"))
         .select("id", minhash_signature(F.col("shh"), num_hashes).alias("sig"))
     )
@@ -140,6 +172,10 @@ def minhash_lsh_candidates(
     # observed as bimodal runtimes. Persisting pins it to exactly one pass;
     # the banded signatures are num_hashes longs + key per doc×band, a tiny
     # fraction of the input corpus, so memory cost is negligible at scale.
+    # The cache lives until session end (the lazy result still references
+    # it, so there is no safe in-function unpersist point); iterative
+    # per-batch callers should materialize the pairs and then
+    # spark.catalog.clearCache() between batches.
     banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
@@ -267,8 +303,21 @@ def minhash_near_dup_pairs(
     shingle-hash sets, so exact Jaccard costs candidates ×
     set-intersection, never a second corpus scan. Returns
     ``(id_a, id_b, est_jaccard, jaccard)`` with ``jaccard >= threshold``."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_k)
+    # the signature table feeds FOUR plan branches (both self-join sides
+    # plus the a/b verification joins); persist pins the expensive
+    # shingle+hash aggregation to one execution — AQE re-plans the
+    # branches independently and would otherwise recompute it (the same
+    # bimodal-runtime failure minhash_lsh_candidates documents)
+    sigs = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_k).persist()
+    # all-NULL-signature docs (< shingle_k tokens, empty hset) carry no
+    # MinHash evidence; with NULL-safe band keys they would ALL collide
+    # in every band — an O(n²) candidate blowup on short docs
+    sigs = sigs.filter(F.size("hset") > 0)
     banded = sigs.select(
         "id", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("band_key")
     )

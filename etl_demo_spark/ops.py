@@ -18,6 +18,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
 # Projections (O-7, O-8, O-9)
@@ -101,14 +102,20 @@ def asof_join(
     the union trick is O((n+m) log(n+m)) per key and AQE-skew-splittable.
     """
     lcols = [F.col(c) for c in left.columns]
+    # the right row's values travel as ONE struct: last(ignorenulls) must
+    # pick the whole latest right row, not fill each column independently
+    # — per-column fills would skip a genuinely-NULL field of the latest
+    # row and stitch together values from DIFFERENT right rows.
+    rrow_type = T.StructType([T.StructField(c, right.schema[c].dataType) for c in value_cols])
     l_tagged = left.select(
         F.col(on).alias("__k"), F.col(left_ts).alias("__ts"), F.lit(1).alias("__is_left"),
-        F.struct(*lcols).alias("__lrow"), *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*lcols).alias("__lrow"),
+        F.lit(None).cast(rrow_type).alias("__rrow"),
     )
     r_tagged = right.select(
         F.col(on).alias("__k"), F.col(right_ts).alias("__ts"), F.lit(0).alias("__is_left"),
         F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__rrow"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     # right rows sort before left rows at equal ts (__is_left ascending) so a
@@ -119,11 +126,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        "*", *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}") for c in value_cols]
+        "*", F.last("__rrow", ignorenulls=True).over(w).alias("__frow")
     )
     out = filled.where(F.col("__is_left") == 1).select(
         *[F.col("__lrow")[c].alias(c) for c in left.columns],
-        *[F.col(f"__f_{c}").alias(c) for c in value_cols],
+        *[F.col("__frow")[c].alias(c) for c in value_cols],
     )
     return out
 
@@ -148,7 +155,17 @@ def salted_agg(
     (a count merges with 'sum'). AQE's skew-join splitting covers joins;
     this covers aggregations whose hot keys overwhelm single reducers."""
     merge_fns = {"sum": F.sum, "min": F.min, "max": F.max}
-    salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    # deterministic salt (hash of the full row), NOT rand(): a stage retry
+    # after a shuffle-fetch failure recomputes map tasks, and rand() would
+    # re-salt the recomputed rows into different buckets than the output
+    # already fetched — double-counting under exactly the failure mode a
+    # 100 TB job hits. Identical rows sharing a salt is harmless: phase-1
+    # partial aggregation collapses them map-side, so each (key, salt)
+    # reducer receives at most one row per map task either way.
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)).cast("int"),
+    )
     partial = salted.groupBy(*keys, "__salt").agg(
         *[expr.alias(name) for name, (expr, _) in aggs.items()]
     )
@@ -247,14 +264,23 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
     # from the target (CDC reads, corrections), and shared lineage makes
     # unqualified column references ambiguous in the self-join
     renamed = source.select(
-        *[F.col(c).alias(f"__src_{c}") for c in target.columns]
+        F.lit(True).alias("__src_present"),
+        *[F.col(c).alias(f"__src_{c}") for c in target.columns],
     )
     cond = None
     for k in keys:
         c = F.col(k).eqNullSafe(F.col(f"__src_{k}"))
         cond = c if cond is None else (cond & c)
+    # row presence decides which side wins — NOT per-column COALESCE,
+    # which could never apply an update that sets a column to NULL
+    # (the source NULL would "lose" to the target's stale value)
     return target.join(renamed, cond, "full_outer").select(
-        *[F.coalesce(F.col(f"__src_{c}"), F.col(c)).alias(c) for c in target.columns]
+        *[
+            F.when(F.col("__src_present"), F.col(f"__src_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in target.columns
+        ]
     )
 
 
@@ -276,7 +302,8 @@ def scd2_apply(
     feed with several changes per key per batch applies the LAST one
     (dedupe upstream with ``last_value_by``); no-op changes (attributes
     equal to the current version) are ignored, so re-applying a feed is
-    idempotent.
+    idempotent. Keys with no current row in history (new entities, or
+    keys whose versions are all closed) INSERT as open rows.
 
     Scale: two co-keyed joins on the dimension key (broadcast when the
     change batch is small — the common case) + one union. History grows
@@ -308,8 +335,29 @@ def scd2_apply(
         F.col("__cts").alias(valid_from),
         F.lit(None).cast(history.schema[valid_to].dataType).alias(valid_to),
     ).select(history.columns)
-    return closed.unionByName(untouched).unionByName(newly_closed).unionByName(
-        new_versions
+    # keys with NO current row (brand-new entities, or keys whose versions
+    # are all closed) have no match in `cur` — they must INSERT as open
+    # rows, not silently vanish (new entities are the normal case in any
+    # dimension feed)
+    inserts = (
+        ch.join(
+            cur.select(F.col(key).alias("__curk")),
+            F.col("__ck") == F.col("__curk"),
+            "left_anti",
+        )
+        .select(
+            F.col("__ck").alias(key),
+            *[F.col(f"__c_{a}").alias(a) for a in attrs],
+            F.col("__cts").alias(valid_from),
+            F.lit(None).cast(history.schema[valid_to].dataType).alias(valid_to),
+        )
+        .select(history.columns)
+    )
+    return (
+        closed.unionByName(untouched)
+        .unionByName(newly_closed)
+        .unionByName(new_versions)
+        .unionByName(inserts)
     )
 
 

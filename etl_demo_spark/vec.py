@@ -164,6 +164,22 @@ def embedding_near_dup_pairs(
     )
 
 
+def _seed_vectors(
+    df: DataFrame, n: int, id_col: str, vec_col: str
+) -> list[list[float]]:
+    """Deterministic seed vectors: the n rows with the smallest
+    xxhash64(id) (id tiebreak) — stable across runs, engines, and cluster
+    sizes, no RNG state. Shared by the IVF coarse quantizer and k-means
+    initialization so the seeding scheme cannot drift between the two."""
+    seeds = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(n)
+        .collect()
+    )
+    return [[float(v) for v in r[1]] for r in seeds]
+
+
 def ivf_assign(
     df: DataFrame,
     n_cells: int = 16,
@@ -182,13 +198,7 @@ def ivf_assign(
     ``partitionBy("cell")`` so a query's probes map to partition pruning,
     and the seed centroids are replaced by a k-means|| codebook without
     changing this dataflow."""
-    seeds = (
-        df.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
-        .limit(n_cells)
-        .collect()
-    )
-    centroids = [[float(v) for v in r[1]] for r in seeds]
+    centroids = _seed_vectors(df, n_cells, id_col, vec_col)
     import math
 
     cnorms = [math.sqrt(sum(x * x for x in cen)) or 1.0 for cen in centroids]
@@ -370,13 +380,7 @@ def kmeans_fit(
         if first is None:
             raise ValueError("kmeans_fit: empty input")
         dim = first["d"]
-    seeds = (
-        df.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
-        .limit(k)
-        .collect()
-    )
-    centroids = [[float(v) for v in r[1]] for r in seeds]
+    centroids = _seed_vectors(df, k, id_col, vec_col)
     for _ in range(n_iter):
         assign = kmeans_assign_udf(centroids)
         means = (

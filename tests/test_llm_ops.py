@@ -752,3 +752,49 @@ def test_embedding_index_kmeans_codebook(spark, tmp_path):
     # must still find the needle itself at cos_sim == 1.0
     top1 = query_index(spark, dest, qvec, k=1, nprobe=1).first()
     assert top1.cos_sim == 1.0
+
+
+def test_minhash_family_survives_short_and_empty_docs(spark):
+    """Short docs (< k tokens) and empty text must not crash the MinHash
+    family (Spark's sequence(1, 0) counts DOWN), must be excluded from
+    LSH banding (no all-NULL-signature candidate blowup), and real
+    near-dups among normal docs must still surface."""
+    from etl_demo_spark.dedup import (
+        jaccard_verify,
+        minhash_lsh_candidates,
+        minhash_near_dup_pairs,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hi"),                     # 1 token < k=3
+            (2, ""),                       # empty
+            (3, "just two"),               # 2 tokens
+            (4, "the quick brown fox jumps over the lazy dog again"),
+            (5, "the quick brown fox jumps over the lazy dog againn"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = {r.doc_id: r.s for r in docs.select("doc_id", shingles("text").alias("s")).collect()}
+    assert sh[1] == [] and sh[2] == [] and sh[3] == []
+    assert len(sh[4]) == 8
+
+    cands = minhash_lsh_candidates(docs, bands=16, num_hashes=64)
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert (4, 5) in pairs
+    assert all(a not in (1, 2, 3) and b not in (1, 2, 3) for a, b in pairs)
+
+    verified = jaccard_verify(cands, docs, threshold=0.5)
+    assert {(r.id_a, r.id_b) for r in verified.collect()} == {(4, 5)}
+
+    fused = minhash_near_dup_pairs(docs, threshold=0.5)
+    assert {(r.id_a, r.id_b) for r in fused.collect()} == {(4, 5)}
+
+
+def test_minhash_rejects_indivisible_bands(spark):
+    from etl_demo_spark.dedup import minhash_lsh_candidates
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_candidates(docs, num_hashes=64, bands=10)

@@ -421,3 +421,54 @@ def test_quality_checks_on_empty_table_pass_with_zero_counts(spark):
         "in_range(qty)": (0, True),
         "unique_key(k)": (0, True),
     }
+
+
+def test_asof_join_takes_whole_latest_right_row(spark):
+    """A NULL field in the latest right row must come through as NULL —
+    not be back-filled from an OLDER right row (per-column fills would
+    stitch a row that never existed)."""
+    import datetime as dt
+
+    from etl_demo_spark.ops import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame([("k", t(10))], "sym string, ts timestamp")
+    right = spark.createDataFrame(
+        [("k", t(1), 100.0, 5.0), ("k", t(5), None, 7.0)],
+        "sym string, rts timestamp, px double, qty double",
+    )
+    row = asof_join(left, right, "sym", "ts", "rts", ["px", "qty"]).collect()[0]
+    assert row.px is None and row.qty == 7.0
+
+
+def test_merge_upsert_applies_null_updates(spark):
+    """A matched source row that sets a column to NULL must write NULL
+    (real MERGE semantics), not resurrect the target's old value."""
+    from etl_demo_spark.ops import merge_upsert
+
+    target = spark.createDataFrame([(1, "old"), (2, "keep")], "id long, val string")
+    source = spark.createDataFrame([(1, None), (3, "new")], "id long, val string")
+    got = {r.id: r.val for r in merge_upsert(target, source, ["id"]).collect()}
+    assert got == {1: None, 2: "keep", 3: "new"}
+
+
+def test_scd2_apply_inserts_new_keys(spark):
+    """A change row for a key with no current history row must insert an
+    open version, not vanish."""
+    import datetime as dt
+
+    from etl_demo_spark.ops import scd2_apply
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    history = spark.createDataFrame(
+        [("a", "x", t(1), None)],
+        "key string, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    changes = spark.createDataFrame(
+        [("b", "y", t(2))], "key string, attr string, ts timestamp"
+    )
+    rows = scd2_apply(history, changes, "key", ["attr"]).collect()
+    by_key = {(r.key): r for r in rows}
+    assert set(by_key) == {"a", "b"}
+    assert by_key["b"].attr == "y" and by_key["b"].valid_to is None
+    assert by_key["b"].valid_from == t(2)
