@@ -29,10 +29,22 @@ def distinct_values(df: DataFrame, columns: list[str]) -> dict[str, list]:
     Diagnostic (small-cardinality columns only) — collects per-column
     distincts, which are tiny after the distinct aggregation.
     """
-    out: dict[str, list] = {}
-    for c in columns:
-        out[c] = [r[0] for r in df.select(c).distinct().collect()]
-    return out
+    # ONE aggregation pass for all columns (collect_set per column plus a
+    # has-null flag, all with map-side partials) instead of a full scan
+    # per column — the same one-pass rationale as ``observed``.
+    # collect_set drops NULLs, so NULL presence rides as its own flag
+    # (the reference's pandas unique() includes NaN).
+    row = df.agg(
+        *[F.collect_set(c).alias(f"__v_{c}") for c in columns],
+        *[
+            F.max(F.when(F.col(c).isNull(), True).otherwise(False)).alias(f"__n_{c}")
+            for c in columns
+        ],
+    ).collect()[0]
+    return {
+        c: list(row[f"__v_{c}"]) + ([None] if row[f"__n_{c}"] else [])
+        for c in columns
+    }
 
 
 def coerce_numeric(df: DataFrame, columns: list[str]) -> DataFrame:

@@ -44,7 +44,17 @@ def _quantize(c: Column, lo: float, hi: float, bits: int = _BITS) -> Column:
 def zorder_key(quantized: list[Column], bits: int = _BITS) -> Column:
     """Interleave the bits of pre-quantized integer columns into one long
     (Morton code). Pure built-ins — shiftleft/shiftright/bitwise — so the
-    whole key is whole-stage-codegen'd."""
+    whole key is whole-stage-codegen'd.
+
+    ``bits × len(quantized)`` must stay ≤ 63: bit 63 is the long's sign
+    bit (keys would go negative and sort FIRST, shredding the clustering),
+    and Java shift amounts wrap mod 64 (higher bits would silently alias
+    low bits). Callers size ``bits`` per column count (write_zordered)."""
+    if bits * len(quantized) > 63:
+        raise ValueError(
+            f"zorder_key: {bits} bits × {len(quantized)} columns exceeds the "
+            "63 usable bits of a long (sign bit / shift wrap-around)"
+        )
     terms = []
     n = len(quantized)
     for i in range(bits):
@@ -68,15 +78,31 @@ def write_zordered(
     plain parquet write. Every output file then spans a compact
     hyper-rectangle in ``cols`` space, so min/max footer stats prune scans
     filtered on ANY of the clustered columns — not just a lead sort key."""
+    if not cols:
+        raise ValueError("write_zordered: need at least one cluster column")
+    # per-column resolution shrinks with column count so the interleaved
+    # key never reaches the long's sign bit (zorder_key invariant)
+    bits = min(_BITS, 63 // len(cols))
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
     stats = df.agg(*aggs).collect()[0]
-    quantized = [
-        _quantize(F.col(c), float(stats[f"__lo_{c}"]), float(stats[f"__hi_{c}"]))
-        for c in cols
-    ]
-    key = zorder_key(quantized)
+    bounds = {}
+    for c in cols:
+        lo, hi = stats[f"__lo_{c}"], stats[f"__hi_{c}"]
+        if lo is None or hi is None:
+            raise ValueError(
+                f"write_zordered: column {c!r} is all-NULL — cannot cluster on it"
+            )
+        try:
+            bounds[c] = (float(lo), float(hi))
+        except (TypeError, ValueError) as e:
+            raise ValueError(
+                f"write_zordered: column {c!r} is not numeric "
+                f"(min={lo!r}) — cast dates/timestamps to epoch numbers first"
+            ) from e
+    quantized = [_quantize(F.col(c), *bounds[c], bits=bits) for c in cols]
+    key = zorder_key(quantized, bits=bits)
     (
         df.withColumn("__zkey", key)
         .repartitionByRange(num_files, "__zkey")

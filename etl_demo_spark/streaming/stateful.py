@@ -29,20 +29,35 @@ def user_running_counters(events: DataFrame) -> DataFrame:
     ModuleNotFoundError on the workers)."""
 
     def update(key, pdfs, state):
+        import math
+
         import pandas as pd
 
+        # state keeps max as -inf internally (tuple state can't hold None
+        # cleanly); the OUTPUT maps it back to NULL so the sentinel never
+        # leaks. NULL values: n_events counts rows, total/max skip NaNs
+        # (pandas sum/max skipna), and an all-NULL key emits a NULL max —
+        # never -inf or NaN.
         if state.exists:
             n, total, mx = state.get
         else:
             n, total, mx = 0, 0.0, float("-inf")
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-            if len(pdf):
-                mx = max(mx, float(pdf["value"].max()))
+            sub = float(pdf["value"].sum())  # skipna: NULLs contribute 0
+            if not math.isnan(sub):
+                total += sub
+            batch_max = pdf["value"].max()  # NaN iff no non-null values
+            if batch_max is not None and not pd.isna(batch_max):
+                mx = max(mx, float(batch_max))
         state.update((n, total, mx))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total], "max_value": [mx]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "max_value": [None if math.isinf(mx) else mx],
+            }
         )
 
     return (

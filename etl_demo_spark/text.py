@@ -99,9 +99,15 @@ def rolling_hashes(text: Column | str, window: int = 8) -> Column:
     fingerprints): xxhash64 of each ``window``-token shingle. Built-ins
     only: sequence → transform → slice → concat — no UDF, no explode."""
     toks = tokens(text)
-    n = F.greatest(F.size(toks) - F.lit(window - 1), F.lit(0))
+    n = F.size(toks) - F.lit(window - 1)
+    # short docs (< window tokens) yield an empty array: sequence(1, 0)
+    # counts DOWN in Spark (step −1 when start > stop) and would feed
+    # slice an invalid start of 0 — same guard as dedup.shingles
+    positions = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
-        F.sequence(F.lit(1), n),
+        positions,
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),
     )
 
@@ -157,8 +163,17 @@ def split_assign(
     evaluation)."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     hb = F.substring(F.md5(c.cast("string")), 1, 2)
-    t1 = format(round(256 * train), "02x")
-    t2 = format(round(256 * (train + val)), "02x")
+
+    def thr(frac: float) -> str:
+        n = round(256 * frac)
+        # a fraction of 1.0 rounds to 256 = "100": THREE chars, which the
+        # 2-char hex bucket compares against lexicographically and loses
+        # ("e7" > "100") — every bucket must win, so emit a sentinel
+        # above any hex pair instead
+        return "zz" if n >= 256 else format(n, "02x")
+
+    t1 = thr(train)
+    t2 = thr(train + val)
     return (
         F.when(hb < t1, "train").when(hb < t2, "val").otherwise("test")
     )
@@ -213,11 +228,19 @@ def bm25_scores(
     bit-reproducible across engines and partitionings (corpus.py module
     docstring; only ln() itself is 1-ULP engine-dependent).
     """
+    if not query_terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
+    # dedupe (order-preserving): repeated terms would pivot into duplicate
+    # columns and make the score references ambiguous; BM25 over a
+    # duplicated term is the same term scored once anyway
+    query_terms = list(dict.fromkeys(query_terms))
     # three branches (tf, the dl join, the global stats agg) all consume
     # the tokenized corpus; persist it so the regex tokenization — the
     # dominant per-row cost — runs once, not once per branch. The cache
-    # holds (id, tokens), comparable to the input text in size; at
-    # extreme scale, store dl as a column at ingest and drop the cache.
+    # holds (id, tokens), comparable to the input text in size, and lives
+    # until session end (the lazy result references it — no safe
+    # in-function unpersist point); at extreme scale, store dl as a
+    # column at ingest and drop the cache.
     toks = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks")).persist()
     dl = toks.select("_id", F.size("_toks").cast("long").alias("dl"))
     tf = (

@@ -798,3 +798,48 @@ def test_minhash_rejects_indivisible_bands(spark):
     docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     with pytest.raises(ValueError, match="divisible"):
         minhash_lsh_candidates(docs, num_hashes=64, bands=10)
+
+
+def test_rolling_hashes_survive_short_docs(spark):
+    """Docs shorter than the window yield an empty hash array, not a
+    sequence(1,0) slice crash."""
+    from etl_demo_spark.text import rolling_hashes
+
+    df = spark.createDataFrame(
+        [(1, "only three tokens"), (2, ""), (3, "a b c d e f g h i")],
+        "id long, text string",
+    )
+    got = {r.id: r.h for r in df.select("id", rolling_hashes("text").alias("h")).collect()}
+    assert got[1] == [] and got[2] == []
+    assert len(got[3]) == 2  # 9 tokens, window 8 -> 2 positions
+
+
+def test_split_assign_boundary_fractions(spark):
+    """train+val == 1.0 must produce a real train/val split with an empty
+    test set — not silently dump val docs into test (the 256 -> '100'
+    three-char threshold bug)."""
+    from etl_demo_spark.text import split_assign
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    got = {
+        r.split: r.n
+        for r in df.groupBy(split_assign("doc_id", 0.9, 0.1).alias("split"))
+        .count().withColumnRenamed("count", "n").collect()
+    }
+    assert "test" not in got
+    assert got["train"] + got["val"] == 1000
+    assert got["val"] > 0
+    # all-train degenerate config
+    all_train = df.select(split_assign("doc_id", 1.0, 0.0).alias("s")).distinct().collect()
+    assert {r.s for r in all_train} == {"train"}
+
+
+def test_bm25_rejects_empty_and_dedupes_terms(spark):
+    from etl_demo_spark.text import bm25_scores
+
+    docs = spark.createDataFrame([(1, "spark join")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(docs, [])
+    # duplicate terms: scored once, no ambiguous pivot columns
+    got = bm25_scores(docs, ["spark", "spark"]).collect()
+    assert len(got) == 1 and got[0].bm25 > 0

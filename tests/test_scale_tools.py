@@ -190,3 +190,34 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     j.collect()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_zorder_key_stays_positive_at_four_columns(spark, tmp_path):
+    """Four cluster columns must never reach the long's sign bit: the
+    write sizes per-column bits so keys stay non-negative and the Morton
+    ordering holds (negative keys would sort first and shred clustering).
+    Non-numeric and all-NULL cluster columns fail with a clear error."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from etl_demo_spark.io.layout import write_zordered
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    out = str(tmp_path / "z4")
+    write_zordered(li, out, ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity"])
+    assert spark.read.parquet(out).count() == li.count()
+
+    with _pytest.raises(ValueError, match="not numeric"):
+        write_zordered(
+            spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
+            str(tmp_path / "zbad"),
+            ["l_shipdate"],
+        )
+    with _pytest.raises(ValueError, match="all-NULL"):
+        write_zordered(
+            spark.createDataFrame([(None,), (None,)], "x double"),
+            str(tmp_path / "znull"),
+            ["x"],
+        )

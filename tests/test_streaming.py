@@ -247,3 +247,26 @@ def test_incremental_file_arrival_processes_only_new_data(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == docs.count()  # old data NOT duplicated
     assert back.select("doc_id").distinct().count() == docs.count()
+
+
+def test_stateful_counters_all_null_values_emit_null_max(spark, tmp_path):
+    """A user whose every value is NULL must emit max_value NULL (not the
+    -inf state sentinel) and total 0.0, while n_events still counts rows."""
+    import pyspark.sql.functions as F
+
+    from etl_demo_spark.streaming.stateful import user_running_counters
+    from etl_demo_spark.streaming.windows import run_stream_to_memory
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, None), (1, None), (2, 5.0), (2, None)], "user_id long, value double"
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, value double").parquet(src)
+    )
+    out = run_stream_to_memory(
+        spark, user_running_counters(stream), "nulls_counters", output_mode="update"
+    )
+    rows = {r.user_id: r for r in out.collect()}
+    assert rows[1].n_events == 2 and rows[1].max_value is None and rows[1].total_value == 0.0
+    assert rows[2].n_events == 2 and rows[2].max_value == 5.0 and rows[2].total_value == 5.0
