@@ -70,13 +70,21 @@ def extract_features(media: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             content = pdf["content"]
+            # content is a nullable BINARY column: NULL blobs yield NULL
+            # features, not a bytes(None) TypeError that aborts the task
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "sha256": content.map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
-                    "n_bytes": content.map(len).astype("int64"),
+                    "sha256": content.map(
+                        lambda b: None if b is None else hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                    "n_bytes": content.map(
+                        lambda b: None if b is None else len(b)
+                    ).astype("Int64"),
                     # sum/len of integer bytes → one exact double division
-                    "byte_mean": content.map(lambda b: sum(b) / len(b) if len(b) else 0.0),
+                    "byte_mean": content.map(
+                        lambda b: None if b is None else (sum(b) / len(b) if len(b) else 0.0)
+                    ),
                 }
             )
 
@@ -129,13 +137,21 @@ def decode_image(media: DataFrame, *, use_fake_codec: bool = False) -> DataFrame
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            digests = pdf["content"].map(lambda b: hashlib.sha256(bytes(b)).digest())
+            digests = pdf["content"].map(
+                lambda b: None if b is None else hashlib.sha256(bytes(b)).digest()
+            )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": digests.map(lambda d: 1 + d[0] % 64).astype("int32"),
-                    "height": digests.map(lambda d: 1 + d[1] % 64).astype("int32"),
-                    "mode": digests.map(lambda d: "RGB" if d[2] % 2 else "L"),
+                    "width": digests.map(
+                        lambda d: None if d is None else 1 + d[0] % 64
+                    ).astype("Int32"),
+                    "height": digests.map(
+                        lambda d: None if d is None else 1 + d[1] % 64
+                    ).astype("Int32"),
+                    "mode": digests.map(
+                        lambda d: None if d is None else ("RGB" if d[2] % 2 else "L")
+                    ),
                 }
             )
 
@@ -150,6 +166,8 @@ def sample_video_frames(
     fake emits one "frame" per ``every_n`` bytes of content as a
     deterministic slice, exercising the fan-out plumbing a real ffmpeg
     pipe would use."""
+    if every_n < 1:
+        raise ValueError(f"sample_video_frames: every_n must be >= 1, got {every_n}")
     if not use_fake_codec:
         raise NotImplementedError(
             "video frame sampling requires ffmpeg; not installed in this environment. "
@@ -161,6 +179,8 @@ def sample_video_frames(
         for pdf in it:
             ids, idxs, frames = [], [], []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                if blob is None:
+                    continue  # NULL blob: no frames
                 b = bytes(blob)
                 for i, off in enumerate(range(0, len(b), every_n)):
                     ids.append(mid)
@@ -195,7 +215,9 @@ def resize_images(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             resized = pdf["content"].map(
-                lambda b: bytes(b)[:target_bytes].ljust(target_bytes, b"\0")
+                lambda b: None
+                if b is None
+                else bytes(b)[:target_bytes].ljust(target_bytes, b"\0")
             )
             yield pd.DataFrame(
                 {

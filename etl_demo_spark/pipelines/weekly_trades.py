@@ -74,15 +74,27 @@ def run_etl(
             cleaned, f"etl_clean_{tag}", rows=F.count(F.lit(1))
         )
     agg = transform(cleaned, compute_pnl=compute_pnl)
+    # the aggregate is group-grain (tiny vs the input); persist it so the
+    # downstream actions (sink, report, CLI count/show) each reuse one
+    # scan+clean+aggregate execution instead of recomputing the pipeline
+    agg = agg.persist()
     result = EtlResult(aggregated=agg)
+    action_ran = False
     if sqlite_path is not None:
         result.rows_loaded = write_sqlite_append(agg, sqlite_path, table_name)
+        action_ran = True
     if report_path is not None or compute_pnl:
         metrics = ["total_volume", "total_pnl"] if compute_pnl else ["total_volume"]
         result.report = top_clients(agg, client_type=client_type, top_n=top_n, metrics=metrics)
         if report_path is not None:
             result.report_path = export_report(result.report, report_path)
-    if diagnose and obs_raw is not None and result.rows_loaded:
+            action_ran = True
+    if diagnose and obs_raw is not None and not action_ran:
+        # no sink ran, so no action carried the observations — run one
+        # cheap count on the persisted aggregate to materialize them
+        agg.count()
+        action_ran = True
+    if diagnose and obs_raw is not None:
         raw_metrics = obs_raw.get
         result.extras["diagnostics"] = {
             "raw_rows": raw_metrics["rows"],

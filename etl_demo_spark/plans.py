@@ -38,19 +38,44 @@ def plan_digest(df: DataFrame) -> PlanDigest:
     p = df._jdf.queryExecution().executedPlan().toString()
     read_cols: set[str] = set()
     # ReadSchema appears in formatted explain; the compact tree shows the
-    # scan's pruned output list as `FileScan parquet [col#1,col#2]`
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", p):
-        for field in m.group(1).split(","):
-            name = field.split(":")[0].strip()
-            if name:
-                read_cols.add(name)
+    # scan's pruned output list as `FileScan parquet [col#1,col#2]`.
+    # The struct body needs bracket-aware parsing: nested structs and
+    # decimal(p,s) contain both '>' and ',' — a flat regex would stop at
+    # the first '>' and promote inner struct fields to top-level columns.
+    for m in re.finditer(r"ReadSchema: struct<", p):
+        start = m.end()
+        depth, i = 1, start
+        while i < len(p) and depth > 0:
+            if p[i] == "<":
+                depth += 1
+            elif p[i] == ">":
+                depth -= 1
+            i += 1
+        body = p[start : i - 1]
+        field_start, d2 = 0, 0
+        for j, ch in enumerate(body + ","):
+            if ch in "<(":
+                d2 += 1
+            elif ch in ">)":
+                d2 -= 1
+            elif ch == "," and d2 == 0:
+                name = body[field_start:j].split(":")[0].strip()
+                if name:
+                    read_cols.add(name)
+                field_start = j + 1
     for m in re.finditer(r"FileScan \w+ \[([^\]]*)\]", p):
         for field in m.group(1).split(","):
             name = field.split("#")[0].strip()
             if name:
                 read_cols.add(name)
     return PlanDigest(
-        exchanges=len(re.findall(r"\bExchange (?:hash|range|SinglePartition)", p)),
+        # every partitioning family counts: hash, range, single-partition,
+        # and round-robin (spread_for_cpu's repartition) are all shuffles
+        exchanges=len(
+            re.findall(
+                r"\bExchange (?:hash|range|SinglePartition|RoundRobin)", p
+            )
+        ),
         broadcasts=p.count("BroadcastExchange"),
         scans=p.count("Scan parquet") + p.count("Scan csv") + p.count("Scan orc")
         + p.count("Scan json") + p.count("Scan text"),

@@ -81,6 +81,14 @@ def run_checks(
     a single driver-sized row becomes len(checks) rows, no extra job.
     """
     unique_keys = unique_keys or []
+    if not checks and not unique_keys:
+        # empty suite (e.g. a config-driven gate that filtered to zero
+        # applicable checks): an empty all-passed report, not an
+        # array<void> AnalysisException from F.array() of nothing
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "check string, violations long, total long, passed boolean"
+        )
     aggs = [F.count(F.lit(1)).alias("_total")]
     names: list[str] = []
     for c in checks:

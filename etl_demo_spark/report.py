@@ -86,7 +86,14 @@ def save_charts(df_agg: DataFrame, out_dir: str) -> list[str]:
         fig.savefig(p1)
         plt.close(fig)
         fig, ax = plt.subplots()
-        counts.set_index("week_start_date").plot(kind="bar", stacked=True, ax=ax)
+        indexed = counts.set_index("week_start_date")
+        if len(indexed) and len(indexed.columns):
+            indexed.plot(kind="bar", stacked=True, ax=ax)
+        # an empty aggregate (every input row dropped by cleaning) renders
+        # an empty axes rather than raising pandas' no-numeric-data
+        # TypeError after the first chart already wrote — the chart SET
+        # stays complete either way
+        ax.set_title("Weekly trade count by client type")
         p2 = os.path.join(out_dir, "weekly_counts.png")
         fig.savefig(p2)
         plt.close(fig)

@@ -26,9 +26,6 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-
-
 def get_spark(
     app_name: str = "etl_demo_spark",
     master: str | None = None,
@@ -40,13 +37,16 @@ def get_spark(
     If a session already exists, Spark returns it (configs on an existing
     session are not re-applied — tests share one session via conftest).
     """
+    # read the env once per call: deriving master AND shuffle partitions
+    # from the same read keeps them consistent even when a harness sets
+    # SPARK_GRAFT_CPUS after this module was imported
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+            str(shuffle_partitions or int(cpus)),
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

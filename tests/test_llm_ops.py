@@ -843,3 +843,26 @@ def test_bm25_rejects_empty_and_dedupes_terms(spark):
     # duplicate terms: scored once, no ambiguous pivot columns
     got = bm25_scores(docs, ["spark", "spark"]).collect()
     assert len(got) == 1 and got[0].bm25 > 0
+
+
+def test_media_features_null_content_yields_null_features(spark):
+    """A NULL blob row produces NULL features, not a bytes(None) task
+    crash; frame sampling skips NULL blobs; every_n=0 fails fast."""
+    from etl_demo_spark.multimodal import (
+        extract_features,
+        sample_video_frames,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"abc"), ("x", 3)), (2, None, ("x", 0))],
+        "media_id long, content binary, meta struct<mime string, n_bytes long>",
+    )
+    rows = {r.media_id: r for r in extract_features(media).collect()}
+    assert rows[1].n_bytes == 3 and rows[1].sha256 is not None
+    assert rows[2].sha256 is None and rows[2].n_bytes is None and rows[2].byte_mean is None
+
+    frames = sample_video_frames(media, every_n=2, use_fake_codec=True).collect()
+    assert {r.media_id for r in frames} == {1}
+
+    with pytest.raises(ValueError, match="every_n"):
+        sample_video_frames(media, every_n=0, use_fake_codec=True)

@@ -472,3 +472,27 @@ def test_scd2_apply_inserts_new_keys(spark):
     assert set(by_key) == {"a", "b"}
     assert by_key["b"].attr == "y" and by_key["b"].valid_to is None
     assert by_key["b"].valid_from == t(2)
+
+
+def test_quality_empty_check_list_returns_empty_report(spark):
+    from etl_demo_spark import quality as Q
+
+    df = spark.createDataFrame([(1,)], "k long")
+    rep = Q.run_checks(df, [])
+    assert rep.count() == 0
+    assert [f.name for f in rep.schema.fields] == ["check", "violations", "total", "passed"]
+
+
+def test_plan_digest_counts_roundrobin_and_nested_struct_columns(spark, tmp_path):
+    """RoundRobin repartitions are shuffles and must count; nested-struct
+    ReadSchema parsing must not promote inner fields to top-level."""
+    from etl_demo_spark.plans import plan_digest
+
+    assert plan_digest(spark.range(100).repartition(8)).exchanges == 1
+
+    p = str(tmp_path / "nested")
+    spark.createDataFrame(
+        [(1, ("a", 2), 1.5)], "media_id long, meta struct<mime string, n_bytes long>, price double"
+    ).write.parquet(p)
+    d = plan_digest(spark.read.parquet(p))
+    assert set(d.read_columns) == {"media_id", "meta", "price"}
