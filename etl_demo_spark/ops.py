@@ -96,8 +96,11 @@ def asof_join(
     ``right_ts <= left_ts`` within the same ``on`` key.
 
     Implementation: union the two sides tagged by origin, then one window
-    pass ``last(value, ignorenulls) OVER (PARTITION BY on ORDER BY ts, tag)``
-    — a single shuffle on the key, no range-join explosion. This is the
+    pass carrying the latest right ROW (as a struct) per frame — a single
+    shuffle on the key, no range-join explosion. Right rows sharing an
+    identical (key, ts) have no defined winner (exactly one of them is
+    taken, but which is partition-order dependent) — pre-dedupe with
+    ``last_value_by`` if the feed can carry same-timestamp duplicates. This is the
     scalable pattern: a naive theta-join ``l.ts >= r.ts`` is O(n·m) per key;
     the union trick is O((n+m) log(n+m)) per key and AQE-skew-splittable.
     """

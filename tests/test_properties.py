@@ -318,3 +318,63 @@ def test_incremental_dedup_equals_global_dedup(spark, batches):
         .groupBy("fp").agg(F.min("doc_id").alias("keeper")).collect()
     }
     assert kept_ids == want
+
+
+# ---------------------------------------------------------------------------
+# as-of join ≡ per-row brute force (whole-latest-row semantics, NULLs incl.)
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 20)),
+        min_size=1, max_size=8,
+    ),
+    right=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 20),
+            st.one_of(st.none(), st.integers(0, 9).map(float)),
+            st.one_of(st.none(), st.integers(0, 9).map(float)),
+        ),
+        min_size=0, max_size=8,
+        unique_by=lambda r: (r[0], r[1]),  # one right row per (key, ts):
+        # equal right timestamps have no defined winner in an as-of join
+    ),
+)
+def test_asof_join_equals_bruteforce(spark, left, right):
+    """For every left row, asof_join must return EXACTLY the value columns
+    of the single latest right row with rts <= ts, including its NULL
+    fields — never a blend of rows."""
+    import datetime as dt
+
+    from etl_demo_spark.ops import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    t = lambda s: base + dt.timedelta(seconds=s)
+    ldf = spark.createDataFrame(
+        [(k, t(s), i) for i, (k, s) in enumerate(left)],
+        "k string, ts timestamp, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t(s), x, y) for (k, s, x, y) in right],
+        "k string, rts timestamp, x double, y double",
+    )
+    got = {
+        r.lid: (r.x, r.y)
+        for r in asof_join(ldf, rdf, "k", "ts", "rts", ["x", "y"]).collect()
+    }
+
+    for i, (k, s) in enumerate(left):
+        cands = [(rs, j, x, y) for j, (rk, rs, x, y) in enumerate(right)
+                 if rk == k and rs <= s]
+        want = (None, None)
+        if cands:
+            rs, j, x, y = max(cands, key=lambda c: c[0])
+            want = (x, y)
+        assert got[i] == want, (i, k, s, got[i], want)
