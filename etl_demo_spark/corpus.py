@@ -109,10 +109,26 @@ def rate_bp(c: str | F.Column) -> F.Column:
 
 def ssum(scaled: F.Column, frac_digits: int) -> F.Column:
     """SUM a scaled-long product exactly and rescale: decimal accumulation,
-    one exact decimal division by 10^frac_digits (Spark's division scale
-    max(6, s1+p2+1) always exceeds frac_digits, so no rounding), ROUND to
-    2dp in decimal space (half-up on both engines), then one double cast."""
-    total = F.sum(scaled.cast("decimal(28,0)")) / F.lit(10**frac_digits)
+    one exact decimal division by 10^frac_digits, ROUND to 2dp in decimal
+    space (half-up on both engines), then one double cast.
+
+    The sum is downcast to its true magnitude bound BEFORE the division
+    so the quotient never hits Spark's precision-38 cap: SUM over
+    decimal(p,0) types as decimal(p+10,0), and dividing that by 10^10
+    needs p+10+12 digits — capped, and adjustPrecisionScale then clamps
+    the quotient's scale to 6, injecting a hidden half-up round BEFORE
+    the 2dp round (double rounding: residue .0049999999 → .005000 → .01,
+    while the oracle's single exact round gives .00 — reproduced live).
+    The downcast is safe by construction: p1 = 38 − max(6, frac+2) ≥ 26
+    holds ~10^26 of scaled magnitude, far above any realistic total, and
+    a violation surfaces as NULL (non-ANSI overflow), not silent
+    wraparound. With p1 int digits the quotient is decimal(38, ≥frac) —
+    exact."""
+    acc_p = 38 - max(6, frac_digits + 2)
+    total = (
+        F.sum(scaled.cast(f"decimal({acc_p},0)")).cast(f"decimal({acc_p},0)")
+        / F.lit(10**frac_digits)
+    )
     return F.round(total, 2).cast("double")
 
 
@@ -2038,7 +2054,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", notional).otherwise(F.lit(0).cast("decimal(1,0)"))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy(F.year("l_shipdate").alias("yr"))
+        .groupBy(F.year("l_shipdate").cast("long").alias("yr"))
         .agg(
             (
                 F.round(F.sum(promo), 2).cast("double")
@@ -2130,7 +2146,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(F.col("supp_nation") < F.col("cust_nation"))
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("yr"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("yr"))
         .agg(F.round(F.sum(volume), 2).cast("double").alias("volume"))
     )
 
@@ -2244,10 +2260,10 @@ def orders_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey",
         "o_orderpriority",
-        F.ntile(4).over(w).alias("price_quartile"),
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
         F.percent_rank().over(w).cast("double").alias("pct_rank"),
         F.cume_dist().over(w).cast("double").alias("cume"),
-        F.row_number().over(w).alias("rn"),
+        F.row_number().over(w).cast("long").alias("rn"),
     )
 
 # ---------------------------------------------------------------------------
@@ -2971,7 +2987,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust_region), orders.o_custkey == F.col("c_custkey"))
-        .groupBy(F.year("o_orderdate").alias("yr"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
         .agg(
             (
                 F.round(F.sum(national), 2).cast("double")
@@ -3018,7 +3034,7 @@ def nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("n_name", F.year("l_shipdate").alias("yr"))
+        .groupBy("n_name", F.year("l_shipdate").cast("long").alias("yr"))
         .agg(ssum(profit_s, 6).alias("profit"))
     )
 
@@ -4318,7 +4334,12 @@ def cogroup_click_purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def props_map_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X-8 map higher-order functions: props parse into a real MapType,
+    """NOTE: n_events counts EXPLODED map entries; it equals the event
+    count only because the fixture's props maps are single-key (verified)
+    — multi-key props would fan out. The sibling events_props_entries
+    owns the multi-key shape.
+
+    X-8 map higher-order functions: props parse into a real MapType,
     transform_values doubles every value and map_filter keeps entries
     over a threshold — all JVM-side map algebra — then the kept entries
     explode into per-type totals. The oracle computes the same values
@@ -5127,9 +5148,9 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = per_cust.select(
         "c_custkey",
-        F.ntile(4).over(Window.orderBy(F.col("last_order").asc(), F.col("c_custkey").asc())).alias("r_score"),
-        F.ntile(4).over(Window.orderBy(F.col("n_orders").asc(), F.col("c_custkey").asc())).alias("f_score"),
-        F.ntile(4).over(Window.orderBy(F.col("monetary").asc(), F.col("c_custkey").asc())).alias("m_score"),
+        F.ntile(4).over(Window.orderBy(F.col("last_order").asc(), F.col("c_custkey").asc())).cast("long").alias("r_score"),
+        F.ntile(4).over(Window.orderBy(F.col("n_orders").asc(), F.col("c_custkey").asc())).cast("long").alias("f_score"),
+        F.ntile(4).over(Window.orderBy(F.col("monetary").asc(), F.col("c_custkey").asc())).cast("long").alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -496,3 +496,23 @@ def test_plan_digest_counts_roundrobin_and_nested_struct_columns(spark, tmp_path
     ).write.parquet(p)
     d = plan_digest(spark.read.parquet(p))
     assert set(d.read_columns) == {"media_id", "meta", "price"}
+
+
+def test_ssum_single_rounds_at_scale_ten(spark):
+    """ssum with frac_digits=10 must round ONCE, exactly: the boundary
+    residue .0049999999 rounds to 0.00 (a capped scale-6 quotient would
+    double-round it to 0.01), and true half-ties still round up."""
+    import pyspark.sql.functions as F
+
+    from etl_demo_spark.corpus import ssum
+
+    def one(x, frac):
+        return (
+            spark.createDataFrame([(x,)], "x long")
+            .agg(ssum(F.col("x"), frac).alias("v"))
+            .collect()[0].v
+        )
+
+    assert one(49_999_999, 10) == 0.0
+    assert one(50_000_000, 10) == 0.01
+    assert one(123_456_789_012_345, 6) == 123_456_789.01
