@@ -4585,6 +4585,49 @@ def lineitem_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.unionByName(fk)
 
 
+def interpolate_gaps(ev: DataFrame) -> DataFrame:
+    """The interpolation dataflow of event_value_interpolation, reusable on
+    any (event_id, ts, user_id, event_type, value) frame — unit tests run
+    it on hand-computable fixtures so they exercise THIS expression, not a
+    private copy."""
+    from pyspark.sql.window import Window
+
+    raw = F.when(F.col("event_type") != "click", F.col("value"))
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    m = ev.select(
+        "event_id", "user_id", "ts",
+        F.unix_micros("ts").alias("tsu"),
+        raw.alias("raw_value"),
+    )
+    nn = F.col("raw_value").isNotNull()
+    b = m.select(
+        "event_id", "user_id", "ts", "tsu", "raw_value",
+        F.last(F.when(nn, F.col("raw_value")), ignorenulls=True).over(back).alias("pv"),
+        F.last(F.when(nn, F.col("tsu")), ignorenulls=True).over(back).alias("pt"),
+        F.first(F.when(nn, F.col("raw_value")), ignorenulls=True).over(fwd).alias("nv"),
+        F.first(F.when(nn, F.col("tsu")), ignorenulls=True).over(fwd).alias("nt"),
+    )
+    interp = (
+        F.when(nn, F.col("raw_value"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull() & (F.col("nt") > F.col("pt")),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * ((F.col("tsu") - F.col("pt")) / (F.col("nt") - F.col("pt"))),
+        )
+    )
+    return b.select("event_id", "user_id", "ts", "raw_value", interp.alias("interp_value"))
+
+
 @query(
     "event_value_interpolation",
     oracle="""
@@ -4631,43 +4674,9 @@ def event_value_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle on user_id, one per-partition sort serving all
     four running aggregates; O(1) window state per row."""
-    from pyspark.sql.window import Window
-
     (ev,) = _t(spark, sf_dir, "events")
-    raw = F.when(F.col("event_type") != "click", F.col("value"))
-    back = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    fwd = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    m = ev.select(
-        "event_id", "user_id", "ts",
-        F.unix_micros("ts").alias("tsu"),
-        raw.alias("raw_value"),
-    )
-    nn = F.col("raw_value").isNotNull()
-    b = m.select(
-        "event_id", "user_id", "ts", "tsu", "raw_value",
-        F.last(F.when(nn, F.col("raw_value")), ignorenulls=True).over(back).alias("pv"),
-        F.last(F.when(nn, F.col("tsu")), ignorenulls=True).over(back).alias("pt"),
-        F.first(F.when(nn, F.col("raw_value")), ignorenulls=True).over(fwd).alias("nv"),
-        F.first(F.when(nn, F.col("tsu")), ignorenulls=True).over(fwd).alias("nt"),
-    )
-    interp = (
-        F.when(nn, F.col("raw_value"))
-        .when(
-            F.col("pv").isNotNull() & F.col("nv").isNotNull() & (F.col("nt") > F.col("pt")),
-            F.col("pv")
-            + (F.col("nv") - F.col("pv"))
-            * ((F.col("tsu") - F.col("pt")) / (F.col("nt") - F.col("pt"))),
-        )
-    )
-    return b.select("event_id", "user_id", "ts", "raw_value", interp.alias("interp_value"))
+    return interpolate_gaps(ev)
+
 
 
 @query(

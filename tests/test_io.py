@@ -23,7 +23,10 @@ def test_parquet_roundtrip_partitioned(spark, tmp_path):
     one_year = back.filter(F.col("year") == 1997)
     plan = one_year._jdf.queryExecution().executedPlan().toString()
     assert one_year.count() > 0
-    assert "PartitionFilters: [isnotnull(year" in plan or "year#" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "year" in m.group(1), plan[:1500]
 
 
 def test_csv_roundtrip(spark, tmp_path):

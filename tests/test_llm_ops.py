@@ -46,9 +46,10 @@ def test_minhash_lsh_finds_planted_near_dup(spark, docs_df):
     verified = jaccard_verify(cands, docs_df, threshold=0.5)
     pairs = {(r["id_a"], r["id_b"]) for r in verified.collect()}
     assert (1, 2) in pairs or (1, 4) in pairs  # the planted near-dups surface
-    # unrelated docs never pair
-    assert not any({3, 5} & {a, b} and {a, b} != {3, 5} and {a, b} <= {3, 5} for a, b in pairs)
-    assert (3, 5) not in pairs
+    # unrelated docs never pair: every verified pair must stay within the
+    # planted near-dup family {1, 2, 4} — docs 3 and 5 are unrelated to
+    # everything, so no surviving pair may touch them at all
+    assert all({a, b} <= {1, 2, 4} for a, b in pairs), pairs
 
 
 def test_jaccard_values_match_bruteforce(spark, docs_df):
@@ -320,8 +321,7 @@ def test_all_queries_execute_smoke(spark):
 
     for name, fn in entrymod.queries().items():
         df = fn(spark, SF0001)
-        n = df.count()
-        assert n >= 0, name
+        df.count()  # the smoke IS the successful execution
         assert df.columns, name
 
 
@@ -445,6 +445,7 @@ def test_approx_sketches_within_error_bounds(spark):
     assert abs(row["approx_parts"] - row["exact_parts"]) / row["exact_parts"] < 0.05
 
     row = q["approx_percentiles"](spark, "/root/testdata/sf0.01").collect()[0]
+    assert len(row["approx_p"]) == len(row["exact_p"])  # zip must not truncate
     for est, exact in zip(row["approx_p"], row["exact_p"]):
         assert abs(est - exact) / exact < 0.01, (est, exact)
 

@@ -347,14 +347,12 @@ def test_quality_references_counts_orphans(spark):
 
 def test_linear_interpolation_edges(spark):
     """Interior gaps interpolate by elapsed-time fraction; leading/trailing
-    gaps (missing neighbor) stay NULL; non-gap rows pass through.
-
-    Evaluates the same window expression as corpus.event_value_interpolation
-    on a hand-computable fixture."""
+    gaps (missing neighbor) stay NULL; non-gap rows pass through — run
+    against the PRODUCTION expression (corpus.interpolate_gaps) on a
+    hand-computable fixture."""
     import datetime as dt
 
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
+    from etl_demo_spark.corpus import interpolate_gaps
 
     base = dt.datetime(2024, 1, 1)
     rows = [
@@ -367,34 +365,7 @@ def test_linear_interpolation_edges(spark):
     df = spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
     )
-    raw = F.when(F.col("event_type") != "click", F.col("value"))
-    back = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    fwd = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
-    )
-    m = df.select(
-        "event_id", "user_id", "ts", F.unix_micros("ts").alias("tsu"),
-        raw.alias("raw_value"),
-    )
-    nn = F.col("raw_value").isNotNull()
-    b = m.select(
-        "event_id", "tsu", "raw_value",
-        F.last(F.when(nn, F.col("raw_value")), ignorenulls=True).over(back).alias("pv"),
-        F.last(F.when(nn, F.col("tsu")), ignorenulls=True).over(back).alias("pt"),
-        F.first(F.when(nn, F.col("raw_value")), ignorenulls=True).over(fwd).alias("nv"),
-        F.first(F.when(nn, F.col("tsu")), ignorenulls=True).over(fwd).alias("nt"),
-    )
-    interp = (
-        F.when(nn, F.col("raw_value"))
-        .when(
-            F.col("pv").isNotNull() & F.col("nv").isNotNull() & (F.col("nt") > F.col("pt")),
-            F.col("pv")
-            + (F.col("nv") - F.col("pv")) * ((F.col("tsu") - F.col("pt")) / (F.col("nt") - F.col("pt"))),
-        )
-    )
-    got = {r.event_id: r.i for r in b.select("event_id", interp.alias("i")).collect()}
+    got = {r.event_id: r.interp_value for r in interpolate_gaps(df).collect()}
 
     assert got[1] is None               # leading gap: no prev neighbor
     assert got[2] == 10.0               # pass-through

@@ -56,6 +56,7 @@ def test_salted_agg_spreads_partials(spark):
 @pytest.mark.usefixtures("spark")
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Identically bucketed tables join without an Exchange on either side."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         orders = spark.read.parquet(f"{SF0001}/orders.parquet")
@@ -68,7 +69,10 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert "Exchange" not in plan, plan[:2000]
         assert joined.count() == li.count()
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # restore the SAVED value, not a constant copied from session.py:
+        # a hardcoded restore silently re-pins the session if the posture
+        # changes, flipping broadcast decisions in later plan tests
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
