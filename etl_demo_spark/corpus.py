@@ -5440,3 +5440,48 @@ def stream_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+def gap_islands(k: DataFrame, key_col: str = "o_orderkey") -> DataFrame:
+    """Contiguous-run detection over a distinct integer key frame (the
+    value-minus-row_number trick), shared by the corpus query and its
+    planted-gap unit test."""
+    from pyspark.sql.window import Window
+
+    grp = k.withColumn(
+        "island_id",
+        F.col(key_col) - F.row_number().over(Window.orderBy(key_col)),
+    )
+    return grp.groupBy("island_id").agg(
+        F.min(key_col).alias("island_start"),
+        F.max(key_col).alias("island_end"),
+        F.count(F.lit(1)).alias("island_len"),
+    ).drop("island_id")
+
+
+@query(
+    "orderkey_gap_islands",
+    oracle="""
+    WITH k AS (SELECT DISTINCT o_orderkey FROM orders),
+    grp AS (
+      SELECT o_orderkey,
+             o_orderkey - row_number() OVER (ORDER BY o_orderkey) AS island_id
+      FROM k
+    )
+    SELECT CAST(MIN(o_orderkey) AS BIGINT) AS island_start,
+           CAST(MAX(o_orderkey) AS BIGINT) AS island_end,
+           COUNT(*) AS island_len
+    FROM grp
+    GROUP BY island_id
+    """,
+)
+def orderkey_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (X-6): contiguous orderkey runs via the classic
+    value-minus-row_number grouping — the sequence-integrity check every
+    ingest pipeline runs to find dropped id ranges. All-integer, exact.
+
+    Scale: the global row_number needs a total order over DISTINCT keys —
+    fine at key-grain; at extreme cardinality, range-partition by key and
+    run the same expression per range with boundary stitching."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return gap_islands(orders.select("o_orderkey").distinct())

@@ -487,3 +487,19 @@ def test_ssum_single_rounds_at_scale_ten(spark):
     assert one(49_999_999, 10) == 0.0
     assert one(50_000_000, 10) == 0.01
     assert one(123_456_789_012_345, 6) == 123_456_789.01
+
+
+def test_gap_islands_with_planted_gaps(spark):
+    """The islands expression splits at every missing key (the fixture
+    orderkeys are dense, so the corpus query yields one island — this
+    fixture proves the split logic on real gaps, against the PRODUCTION
+    helper)."""
+    from etl_demo_spark.corpus import gap_islands
+
+    keys = [1, 2, 3, 7, 8, 15]
+    k = spark.createDataFrame([(x,) for x in keys], "o_orderkey long")
+    got = sorted(
+        (r.island_start, r.island_end, r.island_len)
+        for r in gap_islands(k).collect()
+    )
+    assert got == [(1, 3, 3), (7, 8, 2), (15, 15, 1)]
