@@ -79,6 +79,14 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+
+    # streaming throughput: events ingested per wall-second through the
+    # availableNow tumbling-window aggregation (the timed run above runs
+    # the complete micro-batch pipeline; input size / time = sustained
+    # ingest rate at this SF)
+    ev_rows = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    stream_rps = round(ev_rows / timings["stream_hourly_event_stats"])
+
     print(
         json.dumps(
             {
@@ -87,6 +95,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "streaming": {
+                    "query": "stream_hourly_event_stats",
+                    "input_rows": ev_rows,
+                    "rows_per_sec": stream_rps,
+                },
             }
         )
     )

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1531,16 +1532,15 @@ def udaf_status_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact ``decimal.Decimal`` (order-independent), so even a Python UDAF
     is oracle-checkable bit-for-bit. Arrow ships each group's column as
     one batch; Spark handles the shuffle and grouping."""
-    def dec_sum(v):
+    def dec_sum(v: pd.Series) -> float:
         import decimal
 
         q = decimal.Decimal("0.0001")
         total = sum((decimal.Decimal(str(x)).quantize(q) for x in v), decimal.Decimal(0))
         return float(total)
 
-    # explicit functionType: the module uses `from __future__ import
-    # annotations`, so signature-based inference can't see pd.Series
-    dec_sum = F.pandas_udf(dec_sum, "double", F.PandasUDFType.GROUPED_AGG)
+    # type-hint style (SPARK-28264): Series -> scalar infers GROUPED_AGG
+    dec_sum = F.pandas_udf(dec_sum, "double")
 
     (orders,) = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(

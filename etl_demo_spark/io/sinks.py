@@ -59,6 +59,46 @@ def write_sqlite_append(
     return len(pdf)
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+    num_partitions: int | None = None,
+) -> None:
+    """Cluster-grade JDBC sink — the distributed twin of
+    ``write_sqlite_append`` (O-17): each EXECUTOR partition opens its own
+    connection and batch-inserts its rows, so the write parallelizes with
+    the data instead of funneling through a driver ``toPandas()``.
+
+    ``num_partitions`` caps the writer fan-out — at scale, bound it by
+    what the database accepts as concurrent connections (a 1000-task
+    write is a connection storm; 8–32 writers is typical). ``mode`` maps
+    to ``df.write.jdbc`` semantics: append accumulates like the
+    reference's ``to_sql(if_exists='append')``; overwrite recreates.
+
+    Works against any JDBC URL whose driver jar is on the classpath
+    (embedded Derby ships with Spark and is the round-trip test target;
+    SQLite needs the xerial driver jar, same call shape)."""
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    df.write.jdbc(url, table, mode=mode, properties=properties or {})
+
+
+def read_jdbc(
+    spark,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """JDBC source companion to ``write_jdbc`` (single-partition read;
+    pass a query/partitioning via ``spark.read.jdbc`` directly for
+    parallel scans — or the ``sqlite`` Python DataSource for SQLite
+    files, which already slices by rowid)."""
+    return spark.read.jdbc(url, table, properties=properties or {})
+
+
 def write_excel(df: DataFrame, path: str) -> str:
     """Excel report sink (O-24, `etl_weekly_trades.py:214-217`).
 

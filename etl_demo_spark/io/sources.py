@@ -100,6 +100,13 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+# (session id, sf_dir, table) → DataFrame. DataFrames are immutable logical
+# plans, so reuse is safe; caching skips the per-read footer/schema-inference
+# job that otherwise taxes every corpus query with fixed overhead. Keyed on
+# id(spark) so a restarted session never sees plans bound to a dead context.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str,
@@ -113,11 +120,15 @@ def load_tables(
     """
     out: dict[str, DataFrame] = {}
     for name in tables:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if name == "events":
-            df = read_events(spark, path)
-        else:
-            df = spark.read.parquet(path)
+        key = (id(spark), sf_dir, name)
+        df = _TABLE_CACHE.get(key)
+        if df is None:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if name == "events":
+                df = read_events(spark, path)
+            else:
+                df = spark.read.parquet(path)
+            _TABLE_CACHE[key] = df
         if register_views:
             df.createOrReplaceTempView(name)
         out[name] = df

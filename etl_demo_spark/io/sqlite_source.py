@@ -75,8 +75,25 @@ _TYPE_MAP = {
 }
 
 
+_DECIMAL_RE = None  # compiled lazily; module import stays cheap
+
+
 def _decl_to_spark(decl: str) -> T.DataType:
     d = (decl or "").strip().upper()
+    # DECIMAL(p,s)/NUMERIC(p,s) keep exactness (money columns feed exact
+    # accumulators elsewhere in the repo); bare DECIMAL/NUMERIC stay
+    # double — SQLite itself stores them as REAL.
+    global _DECIMAL_RE
+    if _DECIMAL_RE is None:
+        import re
+
+        _DECIMAL_RE = re.compile(r"^(?:DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)")
+    m = _DECIMAL_RE.match(d)
+    if m:
+        prec = int(m.group(1))
+        scale = int(m.group(2) or 0)
+        if 0 < prec <= 38 and 0 <= scale <= prec:
+            return T.DecimalType(prec, scale)
     for key, typ in _TYPE_MAP.items():
         if d.startswith(key):
             return typ
@@ -126,8 +143,15 @@ class SQLiteReader(DataSourceReader):
         """Translate supported filters into the SQLite WHERE clause so the
         database evaluates them — the same pushdown a partitioned JDBC
         read gets. Unsupported shapes are returned for Spark to apply
-        post-scan (the API contract: yielded filters stay Spark-side)."""
+        post-scan (the API contract: returned filters stay Spark-side).
+
+        Deliberately NOT a generator: the pushed-clause side effects on
+        ``self._where``/``self._params`` must happen before any partition
+        reads, regardless of whether (or how lazily) the caller drains
+        the returned iterable — a partially-drained generator would
+        silently drop filters from both sides."""
         names = {f.name for f in self.schema.fields}
+        leftover: list[Filter] = []
         for f in filters:
             clause = None
             attr = getattr(f, "attribute", None)
@@ -146,10 +170,11 @@ class SQLiteReader(DataSourceReader):
                 elif isinstance(f, IsNotNull):
                     clause = (f'"{col}" IS NOT NULL', [])
             if clause is None:
-                yield f
+                leftover.append(f)
             else:
                 self._where.append(clause[0])
                 self._params.extend(clause[1])
+        return leftover
 
     def partitions(self) -> list[_RowidSlice]:
         import sqlite3
@@ -188,11 +213,24 @@ class SQLiteReader(DataSourceReader):
 
 
 def _converter(typ: T.DataType):
-    """SQLite stores dates/timestamps as ISO text; Spark wants objects."""
+    """SQLite stores dates/timestamps as ISO text (and DECIMAL columns as
+    REAL/TEXT); Spark wants objects of the declared type."""
     if isinstance(typ, T.DateType):
         return lambda v: dt.date.fromisoformat(v[:10]) if isinstance(v, str) else v
     if isinstance(typ, T.TimestampType):
         return lambda v: dt.datetime.fromisoformat(v) if isinstance(v, str) else v
+    if isinstance(typ, T.DecimalType):
+        import decimal
+
+        quantum = decimal.Decimal(1).scaleb(-typ.scale)
+
+        def to_dec(v):
+            if v is None:
+                return None
+            # str() first: Decimal(float) would embed binary-float error
+            return decimal.Decimal(str(v)).quantize(quantum)
+
+        return to_dec
     return lambda v: v
 
 

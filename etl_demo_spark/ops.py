@@ -143,6 +143,18 @@ def asof_join(
 # ---------------------------------------------------------------------------
 
 
+def _xxhashable(dtype: T.DataType) -> bool:
+    """xxhash64 rejects maps (unordered, unhashable) at analysis time —
+    including maps nested inside structs/arrays. Recursive screen."""
+    if isinstance(dtype, T.MapType):
+        return False
+    if isinstance(dtype, T.ArrayType):
+        return _xxhashable(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return all(_xxhashable(f.dataType) for f in dtype.fields)
+    return True
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
@@ -158,16 +170,23 @@ def salted_agg(
     (a count merges with 'sum'). AQE's skew-join splitting covers joins;
     this covers aggregations whose hot keys overwhelm single reducers."""
     merge_fns = {"sum": F.sum, "min": F.min, "max": F.max}
-    # deterministic salt (hash of the full row), NOT rand(): a stage retry
+    # deterministic salt (hash of the row), NOT rand(): a stage retry
     # after a shuffle-fetch failure recomputes map tasks, and rand() would
     # re-salt the recomputed rows into different buckets than the output
     # already fetched — double-counting under exactly the failure mode a
     # 100 TB job hits. Identical rows sharing a salt is harmless: phase-1
     # partial aggregation collapses them map-side, so each (key, salt)
     # reducer receives at most one row per map task either way.
+    # Only xxhash64-hashable columns participate (maps aren't orderable or
+    # hashable in Spark); a schema with maps still salts on the rest.
+    hashable = [
+        F.col(f.name) for f in df.schema.fields if _xxhashable(f.dataType)
+    ]
+    if not hashable:  # degenerate schema (all-map): constant salt, no spread
+        hashable = [F.lit(0)]
     salted = df.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)).cast("int"),
+        F.pmod(F.xxhash64(*hashable), F.lit(salt_buckets)).cast("int"),
     )
     partial = salted.groupBy(*keys, "__salt").agg(
         *[expr.alias(name) for name, (expr, _) in aggs.items()]

@@ -37,6 +37,37 @@ from etl_demo_spark.vec import cosine, ivf_assign, kmeans_assign_udf, kmeans_fit
 CODEBOOK_FILE = "_codebook.json"
 
 
+def _sidecar_path(spark: SparkSession, index_dir: str):
+    """(FileSystem, Path) for the codebook via the Hadoop FS API — the
+    sidecar must land NEXT TO the parquet (s3://, hdfs://, file://), not
+    on the driver's local disk, or query_index on a remote index breaks."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(index_dir, CODEBOOK_FILE)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _sidecar_write(spark: SparkSession, index_dir: str, text: str) -> None:
+    fs, hpath = _sidecar_path(spark, index_dir)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _sidecar_read(spark: SparkSession, index_dir: str) -> str:
+    fs, hpath = _sidecar_path(spark, index_dir)
+    stream = fs.open(hpath)
+    try:
+        # IOUtils drains the Hadoop input stream fully regardless of FS
+        baos = spark._jvm.java.io.ByteArrayOutputStream()
+        spark._jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, False)
+        return bytes(baos.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()
+
+
 def build_index(
     spark: SparkSession,
     src: str,
@@ -45,6 +76,7 @@ def build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kmeans_iters: int = 0,
+    init: str = "parallel",
 ) -> int:
     """Assign cells and write the cell-partitioned corpus + codebook.
 
@@ -57,8 +89,12 @@ def build_index(
     inside the index directory so the index is self-describing."""
     df = spark.read.parquet(src)
     if kmeans_iters > 0:
+        # k-means|| seeding by default (init='parallel'): spread-out seeds
+        # replace the raw hash-seeded rows, so the codebook converges to
+        # tighter cells in the same number of Lloyd's iterations — better
+        # recall at the same nprobe with an unchanged dataflow/layout
         centroids = kmeans_fit(df, k=n_cells, n_iter=kmeans_iters,
-                               id_col=id_col, vec_col=vec_col)
+                               id_col=id_col, vec_col=vec_col, init=init)
         assign = kmeans_assign_udf(centroids)
         # cells are 1-based on disk (matches ivf_assign's array_position)
         assigned = df.withColumn("cell", assign(F.col(vec_col)) + F.lit(1))
@@ -67,12 +103,13 @@ def build_index(
         assigned, centroids = ivf_assign(df, n_cells, id_col, vec_col)
         metric = "cosine"  # ivf_assign assigns by best cosine
     assigned.write.mode("overwrite").partitionBy("cell").parquet(dest)
-    sidecar = Path(dest) / CODEBOOK_FILE
-    sidecar.write_text(
+    _sidecar_write(
+        spark,
+        dest,
         json.dumps(
             {"centroids": centroids, "id_col": id_col, "vec_col": vec_col,
              "metric": metric}
-        )
+        ),
     )
     return len(centroids)
 
@@ -90,7 +127,7 @@ def query_index(
     vectors with (sidecar ``metric``): ranking a Euclidean-assigned
     (k-means) codebook by cosine would probe the wrong cells and
     silently lose recall on unnormalized embeddings."""
-    meta = json.loads((Path(index_dir) / CODEBOOK_FILE).read_text())
+    meta = json.loads(_sidecar_read(spark, index_dir))
     centroids = meta["centroids"]
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     metric = meta.get("metric", "cosine")
@@ -144,7 +181,7 @@ def main(argv: list[str] | None = None) -> None:
     files = [str(p) for p in Path(args.dest).rglob("*.parquet")]
     print(f"cells on disk: {len({os.path.dirname(f) for f in files})} partition dirs")
     if args.query is not None:
-        meta = json.loads((Path(args.dest) / CODEBOOK_FILE).read_text())
+        meta = json.loads(_sidecar_read(spark, args.dest))
         row = (
             spark.read.parquet(args.src)
             .filter(F.col(meta["id_col"]) == args.query)

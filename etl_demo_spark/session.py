@@ -41,12 +41,15 @@ def get_spark(
     # from the same read keeps them consistent even when a harness sets
     # SPARK_GRAFT_CPUS after this module was imported
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # cpus may legitimately be non-numeric ('*' is a valid local[...] token);
+    # shuffle width then falls back to a sane default instead of raising
+    cpus_n = int(cpus) if cpus.isdigit() else 32
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or int(cpus)),
+            str(shuffle_partitions or cpus_n),
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

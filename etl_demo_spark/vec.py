@@ -320,11 +320,9 @@ def cosine_batch_udf(query_vec: list[float]):
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.linalg.norm(q)
 
-    # no parameter annotations: this module uses
-    # `from __future__ import annotations`, which stringifies hints and
-    # Spark's pandas_udf signature inference rejects string annotations —
-    # an unannotated function defaults to the scalar Series->Series kind
-    def _cos(col):
+    # type-hint style (SPARK-28264): stringified hints resolve fine because
+    # pandas is imported at module level (get_type_hints uses f.__globals__)
+    def _cos(col: pd.Series) -> pd.Series:
         m = np.stack(col.map(lambda v: np.asarray(v, dtype=np.float64)))
         dots = m @ q
         norms = np.linalg.norm(m, axis=1)
@@ -354,6 +352,135 @@ def kmeans_assign_udf(centroids: list[list[float]]):
     return _assign
 
 
+def _min_dist2_udf(centers: list[list[float]]):
+    """Arrow-batched squared distance to the NEAREST of ``centers`` —
+    one numpy matmul per batch, the k-means|| per-round scoring kernel."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centers, dtype=np.float64)
+    cc = (C * C).sum(axis=1)
+
+    def _d2(vecs: pd.Series) -> pd.Series:
+        M = np.asarray(vecs.tolist(), dtype=np.float64)
+        d = cc[None, :] - 2.0 * (M @ C.T) + (M * M).sum(axis=1)[:, None]
+        return pd.Series(np.maximum(d.min(axis=1), 0.0))
+
+    return pandas_udf(_d2, "double")
+
+
+def kmeans_parallel_init(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 3,
+    oversample: float | None = None,
+    seed: int = 42,
+) -> list[list[float]]:
+    """k-means|| initialization (Bahmani et al., "Scalable k-means++",
+    VLDB 2012) — the cluster-scale replacement for the xxhash64-seeded
+    centroids: seeds land proportional to their squared distance from the
+    current center set, so the Lloyd's iterations that follow start near
+    the final optimum instead of wherever the hash landed.
+
+    Per round (O(rounds) passes, each one scan + tiny driver crossing):
+      1. score every row's d²(x, C) with an Arrow-batched numpy kernel;
+      2. one aggregation for the total cost φ (map-side partials);
+      3. independently keep each row with p = min(1, ℓ·d²/φ) — the coin
+         flip is a DETERMINISTIC hash uniform (xxhash64(id, round) mod
+         2²⁴ scaled to [0,1)), so reruns and cluster resizes sample the
+         identical candidate set, per the repo's no-RNG-state convention;
+         expected ℓ = ``oversample`` (default 2k) candidates per round.
+    Then one weighting pass (rows per nearest candidate) and a driver-side
+    weighted k-means++ reduction of the ~ℓ·rounds candidates down to k —
+    candidates are O(k·rounds), so the driver step is microseconds and
+    only k × dim floats ever leave it.
+    """
+    import numpy as np
+
+    if oversample is None:
+        oversample = 2.0 * k
+    # first center: deterministic seed row (same scheme as ivf_assign)
+    centers = _seed_vectors(df, 1, id_col, vec_col)
+    denom = float(1 << 24)
+    vid = F.col(id_col)
+    for r in range(rounds):
+        d2 = _min_dist2_udf(centers)(F.col(vec_col))
+        scored = df.select(vid.alias("__id"), F.col(vec_col).alias("__v"), d2.alias("__d2"))
+        phi = scored.agg(F.sum("__d2")).first()[0]
+        if not phi or phi <= 0.0:  # all points already coincide with centers
+            break
+        u = F.pmod(F.xxhash64(F.col("__id"), F.lit(seed + r)), F.lit(1 << 24)) / F.lit(denom)
+        picked = scored.filter(u < F.least(F.lit(1.0), F.lit(oversample) * F.col("__d2") / F.lit(float(phi))))
+        centers.extend(
+            [[float(x) for x in row["__v"]] for row in picked.select("__v").collect()]
+        )
+    if len(centers) <= k:
+        # degenerate corpus (fewer distinct regions than k): top up with
+        # deterministic seed rows and return
+        extra = _seed_vectors(df, k, id_col, vec_col)
+        seen = {tuple(c) for c in centers}
+        for v in extra:
+            if len(centers) >= k:
+                break
+            if tuple(v) not in seen:
+                centers.append(v)
+        return centers[:k]
+
+    # weight candidates by how many points they are nearest to (one pass)
+    assign = kmeans_assign_udf(centers)
+    weights_rows = (
+        df.select(assign(F.col(vec_col)).alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    w = np.zeros(len(centers), dtype=np.float64)
+    for row in weights_rows:
+        w[row["c"]] = float(row["w"])
+    C = np.asarray(centers, dtype=np.float64)
+
+    # driver-side weighted k-means++ over the candidate set (tiny).
+    # Driver-only RNG with a fixed seed: deterministic across runs and
+    # cluster sizes — no distributed RNG state.
+    rng = np.random.default_rng(seed)
+    first = int(np.argmax(w))  # heaviest candidate: deterministic anchor
+    chosen = [first]
+    d2 = ((C - C[first]) ** 2).sum(axis=1)
+    while len(chosen) < k:
+        probs = w * d2
+        total = probs.sum()
+        if total <= 0.0:
+            # remaining candidates coincide with chosen ones: take heaviest
+            for i in np.argsort(-w):
+                if int(i) not in chosen:
+                    chosen.append(int(i))
+                    break
+            else:
+                break
+        else:
+            nxt = int(rng.choice(len(C), p=probs / total))
+            if nxt in chosen:
+                # collision under sampling: fall back to the farthest point
+                nxt = int(np.argmax(probs))
+                if nxt in chosen:
+                    remaining = [i for i in range(len(C)) if i not in chosen]
+                    nxt = max(remaining, key=lambda i: probs[i])
+            chosen.append(nxt)
+        d2 = np.minimum(d2, ((C - C[chosen[-1]]) ** 2).sum(axis=1))
+    # a few weighted Lloyd's steps ON THE CANDIDATES polish the k picks
+    centers_k = C[chosen].copy()
+    for _ in range(3):
+        dist = ((C[:, None, :] - centers_k[None, :, :]) ** 2).sum(axis=2)
+        a = dist.argmin(axis=1)
+        for j in range(len(centers_k)):
+            mask = (a == j) & (w > 0)
+            if mask.any():
+                centers_k[j] = (C[mask] * w[mask, None]).sum(axis=0) / w[mask].sum()
+    return [list(map(float, c)) for c in centers_k]
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 8,
@@ -361,6 +488,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    init: str = "seed",
 ) -> list[list[float]]:
     """Distributed Lloyd's k-means over an embedding column.
 
@@ -374,13 +502,22 @@ def kmeans_fit(
 
     At 100 TB this is the canonical iterative-algorithm shape: per-pass
     cost = one scan + one tiny shuffle; driver state stays O(k · dim).
+
+    ``init='seed'`` starts from the deterministic hash-seeded rows;
+    ``init='parallel'`` runs k-means|| first (``kmeans_parallel_init``) —
+    better-spread seeds, same downstream dataflow.
     """
     if dim is None:
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
         if first is None:
             raise ValueError("kmeans_fit: empty input")
         dim = first["d"]
-    centroids = _seed_vectors(df, k, id_col, vec_col)
+    if init == "parallel":
+        centroids = kmeans_parallel_init(df, k, id_col=id_col, vec_col=vec_col)
+    elif init == "seed":
+        centroids = _seed_vectors(df, k, id_col, vec_col)
+    else:
+        raise ValueError(f"kmeans_fit: unknown init {init!r}")
     for _ in range(n_iter):
         assign = kmeans_assign_udf(centroids)
         means = (

@@ -60,6 +60,41 @@ def test_sqlite_append_accumulates(spark, tmp_path):
     con.close()
 
 
+def test_jdbc_write_roundtrip_derby(spark, tmp_path):
+    """O-17 cluster-grade twin: the trades aggregate written through the
+    distributed JDBC sink (embedded Derby, ships with Spark) must read
+    back with the same 545 rows and values as the SQLite sink writes —
+    and append mode must accumulate like to_sql(if_exists='append')."""
+    from etl_demo_spark.io.sinks import read_jdbc, write_jdbc
+    from etl_demo_spark.pipelines.weekly_trades import run_etl
+
+    res = run_etl(spark, "/root/reference/trades (1) (2) (1).csv")
+    agg = res.aggregated
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+
+    write_jdbc(agg, url, "agg_trades_weekly", num_partitions=4)
+    back = read_jdbc(spark, url, "agg_trades_weekly")
+    assert back.count() == agg.count() == 545
+
+    key = ["week_start_date", "client_type", "user_id", "symbol"]
+
+    def snap(df):
+        return {
+            tuple(str(r[c]) for c in key): tuple(
+                None if r[c] is None else round(float(r[c]), 6)
+                for c in ("total_volume", "total_pnl")
+            )
+            for r in df.collect()
+        }
+
+    assert snap(back) == snap(agg)
+
+    # append accumulates (reference's duplicate-on-rerun behavior)
+    write_jdbc(agg, url, "agg_trades_weekly", num_partitions=4)
+    assert read_jdbc(spark, url, "agg_trades_weekly").count() == 1090
+    agg.unpersist()
+
+
 def test_save_charts_fallback(spark, tmp_path):
     """O-26: chart sink writes PNGs with matplotlib or CSV fallback."""
     from etl_demo_spark.pipelines.weekly_trades import run_etl
@@ -252,12 +287,28 @@ def test_sqlite_source_maps_wider_declared_types(spark, tmp_path):
     )
     schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     assert schema == {
-        "a": "bigint", "b": "bigint", "c": "double",
+        "a": "bigint", "b": "bigint", "c": "decimal(10,2)",
         "d": "string", "e": "timestamp",
     }
     r = df.collect()[0]
-    assert (r.a, r.b, r.c, r.d) == (7, 1, 2.5, "hi")
+    from decimal import Decimal
+
+    assert (r.a, r.b, r.c, r.d) == (7, 1, Decimal("2.50"), "hi")
     assert r.e.year == 2024 and r.e.hour == 12
+
+
+def test_sqlite_source_bare_numeric_stays_double(spark, tmp_path):
+    """DECIMAL(p,s) is exact, but bare NUMERIC/DECIMAL (no precision) stays
+    double — SQLite stores those as REAL so no exactness exists to keep."""
+    import sqlite3
+
+    from etl_demo_spark.io.sqlite_source import _table_schema
+
+    db = str(tmp_path / "n.db")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE n (a NUMERIC, b DECIMAL, c NUMERIC(12,4))")
+    schema = {f.name: f.dataType.simpleString() for f in _table_schema(db, "n").fields}
+    assert schema == {"a": "double", "b": "double", "c": "decimal(12,4)"}
 
 
 def test_sqlite_source_pushes_filters_down(spark, tmp_path):

@@ -722,6 +722,62 @@ def test_embedding_index_build_query_and_prune(spark, tmp_path):
     assert top.cos_sim == 1.0
 
 
+def test_kmeans_parallel_init_quality_and_recall(spark, tmp_path):
+    """k-means|| init (VLDB'12) must (a) return exactly k deterministic
+    centers, (b) reach equal-or-lower k-means cost than hash-seed init
+    after the same Lloyd's iterations, and (c) give equal-or-better IVF
+    recall at the same probe count. Everything here is deterministic
+    (hash-uniform coin flips + fixed driver seed), so strict comparisons
+    are stable."""
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.pipelines.embedding_index import build_index, query_index
+    from etl_demo_spark.vec import (
+        _min_dist2_udf,
+        brute_force_topk,
+        kmeans_fit,
+        kmeans_parallel_init,
+    )
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(src)
+
+    init_a = kmeans_parallel_init(emb, k=8)
+    init_b = kmeans_parallel_init(emb, k=8)
+    assert len(init_a) == 8 and init_a == init_b  # deterministic
+
+    def cost(centers):
+        return (
+            emb.select(_min_dist2_udf(centers)(F.col("embedding")).alias("d"))
+            .agg(F.sum("d")).first()[0]
+        )
+
+    c_seed = kmeans_fit(emb, k=8, n_iter=3, init="seed")
+    c_par = kmeans_fit(emb, k=8, n_iter=3, init="parallel")
+    assert cost(c_par) <= cost(c_seed) * 1.001  # equal-or-better clustering
+
+    # recall at the same nprobe: parallel-init codebook >= seed-init
+    qids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").limit(200).collect()][::40]
+    vecs = {
+        r.vec_id: [float(v) for v in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    want = {q: {r.vec_id for r in brute_force_topk(emb, vecs[q], k=10).collect()} for q in qids}
+
+    recall = {}
+    for init in ("seed", "parallel"):
+        dest = str(tmp_path / f"idx_{init}")
+        build_index(spark, src, dest, n_cells=8, kmeans_iters=3, init=init)
+        hits = tot = 0
+        for q in qids:
+            got = {r.vec_id for r in query_index(spark, dest, vecs[q], k=10, nprobe=2).collect()}
+            hits += len(want[q] & got)
+            tot += len(want[q])
+        recall[init] = hits / tot
+    assert recall["parallel"] >= recall["seed"], recall
+    assert recall["parallel"] >= 0.5, recall  # absolute floor at nprobe 2/8
+
+
 def test_embedding_index_kmeans_codebook(spark, tmp_path):
     """kmeans-trained codebook: same layout and full recall when probing
     all cells; sidecar centroids are the trained ones (not raw seeds)."""

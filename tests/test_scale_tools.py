@@ -43,6 +43,30 @@ def test_salted_agg_equals_plain_agg(spark):
         assert plain[k][2] == salted[k][2], k
 
 
+def test_salted_agg_tolerates_map_columns(spark):
+    """Salting hashes only xxhash64-supported columns: a MapType column in
+    the schema must not fail analysis (maps are unhashable in Spark)."""
+    df = spark.createDataFrame(
+        [("a", 1, {"k": "v"}), ("a", 2, {"k": "w"}), ("b", 3, {})],
+        "g string, v int, m map<string,string>",
+    )
+    out = {
+        r["g"]: r["s"]
+        for r in salted_agg(df, ["g"], {"s": (F.sum("v"), "sum")}).collect()
+    }
+    assert out == {"a": 3, "b": 3}
+
+
+def test_get_spark_tolerates_non_numeric_cpus(monkeypatch):
+    """SPARK_GRAFT_CPUS='*' is a valid local[...] token; session build must
+    not raise deriving shuffle width from it."""
+    from etl_demo_spark.session import get_spark
+
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "*")
+    s = get_spark()  # returns the shared session; must not ValueError
+    assert s is not None
+
+
 def test_salted_agg_spreads_partials(spark):
     """The phase-1 aggregation must produce multiple partials per hot key."""
     li = spark.read.parquet(f"{SF0001}/lineitem.parquet")
