@@ -1,0 +1,219 @@
+"""Minimal pure-stdlib PNG encoder + chart rasterizer.
+
+Closes O-26 (`etl_weekly_trades.py:229-268`, weekly-volume line chart +
+stacked weekly-count bars) without matplotlib: a PNG is a fixed signature
+plus zlib-compressed filter-0 scanlines (RFC 2083), so numpy + zlib +
+struct are enough to emit real, viewable chart images. The rasterizer
+draws axes, polylines, stacked bars, and 5×7-bitmap-font titles into an
+RGB array; ``encode_png`` serializes it.
+
+Driver-side by design: charts render the tiny post-aggregation frames
+(weeks × client_types), never distributed data.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# 5x7 bitmap glyphs (rows of 5 bits, MSB = leftmost pixel) for chart
+# titles/labels — uppercase, digits, and the few punctuation marks the
+# chart titles use.
+_FONT: dict[str, tuple[int, ...]] = {
+    "A": (0b01110, 0b10001, 0b10001, 0b11111, 0b10001, 0b10001, 0b10001),
+    "B": (0b11110, 0b10001, 0b10001, 0b11110, 0b10001, 0b10001, 0b11110),
+    "C": (0b01110, 0b10001, 0b10000, 0b10000, 0b10000, 0b10001, 0b01110),
+    "D": (0b11110, 0b10001, 0b10001, 0b10001, 0b10001, 0b10001, 0b11110),
+    "E": (0b11111, 0b10000, 0b10000, 0b11110, 0b10000, 0b10000, 0b11111),
+    "F": (0b11111, 0b10000, 0b10000, 0b11110, 0b10000, 0b10000, 0b10000),
+    "G": (0b01110, 0b10001, 0b10000, 0b10111, 0b10001, 0b10001, 0b01111),
+    "H": (0b10001, 0b10001, 0b10001, 0b11111, 0b10001, 0b10001, 0b10001),
+    "I": (0b01110, 0b00100, 0b00100, 0b00100, 0b00100, 0b00100, 0b01110),
+    "J": (0b00111, 0b00010, 0b00010, 0b00010, 0b00010, 0b10010, 0b01100),
+    "K": (0b10001, 0b10010, 0b10100, 0b11000, 0b10100, 0b10010, 0b10001),
+    "L": (0b10000, 0b10000, 0b10000, 0b10000, 0b10000, 0b10000, 0b11111),
+    "M": (0b10001, 0b11011, 0b10101, 0b10101, 0b10001, 0b10001, 0b10001),
+    "N": (0b10001, 0b11001, 0b10101, 0b10011, 0b10001, 0b10001, 0b10001),
+    "O": (0b01110, 0b10001, 0b10001, 0b10001, 0b10001, 0b10001, 0b01110),
+    "P": (0b11110, 0b10001, 0b10001, 0b11110, 0b10000, 0b10000, 0b10000),
+    "Q": (0b01110, 0b10001, 0b10001, 0b10001, 0b10101, 0b10010, 0b01101),
+    "R": (0b11110, 0b10001, 0b10001, 0b11110, 0b10100, 0b10010, 0b10001),
+    "S": (0b01111, 0b10000, 0b10000, 0b01110, 0b00001, 0b00001, 0b11110),
+    "T": (0b11111, 0b00100, 0b00100, 0b00100, 0b00100, 0b00100, 0b00100),
+    "U": (0b10001, 0b10001, 0b10001, 0b10001, 0b10001, 0b10001, 0b01110),
+    "V": (0b10001, 0b10001, 0b10001, 0b10001, 0b10001, 0b01010, 0b00100),
+    "W": (0b10001, 0b10001, 0b10001, 0b10101, 0b10101, 0b10101, 0b01010),
+    "X": (0b10001, 0b10001, 0b01010, 0b00100, 0b01010, 0b10001, 0b10001),
+    "Y": (0b10001, 0b10001, 0b01010, 0b00100, 0b00100, 0b00100, 0b00100),
+    "Z": (0b11111, 0b00001, 0b00010, 0b00100, 0b01000, 0b10000, 0b11111),
+    "0": (0b01110, 0b10001, 0b10011, 0b10101, 0b11001, 0b10001, 0b01110),
+    "1": (0b00100, 0b01100, 0b00100, 0b00100, 0b00100, 0b00100, 0b01110),
+    "2": (0b01110, 0b10001, 0b00001, 0b00010, 0b00100, 0b01000, 0b11111),
+    "3": (0b11111, 0b00010, 0b00100, 0b00010, 0b00001, 0b10001, 0b01110),
+    "4": (0b00010, 0b00110, 0b01010, 0b10010, 0b11111, 0b00010, 0b00010),
+    "5": (0b11111, 0b10000, 0b11110, 0b00001, 0b00001, 0b10001, 0b01110),
+    "6": (0b00110, 0b01000, 0b10000, 0b11110, 0b10001, 0b10001, 0b01110),
+    "7": (0b11111, 0b00001, 0b00010, 0b00100, 0b01000, 0b01000, 0b01000),
+    "8": (0b01110, 0b10001, 0b10001, 0b01110, 0b10001, 0b10001, 0b01110),
+    "9": (0b01110, 0b10001, 0b10001, 0b01111, 0b00001, 0b00010, 0b01100),
+    " ": (0, 0, 0, 0, 0, 0, 0),
+    "-": (0, 0, 0, 0b11111, 0, 0, 0),
+    "_": (0, 0, 0, 0, 0, 0, 0b11111),
+    ".": (0, 0, 0, 0, 0, 0b00100, 0b00100),
+    ":": (0, 0b00100, 0, 0, 0, 0b00100, 0),
+    "/": (0b00001, 0b00010, 0b00010, 0b00100, 0b01000, 0b01000, 0b10000),
+}
+
+
+def encode_png(rgb: np.ndarray, path: str) -> None:
+    """Serialize an (H, W, 3) uint8 array as an RFC-2083 PNG (color type
+    2, bit depth 8, filter 0 per scanline, one IDAT)."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
+        raise ValueError("encode_png expects an (H, W, 3) uint8 array")
+    h, w, _ = rgb.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
+        f.write(chunk(b"IEND", b""))
+
+
+def decode_png_size(path: str) -> tuple[int, int]:
+    """(width, height) from the IHDR — cheap validation helper."""
+    with open(path, "rb") as f:
+        sig = f.read(8)
+        if sig != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG")
+        f.read(8)  # IHDR length + tag
+        w, h = struct.unpack(">II", f.read(8))
+    return w, h
+
+
+def _draw_text(img: np.ndarray, x: int, y: int, text: str, color=(40, 40, 40)) -> None:
+    for ch in text.upper():
+        glyph = _FONT.get(ch, _FONT[" "])
+        for gy, bits in enumerate(glyph):
+            for gx in range(5):
+                if bits & (1 << (4 - gx)):
+                    yy, xx = y + gy, x + gx
+                    if 0 <= yy < img.shape[0] and 0 <= xx < img.shape[1]:
+                        img[yy, xx] = color
+        x += 6
+
+
+def _blank(w: int, h: int) -> np.ndarray:
+    return np.full((h, w, 3), 255, dtype=np.uint8)
+
+
+def _axes(img: np.ndarray, l: int, t: int, r: int, b: int) -> None:
+    img[b, l:r + 1] = (0, 0, 0)
+    img[t:b + 1, l] = (0, 0, 0)
+
+
+def _polyline(img: np.ndarray, xs: np.ndarray, ys: np.ndarray, color) -> None:
+    """Dense-sampled line segments (no aliasing niceties needed)."""
+    for i in range(len(xs) - 1):
+        x0, y0, x1, y1 = xs[i], ys[i], xs[i + 1], ys[i + 1]
+        n = max(abs(int(x1) - int(x0)), abs(int(y1) - int(y0)), 1)
+        t = np.linspace(0.0, 1.0, n + 1)
+        px = np.round(x0 + (x1 - x0) * t).astype(int)
+        py = np.round(y0 + (y1 - y0) * t).astype(int)
+        ok = (py >= 0) & (py < img.shape[0]) & (px >= 0) & (px < img.shape[1])
+        img[py[ok], px[ok]] = color
+        # thicken by one pixel vertically for visibility
+        ok2 = ok & (py + 1 < img.shape[0])
+        img[py[ok2] + 1, px[ok2]] = color
+
+
+PALETTE = [
+    (31, 119, 180),
+    (255, 127, 14),
+    (44, 160, 44),
+    (214, 39, 40),
+    (148, 103, 189),
+    (140, 86, 75),
+]
+
+
+def line_chart(
+    values: list[float],
+    path: str,
+    title: str = "",
+    width: int = 800,
+    height: int = 420,
+) -> None:
+    """Single-series line chart over an ordered x (category positions)."""
+    img = _blank(width, height)
+    l, t, r, b = 50, 30, width - 20, height - 40
+    _axes(img, l, t, r, b)
+    if title:
+        _draw_text(img, l, 10, title[: (width - l) // 6])
+    v = np.asarray([0.0 if x is None else float(x) for x in values], dtype=float)
+    if len(v) >= 1:
+        lo, hi = float(np.nanmin(v)), float(np.nanmax(v))
+        lo = min(lo, 0.0)
+        span = (hi - lo) or 1.0
+        xs = np.linspace(l + 4, r - 4, num=max(len(v), 2))[: len(v)]
+        ys = b - 4 - (v - lo) / span * (b - t - 12)
+        if len(v) == 1:
+            ys = np.repeat(ys, 2)
+            xs = np.array([l + 4, r - 4], dtype=float)
+        _polyline(img, xs, ys, PALETTE[0])
+        _draw_text(img, 2, t, f"{hi:.0f}"[:7])
+        _draw_text(img, 2, b - 7, f"{lo:.0f}"[:7])
+    encode_png(img, path)
+
+
+def stacked_bar_chart(
+    categories: list[str],
+    series: dict[str, list[float]],
+    path: str,
+    title: str = "",
+    width: int = 800,
+    height: int = 420,
+) -> None:
+    """Stacked vertical bars: one bar per category, one colored layer per
+    series (insertion order), with a color-keyed legend."""
+    img = _blank(width, height)
+    l, t, r, b = 50, 30, width - 140, height - 40
+    _axes(img, l, t, r, b)
+    if title:
+        _draw_text(img, l, 10, title[: (width - l) // 6])
+    names = list(series)
+    n = len(categories)
+    if n and names:
+        totals = np.zeros(n)
+        for vals in series.values():
+            totals += np.asarray([0.0 if x is None else float(x) for x in vals])
+        peak = float(totals.max()) or 1.0
+        slot = (r - l - 8) / n
+        bar_w = max(1, int(slot * 0.7))
+        cum = np.zeros(n)
+        for si, name in enumerate(names):
+            vals = np.asarray([0.0 if x is None else float(x) for x in series[name]])
+            color = PALETTE[si % len(PALETTE)]
+            for ci in range(n):
+                x0 = int(l + 4 + ci * slot + (slot - bar_w) / 2)
+                y1 = b - 1 - int(cum[ci] / peak * (b - t - 12))
+                y0 = b - 1 - int((cum[ci] + vals[ci]) / peak * (b - t - 12))
+                img[max(t, y0):max(t, y1 + 1), x0:x0 + bar_w] = color
+            cum += vals
+        _draw_text(img, 2, t, f"{peak:.0f}"[:7])
+        for si, name in enumerate(names):  # legend
+            y = t + si * 12
+            img[y:y + 8, r + 10:r + 18] = PALETTE[si % len(PALETTE)]
+            _draw_text(img, r + 22, y, str(name)[:18])
+    encode_png(img, path)

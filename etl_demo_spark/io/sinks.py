@@ -102,8 +102,10 @@ def read_jdbc(
 def write_excel(df: DataFrame, path: str) -> str:
     """Excel report sink (O-24, `etl_weekly_trades.py:214-217`).
 
-    Driver-side over a tiny aggregate. Falls back to CSV when openpyxl is
-    not installed (this container), keeping the same frame contents.
+    Driver-side over a tiny aggregate. Uses pandas/openpyxl when present;
+    otherwise the built-in pure-stdlib SpreadsheetML writer (io/xlsx.py)
+    emits the same number/inline-string cell shapes the reference's
+    artifact uses — a real .xlsx either way.
     """
     _ensure_parent(path)
     pdf = df.toPandas()
@@ -111,9 +113,16 @@ def write_excel(df: DataFrame, path: str) -> str:
         pdf.to_excel(path, index=False)
         return path
     except ImportError:
-        alt = os.path.splitext(path)[0] + ".csv"
-        pdf.to_csv(alt, index=False)
-        return alt
+        from etl_demo_spark.io.xlsx import write_xlsx
+
+        def py(v):
+            v = v.item() if hasattr(v, "item") else v  # numpy scalar → python
+            return None if (isinstance(v, float) and v != v) else v
+
+        header = [str(c) for c in pdf.columns]
+        rows = [[py(v) for v in rec] for rec in pdf.itertuples(index=False, name=None)]
+        write_xlsx(path, header, rows)
+        return path
 
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:

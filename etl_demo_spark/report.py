@@ -63,16 +63,17 @@ def weekly_volume_series(df_agg: DataFrame) -> DataFrame:
 
 def save_charts(df_agg: DataFrame, out_dir: str) -> list[str]:
     """O-26 (`etl_weekly_trades.py:229-268`): weekly-volume line + stacked
-    weekly-count bars. Driver-side matplotlib over the tiny aggregate when
-    available; otherwise falls back to writing the chart-feeding frames as
-    CSV (this container has no matplotlib) — the distributed part (the
-    aggregations) is identical either way."""
+    weekly-count bars, as real PNGs. Driver-side matplotlib over the tiny
+    aggregate when available; otherwise the built-in pure-stdlib PNG
+    rasterizer (io/png.py) draws the same two charts — the distributed
+    part (the aggregations) is identical either way."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
     series = weekly_volume_series(df_agg).toPandas()
     counts = weekly_counts_by_client(df_agg).toPandas()
-    written: list[str] = []
+    p1 = os.path.join(out_dir, "weekly_volume.png")
+    p2 = os.path.join(out_dir, "weekly_counts.png")
     try:
         import matplotlib
 
@@ -82,7 +83,6 @@ def save_charts(df_agg: DataFrame, out_dir: str) -> list[str]:
         fig, ax = plt.subplots()
         ax.plot(series["week_start_date"], series["total_volume"])
         ax.set_title("Weekly total volume")
-        p1 = os.path.join(out_dir, "weekly_volume.png")
         fig.savefig(p1)
         plt.close(fig)
         fig, ax = plt.subplots()
@@ -94,17 +94,22 @@ def save_charts(df_agg: DataFrame, out_dir: str) -> list[str]:
         # TypeError after the first chart already wrote — the chart SET
         # stays complete either way
         ax.set_title("Weekly trade count by client type")
-        p2 = os.path.join(out_dir, "weekly_counts.png")
         fig.savefig(p2)
         plt.close(fig)
-        written += [p1, p2]
     except ImportError:
-        p1 = os.path.join(out_dir, "weekly_volume.csv")
-        p2 = os.path.join(out_dir, "weekly_counts.csv")
-        series.to_csv(p1, index=False)
-        counts.to_csv(p2, index=False)
-        written += [p1, p2]
-    return written
+        from etl_demo_spark.io.png import line_chart, stacked_bar_chart
+
+        line_chart(
+            list(series["total_volume"]), p1, title="Weekly total volume"
+        )
+        cats = [str(v) for v in counts["week_start_date"]]
+        layers = {
+            c: list(counts[c]) for c in counts.columns if c != "week_start_date"
+        }
+        stacked_bar_chart(
+            cats, layers, p2, title="Weekly trade count by client type"
+        )
+    return [p1, p2]
 
 
 def weekly_counts_by_client(df_agg: DataFrame) -> DataFrame:
