@@ -2631,6 +2631,95 @@ def event_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "concurrent_session_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM d
+    ), sess AS (
+      SELECT user_id, session_id, MIN(ts) AS st, MAX(ts) AS en
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           COUNT(*) AS n_overlaps,
+           CAST(SUM(epoch_us(LEAST(a.en, b.en)) - epoch_us(GREATEST(a.st, b.st))) AS DOUBLE)
+             / 1000000.0 AS overlap_secs
+    FROM sess a JOIN sess b
+      ON a.user_id < b.user_id
+     AND a.st <= b.en AND b.st <= a.en
+    GROUP BY a.user_id, b.user_id
+    """,
+)
+def concurrent_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-3 range join: which user pairs had OVERLAPPING activity sessions,
+    how often, and for how long. Sessions are the 30-minute-gap windows of
+    `event_sessions_batch`; the overlap join is `ops.interval_overlap_join`
+    — bucket-decomposed (1-hour buckets on epoch seconds) so the
+    inequality predicate runs inside a plain shuffled equi-join on the
+    bucket id, with exactly-once emission in the bucket holding the
+    overlap's left edge. DuckDB's native IEJoin is the oracle.
+
+    Scale: candidates per bucket ≈ concurrent sessions in that hour (not
+    n²); overlap seconds are exact integer microsecond sums cast to
+    double at the end."""
+    from pyspark.sql.window import Window
+
+    from etl_demo_spark.ops import interval_overlap_join
+
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        ev.select("user_id", "ts", "event_id", is_new.alias("is_new"))
+        .select("user_id", "ts", F.sum("is_new").over(run).alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("st_us"),
+            F.max(F.unix_micros("ts")).alias("en_us"),
+        )
+    )
+    left = sess.select(
+        F.col("user_id").alias("user_a"),
+        F.col("st_us").cast("long").alias("a_st"),
+        F.col("en_us").cast("long").alias("a_en"),
+    )
+    right = sess.select(
+        F.col("user_id").alias("user_b"),
+        F.col("st_us").cast("long").alias("b_st"),
+        F.col("en_us").cast("long").alias("b_en"),
+    )
+    pairs = interval_overlap_join(
+        left,
+        right,
+        "a_st",
+        "a_en",
+        "b_st",
+        "b_en",
+        bucket_width=3600 * 1_000_000,  # 1-hour buckets in microseconds
+        condition=F.col("user_a") < F.col("user_b"),
+    )
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        (
+            F.sum(F.least("a_en", "b_en") - F.greatest("a_st", "b_st"))
+            .cast("double") / F.lit(1_000_000.0)
+        ).alias("overlap_secs"),
+    )
+
+
+@query(
     "lineitem_dispersion",
     oracle=f"""
     SELECT l_returnflag,

@@ -138,6 +138,69 @@ def asof_join(
     return out
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: int,
+    keys: Sequence[str] = (),
+    condition: Column | None = None,
+) -> DataFrame:
+    """Interval-overlap join (range join) via bucket decomposition — the
+    scalable alternative to the nested-loop plan Spark picks for a pure
+    inequality join.
+
+    Each side explodes its interval into the coarse time buckets it
+    covers (``sequence(start div w, end div w)``), the sides equi-join on
+    (``keys``…, bucket) — a plain shuffled hash join — and the exact
+    overlap predicate ``l_start <= r_end AND r_start <= l_end`` filters
+    within buckets. A pair overlapping across several buckets would match
+    once per shared bucket, so results are emitted ONLY in the bucket
+    containing ``greatest(l_start, r_start)`` — exactly-once without a
+    ``distinct`` (no second shuffle).
+
+    Start/end columns must be LONGs in a shared unit (epoch seconds,
+    days, …; caller converts). Non-key column names must be disjoint
+    across the two inputs (rename before calling). ``bucket_width`` trades shuffle
+    fan-out for candidate precision: pick ≈ the median interval length —
+    long intervals explode into interval/width rows, so cap outliers
+    upstream. ``condition`` (e.g. ``col("user_a") < col("user_b")``) is
+    applied inside the join to cut candidates before they materialize.
+
+    At 100 TB this is the standard range-join topology (point-in-interval
+    joins fall out by passing the point column as both start and end, an
+    empty ``keys`` is supported but means every interval lands in the
+    global bucket stream — add an equi key whenever the data has one).
+    NULL bounds drop (inner-join semantics)."""
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError("interval_overlap_join: bucket_width must be positive")
+    overlap = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap:
+        raise ValueError(
+            "interval_overlap_join: non-key column names must be disjoint, "
+            f"shared: {sorted(overlap)}"
+        )
+    lb = left.withColumn(
+        "__bucket", F.explode(F.expr(f"sequence({l_start} div {w}, {l_end} div {w})"))
+    )
+    rb = right.withColumn(
+        "__bucket", F.explode(F.expr(f"sequence({r_start} div {w}, {r_end} div {w})"))
+    )
+    joined = lb.join(rb, ["__bucket", *keys])
+    cond = (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
+    # exactly-once emission: only the bucket holding the overlap's left edge
+    cond = cond & (
+        F.col("__bucket") == F.expr(f"greatest({l_start}, {r_start}) div {w}")
+    )
+    if condition is not None:
+        cond = cond & condition
+    return joined.filter(cond).drop("__bucket")
+
+
 # ---------------------------------------------------------------------------
 # Skew & co-location tools (100 TB posture)
 # ---------------------------------------------------------------------------

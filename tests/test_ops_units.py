@@ -503,3 +503,65 @@ def test_gap_islands_with_planted_gaps(spark):
         for r in gap_islands(k).collect()
     )
     assert got == [(1, 3, 3), (7, 8, 2), (15, 15, 1)]
+
+
+def test_interval_overlap_join_equals_brute_force(spark):
+    """Bucket-decomposed range join == the non-equi brute-force join,
+    including intervals spanning MANY buckets (the exactly-once emission
+    rule must dedup multi-bucket matches without a distinct)."""
+    from etl_demo_spark.ops import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 250), (2, 90, 110), (3, 400, 401), (4, 95, 705)],
+        "lid int, a_st long, a_en long",
+    )
+    right = spark.createDataFrame(
+        [(10, 100, 120), (11, 240, 260), (12, 390, 520), (13, 700, 800),
+         (14, 0, 1000)],
+        "rid int, b_st long, b_en long",
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "a_st", "a_en", "b_st", "b_en", bucket_width=100
+        ).collect()
+    }
+    want = {
+        (r.lid, r.rid)
+        for r in left.join(
+            right,
+            (F.col("a_st") <= F.col("b_en")) & (F.col("b_st") <= F.col("a_en")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # every pair exactly once, even for the bucket-spanning (4, 14) pair
+    rows = interval_overlap_join(
+        left, right, "a_st", "a_en", "b_st", "b_en", bucket_width=100
+    ).groupBy("lid", "rid").count().collect()
+    assert all(r["count"] == 1 for r in rows)
+
+
+def test_interval_overlap_join_plan_has_no_nested_loop(spark):
+    """The whole point: the range predicate must run inside a shuffled
+    equi-join on the bucket id, never a BroadcastNestedLoop/cartesian."""
+    from etl_demo_spark.ops import interval_overlap_join
+
+    left = spark.range(100).select(
+        F.col("id").alias("lid"), (F.col("id") * 10).alias("a_st"),
+        (F.col("id") * 10 + 5).alias("a_en"))
+    right = spark.range(100).select(
+        F.col("id").alias("rid"), (F.col("id") * 7).alias("b_st"),
+        (F.col("id") * 7 + 3).alias("b_en"))
+    j = interval_overlap_join(left, right, "a_st", "a_en", "b_st", "b_en", 16)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan[:1500]
+
+
+def test_interval_overlap_join_rejects_shared_columns(spark):
+    import pytest as _pytest
+
+    from etl_demo_spark.ops import interval_overlap_join
+
+    df = spark.createDataFrame([(1, 2)], "s long, e long")
+    with _pytest.raises(ValueError, match="disjoint"):
+        interval_overlap_join(df, df, "s", "e", "s", "e", 10)
