@@ -2314,6 +2314,53 @@ def clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jaccard_join_prefix_filter",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(text) - 4),
+                                          i -> substring(text, i, 5))) AS shingles
+      FROM documents WHERE doc_id < 500
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.8
+    """,
+)
+def jaccard_join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-12 EXACT similarity join at scale: the prefix-filtered
+    AllPairs/PPJoin topology (`dedup.prefix_filter_jaccard_join`) finds
+    every char-5-gram Jaccard ≥ 0.8 pair with NO quadratic stage — the
+    provably-complete exact counterpart to MinHash-LSH's probabilistic
+    candidates, oracled against DuckDB's brute-force all-pairs join.
+
+    The doc_id < 500 bound keeps the ORACLE's quadratic check constant
+    across sfs; the Spark side's cost tracks rare-token co-occurrence
+    (prefix-token equi-join), not pair count, and runs unbounded in
+    `dedup.prefix_filter_jaccard_join` itself."""
+    from etl_demo_spark.dedup import prefix_filter_jaccard_join
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    sh = docs.filter(F.col("doc_id") < 500).select(
+        F.col("doc_id").alias("id"),
+        F.expr(
+            "array_distinct(transform(sequence(1, length(text) - 4),"
+            " i -> substring(text, i, 5)))"
+        ).alias("shingles"),
+    )
+    return prefix_filter_jaccard_join(sh, threshold=0.8).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+@query(
     "ngram_jaccard_pairs",
     oracle="""
     WITH sh AS (

@@ -232,6 +232,99 @@ def jaccard_verify(
     return joined.filter(F.col("jaccard") >= threshold)
 
 
+def prefix_filter_jaccard_join(
+    sets_df: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    set_col: str = "shingles",
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
+    WWW'08): every pair with Jaccard ≥ ``threshold``, no false negatives,
+    without the O(n²) all-pairs join that bounds `ngram_jaccard_pairs`
+    and without MinHash-LSH's probabilistic recall.
+
+    The filter: order each doc's tokens by a GLOBAL total order
+    (document frequency asc, token asc — rare tokens first, minimizing
+    candidates; any consistent order is correct). If |x∩y|/|x∪y| ≥ t,
+    the sets must overlap within their first ``|s| − ⌈t·|s|⌉ + 1``
+    tokens, so candidate pairs = equi-join on exploded PREFIX tokens —
+    a plain shuffled hash join whose volume tracks how often rare
+    tokens co-occur, not n². A length filter (``t·|a| ≤ |b| ≤ |a|/t``)
+    prunes inside the join; exact Jaccard verifies survivors.
+
+    Shuffles: token df-count (1), doc re-sort (1), prefix self-join (1),
+    verification joins (2 broadcast-or-shuffle by id) — all bounded by
+    data + candidate volume. Float boundary slack (−1e-9) only LOOSENS
+    the filter; the final exact int/int division decides thresholds.
+
+    Input: (id, set) rows, set as array<string> (pre-deduplicated, e.g.
+    ``shingles()`` / char n-grams). Output: (id_a, id_b, jaccard) with
+    id_a < id_b."""
+    t = float(threshold)
+    if not 0.0 < t <= 1.0:
+        raise ValueError("prefix_filter_jaccard_join: threshold must be in (0, 1]")
+    # persist: the shingle table feeds the token-frequency pass, the
+    # prefix build, AND both verification joins — without it the
+    # upstream shingling executes four times. Standard for this join:
+    # the ordered token lists are materialized once in every published
+    # AllPairs/PPJoin implementation.
+    base = (
+        sets_df.select(
+            F.col(id_col).alias("id"), F.col(set_col).alias("s"), F.size(set_col).alias("n")
+        )
+        .filter(F.col("n") > 0)
+        .persist()
+    )
+
+    toks = base.select("id", "n", F.explode("s").alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_n"))
+    # per-doc tokens sorted by the global (df_n, tok) order; prefix length
+    # p = n − ceil(t·n) + 1 (slack keeps boundary pairs IN, never out).
+    # dfreq is vocabulary-sized (≪ corpus): broadcast it so re-attaching
+    # frequencies to the token stream costs no exchange of the big side —
+    # at web scale swap the hint for a shuffle join, the topology holds.
+    ordered = (
+        toks.join(F.broadcast(dfreq), "tok")
+        .groupBy("id", "n")
+        .agg(F.sort_array(F.collect_list(F.struct("df_n", "tok"))).alias("st"))
+    )
+    p = F.col("n") - F.ceil(F.lit(t) * F.col("n") - F.lit(1e-9)) + F.lit(1)
+    prefix = ordered.select(
+        "id",
+        "n",
+        F.explode(
+            F.slice(F.expr("transform(st, x -> x.tok)"), F.lit(1), p.cast("int"))
+        ).alias("tok"),
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.least("a.n", "b.n").cast("double")
+                >= F.lit(t) * F.greatest("a.n", "b.n") - F.lit(1e-9)
+            ),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = base.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter.cast("double") / (
+        F.size("sa") + F.size("sb") - inter
+    ).cast("double")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= t)
+    )
+
+
 # --------------------------------------------------------------------------
 # Fused near-dup pipeline (single pass, no persist)
 # --------------------------------------------------------------------------

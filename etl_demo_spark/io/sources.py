@@ -100,11 +100,13 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
-# (session id, sf_dir, table) → DataFrame. DataFrames are immutable logical
-# plans, so reuse is safe; caching skips the per-read footer/schema-inference
-# job that otherwise taxes every corpus query with fixed overhead. Keyed on
-# id(spark) so a restarted session never sees plans bound to a dead context.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# (application id, sf_dir, table) → DataFrame. DataFrames are immutable
+# logical plans, so reuse is safe; caching skips the per-read footer/schema-
+# inference job that otherwise taxes every corpus query with fixed overhead.
+# Keyed on the Spark applicationId (unique per context) so a restarted
+# session never sees plans bound to a dead context — id(spark) could be
+# reused by the allocator after a session is garbage-collected.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_tables(
@@ -119,8 +121,9 @@ def load_tables(
     ``spark.sql`` queries can reference them by name.
     """
     out: dict[str, DataFrame] = {}
+    app_id = spark.sparkContext.applicationId
     for name in tables:
-        key = (id(spark), sf_dir, name)
+        key = (app_id, sf_dir, name)
         df = _TABLE_CACHE.get(key)
         if df is None:
             path = os.path.join(sf_dir, f"{name}.parquet")

@@ -923,3 +923,55 @@ def test_media_features_null_content_yields_null_features(spark):
 
     with pytest.raises(ValueError, match="every_n"):
         sample_video_frames(media, every_n=0, use_fake_codec=True)
+
+
+def test_prefix_filter_jaccard_join_equals_brute_force(spark):
+    """The prefix-filtered similarity join is EXACT: same pairs and same
+    jaccard values as the all-pairs join, including planted near-dups,
+    at several thresholds (completeness would break first at low t)."""
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.dedup import prefix_filter_jaccard_join
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # subset keeps the BRUTE-FORCE side cheap (the quadratic theta join is
+    # the oracle here, not the operator under test), spread so the
+    # nested-loop comparison parallelizes
+    from etl_demo_spark.ops import spread_for_cpu
+
+    base = spread_for_cpu(docs.filter(F.col("doc_id") < 120).select("doc_id", "text"))
+    # plant two extra near-dup variants of doc 0 to guarantee matches
+    d0 = base.filter(F.col("doc_id") == 0).first()["text"]
+    planted = spark.createDataFrame(
+        [(90001, d0 + " tail"), (90002, "head " + d0)], "doc_id long, text string"
+    )
+    alld = base.unionByName(planted)
+    sh = alld.select(
+        F.col("doc_id").alias("id"),
+        F.expr(
+            "array_distinct(transform(sequence(1, length(text) - 4),"
+            " i -> substring(text, i, 5)))"
+        ).alias("shingles"),
+    )
+    inter = F.size(F.array_intersect("a.shingles", "b.shingles"))
+    jac = inter.cast("double") / (
+        F.size("a.shingles") + F.size("b.shingles") - inter
+    ).cast("double")
+    a, b = sh.alias("a"), sh.alias("b")
+    for t in (0.5, 0.8):
+        got = {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in prefix_filter_jaccard_join(sh, threshold=t).collect()
+        }
+        want = {
+            (r["id_a"], r["id_b"]): round(r["j"], 9)
+            for r in a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                jac.alias("j"),
+            )
+            .filter(F.col("j") >= t)
+            .collect()
+        }
+        assert got == want, (t, len(got), len(want))
+        assert any(90001 in k or 90002 in k for k in got), "planted dups missed"
