@@ -293,11 +293,20 @@ def prefix_filter_jaccard_join(
     prefix = ordered.select(
         "id",
         "n",
-        F.explode(
+        F.posexplode(
             F.slice(F.expr("transform(st, x -> x.tok)"), F.lit(1), p.cast("int"))
-        ).alias("tok"),
+        ).alias("pos", "tok"),  # pos is 0-based within the full sorted list
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin positional filter: a match at (sorted) positions i, j caps the
+    # achievable overlap at min(n_a − i, n_b − j); Jaccard ≥ t needs
+    # overlap ≥ ⌈t/(1+t)·(n_a+n_b)⌉. A true pair always passes via its
+    # EARLIEST common token (loosest cap), so any-match retention with
+    # this per-match prune is still complete — it just drops the hopeless
+    # candidates before they reach verification.
+    min_overlap = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("a.n") + F.col("b.n")) - F.lit(1e-9)
+    )
     cand = (
         a.join(
             b,
@@ -306,6 +315,12 @@ def prefix_filter_jaccard_join(
             & (
                 F.least("a.n", "b.n").cast("double")
                 >= F.lit(t) * F.greatest("a.n", "b.n") - F.lit(1e-9)
+            )
+            & (
+                F.least(
+                    F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+                )
+                >= min_overlap
             ),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
