@@ -70,7 +70,11 @@ def _cell(col: int, row: int, value) -> str:
         if isinstance(value, float) and value != value:  # NaN → blank
             return f'<c r="{ref}"/>'
         return f'<c r="{ref}" t="n"><v>{value!r}</v></c>'
-    return f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(value))}</t></is></c>'
+    # xml:space keeps leading/trailing whitespace through strict readers
+    return (
+        f'<c r="{ref}" t="inlineStr"><is>'
+        f'<t xml:space="preserve">{escape(str(value))}</t></is></c>'
+    )
 
 
 def write_xlsx(path: str, header: list[str], rows: list[list]) -> None:
@@ -124,7 +128,9 @@ def read_xlsx_values(path: str) -> tuple[list[str], list[list]]:
             t = c.attrib.get("t", "n")
             if t == "inlineStr":
                 tnode = c.find("m:is/m:t", ns)
-                val: object = tnode.text if tnode is not None else ""
+                # empty <t/> parses with text=None: an inline string cell
+                # is still a string — normalize to ""
+                val: object = (tnode.text or "") if tnode is not None else ""
             else:
                 v = c.find("m:v", ns)
                 if v is None or v.text is None:

@@ -378,3 +378,86 @@ def test_asof_join_equals_bruteforce(spark, left, right):
             rs, j, x, y = max(cands, key=lambda c: c[0])
             want = (x, y)
         assert got[i] == want, (i, k, s, got[i], want)
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 400), st.integers(0, 120)), min_size=1, max_size=20
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 400), st.integers(0, 120)), min_size=1, max_size=20
+    ),
+    width=st.sampled_from([7, 50, 128]),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_interval_overlap_join_matches_python_reference(spark_handle, left, right, width):
+    """Bucket-decomposed range join == quadratic Python reference for
+    random interval sets and bucket widths (start offsets + lengths,
+    including zero-length and bucket-spanning intervals); each
+    overlapping pair appears exactly once."""
+    from etl_demo_spark.ops import interval_overlap_join
+
+    spark = spark_handle
+    ldf = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(left)], "lid int, a_st long, a_en long"
+    )
+    rdf = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(right)], "rid int, b_st long, b_en long"
+    )
+    rows = interval_overlap_join(
+        ldf, rdf, "a_st", "a_en", "b_st", "b_en", bucket_width=width
+    ).collect()
+    got = [(r.lid, r.rid) for r in rows]
+    assert len(got) == len(set(got))  # exactly-once
+    want = {
+        (i, j)
+        for i, (ls, ld) in enumerate(left)
+        for j, (rs, rd) in enumerate(right)
+        if ls <= rs + rd and rs <= ls + ld
+    }
+    assert set(got) == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-10**6, 10**6)),
+            st.one_of(
+                st.none(),
+                st.floats(-1e9, 1e9, allow_nan=False),
+                st.just(float("nan")),
+            ),
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs", "Cc"),
+                ),
+                max_size=20,
+            ),
+        ),
+        min_size=0,
+        max_size=15,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_xlsx_roundtrip_property(tmp_path_factory, rows):
+    """The stdlib SpreadsheetML writer round-trips ints, floats, NaN
+    (→ blank), and arbitrary (XML-escaped) unicode strings."""
+    import math
+
+    from etl_demo_spark.io.xlsx import read_xlsx_values, write_xlsx
+
+    path = str(tmp_path_factory.mktemp("x") / "t.xlsx")
+    write_xlsx(path, ["i", "f", "s"], [list(r) for r in rows])
+    header, back = read_xlsx_values(path)
+    assert header == ["i", "f", "s"]
+    assert len(back) == len(rows)
+    for (i, f, s), got in zip(rows, back):
+        gi, gf, gs = got
+        assert gi == i
+        if f is None or (isinstance(f, float) and math.isnan(f)):
+            assert gf is None
+        else:
+            assert gf == pytest.approx(f, rel=1e-15)
+        # the reader returns numbers for numeric-looking strings only if
+        # typed numeric; strings always come back as written
+        assert gs == s
