@@ -201,6 +201,34 @@ def interval_overlap_join(
     return joined.filter(cond).drop("__bucket")
 
 
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    keys: Sequence[str] = (),
+    condition: Column | None = None,
+) -> DataFrame:
+    """Point-in-interval join: each point row matched to the interval rows
+    containing it (``start <= point <= end``). A point is a zero-length
+    interval, so this delegates to ``interval_overlap_join`` with the
+    point column as both bounds — the point side explodes into exactly
+    ONE bucket per row, so only the interval side pays explode fan-out."""
+    return interval_overlap_join(
+        points,
+        intervals,
+        point_col,
+        point_col,
+        start_col,
+        end_col,
+        bucket_width=bucket_width,
+        keys=keys,
+        condition=condition,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Skew & co-location tools (100 TB posture)
 # ---------------------------------------------------------------------------

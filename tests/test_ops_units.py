@@ -565,3 +565,26 @@ def test_interval_overlap_join_rejects_shared_columns(spark):
     df = spark.createDataFrame([(1, 2)], "s long, e long")
     with _pytest.raises(ValueError, match="disjoint"):
         interval_overlap_join(df, df, "s", "e", "s", "e", 10)
+
+
+def test_point_in_interval_join_matches_brute_force(spark):
+    from etl_demo_spark.ops import point_in_interval_join
+
+    pts = spark.createDataFrame(
+        [(1, 50), (2, 105), (3, 700), (4, 0)], "pid int, p long"
+    )
+    ivs = spark.createDataFrame(
+        [(10, 0, 99), (11, 100, 250), (12, 90, 710), (13, 701, 800)],
+        "iid int, st long, en long",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in point_in_interval_join(pts, ivs, "p", "st", "en", 64).collect()
+    }
+    want = {
+        (r.pid, r.iid)
+        for r in pts.join(
+            ivs, (F.col("st") <= F.col("p")) & (F.col("p") <= F.col("en"))
+        ).collect()
+    }
+    assert got == want and len(got) >= 5
