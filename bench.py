@@ -87,6 +87,20 @@ def main() -> None:
     ev_rows = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
     stream_rps = round(ev_rows / timings["stream_hourly_event_stats"])
 
+    # round-2 operators, tracked outside the headline suite so the
+    # headline metric stays comparable across rounds: bucketed range
+    # join and prefix-filtered exact similarity join (best of 2, warm)
+    extra: dict[str, float] = {}
+    for name in ("concurrent_session_pairs", "jaccard_join_prefix_filter"):
+        fn = queries[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        extra[name] = round(best, 3)
+
     print(
         json.dumps(
             {
@@ -100,6 +114,7 @@ def main() -> None:
                     "input_rows": ev_rows,
                     "rows_per_sec": stream_rps,
                 },
+                "extra_operators": extra,
             }
         )
     )
