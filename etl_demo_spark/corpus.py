@@ -1713,6 +1713,39 @@ def stream_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "heavy_hitter_types",
+    oracle="""
+    SELECT p_type, COUNT(*) AS cnt
+    FROM part
+    GROUP BY p_type
+    ORDER BY cnt DESC, p_type
+    LIMIT 10
+    """,
+)
+def heavy_hitter_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 heavy hitters via the ``approx_top_k`` sketch (Spark 4.1):
+    a single-pass, MERGEABLE frequent-items summary — at 100 TB this
+    replaces a full groupBy when only the head of the distribution
+    matters, and its memory is bounded by the tracked-item capacity,
+    not the key cardinality.
+
+    Oracled EXACTLY: capacity (10 000) ≥ the column's NDV (150 fixed
+    p_type values), where the space-saving sketch degrades to exact
+    counting; the top-10 is then re-sorted deterministically by
+    (count DESC, item) OUTSIDE the sketch so boundary ties resolve the
+    same way DuckDB's ORDER BY does. Below-NDV capacity trades that
+    exactness for bounded memory (counts become upper bounds)."""
+    (part,) = _t(spark, sf_dir, "part")
+    sk = part.agg(F.expr("approx_top_k(p_type, 500, 10000)").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("p_type"), F.col("e.count").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("p_type"))
+        .limit(10)
+    )
+
+
+@query(
     "top_bigrams",
     oracle="""
     WITH toks AS (
