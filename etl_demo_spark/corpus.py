@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_demo_spark.cache import release_persisted as _release_persisted
+from etl_demo_spark.cache import tracked_persist as _tracked_persist
 from etl_demo_spark.io.sources import load_tables
 from etl_demo_spark.ops import asof_join, week_start
 
@@ -46,10 +48,24 @@ ORACLES: dict[str, str] = {}
 
 
 def query(name: str, oracle: str | None = None):
-    """Register a corpus entry. ``oracle=None`` → driver rows-only check."""
+    """Register a corpus entry. ``oracle=None`` → driver rows-only check.
+
+    The REGISTERED callable releases operator-internal caches from the
+    previous query before running (cache.release_persisted) — by the time
+    the driver/bench invokes the next query, the prior result has been
+    consumed, so each sweep step holds at most one query's caches instead
+    of accumulating all of them across a 147-query sweep. The original
+    function is returned unwrapped so in-module composition is unaffected.
+    """
+    import functools
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _release_persisted()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
@@ -1056,6 +1072,33 @@ def _stream_table_name() -> str:
     return f"stream_result_{next(_STREAM_SEQ)}"
 
 
+def _run_stream(spark: SparkSession, stream_df, output_mode: str = "complete",
+                state_partitions: int = 2):
+    """Corpus-standard streaming execution: availableNow → memory sink.
+
+    Two hygiene rules on top of run_stream_to_memory:
+    - drops memory-sink tables left by PRIOR streaming corpus queries, so
+      repeated invocations (bench warm+3, sweep loops) don't accumulate
+      sink rows in session memory — by the time the next streaming query
+      starts, the previous result has been consumed by the caller;
+    - sizes the stateful shuffle to the corpus state cardinalities
+      (thousands of keys at sf0.1) instead of the batch-oriented session
+      default; see run_stream_to_memory's docstring for the scale math.
+    """
+    from etl_demo_spark.streaming import run_stream_to_memory
+
+    for t in spark.catalog.listTables():
+        if t.name.startswith("stream_result_") and t.isTemporary:
+            spark.catalog.dropTempView(t.name)
+    return run_stream_to_memory(
+        spark,
+        stream_df,
+        _stream_table_name(),
+        output_mode=output_mode,
+        state_partitions=state_partitions,
+    )
+
+
 @query(
     "stream_hourly_event_stats",
     oracle="""
@@ -1072,14 +1115,10 @@ def stream_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming engine (incremental micro-batches, watermarked state,
     availableNow trigger) — then differentially checked against a plain
     GROUP BY oracle. Batch/stream unification made testable."""
-    from etl_demo_spark.streaming import (
-        hourly_event_stats,
-        read_events_stream,
-        run_stream_to_memory,
-    )
+    from etl_demo_spark.streaming import hourly_event_stats, read_events_stream
 
     stream = read_events_stream(spark, sf_dir)
-    return run_stream_to_memory(spark, hourly_event_stats(stream), _stream_table_name())
+    return _run_stream(spark, hourly_event_stats(stream))
 
 
 @query(
@@ -1147,12 +1186,12 @@ def stream_user_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-10/X-11 applyInPandasWithState: per-user running counters evolved
     in GroupState across micro-batches (update mode). Final per-user values
     are asserted against batch aggregates in unit tests."""
-    from etl_demo_spark.streaming import read_events_stream, run_stream_to_memory
+    from etl_demo_spark.streaming import read_events_stream
     from etl_demo_spark.streaming.stateful import user_running_counters
 
     stream = read_events_stream(spark, sf_dir)
     counters = user_running_counters(stream)
-    out = run_stream_to_memory(spark, counters, _stream_table_name(), output_mode="update")
+    out = _run_stream(spark, counters, output_mode="update")
     # update-mode memory sink may hold one row per state update; keep the last per user
     from pyspark.sql import Window
 
@@ -1704,12 +1743,12 @@ def stream_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-10 stream-stream join executed by the REAL streaming engine
     (watermarked both sides, time-range-bounded state), checked against
     the plain batch SQL join. Attribution's join, streaming-native."""
-    from etl_demo_spark.streaming import read_events_stream, run_stream_to_memory
+    from etl_demo_spark.streaming import read_events_stream
     from etl_demo_spark.streaming.windows import purchases_after_clicks
 
     stream = read_events_stream(spark, sf_dir)
     joined = purchases_after_clicks(stream)
-    return run_stream_to_memory(spark, joined, _stream_table_name(), output_mode="append")
+    return _run_stream(spark, joined, output_mode="append")
 
 
 @query(
@@ -2773,8 +2812,8 @@ def concurrent_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.unix_micros("ts")).alias("st_us"),
             F.max(F.unix_micros("ts")).alias("en_us"),
         )
-        .persist()
     )
+    sess = _tracked_persist(sess)
     left = sess.select(
         F.col("user_id").alias("user_a"),
         F.col("st_us").cast("long").alias("a_st"),
@@ -3992,17 +4031,11 @@ def stream_segment_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed agg keeps watermark-bounded state only. This is the
     standard streaming-enrichment topology (dimension lookups without
     stream-stream state)."""
-    from etl_demo_spark.streaming import (
-        enriched_purchase_stats,
-        read_events_stream,
-        run_stream_to_memory,
-    )
+    from etl_demo_spark.streaming import enriched_purchase_stats, read_events_stream
 
     (customer,) = _t(spark, sf_dir, "customer")
     stream = read_events_stream(spark, sf_dir)
-    return run_stream_to_memory(
-        spark, enriched_purchase_stats(stream, customer), _stream_table_name()
-    )
+    return _run_stream(spark, enriched_purchase_stats(stream, customer))
 
 
 @query(
@@ -4189,7 +4222,7 @@ def stream_minute_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: dedup state is one entry per key within the horizon; the
     count aggregate rides the same micro-batch pipeline (complete
     mode)."""
-    from etl_demo_spark.streaming import read_events_stream, run_stream_to_memory
+    from etl_demo_spark.streaming import read_events_stream
     from etl_demo_spark.streaming.windows import dedup_stream
 
     stream = read_events_stream(spark, sf_dir).withColumn(
@@ -4201,7 +4234,7 @@ def stream_minute_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="40 days",
     )
     counts = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
-    return run_stream_to_memory(spark, counts, _stream_table_name())
+    return _run_stream(spark, counts)
 
 
 @query(
@@ -5599,16 +5632,10 @@ def stream_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, never the raw stream."""
     from pyspark.sql.window import Window
 
-    from etl_demo_spark.streaming import (
-        hourly_event_stats,
-        read_events_stream,
-        run_stream_to_memory,
-    )
+    from etl_demo_spark.streaming import hourly_event_stats, read_events_stream
 
     stream = read_events_stream(spark, sf_dir)
-    gold = run_stream_to_memory(
-        spark, hourly_event_stats(stream), _stream_table_name()
-    )
+    gold = _run_stream(spark, hourly_event_stats(stream))
     w = Window.partitionBy("hour_start").orderBy(
         F.col("n_events").desc(), F.col("event_type").asc()
     )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_demo_spark.cache import tracked_persist
 from etl_demo_spark.ops import spread_for_cpu
 from etl_demo_spark.text import fingerprint, tokens
 
@@ -172,11 +173,11 @@ def minhash_lsh_candidates(
     # observed as bimodal runtimes. Persisting pins it to exactly one pass;
     # the banded signatures are num_hashes longs + key per doc×band, a tiny
     # fraction of the input corpus, so memory cost is negligible at scale.
-    # The cache lives until session end (the lazy result still references
-    # it, so there is no safe in-function unpersist point); iterative
-    # per-batch callers should materialize the pairs and then
-    # spark.catalog.clearCache() between batches.
-    banded = banded.persist()
+    # The lazy result still references the cache (no safe in-function
+    # unpersist point), so it is TRACKED: cache.release_persisted() frees
+    # it at the next unit-of-work boundary (corpus queries do this
+    # automatically; iterative per-batch callers call it between batches).
+    banded = tracked_persist(banded)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -208,8 +209,9 @@ def jaccard_verify(
     # shingle hashing cost scales with candidates, not corpus size.
     # Persist the (tiny) candidate set: it feeds both the semi-join and
     # the verification join, and without caching the whole LSH pipeline
-    # would execute twice.
-    candidates = candidates.persist()
+    # would execute twice. Tracked → released at the next unit-of-work
+    # boundary (cache.release_persisted).
+    candidates = tracked_persist(candidates)
     cand_ids = candidates.select(F.col("id_a").alias("cid")).unionByName(
         candidates.select(F.col("id_b").alias("cid"))
     )
@@ -268,13 +270,12 @@ def prefix_filter_jaccard_join(
     # prefix build, AND both verification joins — without it the
     # upstream shingling executes four times. Standard for this join:
     # the ordered token lists are materialized once in every published
-    # AllPairs/PPJoin implementation.
-    base = (
+    # AllPairs/PPJoin implementation. Tracked → released at the next
+    # unit-of-work boundary (cache.release_persisted).
+    base = tracked_persist(
         sets_df.select(
             F.col(id_col).alias("id"), F.col(set_col).alias("s"), F.size(set_col).alias("n")
-        )
-        .filter(F.col("n") > 0)
-        .persist()
+        ).filter(F.col("n") > 0)
     )
 
     toks = base.select("id", "n", F.explode("s").alias("tok"))
@@ -421,7 +422,9 @@ def minhash_near_dup_pairs(
     # shingle+hash aggregation to one execution — AQE re-plans the
     # branches independently and would otherwise recompute it (the same
     # bimodal-runtime failure minhash_lsh_candidates documents)
-    sigs = minhash_signature_table(df, text_col, id_col, num_hashes, shingle_k).persist()
+    sigs = tracked_persist(
+        minhash_signature_table(df, text_col, id_col, num_hashes, shingle_k)
+    )
     # all-NULL-signature docs (< shingle_k tokens, empty hset) carry no
     # MinHash evidence; with NULL-safe band keys they would ALL collide
     # in every band — an O(n²) candidate blowup on short docs

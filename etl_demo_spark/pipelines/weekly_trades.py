@@ -45,6 +45,7 @@ def run_etl(
     client_type: str = "bronze",
     top_n: int = 3,
     diagnose: bool = False,
+    add_timestamp: bool = False,
 ) -> EtlResult:
     """extract → clean → transform(+PnL) → [load] → [report].
 
@@ -76,8 +77,14 @@ def run_etl(
     agg = transform(cleaned, compute_pnl=compute_pnl)
     # the aggregate is group-grain (tiny vs the input); persist it so the
     # downstream actions (sink, report, CLI count/show) each reuse one
-    # scan+clean+aggregate execution instead of recomputing the pipeline
-    agg = agg.persist()
+    # scan+clean+aggregate execution instead of recomputing the pipeline.
+    # Tracked: a NEW run_etl releases the previous run's cache (its result
+    # has been consumed by then), so repeated pipeline invocations in one
+    # session don't accumulate cached aggregates.
+    from etl_demo_spark.cache import release_persisted, tracked_persist
+
+    release_persisted()
+    agg = tracked_persist(agg)
     result = EtlResult(aggregated=agg)
     action_ran = False
     if sqlite_path is not None:
@@ -87,7 +94,9 @@ def run_etl(
         metrics = ["total_volume", "total_pnl"] if compute_pnl else ["total_volume"]
         result.report = top_clients(agg, client_type=client_type, top_n=top_n, metrics=metrics)
         if report_path is not None:
-            result.report_path = export_report(result.report, report_path)
+            result.report_path = export_report(
+                result.report, report_path, add_timestamp=add_timestamp
+            )
             action_ran = True
     if diagnose and obs_raw is not None and not action_ran:
         # no sink ran, so no action carried the observations — run one
@@ -128,6 +137,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--charts", default=None)
     p.add_argument("--client-type", default="bronze")
     p.add_argument("--top-n", type=int, default=3)
+    p.add_argument(
+        "--add-timestamp",
+        action="store_true",
+        help="stamp the report filename with %%Y%%m%%d_%%H%%M%%S "
+        "(reference add_timestamp, etl_weekly_trades.py:210-212)",
+    )
     args = p.parse_args(argv)
 
     spark = get_spark(app_name="weekly_trades_etl")
@@ -140,6 +155,7 @@ def main(argv: list[str] | None = None) -> None:
         report_path=args.report,
         client_type=args.client_type,
         top_n=args.top_n,
+        add_timestamp=args.add_timestamp,
     )
     print(f"aggregated groups: {res.aggregated.count()}")
     if args.sqlite:

@@ -50,8 +50,31 @@ def top_clients(
     return union_all(frames).select("user_id", *metrics, "client_type", "top_label", "rank")
 
 
-def export_report(df: DataFrame, path: str) -> str:
-    """O-24: Excel sink (CSV fallback in this container)."""
+def export_report(
+    df: DataFrame,
+    path: str,
+    add_timestamp: bool = False,
+    _now: "datetime | None" = None,
+) -> str:
+    """O-24: Excel sink (CSV fallback in this container).
+
+    ``add_timestamp`` mirrors the reference's optional filename stamping
+    (`etl_weekly_trades.py:210-212`): prefix the FILENAME with
+    ``%Y%m%d_%H%M%S_``. The reference also hard-codes the stamped path to
+    ``output/<stamp>_top_clients.xlsx``, discarding the caller's ``path``
+    — a quirk, not a contract; we keep the caller's directory and
+    basename (the intended semantics). ``_now`` injects a fixed clock for
+    deterministic tests.
+
+    Returns the path actually written (callers need it when stamping).
+    """
+    if add_timestamp:
+        import os
+        from datetime import datetime
+
+        stamp = (_now or datetime.now()).strftime("%Y%m%d_%H%M%S")
+        head, tail = os.path.split(path)
+        path = os.path.join(head, f"{stamp}_{tail}")
     return write_excel(df, path)
 
 

@@ -237,11 +237,15 @@ def bm25_scores(
     # three branches (tf, the dl join, the global stats agg) all consume
     # the tokenized corpus; persist it so the regex tokenization — the
     # dominant per-row cost — runs once, not once per branch. The cache
-    # holds (id, tokens), comparable to the input text in size, and lives
-    # until session end (the lazy result references it — no safe
-    # in-function unpersist point); at extreme scale, store dl as a
-    # column at ingest and drop the cache.
-    toks = df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks")).persist()
+    # holds (id, tokens), comparable to the input text in size; it is
+    # tracked and released at the next unit-of-work boundary
+    # (cache.release_persisted). At extreme scale, store dl as a column
+    # at ingest and drop the cache.
+    from etl_demo_spark.cache import tracked_persist
+
+    toks = tracked_persist(
+        df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+    )
     dl = toks.select("_id", F.size("_toks").cast("long").alias("dl"))
     tf = (
         toks.select("_id", F.explode("_toks").alias("term"))

@@ -156,6 +156,29 @@ def test_write_excel_emits_real_xlsx(spark, tmp_path):
     assert len(rows) == 6
 
 
+def test_export_report_add_timestamp_stamps_filename(spark, tmp_path):
+    """O-24 add_timestamp parity (`etl_weekly_trades.py:210-212`): the
+    report filename gains a %Y%m%d_%H%M%S_ prefix; content is unchanged
+    vs the unstamped export."""
+    from datetime import datetime
+
+    from etl_demo_spark.io.xlsx import read_xlsx_values
+    from etl_demo_spark.pipelines.weekly_trades import run_etl
+    from etl_demo_spark.report import export_report
+
+    res = run_etl(spark, "/root/reference/trades (1) (2) (1).csv")
+    fixed = datetime(2026, 8, 14, 12, 34, 56)
+    plain = export_report(res.report, str(tmp_path / "top_clients.xlsx"))
+    stamped = export_report(
+        res.report,
+        str(tmp_path / "top_clients.xlsx"),
+        add_timestamp=True,
+        _now=fixed,
+    )
+    assert stamped == str(tmp_path / "20260814_123456_top_clients.xlsx")
+    assert read_xlsx_values(stamped) == read_xlsx_values(plain)
+
+
 def test_report_xlsx_value_parity_with_reference_artifact(spark, tmp_path):
     """The engine's .xlsx report carries the SAME cell values as the
     reference's golden ``output/top_clients.xlsx`` (openpyxl-written),
