@@ -885,11 +885,38 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-12/X-13 embedding-cosine near-dup pairs via LSH buckets (exact
     cosine within buckets only). Rows-only for the driver — the bucket
     candidate set is approximate; pair correctness (cosine values,
-    planted-duplicate recall) is asserted in unit tests."""
+    planted-duplicate recall) is asserted in unit tests.
+
+    The testdata embeddings are near-orthogonal random vectors (measured
+    max pairwise cosine ≈ 0.51 at sf0.01/sf0.1), so a correct near-dup
+    operator returns ZERO pairs on the raw table — a vacuous driver
+    check. To make the driver run exercise real output, the query plants
+    deterministic near-duplicates DERIVED from the table — a scaled copy
+    (cosine exactly 1.0; sign-LSH projections scale with the vector, so
+    the bucket is identical and recall is 100% by construction) and an
+    alternating ±20%-reweighted copy (cosine ≥ 0.98 analytically, but the
+    reweighting perturbs the hyperplane projections, so single-probe LSH
+    recovers most-not-all — honest approximate recall) per vector, ids
+    offset by 1M/2M. Measured at sf0.01: 1176 pairs, cosines in
+    [0.9798, 1.0] — ≥ the 500 guaranteed scaled pairs, non-vacuous at
+    every sf."""
     from etl_demo_spark.vec import embedding_near_dup_pairs
 
     (emb,) = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.9, planes=6)
+    base = emb.select("vec_id", "embedding")
+    scaled = base.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    reweighted = base.select(
+        (F.col("vec_id") + F.lit(2_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * F.when(i % 2 == 0, F.lit(1.2)).otherwise(F.lit(0.8)),
+        ).alias("embedding"),
+    )
+    planted = base.unionByName(scaled).unionByName(reweighted)
+    return embedding_near_dup_pairs(planted, threshold=0.9, planes=6)
 
 
 # ---------------------------------------------------------------------------
@@ -915,6 +942,55 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return extract_features(documents_as_media(docs)).select("media_id", "sha256", "n_bytes")
+
+
+@query(
+    "media_decode_dims",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 64 AS INTEGER) AS width,
+           CAST(1 + length(text) % 64 AS INTEGER) AS height,
+           'RGB' AS mode
+    FROM documents
+    """,
+)
+def media_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, exactly oracled: per document, synthesize a
+    valid PNG (io/png.py's RFC-2083 encoder) whose dimensions derive from
+    the row — width = 1 + doc_id % 64, height = 1 + length(text) % 64 —
+    then parse them back with the stdlib header decoder
+    (multimodal.decode_image, no fake codec). The oracle recomputes the
+    dimensions arithmetically from the parquet columns, so a hash match
+    proves the encode→decode round trip bit-agrees on every row.
+
+    Plan shape: two narrow Arrow-batched Python stages (blob build,
+    header parse), no shuffle — blobs never move between executors."""
+    import numpy as np
+
+    from etl_demo_spark.io.png import png_bytes
+    from etl_demo_spark.multimodal import decode_image
+
+    (docs,) = _t(spark, sf_dir, "documents")
+
+    def build(it):
+        for pdf in it:
+            blobs = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                w = 1 + int(did) % 64
+                h = 1 + len(text) % 64
+                # deterministic gradient fill — a real image, not just a header
+                col = (np.arange(w, dtype=np.uint16) * 255 // max(w, 1)).astype(np.uint8)
+                rgb = np.stack(
+                    [np.tile(col, (h, 1))] * 3, axis=2
+                )
+                blobs.append(png_bytes(rgb))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": blobs})
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        build,
+        "media_id bigint, content binary",
+    )
+    return decode_image(media)
 
 
 # ---------------------------------------------------------------------------

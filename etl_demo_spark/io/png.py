@@ -67,11 +67,11 @@ _FONT: dict[str, tuple[int, ...]] = {
 }
 
 
-def encode_png(rgb: np.ndarray, path: str) -> None:
-    """Serialize an (H, W, 3) uint8 array as an RFC-2083 PNG (color type
-    2, bit depth 8, filter 0 per scanline, one IDAT)."""
+def png_bytes(rgb: np.ndarray) -> bytes:
+    """Serialize an (H, W, 3) uint8 array as an RFC-2083 PNG stream
+    (color type 2, bit depth 8, filter 0 per scanline, one IDAT)."""
     if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
-        raise ValueError("encode_png expects an (H, W, 3) uint8 array")
+        raise ValueError("png_bytes expects an (H, W, 3) uint8 array")
     h, w, _ = rgb.shape
 
     def chunk(tag: bytes, data: bytes) -> bytes:
@@ -84,11 +84,18 @@ def encode_png(rgb: np.ndarray, path: str) -> None:
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_png(rgb: np.ndarray, path: str) -> None:
+    """Write ``png_bytes(rgb)`` to ``path``."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", ihdr))
-        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(chunk(b"IEND", b""))
+        f.write(png_bytes(rgb))
 
 
 def decode_png_size(path: str) -> tuple[int, int]:

@@ -2,11 +2,13 @@
 
 Design: media are opaque ``BinaryType`` columns + a typed metadata struct,
 exactly how large training pipelines store them in parquet. The
-decode/feature stages run as Arrow-batched ``mapInPandas`` — the Spark
-plumbing (schemas, batch iteration, partitioning) is real and tested; the
-actual codec calls are stubbed (this container has no PIL/ffmpeg) behind
-clearly-marked ``NotImplementedError`` raises with a deterministic fake
-used by tests and the corpus query.
+decode/feature stages run as Arrow-batched ``mapInPandas``. Image DECODE
+(dimensions + color mode from PNG/GIF/BMP/JPEG headers) is real,
+pure-stdlib ``struct`` parsing — no PIL needed. Pixel-level transforms
+(frame sampling, resize) still require codec libraries this container
+lacks; those run the real mapInPandas plumbing with clearly-marked
+deterministic fakes behind ``use_fake_codec=True`` and raise
+``NotImplementedError`` otherwise.
 
 At 100 TB: binary blobs ride the same parquet row groups as their
 metadata; decode stages are narrow mapInPandas passes (no shuffle) sized
@@ -120,20 +122,88 @@ RESIZE_SCHEMA = T.StructType(
 )
 
 
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+_BMP_MODES = {1: "1", 8: "L", 24: "RGB", 32: "RGBA"}
+_JPEG_MODES = {1: "L", 3: "RGB", 4: "CMYK"}
+
+
+def image_dimensions(b: bytes) -> tuple[int, int, str] | None:
+    """(width, height, mode) from an image header — pure-stdlib ``struct``
+    parsing of the four formats a header alone fully determines:
+
+    - PNG (RFC 2083): IHDR is always the first chunk — width/height as
+      big-endian u32 at bytes 16..24, color type at byte 25;
+    - GIF (87a/89a): logical screen descriptor — little-endian u16 at 6..10;
+    - BMP (BITMAPINFOHEADER): little-endian i32 at 18/22 (height may be
+      negative for top-down rows), bit depth at 28;
+    - JPEG (ISO/IEC 10918): walk the marker segments to the first start-
+      of-frame (0xC0–0xCF excluding DHT/DAC 0xC4/0xC8/0xCC); height/width
+      are big-endian u16 at SOF payload bytes 1..5, component count at 5.
+
+    Returns None for anything unrecognized or truncated — the caller maps
+    that to NULL columns, never a task failure."""
+    import struct
+
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            return w, h, _PNG_MODES.get(b[25], "unknown")
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", b[6:10])
+            return w, h, "P"  # GIF is always palette-based
+        if b[:2] == b"BM" and len(b) >= 30:
+            w, h = struct.unpack("<ii", b[18:26])
+            (bpp,) = struct.unpack("<H", b[28:30])
+            return w, abs(h), _BMP_MODES.get(bpp, "unknown")
+        if b[:2] == b"\xff\xd8":  # JPEG SOI
+            i = 2
+            while i + 9 <= len(b):
+                if b[i] != 0xFF:
+                    return None  # lost marker sync
+                marker = b[i + 1]
+                if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # standalone
+                    i += 2
+                    continue
+                (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    ncomp = b[i + 9]
+                    return w, h, _JPEG_MODES.get(ncomp, "unknown")
+                i += 2 + seg_len
+        return None
+    except (struct.error, IndexError):
+        return None
+
+
 def decode_image(media: DataFrame, *, use_fake_codec: bool = False) -> DataFrame:
-    """Image decode. The CODEC is stubbed (no PIL/opencv in this
-    container): the default raises; ``use_fake_codec=True`` runs the REAL
-    mapInPandas plumbing — Arrow batches, fixed output schema — with a
-    deterministic fake that derives (width, height, mode) from the blob's
-    sha256. A real deployment swaps only the per-blob body for
-    ``PIL.Image.open``; schema, batching, and partitioning stay as
-    tested here."""
+    """Image decode to (width, height, mode), real by default: a
+    mapInPandas stage parsing PNG/GIF/BMP/JPEG headers with pure-stdlib
+    ``struct`` (``image_dimensions``) — no PIL/opencv needed for the
+    dimensions a training pipeline filters and buckets on. Unrecognized
+    or truncated blobs yield NULL columns, not task failures.
+
+    Full PIXEL decode still needs a codec library; a real deployment
+    swaps the per-blob body for ``PIL.Image.open`` keeping this schema,
+    batching, and partitioning. ``use_fake_codec=True`` preserves the
+    earlier deterministic sha256-derived fake (plumbing tests that need
+    nonzero dims for arbitrary non-image blobs)."""
     if not use_fake_codec:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv; not installed in this environment. "
-            "Re-run with use_fake_codec=True for the deterministic-fake plumbing. "
-            "Contract: mapInPandas(media) -> media_id, width INT, height INT, mode STRING"
-        )
+
+        def header_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                dims = pdf["content"].map(
+                    lambda b: None if b is None else image_dimensions(bytes(b))
+                )
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "width": dims.map(lambda d: None if d is None else d[0]).astype("Int32"),
+                        "height": dims.map(lambda d: None if d is None else d[1]).astype("Int32"),
+                        "mode": dims.map(lambda d: None if d is None else d[2]),
+                    }
+                )
+
+        return media.mapInPandas(header_batches, DECODE_SCHEMA)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -30,6 +30,20 @@ def docs_df(spark):
     return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in DOCS])
 
 
+def test_embedding_near_dups_corpus_query_non_vacuous(spark):
+    """The driver-run corpus query must emit real pairs (round-2 finding:
+    0 rows proved nothing). The planted scaled copies guarantee ≥ n pairs
+    at cosine 1.0; every emitted pair clears the 0.9 threshold."""
+    from etl_demo_spark.corpus import QUERIES
+
+    rows = QUERIES["embedding_near_dups"](spark, SF0001).collect()
+    n_vecs = spark.read.parquet(f"{SF0001}/embeddings.parquet").count()
+    assert len(rows) >= n_vecs  # the scaled plants alone
+    assert all(r.cos_sim >= 0.9 for r in rows)
+    exact = sum(1 for r in rows if r.cos_sim == 1.0)
+    assert exact >= n_vecs  # orig<->scaled recovered for every vector
+
+
 def test_exact_dedup_fingerprint_normalizes(spark, docs_df):
     from etl_demo_spark.dedup import exact_dedup_by_fingerprint
 
@@ -251,8 +265,10 @@ def test_media_features_deterministic(spark, docs_df):
 
 
 def test_decode_stubs_raise_cleanly(spark, docs_df):
+    """Pixel-level stages (frame sample, resize) still gate on the absent
+    codec; header-based decode_image is real now and instead yields NULL
+    dims for non-image blobs (see test_decode_image_real_headers)."""
     from etl_demo_spark.multimodal import (
-        decode_image,
         documents_as_media,
         resize_images,
         sample_video_frames,
@@ -260,11 +276,70 @@ def test_decode_stubs_raise_cleanly(spark, docs_df):
 
     media = documents_as_media(docs_df)
     with pytest.raises(NotImplementedError):
-        decode_image(media)
-    with pytest.raises(NotImplementedError):
         sample_video_frames(media)
     with pytest.raises(NotImplementedError):
         resize_images(media)
+
+
+def test_image_dimensions_parses_png_gif_bmp_jpeg():
+    """Stdlib header parser vs hand-crafted streams of all four formats
+    (the PNG comes from the repo's own RFC-2083 encoder)."""
+    import struct
+
+    import numpy as np
+
+    from etl_demo_spark.io.png import png_bytes
+    from etl_demo_spark.multimodal import image_dimensions
+
+    png = png_bytes(np.zeros((7, 13, 3), dtype=np.uint8))
+    assert image_dimensions(png) == (13, 7, "RGB")
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert image_dimensions(gif) == (320, 200, "P")
+
+    # BITMAPINFOHEADER with negative (top-down) height and 24bpp
+    bmp = (
+        b"BM" + b"\x00" * 16
+        + struct.pack("<ii", 640, -480)
+        + b"\x00\x00" + struct.pack("<H", 24) + b"\x00" * 4
+    )
+    assert image_dimensions(bmp) == (640, 480, "RGB")
+
+    # JPEG: SOI, APP0 segment, then SOF0 (baseline) with 3 components
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 9
+    jpeg = b"\xff\xd8" + app0 + sof0
+    assert image_dimensions(jpeg) == (640, 480, "RGB")
+
+    assert image_dimensions(b"not an image at all") is None
+    assert image_dimensions(b"") is None
+    assert image_dimensions(png[:10]) is None  # truncated PNG header
+
+
+def test_decode_image_real_headers(spark, docs_df):
+    """decode_image default path: real PNG blobs decode to their true
+    dimensions; non-image blobs yield NULL dims (never task failures)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from etl_demo_spark.io.png import png_bytes
+    from etl_demo_spark.multimodal import decode_image, documents_as_media
+
+    rows = [
+        Row(media_id=1, content=bytearray(png_bytes(np.zeros((4, 9, 3), dtype=np.uint8)))),
+        Row(media_id=2, content=bytearray(b"garbage bytes")),
+        Row(media_id=3, content=None),
+    ]
+    media = spark.createDataFrame(rows, "media_id bigint, content binary")
+    got = {r["media_id"]: r for r in decode_image(media).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["mode"]) == (9, 4, "RGB")
+    assert got[2]["width"] is None and got[2]["mode"] is None
+    assert got[3]["width"] is None
+
+    # text-as-media blobs (no image headers) → all-NULL dims, no errors
+    text_decoded = decode_image(documents_as_media(docs_df)).collect()
+    assert len(text_decoded) == len(DOCS)
+    assert all(r["width"] is None for r in text_decoded)
 
 
 def test_fake_codec_plumbing_end_to_end(spark, docs_df):
