@@ -2490,7 +2490,18 @@ def jaccard_join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     The doc_id < 500 bound keeps the ORACLE's quadratic check constant
     across sfs; the Spark side's cost tracks rare-token co-occurrence
     (prefix-token equi-join), not pair count, and runs unbounded in
-    `dedup.prefix_filter_jaccard_join` itself."""
+    `dedup.prefix_filter_jaccard_join` itself. verify="rejoin" (the
+    default): these documents shingle to ~300 tokens each, so the
+    carry-mode alternative would inflate the prefix-join exchange by the
+    array size (measured 4 s → 60 s at sf0.1) — the trade is documented
+    on the operator.
+
+    Shingles are HASHED to longs at build (xxhash64 per 5-gram) — the
+    scale-standard representation (no pipeline shuffles raw n-gram
+    strings at 100 TB). Jaccard over hash sets equals Jaccard over the
+    string sets the oracle computes unless a 64-bit collision lands
+    inside one document's ~300-shingle set (P ≈ 2⁻⁴⁸ per doc); the
+    driver's exact hash-match doubles as the proof that none did."""
     from etl_demo_spark.dedup import prefix_filter_jaccard_join
 
     (docs,) = _t(spark, sf_dir, "documents")
@@ -2498,7 +2509,7 @@ def jaccard_join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"),
         F.expr(
             "array_distinct(transform(sequence(1, length(text) - 4),"
-            " i -> substring(text, i, 5)))"
+            " i -> xxhash64(substring(text, i, 5))))"
         ).alias("shingles"),
     )
     return prefix_filter_jaccard_join(sh, threshold=0.8).select(

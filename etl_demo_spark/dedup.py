@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from etl_demo_spark.cache import tracked_persist
 from etl_demo_spark.ops import spread_for_cpu
@@ -239,6 +240,7 @@ def prefix_filter_jaccard_join(
     threshold: float,
     id_col: str = "id",
     set_col: str = "shingles",
+    verify: str = "rejoin",
 ) -> DataFrame:
     """EXACT set-similarity self-join via prefix filtering (the
     AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
@@ -255,14 +257,34 @@ def prefix_filter_jaccard_join(
     tokens co-occur, not n². A length filter (``t·|a| ≤ |b| ≤ |a|/t``)
     prunes inside the join; exact Jaccard verifies survivors.
 
-    Shuffles: token df-count (1), doc re-sort (1), prefix self-join (1),
-    verification joins (2 broadcast-or-shuffle by id) — all bounded by
-    data + candidate volume. Float boundary slack (−1e-9) only LOOSENS
-    the filter; the final exact int/int division decides thresholds.
+    Two verification topologies (``verify=``), the Vernica et al.
+    (SIGMOD'10) record-carrying trade made explicit:
+
+    - ``"rejoin"`` (default): candidates are deduplicated first, then the
+      token sets are re-joined by id for exact verification. Shuffles:
+      token df-count (1), doc re-sort (1), prefix self-join (1),
+      candidate distinct (1), verification joins (2). The prefix-join
+      exchange carries only (id, n, pos, tok) — lean at any document
+      size; the right default at 100 TB.
+    - ``"carry"``: the sorted token array rides through the prefix
+      explode, so exact Jaccard computes INSIDE the self-join output and
+      the verification joins (and their 2 exchanges) disappear —
+      4 shuffles total. The cost: the prefix-join exchange carries each
+      doc's full token array once per prefix token (O(prefix·|doc|) per
+      doc, ~quadratic in doc size), and a pair matching k prefix tokens
+      recomputes its intersection k times (the positional filter keeps k
+      small). Right for short-document / high-threshold workloads where
+      per-stage latency dominates; wrong for long documents.
+
+    Float boundary slack (−1e-9) only LOOSENS the filter; the final
+    exact int/int division decides thresholds. Both modes return
+    identical pairs (asserted in tests/test_properties.py).
 
     Input: (id, set) rows, set as array<string> (pre-deduplicated, e.g.
     ``shingles()`` / char n-grams). Output: (id_a, id_b, jaccard) with
     id_a < id_b."""
+    if verify not in ("rejoin", "carry"):
+        raise ValueError(f"prefix_filter_jaccard_join: unknown verify mode {verify!r}")
     t = float(threshold)
     if not 0.0 < t <= 1.0:
         raise ValueError("prefix_filter_jaccard_join: threshold must be in (0, 1]")
@@ -278,7 +300,37 @@ def prefix_filter_jaccard_join(
         ).filter(F.col("n") > 0)
     )
 
-    toks = base.select("id", "n", F.explode("s").alias("tok"))
+    # FILTER phase runs on fixed-width long tokens, not strings: 8-byte
+    # keys make the df-count shuffle, the per-doc sort, and the prefix
+    # equi-join cheaper than variable-length strings. String sets are
+    # hashed internally with xxhash64 — exactness is unaffected: equal
+    # tokens always hash equal, so no candidate is ever LOST; a 64-bit
+    # collision can only ADD a spurious candidate, and the VERIFY phase
+    # computes Jaccard on the ORIGINAL sets, which rejects it. Sets that
+    # arrive ALREADY integer-typed (the scale-standard representation —
+    # shingle-to-hash at ingest, as every MinHash-family pipeline does)
+    # skip the re-hash and the filter runs on them directly. The token
+    # value also serves as the total-order tiebreak — any consistent
+    # global order is correct for prefix filtering.
+    elem_type = sets_df.schema[set_col].dataType.elementType
+    pre_hashed = isinstance(elem_type, (T.LongType, T.IntegerType))
+    if verify == "carry":
+        # carry mode keeps the original tokens alongside the filter keys
+        # so the in-join verification stays exact under hash collisions
+        toks = base.select("id", "n", F.explode("s").alias("tok_s")).select(
+            "id",
+            "n",
+            (F.col("tok_s") if pre_hashed else F.xxhash64("tok_s")).alias("tok"),
+            "tok_s",
+        )
+        st_entry = F.struct("df_n", "tok", "tok_s")
+    else:
+        toks = base.select("id", "n", F.explode("s").alias("tok_s")).select(
+            "id",
+            "n",
+            (F.col("tok_s") if pre_hashed else F.xxhash64("tok_s")).alias("tok"),
+        )
+        st_entry = F.struct("df_n", "tok")
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_n"))
     # per-doc tokens sorted by the global (df_n, tok) order; prefix length
     # p = n − ceil(t·n) + 1 (slack keeps boundary pairs IN, never out).
@@ -288,12 +340,18 @@ def prefix_filter_jaccard_join(
     ordered = (
         toks.join(F.broadcast(dfreq), "tok")
         .groupBy("id", "n")
-        .agg(F.sort_array(F.collect_list(F.struct("df_n", "tok"))).alias("st"))
+        .agg(F.sort_array(F.collect_list(st_entry)).alias("st"))
     )
     p = F.col("n") - F.ceil(F.lit(t) * F.col("n") - F.lit(1e-9)) + F.lit(1)
+    carry_cols = (
+        [F.expr("transform(st, x -> x.tok_s)").alias("toks")]
+        if verify == "carry"
+        else []
+    )
     prefix = ordered.select(
         "id",
         "n",
+        *carry_cols,
         F.posexplode(
             F.slice(F.expr("transform(st, x -> x.tok)"), F.lit(1), p.cast("int"))
         ).alias("pos", "tok"),  # pos is 0-based within the full sorted list
@@ -308,22 +366,37 @@ def prefix_filter_jaccard_join(
     min_overlap = F.ceil(
         F.lit(t / (1.0 + t)) * (F.col("a.n") + F.col("b.n")) - F.lit(1e-9)
     )
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (
-                F.least("a.n", "b.n").cast("double")
-                >= F.lit(t) * F.greatest("a.n", "b.n") - F.lit(1e-9)
-            )
-            & (
-                F.least(
-                    F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
-                )
-                >= min_overlap
-            ),
+    match_cond = (
+        (F.col("a.tok") == F.col("b.tok"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (
+            F.least("a.n", "b.n").cast("double")
+            >= F.lit(t) * F.greatest("a.n", "b.n") - F.lit(1e-9)
         )
+        & (
+            F.least(F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos"))
+            >= min_overlap
+        )
+    )
+    if verify == "carry":
+        # exact Jaccard directly on the carried sorted arrays — same set
+        # as the input sets, just reordered; no verification joins
+        inter_c = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+        jac_c = inter_c.cast("double") / (
+            F.col("a.n") + F.col("b.n") - inter_c
+        ).cast("double")
+        return (
+            a.join(b, match_cond)
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                jac_c.alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= t)
+            .distinct()
+        )
+    cand = (
+        a.join(b, match_cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )

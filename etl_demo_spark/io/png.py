@@ -168,7 +168,11 @@ def line_chart(
     _axes(img, l, t, r, b)
     if title:
         _draw_text(img, l, 10, title[: (width - l) // 6])
-    v = np.asarray([0.0 if x is None else float(x) for x in values], dtype=float)
+    # None AND NaN both normalize to 0.0 (x != x is the NaN test): a NaN
+    # would poison min/max and crash the int() pixel mapping below
+    v = np.asarray(
+        [0.0 if x is None or x != x else float(x) for x in values], dtype=float
+    )
     if len(v) >= 1:
         lo, hi = float(np.nanmin(v)), float(np.nanmax(v))
         lo = min(lo, 0.0)
@@ -204,13 +208,17 @@ def stacked_bar_chart(
     if n and names:
         totals = np.zeros(n)
         for vals in series.values():
-            totals += np.asarray([0.0 if x is None else float(x) for x in vals])
+            totals += np.asarray(
+                [0.0 if x is None or x != x else float(x) for x in vals]
+            )
         peak = float(totals.max()) or 1.0
         slot = (r - l - 8) / n
         bar_w = max(1, int(slot * 0.7))
         cum = np.zeros(n)
         for si, name in enumerate(names):
-            vals = np.asarray([0.0 if x is None else float(x) for x in series[name]])
+            vals = np.asarray(
+                [0.0 if x is None or x != x else float(x) for x in series[name]]
+            )
             color = PALETTE[si % len(PALETTE)]
             for ci in range(n):
                 x0 = int(l + 4 + ci * slot + (slot - bar_w) / 2)

@@ -82,7 +82,12 @@ def write_jdbc(
     (embedded Derby ships with Spark and is the round-trip test target;
     SQLite needs the xerial driver jar, same call shape)."""
     if num_partitions is not None:
-        df = df.coalesce(num_partitions)
+        # repartition, NOT coalesce: coalesce(n) propagates upstream and
+        # collapses the parallelism of the stages FEEDING the write (the
+        # classic pitfall — a 32-task aggregation would run on n tasks).
+        # repartition inserts an exchange, so upstream compute keeps its
+        # width and only the JDBC connection fan-out narrows to n.
+        df = df.repartition(num_partitions)
     df.write.jdbc(url, table, mode=mode, properties=properties or {})
 
 

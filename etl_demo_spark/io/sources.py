@@ -106,7 +106,23 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
 # Keyed on the Spark applicationId (unique per context) so a restarted
 # session never sees plans bound to a dead context — id(spark) could be
 # reused by the allocator after a session is garbage-collected.
+#
+# CONTRACT: sf_dir contents must be immutable for the application lifetime
+# (driver testdata is) — a cached plan pins the file index it was created
+# with, so regenerating parquet in place would leave cached DataFrames
+# reading the stale listing. Call clear_table_cache() after any in-place
+# rewrite. Note also that a cached DataFrame is bound to the SparkSession
+# that created it; register_views on a cache hit registers the view in
+# THAT session's catalog (multiple sessions over one context should each
+# use their own sf_dir or clear between).
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def clear_table_cache() -> int:
+    """Drop all cached table plans; returns how many were dropped."""
+    n = len(_TABLE_CACHE)
+    _TABLE_CACHE.clear()
+    return n
 
 
 def load_tables(

@@ -413,8 +413,18 @@ def kmeans_parallel_init(
             break
         u = F.pmod(F.xxhash64(F.col("__id"), F.lit(seed + r)), F.lit(1 << 24)) / F.lit(denom)
         picked = scored.filter(u < F.least(F.lit(1.0), F.lit(oversample) * F.col("__d2") / F.lit(float(phi))))
+        # the candidate SET is deterministic, but collect() order follows
+        # partition layout — and the driver-side k-means++ below breaks
+        # argmax/rng ties by candidate INDEX, so an unsorted extend would
+        # make final centers depend on partitioning. Sort by id: identical
+        # candidate order on any cluster size.
         centers.extend(
-            [[float(x) for x in row["__v"]] for row in picked.select("__v").collect()]
+            [
+                [float(x) for x in row["__v"]]
+                for row in sorted(
+                    picked.select("__id", "__v").collect(), key=lambda r: r["__id"]
+                )
+            ]
         )
     if len(centers) <= k:
         # degenerate corpus (fewer distinct regions than k): top up with

@@ -1033,11 +1033,16 @@ def test_prefix_filter_jaccard_join_equals_brute_force(spark):
         F.size("a.shingles") + F.size("b.shingles") - inter
     ).cast("double")
     a, b = sh.alias("a"), sh.alias("b")
+    # pre-hashed variant: the scale representation (longs per shingle);
+    # identical jaccards absent 64-bit collisions (none on this corpus)
+    sh_hashed = alld.select(
+        F.col("doc_id").alias("id"),
+        F.expr(
+            "array_distinct(transform(sequence(1, length(text) - 4),"
+            " i -> xxhash64(substring(text, i, 5))))"
+        ).alias("shingles"),
+    )
     for t in (0.5, 0.8):
-        got = {
-            (r.id_a, r.id_b): round(r.jaccard, 9)
-            for r in prefix_filter_jaccard_join(sh, threshold=t).collect()
-        }
         want = {
             (r["id_a"], r["id_b"]): round(r["j"], 9)
             for r in a.join(b, F.col("a.id") < F.col("b.id"))
@@ -1048,5 +1053,12 @@ def test_prefix_filter_jaccard_join_equals_brute_force(spark):
             .filter(F.col("j") >= t)
             .collect()
         }
-        assert got == want, (t, len(got), len(want))
-        assert any(90001 in k or 90002 in k for k in got), "planted dups missed"
+        for inp, mode in ((sh, "rejoin"), (sh, "carry"), (sh_hashed, "rejoin")):
+            got = {
+                (r.id_a, r.id_b): round(r.jaccard, 9)
+                for r in prefix_filter_jaccard_join(
+                    inp, threshold=t, verify=mode
+                ).collect()
+            }
+            assert got == want, (t, mode, len(got), len(want))
+            assert any(90001 in k or 90002 in k for k in got), "planted dups missed"
