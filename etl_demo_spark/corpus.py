@@ -1716,6 +1716,71 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quantity_price_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+           regr_count(l_extendedprice, l_quantity) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def quantity_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4/X-8 statistical aggregate family: correlation, sample
+    covariance, stddev, and the SQL:2016 linear-regression aggregates
+    (slope/intercept/R²/count) per return flag — one whole-stage-codegen
+    hash aggregation, map-side partial merge via the standard pairwise
+    moment updates, no second pass. Final doubles ROUND()ed on both
+    engines: the moment accumulations are order-dependent in the last
+    ULPs, and the driver hash compares formatted values."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+    )
+
+
+@query(
+    "region_nation_lists",
+    oracle="""
+    SELECT r.r_name AS region,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def region_nation_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-8 ordered string aggregation: SQL:2023 LISTAGG ... WITHIN GROUP
+    (Spark 4) vs DuckDB's ordered string_agg — deterministic because the
+    within-group order is total. The broadcast join keeps the 5x25
+    dimension join exchange-free."""
+    region, nation = _t(spark, sf_dir, "region", "nation")
+    joined = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@query(
     "busy_suppliers_having",
     oracle=f"""
     SELECT l_suppkey,

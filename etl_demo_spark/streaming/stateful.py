@@ -71,3 +71,102 @@ def user_running_counters(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+TWS_OUTPUT_SCHEMA = (
+    "user_id long, n_types long, n_events long, total_value double"
+)
+
+
+def transform_with_state_available() -> bool:
+    """True when the transformWithState v2 worker protocol can run here
+    (its state-server RPC needs the protobuf runtime)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_type_profile(events: DataFrame) -> DataFrame:
+    """Per-user activity profile via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-stateful API (state v2): TYPED state variables per
+    key instead of one opaque tuple. A ``ValueState`` carries the event
+    count + value sum; a ``MapState`` keyed by event_type carries per-type
+    counts, so ``n_types`` is the user's distinct-event-type count evolved
+    incrementally across micro-batches (no rescan of history).
+
+    Requires the RocksDB state store provider (the v2 operator does not
+    run on the default HDFS-backed store) — callers set
+    ``spark.sql.streaming.stateStore.providerClass =
+    org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider``
+    before starting the stream.
+
+    ENVIRONMENT GATE: the v2 operator's Python worker talks to the state
+    server over protobuf, so ``google.protobuf`` must be importable on
+    the workers (it ships with any `pip install pyspark[connect]` /
+    production image; this container lacks it, so the unit test skips and
+    no corpus query registers — the same policy as the PIL/ffmpeg-gated
+    codec stages). Check :func:`transform_with_state_available` first.
+
+    The processor class is defined INSIDE the function so cloudpickle
+    serializes it by value (executor workers don't have this package on
+    sys.path). Works on batch frames too: Spark runs the same operator
+    with transient state, which is how the unit test pins final-state ==
+    batch-aggregate equivalence."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Profile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, total double")
+            self._per_type = handle.getMapState(
+                "type_counts", "event_type string", "n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                s = pdf["value"].sum()  # skipna — all-NULL batch sums to 0.0
+                if not pd.isna(s):
+                    total += float(s)
+                for et, c in pdf["event_type"].value_counts().items():
+                    prev = (
+                        self._per_type.getValue(et)[0]
+                        if self._per_type.containsKey(et)
+                        else 0
+                    )
+                    self._per_type.updateValue(et, (prev + int(c),))
+            self._totals.update((n, total))
+            n_types = sum(1 for _ in self._per_type.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_types": [n_types],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "event_type", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=Profile(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

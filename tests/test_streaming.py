@@ -56,6 +56,54 @@ def test_stateful_counters_match_batch(spark):
         assert final[u][2] == want[u][2], u
 
 
+def test_transform_with_state_profile_matches_batch(spark):
+    """transformWithStateInPandas (state v2) per-user profile: final
+    MapState/ValueState values must equal batch aggregates. Skipped where
+    the v2 worker protocol can't run (needs the protobuf runtime — see
+    stateful.transform_with_state_available)."""
+    import pytest
+
+    from etl_demo_spark.streaming.stateful import (
+        transform_with_state_available,
+        user_type_profile,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf not installed: transformWithState v2 worker can't run")
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, SF0001)
+        out = run_stream_to_memory(
+            spark, user_type_profile(stream), "t_tws_profile", output_mode="update"
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = {
+        r["user_id"]: (r["n_types"], r["n_events"])
+        for r in out.withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()
+    }
+    batch = load_tables(spark, SF0001, tables=("events",))["events"]
+    want = {
+        r["user_id"]: (r["nt"], r["n"])
+        for r in batch.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("nt"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == want
+
+
 def test_session_window_closes_on_gap(spark):
     import datetime
 
