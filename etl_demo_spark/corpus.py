@@ -1781,6 +1781,30 @@ def region_nation_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "similar_part_names",
+    oracle="""
+    WITH p AS (SELECT DISTINCT p_name AS s FROM part)
+    SELECT a.s AS a, b.s AS b, levenshtein(a.s, b.s) AS dist
+    FROM p a JOIN p b ON a.s < b.s
+    WHERE levenshtein(a.s, b.s) <= 2
+    """,
+)
+def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-12 fuzzy string matching: exact edit-distance self-join over the
+    distinct part names (`dedup.edit_distance_join` — q-gram count-filter
+    candidates, JVM levenshtein verification) vs DuckDB's brute-force
+    quadratic join. The operator's candidate volume tracks shared-q-gram
+    co-occurrence, not n²; the oracle's all-pairs comparison is exact on
+    the (vocabulary-bounded) distinct-name set."""
+    from etl_demo_spark.dedup import edit_distance_join
+
+    (part,) = _t(spark, sf_dir, "part")
+    return edit_distance_join(
+        part.select(F.col("p_name").alias("s")), str_col="s", threshold=2
+    )
+
+
+@query(
     "busy_suppliers_having",
     oracle=f"""
     SELECT l_suppkey,

@@ -439,6 +439,79 @@ def prefix_filter_jaccard_join(
     )
 
 
+def edit_distance_join(
+    strings_df: DataFrame,
+    str_col: str = "s",
+    threshold: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """EXACT edit-distance self-join: every unordered pair of DISTINCT
+    strings with ``levenshtein ≤ threshold`` — fuzzy matching for entity
+    resolution / typo-tolerant dedup, without the O(n²) all-pairs pass.
+
+    Candidate generation has NO false negatives (q-gram count filter,
+    Gravano et al., VLDB'01): if ed(x, y) ≤ k then x and y share at least
+    ``max(|x|,|y|) − q + 1 − k·q`` q-grams, which is ≥ 1 whenever the
+    LONGER string has length ≥ (k+1)·q. So:
+
+    - pairs whose longer string has length ≥ (k+1)·q come from a plain
+      equi-join on exploded distinct q-grams plus the length filter
+      ``|len(a) − len(b)| ≤ k`` (both are necessary conditions);
+    - pairs where BOTH strings are shorter than (k+1)·q fall back to an
+      in-band join among the short strings only — a set bounded by the
+      alphabet (|Σ|^((k+1)q−1) distinct values at most), never the
+      corpus, so the "quadratic" bucket is O(1) in data size.
+
+    Exact ``levenshtein`` (JVM built-in, whole-stage codegen) verifies
+    every candidate; the filter only prunes, never decides. Output:
+    ``(a, b, dist)`` with a < b lexicographically, one row per distinct
+    string pair."""
+    k = int(threshold)
+    if k < 0:
+        raise ValueError("edit_distance_join: threshold must be >= 0")
+    if q < 1:
+        raise ValueError("edit_distance_join: q must be >= 1")
+    min_long = (k + 1) * q
+    base = (
+        strings_df.select(F.col(str_col).alias("s"))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+        .select("s", F.length("s").alias("n"))
+    )
+    grams = base.select(
+        "s",
+        "n",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"transform(sequence(1, greatest(n - {q} + 1, 0)), i -> substring(s, i, {q}))")
+            )
+        ).alias("g"),
+    )
+    ga, gb = grams.alias("a"), grams.alias("b")
+    len_ok = F.abs(F.col("a.n") - F.col("b.n")) <= F.lit(k)
+    long_pairs = (
+        ga.join(
+            gb,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.s") < F.col("b.s"))
+            & len_ok
+            & (F.greatest("a.n", "b.n") >= F.lit(min_long)),
+        )
+        .select(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
+    )
+    shorts = base.filter(F.col("n") < min_long)
+    sa_, sb_ = shorts.alias("a"), shorts.alias("b")
+    short_pairs = sa_.join(
+        sb_, (F.col("a.s") < F.col("b.s")) & len_ok
+    ).select(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
+    cand = long_pairs.unionByName(short_pairs).distinct()
+    dist = F.levenshtein("sa", "sb")
+    return (
+        cand.select(F.col("sa").alias("a"), F.col("sb").alias("b"), dist.alias("dist"))
+        .filter(F.col("dist") <= k)
+    )
+
+
 # --------------------------------------------------------------------------
 # Fused near-dup pipeline (single pass, no persist)
 # --------------------------------------------------------------------------

@@ -1000,6 +1000,47 @@ def test_media_features_null_content_yields_null_features(spark):
         sample_video_frames(media, every_n=0, use_fake_codec=True)
 
 
+def test_edit_distance_join_equals_brute_force(spark):
+    """q-gram-pruned edit-distance join == brute-force all-pairs, on a
+    fixture exercising every pruning branch: short strings (< (k+1)q,
+    the bounded fallback bucket), boundary distances (0 exact-dup input
+    collapses, k, k+1 just over), and mixed short/long pairs."""
+    from pyspark.sql import Row
+
+    from etl_demo_spark.dedup import edit_distance_join
+
+    words = [
+        "cat", "car", "cart", "care", "bare",          # short-bucket chains
+        "spark engine", "spark engines", "spork engine",
+        "sparc engine", "shark engine",                 # long, ed 1-2 web
+        "completely different phrase", "wholly unrelated text",
+        "ab", "a", "", "xy",                            # degenerate shorts
+    ]
+    df = spark.createDataFrame([Row(s=w) for w in words])
+    for k in (0, 1, 2):
+        got = {
+            (r.a, r.b): r.dist
+            for r in edit_distance_join(df, str_col="s", threshold=k).collect()
+        }
+        import itertools
+
+        def lev(x, y):
+            prev = list(range(len(y) + 1))
+            for i, cx in enumerate(x, 1):
+                cur = [i]
+                for j, cy in enumerate(y, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (cx != cy)))
+                prev = cur
+            return prev[-1]
+
+        want = {
+            (a, b): lev(a, b)
+            for a, b in itertools.combinations(sorted(set(words)), 2)
+            if lev(a, b) <= k
+        }
+        assert got == want, (k, got.keys() ^ want.keys())
+
+
 def test_prefix_filter_jaccard_join_equals_brute_force(spark):
     """The prefix-filtered similarity join is EXACT: same pairs and same
     jaccard values as the all-pairs join, including planted near-dups,
