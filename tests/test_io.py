@@ -156,6 +156,63 @@ def test_write_excel_emits_real_xlsx(spark, tmp_path):
     assert len(rows) == 6
 
 
+def test_xlsx_datasource_reads_reference_artifact(spark):
+    """spark.read.format("xlsx") loads the reference's own report
+    workbook with inferred numeric/string types, matching the stdlib
+    parser cell-for-cell."""
+    from etl_demo_spark.io.xlsx import read_xlsx_values
+    from etl_demo_spark.io.xlsx_source import register_xlsx_source
+
+    register_xlsx_source(spark)
+    path = "/root/reference/output/top_clients.xlsx"
+    df = spark.read.format("xlsx").load(path)
+    header, rows = read_xlsx_values(path)
+    assert df.columns == [str(h) for h in header]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "double", "double", "double", "string", "string", "double",
+    ]
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(
+        tuple(float(v) if isinstance(v, (int, float)) else str(v) for v in r)
+        for r in rows
+    )
+    assert got == want
+
+
+def test_xlsx_datasource_round_trip_and_multi_file(spark, tmp_path):
+    """write_excel output reads back through the xlsx source; a directory
+    of workbooks scans one partition per file; a header mismatch names
+    the offending file instead of misaligning columns."""
+    import pytest
+
+    from etl_demo_spark.io.sinks import write_excel
+    from etl_demo_spark.io.xlsx_source import register_xlsx_source
+    from etl_demo_spark.pipelines.weekly_trades import run_etl
+
+    register_xlsx_source(spark)
+    res = run_etl(spark, "/root/reference/trades (1) (2) (1).csv")
+    d = tmp_path / "reports"
+    d.mkdir()
+    write_excel(res.report, str(d / "week1.xlsx"))
+    write_excel(res.report, str(d / "week2.xlsx"))
+    df = spark.read.format("xlsx").load(str(d))
+    assert df.rdd.getNumPartitions() == 2
+    assert df.count() == 12  # 6 report rows x 2 files
+    single = spark.read.format("xlsx").load(str(d / "week1.xlsx"))
+    assert sorted(map(tuple, single.collect())) == sorted(
+        tuple(r) for r in res.report.withColumn(
+            "user_id", res.report.user_id.cast("double")
+        ).withColumn("rank", res.report["rank"].cast("double")).collect()
+    )
+
+    # header drift across files must fail loudly, naming the offender
+    # ("bad.xlsx" sorts first so it donates the schema; the week files
+    # then mismatch — either way the error carries a path + both headers)
+    write_excel(res.report.withColumnRenamed("rank", "position"), str(d / "bad.xlsx"))
+    with pytest.raises(Exception, match="does not match the schema header"):
+        spark.read.format("xlsx").load(str(d)).collect()
+
+
 def test_export_report_add_timestamp_stamps_filename(spark, tmp_path):
     """O-24 add_timestamp parity (`etl_weekly_trades.py:210-212`): the
     report filename gains a %Y%m%d_%H%M%S_ prefix; content is unchanged
