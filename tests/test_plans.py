@@ -152,3 +152,17 @@ def test_pii_scrub_is_shuffle_free(spark):
     """The scrub is a narrow projection: no exchange anywhere."""
     df = entrymod.queries()["doc_pii_scrub"](spark, SF001)
     assert "Exchange" not in plan_of(df)
+
+
+def test_edit_distance_join_qgram_path_is_equi_join(spark):
+    """The q-gram candidate path must plan as an equi join on the gram
+    key (sort-merge or hash) — the corpus-sized side never nested-loops.
+    The ONLY CartesianProduct allowed is the short-string fallback
+    bucket, whose size is alphabet-bounded (< (k+1)·q chars), not
+    data-bounded."""
+    df = entrymod.queries()["similar_part_names"](spark, SF001)
+    plan = plan_of(df)
+    assert ("SortMergeJoin [g" in plan) or ("BroadcastHashJoin [g" in plan) or (
+        "ShuffledHashJoin [g" in plan
+    ), plan
+    assert plan.count("CartesianProduct") <= 1

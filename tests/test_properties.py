@@ -461,3 +461,50 @@ def test_xlsx_roundtrip_property(tmp_path_factory, rows):
         # the reader returns numbers for numeric-looking strings only if
         # typed numeric; strings always come back as written
         assert gs == s
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=0, max_size=8),
+        min_size=0,
+        max_size=12,
+        unique=True,
+    ),
+    st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_edit_distance_join_property(spark_handle, words, k):
+    """Randomized brute-force equivalence for the q-gram-pruned
+    edit-distance join: small alphabet forces dense q-gram collisions AND
+    many short strings (the fallback bucket), the two regimes where a
+    pruning bug would hide."""
+    import itertools
+
+    from pyspark.sql import Row
+
+    from etl_demo_spark.dedup import edit_distance_join
+
+    spark = spark_handle
+    if not words:
+        return
+    df = spark.createDataFrame([Row(s=w) for w in words], "s string")
+    got = {
+        (r.a, r.b): r.dist
+        for r in edit_distance_join(df, str_col="s", threshold=k).collect()
+    }
+
+    def lev(x, y):
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (cx != cy)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b): lev(a, b)
+        for a, b in itertools.combinations(sorted(words), 2)
+        if lev(a, b) <= k
+    }
+    assert got == want
