@@ -1781,6 +1781,35 @@ def region_nation_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_page_two",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def orders_page_two(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9 keyset-free pagination: ORDER BY … LIMIT k OFFSET n (SQL
+    OFFSET, Spark 3.4+). The total order includes the unique key so the
+    page is deterministic on both engines. Physical note: Spark plans
+    this as a global TakeOrdered of the first OFFSET+LIMIT rows — cheap
+    for report pages, degrading linearly in OFFSET; deep pagination at
+    scale should use a keyset predicate (WHERE (date, key) > last_seen)
+    instead, which prunes at the scan."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_page_src")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders_page_src
+        ORDER BY o_orderdate, o_orderkey
+        LIMIT 20 OFFSET 40
+        """
+    )
+
+
+@query(
     "similar_part_names",
     oracle="""
     WITH p AS (SELECT DISTINCT p_name AS s FROM part)
