@@ -101,6 +101,30 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         extra[name] = round(best, 3)
 
+    # ANN quality (not timed): recall@10 of the approximate indexes vs the
+    # exact brute-force top-10 on the same query vector. Context the
+    # number needs: the testdata embeddings are isotropic random vectors
+    # (measured max pairwise cosine ~0.6), the theoretical worst case for
+    # bucketed ANN — there is no cluster structure for LSH planes or IVF
+    # cells to exploit, so recall here is a floor, not the structured-
+    # corpus figure (planted-neighbor retrieval is pinned at 100% by
+    # tests/test_llm_ops.py; embedding_near_dups recovers every planted
+    # scaled copy through the same bucketing).
+    exact_ids = {
+        r[0] for r in queries["ann_topk_bruteforce"](spark, sf_dir).collect()
+    }
+    ann_recall = {}
+    for name in ("ann_topk_lsh", "ann_topk_ivf"):
+        approx_ids = {r[0] for r in queries[name](spark, sf_dir).collect()}
+        ann_recall[name.rsplit("_", 1)[-1]] = round(
+            len(exact_ids & approx_ids) / max(len(exact_ids), 1), 2
+        )
+    ann_recall["note"] = (
+        "isotropic-noise testdata = ANN worst case (no cluster structure); "
+        "unit tests pin recall floors plus guaranteed retrieval of true "
+        "matches (query vector, planted scaled copies)"
+    )
+
     print(
         json.dumps(
             {
@@ -115,6 +139,7 @@ def main() -> None:
                     "rows_per_sec": stream_rps,
                 },
                 "extra_operators": extra,
+                "ann_recall_at_10": ann_recall,
             }
         )
     )
