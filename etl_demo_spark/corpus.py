@@ -1784,6 +1784,41 @@ def region_nation_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weighted_order_sample",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 0
+    ORDER BY pow(
+        (CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || 'r3'), 1, 8)) AS BIGINT) + 0.5)
+          / 4294967296.0,
+        1.0 / o_totalprice
+    ) DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def weighted_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (`ops.weighted_sample`, Efraimidis–Spirakis A-Res): 100 orders drawn
+    with probability proportional to o_totalprice, reproducible
+    bit-for-bit across engines because the uniform is md5-derived — the
+    DuckDB oracle recomputes the IDENTICAL sample with the same formula.
+    Plan: narrow projection + TakeOrderedAndProject; no shuffle, no RNG
+    state. The training-data mixing primitive (sample docs by quality /
+    token count / domain weight) exercised on the relational schema."""
+    from etl_demo_spark.ops import weighted_sample
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    return weighted_sample(
+        orders.select("o_orderkey", "o_totalprice"),
+        weight_col="o_totalprice",
+        n=100,
+        id_col="o_orderkey",
+        seed="r3",
+    )
+
+
+@query(
     "orders_page_two",
     oracle="""
     SELECT o_orderkey, o_orderdate, o_totalprice

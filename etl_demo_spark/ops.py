@@ -319,6 +319,53 @@ def top_k(df: DataFrame, metric: str, k: int, tiebreak: Sequence[str] = ()) -> D
     return df.orderBy(*order).limit(k)
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — Efraimidis &
+    Spirakis A-Res (IPL 2006): each row draws u ~ Uniform(0,1), ranks by
+    u^(1/w), and the global top-n is an exact weighted sample. The whole
+    algorithm is one narrow projection + TakeOrderedAndProject
+    (per-partition heaps of n, driver merge) — no shuffle, no RNG state,
+    embarrassingly parallel at any scale.
+
+    The uniform comes from md5(id‖seed) rather than an RNG, so the sample
+    is REPRODUCIBLE: identical across runs, cluster sizes, AND engines
+    (md5 and the hex→int conversion agree bit-for-bit with DuckDB, so the
+    corpus oracle recomputes the exact same sample in SQL). Change
+    ``seed`` to draw an independent sample. Rows with weight ≤ 0 or NULL
+    are excluded (zero probability mass; pow(u, 1/w) is undefined there).
+
+    This is the training-data mixing primitive: sample documents/orders
+    proportionally to quality score, token count, or domain weight
+    without materializing per-stratum counts."""
+    if n < 0:
+        raise ValueError("weighted_sample: n must be >= 0")
+    u = (
+        F.conv(
+            F.substring(
+                F.expr(f"md5(concat(cast({id_col} as string), '{seed}'))"), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    w = F.col(weight_col).cast("double")
+    key = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.filter(w > 0)
+        .withColumn("__sk", key)
+        .orderBy(F.col("__sk").desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__sk")
+    )
+
+
 def ranked(df: DataFrame, metric: str, partition_by: Sequence[str] = ()) -> DataFrame:
     """O-22 (`etl_weekly_trades.py:202`): rank over metric desc.
 

@@ -588,3 +588,44 @@ def test_point_in_interval_join_matches_brute_force(spark):
         ).collect()
     }
     assert got == want and len(got) >= 5
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """ops.weighted_sample == an exact Python replica of A-Res with the
+    same md5-derived uniforms; weight<=0/NULL rows are excluded; an
+    overwhelming weight dominates the sample across seeds."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from etl_demo_spark.ops import weighted_sample
+
+    rows = [Row(id=i, w=float(1 + (i % 7))) for i in range(50)]
+    rows += [Row(id=100, w=None), Row(id=101, w=0.0), Row(id=102, w=-3.0)]
+    df = spark.createDataFrame(rows)
+
+    def py_sample(items, n, seed):
+        keyed = []
+        for i, w in items:
+            if w is None or w <= 0:
+                continue
+            h = int(hashlib.md5(f"{i}{seed}".encode()).hexdigest()[:8], 16)
+            u = (h + 0.5) / 2**32
+            keyed.append((u ** (1.0 / w), -i))
+        keyed.sort(reverse=True)
+        return [-neg for _, neg in keyed[:n]]
+
+    for seed in ("", "a", "b"):
+        got = [
+            r.id
+            for r in weighted_sample(df, "w", 10, "id", seed=seed).collect()
+        ]
+        want = py_sample([(r.id, r.w) for r in rows], 10, seed)
+        assert sorted(got) == sorted(want), seed
+        assert not {100, 101, 102} & set(got)
+
+    # a dominating weight is drawn with probability ~1 under any seed
+    df2 = df.unionByName(spark.createDataFrame([Row(id=999, w=1e9)]))
+    for seed in ("", "a", "b", "c", "d"):
+        ids = {r.id for r in weighted_sample(df2, "w", 5, "id", seed=seed).collect()}
+        assert 999 in ids, seed
