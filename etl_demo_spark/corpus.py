@@ -1784,6 +1784,42 @@ def region_nation_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stratified_docs_exact",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's3'), 1, 8)) AS BIGINT) ASC,
+                        doc_id ASC
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 20
+    """,
+)
+def stratified_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-allocation stratified sample
+    (`ops.stratified_exact_sample`): exactly 20 documents per language
+    (fewer iff a language has fewer), selection reproducible bit-for-bit
+    across engines via the md5-derived uniform — the DuckDB oracle
+    recomputes the identical per-stratum pick. The exact-count companion
+    to the Bernoulli `stratified_doc_sample` (rows-only): balanced
+    training-mix construction needs counts, not expectations."""
+    from etl_demo_spark.ops import stratified_exact_sample
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return stratified_exact_sample(
+        docs.select("doc_id", "lang"),
+        strata_cols=["lang"],
+        n_per_stratum=20,
+        id_col="doc_id",
+        seed="s3",
+    )
+
+
+@query(
     "weighted_order_sample",
     oracle="""
     SELECT o_orderkey, o_totalprice

@@ -366,6 +366,41 @@ def weighted_sample(
     )
 
 
+def stratified_exact_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    n_per_stratum: int,
+    id_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic EXACT-allocation stratified sample: precisely
+    ``n_per_stratum`` rows from every stratum (fewer iff the stratum is
+    smaller) — unlike ``sampleBy``, whose Bernoulli draw only hits the
+    fraction in expectation. Rows rank inside their stratum by the same
+    md5-derived uniform as ``weighted_sample``, so the selection is
+    reproducible across runs, cluster sizes, and engines (the corpus
+    oracle recomputes it in SQL).
+
+    One hash-partitioned window per stratum — the standard top-n-per-group
+    shuffle; Spark's WindowGroupLimit pushes the rank()≤n cut map-side, so
+    the exchange carries at most n rows per stratum per map task."""
+    if n_per_stratum < 0:
+        raise ValueError("stratified_exact_sample: n_per_stratum must be >= 0")
+    u = F.conv(
+        F.substring(
+            F.expr(f"md5(concat(cast({id_col} as string), '{seed}'))"), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    w = Window.partitionBy(*strata_cols).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
 def ranked(df: DataFrame, metric: str, partition_by: Sequence[str] = ()) -> DataFrame:
     """O-22 (`etl_weekly_trades.py:202`): rank over metric desc.
 

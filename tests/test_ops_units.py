@@ -629,3 +629,24 @@ def test_weighted_sample_matches_python_reference(spark):
     for seed in ("", "a", "b", "c", "d"):
         ids = {r.id for r in weighted_sample(df2, "w", 5, "id", seed=seed).collect()}
         assert 999 in ids, seed
+
+
+def test_stratified_exact_sample_counts_and_determinism(spark):
+    """Exactly n per stratum (capped by stratum size), identical picks on
+    re-run, different picks under a different seed (overwhelmingly)."""
+    from pyspark.sql import Row
+
+    from etl_demo_spark.ops import stratified_exact_sample
+
+    rows = [Row(id=i, g=("a" if i % 3 == 0 else "b" if i % 3 == 1 else "c")) for i in range(60)]
+    rows += [Row(id=1000, g="tiny")]  # stratum smaller than n
+    df = spark.createDataFrame(rows)
+    s1 = stratified_exact_sample(df, ["g"], 5, "id", seed="x").collect()
+    from collections import Counter
+
+    counts = Counter(r.g for r in s1)
+    assert counts == {"a": 5, "b": 5, "c": 5, "tiny": 1}
+    s2 = stratified_exact_sample(df, ["g"], 5, "id", seed="x").collect()
+    assert sorted(r.id for r in s1) == sorted(r.id for r in s2)
+    s3 = stratified_exact_sample(df, ["g"], 5, "id", seed="y").collect()
+    assert sorted(r.id for r in s1) != sorted(r.id for r in s3)
