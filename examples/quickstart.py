@@ -1,0 +1,120 @@
+"""Quickstart: the engine's public API end-to-end in one runnable script.
+
+For a user of the reference repo switching over — each section mirrors a
+task they run today (or a scale task the reference can't do) and prints a
+small result. Run:
+
+    PYTHONPATH=. python examples/quickstart.py [TRADES_CSV] [SF_DIR]
+
+Defaults: the reference's shipped CSV and /root/testdata/sf0.001.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    trades_csv = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/trades (1) (2) (1).csv"
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+
+    from etl_demo_spark.session import get_spark
+
+    spark = get_spark(app_name="quickstart")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = Path(tempfile.mkdtemp(prefix="quickstart_"))
+
+    # 1. The reference's whole pipeline: extract → clean → PnL → load → report
+    from etl_demo_spark.pipelines.weekly_trades import run_etl
+
+    res = run_etl(
+        spark,
+        trades_csv,
+        sqlite_path=str(out / "agg_result.db"),
+        report_path=str(out / "top_clients.xlsx"),
+        add_timestamp=False,
+    )
+    print(f"[trades] {res.rows_loaded} weekly groups -> {out/'agg_result.db'}")
+    print(f"[trades] report -> {res.report_path}")
+
+    # 2. Read the artifacts BACK through Spark (SQLite + xlsx sources)
+    from etl_demo_spark.io.sqlite_source import register_sqlite_source
+    from etl_demo_spark.io.xlsx_source import register_xlsx_source
+
+    register_sqlite_source(spark)
+    register_xlsx_source(spark)
+    agg = (
+        spark.read.format("sqlite")
+        .option("path", str(out / "agg_result.db"))
+        .option("table", "agg_trades_weekly")
+        .load()
+    )
+    report = spark.read.format("xlsx").load(str(res.report_path))
+    print(f"[sources] sqlite rows={agg.count()}, xlsx rows={report.count()}")
+
+    # 3. Relational analytics on the star schema (plain DataFrame API)
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.io.sources import load_tables
+
+    t = load_tables(spark, sf_dir, tables=("orders", "customer"))
+    top_seg = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), t["orders"].o_custkey == t["customer"].c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+        .orderBy(F.col("revenue").desc())
+        .limit(3)
+    )
+    print("[analytics] top segments:", [tuple(r) for r in top_seg.collect()])
+
+    # 4. Training-data ops: dedup, quality, deterministic sampling
+    docs = load_tables(spark, sf_dir, tables=("documents",))["documents"]
+
+    from etl_demo_spark.dedup import exact_dedup_by_fingerprint
+    from etl_demo_spark.ops import stratified_exact_sample, weighted_sample
+
+    dedup = exact_dedup_by_fingerprint(docs)
+    n_dupes = dedup.filter(F.col("n_copies") > 1).count()
+    print(f"[dedup] fingerprint groups with duplicates: {n_dupes}")
+    sample = weighted_sample(
+        docs.select("doc_id", F.length("text").alias("n_chars")),
+        weight_col="n_chars", n=5, id_col="doc_id", seed="demo",
+    )
+    print("[sampling] length-weighted pick:", [r.doc_id for r in sample.collect()])
+    strat = stratified_exact_sample(docs, ["lang"], 2, "doc_id", seed="demo")
+    print(f"[sampling] 2-per-language rows: {strat.count()}")
+
+    # 5. Vector search over the embeddings table
+    emb = load_tables(spark, sf_dir, tables=("embeddings",))["embeddings"]
+    from etl_demo_spark.vec import brute_force_topk, lsh_topk
+
+    qv = [float(v) for v in emb.first()["embedding"]]
+    exact = brute_force_topk(emb, qv, k=3).collect()
+    approx = lsh_topk(emb, qv, k=3, planes=6, probe_radius=2).collect()
+    print("[ann] exact top-3:", [(r[0], r[1]) for r in exact])
+    print("[ann] lsh top-3:  ", [(r[0], r[1]) for r in approx])
+
+    # 6. Streaming: the same hourly aggregation on the real streaming engine
+    from etl_demo_spark.streaming import (
+        hourly_event_stats,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    stats = run_stream_to_memory(
+        spark, hourly_event_stats(stream), "quickstart_stream", state_partitions=2
+    )
+    print(f"[streaming] hourly window rows: {stats.count()}")
+
+    print(f"\nartifacts in {out}")
+
+
+if __name__ == "__main__":
+    main()
