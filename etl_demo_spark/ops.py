@@ -345,10 +345,13 @@ def weighted_sample(
     without materializing per-stratum counts."""
     if n < 0:
         raise ValueError("weighted_sample: n must be >= 0")
+    # seed rides as a literal COLUMN, not a spliced SQL string — any seed
+    # value is safe (quotes included) and the expression stays injectable-
+    # free for callers passing user input
     u = (
         F.conv(
             F.substring(
-                F.expr(f"md5(concat(cast({id_col} as string), '{seed}'))"), 1, 8
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 8
             ),
             16,
             10,
@@ -386,9 +389,10 @@ def stratified_exact_sample(
     the exchange carries at most n rows per stratum per map task."""
     if n_per_stratum < 0:
         raise ValueError("stratified_exact_sample: n_per_stratum must be >= 0")
+    # literal-column seed — same injection-safety note as weighted_sample
     u = F.conv(
         F.substring(
-            F.expr(f"md5(concat(cast({id_col} as string), '{seed}'))"), 1, 8
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 8
         ),
         16,
         10,
