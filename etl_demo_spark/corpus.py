@@ -869,8 +869,8 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-13 scale path: sign-LSH bucketing restricts the exact re-rank to
     the query's Hamming-≤2 bucket neighborhood (multi-probe radius 2:
     22/64 buckets ≈ 1/3 of a full scan; the accuracy/cost dial is
-    documented on the operator); recall vs brute force asserted in unit
-    tests and reported per-round in the bench output."""
+    documented on the operator); recall vs brute force asserted in
+    unit tests and reported per-round in the bench output."""
     from etl_demo_spark.vec import lsh_topk
 
     (emb,) = _t(spark, sf_dir, "embeddings")
