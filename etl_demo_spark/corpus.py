@@ -1784,6 +1784,46 @@ def region_nation_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quarterly_distinct_customers_bitmap",
+    oracle="""
+    SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def quarterly_distinct_customers_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-4 MERGEABLE EXACT distinct counting via bitmap aggregates
+    (Spark 3.5 bitmap_construct_agg family): build per-(month, bucket)
+    bitmap partials, OR-merge them up to quarters, and sum per-bucket
+    cardinalities — exact COUNT(DISTINCT) whose partials are reusable
+    state, verified against DuckDB's plain COUNT DISTINCT.
+
+    Why it matters at 100 TB: COUNT(DISTINCT) is not decomposable through
+    plain sums, so incremental pipelines either re-scan history or accept
+    HLL error. Bitmap partials are the third way — materialize the
+    month×bucket bitmaps once, merge any coarser rollup (quarter, year,
+    trailing-90d) from the partials alone, exactly. The bucket split
+    (bitmap_bucket_number) keeps each bitmap bounded, so the partial
+    table shuffles small fixed-size blobs, never raw keys."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    partials = (
+        orders.groupBy(
+            F.trunc("o_orderdate", "mm").alias("month"),
+            F.bitmap_bucket_number("o_custkey").alias("bkt"),
+        ).agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position("o_custkey")).alias("bm")
+        )
+    )
+    return (
+        partials.groupBy(F.trunc("month", "quarter").alias("quarter"), "bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("quarter")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_customers"))
+    )
+
+
+@query(
     "stratified_docs_exact",
     oracle="""
     SELECT doc_id, lang
