@@ -6016,3 +6016,76 @@ def orderkey_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     run the same expression per range with boundary stitching."""
     (orders,) = _t(spark, sf_dir, "orders")
     return gap_islands(orders.select("o_orderkey").distinct())
+
+
+@query(
+    "customer_merge_partitioned",
+    oracle="""
+    WITH source AS (
+      SELECT c_custkey, 'ADJ_' || c_name AS c_name, c_nationkey,
+             c_acctbal + 25.0 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0 AND c_mktsegment = 'BUILDING'
+      UNION ALL
+      SELECT c_custkey + 20000000, 'NEWP_' || CAST(c_custkey AS VARCHAR),
+             c_nationkey, 0.0 AS c_acctbal, 'BUILDING' AS c_mktsegment
+      FROM customer WHERE c_custkey % 50 = 0
+    )
+    SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+           COALESCE(s.c_name, t.c_name) AS c_name,
+           COALESCE(s.c_nationkey, t.c_nationkey) AS c_nationkey,
+           COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal,
+           COALESCE(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+    FROM customer t FULL JOIN source s ON t.c_custkey = s.c_custkey
+    """,
+)
+def customer_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped MERGE (io/tables.py): the customer table stored
+    partitioned by c_mktsegment, merged with a change batch confined to
+    the BUILDING segment — the merge rewrites exactly ONE of the five
+    partitions (asserted: the returned blast radius is ['BUILDING'];
+    byte-identity of untouched partitions is pinned in tests/
+    test_tables.py). The oracle is the logical MERGE over the whole
+    table — physical scoping must not change the answer.
+
+    Scale: this is the shape that makes MERGE viable at 100 TB — the
+    rewrite IO is proportional to the change's partition footprint, not
+    the table. See io/tables.py module docstring for the staging-swap
+    protocol and its crash-consistency contract."""
+    import tempfile
+
+    from etl_demo_spark.io.tables import merge_upsert_partitioned
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    target_path = tempfile.mkdtemp(prefix="merge_part_") + "/customer"
+    customer.select(cols).write.partitionBy("c_mktsegment").parquet(target_path)
+
+    updates = (
+        customer.filter(
+            (F.col("c_custkey") % 7 == 0) & (F.col("c_mktsegment") == "BUILDING")
+        )
+        .select(cols)
+        .withColumn("c_name", F.concat(F.lit("ADJ_"), F.col("c_name")))
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(25.0))
+    )
+    inserts = customer.filter(F.col("c_custkey") % 50 == 0).select(
+        (F.col("c_custkey") + 20000000).alias("c_custkey"),
+        F.concat(F.lit("NEWP_"), F.col("c_custkey").cast("string")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("BUILDING").alias("c_mktsegment"),
+    )
+    source = updates.unionByName(inserts)
+
+    affected = merge_upsert_partitioned(
+        spark, target_path, source, ["c_custkey"], "c_mktsegment"
+    )
+    assert affected == ["BUILDING"], affected
+    merged = spark.read.parquet(target_path)
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "c_acctbal",
+        "c_mktsegment",
+    )

@@ -1,0 +1,149 @@
+"""Partition-scoped MERGE / SCD2 (io/tables.py): blast-radius and
+byte-identity contracts — the partitions a merge does not touch must keep
+the exact same files (same names, same bytes, same mtimes)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+
+def _file_state(root: str) -> dict[str, tuple[str, float]]:
+    """path → (md5, mtime) for every data file under root."""
+    out = {}
+    for p in Path(root).rglob("*"):
+        if p.is_file() and not p.name.startswith((".", "_")):
+            out[str(p.relative_to(root))] = (
+                hashlib.md5(p.read_bytes()).hexdigest(),
+                p.stat().st_mtime,
+            )
+    return out
+
+
+def _seed_table(spark, path: str):
+    rows = [
+        (1, "alpha", "A"),
+        (2, "beta", "A"),
+        (3, "gamma", "B"),
+        (4, "delta", "B"),
+        (5, "epsilon", "C"),
+        (6, "zeta", "D"),
+    ]
+    df = spark.createDataFrame(rows, "id INT, name STRING, seg STRING")
+    df.write.mode("overwrite").partitionBy("seg").parquet(path)
+
+
+def test_merge_partitioned_rewrites_only_affected(spark, tmp_path):
+    from etl_demo_spark.io.tables import merge_upsert_partitioned
+
+    path = str(tmp_path / "t")
+    _seed_table(spark, path)
+    before = _file_state(path)
+
+    source = spark.createDataFrame(
+        [(1, "ALPHA2", "A"), (99, "new-in-A", "A")], "id INT, name STRING, seg STRING"
+    )
+    affected = merge_upsert_partitioned(spark, path, source, ["id"], "seg")
+    assert sorted(affected) == ["A"]
+
+    after = _file_state(path)
+    untouched_before = {k: v for k, v in before.items() if "seg=A" not in k}
+    untouched_after = {k: v for k, v in after.items() if "seg=A" not in k}
+    assert untouched_before == untouched_after  # names, bytes AND mtimes
+
+    got = {
+        r.id: (r.name, r.seg)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got[1] == ("ALPHA2", "A")
+    assert got[99] == ("new-in-A", "A")
+    assert got[3] == ("gamma", "B") and len(got) == 7
+
+
+def test_merge_partitioned_moves_row_and_deletes_emptied_partition(spark, tmp_path):
+    from etl_demo_spark.io.tables import merge_upsert_partitioned
+
+    path = str(tmp_path / "t")
+    _seed_table(spark, path)
+    before = _file_state(path)
+
+    # key 6 is partition D's ONLY row; the update moves it to C — D must
+    # end up deleted (dynamic overwrite could never do this), C rewritten
+    source = spark.createDataFrame([(6, "zeta-moved", "C")], "id INT, name STRING, seg STRING")
+    affected = merge_upsert_partitioned(spark, path, source, ["id"], "seg")
+    assert sorted(affected) == ["C", "D"]
+
+    assert not os.path.exists(os.path.join(path, "seg=D"))
+    got = {r.id: (r.name, r.seg) for r in spark.read.parquet(path).collect()}
+    assert got[6] == ("zeta-moved", "C") and len(got) == 6
+
+    after = _file_state(path)
+    for part in ("seg=A", "seg=B"):
+        b = {k: v for k, v in before.items() if part in k}
+        a = {k: v for k, v in after.items() if part in k}
+        assert b == a
+
+
+def test_merge_partitioned_empty_source_touches_nothing(spark, tmp_path):
+    from etl_demo_spark.io.tables import merge_upsert_partitioned
+
+    path = str(tmp_path / "t")
+    _seed_table(spark, path)
+    before = _file_state(path)
+    empty = spark.createDataFrame([], "id INT, name STRING, seg STRING")
+    assert merge_upsert_partitioned(spark, path, empty, ["id"], "seg") == []
+    assert _file_state(path) == before
+
+
+def test_merge_partitioned_leftover_staging_is_cleared(spark, tmp_path):
+    from etl_demo_spark.io.tables import merge_upsert_partitioned
+
+    path = str(tmp_path / "t")
+    _seed_table(spark, path)
+    staging = path + ".__merge_staging__"
+    os.makedirs(os.path.join(staging, "seg=Z"))  # simulate crashed run
+    Path(staging, "seg=Z", "junk.parquet").write_bytes(b"junk")
+
+    source = spark.createDataFrame([(5, "EPS", "C")], "id INT, name STRING, seg STRING")
+    merge_upsert_partitioned(spark, path, source, ["id"], "seg")
+    assert not os.path.exists(staging)
+    got = {r.id: r.name for r in spark.read.parquet(path).collect()}
+    assert got[5] == "EPS" and len(got) == 6
+
+
+def test_scd2_partitioned_closed_files_untouched(spark, tmp_path):
+    from etl_demo_spark.io.tables import scd2_apply_partitioned
+
+    path = str(tmp_path / "hist")
+    hist = spark.createDataFrame(
+        [
+            (1, "bronze", 100, None),
+            (1, "old", 50, 100),  # already-closed version
+            (2, "silver", 100, None),
+        ],
+        "k INT, tier STRING, valid_from INT, valid_to INT",
+    ).withColumn("is_current", F.col("valid_to").isNull())
+    hist.write.mode("overwrite").partitionBy("is_current").parquet(path)
+    closed_before = {
+        k: v for k, v in _file_state(path).items() if "is_current=false" in k
+    }
+
+    changes = spark.createDataFrame([(1, "gold", 200)], "k INT, tier STRING, ts INT")
+    scd2_apply_partitioned(spark, path, changes, "k", ["tier"])
+
+    after = _file_state(path)
+    # the pre-existing closed files are byte-identical (appends added new
+    # files alongside; none of the old ones were rewritten)
+    for k, v in closed_before.items():
+        assert after.get(k) == v
+
+    out = spark.read.parquet(path)
+    cur = {r.k: r.tier for r in out.filter("valid_to IS NULL").collect()}
+    assert cur == {1: "gold", 2: "silver"}
+    closed = sorted(
+        (r.k, r.tier, r.valid_to) for r in out.filter("valid_to IS NOT NULL").collect()
+    )
+    assert closed == [(1, "bronze", 200), (1, "old", 100)]
