@@ -560,3 +560,57 @@ def kmeans_predict(
     """Attach a ``cluster`` column (0-based) from a fitted codebook."""
     assign = kmeans_assign_udf(centroids)
     return df.withColumn("cluster", assign(F.col(vec_col)))
+
+
+def clustered_embeddings(
+    df: DataFrame,
+    n_clusters: int = 8,
+    noise: float = 0.15,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic planted-cluster embedding corpus derived from any id
+    frame: row i is assigned a cluster by a multiplicative hash of its id,
+    and its vector is that cluster's unit center plus N(0, noise²)
+    per-dimension jitter. All randomness is counter-based off the ids
+    (numpy Philox streams seeded by cluster id / row id), so the fixture
+    is identical across runs, partitionings, and cluster sizes — no RNG
+    state crosses executors.
+
+    Why this exists: the driver testdata embeddings are isotropic noise —
+    the theoretical WORST case for bucketed ANN (no structure for LSH
+    planes or IVF cells to exploit), so recall measured there is a floor.
+    Real embedding corpora are heavily clustered (that's why embeddings
+    are useful), and this fixture is the matching best-ish case: the same
+    operators are benched on BOTH so the recall report brackets the
+    operating range. Generation is one narrow Arrow-batched pass — no
+    shuffle, scales with the id frame."""
+    import numpy as np
+    import pandas as pd
+
+    schema = f"{id_col} long, {vec_col} array<float>"
+
+    def gen(batches):
+        centers = np.stack(
+            [
+                np.random.default_rng(1000 + c).standard_normal(dim)
+                for c in range(n_clusters)
+            ]
+        )
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            cl = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+                n_clusters
+            )
+            vecs = [
+                (
+                    centers[int(c)]
+                    + noise * np.random.default_rng(int(i)).standard_normal(dim)
+                ).astype(np.float32)
+                for i, c in zip(ids, cl)
+            ]
+            yield pd.DataFrame({id_col: ids, vec_col: vecs})
+
+    return df.select(id_col).mapInPandas(gen, schema=schema)
