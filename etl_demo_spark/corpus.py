@@ -4245,37 +4245,75 @@ def price_qty_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("near_dup_clusters")  # iterative algorithm: rows-only driver check
+@query(
+    "near_dup_clusters",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(text) - 4),
+                                          i -> substring(text, i, 5))) AS shingles
+      FROM documents WHERE doc_id < 500
+    ),
+    edges AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    ),
+    reach(src, dst) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    comp AS (SELECT src AS id, MIN(dst) AS component FROM reach GROUP BY src)
+    SELECT component, COUNT(*) AS cluster_size,
+           array_to_string(list_sort(list(id)), ',') AS doc_ids
+    FROM comp GROUP BY component HAVING COUNT(*) >= 2
+    """,
+)
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X-12 end-to-end dedup clustering: MinHash LSH candidate pairs →
-    exact-Jaccard verification → connected components → cluster roster
-    ``(component, cluster_size, doc_ids)``. The keeper policy is then
-    "min doc_id per component" — exactly what a 100 TB near-dup pass
-    feeds into its delete list. Component labeling is verified against a
-    Python union-find oracle in unit tests (no SQL oracle: iterative
-    fixpoint).
+    """X-12 end-to-end dedup clustering: exact similarity pairs →
+    connected components → cluster roster ``(component, cluster_size,
+    doc_ids)``. The keeper policy is then "min doc_id per component" —
+    exactly what a 100 TB near-dup pass feeds into its delete list.
 
-    Scale: the iterative stage runs on the PAIR graph only (LSH-bounded,
-    ≪ corpus); rounds are co-keyed joins; the roster agg is one shuffle
-    of (component, id) pairs."""
-    from etl_demo_spark.dedup import (
-        connected_components,
-        jaccard_verify,
-        minhash_lsh_candidates,
-    )
+    The pair stage here is the PROVABLY-COMPLETE prefix-filtered exact
+    Jaccard join (`dedup.prefix_filter_jaccard_join`, itself oracled in
+    `jaccard_join_prefix_filter`), which makes the WHOLE pipeline
+    SQL-expressible: the DuckDB oracle recomputes the pairs brute-force
+    and labels components with a recursive-CTE transitive closure
+    (component = min reachable id — the same labeling
+    `connected_components` converges to). The MinHash-LSH candidate
+    generator drops into the identical dataflow when probabilistic
+    recall is acceptable (`minhash_near_dup`); components don't care
+    where the edges came from. The doc_id < 500 bound keeps the oracle's
+    quadratic pair check constant across sfs; doc_ids is comma-joined so
+    both engines hash the roster identically.
+
+    Scale: the iterative stage runs on the PAIR graph only (similarity-
+    bounded, ≪ corpus); rounds are co-keyed joins; the roster agg is one
+    shuffle of (component, id) pairs."""
+    from etl_demo_spark.dedup import connected_components, prefix_filter_jaccard_join
 
     (docs,) = _t(spark, sf_dir, "documents")
-    pairs = jaccard_verify(
-        minhash_lsh_candidates(docs, num_hashes=32, bands=8), docs, threshold=0.5
+    sh = docs.filter(F.col("doc_id") < 500).select(
+        F.col("doc_id").alias("id"),
+        F.expr(
+            "array_distinct(transform(sequence(1, length(text) - 4),"
+            " i -> xxhash64(substring(text, i, 5))))"
+        ).alias("shingles"),
     )
+    pairs = prefix_filter_jaccard_join(sh, threshold=0.5)
     comp = connected_components(pairs)
     return (
         comp.groupBy("component")
         .agg(
             F.count(F.lit(1)).alias("cluster_size"),
-            F.sort_array(F.collect_list("id")).alias("doc_ids"),
+            F.concat_ws(",", F.sort_array(F.collect_list("id"))).alias("doc_ids"),
         )
         .filter(F.col("cluster_size") >= 2)
+        .select(F.col("component").cast("long").alias("component"), "cluster_size", "doc_ids")
     )
 
 
@@ -4440,22 +4478,38 @@ def customer_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(customer, source, ["c_custkey"])
 
 
-@query("stratified_doc_sample")  # seeded randomness: engine-specific (rows-only)
+@query(
+    "stratified_doc_sample",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_sampled
+    FROM documents
+    WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'b4'), 1, 8)) AS BIGINT)
+           + 0.5) / 4294967296.0
+          < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 1.0
+                      WHEN 'es' THEN 1.0 WHEN 'it' THEN 1.0 ELSE NULL END
+    GROUP BY lang
+    """,
+)
 def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling (sampleBy): a per-language sampling fraction —
-    downsample the dominant language, keep the rest — the corpus
-    rebalancing step of a training pipeline. Seeded, so the sample is
-    reproducible within Spark; cross-engine comparison is rows-only
-    (RNG streams differ), with per-stratum proportion bounds asserted in
-    unit tests.
+    """Stratified Bernoulli sampling by per-language fraction — downsample
+    the dominant language, keep the rest: the corpus rebalancing step of a
+    training pipeline. Uses `ops.hash_bernoulli_sample` (sampleBy with the
+    RNG swapped for an md5-derived uniform), so the sample is reproducible
+    across runs, partitionings, AND engines — the DuckDB oracle recomputes
+    the identical selection row-for-row. Spark's own ``df.sampleBy`` is the
+    same plan shape but its per-partition RNG streams change with the
+    physical split (its proportion behavior stays covered in unit tests).
 
-    Scale: sampleBy is a narrow per-row Bernoulli filter (no shuffle);
-    the per-language rates ship as a literal map. For exact-size strata
-    use the deterministic hash-threshold pattern (text.split_assign)
-    instead."""
+    Scale: one narrow per-row filter (no shuffle); the per-language rates
+    ride as a map literal. For exact-size strata use
+    `ops.stratified_exact_sample` (`stratified_docs_exact`) instead."""
+    from etl_demo_spark.ops import hash_bernoulli_sample
+
     (docs,) = _t(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "it": 1.0}
-    sample = docs.sampleBy("lang", fractions=fractions, seed=42)
+    sample = hash_bernoulli_sample(
+        docs, fractions, strata_col="lang", id_col="doc_id", seed="b4"
+    )
     return sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
@@ -4897,20 +4951,49 @@ def props_map_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("knn_self_join")  # bucket-limited ANN join: rows-only driver check
+@query(
+    "knn_self_join",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 200
+    ),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             ROUND(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+      FROM e q CROSS JOIN e c
+    )
+    SELECT q_id, c_id, cos_sim, rank FROM (
+      SELECT q_id, c_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, c_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
 def knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-13 batch k-NN join: every embedding queries the corpus at once
-    (LSH-bucket equi-join + per-query exact re-rank + WindowGroupLimit)
-    — the offline-retrieval shape where per-query search doesn't scale.
-    Self-match at rank 1 for every query is asserted in unit tests.
+    (bucket equi-join + per-query exact re-rank + WindowGroupLimit) — the
+    offline-retrieval shape where per-query search doesn't scale.
 
-    Scale: candidates are bounded by bucket collision counts (hash join
-    on a long key, never all-pairs); the rank filter pushes k into the
-    window sort."""
+    Run here with the probe dial at EXHAUSTIVE (planes=0 → one bucket)
+    over a bounded id window, which makes the result exact and therefore
+    SQL-oracle-able: the DuckDB oracle recomputes the full k-NN by brute
+    force (round-then-rank, c_id tiebreak — the operator's own ordering).
+    The production setting (planes=8: candidates bounded by bucket
+    collisions, hash join on a long key, never all-pairs) is the same
+    topology with a different bucket key width; its recall and rank-1
+    self-match are asserted in unit tests (tests/test_llm_ops.py).
+
+    Scale: the WindowGroupLimit pushes k into the per-query window sort
+    map-side, so the exchange carries ≤ k rows per query per task."""
     from etl_demo_spark.vec import knn_join
 
     (emb,) = _t(spark, sf_dir, "embeddings")
-    return knn_join(emb, emb, k=3)
+    bounded = emb.filter(F.col("vec_id") < 200)
+    return knn_join(bounded, bounded, k=3, planes=0)
 
 
 @query(

@@ -405,6 +405,42 @@ def stratified_exact_sample(
     )
 
 
+def hash_bernoulli_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    id_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic stratified Bernoulli sample — ``df.sampleBy`` with
+    the RNG swapped for the same md5-derived uniform as
+    ``weighted_sample``: keep a row iff u(id‖seed) < its stratum's
+    fraction. Identical plan shape to sampleBy (one narrow filter, no
+    shuffle, fractions ride as a map literal), but the selection is
+    reproducible across runs, cluster sizes, partitionings, AND engines —
+    sampleBy's per-partition RNG streams change with the physical split,
+    which is exactly what a training-data pipeline cannot have in its
+    repro recipe. Strata absent from ``fractions`` are dropped (sampleBy
+    semantics: unlisted strata have fraction 0)."""
+    pairs: list[Column] = []
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"hash_bernoulli_sample: fraction {v!r} for {k!r}")
+        pairs.extend([F.lit(k), F.lit(float(v))])
+    frac = F.element_at(F.create_map(*pairs), F.col(strata_col))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    return df.filter(u < frac)
+
+
 def ranked(df: DataFrame, metric: str, partition_by: Sequence[str] = ()) -> DataFrame:
     """O-22 (`etl_weekly_trades.py:202`): rank over metric desc.
 
