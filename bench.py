@@ -42,6 +42,106 @@ HEADLINE = [
 ]
 
 
+def _bench_skew(spark, sf_dir: str) -> dict:
+    """Skew-mitigation A/B on a zipf-ish fixture (90% of rows on one hot
+    key, 16× exploded lineitem, high-cardinality values):
+
+      * agg_plain vs agg_salted — per-key exact distinct via
+        size(collect_set): the aggregate class whose REDUCER state is
+        linear in group size (collect_*/exact percentiles/stateful UDAFs
+        — sum/count/avg/count_distinct are already skew-immune through
+        partial aggregation and Catalyst's (k,v) distinct expansion, so
+        salting those is pure overhead). `ops.salted_agg` spreads the hot
+        key over 32 value-derived salt buckets; per-bucket distinct
+        counts sum exactly because the salt partitions the value space.
+      * join_aqe_off vs join_aqe_on — the skewed sort-merge join,
+        AQE skew-split disabled vs enabled (thresholds scaled to the
+        local fixture; at cluster scale the 256 MB defaults fire the
+        same way).
+
+    Run LAST: the AQE/broadcast confs are query-scoped here and restored
+    after, but keeping the perturbation away from the headline timings
+    costs nothing. Measured numbers live in docs/SCALE_LAYOUT.md."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.ops import salted_agg
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    h = F.xxhash64("l_orderkey", "l_linenumber")
+    exploded = li.select(
+        h.alias("h"), F.explode(F.sequence(F.lit(1), F.lit(16))).alias("rep")
+    )
+    hv = F.xxhash64("h", "rep")
+    skewed = (
+        exploded.select(
+            F.when(F.pmod(hv, F.lit(10)) < 9, F.lit(0))
+            .otherwise(F.pmod(hv, F.lit(1000)))
+            .alias("k"),
+            hv.alias("v"),
+        )
+        .repartition(32)
+        .persist()
+    )
+    n_rows = skewed.count()
+
+    def best2(df) -> float:
+        df.write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    out = {"fixture_rows": n_rows, "hot_key_share": 0.9}
+    out["agg_plain"] = best2(
+        skewed.groupBy("k").agg(F.size(F.collect_set("v")).alias("nv"))
+    )
+    out["agg_salted"] = best2(
+        salted_agg(
+            skewed, ["k"], {"nv": (F.size(F.collect_set("v")), "sum")}, salt_buckets=32
+        )
+    )
+
+    dim = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("payload")
+    )
+    j = skewed.join(dim.hint("merge"), "k").select(
+        (F.col("v") + F.col("payload")).alias("x")
+    )
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        out["join_aqe_off"] = best2(j)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        out["join_aqe_on"] = best2(j)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        skewed.unpersist()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from etl_demo_spark.session import get_spark
@@ -101,58 +201,34 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         extra[name] = round(best, 3)
 
-    # ANN quality (not timed): recall@10 of the approximate indexes vs the
-    # exact brute-force top-10 on the same query vector. Context the
-    # number needs: the testdata embeddings are isotropic random vectors
-    # (measured max pairwise cosine ~0.6), the theoretical worst case for
-    # bucketed ANN — there is no cluster structure for LSH planes or IVF
-    # cells to exploit, so recall here is a floor, not the structured-
-    # corpus figure (planted-neighbor retrieval is pinned at 100% by
-    # tests/test_llm_ops.py; embedding_near_dups recovers every planted
-    # scaled copy through the same bucketing).
-    exact_ids = {
-        r[0] for r in queries["ann_topk_bruteforce"](spark, sf_dir).collect()
-    }
-    ann_recall = {}
-    for name in ("ann_topk_lsh", "ann_topk_ivf"):
-        approx_ids = {r[0] for r in queries[name](spark, sf_dir).collect()}
-        ann_recall[name.rsplit("_", 1)[-1]] = round(
-            len(exact_ids & approx_ids) / max(len(exact_ids), 1), 2
-        )
-    # the isotropic driver testdata is the ANN worst case (no structure
-    # for buckets to exploit — recall there is a FLOOR); the planted-
-    # cluster fixture is the realistic regime real embedding corpora live
-    # in. Same operators, same probe parameters as the corpus queries
-    # (lsh planes=6 radius=2, ivf 16 cells nprobe=4) on both, so the two
-    # numbers bracket the operating range.
-    from etl_demo_spark.vec import (
-        brute_force_topk,
-        clustered_embeddings,
-        ivf_topk,
-        lsh_topk,
+    # ANN quality (not timed): MEAN recall@10 over 10 query vectors of
+    # the approximate indexes vs exact brute force, on BOTH corpora:
+    #   * isotropic = the driver testdata embeddings — random vectors, the
+    #     theoretical worst case for bucketed ANN (no cluster structure
+    #     for LSH planes or IVF cells to exploit): a recall FLOOR;
+    #   * clustered = the planted-cluster fixture
+    #     (vec.clustered_embeddings), the regime real embedding corpora
+    #     live in (that's what makes embeddings useful).
+    # Same operators, same probe parameters as the corpus queries (lsh
+    # planes=6 radius=2, ivf 16 cells nprobe=4) on both, so the pair
+    # brackets the operating range. Mean-over-10 because single-query
+    # recall@10 is a 10-sample estimate (observed ±0.3 run-to-run).
+    from etl_demo_spark.vec import ann_recall_report, clustered_embeddings
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).persist()
+    ann_recall: dict = ann_recall_report(emb)
+    clustered = clustered_embeddings(emb).persist()
+    ann_recall["clustered"] = ann_recall_report(clustered)
+    clustered.unpersist()
+    emb.unpersist()
+    ann_recall["note"] = (
+        "mean recall@10 over 10 queries; lsh/ivf keys = isotropic driver "
+        "testdata (ANN worst case: no cluster structure, recall floor); "
+        "clustered = planted-cluster fixture (vec.clustered_embeddings), "
+        "the realistic regime - same operators and probe parameters on both"
     )
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    clustered = clustered_embeddings(emb).persist()
-    qv = [float(x) for x in clustered.filter("vec_id = 0").first()["embedding"]]
-    cl_exact = {r[0] for r in brute_force_topk(clustered, qv, k=10).collect()}
-    cl_lsh = {
-        r[0] for r in lsh_topk(clustered, qv, k=10, planes=6, probe_radius=2).collect()
-    }
-    cl_ivf = {
-        r[0] for r in ivf_topk(clustered, qv, k=10, n_cells=16, nprobe=4).collect()
-    }
-    clustered.unpersist()
-    ann_recall["clustered"] = {
-        "lsh": round(len(cl_exact & cl_lsh) / max(len(cl_exact), 1), 2),
-        "ivf": round(len(cl_exact & cl_ivf) / max(len(cl_exact), 1), 2),
-    }
-    ann_recall["note"] = (
-        "lsh/ivf keys = isotropic-noise driver testdata (ANN worst case: no "
-        "cluster structure, recall floor); clustered = planted-cluster "
-        "fixture (vec.clustered_embeddings), the realistic regime — same "
-        "operators and probe parameters on both"
-    )
+    skew = _bench_skew(spark, sf_dir)
 
     print(
         json.dumps(
@@ -168,6 +244,7 @@ def main() -> None:
                     "rows_per_sec": stream_rps,
                 },
                 "extra_operators": extra,
+                "skew": skew,
                 "ann_recall_at_10": ann_recall,
             }
         )

@@ -6172,3 +6172,32 @@ def customer_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         "c_mktsegment",
     )
+
+
+@query(
+    "orders_keyset_page",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def orders_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9 keyset pagination (`ops.keyset_page`): the page after cursor
+    (o_orderdate, o_orderkey) of row 40 — exactly rows 41–60 of the total
+    order, which is what the OFFSET oracle computes, so the equivalence
+    IS the correctness claim. The cursor fetch here is a bounded 40-row
+    TakeOrdered standing in for the client's stored cursor.
+
+    Scale: unlike OFFSET (depth-proportional TakeOrdered through the
+    driver — see `orders_page_two`), the cursor predicate is pushed to
+    the parquet scan as a plain OR-of-comparisons (plan pinned in
+    tests/test_plans.py), so page 10⁶ costs the same as page 2."""
+    from etl_demo_spark.ops import keyset_page
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderdate", "o_totalprice")
+    boundary = base.orderBy("o_orderdate", "o_orderkey").limit(40).collect()[-1]
+    last = (boundary["o_orderdate"], boundary["o_orderkey"])
+    return keyset_page(base, ["o_orderdate", "o_orderkey"], last, 20)

@@ -319,6 +319,41 @@ def top_k(df: DataFrame, metric: str, k: int, tiebreak: Sequence[str] = ()) -> D
     return df.orderBy(*order).limit(k)
 
 
+def keyset_page(
+    df: DataFrame, order_cols: Sequence[str], last: Sequence | None, n: int
+) -> DataFrame:
+    """X-9 keyset (seek) pagination: the page AFTER cursor ``last`` under
+    the total order ``order_cols`` — WHERE (k1,…,km) > (v1,…,vm) ORDER BY
+    k1,…,km LIMIT n. ``last`` is the final row's key tuple from the
+    previous page (None → first page); the order must end in a unique key
+    so pages are deterministic and gap-free.
+
+    Why not OFFSET: OFFSET p·n materializes and discards every earlier
+    row — page 10⁶ of a 100 TB table TakeOrders 20M rows through the
+    driver merge (`orders_page_two` documents the cliff). Keyset cost is
+    depth-independent: the cursor predicate prunes at the SCAN.
+
+    The lexicographic tuple comparison is deliberately decomposed into
+    OR-of-ANDs over plain column comparisons — a struct() comparison is
+    opaque to the parquet DataSource, while the decomposed form pushes
+    down whole (PushedFilters shows the full disjunction; with the table
+    sorted/partitioned by the leading key, row groups before the cursor
+    are skipped entirely — min/max stats). Plan pinned in
+    tests/test_plans.py."""
+    if n < 0:
+        raise ValueError("keyset_page: n must be >= 0")
+    if last is not None:
+        if len(last) != len(order_cols):
+            raise ValueError("keyset_page: cursor arity != order arity")
+        disjuncts = []
+        for i in range(len(order_cols)):
+            conj = [F.col(order_cols[j]) == F.lit(last[j]) for j in range(i)]
+            conj.append(F.col(order_cols[i]) > F.lit(last[i]))
+            disjuncts.append(reduce(lambda a, b: a & b, conj))
+        df = df.filter(reduce(lambda a, b: a | b, disjuncts))
+    return df.orderBy(*[F.col(c).asc() for c in order_cols]).limit(n)
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

@@ -1108,30 +1108,17 @@ def test_prefix_filter_jaccard_join_equals_brute_force(spark):
 def test_clustered_fixture_recall(spark):
     """The planted-cluster fixture (the realistic ANN regime — see
     vec.clustered_embeddings) must be deterministic and must lift both
-    approximate indexes to >=0.8 recall@10 with the bench/corpus default
-    probe parameters (lsh planes=6 radius=2, ivf 16 cells nprobe=4)."""
-    from etl_demo_spark.vec import (
-        brute_force_topk,
-        clustered_embeddings,
-        ivf_topk,
-        lsh_topk,
-    )
+    approximate indexes to >=0.8 MEAN recall@10 with the bench/corpus
+    default probe parameters (lsh planes=6 radius=2, ivf 16 cells
+    nprobe=4) — the >=0.8 floor the bench's `clustered` entry reports."""
+    from etl_demo_spark.vec import ann_recall_report, clustered_embeddings
 
     emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
     cl = clustered_embeddings(emb).persist()
     try:
-        qv = [float(v) for v in cl.filter(F.col("vec_id") == 0).first()["embedding"]]
-        exact = {r["vec_id"] for r in brute_force_topk(cl, qv, k=10).collect()}
-        lsh = {
-            r["vec_id"]
-            for r in lsh_topk(cl, qv, k=10, planes=6, probe_radius=2).collect()
-        }
-        ivf = {
-            r["vec_id"]
-            for r in ivf_topk(cl, qv, k=10, n_cells=16, nprobe=4).collect()
-        }
-        assert len(exact & lsh) / 10 >= 0.8, sorted(exact & lsh)
-        assert len(exact & ivf) / 10 >= 0.8, sorted(exact & ivf)
+        recall = ann_recall_report(cl, n_queries=5)
+        assert recall["lsh"] >= 0.8, recall
+        assert recall["ivf"] >= 0.8, recall
         # determinism: a second generation pass produces identical vectors
         again = clustered_embeddings(emb)
         a = cl.orderBy("vec_id").limit(5).collect()

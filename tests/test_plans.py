@@ -166,3 +166,24 @@ def test_edit_distance_join_qgram_path_is_equi_join(spark):
         "ShuffledHashJoin [g" in plan
     ), plan
     assert plan.count("CartesianProduct") <= 1
+
+
+def test_keyset_page_cursor_pushes_to_scan(spark):
+    """keyset_page's decomposed lexicographic cursor must reach the
+    parquet scan as PushedFilters (the whole point over OFFSET: the scan
+    skips pre-cursor row groups instead of the driver discarding rows)."""
+    import datetime
+
+    from etl_demo_spark.ops import keyset_page
+
+    orders = spark.read.parquet(f"{SF001}/orders.parquet")
+    df = keyset_page(
+        orders.select("o_orderkey", "o_orderdate"),
+        ["o_orderdate", "o_orderkey"],
+        (datetime.date(1995, 6, 1), 1234),
+        20,
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(o_orderdate" in plan and "EqualTo(o_orderdate" in plan
+    assert "TakeOrderedAndProject" in plan  # page = top-n, never a global sort
