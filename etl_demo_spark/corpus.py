@@ -6201,3 +6201,81 @@ def orders_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary = base.orderBy("o_orderdate", "o_orderkey").limit(40).collect()[-1]
     last = (boundary["o_orderdate"], boundary["o_orderkey"])
     return keyset_page(base, ["o_orderdate", "o_orderkey"], last, 20)
+
+
+@query(
+    "media_resize_checksum",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 57 AS w FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, (x * 8) // w AS j, (x * 255) // w AS v
+      FROM d, LATERAL unnest(generate_series(0, w - 1)) AS t(x)
+    ),
+    outcols AS (
+      SELECT doc_id, j, SUM(v) // COUNT(*) AS ov
+      FROM px GROUP BY doc_id, j
+    )
+    SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+           CAST(3 * 8 * SUM(ov) AS BIGINT) AS pix_sum
+    FROM outcols GROUP BY doc_id
+    """,
+)
+def media_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel round trip, exactly oracled: per document synthesize an
+    x-gradient RGB PNG (value (x·255)//w, w = 8 + doc_id % 57,
+    h = 8 + len(text) % 57 — all ≥ 8 so the 8×8 resize strictly
+    downsamples), run the REAL resize (`multimodal.resize_images`: zlib
+    pixel decode → exact-integer box resample → RGB re-encode), decode
+    the RESULT's pixels again and return dimensions + the exact pixel
+    sum. The oracle recomputes the box averages arithmetically in SQL —
+    the gradient depends only on x, so each output column is
+    (Σ_{x∈block_j} (x·255)//w) // |block_j| and the checksum is
+    3 channels × 8 rows × Σ_j out_j. A hash match proves encoder, zlib
+    round trip, un-filtering, and the resample's integer arithmetic all
+    bit-agree on every row.
+
+    Plan shape: two narrow Arrow-batched Python stages (blob build,
+    resize+decode), no shuffle — blobs never leave their partition."""
+    import numpy as np
+
+    from etl_demo_spark.io.png import decode_png_pixels, png_bytes
+    from etl_demo_spark.multimodal import resize_images
+
+    (docs,) = _t(spark, sf_dir, "documents")
+
+    def build(it):
+        for pdf in it:
+            blobs = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                w = 8 + int(did) % 57
+                h = 8 + len(text) % 57
+                col = ((np.arange(w, dtype=np.int64) * 255) // w).astype(np.uint8)
+                blobs.append(png_bytes(np.stack([np.tile(col, (h, 1))] * 3, axis=2)))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": blobs})
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        build, "media_id bigint, content binary"
+    )
+    resized = resize_images(media, width=8, height=8)
+
+    def checksum(it):
+        for pdf in it:
+            widths, heights, sums = [], [], []
+            for b in pdf["content"]:
+                px = decode_png_pixels(bytes(b))
+                heights.append(px.shape[0]); widths.append(px.shape[1])
+                sums.append(int(px.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "pix_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return resized.mapInPandas(
+        checksum, "media_id bigint, width int, height int, pix_sum bigint"
+    )

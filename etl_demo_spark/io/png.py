@@ -109,6 +109,110 @@ def decode_png_size(path: str) -> tuple[int, int]:
     return w, h
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA (bit depth 8 only)
+
+
+def decode_png_pixels(b: bytes) -> np.ndarray | None:
+    """Full PIXEL decode of a PNG stream — the inverse of ``png_bytes``,
+    but general: bit-depth-8 grayscale/RGB/RGBA, non-interlaced, any
+    combination of the five scanline filters (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6), IDAT split across any number of chunks. That covers
+    what this repo's encoder and the common tool output for these color
+    types emit. Returns an (H, W, channels) uint8 array, or None for
+    anything that isn't such a PNG (palette, 16-bit, interlaced,
+    truncated, corrupt zlib) — callers map None to NULL columns, never
+    task failures."""
+    try:
+        if b[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        pos, w = 8, None
+        idat = bytearray()
+        while pos + 8 <= len(b):
+            (length,) = struct.unpack(">I", b[pos : pos + 4])
+            tag = b[pos + 4 : pos + 8]
+            data = b[pos + 8 : pos + 8 + length]
+            if len(data) < length:
+                return None  # truncated
+            if tag == b"IHDR":
+                w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
+                    return None
+                ch = _PNG_CHANNELS[ctype]
+            elif tag == b"IDAT":
+                idat += data
+            elif tag == b"IEND":
+                break
+            pos += 12 + length  # length + tag + data + crc
+        if w is None or not idat:
+            return None
+        raw = zlib.decompress(bytes(idat))
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            return None
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prior = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+            ftype, line = row[0], np.frombuffer(row[1:], dtype=np.uint8)
+            if ftype == 0:
+                recon = line.copy()
+            elif ftype == 2:  # Up — vectorizes (no intra-row dependency)
+                recon = line + prior
+            else:
+                recon = np.zeros(stride, dtype=np.uint8)
+                for i in range(stride):
+                    a = int(recon[i - ch]) if i >= ch else 0  # left
+                    bb = int(prior[i])  # up
+                    c = int(prior[i - ch]) if i >= ch else 0  # up-left
+                    if ftype == 1:  # Sub
+                        pred = a
+                    elif ftype == 3:  # Average
+                        pred = (a + bb) // 2
+                    elif ftype == 4:  # Paeth
+                        p = a + bb - c
+                        pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                        pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
+                    else:
+                        return None
+                    recon[i] = (int(line[i]) + pred) & 0xFF
+            out[y] = recon
+            prior = recon
+        return out.reshape(h, w, ch)
+    except (struct.error, zlib.error, ValueError, IndexError):
+        return None
+
+
+def box_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Integer box (area-average) resample of an (H, W, C) uint8 array.
+    Source pixel (y, x) belongs to output block
+    (floor(y·out_h/H), floor(x·out_w/W)) — the value-based bucketing, the
+    same expression SQL spells ``(x * out_w) // W`` (the corpus oracle
+    recomputes it arithmetically, so the two definitions must be THIS one;
+    the index-range form [floor(j·W/out_w), floor((j+1)·W/out_w)) differs
+    at boundaries whenever W % out_w != 0). Output = block sum // block
+    size — exact integer, bit-reproducible across numpy versions and
+    engines. Upscaling leaves some blocks source-free; those fall back to
+    floor-index sampling (pixel at (i·H//out_h, j·W//out_w))."""
+    h, w, c = img.shape
+    acc = img.astype(np.int64)
+    row_b = np.arange(h) * out_h // h  # output row of each source row
+    col_b = np.arange(w) * out_w // w
+    out = np.zeros((out_h, out_w, c), dtype=np.uint8)
+    for i in range(out_h):
+        ys = np.nonzero(row_b == i)[0]
+        if ys.size == 0:  # upscale: no source row maps here
+            ys = np.array([i * h // out_h])
+        for j in range(out_w):
+            xs = np.nonzero(col_b == j)[0]
+            if xs.size == 0:
+                xs = np.array([j * w // out_w])
+            block = acc[np.ix_(ys, xs)]
+            out[i, j] = block.sum(axis=(0, 1)) // (ys.size * xs.size)
+    return out
+
+
 def _draw_text(img: np.ndarray, x: int, y: int, text: str, color=(40, 40, 40)) -> None:
     for ch in text.upper():
         glyph = _FONT.get(ch, _FONT[" "])

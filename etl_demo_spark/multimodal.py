@@ -4,11 +4,13 @@ Design: media are opaque ``BinaryType`` columns + a typed metadata struct,
 exactly how large training pipelines store them in parquet. The
 decode/feature stages run as Arrow-batched ``mapInPandas``. Image DECODE
 (dimensions + color mode from PNG/GIF/BMP/JPEG headers) is real,
-pure-stdlib ``struct`` parsing — no PIL needed. Pixel-level transforms
-(frame sampling, resize) still require codec libraries this container
-lacks; those run the real mapInPandas plumbing with clearly-marked
-deterministic fakes behind ``use_fake_codec=True`` and raise
-``NotImplementedError`` otherwise.
+pure-stdlib ``struct`` parsing — no PIL needed. PNG pixel decode and
+resize are ALSO real (``io.png.decode_png_pixels``: zlib inflate + all
+five scanline filters; exact-integer box resample; RGB re-encode —
+oracled end-to-end in `media_resize_checksum`). Video frame sampling
+still requires ffmpeg, which this container lacks; it runs the real
+mapInPandas plumbing with a clearly-marked deterministic fake behind
+``use_fake_codec=True`` and raises ``NotImplementedError`` otherwise.
 
 At 100 TB: binary blobs ride the same parquet row groups as their
 metadata; decode stages are narrow mapInPandas passes (no shuffle) sized
@@ -268,19 +270,64 @@ def sample_video_frames(
 
 
 def resize_images(
-    media: DataFrame, target_bytes: int = 64, *, use_fake_codec: bool = False
+    media: DataFrame,
+    target_bytes: int = 64,
+    *,
+    width: int = 8,
+    height: int = 8,
+    use_fake_codec: bool = False,
 ) -> DataFrame:
     """Image resize — blob-in/blob-out mapInPandas (same media schema
-    out, so resize stages compose/chain). The codec is stubbed; the fake
-    "resizes" by deterministic truncation/zero-padding of the blob to
-    ``target_bytes``, preserving the metadata contract (n_bytes updated,
-    mime tagged)."""
+    out, so resize stages compose/chain).
+
+    REAL by default for PNG: full pixel decode (``io.png.decode_png_pixels``
+    — zlib inflate + all five scanline filters), exact-integer box
+    resample to (``height``, ``width``), re-encode as RGB PNG
+    (grayscale/RGBA are expanded/flattened to RGB first). Blobs that
+    aren't decodable bit-depth-8 PNGs yield NULL content with mime
+    ``image/unsupported`` — the filter-don't-fail contract every decode
+    stage here follows. JPEG/GIF pixel decode still needs a codec
+    library; a real deployment swaps the per-blob body for PIL keeping
+    this schema, batching, and partitioning.
+
+    ``use_fake_codec=True`` keeps the earlier deterministic
+    truncation/zero-padding fake to ``target_bytes`` (plumbing tests over
+    arbitrary non-image blobs)."""
     if not use_fake_codec:
-        raise NotImplementedError(
-            "image resize requires PIL/opencv; not installed in this environment. "
-            "Re-run with use_fake_codec=True for the deterministic-fake plumbing. "
-            "Contract: mapInPandas(media) -> media_id, content BINARY, meta STRUCT"
-        )
+        import numpy as np
+
+        from etl_demo_spark.io.png import box_resize, decode_png_pixels, png_bytes
+
+        def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            def one(b):
+                if b is None:
+                    return None
+                px = decode_png_pixels(bytes(b))
+                if px is None:
+                    return None
+                if px.shape[2] == 1:  # grayscale → RGB
+                    px = np.repeat(px, 3, axis=2)
+                elif px.shape[2] == 4:  # RGBA → RGB (alpha dropped)
+                    px = px[:, :, :3]
+                return png_bytes(box_resize(px, height, width))
+
+            for pdf in it:
+                resized = pdf["content"].map(one)
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "content": resized,
+                        "meta": [
+                            {
+                                "mime": "image/png" if r is not None else "image/unsupported",
+                                "n_bytes": len(r) if r is not None else 0,
+                            }
+                            for r in resized
+                        ],
+                    }
+                )
+
+        return media.mapInPandas(real_batches, RESIZE_SCHEMA)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -265,9 +265,10 @@ def test_media_features_deterministic(spark, docs_df):
 
 
 def test_decode_stubs_raise_cleanly(spark, docs_df):
-    """Pixel-level stages (frame sample, resize) still gate on the absent
-    codec; header-based decode_image is real now and instead yields NULL
-    dims for non-image blobs (see test_decode_image_real_headers)."""
+    """Video frame sampling still gates on the absent codec (ffmpeg);
+    decode_image and resize_images are real now — non-image blobs yield
+    NULL dims / NULL content instead of raising (see
+    test_decode_image_real_headers, test_resize_images_real_png)."""
     from etl_demo_spark.multimodal import (
         documents_as_media,
         resize_images,
@@ -277,8 +278,10 @@ def test_decode_stubs_raise_cleanly(spark, docs_df):
     media = documents_as_media(docs_df)
     with pytest.raises(NotImplementedError):
         sample_video_frames(media)
-    with pytest.raises(NotImplementedError):
-        resize_images(media)
+    # text blobs are not PNGs: real resize maps them to NULL content
+    out = resize_images(media).limit(3).collect()
+    assert all(r["content"] is None for r in out)
+    assert all(r["meta"]["mime"] == "image/unsupported" for r in out)
 
 
 def test_image_dimensions_parses_png_gif_bmp_jpeg():
