@@ -15,36 +15,69 @@ query wrapper calls :func:`release_persisted` when the NEXT query starts,
 by which point the previous query's result has been consumed. Releasing
 is always safe — an unpersisted plan silently recomputes — so even a
 caller that holds a stale result DataFrame gets correct (just slower)
-answers. Long-lived applications can call :func:`release_persisted`
-directly at their own unit-of-work boundaries.
+answers.
+
+Ownership: the no-argument ``release_persisted()`` releases EVERY tracked
+cache — the right call at a single-threaded unit-of-work boundary (one
+query at a time: the driver, the bench, the sweep, ``run_etl``), and the
+documented assumption of that default. An application interleaving
+several in-flight units of work in one session (or across driver threads)
+must scope instead: pass ``scope=`` a token of its choosing to
+``tracked_persist`` and release only that token's caches — otherwise one
+unit's boundary would demote another's still-hot caches to recompute.
+The registry itself is lock-guarded, so concurrent threads can't corrupt
+the list; what the lock can NOT arbitrate is cross-unit release policy —
+that's what the tokens are for.
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
-_LIVE: list[DataFrame] = []
+_LOCK = threading.Lock()
+_LIVE: list[tuple[object, DataFrame]] = []
+_ALL = object()  # sentinel: release regardless of scope
 
 
-def tracked_persist(df: DataFrame, storage_level=None) -> DataFrame:
-    """``df.persist()`` + registration for later bulk release."""
+def tracked_persist(
+    df: DataFrame, storage_level=None, scope: object = None
+) -> DataFrame:
+    """``df.persist()`` + registration for later bulk release.
+
+    ``scope`` tags the cache with an ownership token; ``None`` (the
+    default) is itself a token — the shared "current unit of work" pool
+    that the no-argument :func:`release_persisted` empties."""
     persisted = df.persist(storage_level) if storage_level is not None else df.persist()
-    _LIVE.append(persisted)
+    with _LOCK:
+        _LIVE.append((scope, persisted))
     return persisted
 
 
-def release_persisted() -> int:
-    """Unpersist every tracked DataFrame; returns how many were released.
+def release_persisted(scope: object = _ALL) -> int:
+    """Unpersist tracked DataFrames; returns how many were released.
+
+    With no argument releases EVERYTHING (single-threaded unit-of-work
+    boundary — see the module docstring for when that is and isn't
+    valid); with ``scope=token`` releases only caches registered under
+    that token, leaving other units' caches hot.
 
     Dead-session handles are ignored (a restarted SparkSession leaves
     stale JVM references behind; those tables died with the old context).
     """
+    with _LOCK:
+        if scope is _ALL:
+            victims, keep = _LIVE[:], []
+        else:
+            victims = [e for e in _LIVE if e[0] == scope]
+            keep = [e for e in _LIVE if e[0] != scope]
+        _LIVE[:] = keep
     n = 0
-    for df in _LIVE:
+    for _, df in victims:
         try:
             df.unpersist()
             n += 1
         except Exception:
             pass
-    _LIVE.clear()
     return n

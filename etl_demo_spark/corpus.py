@@ -884,7 +884,14 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~nprobe/n_cells of the brute-force scan cost; with a cell-partitioned
     layout the skipped cells are pruned at file level. Recall vs brute
     force asserted in unit tests (tests/test_llm_ops.py) — rows-only for
-    the driver, as ANN results are approximate by construction."""
+    the driver, as ANN results are approximate by construction.
+
+    DEMO SHAPE, deliberately: this re-runs `ivf_assign` over the corpus
+    per query so the whole operator is visible in one self-contained
+    plan. The production serve path is `pipelines/embedding_index.py` —
+    assign ONCE, write `partitionBy("cell")` with the codebook as a
+    sidecar, and each query's probes become partition pruning against
+    the prebuilt index (build once, probe many)."""
     from etl_demo_spark.vec import ivf_topk
 
     (emb,) = _t(spark, sf_dir, "embeddings")
@@ -1166,8 +1173,14 @@ def _run_stream(spark: SparkSession, stream_df, output_mode: str = "complete",
     Two hygiene rules on top of run_stream_to_memory:
     - drops memory-sink tables left by PRIOR streaming corpus queries, so
       repeated invocations (bench warm+3, sweep loops) don't accumulate
-      sink rows in session memory — by the time the next streaming query
-      starts, the previous result has been consumed by the caller;
+      sink rows in session memory. CONTRACT: starting a new streaming
+      corpus query therefore INVALIDATES DataFrames returned by earlier
+      ones — unlike released operator caches (which transparently
+      recompute), a memory-sink view has no lineage to recompute from,
+      so a later action on a stale handle raises TABLE_OR_VIEW_NOT_FOUND
+      rather than silently re-running. Consume (collect/toPandas/write)
+      each streaming result before requesting the next one; that is how
+      the driver, the bench, and the sweep all already behave;
     - sizes the stateful shuffle to the corpus state cardinalities
       (thousands of keys at sf0.1) instead of the batch-oriented session
       default; see run_stream_to_memory's docstring for the scale math.

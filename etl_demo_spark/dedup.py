@@ -328,10 +328,16 @@ def prefix_filter_jaccard_join(
     # FILTER phase runs on fixed-width long tokens, not strings: 8-byte
     # keys make the df-count shuffle, the per-doc sort, and the prefix
     # equi-join cheaper than variable-length strings. String sets are
-    # hashed internally with xxhash64 — exactness is unaffected: equal
-    # tokens always hash equal, so no candidate is ever LOST; a 64-bit
-    # collision can only ADD a spurious candidate, and the VERIFY phase
-    # computes Jaccard on the ORIGINAL sets, which rejects it. Sets that
+    # hashed internally with xxhash64. Equal tokens always hash equal, so
+    # a collision ADDS shared hashes, never removes them — spurious
+    # candidates are rejected by the VERIFY phase, which computes Jaccard
+    # on the ORIGINAL sets. The one theoretical false-negative window:
+    # two DIFFERENT tokens of the SAME document colliding shrinks that
+    # doc's distinct-hash count n below its true set size, tightening the
+    # prefix/positional bound it is filtered under. Probability ≈
+    # C(|doc|,2)/2⁶⁴ ≈ 2⁻⁴⁸ per ~300-token document — astronomically
+    # small, and the oracled corpus query's exact hash-match doubles as
+    # the per-run proof that no such collision occurred. Sets that
     # arrive ALREADY integer-typed (the scale-standard representation —
     # shingle-to-hash at ingest, as every MinHash-family pipeline does)
     # skip the re-hash and the filter runs on them directly. The token
@@ -457,10 +463,17 @@ def edit_distance_join(
     - pairs whose longer string has length ≥ (k+1)·q come from a plain
       equi-join on exploded distinct q-grams plus the length filter
       ``|len(a) − len(b)| ≤ k`` (both are necessary conditions);
-    - pairs where BOTH strings are shorter than (k+1)·q fall back to an
-      in-band join among the short strings only — a set bounded by the
-      alphabet (|Σ|^((k+1)q−1) distinct values at most), never the
-      corpus, so the "quadratic" bucket is O(1) in data size.
+    - pairs where BOTH strings are shorter than (k+1)·q but the longer
+      has length ≥ k+1 use the SAME count filter at q=1 (ed ≤ k destroys
+      at most k character occurrences, so ≥ max(|x|,|y|)−k ≥ 1 character
+      VALUES are shared): a unigram equi-join, still never all-pairs.
+      The |Σ|^((k+1)q−1) "alphabet-bounded" argument alone would not do —
+      for the defaults that bound is in the millions, so a corpus
+      dominated by short codes would degrade to an unpruned cross join;
+    - only pairs whose LONGER string has length ≤ k remain, and for those
+      ed(x, y) ≤ max(|x|,|y|) ≤ k holds unconditionally — every in-band
+      pair IS a result, so the residual cross join does no wasted work
+      (it is output-sized) and its input is strings of ≤ k characters.
 
     Exact ``levenshtein`` (JVM built-in, whole-stage codegen) verifies
     every candidate; the filter only prunes, never decides. Output:
@@ -500,11 +513,29 @@ def edit_distance_join(
         .select(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
     )
     shorts = base.filter(F.col("n") < min_long)
-    sa_, sb_ = shorts.alias("a"), shorts.alias("b")
-    short_pairs = sa_.join(
-        sb_, (F.col("a.s") < F.col("b.s")) & len_ok
+    uni = shorts.select(
+        "s",
+        "n",
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(sequence(1, n), i -> substring(s, i, 1))")
+            )
+        ).alias("g"),
+    )
+    ua, ub = uni.alias("a"), uni.alias("b")
+    short_gram_pairs = ua.join(
+        ub,
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("a.s") < F.col("b.s"))
+        & len_ok
+        & (F.greatest("a.n", "b.n") >= F.lit(k + 1)),
     ).select(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
-    cand = long_pairs.unionByName(short_pairs).distinct()
+    tiny = shorts.filter(F.col("n") <= k)
+    ta, tb = tiny.alias("a"), tiny.alias("b")
+    tiny_pairs = ta.join(
+        tb, (F.col("a.s") < F.col("b.s")) & len_ok
+    ).select(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
+    cand = long_pairs.unionByName(short_gram_pairs).unionByName(tiny_pairs).distinct()
     dist = F.levenshtein("sa", "sb")
     return (
         cand.select(F.col("sa").alias("a"), F.col("sb").alias("b"), dist.alias("dist"))

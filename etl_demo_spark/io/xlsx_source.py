@@ -90,14 +90,26 @@ class XlsxReader(DataSourceReader):
             )
         want_double = [isinstance(f.dataType, T.DoubleType) for f in self.schema.fields]
         n = len(expected)
-        for r in rows:
+        for ridx, r in enumerate(rows, start=2):  # row 1 = header
             out = []
             for i in range(n):
                 v = r[i] if i < len(r) else None
                 if v in (None, ""):
                     out.append(None)
                 elif want_double[i]:
-                    out.append(float(v) if _is_number(v) else None)
+                    # type drift across workbooks must SIGNAL, exactly like
+                    # header drift does — a text cell in a column the first
+                    # file inferred as DOUBLE silently becoming NULL is data
+                    # loss with no trace
+                    if not _is_number(v):
+                        raise ValueError(
+                            f"xlsx source: {partition.path} row {ridx} column "
+                            f"{expected[i]!r}: non-numeric value {v!r} in a "
+                            f"column inferred as DOUBLE from the first file; "
+                            f"fix the workbook or load with an explicit "
+                            f"all-STRING schema"
+                        )
+                    out.append(float(v))
                 else:
                     out.append(str(v))
             yield tuple(out)

@@ -12,7 +12,7 @@ lateness budget and handles late data deterministically up to that bound.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -130,6 +130,65 @@ def run_stream_foreach_batch(
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_stream_cdc_upsert(
+    stream_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    partition_col: str,
+    checkpoint_dir: str,
+    order_col: str | None = None,
+) -> None:
+    """Streaming CDC upsert sink: every micro-batch MERGEs into a
+    partitioned parquet table via the partition-scoped merge
+    (`io.tables.merge_upsert_partitioned`) — only the partitions the
+    batch's keys touch are rewritten, so sink cost per batch tracks the
+    CHANGE footprint, not table size. This is the streaming half of the
+    lakehouse-style upsert pipeline: a CDC feed lands continuously while
+    the table stays point-readable with pruned partitions.
+
+    Semantics per batch: one surviving row per key — last-wins by
+    ``order_col`` (the CDC sequence/LSN column every real feed carries;
+    pass it whenever one exists). Without it, ``monotonically_increasing_
+    id()`` approximates batch order: exact within each input partition,
+    partition-ordered across them — fine for file-per-batch sources,
+    NOT a total order for multi-partition Kafka batches with intra-key
+    races (that's what the sequence column is for). Then source-wins
+    MERGE. Replays after a crash re-apply the same batch; MERGE with
+    source-wins is idempotent, so exactly-once lands on the checkpoint's
+    at-least-once delivery. The first batch against an empty/missing
+    target bootstraps the partitioned layout."""
+    from etl_demo_spark.io.tables import merge_upsert_partitioned
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        order = (
+            F.col(order_col) if order_col else F.monotonically_increasing_id()
+        )
+        w = Window.partitionBy(*keys).orderBy(order.desc())
+        last = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(target_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            last.write.partitionBy(partition_col).parquet(target_path)
+        else:
+            merge_upsert_partitioned(
+                spark, target_path, last, keys, partition_col
+            )
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -625,3 +625,24 @@ def test_resize_images_real_png(spark):
         assert out[i]["meta"]["mime"] == "image/png"
         px = decode_png_pixels(bytes(out[i]["content"]))
         assert px.shape == (6, 5, 3)
+
+
+def test_xlsx_type_drift_raises_with_location(spark, tmp_path):
+    """A text cell in a column the FIRST workbook inferred as DOUBLE must
+    raise naming the file/row/column — silent NULL coercion would lose
+    data with no signal (header drift already raises; type drift now
+    does too)."""
+    import pytest
+
+    from etl_demo_spark.io.xlsx import write_xlsx
+    from etl_demo_spark.io.xlsx_source import register_xlsx_source
+
+    register_xlsx_source(spark)
+    d = tmp_path / "wb"
+    d.mkdir()
+    write_xlsx(str(d / "a.xlsx"), ["name", "score"], [["x", 1.5], ["y", 2.0]])
+    write_xlsx(str(d / "b.xlsx"), ["name", "score"], [["z", "oops"]])
+    with pytest.raises(Exception) as ei:
+        spark.read.format("xlsx").load(str(d)).collect()
+    msg = str(ei.value)
+    assert "b.xlsx" in msg and "score" in msg and "oops" in msg

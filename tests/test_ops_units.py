@@ -650,3 +650,21 @@ def test_stratified_exact_sample_counts_and_determinism(spark):
     assert sorted(r.id for r in s1) == sorted(r.id for r in s2)
     s3 = stratified_exact_sample(df, ["g"], 5, "id", seed="y").collect()
     assert sorted(r.id for r in s1) != sorted(r.id for r in s3)
+
+
+def test_cache_scope_tokens(spark):
+    """Scoped release: a unit-of-work boundary releasing its own token
+    must not demote another unit's still-tracked caches; the no-arg
+    release clears everything (documented single-threaded default)."""
+    from etl_demo_spark.cache import release_persisted, tracked_persist
+
+    release_persisted()  # clean slate
+    a = tracked_persist(spark.range(10).toDF("x"), scope="unit_a")
+    b = tracked_persist(spark.range(20).toDF("x"), scope="unit_b")
+    c = tracked_persist(spark.range(30).toDF("x"))  # default pool
+    a.count(), b.count(), c.count()
+    assert release_persisted("unit_a") == 1
+    assert b.storageLevel.useMemory  # unit_b untouched
+    assert c.storageLevel.useMemory
+    assert release_persisted() == 2  # b + default pool
+    assert not b.storageLevel.useMemory

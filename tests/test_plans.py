@@ -155,16 +155,18 @@ def test_pii_scrub_is_shuffle_free(spark):
 
 
 def test_edit_distance_join_qgram_path_is_equi_join(spark):
-    """The q-gram candidate path must plan as an equi join on the gram
-    key (sort-merge or hash) — the corpus-sized side never nested-loops.
-    The ONLY CartesianProduct allowed is the short-string fallback
-    bucket, whose size is alphabet-bounded (< (k+1)·q chars), not
-    data-bounded."""
+    """Both gram-filtered candidate paths (q-gram long bucket, unigram
+    short bucket) must plan as equi joins on the gram key (sort-merge or
+    hash) — the corpus-sized sides never nested-loop. The ONLY
+    CartesianProduct allowed is the tiny bucket (strings of ≤ k chars,
+    where every in-band pair is a true result, so the join is
+    output-sized)."""
     df = entrymod.queries()["similar_part_names"](spark, SF001)
     plan = plan_of(df)
-    assert ("SortMergeJoin [g" in plan) or ("BroadcastHashJoin [g" in plan) or (
-        "ShuffledHashJoin [g" in plan
-    ), plan
+    gram_joins = sum(
+        plan.count(f"{j} [g") for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert gram_joins >= 2, plan  # q-gram bucket AND unigram short bucket
     assert plan.count("CartesianProduct") <= 1
 
 

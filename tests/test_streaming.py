@@ -318,3 +318,60 @@ def test_stateful_counters_all_null_values_emit_null_max(spark, tmp_path):
     rows = {r.user_id: r for r in out.collect()}
     assert rows[1].n_events == 2 and rows[1].max_value is None and rows[1].total_value == 0.0
     assert rows[2].n_events == 2 and rows[2].max_value == 5.0 and rows[2].total_value == 5.0
+
+
+def test_stream_cdc_upsert_partition_scoped(spark, tmp_path):
+    """Streaming CDC upsert (foreachBatch + partition-scoped MERGE): a
+    second batch touching only one segment must leave every other
+    partition's files byte-identical (same names, bytes, mtimes), and the
+    final table must equal the logical last-write-wins merge."""
+    import hashlib
+    from pathlib import Path
+
+    from etl_demo_spark.streaming.windows import run_stream_cdc_upsert
+
+    target = str(tmp_path / "dim")
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id INT, name STRING, seg STRING"
+
+    def state(root):
+        return {
+            str(p.relative_to(root)): (
+                hashlib.md5(p.read_bytes()).hexdigest(),
+                p.stat().st_mtime,
+            )
+            for p in Path(root).rglob("*")
+            if p.is_file() and not p.name.startswith((".", "_"))
+        }
+
+    spark.createDataFrame(
+        [(1, "alpha", "A"), (2, "beta", "B"), (3, "gamma", "C")], schema
+    ).coalesce(1).write.parquet(str(inbox / "b0"))
+    stream = spark.readStream.schema(schema).parquet(str(inbox / "*"))
+    run_stream_cdc_upsert(stream, target, ["id"], "seg", ckpt)
+    before = state(target)
+    assert {r.id: r.name for r in spark.read.parquet(target).collect()} == {
+        1: "alpha", 2: "beta", 3: "gamma"
+    }
+
+    # batch 2: update in A (two rows for id 1 — last wins) + insert in A
+    spark.createDataFrame(
+        [(1, "ALPHA-mid", "A"), (1, "ALPHA-final", "A"), (9, "iota", "A")], schema
+    ).coalesce(1).write.parquet(str(inbox / "b1"))
+    stream = spark.readStream.schema(schema).parquet(str(inbox / "*"))
+    run_stream_cdc_upsert(stream, target, ["id"], "seg", ckpt)
+
+    after = state(target)
+    for part in ("seg=B", "seg=C"):
+        assert {k: v for k, v in before.items() if part in k} == {
+            k: v for k, v in after.items() if part in k
+        }
+    got = {r.id: (r.name, r.seg) for r in spark.read.parquet(target).collect()}
+    assert got == {
+        1: ("ALPHA-final", "A"),
+        2: ("beta", "B"),
+        3: ("gamma", "C"),
+        9: ("iota", "A"),
+    }
