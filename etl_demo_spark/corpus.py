@@ -756,11 +756,50 @@ def lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("lang_id_heuristic")  # Python-stage (pandas_udf): rows-only check
+@query(
+    "lang_id_heuristic",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             (text IS NULL OR text = '') AS empty,
+             length(regexp_replace(substr(text, 1, 200), '[^一-鿿]', '', 'g'))
+               AS cjk,
+             length(substr(text, 1, 200)) AS headlen,
+             list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, empty, cjk, headlen,
+        len(list_intersect(toks, ['der','die','das','und','ist','nicht','mit'])) AS h_de,
+        len(list_intersect(toks, ['the','and','of','to','is','with','that'])) AS h_en,
+        len(list_intersect(toks, ['el','la','los','que','es','y','por'])) AS h_es,
+        len(list_intersect(toks, ['le','la','les','et','est','que','pour'])) AS h_fr
+      FROM scored
+    ),
+    pred AS (
+      SELECT CASE
+        WHEN empty THEN 'und'
+        WHEN cjk > 0.2 * headlen THEN 'zh'
+        WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+        WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+        WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+        WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+        ELSE 'fr'
+      END AS lang_pred
+      FROM hits
+    )
+    SELECT lang_pred, COUNT(*) AS n_docs FROM pred GROUP BY lang_pred
+    """,
+)
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-11/X-14: Arrow-batched pandas_udf language-ID; distribution of
-    predictions. (Heuristic logic is Python — no SQL oracle; accuracy is
-    unit-tested on known-language fixtures instead.)"""
+    predictions. The heuristic (CJK-codepoint screen → stopword-marker
+    voting, earliest-sorted-language ties) is deterministic and fully
+    arithmetic, so the oracle re-derives every prediction in SQL —
+    marker-set intersections + a GREATEST argmax in the same sorted
+    order, making the Python stage's output exactly checkable. Accuracy
+    on known-language fixtures stays unit-tested; a real pipeline swaps
+    fastText in and returns to rows-only, the plumbing unchanged."""
     from etl_demo_spark.text import lang_id
 
     (docs,) = _t(spark, sf_dir, "documents")
