@@ -57,6 +57,14 @@ def _ship_package(spark: SparkSession) -> None:
     with zipfile.ZipFile(zpath, "w") as zf:
         for p in sorted(pkg.rglob("*.py")):
             zf.write(p, p.relative_to(Path(_REPO)))
+        # the google/protobuf façade rides along so transformWithState's
+        # worker protocol runs on executors without the protobuf wheel
+        # (see etl_demo_spark/protoshim); skipped when absent or when the
+        # real wheel is installed (session._export_protoshim_path rules)
+        shim = Path(_REPO) / "google"
+        if shim.is_dir():
+            for p in sorted(shim.rglob("*.py")):
+                zf.write(p, p.relative_to(Path(_REPO)))
     spark.sparkContext.addPyFile(str(zpath))
     _SHIPPED_SESSIONS.add(key)
 

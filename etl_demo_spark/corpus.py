@@ -1340,6 +1340,69 @@ def stream_user_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_user_type_profile",
+    oracle="""
+    SELECT user_id,
+           COUNT(DISTINCT event_type) AS n_types,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_user_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-10/X-11 transformWithStateInPandas (state v2) run END-TO-END by
+    the real streaming engine: TYPED per-key state on the RocksDB store —
+    a ValueState (event count + value sum) and a MapState keyed by
+    event_type whose size is the user's incrementally-evolved distinct
+    count. The worker's state-server RPC runs over protobuf — the repo's
+    pure-Python runtime (etl_demo_spark/protoshim + the google/ façade)
+    where the wheel is absent.
+
+    Oracled BECAUSE stateful-final == batch-aggregate: the last update
+    per user must equal the plain GROUP BY the oracle computes, so a hash
+    match proves the v2 state machine (init → per-batch evolve → final
+    state) lands exactly where one-shot aggregation does. total_value is
+    rounded to 4dp on both sides (float accumulation order differs
+    between a sequential batch fold and the oracle's sum).
+
+    Scale: state is O(live users); micro-batch cost is O(batch) + state
+    lookups; RocksDB spills state off-heap — the operator a 100 TB
+    clickstream profile table is maintained by."""
+    from etl_demo_spark.streaming import read_events_stream
+    from etl_demo_spark.streaming.stateful import user_type_profile
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        out = _run_stream(spark, user_type_profile(stream), output_mode="update")
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .select(
+            "user_id",
+            "n_types",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # As-of join (X-3) and reporting verbs (O-19…O-23).
 # ---------------------------------------------------------------------------

@@ -23,8 +23,40 @@ same code runs unchanged on a 1000-executor cluster —
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+
+def _export_protoshim_path() -> None:
+    """Make the repo-local ``google.protobuf`` shim importable in the
+    Python processes the JVM spawns (executor workers AND the
+    transformWithState driver worker, which is launched with the JVM's
+    PYTHONPATH env — sys.path edits in THIS process never reach it).
+
+    Only fires when the real protobuf wheel is not installed: if it is,
+    the shim must NOT shadow it, and the spawned workers already have it
+    via site-packages. Must run before the first JVM launch; a no-op for
+    an already-running session (documented limitation: call get_spark
+    before building any transformWithState plan)."""
+    try:
+        from importlib.metadata import PackageNotFoundError, version
+
+        version("protobuf")
+        return  # real wheel installed: never shadow it
+    except PackageNotFoundError:
+        pass
+    except Exception:
+        return
+    repo_root = str(Path(__file__).resolve().parent.parent)
+    if not (Path(repo_root) / "google" / "protobuf").is_dir():
+        return  # shim not shipped alongside this package (e.g. zip deploy)
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
+
 
 def get_spark(
     app_name: str = "etl_demo_spark",
@@ -40,6 +72,7 @@ def get_spark(
     # read the env once per call: deriving master AND shuffle partitions
     # from the same read keeps them consistent even when a harness sets
     # SPARK_GRAFT_CPUS after this module was imported
+    _export_protoshim_path()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # cpus may legitimately be non-numeric ('*' is a valid local[...] token);
     # shuffle width then falls back to a sane default instead of raising
