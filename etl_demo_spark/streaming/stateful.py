@@ -14,6 +14,7 @@ directions.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, max_value double"
@@ -211,5 +212,148 @@ def user_type_profile(events: DataFrame) -> DataFrame:
             outputStructType=TWS_OUTPUT_SCHEMA,
             outputMode="Update",
             timeMode="None",
+        )
+    )
+
+
+def user_recent_events(events: DataFrame, k: int = 5) -> DataFrame:
+    """Last-k events per user via transformWithState ``ListState`` — the
+    bounded-buffer shape (recent-activity panels, feature windows,
+    replay caches). Each batch merges the incoming rows into the stored
+    list, keeps the k latest by (ts_ms, event_id) — a deterministic total
+    order — and emits the kept count and value sum.
+
+    Protocol note: ListState moves its elements over the state server's
+    Arrow path (`ListStateGet`/`ListStatePut` with fetchWithArrow), so
+    this operator exercises the list half of the v2 protocol that
+    `user_type_profile`'s ValueState/MapState does not; together they
+    cover every message family the worker client sends. Runs on the
+    repo's protoshim runtime where the protobuf wheel is absent.
+
+    Scale: state is O(users × k) tuples, each micro-batch touches only
+    keys present in the batch; emit is one row per touched key (update
+    mode)."""
+    _ensure_protoshim_env(events)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RecentK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._recent = handle.getListState(
+                "recent", "ts_ms long, event_id long, value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            kept = list(self._recent.get()) if self._recent.exists() else []
+            for pdf in rows:
+                kept.extend(
+                    (int(t), int(e), float(v))
+                    for t, e, v in zip(pdf["ts_ms"], pdf["event_id"], pdf["value"])
+                )
+            kept.sort(key=lambda r: (r[0], r[1]))
+            kept = kept[-k:]
+            self._recent.put([tuple(r) for r in kept])
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_kept": [len(kept)],
+                    "kept_value_sum": [round(sum(r[2] for r in kept), 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select(
+            "user_id",
+            (F.unix_millis(F.col("ts"))).alias("ts_ms"),
+            "event_id",
+            "value",
+        )
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RecentK(),
+            outputStructType="user_id long, n_kept long, kept_value_sum double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def user_inactivity_expiry(
+    events: DataFrame, gap_ms: int = 3_600_000, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Inactivity detection via transformWithState EVENT-TIME TIMERS: on
+    every batch each user's single timer is re-registered to
+    last_seen + gap; when the watermark passes a timer, the expiry
+    callback emits ``(user_id, last_seen_ms, expired=true)`` and clears
+    the user's state — the session-timeout / abandoned-cart / liveness
+    shape, with the engine (not the operator) responsible for firing.
+
+    Protocol note: exercises the timer family of the v2 worker protocol
+    (RegisterTimer/DeleteTimer/ListTimers + the expiry-timer iterator —
+    `StateResponseWithTimer`, whose TimerInfo carries a proto3-optional
+    field, the one presence form nothing else in the protocol uses).
+
+    Scale: one ValueState tuple + one timer per live user; expired keys
+    delete their state, so state tracks LIVE users, not ever-seen users.
+    """
+    _ensure_protoshim_env(events)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Inactivity(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._last = handle.getValueState("last_seen", "ts_ms long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            last = self._last.get()[0] if self._last.exists() else None
+            mx = last
+            for pdf in rows:
+                bmax = int(pdf["ts_ms"].max())
+                mx = bmax if mx is None else max(mx, bmax)
+            if last is not None:
+                self._handle.deleteTimer(last + gap_ms)
+            self._last.update((mx,))
+            self._handle.registerTimer(mx + gap_ms)
+            return iter(())  # emits only on expiry
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as pd
+
+            last = self._last.get()[0] if self._last.exists() else None
+            self._last.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "last_seen_ms": [last],
+                    "expired_at_ms": [expiredTimerInfo.getExpiryTimeInMs()],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            "user_id", F.unix_millis(F.col("ts")).alias("ts_ms"), F.col("ts")
+        )
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=Inactivity(),
+            outputStructType="user_id long, last_seen_ms long, expired_at_ms long",
+            outputMode="Update",
+            timeMode="EventTime",
         )
     )

@@ -375,3 +375,108 @@ def test_stream_cdc_upsert_partition_scoped(spark, tmp_path):
         3: ("gamma", "C"),
         9: ("iota", "A"),
     }
+
+
+def test_transform_with_state_list_state_recent_k(spark):
+    """transformWithState ListState (the Arrow list-transfer half of the
+    v2 protocol): last-5-per-user buffer's final state must equal the
+    batch top-5 by (ts_ms, event_id)."""
+    from pyspark.sql import Window
+
+    from etl_demo_spark.io.sources import read_events
+    from etl_demo_spark.streaming import read_events_stream
+    from etl_demo_spark.streaming.stateful import user_recent_events
+    from etl_demo_spark.streaming.windows import run_stream_to_memory
+
+    pk = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(pk, None)
+    spark.conf.set(
+        pk, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        stream = read_events_stream(spark, SF0001)
+        out = run_stream_to_memory(
+            spark, user_recent_events(stream, k=5), "t_recent_k", output_mode="update"
+        )
+        w = Window.partitionBy("user_id").orderBy(F.col("n_kept").desc())
+        final = {
+            r["user_id"]: (r["n_kept"], round(r["kept_value_sum"], 4))
+            for r in out.withColumn("rn", F.row_number().over(w))
+            .filter("rn=1")
+            .collect()
+        }
+    finally:
+        if saved is None:
+            spark.conf.unset(pk)
+        else:
+            spark.conf.set(pk, saved)
+    ev = read_events(spark, f"{SF0001}/events.parquet")
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.unix_millis("ts").desc(), F.col("event_id").desc()
+    )
+    ref = {
+        r["user_id"]: (r["n"], round(r["s"], 4))
+        for r in ev.withColumn("rn", F.row_number().over(w2))
+        .filter("rn <= 5")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .collect()
+    }
+    assert final == ref
+
+
+def test_transform_with_state_event_time_timers(spark, tmp_path):
+    """transformWithState EVENT-TIME timers (Register/Delete + expiry
+    callback): two micro-batches; users idle past the gap when the
+    watermark advances must emit exactly one expiry row with their true
+    last-seen and expiry timestamps; re-active and fresh users must not."""
+    import datetime
+
+    from etl_demo_spark.streaming.stateful import user_inactivity_expiry
+
+    pk = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(pk, None)
+    spark.conf.set(
+        pk, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        inbox = tmp_path / "in"
+        inbox.mkdir()
+        schema = "user_id long, ts timestamp"
+        dt = lambda s: datetime.datetime.utcfromtimestamp(s)  # noqa: E731
+        spark.createDataFrame(
+            [(1, dt(1000)), (2, dt(1200)), (3, dt(2000))], schema
+        ).coalesce(1).write.parquet(str(inbox / "f1"))
+        spark.createDataFrame(
+            [(3, dt(10000)), (9, dt(10001))], schema
+        ).coalesce(1).write.parquet(str(inbox / "f2"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(inbox / "*"))
+        )
+        out_df = user_inactivity_expiry(stream, gap_ms=1800_000, watermark="0 seconds")
+        q = (
+            out_df.writeStream.format("memory")
+            .queryName("t_exp_timers")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if saved is None:
+            spark.conf.unset(pk)
+        else:
+            spark.conf.set(pk, saved)
+    got = sorted(
+        (r["user_id"], r["last_seen_ms"], r["expired_at_ms"])
+        for r in spark.table("t_exp_timers").collect()
+    )
+    # users 1,2: last seen in batch 1, gap passed when batch 2's watermark
+    # (10000s) arrives; user 3 re-registered by batch 2; user 9 fresh
+    assert got == [
+        (1, 1_000_000, 2_800_000),
+        (2, 1_200_000, 3_000_000),
+    ]
