@@ -24,6 +24,16 @@ SF0001 = "/root/testdata/sf0.001"
 _SHIPPED_SESSIONS: set[int] = set()
 
 
+def _real_protobuf_installed() -> bool:
+    try:
+        from importlib.metadata import version
+
+        version("protobuf")
+        return True
+    except Exception:
+        return False
+
+
 def _engine_posture(spark: SparkSession) -> None:
     """Apply the engine's session posture to a caller-owned session.
 
@@ -59,10 +69,12 @@ def _ship_package(spark: SparkSession) -> None:
             zf.write(p, p.relative_to(Path(_REPO)))
         # the google/protobuf façade rides along so transformWithState's
         # worker protocol runs on executors without the protobuf wheel
-        # (see etl_demo_spark/protoshim); skipped when absent or when the
-        # real wheel is installed (session._export_protoshim_path rules)
+        # (see etl_demo_spark/protoshim) — but NEVER when the real wheel
+        # is installed here: addPyFile zips precede site-packages on the
+        # workers' sys.path, and shadowing the full distribution with the
+        # StateMessage-slice shim would break any other protobuf use
         shim = Path(_REPO) / "google"
-        if shim.is_dir():
+        if shim.is_dir() and not _real_protobuf_installed():
             for p in sorted(shim.rglob("*.py")):
                 zf.write(p, p.relative_to(Path(_REPO)))
     spark.sparkContext.addPyFile(str(zpath))

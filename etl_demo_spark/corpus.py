@@ -2863,8 +2863,13 @@ def jaccard_join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.filter(F.col("doc_id") < 500).select(
         F.col("doc_id").alias("id"),
         F.expr(
-            "array_distinct(transform(sequence(1, length(text) - 4),"
+            # CASE guard: sequence(1, n) with n <= 0 DESCENDS ([1, 0, ...])
+            # in Spark, minting phantom shingles for sub-5-char docs that
+            # the oracle's empty generate_series would never produce
+            "CASE WHEN length(text) >= 5 THEN"
+            " array_distinct(transform(sequence(1, length(text) - 4),"
             " i -> xxhash64(substring(text, i, 5))))"
+            " ELSE array() END"
         ).alias("shingles"),
     )
     return prefix_filter_jaccard_join(sh, threshold=0.8).select(
@@ -2913,8 +2918,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.filter(F.col("doc_id") < 200).select(
         "doc_id",
         F.expr(
-            "array_distinct(transform(sequence(1, length(text) - 4),"
+            # same sub-5-char guard as the hashed-shingle sites: Spark's
+            # sequence(1, n<=0) descends instead of being empty
+            "CASE WHEN length(text) >= 5 THEN"
+            " array_distinct(transform(sequence(1, length(text) - 4),"
             " i -> substring(text, i, 5)))"
+            " ELSE array() END"
         ).alias("shingles"),
     )
     # the theta join is a broadcast nested loop whose parallelism is the
@@ -4415,8 +4424,13 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.filter(F.col("doc_id") < 500).select(
         F.col("doc_id").alias("id"),
         F.expr(
-            "array_distinct(transform(sequence(1, length(text) - 4),"
+            # CASE guard: sequence(1, n) with n <= 0 DESCENDS ([1, 0, ...])
+            # in Spark, minting phantom shingles for sub-5-char docs that
+            # the oracle's empty generate_series would never produce
+            "CASE WHEN length(text) >= 5 THEN"
+            " array_distinct(transform(sequence(1, length(text) - 4),"
             " i -> xxhash64(substring(text, i, 5))))"
+            " ELSE array() END"
         ).alias("shingles"),
     )
     pairs = prefix_filter_jaccard_join(sh, threshold=0.5)

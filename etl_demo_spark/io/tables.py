@@ -17,29 +17,33 @@ docs/SCALE_LAYOUT.md:
   2. read ONLY those partitions (partition pruning — the scan never
      touches the other 99%), apply the in-memory merge;
   3. write the merged slice to a sibling staging directory, then swap the
-     affected partition directories in: delete-old + rename-new per
-     affected value, via the Hadoop FileSystem API (works on HDFS/S3A the
-     same as local disk).
+     affected partition directories in via the Hadoop FileSystem API
+     (works on HDFS/S3A the same as local disk).
 
 The directory swap (rather than `partitionOverwriteMode=dynamic` straight
 onto the target) is deliberate: Spark cannot safely overwrite a path it is
 still lazily reading in the same job, and a persist()-then-overwrite is a
 correctness trap (cache eviction would recompute from already-deleted
-files). Stage-then-rename is exactly what Hive's INSERT OVERWRITE does
-internally; the staged bytes are bounded by the affected partitions, not
-the table. It also handles the one case dynamic overwrite cannot: an
-update that MOVES a row's partition value can leave its old partition
-EMPTY, and "overwrite with zero rows" never deletes a directory — the swap
-deletes every affected partition dir and moves in only the non-empty ones.
+files). Stage-then-swap is what Hive's INSERT OVERWRITE does internally;
+the staged bytes are bounded by the affected partitions, not the table.
+It also handles the one case dynamic overwrite cannot: an update that
+MOVES a row's partition value can leave its old partition EMPTY, and
+"overwrite with zero rows" never deletes a directory — the swap retires
+every affected partition dir and moves in only the non-empty ones.
 
-Crash-consistency contract (same as Hive-on-parquet, weaker than a
-lakehouse format): the swap is idempotent per partition but not atomic
-across partitions — a crash mid-swap leaves some partitions new and some
-old, and re-running the same merge heals it (MERGE with source-wins is
-idempotent). Readers concurrent with the swap can see a partition vanish
-for the delete→rename window. Where that window is unacceptable, a real
-table format's snapshot commit is the answer; the *scoping* logic here is
-identical to what those formats do at the file level.
+Crash-consistency contract (same class as Hive-on-parquet, weaker than a
+lakehouse snapshot commit): the swap NEVER deletes data it has not
+already replaced — each old partition dir is renamed into the staging
+area's ``.replaced/`` holding pen, the staged dir is renamed in, and the
+staging area (pen included) is deleted only after EVERY partition
+swapped. A crash mid-swap therefore leaves a recoverable staging
+directory; the next merge/scd2 call against the same path first runs the
+recovery sweep (restore any held-aside partition the target is missing,
+then clear staging) and re-applies — source-wins MERGE is idempotent, so
+the re-run converges. Readers concurrent with the swap can still see a
+partition vanish for the rename window; where that is unacceptable, a
+real table format's snapshot commit is the answer — the *scoping* logic
+here is identical to what those formats do at the file level.
 """
 
 from __future__ import annotations
@@ -50,6 +54,8 @@ from pyspark.sql import functions as F
 # Characters Hive/Spark escape in partition directory names
 # (ExternalCatalogUtils.charToEscape) — everything else passes through.
 _ESCAPE = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(0x20)}
+
+_TYPE_INFERENCE = "spark.sql.sources.partitionColumnTypeInference.enabled"
 
 
 def _escape_part(value: str) -> str:
@@ -71,6 +77,68 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, jvm
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _raw_partition_values(spark: SparkSession):
+    """Partition-column TYPE INFERENCE OFF for the enclosed block:
+    directory names come back as the exact strings on disk. Inference
+    would coerce numeric-looking values ('0123' → 123) and the swap would
+    then target ``seg=123`` while the real directory is ``seg=0123`` — a
+    silent stale-rows-plus-new-rows corruption. The conf binds at load()
+    (partition discovery fixes the schema then — verified: a frame loaded
+    inside the block keeps string values when collected after it), but
+    the guard spans the whole merge anyway so every load in the block —
+    including any the merge plan re-resolves — sees the same setting."""
+    saved = spark.conf.get(_TYPE_INFERENCE, None)
+    spark.conf.set(_TYPE_INFERENCE, "false")
+    try:
+        yield
+    finally:
+        if saved is None:
+            spark.conf.unset(_TYPE_INFERENCE)
+        else:
+            spark.conf.set(_TYPE_INFERENCE, saved)
+
+
+def _recover_staging(fs, jvm, target_path: str, staging: str) -> None:
+    """Heal a crashed swap: any partition dir held aside in
+    ``staging/.replaced/`` whose target partition is MISSING was caught
+    between its two renames — put it back. Everything else in staging is
+    a stale copy of work the re-run will redo. Then clear staging."""
+    staging_p = jvm.org.apache.hadoop.fs.Path(staging)
+    if not fs.exists(staging_p):
+        return
+    pen = jvm.org.apache.hadoop.fs.Path(f"{staging}/.replaced")
+    if fs.exists(pen):
+        for st in fs.listStatus(pen):
+            rel = st.getPath().getName()
+            tgt = jvm.org.apache.hadoop.fs.Path(f"{target_path.rstrip('/')}/{rel}")
+            if not fs.exists(tgt):
+                fs.rename(st.getPath(), tgt)
+    fs.delete(staging_p, True)
+
+
+def _swap_partitions(
+    fs, jvm, target_path: str, staging: str, rel_dirs: list[str]
+) -> None:
+    """Retire-and-replace each partition dir. Old dirs are RENAMED into
+    the staging pen (never deleted) until the whole loop succeeds, so no
+    crash window destroys the only copy of anything; on exception the
+    staging dir (pen included) is left in place for _recover_staging."""
+    pen = f"{staging}/.replaced"
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(pen))
+    for rel in rel_dirs:
+        old = jvm.org.apache.hadoop.fs.Path(f"{target_path.rstrip('/')}/{rel}")
+        new = jvm.org.apache.hadoop.fs.Path(f"{staging}/{rel}")
+        if fs.exists(old):
+            fs.rename(old, jvm.org.apache.hadoop.fs.Path(f"{pen}/{rel}"))
+        if fs.exists(new):  # emptied partitions have no staged dir
+            fs.rename(new, old)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+
+
 def affected_partitions(
     target: DataFrame, source: DataFrame, keys: list[str], partition_col: str
 ) -> list:
@@ -78,16 +146,31 @@ def affected_partitions(
     partitions holding a source key (covers updates AND the old home of a
     partition-moving update) ∪ source partition values (covers inserts and
     the new home). Two narrow distinct-aggregations over the partition
-    column — the key semi-join broadcasts the source key set when small
-    (the CDC-batch common case)."""
+    column. The key semi-join is left to the optimizer: AQE broadcasts
+    the source key set when it is small (the CDC-batch common case) and
+    falls back to a shuffle semi-join for huge backfills — an
+    unconditional broadcast hint here would OOM exactly the large-source
+    case this module exists to scale."""
     src_keys = source.select(*keys).distinct()
     tgt_hit = (
-        target.join(F.broadcast(src_keys), keys, "left_semi")
-        .select(partition_col)
-        .distinct()
+        target.join(src_keys, keys, "left_semi").select(partition_col).distinct()
     )
     src_parts = source.select(partition_col).distinct()
     return [r[0] for r in tgt_hit.union(src_parts).distinct().collect()]
+
+
+def _partition_filter(partition_col: str, affected: list):
+    """IN-list predicate over partition values that keeps NULL-partition
+    rows when NULL is affected — `isin` alone evaluates to NULL (→ false)
+    for NULL rows, which would silently drop the whole
+    __HIVE_DEFAULT_PARTITION__ slice from the merge."""
+    non_null = [v for v in affected if v is not None]
+    cond = (
+        F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    )
+    if any(v is None for v in affected):
+        cond = cond | F.col(partition_col).isNull()
+    return cond
 
 
 def merge_upsert_partitioned(
@@ -114,36 +197,31 @@ def merge_upsert_partitioned(
     """
     from etl_demo_spark.ops import merge_upsert
 
-    target = spark.read.format(fmt).load(target_path)
-    affected = affected_partitions(target, source, keys, partition_col)
-    if not affected:
-        return []
-
-    scoped = target.filter(F.col(partition_col).isin(affected))
-    merged = merge_upsert(scoped, source, keys)
-
     staging = target_path.rstrip("/") + ".__merge_staging__"
     fs, jvm = _hadoop_fs(spark, target_path)
-    staging_p = jvm.org.apache.hadoop.fs.Path(staging)
-    if fs.exists(staging_p):  # leftover from a crashed run
-        fs.delete(staging_p, True)
-    (
-        merged.write.mode("overwrite")
-        .partitionBy(partition_col)
-        .format(fmt)
-        .save(staging)
+    _recover_staging(fs, jvm, target_path, staging)  # heal any crashed swap
+
+    with _raw_partition_values(spark):
+        target = spark.read.format(fmt).load(target_path)
+        affected = affected_partitions(target, source, keys, partition_col)
+        if not affected:
+            return []
+
+        scoped = target.filter(_partition_filter(partition_col, affected))
+        merged = merge_upsert(scoped, source, keys)
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .format(fmt)
+            .save(staging)
+        )
+    _swap_partitions(
+        fs,
+        jvm,
+        target_path,
+        staging,
+        [_part_dir(partition_col, v) for v in affected],
     )
-    try:
-        for value in affected:
-            rel = _part_dir(partition_col, value)
-            old = jvm.org.apache.hadoop.fs.Path(f"{target_path.rstrip('/')}/{rel}")
-            new = jvm.org.apache.hadoop.fs.Path(f"{staging}/{rel}")
-            if fs.exists(old):
-                fs.delete(old, True)
-            if fs.exists(new):  # emptied partitions have no staged dir
-                fs.rename(new, old)
-    finally:
-        fs.delete(staging_p, True)
     return affected
 
 
@@ -171,45 +249,52 @@ def scd2_apply_partitioned(
     `ops.scd2_apply` + rewrite would re-copy the entire closed history —
     unbounded growth — every batch; here the write cost is O(live keys) +
     O(this batch's closures), independent of history depth.
-    """
-    from etl_demo_spark.ops import scd2_apply
 
-    base = spark.read.parquet(history_path)
-    data_cols = [c for c in base.columns if c != current_col]
-    # partition-type inference reads boolean partition values back as the
-    # STRING "true"/"false"; compare in string space so both layouts work
-    cur = base.filter(F.col(current_col).cast("string") == "true").select(data_cols)
-    applied = scd2_apply(
-        cur, changes, key, attrs, ts_col=ts_col, valid_from=valid_from, valid_to=valid_to
-    )
-    new_cur = applied.filter(F.col(valid_to).isNull()).withColumn(
-        current_col, F.lit(True)
-    )
-    newly_closed = applied.filter(F.col(valid_to).isNotNull()).withColumn(
-        current_col, F.lit(False)
-    )
+    Crash ordering (two target mutations — closure append + current swap
+    — cannot both be atomic on plain parquet): the swap follows the
+    module's retire-and-replace protocol, so no window LOSES data; the
+    one residual anomaly is DUPLICATION — a crash after the closure
+    append but before the current swap, followed by a re-apply of the
+    same batch against the still-old current slice, appends that batch's
+    closures a second time. Bounded to one batch, detectable as duplicate
+    (key, valid_from, valid_to) rows in the closed partition, removable
+    with a distinct-compaction; eliminating it outright needs a snapshot
+    commit, i.e. a real table format."""
+    from etl_demo_spark.cache import release_persisted, tracked_persist
+    from etl_demo_spark.ops import scd2_apply
 
     staging = history_path.rstrip("/") + ".__scd2_staging__"
     fs, jvm = _hadoop_fs(spark, history_path)
-    staging_p = jvm.org.apache.hadoop.fs.Path(staging)
-    if fs.exists(staging_p):
-        fs.delete(staging_p, True)
-    new_cur.select(base.columns).write.mode("overwrite").partitionBy(
-        current_col
-    ).parquet(staging)
-    # append closures FIRST (pure append — crash after it leaves duplicates
-    # in closed only if current was not yet swapped; re-apply is a no-op on
-    # the already-closed versions since scd2_apply ignores no-op changes)
-    newly_closed.select(base.columns).write.mode("append").partitionBy(
-        current_col
-    ).parquet(history_path)
+    _recover_staging(fs, jvm, history_path, staging)
+
+    base = spark.read.parquet(history_path)
+    data_cols = [c for c in base.columns if c != current_col]
+    # with inference off the partition column is the literal string
+    # "true"/"false" regardless of how the table was first written
+    cur = base.filter(F.col(current_col).cast("string") == "true").select(data_cols)
+    scope = object()  # don't release other units' caches (cache.py contract)
+    applied = tracked_persist(
+        scd2_apply(
+            cur, changes, key, attrs,
+            ts_col=ts_col, valid_from=valid_from, valid_to=valid_to,
+        ),
+        scope=scope,
+    )
     try:
-        rel = _part_dir(current_col, True)
-        old = jvm.org.apache.hadoop.fs.Path(f"{history_path.rstrip('/')}/{rel}")
-        new = jvm.org.apache.hadoop.fs.Path(f"{staging}/{rel}")
-        if fs.exists(old):
-            fs.delete(old, True)
-        if fs.exists(new):
-            fs.rename(new, old)
+        new_cur = applied.filter(F.col(valid_to).isNull()).withColumn(
+            current_col, F.lit(True)
+        )
+        newly_closed = applied.filter(F.col(valid_to).isNotNull()).withColumn(
+            current_col, F.lit(False)
+        )
+        new_cur.select(base.columns).write.mode("overwrite").partitionBy(
+            current_col
+        ).parquet(staging)
+        newly_closed.select(base.columns).write.mode("append").partitionBy(
+            current_col
+        ).parquet(history_path)
+        _swap_partitions(
+            fs, jvm, history_path, staging, [_part_dir(current_col, True)]
+        )
     finally:
-        fs.delete(staging_p, True)
+        release_persisted(scope)

@@ -42,18 +42,26 @@ _SCALAR_DEFAULTS = {
 
 
 class ShimMessage:
-    """Base class; concrete classes carry ``_schema`` and ``_pool``."""
+    """Base class; concrete classes carry ``_schema``, ``_pool``, and the
+    precomputed per-class lookups (``_by_name``/``_by_number``/
+    ``_by_number_sorted`` — built once in build_classes: attribute access
+    and parsing sit on the state-server RPC hot path, once per state
+    operation per key per micro-batch, so per-access dict rebuilding
+    would be pure overhead)."""
 
     _schema: MessageSchema
     _pool: dict[str, type]
-    __slots__ = ("_values", "_present")
+    _by_name: dict[str, FieldSchema]
+    _by_number: dict[int, FieldSchema]
+    _by_number_sorted: list[FieldSchema]
+    __slots__ = ("_values", "_present", "_frozen")
 
     def __init__(self, **kwargs):
         object.__setattr__(self, "_values", {})
         object.__setattr__(self, "_present", set())
-        by_name = {f.name: f for f in self._schema.fields}
+        object.__setattr__(self, "_frozen", False)
         for k, v in kwargs.items():
-            if k not in by_name:
+            if k not in self._by_name:
                 raise TypeError(
                     f"{self._schema.name} has no field {k!r}"
                 )
@@ -64,8 +72,7 @@ class ShimMessage:
     # -- attribute protocol -------------------------------------------------
     def __getattr__(self, name: str):
         # __slots__ members resolve normally; only schema fields land here
-        by_name = {f.name: f for f in self._schema.fields}
-        f = by_name.get(name)
+        f = self._by_name.get(name)
         if f is None:
             raise AttributeError(f"{self._schema.name} has no field {name!r}")
         values = object.__getattribute__(self, "_values")
@@ -75,12 +82,24 @@ class ShimMessage:
             values[name] = []
             return values[name]
         if f.type == TYPE_MESSAGE:
-            return self._pool[f.type_name]()  # detached default instance
+            # detached READ-ONLY default: real protobuf auto-vivifies on
+            # nested mutation (msg.sub.field = x attaches sub); returning
+            # a silently-discarded fresh instance would make that idiom a
+            # no-op, so the default is frozen and mutation raises loudly
+            inst = self._pool[f.type_name]()
+            object.__setattr__(inst, "_frozen", True)
+            return inst
         return _SCALAR_DEFAULTS[f.type]
 
     def __setattr__(self, name: str, value):
-        by_name = {f.name: f for f in self._schema.fields}
-        f = by_name.get(name)
+        if object.__getattribute__(self, "_frozen"):
+            raise AttributeError(
+                f"{self._schema.name}: cannot mutate an unset sub-message's "
+                "detached default (protobuf auto-vivification is not "
+                "implemented in protoshim) — build the sub-message and "
+                "assign it to the parent field instead"
+            )
+        f = self._by_name.get(name)
         if f is None:
             raise AttributeError(f"{self._schema.name} has no field {name!r}")
         f_checked = _coerce(f, value, self._pool)
@@ -120,7 +139,7 @@ class ShimMessage:
         present = object.__getattribute__(self, "_present")
         values = object.__getattribute__(self, "_values")
         out = bytearray()
-        for f in sorted(self._schema.fields, key=lambda x: x.number):
+        for f in self._by_number_sorted:
             if f.repeated:
                 for item in values.get(f.name, ()):
                     out += _encode_one(f, item)
@@ -133,7 +152,7 @@ class ShimMessage:
     def ParseFromString(self, data: bytes) -> int:
         object.__setattr__(self, "_values", {})
         object.__setattr__(self, "_present", set())
-        by_number = {f.number: f for f in self._schema.fields}
+        by_number = self._by_number
         values = object.__getattribute__(self, "_values")
         present = object.__getattribute__(self, "_present")
         for num, wt, val, _ in wire.iter_fields(data):
@@ -177,7 +196,6 @@ def _coerce(f: FieldSchema, value, pool):
 
 def _coerce_single(f: FieldSchema, value, pool):
     if f.type == TYPE_MESSAGE:
-        expect = pool[f.type_name]
         if not isinstance(value, ShimMessage) or value._schema.name != f.type_name:
             raise TypeError(
                 f"field {f.name} expects {f.type_name}, got {type(value).__name__}"
@@ -223,7 +241,7 @@ def _decode_one(f: FieldSchema, wt: int, val, pool):
         if f.type == TYPE_BOOL:
             return bool(val)
         if f.type in (TYPE_INT32, TYPE_INT64, TYPE_ENUM):
-            return wire.zigzag_to_signed(val, 64)
+            return wire.varint_to_signed(val)
     return _SKIP  # wire type mismatch: ignore rather than corrupt
 
 
@@ -254,7 +272,14 @@ def build_classes(schema: FileSchema) -> dict[str, object]:
         cls = type(
             fullname.rsplit(".", 1)[-1],
             (ShimMessage,),
-            {"_schema": m, "_pool": pool, "__slots__": ()},
+            {
+                "_schema": m,
+                "_pool": pool,
+                "_by_name": {f.name: f for f in m.fields},
+                "_by_number": {f.number: f for f in m.fields},
+                "_by_number_sorted": sorted(m.fields, key=lambda x: x.number),
+                "__slots__": (),
+            },
         )
         pool[fullname] = cls
         out[fullname] = cls

@@ -48,11 +48,11 @@ def decode_varint(buf: bytes, pos: int) -> tuple[int, int]:
     raise ValueError("protoshim: varint longer than 10 bytes")
 
 
-def zigzag_to_signed(value: int, bits: int) -> int:
-    """Interpret a decoded varint as a signed two's-complement integer of
-    ``bits`` width (plain int32/int64 fields — NOT sint zigzag)."""
+def varint_to_signed(value: int) -> int:
+    """Interpret a decoded varint as a signed two's-complement int64 —
+    the encoding plain int32/int64 fields use (protobuf widens int32
+    negatives to 64 bits on the wire; this is NOT sint zigzag)."""
     value &= (1 << 64) - 1
-    # protobuf widens int32 negatives to 64 bits on the wire
     if value >= 1 << 63:
         value -= 1 << 64
     return value

@@ -31,7 +31,7 @@ def test_varint_vectors():
         enc = wire.encode_varint(v)
         dec, pos = wire.decode_varint(enc, 0)
         assert pos == len(enc)
-        assert wire.zigzag_to_signed(dec, 64) == (v if v >= 0 else v)
+        assert wire.varint_to_signed(dec) == v
 
 
 def test_tag_and_len_delimited():
@@ -132,3 +132,16 @@ def test_message_semantics_via_generated_module():
     back2 = sm.TimerInfo()
     back2.ParseFromString(ti.SerializeToString())
     assert back2.timestampMs == -1
+
+
+def test_detached_default_submessage_is_frozen():
+    """Mutating an unset sub-message's detached default must raise — real
+    protobuf auto-vivifies there, and silently discarding the write (the
+    naive shim behavior) would make that idiom a no-op."""
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    req = sm.StateRequest()
+    with pytest.raises(AttributeError, match="detached default"):
+        req.statefulProcessorCall.setHandleState = sm.SetHandleState(state=1)
+    # reads on the detached default still work (protobuf semantics)
+    assert req.statefulProcessorCall.setHandleState.state == 0

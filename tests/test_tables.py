@@ -147,3 +147,82 @@ def test_scd2_partitioned_closed_files_untouched(spark, tmp_path):
         (r.k, r.tier, r.valid_to) for r in out.filter("valid_to IS NOT NULL").collect()
     )
     assert closed == [(1, "bronze", 200), (1, "old", 100)]
+
+
+def test_merge_partitioned_null_partition_rows_survive(spark, tmp_path):
+    """NULL partition values: isin() alone evaluates NULL→false for NULL
+    rows, so without the explicit isNull branch the whole
+    __HIVE_DEFAULT_PARTITION__ slice would be dropped from the merge and
+    then deleted by the swap. Unmatched NULL-partition rows must survive,
+    matched ones must update."""
+    from etl_demo_spark.io.tables import merge_upsert_partitioned
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", "A"), (2, "b", None), (3, "c", None)],
+        "id INT, name STRING, seg STRING",
+    ).write.partitionBy("seg").parquet(path)
+
+    source = spark.createDataFrame([(2, "B2", None)], "id INT, name STRING, seg STRING")
+    affected = merge_upsert_partitioned(spark, path, source, ["id"], "seg")
+    assert affected == [None]
+
+    got = {r.id: (r.name, r.seg) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", "A"), 2: ("B2", None), 3: ("c", None)}
+
+
+def test_merge_partitioned_numeric_looking_string_partition(spark, tmp_path):
+    """Partition values like '0123' must NOT round-trip through type
+    inference (which coerces to 123 and targets a different directory —
+    leaving stale rows beside the merged copy). The raw-partition read
+    pins the on-disk string form."""
+    import os
+
+    from etl_demo_spark.io.tables import merge_upsert_partitioned
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", "0123"), (2, "b", "0456")], "id INT, name STRING, seg STRING"
+    ).write.partitionBy("seg").parquet(path)
+    assert os.path.isdir(os.path.join(path, "seg=0123"))
+
+    source = spark.createDataFrame([(1, "A2", "0123")], "id INT, name STRING, seg STRING")
+    affected = merge_upsert_partitioned(spark, path, source, ["id"], "seg")
+    assert affected == ["0123"]
+
+    assert os.path.isdir(os.path.join(path, "seg=0123"))
+    assert not os.path.isdir(os.path.join(path, "seg=123"))
+    got = {r.id: (r.name, r.seg) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("A2", "0123"), 2: ("b", "0456")} or got == {
+        1: ("A2", 123), 2: ("b", 456)
+    }  # read-back types depend on inference; the DIRS are what matter
+    assert len(got) == 2
+
+
+def test_merge_partitioned_recovers_crashed_swap(spark, tmp_path):
+    """A swap that died between retiring the old partition dir and
+    renaming the staged one leaves the only copy in the staging pen; the
+    next merge call must restore it before re-applying (no data loss)."""
+    import os
+    import shutil
+
+    from etl_demo_spark.io.tables import merge_upsert_partitioned
+
+    path = str(tmp_path / "t")
+    _seed_table(spark, path)
+
+    # simulate the crash window: partition B retired into the pen,
+    # staging still on disk, target missing seg=B
+    staging = path + ".__merge_staging__"
+    os.makedirs(os.path.join(staging, ".replaced"))
+    shutil.move(os.path.join(path, "seg=B"), os.path.join(staging, ".replaced", "seg=B"))
+    assert not os.path.exists(os.path.join(path, "seg=B"))
+
+    source = spark.createDataFrame([(5, "EPS2", "C")], "id INT, name STRING, seg STRING")
+    affected = merge_upsert_partitioned(spark, path, source, ["id"], "seg")
+    assert affected == ["C"]
+    assert not os.path.exists(staging)
+
+    got = {r.id: (r.name, r.seg) for r in spark.read.parquet(path).collect()}
+    assert got[3] == ("gamma", "B") and got[4] == ("delta", "B")  # restored
+    assert got[5] == ("EPS2", "C") and len(got) == 6
