@@ -88,3 +88,66 @@ def plan_digest(df: DataFrame) -> PlanDigest:
         take_ordered=("TakeOrderedAndProject" in p),
         read_columns=tuple(sorted(read_cols)),
     )
+
+
+def runtime_metrics(df: DataFrame) -> list[dict]:
+    """POST-execution metrics from the (AQE-final) physical plan: one row
+    per plan node per metric — output rows, shuffle bytes/records, spill
+    bytes, scan bytes/files/pruning counts, peak memory. Run an action on
+    ``df`` first; before execution most metrics read 0.
+
+    This is the feedback loop `plan_digest` can't give: the digest says
+    "one exchange", this says HOW MANY BYTES crossed it and whether the
+    sort spilled — the numbers that decide partition counts and salting
+    at 100 TB. Implementation walks the JVM plan tree via py4j (driver-
+    side, metadata-only — nothing touches executors).
+
+    Returns dicts of (node, node_id, metric, value) — value in the
+    metric's native unit (bytes/rows/ms as named). AQE wraps the plan in
+    AdaptiveSparkPlan; the walk descends into the FINAL plan so reused
+    exchanges and runtime-replanned joins report their real nodes."""
+    out: list[dict] = []
+
+    def walk(node) -> None:
+        name = node.nodeName()
+        nid = node.id()
+        metrics = node.metrics()
+        it = metrics.iterator()
+        while it.hasNext():
+            kv = it.next()
+            metric = kv._2()
+            out.append(
+                {
+                    "node": name,
+                    "node_id": nid,
+                    "metric": str(metric.name().get() if metric.name().isDefined() else kv._1()),
+                    "value": int(metric.value()),
+                }
+            )
+        # AQE nodes hide the executed subtree behind accessor methods:
+        # AdaptiveSparkPlanExec → executedPlan(); every QueryStageExec
+        # flavor (Result/Shuffle/Broadcast/TableCache…) is a LEAF whose
+        # real subtree hangs off .plan()
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        if cls in ("InMemoryTableScanExec",):
+            return  # cached subtree: its build plan already ran elsewhere
+        children = node.children()
+        cit = children.iterator()
+        while cit.hasNext():
+            walk(cit.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def metric_total(metrics: list[dict], substring: str) -> int:
+    """Sum every metric whose NAME contains ``substring`` (case-insensitive)
+    — `metric_total(m, 'spill')` / `metric_total(m, 'shuffle bytes')`."""
+    s = substring.lower()
+    return sum(m["value"] for m in metrics if s in m["metric"].lower())

@@ -189,3 +189,30 @@ def test_keyset_page_cursor_pushes_to_scan(spark):
     assert "PushedFilters" in plan
     assert "GreaterThan(o_orderdate" in plan and "EqualTo(o_orderdate" in plan
     assert "TakeOrderedAndProject" in plan  # page = top-n, never a global sort
+
+
+def test_runtime_metrics_show_map_side_combine(spark):
+    """plans.runtime_metrics walks the AQE-final executed plan: the scan
+    must report the true row count, the partial aggregate must collapse
+    it to ~|groups| BEFORE the exchange (map-side combine — the property
+    that makes hot-key sums skew-immune), and nothing may spill."""
+    from etl_demo_spark.plans import metric_total, runtime_metrics
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    n_rows = li.count()
+    agg.collect()
+
+    m = runtime_metrics(agg)
+    scan_rows = [
+        x["value"]
+        for x in m
+        if x["node"].startswith("Scan") and x["metric"] == "number of output rows"
+    ]
+    assert scan_rows and scan_rows[0] == n_rows
+    # shuffle carried pre-aggregated partials, not raw rows
+    shuffled = metric_total(m, "shuffle records written")
+    n_groups = agg.count()
+    assert 0 < shuffled <= n_groups * 32  # ≤ groups × map tasks, ≪ n_rows
+    assert shuffled < n_rows / 100
+    assert metric_total(m, "spill") == 0
