@@ -6408,3 +6408,46 @@ def media_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.mapInPandas(
         checksum, "media_id bigint, width int, height int, pix_sum bigint"
     )
+
+
+@query(
+    "stream_replay_hourly_stats",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_replay_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-1/X-10 custom streaming SOURCE end-to-end: the events table is
+    materialized as a sorted replay log and streamed back through the
+    repo's Python-DataSource replay source (`io/replay_source.py` —
+    row-index offsets, executor-parallel pyarrow range partitions), then
+    aggregated by the SAME tumbling-window pipeline the file-source
+    streaming query uses. The oracle is the plain batch aggregate: a
+    hash match proves the custom source delivered every row exactly once
+    with the right schema through a real incremental execution.
+
+    Scale: this is the backfill topology — replay a stored log through
+    the production streaming query; offsets are row ranges, so the source
+    parallelizes by slice and checkpoint-resumes mid-log."""
+    import tempfile
+
+    from etl_demo_spark.io.replay_source import (
+        register_replay_source,
+        write_replay_log,
+    )
+    from etl_demo_spark.streaming import hourly_event_stats
+
+    (events,) = _t(spark, sf_dir, "events")
+    register_replay_source(spark)
+    log = tempfile.mkdtemp(prefix="replay_log_") + "/events"
+    write_replay_log(events, log, ["ts", "event_id"])
+    stream = spark.readStream.format("replay").option("path", log).load()
+    # the replay schema is timestamp_ntz (parquet physical); the window
+    # pipeline expects the session-zone timestamp the file reader yields
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return _run_stream(spark, hourly_event_stats(stream))

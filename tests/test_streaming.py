@@ -480,3 +480,67 @@ def test_transform_with_state_event_time_timers(spark, tmp_path):
         (1, 1_000_000, 2_800_000),
         (2, 1_200_000, 3_000_000),
     ]
+
+
+def test_replay_source_drain_and_paced_modes(spark, tmp_path):
+    """Custom replay streaming source (Python DataSourceStreamReader):
+    (a) availableNow full drain over executor-parallel range partitions
+    equals the batch aggregate; (b) paced mode under a processing-time
+    trigger delivers the same totals across multiple micro-batches."""
+    import time
+
+    from etl_demo_spark.io.replay_source import (
+        register_replay_source,
+        write_replay_log,
+    )
+    from etl_demo_spark.io.sources import read_events
+
+    register_replay_source(spark)
+    ev = read_events(spark, f"{SF0001}/events.parquet")
+    log = str(tmp_path / "log")
+    write_replay_log(ev, log, ["ts", "event_id"])
+    want = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+
+    stream = (
+        spark.readStream.format("replay")
+        .option("path", log)
+        .option("partition_rows", 200)
+        .load()
+    )
+    q = (
+        stream.groupBy("event_type").agg(F.count("*").alias("n"))
+        .writeStream.format("memory").queryName("t_replay_drain")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {r["event_type"]: r["n"] for r in spark.table("t_replay_drain").collect()}
+    assert got == want
+
+    paced = (
+        spark.readStream.format("replay")
+        .option("path", log)
+        .option("batch_rows", 300)
+        .load()
+    )
+    q2 = (
+        paced.groupBy("event_type").agg(F.count("*").alias("n"))
+        .writeStream.format("memory").queryName("t_replay_paced")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(processingTime="50 milliseconds").start()
+    )
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        rows = spark.table("t_replay_paced").collect()
+        if rows and sum(r["n"] for r in rows) >= sum(want.values()):
+            break
+        time.sleep(0.3)
+    q2.stop()
+    got2 = {r["event_type"]: r["n"] for r in spark.table("t_replay_paced").collect()}
+    assert got2 == want
+    assert len(q2.recentProgress) >= 2  # genuinely multi-batch
