@@ -544,3 +544,53 @@ def test_replay_source_drain_and_paced_modes(spark, tmp_path):
     got2 = {r["event_type"]: r["n"] for r in spark.table("t_replay_paced").collect()}
     assert got2 == want
     assert len(q2.recentProgress) >= 2  # genuinely multi-batch
+
+
+def test_replay_log_growth_resumes_into_cdc_upsert(spark, tmp_path):
+    """End-to-end lakehouse loop: a growing sorted CDC log replayed
+    through the custom streaming source into the partition-scoped MERGE
+    sink. The second availableNow run must resume from the checkpointed
+    ROW-INDEX offset (processing only the log's new tail), apply
+    last-wins by the CDC sequence, and leave unaffected partitions'
+    files byte-identical."""
+    import hashlib
+
+    from etl_demo_spark.io.replay_source import (
+        register_replay_source,
+        write_replay_log,
+    )
+    from etl_demo_spark.streaming.windows import run_stream_cdc_upsert
+
+    register_replay_source(spark)
+    target = str(tmp_path / "dim")
+    log = str(tmp_path / "log")
+    ck = str(tmp_path / "ck")
+    schema = "seq long, id INT, name STRING, seg STRING"
+
+    def files(part: str) -> dict:
+        return {
+            str(p): hashlib.md5(p.read_bytes()).hexdigest()
+            for p in (tmp_path / "dim").rglob("*.parquet")
+            if part in str(p)
+        }
+
+    epoch1 = [(1, 1, "alpha", "A"), (2, 2, "beta", "B"), (3, 1, "alpha2", "A")]
+    write_replay_log(spark.createDataFrame(epoch1, schema), log, ["seq"])
+    stream = spark.readStream.format("replay").option("path", log).load()
+    run_stream_cdc_upsert(stream, target, ["id"], "seg", ck, order_col="seq")
+    assert {r.id: r.name for r in spark.read.parquet(target).collect()} == {
+        1: "alpha2", 2: "beta"
+    }
+    b_before = files("seg=B")
+
+    # the log GROWS append-only in seq order: the prefix row order is
+    # unchanged, so the checkpointed index offset stays valid
+    epoch2 = epoch1 + [(4, 3, "gamma", "C"), (5, 1, "alpha3", "A")]
+    write_replay_log(spark.createDataFrame(epoch2, schema), log, ["seq"])
+    stream2 = spark.readStream.format("replay").option("path", log).load()
+    run_stream_cdc_upsert(stream2, target, ["id"], "seg", ck, order_col="seq")
+
+    assert {r.id: r.name for r in spark.read.parquet(target).collect()} == {
+        1: "alpha3", 2: "beta", 3: "gamma"
+    }
+    assert files("seg=B") == b_before  # untouched partition: same bytes
