@@ -25,13 +25,12 @@ _SHIPPED_SESSIONS: set[int] = set()
 
 
 def _real_protobuf_installed() -> bool:
-    try:
-        from importlib.metadata import version
+    # single probe shared with session._export_protoshim_path — the two
+    # decisions (export the shim to spawned workers / ship it in the
+    # executor zip) must never disagree about the same environment
+    from etl_demo_spark.session import real_protobuf_installed
 
-        version("protobuf")
-        return True
-    except Exception:
-        return False
+    return real_protobuf_installed()
 
 
 def _engine_posture(spark: SparkSession) -> None:
@@ -72,7 +71,9 @@ def _ship_package(spark: SparkSession) -> None:
         # (see etl_demo_spark/protoshim) — but NEVER when the real wheel
         # is installed here: addPyFile zips precede site-packages on the
         # workers' sys.path, and shadowing the full distribution with the
-        # StateMessage-slice shim would break any other protobuf use
+        # StateMessage-slice shim would break any other protobuf use.
+        # The probe reads the DRIVER env and assumes homogeneous cluster
+        # Python environments (see session.real_protobuf_installed)
         shim = Path(_REPO) / "google"
         if shim.is_dir() and not _real_protobuf_installed():
             for p in sorted(shim.rglob("*.py")):

@@ -18,7 +18,13 @@ Design (and why it scales):
   (live-replay). Unset, ``latestOffset`` reports everything, which is
   what ``availableNow`` requires — it SNAPSHOTS one latest offset at
   start and drains to it, so a pacing source would strand the rest
-  (measured: one 300-row batch of a 1000-row log).
+  (measured: one 300-row batch of a 1000-row log). The pacing cursor is
+  PERSISTED in a sidecar next to the log (``<file>.pace``): a restarted
+  query's fresh reader resumes the high-water mark instead of reporting
+  an offset BELOW the checkpointed position — without it Spark would
+  record the regressed offset and re-deliver the gap (double-counting
+  in any non-complete sink). One paced query per log at a time (the
+  sidecar is the cursor); unpaced readers never touch it.
 * the log is REQUIRED to be pre-sorted (``write_replay_log`` — a one-off
   prep job): the reader never sorts, so a micro-batch is a pure row-range
   slice. At 100 TB the same layout is day-partitioned sorted logs.
@@ -116,19 +122,43 @@ class ReplayStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"idx": 0}
 
+    def _pace_file(self) -> str:
+        return self._file + ".pace"
+
     def latestOffset(self) -> dict:
         if not self._batch_rows:
             return {"idx": self._total}
         # paced mode: each poll exposes at most batch_rows more (use with
         # processingTime triggers; see module docstring for why NOT with
-        # availableNow)
+        # availableNow). The cursor survives restarts via the sidecar —
+        # monotonicity vs the checkpoint is what makes pacing exactly-once.
+        import os
+
         if not hasattr(self, "_latest"):
             self._latest = 0
+            if os.path.exists(self._pace_file()):
+                try:
+                    with open(self._pace_file()) as f:
+                        self._latest = int(f.read().strip() or 0)
+                except (OSError, ValueError):
+                    self._latest = 0
         self._latest = min(self._latest + self._batch_rows, self._total)
+        tmp = self._pace_file() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(self._latest))
+        os.replace(tmp, self._pace_file())
         return {"idx": self._latest}
 
     def partitions(self, start: dict, end: dict) -> list[_RangePartition]:
         s, e = int(start["idx"]), int(end["idx"])
+        if e < s:
+            # an offset below the checkpointed position would silently
+            # re-deliver rows [e, s); fail loudly instead (stale/foreign
+            # pace sidecar, or a truncated log)
+            raise ValueError(
+                f"replay source: offset regression {s} -> {e}; the pace "
+                f"sidecar or the log is out of sync with this checkpoint"
+            )
         return [
             _RangePartition(self._file, i, min(i + self._partition_rows, e))
             for i in range(s, e, self._partition_rows)

@@ -50,13 +50,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Characters Hive/Spark escape in partition directory names
 # (ExternalCatalogUtils.charToEscape) — everything else passes through.
 _ESCAPE = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(0x20)}
-
-_TYPE_INFERENCE = "spark.sql.sources.partitionColumnTypeInference.enabled"
-
 
 def _escape_part(value: str) -> str:
     return "".join(f"%{ord(ch):02X}" if ch in _ESCAPE else ch for ch in value)
@@ -77,36 +75,50 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, jvm
 
 
-from contextlib import contextmanager
+def _read_raw_partitions(
+    spark: SparkSession, path: str, fmt: str, partition_col: str
+) -> DataFrame:
+    """Load with the partition column pinned to STRING via an EXPLICIT
+    schema: directory names come back as the exact strings on disk.
+    Default type inference would coerce numeric-looking values
+    ('0123' → 123) and the swap would then target ``seg=123`` while the
+    real directory is ``seg=0123`` — a silent stale-rows-plus-new-rows
+    corruption. A user schema (rather than toggling
+    spark.sql.sources.partitionColumnTypeInference.enabled) keeps the
+    pin LOCAL to this read — the conf is session-global, and flipping it
+    would change partition types under every concurrent reader on the
+    session for the duration of the merge."""
+    import copy
 
-
-@contextmanager
-def _raw_partition_values(spark: SparkSession):
-    """Partition-column TYPE INFERENCE OFF for the enclosed block:
-    directory names come back as the exact strings on disk. Inference
-    would coerce numeric-looking values ('0123' → 123) and the swap would
-    then target ``seg=123`` while the real directory is ``seg=0123`` — a
-    silent stale-rows-plus-new-rows corruption. The conf binds at load()
-    (partition discovery fixes the schema then — verified: a frame loaded
-    inside the block keeps string values when collected after it), but
-    the guard spans the whole merge anyway so every load in the block —
-    including any the merge plan re-resolves — sees the same setting."""
-    saved = spark.conf.get(_TYPE_INFERENCE, None)
-    spark.conf.set(_TYPE_INFERENCE, "false")
-    try:
-        yield
-    finally:
-        if saved is None:
-            spark.conf.unset(_TYPE_INFERENCE)
-        else:
-            spark.conf.set(_TYPE_INFERENCE, saved)
+    inferred = spark.read.format(fmt).load(path).schema
+    pinned = T.StructType(
+        [
+            T.StructField(f.name, T.StringType(), True)
+            if f.name == partition_col
+            else copy.deepcopy(f)
+            for f in inferred.fields
+        ]
+    )
+    return spark.read.format(fmt).schema(pinned).load(path)
 
 
 def _recover_staging(fs, jvm, target_path: str, staging: str) -> None:
     """Heal a crashed swap: any partition dir held aside in
-    ``staging/.replaced/`` whose target partition is MISSING was caught
-    between its two renames — put it back. Everything else in staging is
-    a stale copy of work the re-run will redo. Then clear staging."""
+    ``staging/.replaced/`` whose target partition is MISSING and whose
+    swap was NOT marked complete was caught between its two renames —
+    put it back. Pen entries with the ``.done`` suffix are partitions the
+    swap DELIBERATELY emptied (a partition-moving update drained them;
+    restoring those would resurrect deleted rows beside their moved
+    copies). Everything else in staging is a stale copy of work the
+    re-run will redo. Then clear staging.
+
+    Consistency note for DIRECT callers (the checkpointed foreachBatch
+    sink gets this for free): recovery restores to a PER-PARTITION
+    boundary — partitions swapped before the crash keep the batch's
+    changes, restored ones roll back to pre-batch state. Re-apply the
+    SAME batch after recovery to converge (source-wins merge is
+    idempotent); applying a different batch first leaves the interrupted
+    batch half-applied."""
     staging_p = jvm.org.apache.hadoop.fs.Path(staging)
     if not fs.exists(staging_p):
         return
@@ -114,6 +126,8 @@ def _recover_staging(fs, jvm, target_path: str, staging: str) -> None:
     if fs.exists(pen):
         for st in fs.listStatus(pen):
             rel = st.getPath().getName()
+            if rel.endswith(".done"):
+                continue  # deliberately-emptied partition: never restore
             tgt = jvm.org.apache.hadoop.fs.Path(f"{target_path.rstrip('/')}/{rel}")
             if not fs.exists(tgt):
                 fs.rename(st.getPath(), tgt)
@@ -136,6 +150,13 @@ def _swap_partitions(
             fs.rename(old, jvm.org.apache.hadoop.fs.Path(f"{pen}/{rel}"))
         if fs.exists(new):  # emptied partitions have no staged dir
             fs.rename(new, old)
+        else:
+            # the retire WAS this partition's whole swap (merge drained
+            # it): mark its pen entry complete so a crashed-run recovery
+            # never resurrects the drained rows beside their moved copies
+            penned = jvm.org.apache.hadoop.fs.Path(f"{pen}/{rel}")
+            if fs.exists(penned):
+                fs.rename(penned, jvm.org.apache.hadoop.fs.Path(f"{pen}/{rel}.done"))
     fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
 
@@ -201,20 +222,24 @@ def merge_upsert_partitioned(
     fs, jvm = _hadoop_fs(spark, target_path)
     _recover_staging(fs, jvm, target_path, staging)  # heal any crashed swap
 
-    with _raw_partition_values(spark):
-        target = spark.read.format(fmt).load(target_path)
-        affected = affected_partitions(target, source, keys, partition_col)
-        if not affected:
-            return []
+    target = _read_raw_partitions(spark, target_path, fmt, partition_col)
+    affected = affected_partitions(target, source, keys, partition_col)
+    if not affected:
+        return []
 
-        scoped = target.filter(_partition_filter(partition_col, affected))
-        merged = merge_upsert(scoped, source, keys)
-        (
-            merged.write.mode("overwrite")
-            .partitionBy(partition_col)
-            .format(fmt)
-            .save(staging)
-        )
+    scoped = target.filter(_partition_filter(partition_col, affected))
+    # the merge coalesces target (string-pinned) and source partition
+    # values; ensure the staged write's directory names come from the
+    # same string space _part_dir targets
+    merged = merge_upsert(scoped, source, keys).withColumn(
+        partition_col, F.col(partition_col).cast("string")
+    )
+    (
+        merged.write.mode("overwrite")
+        .partitionBy(partition_col)
+        .format(fmt)
+        .save(staging)
+    )
     _swap_partitions(
         fs,
         jvm,

@@ -107,10 +107,18 @@ def runtime_metrics(df: DataFrame) -> list[dict]:
     AdaptiveSparkPlan; the walk descends into the FINAL plan so reused
     exchanges and runtime-replanned joins report their real nodes."""
     out: list[dict] = []
+    seen: set[int] = set()
 
     def walk(node) -> None:
-        name = node.nodeName()
         nid = node.id()
+        if nid in seen:
+            # AQE reuses stages (self-joins → ReusedExchange / shared
+            # QueryStageExec at two tree positions); walking the shared
+            # subtree twice would double-count its accumulators in
+            # metric_total
+            return
+        seen.add(nid)
+        name = node.nodeName()
         metrics = node.metrics()
         it = metrics.iterator()
         while it.hasNext():

@@ -79,6 +79,11 @@ class ShimMessage:
         if name in values:
             return values[name]
         if f.repeated:
+            if object.__getattribute__(self, "_frozen"):
+                # appending to a detached default's repeated field would
+                # be a silently-discarded write — hand out an immutable
+                # empty view instead of caching a throwaway list
+                return ()
             values[name] = []
             return values[name]
         if f.type == TYPE_MESSAGE:
@@ -150,6 +155,12 @@ class ShimMessage:
         return bytes(out)
 
     def ParseFromString(self, data: bytes) -> int:
+        if object.__getattribute__(self, "_frozen"):
+            raise AttributeError(
+                f"{self._schema.name}: cannot parse into an unset "
+                "sub-message's detached default — parse into a fresh "
+                "instance and assign it"
+            )
         object.__setattr__(self, "_values", {})
         object.__setattr__(self, "_present", set())
         by_number = self._by_number
@@ -200,6 +211,10 @@ def _coerce_single(f: FieldSchema, value, pool):
             raise TypeError(
                 f"field {f.name} expects {f.type_name}, got {type(value).__name__}"
             )
+        # a detached default becomes a REAL message once assigned to a
+        # parent field (each default access mints a fresh instance, so
+        # unfreezing never leaks mutability to other readers)
+        object.__setattr__(value, "_frozen", False)
         return value
     if f.type in (TYPE_INT32, TYPE_INT64, TYPE_ENUM):
         return int(value)

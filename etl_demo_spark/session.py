@@ -28,6 +28,28 @@ from pathlib import Path
 from pyspark.sql import SparkSession
 
 
+def real_protobuf_installed() -> bool:
+    """Single authority on "is the real protobuf wheel installed here":
+    both the PYTHONPATH export below and __spark_entry__'s executor-zip
+    packaging ask THIS function, so the two can never disagree. Failure
+    default is deliberately conservative: an unexpected metadata error
+    reads as INSTALLED — the shim must never shadow a real distribution,
+    while a missing shim only costs the transformWithState feature (which
+    fails loudly). Probes the DRIVER environment; the executor decision
+    assumes the cluster's Python environments are homogeneous (the normal
+    posture) — on a heterogeneous cluster, install the wheel everywhere
+    or delete the repo's google/ directory and ship your own."""
+    try:
+        from importlib.metadata import PackageNotFoundError, version
+
+        version("protobuf")
+        return True
+    except PackageNotFoundError:
+        return False
+    except Exception:
+        return True
+
+
 def _export_protoshim_path() -> None:
     """Make the repo-local ``google.protobuf`` shim importable in the
     Python processes the JVM spawns (executor workers AND the
@@ -39,15 +61,8 @@ def _export_protoshim_path() -> None:
     via site-packages. Must run before the first JVM launch; a no-op for
     an already-running session (documented limitation: call get_spark
     before building any transformWithState plan)."""
-    try:
-        from importlib.metadata import PackageNotFoundError, version
-
-        version("protobuf")
-        return  # real wheel installed: never shadow it
-    except PackageNotFoundError:
-        pass
-    except Exception:
-        return
+    if real_protobuf_installed():
+        return  # never shadow the real wheel
     repo_root = str(Path(__file__).resolve().parent.parent)
     if not (Path(repo_root) / "google" / "protobuf").is_dir():
         return  # shim not shipped alongside this package (e.g. zip deploy)

@@ -145,3 +145,30 @@ def test_detached_default_submessage_is_frozen():
         req.statefulProcessorCall.setHandleState = sm.SetHandleState(state=1)
     # reads on the detached default still work (protobuf semantics)
     assert req.statefulProcessorCall.setHandleState.state == 0
+
+
+def test_frozen_default_repeated_and_parse_guards():
+    """The frozen-default protections must cover every lost-write path:
+    repeated fields hand out an immutable empty view, ParseFromString
+    raises — while a default ASSIGNED to a parent becomes a real message
+    (unfrozen) exactly as the documented reference-assignment semantics
+    require."""
+    import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+
+    req = sm.StateResponseWithListGet()
+    detached = sm.StateRequest().statefulProcessorCall  # frozen default
+    with pytest.raises(AttributeError):
+        detached.ParseFromString(b"")
+    lg = sm.StateResponseWithTimer()
+    frozen_parent = sm.StateRequest()
+    # repeated field of a frozen default: immutable view, never a cached list
+    frozen_timer_holder = sm.StateResponseWithTimer()
+    object.__setattr__(frozen_timer_holder, "_frozen", True)
+    assert frozen_timer_holder.timer == ()
+    # assignment unfreezes: the assigned sub-message is mutable and real
+    call = sm.StatefulProcessorCall().setHandleState  # frozen default
+    parent = sm.StatefulProcessorCall()
+    parent.setHandleState = call
+    parent.setHandleState.state = 2  # must not raise
+    assert parent.setHandleState.state == 2
+    assert req.value == []  # unfrozen instance keeps the appendable list

@@ -226,3 +226,33 @@ def test_merge_partitioned_recovers_crashed_swap(spark, tmp_path):
     got = {r.id: (r.name, r.seg) for r in spark.read.parquet(path).collect()}
     assert got[3] == ("gamma", "B") and got[4] == ("delta", "B")  # restored
     assert got[5] == ("EPS2", "C") and len(got) == 6
+
+
+def test_recovery_never_resurrects_deliberately_emptied_partition(spark, tmp_path):
+    """A partition the merge drained (partition-moving update) is marked
+    complete in the staging pen; a crash after the swap loop but before
+    the staging delete, followed by a DIFFERENT batch, must not restore
+    the drained rows beside their moved copies."""
+    import os
+    import shutil
+
+    from etl_demo_spark.io.tables import merge_upsert_partitioned
+
+    path = str(tmp_path / "t")
+    _seed_table(spark, path)
+    # move key 6 out of D (drains D); then simulate the crash window by
+    # recreating staging WITH the done-marked pen entry post-swap
+    source = spark.createDataFrame([(6, "zeta-moved", "C")], "id INT, name STRING, seg STRING")
+    merge_upsert_partitioned(spark, path, source, ["id"], "seg")
+    assert not os.path.exists(os.path.join(path, "seg=D"))
+
+    staging = path + ".__merge_staging__"
+    os.makedirs(os.path.join(staging, ".replaced", "seg=D.done"))
+    with open(os.path.join(staging, ".replaced", "seg=D.done", "part-0.parquet"), "wb") as f:
+        f.write(b"stale")
+
+    other = spark.createDataFrame([(1, "ALPHA9", "A")], "id INT, name STRING, seg STRING")
+    merge_upsert_partitioned(spark, path, other, ["id"], "seg")
+    assert not os.path.exists(os.path.join(path, "seg=D"))  # stayed drained
+    got = {r.id: (r.name, r.seg) for r in spark.read.parquet(path).collect()}
+    assert got[6] == ("zeta-moved", "C") and got[1] == ("ALPHA9", "A")
