@@ -937,42 +937,53 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _query_vec(spark, sf_dir), k=10, n_cells=16, nprobe=4)
 
 
-@query("embedding_near_dups")  # approximate candidate set (rows-only)
+@query(
+    "embedding_near_dups",
+    oracle="""
+    SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+           CAST(1.0 AS DOUBLE) AS cos_sim
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id AS id_a, vec_id + 2000000 AS id_b,
+           CAST(1.0 AS DOUBLE) AS cos_sim
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS id_a, vec_id + 2000000 AS id_b,
+           CAST(1.0 AS DOUBLE) AS cos_sim
+    FROM embeddings
+    """,
+)
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-12/X-13 embedding-cosine near-dup pairs via LSH buckets (exact
-    cosine within buckets only). Rows-only for the driver — the bucket
-    candidate set is approximate; pair correctness (cosine values,
-    planted-duplicate recall) is asserted in unit tests.
+    cosine within buckets only).
 
-    The testdata embeddings are near-orthogonal random vectors (measured
-    max pairwise cosine ≈ 0.51 at sf0.01/sf0.1), so a correct near-dup
-    operator returns ZERO pairs on the raw table — a vacuous driver
-    check. To make the driver run exercise real output, the query plants
-    deterministic near-duplicates DERIVED from the table — a scaled copy
-    (cosine exactly 1.0; sign-LSH projections scale with the vector, so
-    the bucket is identical and recall is 100% by construction) and an
-    alternating ±20%-reweighted copy (cosine ≥ 0.98 analytically, but the
-    reweighting perturbs the hyperplane projections, so single-probe LSH
-    recovers most-not-all — honest approximate recall) per vector, ids
-    offset by 1M/2M. Measured at sf0.01: 1176 pairs, cosines in
-    [0.9798, 1.0] — ≥ the 500 guaranteed scaled pairs, non-vacuous at
-    every sf."""
+    EXACTLY oracled against an analytically-planted pair set: the
+    testdata embeddings are near-orthogonal random vectors (measured max
+    pairwise cosine ≈ 0.51 at sf0.01/sf0.1 — far under the 0.9
+    threshold), so the only pairs a CORRECT near-dup operator can emit
+    are the planted ones. The query plants two positive scalar copies of
+    every vector (×2.0 at id+1M, ×3.0 at id+2M): a positive scaling
+    leaves every sign-LSH hyperplane projection's sign unchanged, so all
+    three copies land in the SAME bucket with recall 100% *by
+    construction* (not probabilistically), and cosine between any two is
+    exactly 1.0 — hence the closed-form SQL oracle of the 3·n pair
+    triangle. The probabilistic side of LSH recall (perturbed copies that
+    may miss the bucket) is asserted separately in
+    tests/test_llm_ops.py, where an approximate bound — not an exact
+    row set — is the honest claim."""
     from etl_demo_spark.vec import embedding_near_dup_pairs
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", "embedding")
-    scaled = base.select(
+    scaled2 = base.select(
         (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
     )
-    reweighted = base.select(
+    scaled3 = base.select(
         (F.col("vec_id") + F.lit(2_000_000)).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: x * F.when(i % 2 == 0, F.lit(1.2)).otherwise(F.lit(0.8)),
-        ).alias("embedding"),
+        F.transform("embedding", lambda x: x * F.lit(3.0)).alias("embedding"),
     )
-    planted = base.unionByName(scaled).unionByName(reweighted)
+    planted = base.unionByName(scaled2).unionByName(scaled3)
     return embedding_near_dup_pairs(planted, threshold=0.9, planes=6)
 
 
@@ -1320,11 +1331,28 @@ def sliding_window_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_window_counts(events)
 
 
-@query("stream_user_counters")  # custom stateful operator: rows-only
+@query(
+    "stream_user_counters",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(COALESCE(SUM(value), 0.0), 4) AS total_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
 def stream_user_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-10/X-11 applyInPandasWithState: per-user running counters evolved
-    in GroupState across micro-batches (update mode). Final per-user values
-    are asserted against batch aggregates in unit tests."""
+    in GroupState across micro-batches (update mode).
+
+    Oracled BECAUSE stateful-final == batch-aggregate (the same
+    equivalence `stream_user_type_profile` pins for state v2): the last
+    update emitted per user must equal the one-shot GROUP BY the oracle
+    computes. total_value is rounded to 4dp on both sides — the stream
+    folds per-batch partial sums sequentially, the oracle sums in one
+    pass, and float addition is order-sensitive. COALESCE matches the
+    operator's all-NULL-values contract (count rows, total 0.0)."""
     from etl_demo_spark.streaming import read_events_stream
     from etl_demo_spark.streaming.stateful import user_running_counters
 
@@ -1336,7 +1364,15 @@ def stream_user_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
-        out.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+            "max_value",
+        )
     )
 
 

@@ -44,6 +44,41 @@ def test_embedding_near_dups_corpus_query_non_vacuous(spark):
     assert exact >= n_vecs  # orig<->scaled recovered for every vector
 
 
+def test_embedding_near_dup_pairs_perturbed_recall(spark):
+    """The approximate side of LSH near-dup, pinned honestly: an
+    alternating ±20% reweighted copy keeps cosine ≈ 0.98 in expectation
+    (E[w]/√E[w²] = 1/√1.04), but the reweighting perturbs the hyperplane
+    projections, so
+    single-probe bucketing recovers most-not-all of the planted pairs.
+    (The corpus query `embedding_near_dups` pins the guaranteed
+    scale-invariant plants with an exact oracle; this test covers the
+    probabilistic-recall claim the oracle deliberately excludes.)"""
+    from etl_demo_spark.vec import embedding_near_dup_pairs
+
+    emb = (
+        spark.read.parquet(f"{SF0001}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    reweighted = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * F.when(i % 2 == 0, F.lit(1.2)).otherwise(F.lit(0.8)),
+        ).alias("embedding"),
+    )
+    pairs = embedding_near_dup_pairs(
+        emb.unionByName(reweighted), threshold=0.9, planes=6
+    ).collect()
+    n = emb.count()
+    assert all(r.cos_sim >= 0.9 for r in pairs)
+    # every emitted pair is a planted one (raw corpus max cosine ≈ 0.51)
+    assert all(r.id_b - r.id_a == 1_000_000 for r in pairs)
+    assert len(pairs) >= 0.3 * n  # bucketing recovers a solid majority…
+    # …but the perturbation does flip some buckets at planes=6 (if this
+    # ever hits n, the plant stopped exercising the approximate path)
+    assert len(pairs) < n
+
+
 def test_exact_dedup_fingerprint_normalizes(spark, docs_df):
     from etl_demo_spark.dedup import exact_dedup_by_fingerprint
 
