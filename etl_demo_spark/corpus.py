@@ -6340,6 +6340,86 @@ def customer_merge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_merge_two_level",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(year(o_orderdate) AS VARCHAR) AS dt,
+             o_orderstatus AS seg
+      FROM orders
+    ),
+    s AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 10.0 AS o_totalprice,
+             dt, seg
+      FROM t WHERE o_orderkey % 9 = 0 AND dt = '1995' AND seg = 'F'
+      UNION ALL
+      SELECT o_orderkey + 30000000 AS o_orderkey, o_custkey,
+             CAST(1.0 AS DOUBLE) AS o_totalprice,
+             '1995' AS dt, 'F' AS seg
+      FROM t WHERE o_orderkey % 1000 = 0
+    )
+    SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+           COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+           COALESCE(s.dt, t.dt) AS dt,
+           COALESCE(s.seg, t.seg) AS seg
+    FROM t FULL JOIN s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def orders_merge_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped MERGE on a TWO-LEVEL ``dt=…/seg=…`` layout
+    (io/tables.py `merge_upsert_partitioned` with
+    ``partition_cols=["dt","seg"]``) — the docs/SCALE_LAYOUT.md standard
+    at 100 TB, where the blast radius must be the affected leaf TUPLE
+    (one year × one status here), not the whole date partition. The
+    change batch (updates + inserts) is confined to (1995, 'F'); the
+    merge rewrites exactly that leaf (asserted), and the oracle is the
+    logical MERGE over the whole table — physical scoping must not
+    change the answer. Byte-identity of untouched leaves incl.
+    same-dt siblings is pinned in tests/test_tables.py."""
+    import tempfile
+
+    from etl_demo_spark.io.tables import merge_upsert_partitioned
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("string").alias("dt"),
+        F.col("o_orderstatus").alias("seg"),
+    )
+    target_path = tempfile.mkdtemp(prefix="merge_2lvl_") + "/orders"
+    t.write.partitionBy("dt", "seg").parquet(target_path)
+
+    updates = (
+        t.filter((F.col("o_orderkey") % 9 == 0) & (F.col("dt") == "1995") & (F.col("seg") == "F"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(10.0))
+    )
+    inserts = t.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 30000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit(1.0).alias("o_totalprice"),
+        F.lit("1995").alias("dt"),
+        F.lit("F").alias("seg"),
+    )
+    source = updates.unionByName(inserts)
+
+    affected = merge_upsert_partitioned(
+        spark, target_path, source, ["o_orderkey"], ["dt", "seg"]
+    )
+    assert affected == [("1995", "F")], affected
+    merged = spark.read.parquet(target_path)
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("dt").cast("string").alias("dt"),
+        F.col("seg").cast("string").alias("seg"),
+    )
+
+
+@query(
     "orders_keyset_page",
     oracle="""
     SELECT o_orderkey, o_orderdate, o_totalprice

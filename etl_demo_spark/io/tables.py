@@ -68,6 +68,23 @@ def _part_dir(col: str, value) -> str:
     return f"{col}={_escape_part(str(value))}"
 
 
+def _part_rel(cols: list[str], values) -> str:
+    """Relative directory of one partition tuple under a (possibly
+    multi-level) Hive layout: ``dt=2024-01-01/seg=EU``. ``values`` is a
+    tuple aligned with ``cols`` (the single-column case passes a 1-tuple)."""
+    return "/".join(_part_dir(c, v) for c, v in zip(cols, values))
+
+
+def _normalize_partition_cols(partition_cols) -> list[str]:
+    """Accept the historical single-column string or the multi-level list."""
+    if isinstance(partition_cols, str):
+        return [partition_cols]
+    cols = list(partition_cols)
+    if not cols:
+        raise ValueError("partition_cols must name at least one column")
+    return cols
+
+
 def _hadoop_fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -76,9 +93,9 @@ def _hadoop_fs(spark: SparkSession, path: str):
 
 
 def _read_raw_partitions(
-    spark: SparkSession, path: str, fmt: str, partition_col: str
+    spark: SparkSession, path: str, fmt: str, partition_cols: list[str]
 ) -> DataFrame:
-    """Load with the partition column pinned to STRING via an EXPLICIT
+    """Load with every partition column pinned to STRING via an EXPLICIT
     schema: directory names come back as the exact strings on disk.
     Default type inference would coerce numeric-looking values
     ('0123' → 123) and the swap would then target ``seg=123`` while the
@@ -90,11 +107,12 @@ def _read_raw_partitions(
     session for the duration of the merge."""
     import copy
 
+    pin = set(partition_cols)
     inferred = spark.read.format(fmt).load(path).schema
     pinned = T.StructType(
         [
             T.StructField(f.name, T.StringType(), True)
-            if f.name == partition_col
+            if f.name in pin
             else copy.deepcopy(f)
             for f in inferred.fields
         ]
@@ -102,7 +120,33 @@ def _read_raw_partitions(
     return spark.read.format(fmt).schema(pinned).load(path)
 
 
-def _recover_staging(fs, jvm, target_path: str, staging: str) -> None:
+def _mkdirs_parent(fs, jvm, path: str) -> None:
+    parent = jvm.org.apache.hadoop.fs.Path(path).getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+
+
+def _pen_leaves(fs, jvm, pen: str, depth: int) -> list[tuple]:
+    """(status, relative-path) of every pen entry exactly ``depth``
+    directory levels below ``pen`` — one per held-aside partition dir in
+    a ``depth``-level Hive layout (``dt=…/seg=…`` → depth 2)."""
+    out: list[tuple] = []
+    stack = [(jvm.org.apache.hadoop.fs.Path(pen), "", 0)]
+    while stack:
+        path, rel, d = stack.pop()
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            r = f"{rel}/{name}" if rel else name
+            if d + 1 == depth:
+                out.append((st, r))
+            elif st.isDirectory():
+                stack.append((st.getPath(), r, d + 1))
+    return out
+
+
+def _recover_staging(
+    fs, jvm, target_path: str, staging: str, depth: int = 1
+) -> None:
     """Heal a crashed swap: any partition dir held aside in
     ``staging/.replaced/`` whose target partition is MISSING and whose
     swap was NOT marked complete was caught between its two renames —
@@ -122,15 +166,16 @@ def _recover_staging(fs, jvm, target_path: str, staging: str) -> None:
     staging_p = jvm.org.apache.hadoop.fs.Path(staging)
     if not fs.exists(staging_p):
         return
-    pen = jvm.org.apache.hadoop.fs.Path(f"{staging}/.replaced")
-    if fs.exists(pen):
-        for st in fs.listStatus(pen):
-            rel = st.getPath().getName()
+    pen = f"{staging}/.replaced"
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(pen)):
+        for st, rel in _pen_leaves(fs, jvm, pen, depth):
             if rel.endswith(".done"):
                 continue  # deliberately-emptied partition: never restore
-            tgt = jvm.org.apache.hadoop.fs.Path(f"{target_path.rstrip('/')}/{rel}")
-            if not fs.exists(tgt):
-                fs.rename(st.getPath(), tgt)
+            tgt = f"{target_path.rstrip('/')}/{rel}"
+            tgt_p = jvm.org.apache.hadoop.fs.Path(tgt)
+            if not fs.exists(tgt_p):
+                _mkdirs_parent(fs, jvm, tgt)
+                fs.rename(st.getPath(), tgt_p)
     fs.delete(staging_p, True)
 
 
@@ -147,8 +192,10 @@ def _swap_partitions(
         old = jvm.org.apache.hadoop.fs.Path(f"{target_path.rstrip('/')}/{rel}")
         new = jvm.org.apache.hadoop.fs.Path(f"{staging}/{rel}")
         if fs.exists(old):
+            _mkdirs_parent(fs, jvm, f"{pen}/{rel}")  # nested layouts
             fs.rename(old, jvm.org.apache.hadoop.fs.Path(f"{pen}/{rel}"))
         if fs.exists(new):  # emptied partitions have no staged dir
+            _mkdirs_parent(fs, jvm, f"{target_path.rstrip('/')}/{rel}")
             fs.rename(new, old)
         else:
             # the retire WAS this partition's whole swap (merge drained
@@ -161,36 +208,56 @@ def _swap_partitions(
 
 
 def affected_partitions(
-    target: DataFrame, source: DataFrame, keys: list[str], partition_col: str
-) -> list:
-    """Partition values a key-matched MERGE must rewrite: target
+    target: DataFrame, source: DataFrame, keys: list[str], partition_cols
+) -> list[tuple]:
+    """Partition tuples a key-matched MERGE must rewrite: target
     partitions holding a source key (covers updates AND the old home of a
-    partition-moving update) ∪ source partition values (covers inserts and
+    partition-moving update) ∪ source partition tuples (covers inserts and
     the new home). Two narrow distinct-aggregations over the partition
-    column. The key semi-join is left to the optimizer: AQE broadcasts
+    columns. The key semi-join is left to the optimizer: AQE broadcasts
     the source key set when it is small (the CDC-batch common case) and
     falls back to a shuffle semi-join for huge backfills — an
     unconditional broadcast hint here would OOM exactly the large-source
-    case this module exists to scale."""
+    case this module exists to scale.
+
+    ``partition_cols`` may be a single column name or a list (multi-level
+    ``dt=…/seg=…`` layouts); the return value is always a list of value
+    TUPLES aligned with the normalized column list."""
+    cols = _normalize_partition_cols(partition_cols)
     src_keys = source.select(*keys).distinct()
-    tgt_hit = (
-        target.join(src_keys, keys, "left_semi").select(partition_col).distinct()
-    )
-    src_parts = source.select(partition_col).distinct()
-    return [r[0] for r in tgt_hit.union(src_parts).distinct().collect()]
+    tgt_hit = target.join(src_keys, keys, "left_semi").select(*cols).distinct()
+    src_parts = source.select(*cols).distinct()
+    return [tuple(r) for r in tgt_hit.union(src_parts).distinct().collect()]
 
 
-def _partition_filter(partition_col: str, affected: list):
-    """IN-list predicate over partition values that keeps NULL-partition
-    rows when NULL is affected — `isin` alone evaluates to NULL (→ false)
-    for NULL rows, which would silently drop the whole
-    __HIVE_DEFAULT_PARTITION__ slice from the merge."""
-    non_null = [v for v in affected if v is not None]
-    cond = (
-        F.col(partition_col).isin(non_null) if non_null else F.lit(False)
-    )
-    if any(v is None for v in affected):
-        cond = cond | F.col(partition_col).isNull()
+def _partition_filter(partition_cols: list[str], affected: list[tuple]):
+    """IN-list predicate over partition tuples that keeps NULL-partition
+    rows when NULL is an affected value — an equality alone evaluates to
+    NULL (→ false) for NULL rows, which would silently drop the whole
+    __HIVE_DEFAULT_PARTITION__ slice from the merge. The OR-of-ANDs over
+    plain column comparisons (not a struct IN) stays transparent to
+    Catalyst's partition pruning, so the scoped read touches only the
+    affected leaf directories."""
+    if len(partition_cols) == 1:
+        # single level: one compact IN over the values (an `In` expression
+        # rather than an OR chain) + the NULL leg when needed
+        col = partition_cols[0]
+        non_null = [t[0] for t in affected if t[0] is not None]
+        cond = F.col(col).isin(non_null) if non_null else F.lit(False)
+        if any(t[0] is None for t in affected):
+            cond = cond | F.col(col).isNull()
+        return cond
+
+    def tuple_match(values: tuple):
+        conj = None
+        for c, v in zip(partition_cols, values):
+            term = F.col(c).isNull() if v is None else (F.col(c) == F.lit(v))
+            conj = term if conj is None else (conj & term)
+        return conj
+
+    cond = F.lit(False)
+    for values in affected:
+        cond = cond | tuple_match(values)
     return cond
 
 
@@ -199,44 +266,57 @@ def merge_upsert_partitioned(
     target_path: str,
     source: DataFrame,
     keys: list[str],
-    partition_col: str,
+    partition_cols,
     fmt: str = "parquet",
 ) -> list:
     """MERGE INTO a partitioned parquet table, rewriting only affected
     partitions (see module docstring for the why and the swap protocol).
     Matched rows take the source version wholesale (source-wins,
     NULL-updates apply — same semantics as ops.merge_upsert); unmatched
-    source rows insert. Returns the list of partition values rewritten,
-    so callers/tests can assert the blast radius.
+    source rows insert.
+
+    ``partition_cols`` is a single column name or a list for multi-level
+    Hive layouts (``dt=…/seg=…`` — the docs/SCALE_LAYOUT.md standard at
+    100 TB, where scoping by the leaf TUPLE keeps the blast radius at one
+    day×segment instead of a whole day). Returns the partitions
+    rewritten so callers/tests can assert the blast radius: bare values
+    for a single-column layout (historical contract), value tuples for
+    multi-level.
 
     Scale: reads affected partitions only (partition pruning on an IN
-    list), one co-keyed merge join over that slice, writes bytes
-    proportional to the change's partition footprint — a 1-partition
-    change batch on a 10k-partition table does ~1/10k of the full-rewrite
-    IO. Cite: reference `etl_weekly_trades.py:150-166` appends to SQLite
-    with no update path at all; this is the engine-grade replacement.
+    list / OR-of-ANDs over the partition columns), one co-keyed merge
+    join over that slice, writes bytes proportional to the change's
+    partition footprint — a 1-partition change batch on a 10k-partition
+    table does ~1/10k of the full-rewrite IO. Cite: reference
+    `etl_weekly_trades.py:150-166` appends to SQLite with no update path
+    at all; this is the engine-grade replacement.
     """
     from etl_demo_spark.ops import merge_upsert
 
+    cols = _normalize_partition_cols(partition_cols)
+    single = isinstance(partition_cols, str) or len(cols) == 1
+
     staging = target_path.rstrip("/") + ".__merge_staging__"
     fs, jvm = _hadoop_fs(spark, target_path)
-    _recover_staging(fs, jvm, target_path, staging)  # heal any crashed swap
+    # heal any crashed swap (same-layout assumption: recovery depth is
+    # the table's partition-level count)
+    _recover_staging(fs, jvm, target_path, staging, depth=len(cols))
 
-    target = _read_raw_partitions(spark, target_path, fmt, partition_col)
-    affected = affected_partitions(target, source, keys, partition_col)
+    target = _read_raw_partitions(spark, target_path, fmt, cols)
+    affected = affected_partitions(target, source, keys, cols)
     if not affected:
         return []
 
-    scoped = target.filter(_partition_filter(partition_col, affected))
+    scoped = target.filter(_partition_filter(cols, affected))
     # the merge coalesces target (string-pinned) and source partition
     # values; ensure the staged write's directory names come from the
     # same string space _part_dir targets
-    merged = merge_upsert(scoped, source, keys).withColumn(
-        partition_col, F.col(partition_col).cast("string")
-    )
+    merged = merge_upsert(scoped, source, keys)
+    for c in cols:
+        merged = merged.withColumn(c, F.col(c).cast("string"))
     (
         merged.write.mode("overwrite")
-        .partitionBy(partition_col)
+        .partitionBy(*cols)
         .format(fmt)
         .save(staging)
     )
@@ -245,9 +325,9 @@ def merge_upsert_partitioned(
         jvm,
         target_path,
         staging,
-        [_part_dir(partition_col, v) for v in affected],
+        [_part_rel(cols, values) for values in affected],
     )
-    return affected
+    return [values[0] for values in affected] if single else affected
 
 
 def scd2_apply_partitioned(

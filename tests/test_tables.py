@@ -256,3 +256,133 @@ def test_recovery_never_resurrects_deliberately_emptied_partition(spark, tmp_pat
     assert not os.path.exists(os.path.join(path, "seg=D"))  # stayed drained
     got = {r.id: (r.name, r.seg) for r in spark.read.parquet(path).collect()}
     assert got[6] == ("zeta-moved", "C") and got[1] == ("ALPHA9", "A")
+
+
+# ---------------------------------------------------------------------------
+# Multi-level (dt=…/seg=…) partition layouts
+# ---------------------------------------------------------------------------
+
+
+def _seed_two_level(spark, path: str):
+    rows = [
+        (1, "alpha", "d1", "A"),
+        (2, "beta", "d1", "B"),
+        (3, "gamma", "d2", "A"),
+        (4, "delta", "d2", "B"),
+        (5, "epsilon", "d2", "C"),
+    ]
+    df = spark.createDataFrame(rows, "id INT, name STRING, dt STRING, seg STRING")
+    df.write.mode("overwrite").partitionBy("dt", "seg").parquet(path)
+
+
+def test_merge_two_level_rewrites_only_affected_leaf(spark, tmp_path):
+    """dt=…/seg=… layout: the blast radius is the affected LEAF tuple,
+    not the whole dt — every other leaf (including siblings under the
+    same dt) keeps byte-identical files."""
+    from etl_demo_spark.io.tables import merge_upsert_partitioned
+
+    path = str(tmp_path / "t")
+    _seed_two_level(spark, path)
+    before = _file_state(path)
+
+    source = spark.createDataFrame(
+        [(1, "ALPHA2", "d1", "A"), (99, "new", "d1", "A")],
+        "id INT, name STRING, dt STRING, seg STRING",
+    )
+    affected = merge_upsert_partitioned(spark, path, source, ["id"], ["dt", "seg"])
+    assert affected == [("d1", "A")]
+
+    after = _file_state(path)
+    leaf = os.path.join("dt=d1", "seg=A")
+    untouched_before = {k: v for k, v in before.items() if leaf not in k}
+    untouched_after = {k: v for k, v in after.items() if leaf not in k}
+    assert untouched_before == untouched_after  # names, bytes AND mtimes
+
+    got = {r.id: (r.name, r.dt, r.seg) for r in spark.read.parquet(path).collect()}
+    assert got[1] == ("ALPHA2", "d1", "A")
+    assert got[99] == ("new", "d1", "A")
+    assert got[2] == ("beta", "d1", "B") and len(got) == 6
+
+
+def test_merge_two_level_moves_row_across_leaves(spark, tmp_path):
+    """An update that changes BOTH partition values moves the row across
+    leaf dirs; the drained leaf disappears, its dt-sibling is untouched."""
+    from etl_demo_spark.io.tables import merge_upsert_partitioned
+
+    path = str(tmp_path / "t")
+    _seed_two_level(spark, path)
+    before = _file_state(path)
+
+    # key 5 is (d2, C)'s only row; move it to (d1, C) — a brand-new leaf
+    source = spark.createDataFrame(
+        [(5, "eps-moved", "d1", "C")], "id INT, name STRING, dt STRING, seg STRING"
+    )
+    affected = merge_upsert_partitioned(spark, path, source, ["id"], ["dt", "seg"])
+    assert sorted(affected) == [("d1", "C"), ("d2", "C")]
+
+    assert not os.path.exists(os.path.join(path, "dt=d2", "seg=C"))
+    assert os.path.isdir(os.path.join(path, "dt=d1", "seg=C"))
+    got = {r.id: (r.name, r.dt, r.seg) for r in spark.read.parquet(path).collect()}
+    assert got[5] == ("eps-moved", "d1", "C") and len(got) == 5
+
+    after = _file_state(path)
+    for leaf in ("dt=d1/seg=A", "dt=d1/seg=B", "dt=d2/seg=A", "dt=d2/seg=B"):
+        key = os.path.join(*leaf.split("/"))
+        b = {k: v for k, v in before.items() if key in k}
+        a = {k: v for k, v in after.items() if key in k}
+        assert b == a, leaf
+
+
+def test_merge_two_level_recovers_crashed_swap(spark, tmp_path):
+    """Depth-2 recovery: a leaf retired into the nested pen with the swap
+    unfinished must be restored by the next merge call."""
+    import shutil
+
+    from etl_demo_spark.io.tables import merge_upsert_partitioned
+
+    path = str(tmp_path / "t")
+    _seed_two_level(spark, path)
+
+    staging = path + ".__merge_staging__"
+    os.makedirs(os.path.join(staging, ".replaced", "dt=d2"))
+    shutil.move(
+        os.path.join(path, "dt=d2", "seg=B"),
+        os.path.join(staging, ".replaced", "dt=d2", "seg=B"),
+    )
+    assert not os.path.exists(os.path.join(path, "dt=d2", "seg=B"))
+
+    source = spark.createDataFrame(
+        [(1, "ALPHA3", "d1", "A")], "id INT, name STRING, dt STRING, seg STRING"
+    )
+    affected = merge_upsert_partitioned(spark, path, source, ["id"], ["dt", "seg"])
+    assert affected == [("d1", "A")]
+    assert not os.path.exists(staging)
+
+    got = {r.id: (r.name, r.dt, r.seg) for r in spark.read.parquet(path).collect()}
+    assert got[4] == ("delta", "d2", "B")  # restored from the pen
+    assert got[1] == ("ALPHA3", "d1", "A") and len(got) == 5
+
+
+def test_merge_two_level_null_and_numeric_leaf_values(spark, tmp_path):
+    """NULL in one level and a numeric-looking string in the other: the
+    NULL row lands in __HIVE_DEFAULT_PARTITION__ under its dt, and the
+    '0123' dt neither collapses to 123 nor strands stale rows."""
+    from etl_demo_spark.io.tables import merge_upsert_partitioned
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", "0123", "X"), (2, "b", "0123", None), (3, "c", "7", "X")],
+        "id INT, name STRING, dt STRING, seg STRING",
+    ).write.partitionBy("dt", "seg").parquet(path)
+    assert os.path.isdir(os.path.join(path, "dt=0123", "seg=X"))
+
+    source = spark.createDataFrame(
+        [(2, "B2", "0123", None)], "id INT, name STRING, dt STRING, seg STRING"
+    )
+    affected = merge_upsert_partitioned(spark, path, source, ["id"], ["dt", "seg"])
+    assert affected == [("0123", None)]
+    assert os.path.isdir(os.path.join(path, "dt=0123", "seg=X"))
+    assert not os.path.isdir(os.path.join(path, "dt=123"))
+
+    got = {r.id: r.name for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c"}
