@@ -363,14 +363,21 @@ def scd2_apply_partitioned(
     same batch against the still-old current slice, appends that batch's
     closures a second time. Bounded to one batch, detectable as duplicate
     (key, valid_from, valid_to) rows in the closed partition, removable
-    with a distinct-compaction; eliminating it outright needs a snapshot
-    commit, i.e. a real table format."""
+    with `scd2_compact` (crash-simulation test pins the full
+    crash → re-apply → compact convergence); eliminating it outright
+    needs a snapshot commit, i.e. a real table format."""
     from etl_demo_spark.cache import release_persisted, tracked_persist
     from etl_demo_spark.ops import scd2_apply
 
     staging = history_path.rstrip("/") + ".__scd2_staging__"
     fs, jvm = _hadoop_fs(spark, history_path)
+    # heal a crashed apply-swap AND a crashed compact-swap: a compact that
+    # died mid-swap holds the whole closed partition in its pen, and
+    # applying on top of that truncated view would orphan it for good
     _recover_staging(fs, jvm, history_path, staging)
+    _recover_staging(
+        fs, jvm, history_path, history_path.rstrip("/") + ".__scd2_compact_staging__"
+    )
 
     base = spark.read.parquet(history_path)
     data_cols = [c for c in base.columns if c != current_col]
@@ -403,3 +410,49 @@ def scd2_apply_partitioned(
         )
     finally:
         release_persisted(scope)
+
+
+def scd2_compact(
+    spark: SparkSession,
+    history_path: str,
+    key: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_col: str = "is_current",
+) -> int:
+    """Compact the closed partition of an SCD2 history table to
+    exactly-once closures, healing the one residual crash anomaly
+    `scd2_apply_partitioned` documents: a crash after the closure append
+    but before the current swap, followed by a re-apply of the SAME batch
+    against the still-old current slice, appends that batch's closures a
+    second time. The duplicates are full-row copies keyed by
+    (key, valid_from, valid_to) — legitimate history has a unique
+    valid_from per key — so a distinct over that triple restores
+    exactly-once semantics.
+
+    The rewrite targets ONLY the closed partition and goes through the
+    module's retire-and-replace swap (crash-safe; a crashed compact is
+    healed by the next compact or apply). Cost is one scan + one
+    hash-distinct shuffle of 16-byte-keyed rows over the closed slice —
+    run it as an occasional maintenance job, not per batch; the apply
+    path stays append-only for closed history. Returns the number of
+    duplicate rows removed (0 = nothing to do, nothing rewritten)."""
+    staging = history_path.rstrip("/") + ".__scd2_compact_staging__"
+    fs, jvm = _hadoop_fs(spark, history_path)
+    _recover_staging(fs, jvm, history_path, staging)
+    _recover_staging(
+        fs, jvm, history_path, history_path.rstrip("/") + ".__scd2_staging__"
+    )
+
+    base = spark.read.parquet(history_path)
+    closed = base.filter(F.col(current_col).cast("string") == "false")
+    deduped = closed.dropDuplicates([key, valid_from, valid_to])
+    n_before = closed.count()
+    n_after = deduped.count()
+    if n_before == n_after:
+        return 0
+    deduped.write.mode("overwrite").partitionBy(current_col).parquet(staging)
+    _swap_partitions(
+        fs, jvm, history_path, staging, [_part_dir(current_col, False)]
+    )
+    return n_before - n_after

@@ -386,3 +386,73 @@ def test_merge_two_level_null_and_numeric_leaf_values(spark, tmp_path):
 
     got = {r.id: r.name for r in spark.read.parquet(path).collect()}
     assert got == {1: "a", 2: "B2", 3: "c"}
+
+
+def test_scd2_crash_after_append_then_reapply_then_compact(spark, tmp_path, monkeypatch):
+    """The documented SCD2 crash anomaly, simulated end-to-end: the
+    closure append lands, the current swap dies, and re-applying the SAME
+    batch (per the recovery contract) appends the batch's closures a
+    second time. scd2_compact must converge the closed partition back to
+    exactly-once closures and leave the current slice alone."""
+    import pytest
+
+    from etl_demo_spark.io import tables
+
+    path = str(tmp_path / "hist")
+    hist = spark.createDataFrame(
+        [
+            (1, "bronze", 100, None),
+            (1, "old", 50, 100),  # pre-existing closed version
+            (2, "silver", 100, None),
+        ],
+        "k INT, tier STRING, valid_from INT, valid_to INT",
+    ).withColumn("is_current", F.col("valid_to").isNull())
+    hist.write.mode("overwrite").partitionBy("is_current").parquet(path)
+
+    changes = spark.createDataFrame([(1, "gold", 200)], "k INT, tier STRING, ts INT")
+
+    # crash between the closure append and the current swap
+    real_swap = tables._swap_partitions
+
+    def dying_swap(*args, **kwargs):
+        raise RuntimeError("simulated crash before current swap")
+
+    monkeypatch.setattr(tables, "_swap_partitions", dying_swap)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        tables.scd2_apply_partitioned(spark, path, changes, "k", ["tier"])
+    monkeypatch.setattr(tables, "_swap_partitions", real_swap)
+
+    # current slice still old (swap never ran), closure already appended
+    cur = spark.read.parquet(path).filter("valid_to IS NULL")
+    assert {r.tier for r in cur.collect()} == {"bronze", "silver"}
+
+    # recovery contract: re-apply the SAME batch → correct current, but
+    # the bronze closure is now appended twice
+    tables.scd2_apply_partitioned(spark, path, changes, "k", ["tier"])
+    out = spark.read.parquet(path)
+    closed = [
+        (r.k, r.tier, r.valid_from, r.valid_to)
+        for r in out.filter("valid_to IS NOT NULL").collect()
+    ]
+    assert sorted(closed) == [
+        (1, "bronze", 100, 200),
+        (1, "bronze", 100, 200),  # the anomaly
+        (1, "old", 50, 100),
+    ]
+
+    removed = tables.scd2_compact(spark, path, "k")
+    assert removed == 1
+
+    out = spark.read.parquet(path)
+    closed = sorted(
+        (r.k, r.tier, r.valid_from, r.valid_to)
+        for r in out.filter("valid_to IS NOT NULL").collect()
+    )
+    assert closed == [(1, "bronze", 100, 200), (1, "old", 50, 100)]
+    cur = {r.k: r.tier for r in out.filter("valid_to IS NULL").collect()}
+    assert cur == {1: "gold", 2: "silver"}
+
+    # idempotent: a second compact is a no-op and rewrites nothing
+    before = _file_state(path)
+    assert tables.scd2_compact(spark, path, "k") == 0
+    assert _file_state(path) == before
