@@ -41,9 +41,12 @@ directory; the next merge/scd2 call against the same path first runs the
 recovery sweep (restore any held-aside partition the target is missing,
 then clear staging) and re-applies — source-wins MERGE is idempotent, so
 the re-run converges. Readers concurrent with the swap can still see a
-partition vanish for the rename window; where that is unacceptable, a
-real table format's snapshot commit is the answer — the *scoping* logic
-here is identical to what those formats do at the file level.
+partition vanish for the rename window; where that is unacceptable, use
+the snapshot-manifest mode in `io/manifest.py` — versioned partition
+subdirs + an atomic pointer-file commit, under which a racing reader
+always resolves a complete snapshot (concurrent-reader test pinned
+there). The *scoping* logic is identical in both modes and matches what
+full table formats do at the file level.
 """
 
 from __future__ import annotations
