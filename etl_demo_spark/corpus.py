@@ -6449,6 +6449,39 @@ def orders_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_keyset_page_desc",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    ORDER BY o_orderdate DESC, o_orderkey ASC
+    LIMIT 20 OFFSET 40
+    """,
+)
+def orders_keyset_page_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-9 keyset pagination, newest-first with a MIXED-direction order
+    (`ORDER BY o_orderdate DESC, o_orderkey ASC` — the standard feed
+    shape): page after the cursor at row 40, equal by construction to
+    the OFFSET oracle. The mixed cursor decomposes to
+    (o_orderdate < d) OR (o_orderdate = d AND o_orderkey > k), which
+    still pushes to the parquet scan whole (LessThan + EqualTo +
+    GreaterThan in PushedFilters — plan pinned in tests/test_plans.py),
+    so paging a 100 TB feed backwards in time costs one pruned scan per
+    page at any depth."""
+    from etl_demo_spark.ops import keyset_page
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderdate", "o_totalprice")
+    order = [("o_orderdate", "desc"), ("o_orderkey", "asc")]
+    boundary = (
+        base.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").asc())
+        .limit(40)
+        .collect()[-1]
+    )
+    last = (boundary["o_orderdate"], boundary["o_orderkey"])
+    return keyset_page(base, order, last, 20)
+
+
+@query(
     "media_resize_checksum",
     oracle="""
     WITH d AS (

@@ -320,13 +320,17 @@ def top_k(df: DataFrame, metric: str, k: int, tiebreak: Sequence[str] = ()) -> D
 
 
 def keyset_page(
-    df: DataFrame, order_cols: Sequence[str], last: Sequence | None, n: int
+    df: DataFrame, order_cols: Sequence, last: Sequence | None, n: int
 ) -> DataFrame:
     """X-9 keyset (seek) pagination: the page AFTER cursor ``last`` under
-    the total order ``order_cols`` — WHERE (k1,…,km) > (v1,…,vm) ORDER BY
-    k1,…,km LIMIT n. ``last`` is the final row's key tuple from the
-    previous page (None → first page); the order must end in a unique key
-    so pages are deterministic and gap-free.
+    the total order ``order_cols`` ORDER BY k1,…,km LIMIT n. Each order
+    key is either a column name (ascending) or a ``(name, "asc"|"desc")``
+    pair — real feeds page newest-first (``ORDER BY ts DESC, id``), and
+    mixed directions are legal. ``last`` is the final row's key tuple
+    from the previous page (None → first page); the order must end in a
+    unique key so pages are deterministic and gap-free, and the order
+    keys must be non-null (a seek predicate cannot address NULLs — the
+    standard keyset contract).
 
     Why not OFFSET: OFFSET p·n materializes and discards every earlier
     row — page 10⁶ of a 100 TB table TakeOrders 20M rows through the
@@ -336,22 +340,39 @@ def keyset_page(
     The lexicographic tuple comparison is deliberately decomposed into
     OR-of-ANDs over plain column comparisons — a struct() comparison is
     opaque to the parquet DataSource, while the decomposed form pushes
-    down whole (PushedFilters shows the full disjunction; with the table
-    sorted/partitioned by the leading key, row groups before the cursor
-    are skipped entirely — min/max stats). Plan pinned in
-    tests/test_plans.py."""
+    down whole regardless of per-key direction (PushedFilters shows the
+    full disjunction with GreaterThan/LessThan per the key's direction;
+    with the table sorted/partitioned by the leading key, row groups
+    before the cursor are skipped entirely — min/max stats). Plan pinned
+    in tests/test_plans.py for both directions."""
     if n < 0:
         raise ValueError("keyset_page: n must be >= 0")
+    keys: list[tuple[str, bool]] = []  # (column, is_descending)
+    for spec in order_cols:
+        if isinstance(spec, str):
+            keys.append((spec, False))
+        else:
+            col, direction = spec
+            if direction not in ("asc", "desc"):
+                raise ValueError(f"keyset_page: direction must be asc|desc, got {direction!r}")
+            keys.append((col, direction == "desc"))
     if last is not None:
-        if len(last) != len(order_cols):
+        if len(last) != len(keys):
             raise ValueError("keyset_page: cursor arity != order arity")
         disjuncts = []
-        for i in range(len(order_cols)):
-            conj = [F.col(order_cols[j]) == F.lit(last[j]) for j in range(i)]
-            conj.append(F.col(order_cols[i]) > F.lit(last[i]))
+        for i in range(len(keys)):
+            conj = [F.col(keys[j][0]) == F.lit(last[j]) for j in range(i)]
+            col_i, desc_i = keys[i]
+            after = (
+                F.col(col_i) < F.lit(last[i])
+                if desc_i
+                else F.col(col_i) > F.lit(last[i])
+            )
+            conj.append(after)
             disjuncts.append(reduce(lambda a, b: a & b, conj))
         df = df.filter(reduce(lambda a, b: a | b, disjuncts))
-    return df.orderBy(*[F.col(c).asc() for c in order_cols]).limit(n)
+    order = [F.col(c).desc() if d else F.col(c).asc() for c, d in keys]
+    return df.orderBy(*order).limit(n)
 
 
 def weighted_sample(

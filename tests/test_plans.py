@@ -191,6 +191,37 @@ def test_keyset_page_cursor_pushes_to_scan(spark):
     assert "TakeOrderedAndProject" in plan  # page = top-n, never a global sort
 
 
+def test_keyset_page_desc_cursor_pushes_to_scan(spark):
+    """Mixed-direction cursors (newest-first feeds) must push down the
+    same way: the (ts DESC, id ASC) seek predicate decomposes to
+    LessThan on the leading key plus EqualTo∧GreaterThan on the tie leg,
+    all visible in PushedFilters."""
+    import datetime
+
+    from etl_demo_spark.ops import keyset_page
+
+    orders = spark.read.parquet(f"{SF001}/orders.parquet")
+    df = keyset_page(
+        orders.select("o_orderkey", "o_orderdate"),
+        [("o_orderdate", "desc"), ("o_orderkey", "asc")],
+        (datetime.date(1995, 6, 1), 1234),
+        20,
+    )
+    # the three-filter disjunction overflows the default 100-char scan
+    # metadata truncation — widen it for the assertion only
+    key = "spark.sql.maxMetadataStringLength"
+    saved = spark.conf.get(key)
+    spark.conf.set(key, "2000")
+    try:
+        plan = plan_of(df)
+    finally:
+        spark.conf.set(key, saved)
+    assert "PushedFilters" in plan
+    assert "LessThan(o_orderdate" in plan and "EqualTo(o_orderdate" in plan
+    assert "GreaterThan(o_orderkey" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_runtime_metrics_show_map_side_combine(spark):
     """plans.runtime_metrics walks the AQE-final executed plan: the scan
     must report the true row count, the partial aggregate must collapse
