@@ -6560,6 +6560,84 @@ def media_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_gif_resize_checksum",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 57 AS w FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, (x * 8) // w AS j, (x * 255) // w AS v
+      FROM d, LATERAL unnest(generate_series(0, w - 1)) AS t(x)
+    ),
+    outcols AS (
+      SELECT doc_id, j, SUM(v) // COUNT(*) AS ov
+      FROM px GROUP BY doc_id, j
+    )
+    SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+           CAST(3 * 8 * SUM(ov) AS BIGINT) AS pix_sum
+    FROM outcols GROUP BY doc_id
+    """,
+)
+def media_gif_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF twin of `media_resize_checksum`, exactly oracled: per document
+    synthesize an x-gradient GIF (palette index (x·255)//w over a
+    256-entry grayscale table; w = 8 + doc_id % 57,
+    h = 8 + len(text) % 57) with the from-scratch LZW ENCODER
+    (`io/gif.py`), run the REAL resize (`multimodal.resize_images` now
+    dispatches PNG→GIF decode: LZW inflate → palette resolve →
+    exact-integer box resample → RGB PNG re-encode), decode the result
+    and return dimensions + the exact pixel sum. Same closed-form SQL
+    oracle as the PNG query — the gradient depends only on x — so a hash
+    match proves the GIF container build, LZW round trip, palette
+    mapping, and the resample all bit-agree on every row.
+
+    Plan shape: two narrow Arrow-batched Python stages, no shuffle."""
+    import numpy as np
+
+    from etl_demo_spark.io.gif import gif_bytes
+    from etl_demo_spark.io.png import decode_png_pixels
+    from etl_demo_spark.multimodal import resize_images
+
+    (docs,) = _t(spark, sf_dir, "documents")
+
+    def build(it):
+        palette = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        for pdf in it:
+            blobs = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                w = 8 + int(did) % 57
+                h = 8 + len(text) % 57
+                col = ((np.arange(w, dtype=np.int64) * 255) // w).astype(np.uint8)
+                blobs.append(gif_bytes(np.tile(col, (h, 1)), palette))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": blobs})
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        build, "media_id bigint, content binary"
+    )
+    resized = resize_images(media, width=8, height=8)
+
+    def checksum(it):
+        for pdf in it:
+            widths, heights, sums = [], [], []
+            for b in pdf["content"]:
+                px = decode_png_pixels(bytes(b))
+                heights.append(px.shape[0]); widths.append(px.shape[1])
+                sums.append(int(px.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "pix_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return resized.mapInPandas(
+        checksum, "media_id bigint, width int, height int, pix_sum bigint"
+    )
+
+
+@query(
     "stream_replay_hourly_stats",
     oracle="""
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,

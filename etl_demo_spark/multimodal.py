@@ -4,10 +4,12 @@ Design: media are opaque ``BinaryType`` columns + a typed metadata struct,
 exactly how large training pipelines store them in parquet. The
 decode/feature stages run as Arrow-batched ``mapInPandas``. Image DECODE
 (dimensions + color mode from PNG/GIF/BMP/JPEG headers) is real,
-pure-stdlib ``struct`` parsing — no PIL needed. PNG pixel decode and
-resize are ALSO real (``io.png.decode_png_pixels``: zlib inflate + all
-five scanline filters; exact-integer box resample; RGB re-encode —
-oracled end-to-end in `media_resize_checksum`). Video frame sampling
+pure-stdlib ``struct`` parsing — no PIL needed. PNG and GIF pixel decode
+and resize are ALSO real (``io.png.decode_png_pixels``: zlib inflate +
+all five scanline filters; ``io.gif.decode_gif_pixels``: from-scratch
+LZW incl. interlace; exact-integer box resample; RGB re-encode — oracled
+end-to-end in `media_resize_checksum` / `media_gif_resize_checksum`).
+JPEG pixel decode stays codec-gated. Video frame sampling
 still requires ffmpeg, which this container lacks; it runs the real
 mapInPandas plumbing with a clearly-marked deterministic fake behind
 ``use_fake_codec=True`` and raises ``NotImplementedError`` otherwise.
@@ -280,15 +282,18 @@ def resize_images(
     """Image resize — blob-in/blob-out mapInPandas (same media schema
     out, so resize stages compose/chain).
 
-    REAL by default for PNG: full pixel decode (``io.png.decode_png_pixels``
-    — zlib inflate + all five scanline filters), exact-integer box
-    resample to (``height``, ``width``), re-encode as RGB PNG
-    (grayscale/RGBA are expanded/flattened to RGB first). Blobs that
-    aren't decodable bit-depth-8 PNGs yield NULL content with mime
-    ``image/unsupported`` — the filter-don't-fail contract every decode
-    stage here follows. JPEG/GIF pixel decode still needs a codec
-    library; a real deployment swaps the per-blob body for PIL keeping
-    this schema, batching, and partitioning.
+    REAL by default for PNG and GIF: full pixel decode
+    (``io.png.decode_png_pixels`` — zlib inflate + all five scanline
+    filters; ``io.gif.decode_gif_pixels`` — real LZW incl. interlace and
+    local color tables), exact-integer box resample to (``height``,
+    ``width``), re-encode as RGB PNG (grayscale/RGBA are
+    expanded/flattened to RGB first; GIF palettes resolve to RGB). Blobs
+    that aren't decodable bit-depth-8 PNGs or first-frame GIFs yield
+    NULL content with mime ``image/unsupported`` — the filter-don't-fail
+    contract every decode stage here follows. JPEG pixel decode still
+    needs a codec library (huffman+DCT is not a stdlib afternoon); a
+    real deployment swaps the per-blob body for PIL keeping this schema,
+    batching, and partitioning.
 
     ``use_fake_codec=True`` keeps the earlier deterministic
     truncation/zero-padding fake to ``target_bytes`` (plumbing tests over
@@ -296,6 +301,7 @@ def resize_images(
     if not use_fake_codec:
         import numpy as np
 
+        from etl_demo_spark.io.gif import decode_gif_pixels
         from etl_demo_spark.io.png import box_resize, decode_png_pixels, png_bytes
 
         def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -303,6 +309,8 @@ def resize_images(
                 if b is None:
                     return None
                 px = decode_png_pixels(bytes(b))
+                if px is None:
+                    px = decode_gif_pixels(bytes(b))  # (H, W, 3) already
                 if px is None:
                     return None
                 if px.shape[2] == 1:  # grayscale → RGB
