@@ -87,9 +87,16 @@ def _bench_skew(spark, sf_dir: str) -> dict:
     n_rows = skewed.count()
 
     def best2(df) -> float:
+        # the skew A/B is the bench's most GC-sensitive block (wide
+        # collect_set state): measured salted-agg times swing 0.8–2.8 s
+        # with JVM heap history alone. A forced GC before each timed
+        # block + best-of-3 keeps the per-round artifact comparable to a
+        # fresh-session measurement (docs/SCALE_LAYOUT.md carries the
+        # artifact numbers and this caveat).
+        spark._jvm.System.gc()
         df.write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
