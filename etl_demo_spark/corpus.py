@@ -6638,6 +6638,102 @@ def media_gif_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_jpeg_resize_checksum",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 1 + doc_id % 7 AS nbx, 8 * (1 + doc_id % 7) AS w
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, (x * 8) // w AS j,
+             CAST((((x // 8) * 255) // nbx + doc_id) % 256 AS BIGINT) - 128 AS k
+      FROM base, LATERAL unnest(generate_series(0, w - 1)) AS t(x)
+    ),
+    dec AS (
+      SELECT doc_id, j,
+             LEAST(255, GREATEST(0,
+               128 + 2 * (CASE WHEN k >= 0 THEN (k + 1) // 2
+                               ELSE -((1 - k) // 2) END))) AS dv
+      FROM px
+    ),
+    outcols AS (
+      SELECT doc_id, j, SUM(dv) // COUNT(*) AS ov
+      FROM dec GROUP BY doc_id, j
+    )
+    SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+           CAST(3 * 8 * SUM(ov) AS BIGINT) AS pix_sum
+    FROM outcols GROUP BY doc_id
+    """,
+)
+def media_jpeg_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG sibling of the PNG/GIF checksum queries, exactly oracled
+    through a LOSSY codec: per document synthesize a block-constant
+    x-gradient grayscale JPEG at quality 50 (every 8x8 block one value
+    v(bx) = ((bx*255)//nbx + doc_id) % 256; w = 8*(1 + doc_id % 7),
+    h = 8*(1 + len(text) % 7)) with the from-scratch baseline ENCODER
+    (`io/jpeg.py`), run the REAL resize (`multimodal.resize_images`
+    dispatches PNG→GIF→JPEG decode: Huffman inflate → dequant → IDCT →
+    exact-integer box resample → RGB PNG re-encode), decode the result
+    and return dimensions + the exact pixel sum.
+
+    The oracle is closed-form because quality 50 keeps the luminance DC
+    quantizer at exactly 16, so a constant block round-trips to
+    clamp(2*round_half_away((v-128)/2) + 128) — integer arithmetic DuckDB
+    replays with CASE + floor division. A hash match proves Huffman
+    encode/decode, DC prediction, zigzag, quantization tie behavior, the
+    IDCT path and the resample all bit-agree on every row of a lossy
+    format's output.
+
+    Plan shape: two narrow Arrow-batched Python stages, no shuffle —
+    blobs never leave their partition."""
+    import numpy as np
+
+    from etl_demo_spark.io.jpeg import jpeg_bytes
+    from etl_demo_spark.io.png import decode_png_pixels
+    from etl_demo_spark.multimodal import resize_images
+
+    (docs,) = _t(spark, sf_dir, "documents")
+
+    def build(it):
+        for pdf in it:
+            blobs = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                nbx = 1 + int(did) % 7
+                w = 8 * nbx
+                h = 8 * (1 + len(text) % 7)
+                bx = np.arange(nbx, dtype=np.int64)
+                v = ((bx * 255) // nbx + int(did)) % 256
+                col = np.repeat(v, 8).astype(np.uint8)
+                blobs.append(jpeg_bytes(np.tile(col, (h, 1)), quality=50))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": blobs})
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        build, "media_id bigint, content binary"
+    )
+    resized = resize_images(media, width=8, height=8)
+
+    def checksum(it):
+        for pdf in it:
+            widths, heights, sums = [], [], []
+            for b in pdf["content"]:
+                px = decode_png_pixels(bytes(b))
+                heights.append(px.shape[0]); widths.append(px.shape[1])
+                sums.append(int(px.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "pix_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return resized.mapInPandas(
+        checksum, "media_id bigint, width int, height int, pix_sum bigint"
+    )
+
+
+@query(
     "stream_replay_hourly_stats",
     oracle="""
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,

@@ -4,12 +4,14 @@ Design: media are opaque ``BinaryType`` columns + a typed metadata struct,
 exactly how large training pipelines store them in parquet. The
 decode/feature stages run as Arrow-batched ``mapInPandas``. Image DECODE
 (dimensions + color mode from PNG/GIF/BMP/JPEG headers) is real,
-pure-stdlib ``struct`` parsing — no PIL needed. PNG and GIF pixel decode
-and resize are ALSO real (``io.png.decode_png_pixels``: zlib inflate +
-all five scanline filters; ``io.gif.decode_gif_pixels``: from-scratch
-LZW incl. interlace; exact-integer box resample; RGB re-encode — oracled
-end-to-end in `media_resize_checksum` / `media_gif_resize_checksum`).
-JPEG pixel decode stays codec-gated. Video frame sampling
+pure-stdlib ``struct`` parsing — no PIL needed. PNG, GIF and JPEG pixel
+decode and resize are ALSO real (``io.png.decode_png_pixels``: zlib
+inflate + all five scanline filters; ``io.gif.decode_gif_pixels``:
+from-scratch LZW incl. interlace; ``io.jpeg.decode_jpeg_pixels``:
+from-scratch baseline Huffman + dequant + IDCT incl. chroma subsampling
+and restart markers; exact-integer box resample; RGB re-encode — oracled
+end-to-end in `media_resize_checksum` / `media_gif_resize_checksum` /
+`media_jpeg_resize_checksum`). Video frame sampling
 still requires ffmpeg, which this container lacks; it runs the real
 mapInPandas plumbing with a clearly-marked deterministic fake behind
 ``use_fake_codec=True`` and raises ``NotImplementedError`` otherwise.
@@ -287,13 +289,12 @@ def resize_images(
     filters; ``io.gif.decode_gif_pixels`` — real LZW incl. interlace and
     local color tables), exact-integer box resample to (``height``,
     ``width``), re-encode as RGB PNG (grayscale/RGBA are
-    expanded/flattened to RGB first; GIF palettes resolve to RGB). Blobs
-    that aren't decodable bit-depth-8 PNGs or first-frame GIFs yield
-    NULL content with mime ``image/unsupported`` — the filter-don't-fail
-    contract every decode stage here follows. JPEG pixel decode still
-    needs a codec library (huffman+DCT is not a stdlib afternoon); a
-    real deployment swaps the per-blob body for PIL keeping this schema,
-    batching, and partitioning.
+    expanded/flattened to RGB first; GIF palettes resolve to RGB; JPEG
+    decodes through the from-scratch baseline codec — Huffman + dequant
+    + IDCT, 4:4:4/4:2:2/4:2:0, restart markers, ``io/jpeg.py``). Blobs
+    that decode under none of the three codecs yield NULL content with
+    mime ``image/unsupported`` — the filter-don't-fail contract every
+    decode stage here follows.
 
     ``use_fake_codec=True`` keeps the earlier deterministic
     truncation/zero-padding fake to ``target_bytes`` (plumbing tests over
@@ -302,6 +303,7 @@ def resize_images(
         import numpy as np
 
         from etl_demo_spark.io.gif import decode_gif_pixels
+        from etl_demo_spark.io.jpeg import decode_jpeg_pixels
         from etl_demo_spark.io.png import box_resize, decode_png_pixels, png_bytes
 
         def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -311,6 +313,8 @@ def resize_images(
                 px = decode_png_pixels(bytes(b))
                 if px is None:
                     px = decode_gif_pixels(bytes(b))  # (H, W, 3) already
+                if px is None:
+                    px = decode_jpeg_pixels(bytes(b))  # (H, W, 1|3)
                 if px is None:
                     return None
                 if px.shape[2] == 1:  # grayscale → RGB
