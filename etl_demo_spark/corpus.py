@@ -6734,6 +6734,98 @@ def media_jpeg_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_video_frame_checksum",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, x AS fidx
+      FROM documents, LATERAL unnest(generate_series(0, doc_id % 5, 2)) AS t(x)
+    ),
+    vals AS (
+      SELECT doc_id, CAST((fidx * 40 + doc_id) % 256 AS BIGINT) AS v FROM f
+    ),
+    dec AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN
+               LEAST(255, GREATEST(0, 128 + 2 *
+                 (CASE WHEN v >= 128 THEN (v - 127) // 2
+                       ELSE -((129 - v) // 2) END)))
+             ELSE v END AS dv
+      FROM vals
+    )
+    SELECT doc_id AS media_id, COUNT(*) AS n_frames,
+           CAST(SUM(3 * 16 * 16 * dv) AS BIGINT) AS pix_sum
+    FROM dec GROUP BY doc_id
+    """,
+)
+def media_video_frame_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling, exactly oracled across BOTH containers:
+    per document synthesize a 16x16 clip with F = 1 + doc_id % 5
+    constant-gray frames (frame f's value (f*40 + doc_id) % 256) — even
+    doc_ids as MJPEG-in-AVI at quality 50 (every frame a baseline JPEG),
+    odd doc_ids as lossless Y4M mono — then run the REAL sampler
+    (`multimodal.sample_video_frames`, every_n=2: container sniff → RIFF
+    walk + Huffman/IDCT per frame, or raw-YUV parse → RGB PNG per
+    sampled frame), decode each emitted PNG and aggregate per-doc frame
+    counts + exact pixel sums.
+
+    The oracle enumerates sampled frame indices with generate_series and
+    replays the JPEG constant-block closed form (quality-50 DC quantizer
+    = 16) for even docs and the identity for odd docs. A hash match
+    proves the AVI walk, per-frame JPEG entropy decode, Y4M plane math,
+    the sampling stride, and the PNG re-encode all bit-agree.
+
+    Plan shape: narrow build → row-expanding frame fan-out → per-frame
+    checksum (all Arrow-batched, zero shuffles) → one final hash
+    aggregate on media_id."""
+    import numpy as np
+
+    from etl_demo_spark.io.jpeg import jpeg_bytes
+    from etl_demo_spark.io.png import decode_png_pixels
+    from etl_demo_spark.io.video import avi_mjpeg_bytes, y4m_bytes
+    from etl_demo_spark.multimodal import sample_video_frames
+
+    (docs,) = _t(spark, sf_dir, "documents")
+
+    def build(it):
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf = 1 + did % 5
+                frames = [
+                    np.full((16, 16), (f * 40 + did) % 256, np.uint8)
+                    for f in range(nf)
+                ]
+                if did % 2 == 0:
+                    jf = [jpeg_bytes(fr, quality=50) for fr in frames]
+                    blobs.append(avi_mjpeg_bytes(jf, 16, 16))
+                else:
+                    blobs.append(y4m_bytes(frames))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": blobs})
+
+    media = docs.select("doc_id").mapInPandas(build, "media_id bigint, content binary")
+    frames = sample_video_frames(media, every_n=2)
+
+    def checksum(it):
+        for pdf in it:
+            sums = []
+            for b in pdf["frame"]:
+                px = decode_png_pixels(bytes(b))
+                sums.append(int(px.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fsum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    per_frame = frames.mapInPandas(checksum, "media_id bigint, fsum bigint")
+    return per_frame.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"), F.sum("fsum").alias("pix_sum")
+    )
+
+
+@query(
     "stream_replay_hourly_stats",
     oracle="""
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,

@@ -11,10 +11,11 @@ from-scratch LZW incl. interlace; ``io.jpeg.decode_jpeg_pixels``:
 from-scratch baseline Huffman + dequant + IDCT incl. chroma subsampling
 and restart markers; exact-integer box resample; RGB re-encode — oracled
 end-to-end in `media_resize_checksum` / `media_gif_resize_checksum` /
-`media_jpeg_resize_checksum`). Video frame sampling
-still requires ffmpeg, which this container lacks; it runs the real
-mapInPandas plumbing with a clearly-marked deterministic fake behind
-``use_fake_codec=True`` and raises ``NotImplementedError`` otherwise.
+`media_jpeg_resize_checksum`). Video frame sampling is REAL for Y4M and
+MJPEG-in-AVI (``io/video.py``: raw-YUV parse; RIFF walk + per-frame JPEG
+decode — oracled in `media_video_frame_checksum`); inter-frame codecs
+(H.264/VP9/AV1) still need ffmpeg and yield zero frames, with the
+byte-slice fake kept behind ``use_fake_codec=True`` for plumbing tests.
 
 At 100 TB: binary blobs ride the same parquet row groups as their
 metadata; decode stages are narrow mapInPandas passes (no shuffle) sized
@@ -238,18 +239,54 @@ def sample_video_frames(
     media: DataFrame, every_n: int = 30, *, use_fake_codec: bool = False
 ) -> DataFrame:
     """Video frame sampling — the ROW-EXPANDING mapInPandas shape (one
-    input blob → N frame rows). The codec is stubbed (no ffmpeg); the
-    fake emits one "frame" per ``every_n`` bytes of content as a
-    deterministic slice, exercising the fan-out plumbing a real ffmpeg
-    pipe would use."""
+    input blob → N frame rows).
+
+    REAL by default for the two containers decodable without ffmpeg
+    (``io/video.py``): Y4M (raw planar YUV) and AVI carrying an MJPG
+    stream (every frame a baseline JPEG through ``io/jpeg.py``). Every
+    ``every_n``-th source frame (0, n, 2n, …) is emitted as an RGB PNG;
+    ``frame_idx`` is the sampled ordinal. Blobs in neither container —
+    including AVIs whose frames are an inter-frame codec like H.264 —
+    yield ZERO rows (filter-don't-fail, same contract as the image
+    decode stages); a real deployment adds an ffmpeg branch for those
+    keeping this schema, batching, and partitioning.
+
+    ``use_fake_codec=True`` keeps the deterministic byte-slice fake (one
+    "frame" per ``every_n`` bytes of arbitrary blobs) for plumbing tests
+    over non-video content."""
     if every_n < 1:
         raise ValueError(f"sample_video_frames: every_n must be >= 1, got {every_n}")
     if not use_fake_codec:
-        raise NotImplementedError(
-            "video frame sampling requires ffmpeg; not installed in this environment. "
-            "Re-run with use_fake_codec=True for the deterministic-fake plumbing. "
-            "Contract: mapInPandas(media) -> media_id, frame_idx INT, frame BINARY"
-        )
+        import numpy as np
+
+        from etl_demo_spark.io.png import png_bytes
+        from etl_demo_spark.io.video import decode_video_frames
+
+        def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                ids, idxs, frames = [], [], []
+                for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                    if blob is None:
+                        continue
+                    decoded = decode_video_frames(bytes(blob))
+                    if decoded is None:
+                        continue
+                    for i, src in enumerate(range(0, len(decoded), every_n)):
+                        px = decoded[src]
+                        if px.shape[2] == 1:
+                            px = np.repeat(px, 3, axis=2)
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(png_bytes(px))
+                yield pd.DataFrame(
+                    {
+                        "media_id": pd.Series(ids, dtype="int64"),
+                        "frame_idx": pd.Series(idxs, dtype="int32"),
+                        "frame": pd.Series(frames, dtype=object),
+                    }
+                )
+
+        return media.mapInPandas(real_batches, FRAME_SCHEMA)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

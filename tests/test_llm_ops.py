@@ -300,10 +300,11 @@ def test_media_features_deterministic(spark, docs_df):
 
 
 def test_decode_stubs_raise_cleanly(spark, docs_df):
-    """Video frame sampling still gates on the absent codec (ffmpeg);
-    decode_image and resize_images are real now — non-image blobs yield
-    NULL dims / NULL content instead of raising (see
-    test_decode_image_real_headers, test_resize_images_real_png)."""
+    """Every decode stage is real now and follows filter-don't-fail:
+    non-video blobs yield ZERO frame rows, non-image blobs yield NULL
+    dims / NULL content — never task failures (see
+    test_decode_image_real_headers, test_resize_images_real_png,
+    test_jpeg.py, test_video.py)."""
     from etl_demo_spark.multimodal import (
         documents_as_media,
         resize_images,
@@ -311,8 +312,7 @@ def test_decode_stubs_raise_cleanly(spark, docs_df):
     )
 
     media = documents_as_media(docs_df)
-    with pytest.raises(NotImplementedError):
-        sample_video_frames(media)
+    assert sample_video_frames(media).count() == 0  # text blobs: no container
     # text blobs are not PNGs: real resize maps them to NULL content
     out = resize_images(media).limit(3).collect()
     assert all(r["content"] is None for r in out)
