@@ -5500,23 +5500,97 @@ def lateral_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@query("embedding_kmeans_profile")  # iterative algorithm: rows-only check
+@query(
+    "embedding_kmeans_profile",
+    oracle="""
+    WITH RECURSIVE qlong AS (
+      SELECT vec_id, i,
+             CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT) AS x
+      FROM embeddings, LATERAL unnest(generate_series(0, len(embedding) - 1)) AS t(i)
+    ),
+    cent(it, c, i, cx) AS (
+      SELECT 0, CAST(vec_id AS INT), i, x FROM qlong WHERE vec_id < 8
+      UNION ALL
+      SELECT it + 1, cl, i, CAST(FLOOR(CAST(sx AS DOUBLE) / nv) AS BIGINT)
+      FROM (
+        SELECT a.it, a.cl, q.i, SUM(q.x) AS sx, COUNT(*) AS nv
+        FROM (
+          SELECT it, vec_id, cl FROM (
+            SELECT d.it, d.vec_id, d.c AS cl,
+                   ROW_NUMBER() OVER (PARTITION BY d.it, d.vec_id
+                                      ORDER BY d.dist, d.c) AS rn
+            FROM (
+              SELECT cent.it, q2.vec_id, cent.c,
+                     SUM((q2.x - cent.cx) * (q2.x - cent.cx)) AS dist
+              FROM cent JOIN qlong q2 USING (i)
+              WHERE cent.it < 3
+              GROUP BY cent.it, q2.vec_id, cent.c
+            ) d
+          ) WHERE rn = 1
+        ) a
+        JOIN qlong q ON q.vec_id = a.vec_id
+        GROUP BY a.it, a.cl, q.i
+      )
+    ),
+    final_assign AS (
+      SELECT vec_id, cl FROM (
+        SELECT d.vec_id, d.c AS cl,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.dist, d.c) AS rn
+        FROM (
+          SELECT q2.vec_id, cent.c,
+                 SUM((q2.x - cent.cx) * (q2.x - cent.cx)) AS dist
+          FROM cent JOIN qlong q2 USING (i)
+          WHERE cent.it = 3
+          GROUP BY q2.vec_id, cent.c
+        ) d
+      ) WHERE rn = 1
+    ),
+    sizes AS (SELECT cl, COUNT(*) AS n_vecs FROM final_assign GROUP BY cl),
+    l1 AS (SELECT c, SUM(ABS(cx)) AS cent_l1 FROM cent WHERE it = 3 GROUP BY c)
+    SELECT l1.c AS cluster, COALESCE(sizes.n_vecs, 0) AS n_vecs,
+           CAST(l1.cent_l1 AS BIGINT) AS cent_l1
+    FROM l1 LEFT JOIN sizes ON sizes.cl = l1.c
+    """,
+)
 def embedding_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X-13 clustering: distributed Lloyd's k-means over the embedding
-    column (vec.py:kmeans_fit — deterministic hash seeding, per-iteration
-    cost = one Arrow-batched assignment + one k×dim aggregate), profiled
-    as cluster sizes. Iterative and RNG-free but not SQL-expressible —
-    driver does a rows-only check; geometry is unit-tested on separable
-    blobs (test_llm_ops.py)."""
-    from etl_demo_spark.vec import kmeans_fit, kmeans_predict
+    """X-13 clustering, EXACTLY oracled through an iterative fixpoint:
+    distributed Lloyd's k-means in integer arithmetic
+    (vec.py:kmeans_fit_exact — vectors quantized to round(x·1000) int64,
+    seeds = vec_id < k, exact int64 distances with ties to the smallest
+    cluster, floor-division centroid updates), profiled as cluster sizes
+    + per-centroid L1 mass. Every step is order-free integer math, so a
+    DuckDB RECURSIVE CTE replays the full 3-iteration fixpoint and the
+    hash must match bit-for-bit — the operator class ("iterative
+    algorithm, not SQL-expressible") the rows-only bucket existed for,
+    now held to the same standard as everything else. It also proves the
+    engine property that matters at 100 TB: the fit is bit-identical
+    under any partitioning or AQE re-plan (float means are not — see
+    test_llm_ops.py partition-invariance test).
+
+    Per-iteration plan: one narrow Arrow-batched assignment + one k×dim
+    partial-aggregated exchange; driver state O(k·dim). Float
+    ``kmeans_fit`` stays the in-engine speed path (IVF build)."""
+    from etl_demo_spark.vec import (
+        _kmeans_assign_exact_udf,
+        kmeans_fit_exact,
+        quantize_vec_expr,
+    )
 
     (emb,) = _t(spark, sf_dir, "embeddings")
-    centroids = kmeans_fit(emb, k=8, n_iter=3)
-    return (
-        kmeans_predict(emb, centroids)
+    centroids = kmeans_fit_exact(emb, k=8, n_iter=3)
+    assign = _kmeans_assign_exact_udf(centroids)
+    sizes = (
+        emb.select(assign(quantize_vec_expr("embedding")).alias("cluster"))
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
-        .orderBy("cluster")
+    )
+    l1 = spark.createDataFrame(
+        [(c, sum(abs(v) for v in vec)) for c, vec in enumerate(centroids)],
+        "cluster int, cent_l1 long",
+    )
+    return (
+        l1.join(F.broadcast(sizes), "cluster", "left")
+        .select("cluster", F.coalesce("n_vecs", F.lit(0)).alias("n_vecs"), "cent_l1")
     )
 
 

@@ -562,6 +562,111 @@ def kmeans_predict(
     return df.withColumn("cluster", assign(F.col(vec_col)))
 
 
+def quantize_vec_expr(vec_col: str, scale: int = 1000):
+    """``array<float>`` → ``array<long>`` via round-half-away(x · scale),
+    all JVM-side. The double cast BEFORE the multiply matters: both Spark
+    and DuckDB then run the identical IEEE double product, so the
+    quantization is bit-reproducible across engines (float32 arithmetic
+    would round differently)."""
+    return F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+
+
+def _kmeans_assign_exact_udf(centroids: list[list[int]]):
+    """Integer-exact assignment: int64 squared distances, ties to the
+    SMALLEST cluster id (np.argmin's first-occurrence rule — the same
+    order the SQL oracle's ``ORDER BY dist, c`` row_number picks)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.int64)
+
+    @pandas_udf("int")
+    def _assign(qvecs: pd.Series) -> pd.Series:
+        M = np.asarray(qvecs.tolist(), dtype=np.int64)  # batch × dim
+        # exact int64: |x−c|² fits easily (|q| ≲ 10⁴ ⇒ per-term ≤ 4·10⁸,
+        # ×dim ≪ 2⁶³); no |c|²−2x·c shortcut here — that's a float trick,
+        # exactness wants the literal difference
+        d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return _assign
+
+
+def kmeans_fit_exact(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    scale: int = 1000,
+) -> list[list[int]]:
+    """Lloyd's k-means in EXACT integer arithmetic — the cross-engine /
+    cross-partitioning deterministic variant of ``kmeans_fit``.
+
+    Vectors are quantized to ``round(x·scale)`` int64s; seeds are the k
+    smallest ``id_col`` rows; distances are exact int64 sums; centroid
+    updates are ``floor(sum / n)`` (the double division is exact here:
+    |sum| ≪ 2⁵³ and the quotient is never within 1/n of an integer
+    unless it IS one). Every step is order-free integer math, so the
+    result is bit-identical under any partitioning, AQE re-plan, or
+    engine — a DuckDB recursive CTE replays the whole fixpoint and the
+    driver hash-compares it (corpus `embedding_kmeans_profile`). Float
+    ``kmeans_fit`` keeps the speed crown for in-engine use (IVF build);
+    this is the variant whose output you can PIN in a regression suite.
+
+    Same scale shape as ``kmeans_fit``: per iteration one narrow
+    Arrow-batched assignment + one k×dim aggregate; driver state O(k·dim).
+
+    Raises on an empty cluster (would silently diverge from the oracle's
+    LEFT-JOIN-free recursion; never observed on the isotropic testdata —
+    seeds are real points, every seed keeps a basin)."""
+    import math
+
+    q = df.select(F.col(id_col), quantize_vec_expr(vec_col, scale).alias("qv"))
+    if dim is None:
+        first = q.select(F.size("qv").alias("d")).first()
+        if first is None:
+            raise ValueError("kmeans_fit_exact: empty input")
+        dim = first["d"]
+    seeds = (
+        q.filter(F.col(id_col) < k).orderBy(id_col).select("qv").collect()
+    )
+    if len(seeds) != k:
+        raise ValueError(f"kmeans_fit_exact: need ids 0..{k-1} as seeds, got {len(seeds)}")
+    centroids = [[int(v) for v in r["qv"]] for r in seeds]
+    q = q.persist()
+    try:
+        for _ in range(n_iter):
+            assign = _kmeans_assign_exact_udf(centroids)
+            means = (
+                q.select(assign(F.col("qv")).alias("cluster"), "qv")
+                .groupBy("cluster")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(dim)],
+                )
+                .collect()
+            )
+            if len(means) != k:
+                raise ValueError(
+                    f"kmeans_fit_exact: empty cluster ({len(means)}/{k} survive) — "
+                    "outside the oracle contract; reseed or lower k"
+                )
+            new_c: list[list[int]] = [None] * k  # type: ignore[list-item]
+            for r in means:
+                n = r["n"]
+                new_c[r["cluster"]] = [
+                    math.floor(float(r[f"s{i}"]) / n) for i in range(dim)
+                ]
+            centroids = new_c
+    finally:
+        q.unpersist()
+    return centroids
+
+
 def clustered_embeddings(
     df: DataFrame,
     n_clusters: int = 16,

@@ -745,6 +745,51 @@ def test_kmeans_recovers_separable_blobs(spark):
     assert got == [tuple(w) for w in want]
 
 
+def test_kmeans_exact_blobs_and_partition_invariance(spark):
+    """kmeans_fit_exact: (1) recovers separable blobs like the float fit;
+    (2) the selling point — centroids are BIT-IDENTICAL under any
+    repartitioning (integer accumulators have no summation-order
+    freedom; float means do not guarantee this); (3) empty clusters
+    raise loudly instead of silently diverging from the SQL oracle."""
+    import pytest as _pytest
+
+    from etl_demo_spark.vec import _kmeans_assign_exact_udf, kmeans_fit_exact, quantize_vec_expr
+
+    blobs = {0: [100.0, 0.0], 1: [0.0, 100.0], 2: [-100.0, -100.0]}
+    rows = []
+    vid = 0
+    for b, center in blobs.items():
+        for dx, dy in [(0, 0), (1, 0), (0, 1), (-1, 0), (0, -1)]:
+            rows.append((vid, b, [center[0] + dx, center[1] + dy]))
+            vid += 1
+    # seeds are vec_id < k, so ids 0..2 must span blobs: reorder ids
+    rows = [(i, b, v) for i, (_, b, v) in enumerate(sorted(rows, key=lambda r: (r[0] % 5, r[1])))]
+    df = spark.createDataFrame(rows, "vec_id long, blob int, embedding array<double>")
+
+    c1 = kmeans_fit_exact(df, k=3, n_iter=4)
+    # blob membership: quantized centroid / 1000 lands on the blob mean
+    got = sorted(tuple(round(x / 1000, 6) for x in c) for c in c1)
+    want = sorted((float(c[0]), float(c[1])) for c in blobs.values())
+    assert got == [tuple(w) for w in want]
+
+    for n_parts in (1, 7):
+        c2 = kmeans_fit_exact(df.repartition(n_parts), k=3, n_iter=4)
+        assert c2 == c1  # bit-identical, not approximately equal
+
+    # exact assignment ties break to the smallest cluster id
+    tie_df = spark.createDataFrame([(0, [0.0, 0.0])], "vec_id long, embedding array<double>")
+    assign = _kmeans_assign_exact_udf([[1000, 0], [0, 1000], [-1000, 0]])
+    r = tie_df.select(assign(quantize_vec_expr("embedding")).alias("c")).first()
+    assert r["c"] == 0  # clusters 0, 1, 2 all at distance 1000² — first wins
+
+    # k > distinct points: some cluster must empty out -> loud error
+    tiny = spark.createDataFrame(
+        [(i, [0.0, 0.0]) for i in range(4)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="empty cluster"):
+        kmeans_fit_exact(tiny, k=4, n_iter=2)
+
+
 def test_pii_scrub_redacts_and_counts(spark):
     """Emails and phone-shaped numbers are replaced and counted; clean text
     passes through byte-identical."""
