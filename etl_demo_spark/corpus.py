@@ -3394,7 +3394,9 @@ def doc_quality_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales with input partitions."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id bigint, issue string, metric bigint")
+    # useArrow: without it Spark plans BatchEvalPythonUDTF — the pickled
+    # row-at-a-time path the rest of the repo bans (PLANSHAPE pins 0)
+    @udtf(returnType="doc_id bigint, issue string, metric bigint", useArrow=True)
     class QualityIssues:
         def eval(self, doc_id, text):  # noqa: ANN001 - UDTF contract
             n = len(text)

@@ -26,6 +26,8 @@ class PlanDigest:
     python_stages: int        # ArrowEvalPython / BatchEvalPython / mapInPandas
     take_ordered: bool        # top-k compiled to TakeOrderedAndProject
     read_columns: tuple[str, ...]  # union of pruned scan schemas
+    cartesian_joins: int = 0  # CartesianProduct + BroadcastNestedLoopJoin
+    row_python_stages: int = 0  # BatchEvalPython — row-at-a-time, the slow path
 
     def as_dict(self) -> dict:
         return asdict(self)
@@ -87,6 +89,9 @@ def plan_digest(df: DataFrame) -> PlanDigest:
         + p.count("FlatMapGroupsInPandas"),
         take_ordered=("TakeOrderedAndProject" in p),
         read_columns=tuple(sorted(read_cols)),
+        cartesian_joins=p.count("CartesianProduct")
+        + p.count("BroadcastNestedLoopJoin"),
+        row_python_stages=p.count("BatchEvalPython"),
     )
 
 
