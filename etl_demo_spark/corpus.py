@@ -851,6 +851,154 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verify(cands, docs, threshold=0.5)
 
 
+# MinHash/LSH constants for the EXACT-oracled variant: small-odd
+# multipliers + offsets mod the Mersenne-31 prime keep every product
+# under 2^60 (md5-prefix hashes are 48-bit), so neither engine wraps —
+# wrapping is where Spark (silent) and DuckDB (error) diverge.
+_MH_EXACT_A = [1 + 2 * ((j * 2654435761) % 2048) for j in range(16)]
+_MH_EXACT_B = [(j * 1779033703 + 12582917) % 2147483647 for j in range(16)]
+_MH_SIG_SQL = ",\n             ".join(
+    f"list_min(list_transform(h, x -> ({_MH_EXACT_A[j]} * x + {_MH_EXACT_B[j]})"
+    f" % 2147483647)) AS s{j}"
+    for j in range(16)
+)
+
+
+@query(
+    "minhash_lsh_exact_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                          i -> array_to_string(t[i:i+2], ' '))) AS shingles
+      FROM toks WHERE len(t) >= 3
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(shingles,
+                            s -> CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT)) AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, {_MH_SIG_SQL}
+      FROM hs
+    ),
+    sigv AS (
+      SELECT doc_id,
+             [s0,s1,s2,s3,s4,s5,s6,s7,s8,s9,s10,s11,s12,s13,s14,s15] AS sig
+      FROM sig
+    ),
+    banded AS (
+      SELECT doc_id, sig, b, array_to_string(sig[4*b+1:4*b+4], ',') AS bkey
+      FROM sigv, LATERAL unnest(generate_series(0, 3)) AS t(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a
+      JOIN banded b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_filter(generate_series(1, 16),
+                                i -> sig_a[i] = sig_b[i])) AS INT) AS n_sig_match
+    FROM pairs
+    """,
+)
+def minhash_lsh_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-12 MinHash+LSH with an EXACT cross-engine oracle — the full
+    banding pipeline (word 3-shingles → shingle hash → 16-permutation
+    signature → 4 bands → bucket self-join → candidate pairs with
+    signature agreement counts) in arithmetic both engines reproduce
+    bit-for-bit: md5-hex-prefix shingle hashes (48-bit, parsed the same
+    way on both sides) and affine permutations mod the Mersenne-31 prime
+    with multipliers small enough that nothing wraps.
+
+    This is the oracle-grade twin of `minhash_near_dup` (which keeps
+    xxhash64 — ~3× cheaper per shingle — and therefore stays rows-only):
+    same algebra, same banding topology, same candidate semantics, so a
+    hash match here certifies the LSH machinery the fast variant runs.
+
+    Plan shape: narrow signature projection (md5 + 16 array_min folds,
+    zero shuffles), explode to 4 band rows/doc, one exchange for the
+    band-bucket self-join, distinct on pairs. Never all-pairs — the
+    bucket join is the 100 TB shape."""
+    (docs,) = _t(spark, sf_dir, "documents")
+
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    ).filter(F.size("t") >= 3)
+    sh = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 2),
+                lambda i: F.concat_ws(" ", F.slice("t", i, 3)),
+            )
+        ).alias("shingles"),
+    )
+    hs = sh.select(
+        "doc_id",
+        F.transform(
+            "shingles",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+        ).alias("h"),
+    )
+    def perm(j: int):
+        # closure, not a default arg: pyspark reads lambda arity, so a
+        # second parameter would receive a Column (same note as
+        # dedup.minhash_signature's mix())
+        return lambda x: (
+            F.lit(_MH_EXACT_A[j]) * x + F.lit(_MH_EXACT_B[j])
+        ) % F.lit(2147483647)
+
+    sig = hs.select(
+        "doc_id",
+        F.array(
+            *[F.array_min(F.transform("h", perm(j))) for j in range(16)]
+        ).alias("sig"),
+    )
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(",", F.slice("sig", 4 * b + 1, 4))
+                    for b in range(4)
+                ]
+            )
+        ).alias("b", "bkey"),
+    )
+    a, bb = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda t: t)
+        )
+        .cast("int")
+        .alias("n_sig_match"),
+    )
+
+
 @query("simhash_profile")  # bit-level hash fold: no SQL oracle (rows-only)
 def simhash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-12 SimHash: 64-bit signature per doc via a pure aggregate fold
