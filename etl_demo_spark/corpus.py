@@ -5459,6 +5459,74 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_lm_perplexity",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+      WHERE len(string_split_regex(trim(text), '\s+')) >= 2
+    ),
+    tf AS (
+      SELECT doc_id, lang, w1, w2, COUNT(*) AS tf
+      FROM (
+        SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+        FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+      )
+      GROUP BY doc_id, lang, w1, w2
+    ),
+    cb AS (SELECT lang, w1, w2, SUM(tf) AS cb FROM tf GROUP BY lang, w1, w2),
+    cu AS (SELECT lang, w1, SUM(tf) AS cu FROM tf GROUP BY lang, w1),
+    vocab AS (
+      SELECT lang, COUNT(DISTINCT tok) AS v
+      FROM (SELECT lang, unnest(t) AS tok FROM toks)
+      GROUP BY lang
+    ),
+    nb AS (
+      SELECT doc_id AS nb_doc, CAST(len(t) - 1 AS BIGINT) AS n_bigrams
+      FROM toks
+    ),
+    per_doc AS (
+      SELECT tf.doc_id, any_value(tf.lang) AS lang,
+             SUM(tf.tf * ln((cb.cb + 1.0) / (cu.cu + vocab.v))) AS slp
+      FROM tf
+      JOIN cb ON tf.lang = cb.lang AND tf.w1 = cb.w1 AND tf.w2 = cb.w2
+      JOIN cu ON tf.lang = cu.lang AND tf.w1 = cu.w1
+      JOIN vocab ON tf.lang = vocab.lang
+      GROUP BY tf.doc_id
+    )
+    SELECT p.doc_id, p.lang, nb.n_bigrams,
+           ROUND(-p.slp / (nb.n_bigrams * ln(2)), 4) AS bits_per_bigram
+    FROM per_doc p JOIN nb ON p.doc_id = nb.nb_doc
+    ORDER BY p.doc_id
+    """,
+)
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-14 corpus-LM quality signal: bits-per-bigram of every document
+    under an add-one-smoothed bigram model trained per language on the
+    corpus itself — the CCNet/Gopher-family perplexity filter, fully
+    relational (no LM library): high-bits documents are the boilerplate /
+    noise candidates a training pipeline drops or down-weights.
+
+    Plan shape (text.bigram_lm_bits): one (doc, bigram) partial-agg
+    shuffle, corpus counts as groupBy + equi-joins back onto the tf table
+    (AQE skew split carves stopword-headed keys — a window over
+    (lang, w1) would pile docs×fanout rows on one task), vocabulary-size
+    broadcast, per-doc sum co-keyed with the size−1 length projection.
+    ln() is 1-ULP engine-dependent and the double sum order-dependent;
+    ROUND(…, 4) absorbs both (BM25 convention)."""
+    from etl_demo_spark.text import bigram_lm_bits
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    scored = bigram_lm_bits(docs)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        F.round("bits_per_bigram", 4).alias("bits_per_bigram"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Declarative data-quality expectations (quality.py) — the reference's
 # inline diagnostics (O-2/O-3/O-5 screens) generalized to a one-pass

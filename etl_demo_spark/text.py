@@ -279,6 +279,98 @@ def bm25_scores(
     return per_term.select(F.col("_id").alias(id_col), score.alias("bm25"))
 
 
+def bigram_lm_bits(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-document bits-per-bigram under an add-one-smoothed bigram
+    language model trained on the corpus itself, grouped by ``group_col``
+    (CCNet-style perplexity filtering: documents whose token transitions
+    are improbable under the in-language model are boilerplate/noise
+    candidates; reference has no LM surface — this is north-star X-14).
+
+    Model: P(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + V) per group, where
+    c(·) counts bigram/first-position-unigram instances over the corpus
+    and V is the group's distinct-token vocabulary. Score = −Σ tf·ln P /
+    (n_bigrams · ln 2). Documents with fewer than two tokens have no
+    bigram and are excluded.
+
+    Scale shape: one (doc, bigram) partial-agg shuffle collapses repeats
+    map-side, then corpus counts come from groupBy + equi-joins back onto
+    the tf table — NOT windows over (group, w1): a window partition for a
+    stopword first-token would hold docs×fanout rows on one task, while
+    the join formulation lets AQE's skew split carve exactly those hot
+    keys. The vocabulary-size table is group-cardinality rows (tiny,
+    broadcast); per-doc totals ride the tokenized projection as
+    ``size−1`` — no extra pass. Raw double sum is order-dependent across
+    engines; callers round (4dp absorbs the ~1e-12 drift — BM25
+    convention, corpus.py module docstring).
+    """
+    from etl_demo_spark.cache import tracked_persist
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_g"),
+        tokens(text_col).alias("_toks"),
+    ).filter(F.size("_toks") >= 2)
+    toks = tracked_persist(toks)  # bigram, vocab and length branches
+
+    big = toks.select(
+        "_id",
+        "_g",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("_toks", i).alias("w1"),
+                    F.element_at("_toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("_id", "_g", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    tf = tracked_persist(  # consumed by cb, cu and the scoring join
+        big.groupBy("_id", "_g", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+    cb = tf.groupBy("_g", "w1", "w2").agg(F.sum("tf").alias("cb"))
+    cu = tf.groupBy("_g", "w1").agg(F.sum("tf").alias("cu"))
+    vocab = (
+        toks.select("_g", F.explode("_toks").alias("tok"))
+        .groupBy("_g")
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    nb = toks.select("_id", (F.size("_toks") - 1).cast("long").alias("n_bigrams"))
+
+    contrib = (
+        tf.join(cb, ["_g", "w1", "w2"])
+        .join(cu, ["_g", "w1"])
+        .join(F.broadcast(vocab), "_g")
+        .select(
+            "_id",
+            "_g",
+            (
+                F.col("tf")
+                * F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("v")))
+            ).alias("lp"),
+        )
+    )
+    per_doc = contrib.groupBy("_id").agg(
+        F.any_value("_g").alias(group_col), F.sum("lp").alias("slp")
+    )
+    import math
+
+    return per_doc.join(nb, "_id").select(
+        F.col("_id").alias(id_col),
+        group_col,
+        "n_bigrams",
+        (-F.col("slp") / (F.col("n_bigrams") * F.lit(math.log(2.0)))).alias(
+            "bits_per_bigram"
+        ),
+    )
+
+
 # PII scrubbing: regex families chosen to mean the same thing in Java
 # regex (Spark) and RE2 (DuckDB) — no backreferences, no lookaround.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
