@@ -1016,6 +1016,145 @@ def simhash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# simhash_exact_pairs: 48-bit md5-based SimHash both engines reproduce
+# bit-for-bit (same md5-hex-prefix parse as minhash_lsh_exact_pairs).
+_SH_BITS = 48
+_SH_BAND_BITS = 12
+_SH_SUM_SQL = ",\n             ".join(
+    f"SUM(tf * ((h >> {b}) & 1)) AS s{b}" for b in range(_SH_BITS)
+)
+_SH_FOLD_SQL = "\n               + ".join(
+    f"(CASE WHEN 2 * s{b} > n THEN {1 << b} ELSE 0 END)" for b in range(_SH_BITS)
+)
+
+
+@query(
+    "simhash_exact_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      GROUP BY doc_id, tok
+    ),
+    hashed AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) AS h, tf
+      FROM tf
+    ),
+    sums AS (
+      SELECT doc_id, SUM(tf) AS n,
+             {_SH_SUM_SQL}
+      FROM hashed GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT doc_id, CAST({_SH_FOLD_SQL} AS BIGINT) AS simhash FROM sums
+    ),
+    banded AS (
+      SELECT doc_id, simhash, b, (simhash >> ({_SH_BAND_BITS} * b)) & 4095 AS bkey
+      FROM sh, LATERAL unnest(generate_series(0, 3)) AS u(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.simhash AS sa, b.simhash AS sb
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sa, sb)) <= 4
+    """,
+)
+def simhash_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-12 SimHash near-dup pipeline with an EXACT cross-engine oracle —
+    the oracle-grade twin of `simhash_profile` the way
+    `minhash_lsh_exact_pairs` certifies `minhash_near_dup`: token
+    tf-weighted 48-bit SimHash from md5-hex-prefix hashes (parsed
+    identically on both engines), strict-majority bit vote (ties → 0),
+    4 × 12-bit band bucketing, bucket self-join, exact Hamming verify at
+    ≤ 4 bits. The fast variant keeps xxhash64 (engine-specific, so it
+    stays rows-only); a hash match here certifies the same
+    signature/band/verify machinery.
+
+    Plan shape: one (doc, token) partial-agg shuffle collapses repeats
+    map-side, ONE per-doc aggregation computes all 48 bit sums + the
+    token total in a single pass (no per-bit scan), explode to 4 band
+    rows/doc, one exchange for the band-bucket self-join, Hamming verify
+    on the joined signatures. Candidate volume is bounded by band-bucket
+    co-residency — never all-pairs — and the verify prunes random 12-bit
+    collisions to the semantic near-dup set, exactly the shape this runs
+    at 100 TB."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    hashed = tf.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long").alias("h"),
+        "tf",
+    )
+    sums = hashed.groupBy("doc_id").agg(
+        F.sum("tf").alias("n"),
+        *[
+            F.sum(F.col("tf") * F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(
+                f"s{b}"
+            )
+            for b in range(_SH_BITS)
+        ],
+    )
+    fold = F.lit(0).cast("long")
+    for b in range(_SH_BITS):
+        fold = fold + F.when(
+            F.col(f"s{b}") * 2 > F.col("n"), F.lit(1 << b)
+        ).otherwise(F.lit(0))
+    sh = sums.select("doc_id", fold.cast("long").alias("simhash"))
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", _SH_BAND_BITS * k).bitwiseAND(
+                        F.lit(4095)
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("b", "bkey"),
+    )
+    a, bb = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 4)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Vector similarity (X-13) over embeddings.
 # ---------------------------------------------------------------------------
