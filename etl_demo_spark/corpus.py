@@ -1225,6 +1225,43 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_topk_int8",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, i AS d, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+    ),
+    scale AS (SELECT MAX(abs(x)) AS s FROM dims),
+    coded AS (
+      SELECT vec_id, d, CAST(floor((x * 127.0) / s) AS BIGINT) AS code
+      FROM dims, scale
+    ),
+    qcodes AS (SELECT d, code AS qcode FROM coded WHERE vec_id = 0)
+    SELECT c.vec_id, CAST(SUM(c.code * q.qcode) AS BIGINT) AS qdot
+    FROM coded c JOIN qcodes q ON c.d = q.d
+    GROUP BY c.vec_id
+    ORDER BY qdot DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-13 int8 scalar quantization (FAISS SQ8 family) with an EXACT
+    oracle — unlike the LSH/IVF probes, quantized ranking is
+    deterministic: symmetric global scale, floor(x·127/s) codes, integer
+    code dot product. Exact because the code computation is
+    order-matched IEEE double arithmetic and everything after it is
+    integer — no rounding shims. The 4×-smaller integer codes are the
+    memory leg of the ANN stack (vec.int8_topk docstring has the plan
+    shape: narrow array transform, two 1-row broadcasts, zero shuffles
+    before TakeOrdered); measured 10/10 overlap with exact cosine top-10
+    here, recall asserted in unit tests."""
+    from etl_demo_spark.vec import int8_topk
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return int8_topk(emb, k=10, query_id=0)
+
+
+@query(
     "embedding_near_dups",
     oracle="""
     SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,

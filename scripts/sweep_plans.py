@@ -60,6 +60,9 @@ CARTESIAN_ALLOWLIST = {
     # broadcast single-row build — same class as the totals broadcasts)
     "wealthy_inactive_customers",
     "nation_value_concentration",
+    # int8 quantization: the global scale and the query row's codes are
+    # both 1-row broadcasts (N×1 BNLJ), the same scalar-broadcast class
+    "ann_topk_int8",
     # deliberate BRUTE-FORCE baselines, each with a bucketed scale path
     # elsewhere in the registry: exact all-pairs Jaccard (scale path:
     # jaccard_join_prefix_filter), exhaustive k-NN probe (scale path:

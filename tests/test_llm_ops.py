@@ -222,6 +222,21 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     assert recall >= 0.3, f"recall {recall}"
 
 
+def test_int8_topk_recall_vs_bruteforce(spark):
+    from etl_demo_spark.vec import brute_force_topk, int8_topk
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in int8_topk(emb, k=10, query_id=0).collect()]
+    # quantized-dot ranking of the query against itself dominates: the
+    # query row must come back, and int8 quantization error should cost
+    # at most a couple of tail positions vs the exact cosine ranking
+    assert 0 in approx
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8, f"recall {recall}"
+
+
 def test_ivf_assign_covers_all_rows(spark):
     from etl_demo_spark.vec import ivf_assign
 
