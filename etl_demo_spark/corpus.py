@@ -7334,3 +7334,159 @@ def stream_replay_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline expects the session-zone timestamp the file reader yields
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return _run_stream(spark, hourly_event_stats(stream))
+
+
+# ---------------------------------------------------------------------------
+# Distributed global ranking + sorted-neighborhood dedup (round 5).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_global_ranked",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    """,
+)
+def orders_global_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-6/X-9 at scale: a GLOBAL ROW_NUMBER over the whole table with NO
+    single-partition window (ops.global_row_number). ``ROW_NUMBER() OVER
+    (ORDER BY ...)`` — no PARTITION BY — is the classic 100 TB trap:
+    Spark funnels every row through ONE task. This operator instead
+    range-partitions on the order (the same exchange a distributed ORDER
+    BY pays), derives within-partition positions for free from
+    monotonically_increasing_id's documented (pid << 33 | pos) layout,
+    and broadcasts O(num_partitions) prefix-sum offsets back — one wide
+    shuffle total, every partition ranked in parallel.
+
+    The oracle is DuckDB's actual global ROW_NUMBER, so the hash match
+    proves the decomposition is exactly the single-threaded semantics.
+    The (o_totalprice DESC, o_orderkey) order is total — ranks are
+    well-defined on both engines."""
+    from etl_demo_spark.ops import global_row_number
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    ranked = global_row_number(
+        orders.select("o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        rank_col="rn",
+    )
+    return ranked.select("o_orderkey", "o_totalprice", "rn")
+
+
+@query(
+    "sorted_neighborhood_dups",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, text,
+             ROW_NUMBER() OVER (
+               ORDER BY lang || ':' || substring(lower(text), 1, 16), doc_id
+             ) AS rn
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, rn,
+             list_distinct(list_transform(generate_series(1, len(text) - 4),
+                                          i -> substring(text, i, 5))) AS shingles
+      FROM ranked
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+    FROM sh a JOIN sh b ON b.rn > a.rn AND b.rn <= a.rn + 10
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.3
+    """,
+)
+def sorted_neighborhood_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-12 third blocking family — Sorted-Neighborhood (merge/purge):
+    documents sorted by the fuzzy key ``lang || ':' || lower(text[:16])``,
+    candidates = pairs within 10 rank positions, then EXACT char-5-gram
+    Jaccard ≥ 0.3 on candidates only (dedup.sorted_neighborhood_candidates
+    composed with a rejoin verify, the same second stage LSH uses).
+
+    EXACTLY oracled: DuckDB replays the identical global ROW_NUMBER
+    (pure-ASCII corpus, binary collation on both engines, doc_id
+    tiebreak), the identical window-10 neighborhood, and the identical
+    integer-ratio Jaccard — a hash match proves the distributed rank
+    decomposition (range shuffle + mid-decomposition + offset broadcast,
+    ops.global_row_number) equals the single-threaded semantics end to
+    end, and that the bucket-exploded neighborhood join emits exactly
+    the |Δrank| ≤ w pair set.
+
+    Scale: one range exchange + an equi-join with fixed 2× fan-out —
+    candidate count is n·w by CONSTRUCTION (prefix-filter joins grow
+    with token-frequency skew; LSH with band collisions). The verify
+    stage shingles candidate docs only."""
+    from etl_demo_spark.dedup import sorted_neighborhood_candidates
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    key = F.concat(F.col("lang"), F.lit(":"), F.lower(F.substring("text", 1, 16)))
+    cands = sorted_neighborhood_candidates(docs, key, id_col="doc_id", window=10)
+    sh = docs.select(
+        "doc_id",
+        F.expr(
+            # sub-5-char guard: Spark's sequence(1, n<=0) descends
+            "CASE WHEN length(text) >= 5 THEN"
+            " array_distinct(transform(sequence(1, length(text) - 4),"
+            " i -> substring(text, i, 5)))"
+            " ELSE array() END"
+        ).alias("shingles"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+    )
+
+
+@query(
+    "semantic_dedup_planted",
+    oracle="""
+    SELECT vec_id, TRUE AS kept FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id, FALSE AS kept FROM embeddings
+    UNION ALL
+    SELECT vec_id + 2000000 AS vec_id, FALSE AS kept FROM embeddings
+    """,
+)
+def semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-12/X-13 SemDeDup — cluster-scoped embedding dedup with a
+    keep-one-representative DECISION (vec.semantic_dedup), not just pair
+    listing: sign-LSH cells → integer-exact in-cell cosine ≥ 0.9 →
+    keep-first-by-id anti-join. Emits (vec_id, kept) for every row.
+
+    EXACTLY oracled by the same analytical planting as
+    embedding_near_dups: two positive scalar copies of every vector
+    (×2.0 at id+1M, ×3.0 at id+2M) co-bucket with their original by
+    construction (a positive scaling flips no hyperplane sign) at
+    cosine ≈ 1 ≫ 0.9, while the raw corpus is near-orthogonal (measured
+    max pairwise cosine 0.60 at sf0.1 — and quantization perturbs
+    cosines by ≲ 1e-5, nowhere near the 0.3 gap). So the unique correct
+    answer is closed-form: every original kept, every copy removed
+    (each copy sees a smaller-id in-cell neighbor at sim ≈ 1; each
+    original's neighbors are all below threshold). The decision layer —
+    in-cell EXISTS against smaller ids, distinct, anti-join — is
+    engine-side real work the pair query never exercised."""
+    from etl_demo_spark.vec import semantic_dedup
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding")
+    scaled2 = base.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    scaled3 = base.select(
+        (F.col("vec_id") + F.lit(2_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(3.0)).alias("embedding"),
+    )
+    planted = base.unionByName(scaled2).unionByName(scaled3)
+    return semantic_dedup(planted, threshold=0.9, planes=6)

@@ -947,3 +947,58 @@ def incremental_dedup(
         else seen_fps.select("fp").unionByName(kept.select("fp"))
     )
     return kept.select(id_col, "fp"), new_store
+
+
+def sorted_neighborhood_candidates(
+    df: DataFrame,
+    sort_key: Column,
+    id_col: str = "doc_id",
+    window: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-Neighborhood Method (SNM) blocking — the third classic
+    candidate-generation family next to LSH banding (minhash_lsh_candidates)
+    and prefix filtering (prefix_filter_jaccard_join): sort the corpus by a
+    fuzzy blocking key, then emit exactly the pairs within ``window``
+    positions of each other (Hernández & Stolfo's merge/purge method).
+    Useful where near-dups share a key PREFIX (titles, URLs, names) —
+    cost is n·window pairs by construction, independent of how skewed
+    token frequencies are (the case that inflates prefix-filter joins).
+
+    Scale topology: ONE wide exchange (the range shuffle inside
+    ops.global_row_number — a distributed ORDER BY, no single-partition
+    window), then the neighborhood self-join runs as an equi-join on
+    ``floor(rank/window)`` buckets with the right side exploded to its own
+    and the preceding bucket — bounded 2× fan-out, never a range join or
+    cartesian. Emits (id_a, id_b) with id_a the LOWER-ranked document of
+    the pair; verification (exact Jaccard etc.) composes downstream on
+    candidates only.
+
+    ``sort_key`` ties are broken by ``id_col``, so the rank — and the
+    candidate set — is deterministic on any partitioning.
+    """
+    from etl_demo_spark.ops import global_row_number
+
+    ranked = global_row_number(
+        df.select(F.col(id_col), sort_key.alias("__snm_key")),
+        [F.col("__snm_key").asc(), F.col(id_col).asc()],
+        rank_col="__rn",
+        num_partitions=num_partitions,
+    )
+    bkt = F.floor((F.col("__rn") - 1) / window)
+    a = ranked.select(
+        F.col(id_col).alias("id_a"), F.col("__rn").alias("__rn_a"), bkt.alias("__bkt")
+    )
+    b = ranked.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__rn").alias("__rn_b"),
+        F.explode(F.array(bkt, bkt - 1)).alias("__bkt"),
+    )
+    return (
+        a.join(b, "__bkt")
+        .filter(
+            (F.col("__rn_b") > F.col("__rn_a"))
+            & (F.col("__rn_b") <= F.col("__rn_a") + window)
+        )
+        .select("id_a", "id_b")
+    )

@@ -678,3 +678,60 @@ def incremental_agg_merge(
     return both.groupBy(*keys).agg(
         *[merge_fns[how](c).alias(c) for c, how in merge.items()]
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    rank_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global ROW_NUMBER over a total order — the scale-safe
+    replacement for ``Window.orderBy(...)`` (which Spark executes as a
+    SINGLE-partition window: every row through one task, the canonical
+    100 TB killer; Spark even warns ``WindowExec: No Partition Defined``).
+
+    Topology (one wide shuffle total):
+      1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order —
+         partition *i* holds a contiguous rank range (the one unavoidable
+         exchange; this is exactly what a distributed ORDER BY does).
+      2. ``monotonically_increasing_id`` decomposed into its documented
+         ``(partition_id << 33) | local_position`` layout — the local
+         position IS the within-partition rank of the sorted stream, so
+         no second window/shuffle is spent deriving it.
+      3. Per-partition row counts (a tiny O(P)-row aggregate) → exclusive
+         prefix sums via a window over those P rows (single-partition is
+         FINE there: P rows, not N) → broadcast back and added to the
+         local position.
+
+    The tagged frame is persisted (via cache.tracked_persist — released
+    at the next unit-of-work boundary): both the offset branch and the
+    output branch must observe the SAME partition layout and id
+    assignment (``monotonically_increasing_id`` is marked
+    nondeterministic, so an unpersisted recompute may not replay
+    identically). ``RDD.zipWithIndex`` pays the identical price — it
+    runs a count job over the parent first.
+
+    ``order_by`` must be a TOTAL order (include a unique tiebreaker
+    column last) or ranks among ties are arbitrary — true in any engine.
+    """
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(p, *order_by).sortWithinPartitions(*order_by)
+    tagged = ranged.withColumn("__mid", F.monotonically_increasing_id()).withColumn(
+        "__pid", F.shiftright("__mid", 33).cast("int")
+    )
+    from etl_demo_spark.cache import tracked_persist
+
+    tagged = tracked_persist(tagged)
+    counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__off")
+    )
+    local_pos = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+    return (
+        tagged.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__off") + local_pos + F.lit(1)).cast("long"))
+        .drop("__mid", "__pid", "__off")
+    )

@@ -824,3 +824,81 @@ def ann_recall_report(
         tot_ivf += len(exact & ivf) / denom
     n = max(len(qids), 1)
     return {"lsh": round(tot_lsh / n, 2), "ivf": round(tot_ivf / n, 2)}
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped embedding dedup (Abbas et al. 2023):
+    partition the corpus into cells, compare pairs WITHIN a cell only,
+    and keep one representative per duplicate group. Returns
+    ``(id_col, kept)`` for every input row.
+
+    Decision rule: a vector is removed iff some SMALLER-id vector in the
+    same cell has cosine ≥ threshold ("keep-first by id" — one
+    anti-joinable EXISTS, order-free and embarrassingly parallel). The
+    sequential greedy variant (compare against already-KEPT rows only)
+    differs only on non-transitive similarity chains; for the
+    near-identical groups dedup targets (sim ≈ 1, fully connected) the
+    two rules coincide.
+
+    Exactness: the in-cell comparison is INTEGER arithmetic — vectors
+    quantized via quantize_vec_expr (round(x·1000) int64), and
+    ``cos(u,v) ≥ num/den`` decided as ``dot > 0 ∧ den²·dot² ≥
+    num²·‖u‖²·‖v‖²`` with threshold taken as an exact rational — no
+    float division, bit-reproducible on any engine/partitioning.
+    Precondition (int64 headroom): den²·dot² < 2⁶³, i.e. component
+    magnitudes ≲ 2.0 at the default scale/dim/den — holds for unit-norm
+    embedding spaces with margin.
+
+    Cells here are sign-LSH buckets (same construction as
+    embedding_near_dup_pairs — a positive scaling never flips a
+    hyperplane sign, so exact scalar copies co-bucket by construction);
+    at 100 TB the cell column is the IVF/k-means cell the corpus is
+    already partitioned by (ivf_assign / kmeans codebook), making each
+    cell's pair scan a partition-local job with no shuffle.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+    sq_norm = F.expr("aggregate(qv, 0L, (s, x) -> s + x * x)")
+    q = df.select(
+        F.col(id_col).alias("id"),
+        quantize_vec_expr(vec_col).alias("qv"),
+        lsh_bucket(F.col(vec_col), planes, dim).alias("cell"),
+    ).withColumn("nq", sq_norm)
+    from etl_demo_spark.cache import tracked_persist
+
+    q = tracked_persist(q)
+    left = q.select(
+        F.col("id").alias("id_a"), F.col("qv").alias("qv_a"),
+        F.col("nq").alias("nq_a"), "cell",
+    )
+    right = q.select(
+        F.col("id").alias("id_b"), F.col("qv").alias("qv_b"),
+        F.col("nq").alias("nq_b"), "cell",
+    )
+    dot = F.expr("aggregate(zip_with(qv_a, qv_b, (x, y) -> x * y), 0L, (s, x) -> s + x)")
+    removed = (
+        left.join(right, ["cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__dot", dot)
+        .filter(
+            (F.col("__dot") > 0)
+            & (
+                F.lit(den * den) * F.col("__dot") * F.col("__dot")
+                >= F.lit(num * num) * F.col("nq_a") * F.col("nq_b")
+            )
+        )
+        .select(F.col("id_b").alias("__rm"))
+        .distinct()
+    )
+    return q.join(removed, q["id"] == F.col("__rm"), "left").select(
+        F.col("id").alias(id_col), F.col("__rm").isNull().alias("kept")
+    )

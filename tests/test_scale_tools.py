@@ -249,3 +249,107 @@ def test_zorder_key_stays_positive_at_four_columns(spark, tmp_path):
             str(tmp_path / "znull"),
             ["x"],
         )
+
+
+def test_global_row_number_matches_single_partition_window(spark):
+    """ops.global_row_number (range shuffle + mid-decomposition + offset
+    broadcast) must equal the single-partition ROW_NUMBER() OVER (ORDER
+    BY ...) semantics exactly, including forced multi-partition layouts
+    where ranks cross partition boundaries."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from etl_demo_spark.ops import global_row_number
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    got = {
+        r["o_orderkey"]: r["rn"]
+        for r in global_row_number(df, order, num_partitions=7).collect()
+    }
+    want = {
+        r["o_orderkey"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_row_number_avoids_single_partition_window(spark):
+    """The whole point of the primitive: the N-row data path must contain
+    NO partitionless Window over the input (only the O(P)-row offset
+    window) and exactly one range exchange over the data."""
+    import pyspark.sql.functions as F
+
+    from etl_demo_spark.ops import global_row_number
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    out = global_row_number(
+        df, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        num_partitions=7,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only Window node may be the offset prefix-sum over __pid counts
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "__cnt" in line, f"unexpected data-path window: {line}"
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_sorted_neighborhood_candidates_exact_band(spark):
+    """The bucket-exploded join must emit EXACTLY the 0 < Δrank ≤ w pairs
+    (no misses at bucket boundaries, no duplicates from the 2× explode),
+    for windows that do and don't divide the corpus size."""
+    import pyspark.sql.functions as F
+
+    from etl_demo_spark.dedup import sorted_neighborhood_candidates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    key = F.lower(F.substring("text", 1, 8))
+    for w in (3, 10):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in sorted_neighborhood_candidates(
+                docs, key, id_col="doc_id", window=w
+            ).collect()
+        }
+        ranked = sorted(
+            (r[0], r[1])
+            for r in docs.select(
+                F.lower(F.substring("text", 1, 8)), F.col("doc_id")
+            ).collect()
+        )
+        ids = [doc_id for _, doc_id in ranked]
+        want = {
+            (ids[i], ids[j])
+            for i in range(len(ids))
+            for j in range(i + 1, min(i + w + 1, len(ids)))
+        }
+        assert got == want, f"window={w}"
+
+
+def test_semantic_dedup_keep_first_by_id(spark):
+    """Keep-first semantics on a crafted cell: identical vectors dedup to
+    the smallest id; an isolated vector survives; the removal rule is
+    'exists a smaller-id neighbor ≥ τ', independent of partitioning."""
+    from etl_demo_spark.vec import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),      # dup of 1 -> removed
+        (3, [0.999, 0.001, 0.0, 0.0]),  # near-dup of 1 -> removed
+        (4, [0.0, 1.0, 0.0, 0.0]),      # orthogonal -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(df, threshold=0.9, planes=4, dim=4)
+        .repartition(5)
+        .collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 4: True}
