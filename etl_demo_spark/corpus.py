@@ -6888,6 +6888,102 @@ def orders_merge_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "merge_schema_evolution",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    ),
+    s AS (
+      SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal,
+             c_mktsegment, 'web' AS c_channel
+      FROM customer WHERE c_mktsegment = 'MACHINERY' AND c_custkey % 11 = 0
+      UNION ALL
+      SELECT c_custkey + 40000000 AS c_custkey, CAST(0.0 AS DOUBLE) AS c_acctbal,
+             'MACHINERY' AS c_mktsegment, 'app' AS c_channel
+      FROM customer WHERE c_custkey % 400 = 0
+    )
+    SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+           t.c_name AS c_name,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                ELSE t.c_acctbal END AS c_acctbal,
+           COALESCE(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment,
+           s.c_channel AS c_channel
+    FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
+    """,
+)
+def merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-EVOLVING partition-scoped MERGE under the snapshot manifest
+    (`io/manifest.py merge_upsert_manifested(..., schema_evolution=True)`):
+    the CDC producer added a field (``c_channel``) and stopped sending
+    another (``c_name``) — the first schema drift every long-lived feed
+    hits. Lakehouse automerge semantics, oracled column-by-column:
+    source-only ``c_channel`` appends to the table schema (NULL in every
+    untouched row — the manifest's stored schema surfaces it without a
+    mergeSchema footer sweep), target-only ``c_name`` keeps the target
+    value on match and is NULL for inserts (absent-from-source means
+    "not set by this UPDATE", never "set to NULL").
+
+    The change batch is confined to MACHINERY, so the evolution rewrites
+    ONE partition (blast radius asserted) yet the schema change is
+    visible table-wide in the same atomic manifest commit — schema and
+    data evolve in one snapshot, which plain-parquet mergeSchema readers
+    cannot get atomically. Time travel to the pre-evolution version
+    still reads the OLD schema (pinned in tests/test_manifest.py).
+
+    Scale: identical footprint to `orders_merge_two_level` (affected
+    leaves only) + one pointer file; the stored-schema read spares every
+    subsequent scan the O(files) footer union an evolved Hive-layout
+    table would otherwise pay. Cite: reference `etl_weekly_trades.py`
+    appends to SQLite and would simply crash on a new column."""
+    import tempfile
+
+    from etl_demo_spark.io.manifest import (
+        manifest_init,
+        merge_upsert_manifested,
+        read_manifested,
+    )
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    t = customer.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    target_path = tempfile.mkdtemp(prefix="merge_evo_") + "/customer"
+    t.write.partitionBy("c_mktsegment").parquet(target_path)
+    manifest_init(spark, target_path, "c_mktsegment")
+
+    updates = (
+        customer.filter(
+            (F.col("c_mktsegment") == "MACHINERY") & (F.col("c_custkey") % 11 == 0)
+        )
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+            "c_mktsegment",
+            F.lit("web").alias("c_channel"),
+        )
+    )
+    inserts = customer.filter(F.col("c_custkey") % 400 == 0).select(
+        (F.col("c_custkey") + 40000000).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("MACHINERY").alias("c_mktsegment"),
+        F.lit("app").alias("c_channel"),
+    )
+    source = updates.unionByName(inserts)
+
+    affected = merge_upsert_manifested(
+        spark, target_path, source, ["c_custkey"], "c_mktsegment",
+        schema_evolution=True,
+    )
+    assert affected == ["MACHINERY"], affected
+    merged = read_manifested(spark, target_path)
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        F.col("c_mktsegment").cast("string").alias("c_mktsegment"),
+        "c_channel",
+    )
+
+
+@query(
     "orders_keyset_page",
     oracle="""
     SELECT o_orderkey, o_orderdate, o_totalprice

@@ -106,19 +106,46 @@ def _list_manifest_versions(fs, jvm, root: str) -> list[int]:
     return sorted(versions)
 
 
-def load_manifest(spark: SparkSession, root: str) -> tuple[int, dict]:
-    """(version, {logical leaf rel → physical rel}) of the highest
-    committed manifest. Raises if the table has no manifest — run
-    `manifest_init` once to migrate a plain Hive layout."""
+def manifest_versions(spark: SparkSession, root: str) -> list[int]:
+    """Committed manifest versions still on disk, oldest→newest — the
+    table's time-travel window. Only the last ``_RETAIN`` survive GC, so
+    this is short by construction; anything listed is fully readable
+    (GC keeps every version subdir a retained manifest references)."""
     fs, jvm = _hadoop_fs(spark, root)
+    return _list_manifest_versions(fs, jvm, root)
+
+
+def _load_doc(fs, jvm, root: str, version: int | None = None) -> dict:
     versions = _list_manifest_versions(fs, jvm, root)
     if not versions:
         raise FileNotFoundError(
             f"no manifest under {root}/{_MANIFEST_DIR}; run manifest_init()"
         )
-    v = versions[-1]
+    if version is None:
+        v = versions[-1]
+    elif version in versions:
+        v = version
+    else:
+        raise FileNotFoundError(
+            f"manifest v{version} not retained for {root}; available: {versions} "
+            f"(retention keeps the last {_RETAIN} commits)"
+        )
     doc = json.loads(_read_file(fs, jvm, _manifest_path(root, v)).decode())
-    return v, doc["partitions"]
+    doc["version"] = v
+    return doc
+
+
+def load_manifest(
+    spark: SparkSession, root: str, version: int | None = None
+) -> tuple[int, dict]:
+    """(version, {logical leaf rel → physical rel}) of the highest
+    committed manifest — or of ``version`` exactly (time travel; must be
+    within the retention window, see `manifest_versions`). Raises if the
+    table has no manifest — run `manifest_init` once to migrate a plain
+    Hive layout."""
+    fs, jvm = _hadoop_fs(spark, root)
+    doc = _load_doc(fs, jvm, root, version)
+    return doc["version"], doc["partitions"]
 
 
 def read_manifested(
@@ -127,17 +154,36 @@ def read_manifested(
     fmt: str = "parquet",
     pin_partition_strings: bool = False,
     partition_cols: list[str] | None = None,
+    version: int | None = None,
 ) -> DataFrame:
     """Snapshot read: resolve the current manifest once, scan exactly its
     version subdirs. The snapshot is pinned at RESOLUTION time — a merge
     committing afterwards changes neither the resolved paths nor their
     bytes (two-manifest GC retention), so the read is stable end-to-end.
 
+    ``version`` time-travels to an earlier retained commit (the window is
+    `manifest_versions`): superseded leaves' version subdirs are never
+    renamed at commit and GC keeps everything a retained manifest
+    references, so an old snapshot reads byte-for-byte as it was
+    published. Readable versions are bounded by ``_RETAIN`` — this is the
+    short undo/audit window a pointer-file design affords, not unbounded
+    history (that needs a real table format's snapshot log).
+
     Partition columns still come from the ``k=v`` path segments under
     ``basePath``; filters on them prune to the listed subdirs as usual.
     ``pin_partition_strings`` reproduces `_read_raw_partitions`' explicit
-    string schema (the merge path needs exact on-disk strings)."""
-    _, partitions = load_manifest(spark, root)
+    string schema (the merge path needs exact on-disk strings).
+
+    Schema authority: manifests committed by this module carry the table
+    schema (lakehouse-style), and the read applies it EXPLICITLY — no
+    footer sampling, and partitions written before a schema evolution
+    surface the later-added columns as NULL (the parquet reader clips
+    missing columns to null under an explicit schema) without a
+    mergeSchema sweep over every file footer. Pre-schema manifests fall
+    back to inference."""
+    fs, jvm = _hadoop_fs(spark, root)
+    doc = _load_doc(fs, jvm, root, version)
+    partitions = doc["partitions"]
     if not partitions:
         # empty table: no paths to scan — callers get an empty frame via
         # an empty RDD only if they know the schema; raise instead, the
@@ -145,21 +191,32 @@ def read_manifested(
         raise ValueError(f"manifest for {root} lists no partitions")
     paths = [f"{root.rstrip('/')}/{rel}" for rel in sorted(partitions.values())]
     reader = spark.read.format(fmt).option("basePath", root)
-    if not pin_partition_strings:
+    schema_json = doc.get("schema")
+    if schema_json is None and not pin_partition_strings:
         return reader.load(paths)
     import copy
 
-    pin = set(_normalize_partition_cols(partition_cols))
-    inferred = reader.load(paths).schema
-    pinned = T.StructType(
-        [
-            T.StructField(f.name, T.StringType(), True)
-            if f.name in pin
-            else copy.deepcopy(f)
-            for f in inferred.fields
-        ]
+    if schema_json is not None:
+        schema = T.StructType.fromJson(json.loads(schema_json))
+    else:
+        schema = reader.load(paths).schema
+    if pin_partition_strings:
+        pin = set(_normalize_partition_cols(partition_cols))
+        schema = T.StructType(
+            [
+                T.StructField(f.name, T.StringType(), True)
+                if f.name in pin
+                else copy.deepcopy(f)
+                for f in schema.fields
+            ]
+        )
+    loaded = (
+        spark.read.format(fmt).schema(schema).option("basePath", root).load(paths)
     )
-    return spark.read.format(fmt).schema(pinned).option("basePath", root).load(paths)
+    # a partitioned read under a user schema surfaces the partition
+    # columns LAST regardless of schema order; restore the stored order
+    # so evolved tables present a stable column layout
+    return loaded.select(*[f.name for f in schema.fields])
 
 
 def manifest_init(
@@ -173,6 +230,9 @@ def manifest_init(
     fs, jvm = _hadoop_fs(spark, root)
     if _list_manifest_versions(fs, jvm, root):
         return load_manifest(spark, root)[0]
+    # record the schema (partition types included) before the layout
+    # migration — it becomes the table's read authority from v1 on
+    schema_json = spark.read.format(fmt).load(root).schema.json()
 
     # discover leaves: depth-len(cols) dirs of k=v segments
     leaves: list[str] = []
@@ -208,7 +268,10 @@ def manifest_init(
         fs,
         jvm,
         _manifest_path(root, version),
-        json.dumps({"version": version, "partitions": mapping}, indent=1).encode(),
+        json.dumps(
+            {"version": version, "partitions": mapping, "schema": schema_json},
+            indent=1,
+        ).encode(),
     )
     return version
 
@@ -252,6 +315,7 @@ def merge_upsert_manifested(
     keys: list[str],
     partition_cols,
     fmt: str = "parquet",
+    schema_evolution: bool = False,
 ) -> list:
     """MERGE with snapshot-manifest publication: same semantics, scoping,
     and return contract as `tables.merge_upsert_partitioned`, but the
@@ -259,6 +323,16 @@ def merge_upsert_manifested(
     via `read_manifested` see the ENTIRE table before the merge or the
     entire table after it, never a partially-swapped state and never a
     missing partition (pinned by the concurrent-reader test).
+
+    ``schema_evolution=True`` admits a source with appended columns
+    (`ops.merge_upsert` automerge semantics) and EVOLVES the manifest's
+    stored schema in the same atomic commit: the new columns append to
+    the table schema, untouched partitions' files are left alone, and
+    every subsequent `read_manifested` surfaces them as NULL there via
+    the explicit-schema read — schema change and data change become one
+    snapshot, which is precisely what the plain swap mode cannot give
+    (its readers must opt into a mergeSchema footer sweep). Time travel
+    to a pre-evolution version reads the old schema.
 
     Scale: identical read/write footprint to the swap path (affected
     leaves only) plus one O(partitions) JSON pointer file per commit —
@@ -272,7 +346,9 @@ def merge_upsert_manifested(
     root = target_path.rstrip("/")
     fs, jvm = _hadoop_fs(spark, root)
 
-    cur_version, mapping = load_manifest(spark, root)
+    doc = _load_doc(fs, jvm, root)
+    cur_version, mapping = doc["version"], doc["partitions"]
+    prev_schema_json = doc.get("schema")
     new_version = cur_version + 1
     # GC superseded/orphaned data from before this commit; also clears
     # any __v{new_version} leftovers of a crashed prior attempt
@@ -292,7 +368,7 @@ def merge_upsert_manifested(
         return []
 
     scoped = target.filter(_partition_filter(cols, affected))
-    merged = merge_upsert(scoped, source, keys)
+    merged = merge_upsert(scoped, source, keys, schema_evolution=schema_evolution)
     for c in cols:
         merged = merged.withColumn(c, F.col(c).cast("string"))
     staging = root + ".__manifest_staging__"
@@ -313,13 +389,25 @@ def merge_upsert_manifested(
             new_mapping.pop(rel, None)
     fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
+    # evolve the stored schema: existing columns keep their recorded
+    # types (partition cols were string-cast only for the staged WRITE —
+    # the stored type remains the read authority), genuinely new columns
+    # append with the merge output's type. Legacy manifests without a
+    # schema stay schema-less (inference fallback) rather than guessing.
+    new_doc = {"version": new_version, "partitions": new_mapping}
+    if prev_schema_json is not None:
+        prev_schema = T.StructType.fromJson(json.loads(prev_schema_json))
+        prev_names = {f.name for f in prev_schema.fields}
+        fields = list(prev_schema.fields) + [
+            f for f in merged.schema.fields if f.name not in prev_names
+        ]
+        new_doc["schema"] = T.StructType(fields).json()
+
     # the atomic commit point
     _write_file_atomic(
         fs,
         jvm,
         _manifest_path(root, new_version),
-        json.dumps(
-            {"version": new_version, "partitions": new_mapping}, indent=1
-        ).encode(),
+        json.dumps(new_doc, indent=1).encode(),
     )
     return [values[0] for values in affected] if single else affected

@@ -96,7 +96,11 @@ def _hadoop_fs(spark: SparkSession, path: str):
 
 
 def _read_raw_partitions(
-    spark: SparkSession, path: str, fmt: str, partition_cols: list[str]
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    partition_cols: list[str],
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Load with every partition column pinned to STRING via an EXPLICIT
     schema: directory names come back as the exact strings on disk.
@@ -111,7 +115,14 @@ def _read_raw_partitions(
     import copy
 
     pin = set(partition_cols)
-    inferred = spark.read.format(fmt).load(path).schema
+    reader = spark.read.format(fmt)
+    if merge_schema:
+        # union the schema across ALL files (distributed footer sweep) —
+        # required once a table has evolved columns, or the default
+        # single-footer sample could miss them and a rewrite would
+        # silently drop the evolved column from affected partitions
+        reader = reader.option("mergeSchema", "true")
+    inferred = reader.load(path).schema
     pinned = T.StructType(
         [
             T.StructField(f.name, T.StringType(), True)
@@ -271,12 +282,24 @@ def merge_upsert_partitioned(
     keys: list[str],
     partition_cols,
     fmt: str = "parquet",
+    schema_evolution: bool = False,
 ) -> list:
     """MERGE INTO a partitioned parquet table, rewriting only affected
     partitions (see module docstring for the why and the swap protocol).
     Matched rows take the source version wholesale (source-wins,
     NULL-updates apply — same semantics as ops.merge_upsert); unmatched
     source rows insert.
+
+    ``schema_evolution=True`` admits a source with appended columns
+    (`ops.merge_upsert` automerge semantics): affected partitions are
+    rewritten with the widened schema, untouched partitions keep their
+    old files. From then on the table's schema lives only in the union
+    of its files, so EVERY later merge against it must keep passing
+    ``schema_evolution=True`` (which turns on the mergeSchema footer
+    sweep here) and plain readers need ``mergeSchema=true`` to see the
+    evolved columns as NULL in old partitions. If that contract is too
+    loose, use `manifest.merge_upsert_manifested` — its stored-schema
+    snapshot makes the evolution atomic and self-describing.
 
     ``partition_cols`` is a single column name or a list for multi-level
     Hive layouts (``dt=…/seg=…`` — the docs/SCALE_LAYOUT.md standard at
@@ -305,7 +328,9 @@ def merge_upsert_partitioned(
     # the table's partition-level count)
     _recover_staging(fs, jvm, target_path, staging, depth=len(cols))
 
-    target = _read_raw_partitions(spark, target_path, fmt, cols)
+    target = _read_raw_partitions(
+        spark, target_path, fmt, cols, merge_schema=schema_evolution
+    )
     affected = affected_partitions(target, source, keys, cols)
     if not affected:
         return []
@@ -314,7 +339,7 @@ def merge_upsert_partitioned(
     # the merge coalesces target (string-pinned) and source partition
     # values; ensure the staged write's directory names come from the
     # same string space _part_dir targets
-    merged = merge_upsert(scoped, source, keys)
+    merged = merge_upsert(scoped, source, keys, schema_evolution=schema_evolution)
     for c in cols:
         merged = merged.withColumn(c, F.col(c).cast("string"))
     (

@@ -539,40 +539,75 @@ def spread_for_cpu(df: DataFrame) -> DataFrame:
     return df
 
 
-def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    schema_evolution: bool = False,
+) -> DataFrame:
     """MERGE INTO emulation on plain parquet (no table-format dependence):
     WHEN MATCHED THEN UPDATE SET *  /  WHEN NOT MATCHED THEN INSERT *,
     expressed as one full-outer join on the key with column-wise
     COALESCE(source, target) — source rows win on match, unmatched target
-    rows pass through, unmatched source rows insert. Source must share the
-    target's schema.
+    rows pass through, unmatched source rows insert. By default source
+    must share the target's schema.
+
+    ``schema_evolution=True`` relaxes that to the lakehouse automerge
+    contract (the first thing a real CDC feed hits when a producer adds a
+    field): SOURCE-ONLY columns are appended to the output schema —
+    pre-existing target rows carry NULL there; TARGET-ONLY columns are
+    preserved — matched rows KEEP the target value (an absent source
+    column is "not set by this UPDATE", not "set to NULL"), inserted
+    rows get NULL. Key columns must exist on both sides either way.
 
     Scale: one co-keyed shuffle join; with both sides bucketed on the key
     (write_bucketed) the merge is exchange-free. Rewrite the result
     partition-by-partition (dynamic partition overwrite) to avoid
     rewriting untouched partitions."""
+    src_cols = set(source.columns)
+    tgt_cols = set(target.columns)
+    if not schema_evolution:
+        missing = [c for c in target.columns if c not in src_cols]
+        if missing:
+            raise ValueError(
+                f"merge_upsert: source lacks target columns {missing}; pass "
+                "schema_evolution=True to merge drifted schemas deliberately"
+            )
+        carried = target.columns  # output schema == target schema
+    else:
+        for k in keys:
+            if k not in src_cols or k not in tgt_cols:
+                raise ValueError(f"merge_upsert: key column {k!r} must exist on both sides")
+        # target order first, then new source columns in source order —
+        # deterministic and append-only, the way table formats evolve
+        carried = target.columns + [c for c in source.columns if c not in tgt_cols]
     # rename the source side up front: change sets are typically DERIVED
     # from the target (CDC reads, corrections), and shared lineage makes
     # unqualified column references ambiguous in the self-join
     renamed = source.select(
         F.lit(True).alias("__src_present"),
-        *[F.col(c).alias(f"__src_{c}") for c in target.columns],
+        *[F.col(c).alias(f"__src_{c}") for c in carried if c in src_cols],
     )
     cond = None
     for k in keys:
         c = F.col(k).eqNullSafe(F.col(f"__src_{k}"))
         cond = c if cond is None else (cond & c)
-    # row presence decides which side wins — NOT per-column COALESCE,
-    # which could never apply an update that sets a column to NULL
-    # (the source NULL would "lose" to the target's stale value)
-    return target.join(renamed, cond, "full_outer").select(
-        *[
+
+    def out(c: str):
+        if c not in src_cols:  # target-only: matched rows keep target value
+            return F.col(c).alias(c)
+        if c not in tgt_cols:  # source-only: target rows surface NULL
+            return F.col(f"__src_{c}").alias(c)
+        # on both sides: row presence decides which side wins — NOT a
+        # per-column COALESCE, which could never apply an update that sets
+        # a column to NULL (source NULL would "lose" to the stale value)
+        return (
             F.when(F.col("__src_present"), F.col(f"__src_{c}"))
             .otherwise(F.col(c))
             .alias(c)
-            for c in target.columns
-        ]
-    )
+        )
+
+    return target.join(renamed, cond, "full_outer").select(*[out(c) for c in carried])
 
 
 def scd2_apply(

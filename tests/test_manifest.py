@@ -193,3 +193,102 @@ def test_manifest_concurrent_reader_never_sees_missing_partition(spark, tmp_path
         t.join(timeout=120)
     assert not violations, violations[:5]
     assert len(snapshots_seen) >= 2  # the reader actually raced the merges
+
+
+def test_manifest_time_travel_reads_prior_snapshot(spark, tmp_path):
+    from etl_demo_spark.io.manifest import (
+        manifest_init,
+        manifest_versions,
+        merge_upsert_manifested,
+        read_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    manifest_init(spark, path, ["dt", "seg"])
+
+    source = spark.createDataFrame(
+        [(1, "ALPHA2", "d1", "A"), (99, "new", "d1", "A")],
+        "id INT, name STRING, dt STRING, seg STRING",
+    )
+    merge_upsert_manifested(spark, path, source, ["id"], ["dt", "seg"])
+    assert manifest_versions(spark, path) == [1, 2]
+
+    # current snapshot has the merge; v1 reads the table exactly as seeded
+    now = {r.id: r.name for r in read_manifested(spark, path).collect()}
+    assert now[1] == "ALPHA2" and 99 in now
+    v1 = {r.id: r.name for r in read_manifested(spark, path, version=1).collect()}
+    assert v1 == {1: "alpha", 2: "beta", 3: "gamma", 4: "delta"}
+
+    # outside the retention window → explicit error, not silent wrong data
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_manifested(spark, path, version=7)
+
+    # after two more merges, v1 is GC'd and time travel to it refuses
+    for batch in ([(2, "BETA2", "d1", "B")], [(3, "GAMMA2", "d2", "A")]):
+        src = spark.createDataFrame(
+            batch, "id INT, name STRING, dt STRING, seg STRING"
+        )
+        merge_upsert_manifested(spark, path, src, ["id"], ["dt", "seg"])
+    assert 1 not in manifest_versions(spark, path)
+    with pytest.raises(FileNotFoundError):
+        read_manifested(spark, path, version=1)
+    # the newest RETAINED prior version still reads complete
+    vs = manifest_versions(spark, path)
+    prior = {r.id: r.name for r in read_manifested(spark, path, version=vs[-2]).collect()}
+    assert set(prior) == {1, 2, 3, 4, 99}
+
+
+def test_manifest_schema_evolution_atomic_and_time_travel(spark, tmp_path):
+    """Evolution under the manifest: the stored schema makes the new
+    column visible table-wide (NULL in untouched partitions) with NO
+    mergeSchema option on the reader, and time travel to the
+    pre-evolution snapshot reads the OLD schema."""
+    from etl_demo_spark.io.manifest import (
+        manifest_init,
+        merge_upsert_manifested,
+        read_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    manifest_init(spark, path, ["dt", "seg"])
+
+    source = spark.createDataFrame(
+        [(1, "ALPHA2", "d1", "A", "web"), (99, "new", "d1", "A", "app")],
+        "id INT, name STRING, dt STRING, seg STRING, chan STRING",
+    )
+    affected = merge_upsert_manifested(
+        spark, path, source, ["id"], ["dt", "seg"], schema_evolution=True
+    )
+    assert affected == [("d1", "A")]
+
+    cur = read_manifested(spark, path)
+    assert cur.columns == ["id", "name", "dt", "seg", "chan"]
+    got = {r.id: (r.name, r.chan) for r in cur.collect()}
+    assert got[1] == ("ALPHA2", "web") and got[99] == ("new", "app")
+    # untouched partitions surface the evolved column as NULL — their
+    # files were never rewritten (explicit-schema clipping, not mergeSchema)
+    assert got[2] == ("beta", None) and got[3] == ("gamma", None)
+
+    v1 = read_manifested(spark, path, version=1)
+    assert v1.columns == ["id", "name", "dt", "seg"]  # pre-evolution schema
+    assert {r.id for r in v1.collect()} == {1, 2, 3, 4}
+
+    # a follow-up merge WITHOUT the evolved column: strict mode refuses
+    # (drift must be deliberate), evolution mode keeps the column — the
+    # matched row's chan stays NULL-not-clobbered, row 1's survives
+    import pytest
+
+    src2 = spark.createDataFrame(
+        [(3, "GAMMA2", "d2", "A")], "id INT, name STRING, dt STRING, seg STRING"
+    )
+    with pytest.raises(ValueError, match="schema_evolution"):
+        merge_upsert_manifested(spark, path, src2, ["id"], ["dt", "seg"])
+    merge_upsert_manifested(
+        spark, path, src2, ["id"], ["dt", "seg"], schema_evolution=True
+    )
+    got = {r.id: (r.name, r.chan) for r in read_manifested(spark, path).collect()}
+    assert got[1] == ("ALPHA2", "web") and got[3] == ("GAMMA2", None)

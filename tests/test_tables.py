@@ -456,3 +456,69 @@ def test_scd2_crash_after_append_then_reapply_then_compact(spark, tmp_path, monk
     before = _file_state(path)
     assert tables.scd2_compact(spark, path, "k") == 0
     assert _file_state(path) == before
+
+
+def test_merge_upsert_schema_evolution_semantics(spark):
+    """ops.merge_upsert automerge: source-only columns append (NULL for
+    untouched target rows), target-only columns keep the target value on
+    match and are NULL for inserts; strict mode refuses drifted schemas."""
+    import pytest
+
+    from etl_demo_spark.ops import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "alpha", 10.0), (2, "beta", 20.0)], "id INT, name STRING, bal DOUBLE"
+    )
+    # producer added `chan`, stopped sending `name`
+    source = spark.createDataFrame(
+        [(1, 110.0, "web"), (9, 0.0, "app")], "id INT, bal DOUBLE, chan STRING"
+    )
+    with pytest.raises(ValueError, match="schema_evolution"):
+        merge_upsert(target, source, ["id"])
+
+    got = merge_upsert(target, source, ["id"], schema_evolution=True)
+    assert got.columns == ["id", "name", "bal", "chan"]
+    rows = {r.id: (r.name, r.bal, r.chan) for r in got.collect()}
+    assert rows[1] == ("alpha", 110.0, "web")  # matched: name KEPT, bal/chan from src
+    assert rows[2] == ("beta", 20.0, None)     # untouched: new col NULL
+    assert rows[9] == (None, 0.0, "app")       # insert: target-only col NULL
+
+    # key must exist on both sides
+    with pytest.raises(ValueError, match="key column"):
+        merge_upsert(target.drop("id"), source, ["id"], schema_evolution=True)
+
+
+def test_merge_partitioned_schema_evolution_and_followup(spark, tmp_path):
+    """Swap-mode evolution: the widened schema lands in the affected
+    partition only; a FOLLOW-UP merge with schema_evolution=True must
+    still see the evolved column (mergeSchema sweep) and not drop it."""
+    from etl_demo_spark.io.tables import merge_upsert_partitioned
+
+    path = str(tmp_path / "t")
+    _seed_table(spark, path)
+    before = _file_state(path)
+
+    src1 = spark.createDataFrame(
+        [(1, "ALPHA2", "A", "web")], "id INT, name STRING, seg STRING, chan STRING"
+    )
+    affected = merge_upsert_partitioned(
+        spark, path, src1, ["id"], "seg", schema_evolution=True
+    )
+    assert affected == ["A"]
+    untouched = {k: v for k, v in before.items() if "seg=A" not in k}
+    assert untouched == {k: v for k, v in _file_state(path).items() if "seg=A" not in k}
+
+    # second merge touches B WITHOUT sending chan: A's chan must survive
+    src2 = spark.createDataFrame([(3, "GAMMA2", "B")], "id INT, name STRING, seg STRING")
+    affected = merge_upsert_partitioned(
+        spark, path, src2, ["id"], "seg", schema_evolution=True
+    )
+    assert affected == ["B"]
+
+    got = {
+        r.id: (r.name, r.seg, r.chan)
+        for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
+    }
+    assert got[1] == ("ALPHA2", "A", "web")
+    assert got[3] == ("GAMMA2", "B", None)
+    assert got[2] == ("beta", "A", None) and len(got) == 6
