@@ -6098,6 +6098,181 @@ def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- BPE tokenizer training (bpe.py) ------------------------------------
+# The DuckDB oracle replays the WHOLE training loop in a recursive CTE:
+# words are carried as '|'-double-delimited symbol strings ('|l||o||w||</w>|')
+# so the per-iteration merge is one replace() of '|a||b|' with '|ab|' —
+# each boundary owns two delimiters, which makes SQL replace()'s
+# left-to-right non-overlapping scan EXACTLY the greedy fold the engine
+# applies JVM-side (shared-delimiter overlap, e.g. 'a a a a', rewrites to
+# [aa, aa] in both). The argmax subquery breaks count ties to the
+# lexicographically smallest pair, mirroring bpe_train's orderBy.
+_BPE_K = 20
+_BPE_RECURSION = f"""
+    words AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS w FROM documents
+      ) GROUP BY w
+    ),
+    st(it, word, w, freq) AS (
+      SELECT 0, word,
+             '|' || regexp_replace(word, '(.)', '\\1||', 'g') || '</w>|',
+             freq
+      FROM words
+      UNION ALL
+      SELECT st.it + 1, st.word,
+             replace(st.w, '|' || best.a || '||' || best.b || '|',
+                     '|' || best.a || best.b || '|'),
+             st.freq
+      FROM st, (
+        SELECT syms[i] AS a, syms[i + 1] AS b
+        FROM (SELECT string_split(trim(w, '|'), '||') AS syms, freq FROM st),
+             LATERAL unnest(generate_series(1, len(syms) - 1)) AS t(i)
+        GROUP BY 1, 2
+        ORDER BY SUM(freq) DESC, a, b
+        LIMIT 1
+      ) best
+      WHERE st.it < {_BPE_K}
+    ),
+    final_syms AS (
+      SELECT word, string_split(trim(w, '|'), '||') AS syms, freq
+      FROM st WHERE it = (SELECT MAX(it) FROM st)
+    )
+"""
+
+# one training run per sf_dir per process: the trainer is deterministic,
+# and both BPE queries (symbol table + encoder) consume the same merges
+_BPE_CACHE: dict = {}
+
+
+def _bpe_trained(spark: SparkSession, sf_dir: str):
+    from etl_demo_spark.bpe import bpe_train, word_freqs
+
+    key = str(sf_dir)
+    got = _BPE_CACHE.get(key)
+    if got is None:
+        (documents,) = _t(spark, sf_dir, "documents")
+        merges, final = bpe_train(word_freqs(documents), _BPE_K)
+        got = _BPE_CACHE[key] = (merges, final)
+    return got
+
+
+@query(
+    "bpe_pair_stats",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS w FROM documents
+    ),
+    pairs AS (
+      SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b
+      FROM words, LATERAL unnest(generate_series(1, length(w) - 1)) AS t(i)
+      UNION ALL
+      SELECT substr(w, length(w), 1) AS a, '</w>' AS b FROM words
+    )
+    SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY a, b
+    ORDER BY cnt DESC, a, b LIMIT 20
+    """,
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE iteration-0 statistics (bpe.py `pair_counts`): the 20 most
+    frequent adjacent symbol pairs (chars + word-end marker) over the
+    pre-tokenized corpus, occurrence-weighted. Oracles the pair-count
+    stage the trainer argmaxes every iteration — explode of
+    arrays_zip(slice, slice) vs DuckDB substr/generate_series.
+
+    Scale: the pair table is vocab × avg-word-length rows, NOT corpus
+    tokens — counting runs on the distinct-word frequency table (the
+    Zipf compression the whole trainer rides on)."""
+    from etl_demo_spark.bpe import _initial_symbols, pair_counts, word_freqs
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return (
+        pair_counts(_initial_symbols(word_freqs(documents)))
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
+@query(
+    "bpe_symbol_table",
+    oracle=f"""
+    WITH RECURSIVE {_BPE_RECURSION}
+    SELECT word, array_to_string(syms, ' ') AS tokens, freq
+    FROM final_syms
+    """,
+)
+def bpe_symbol_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE TRAINING, oracled end-to-end (bpe.py
+    `bpe_train`, k={k} merges): the trained per-word symbol table must
+    match a DuckDB recursive CTE that replays every iteration — pair
+    count, count-desc/lexicographic argmax, greedy left-to-right merge
+    rewrite. An exact cross-engine replay of an iterative vocabulary
+    learner; the merge SEQUENCE itself is additionally pinned
+    merge-for-merge against a pure-Python Sennrich reference in
+    tests/test_llm_ops.py.
+
+    Scale: the corpus collapses to (distinct word, freq) once — a
+    lossless sufficient statistic for BPE — and all k iterations run on
+    that table: one small pair-count shuffle + a 1-row argmax collect +
+    a JVM fold rewrite each. Nothing touches the corpus again and
+    nothing per-row leaves the JVM (see bpe.py module docstring)."""
+    merges, final = _bpe_trained(spark, sf_dir)
+    return final.select(
+        "word", F.array_join("symbols", " ").alias("tokens"), "freq"
+    )
+
+
+bpe_symbol_table.__doc__ = bpe_symbol_table.__doc__.format(k=_BPE_K)
+
+
+@query(
+    "bpe_encoded_docs",
+    oracle=f"""
+    WITH RECURSIVE {_BPE_RECURSION},
+    doc_words AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS word
+      FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(SUM(len(f.syms)) AS BIGINT) AS n_bpe_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_words
+    FROM doc_words d JOIN final_syms f USING (word)
+    GROUP BY d.doc_id
+    """,
+)
+def bpe_encoded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING oracled against the trained table: every document
+    tokenized with the learned merges (bpe.py `bpe_encode`, the GPT-2
+    rank-loop pandas UDF), summarized as tokens-per-doc. Because every
+    corpus word was in the training vocabulary, the encoder's output
+    for each word must equal the trainer's final symbol sequence — so
+    the DuckDB side needs no encoder at all: it joins doc words to the
+    recursive CTE's final table. A disagreement anywhere in the
+    Arrow-batched apply loop (rank order, overlap handling, word cache)
+    breaks the hash.
+
+    Scale: encode is a shuffle-free map stage; the per-batch word cache
+    makes it O(distinct words per batch), and the merge list broadcasts
+    in the closure. Docs with zero [a-z] words are excluded on both
+    sides (inner-join semantics)."""
+    from etl_demo_spark.bpe import bpe_encode
+
+    merges, _ = _bpe_trained(spark, sf_dir)
+    (documents,) = _t(spark, sf_dir, "documents")
+    enc = bpe_encode(documents, merges)
+    return (
+        enc.filter(F.size("bpe_tokens") > 0)
+        .select(
+            "doc_id",
+            F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.expr(f"size(regexp_extract_all(text, '[a-z]+', 0))")
+            .cast("long")
+            .alias("n_words"),
+        )
+    )
+
+
 @query(
     "doc_pii_scrub",
     oracle="""

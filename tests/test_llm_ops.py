@@ -1224,3 +1224,123 @@ def test_clustered_fixture_recall(spark):
         assert [r["embedding"] for r in a] == [r["embedding"] for r in b]
     finally:
         cl.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (bpe.py)
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe_train(word_freqs: dict, k: int):
+    """From-scratch Sennrich BPE: pair counts over (word, freq), merge the
+    most frequent pair (ties → lexicographically smallest), greedy
+    left-to-right non-overlapping apply. The exactness bar for bpe_train."""
+    from etl_demo_spark.bpe import END
+
+    vocab = {w: list(w) + [END] for w in word_freqs}
+    merges = []
+    for _ in range(k):
+        counts: dict = {}
+        for w, syms in vocab.items():
+            f = word_freqs[w]
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def _ref_apply(word: str, merges) -> list:
+    from etl_demo_spark.bpe import END
+
+    syms = list(word) + [END]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+BPE_CORPUS = {
+    # overlap adversaries: greedy left-to-right must pair (1,2)(3,4), not (2,3)
+    "aaaa": 11, "aaa": 7, "aa": 5, "ababab": 9, "abab": 4,
+    # realistic morphology: shared suffixes/prefixes at varied frequencies
+    "lowest": 6, "newest": 6, "widest": 3, "low": 5, "lower": 2, "new": 4,
+    "newer": 3, "wide": 2, "wider": 1, "test": 8, "tests": 5, "tested": 3,
+    "testing": 4, "retest": 1, "rest": 6, "rests": 2, "resting": 1,
+    "ingest": 2, "invest": 3, "investing": 2, "string": 4, "strings": 2,
+    # tie-bait: equal-count pairs force the lexicographic tie-break
+    "xy": 3, "yx": 3, "xz": 3, "zx": 3, "q": 2,
+}
+
+
+def test_bpe_train_matches_reference_exactly(spark):
+    from etl_demo_spark.bpe import bpe_train
+
+    words = spark.createDataFrame(
+        list(BPE_CORPUS.items()), "word STRING, freq LONG"
+    )
+    # k=40 crosses several checkpoint boundaries (checkpoint_every=8) and
+    # runs past pair exhaustion on the small corpus → early-stop path too
+    merges, final = bpe_train(words, 40, checkpoint_every=8)
+    ref_merges, ref_vocab = _ref_bpe_train(BPE_CORPUS, 40)
+    assert merges == ref_merges
+    got = {r.word: list(r.symbols) for r in final.collect()}
+    assert got == ref_vocab
+
+
+def test_bpe_encode_matches_sequential_apply_incl_unseen(spark):
+    from etl_demo_spark.bpe import bpe_encode, bpe_train
+
+    words = spark.createDataFrame(
+        list(BPE_CORPUS.items()), "word STRING, freq LONG"
+    )
+    merges, _ = bpe_train(words, 25)
+    # seen words, an UNSEEN word built from trained subunits (rank-loop
+    # apply must equal in-order sequential apply), punctuation/whitespace
+    docs = spark.createDataFrame(
+        [
+            (1, "the lowest tests keep testing aaaa ababab"),
+            (2, "unseen lowestest retesting xyq!  zx--aaab"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id INT, text STRING",
+    )
+    got = {r.doc_id: list(r.bpe_tokens) for r in bpe_encode(docs, merges).collect()}
+    import re
+
+    for doc_id, text in [(1, "the lowest tests keep testing aaaa ababab"),
+                         (2, "unseen lowestest retesting xyq!  zx--aaab")]:
+        expect = []
+        for w in re.findall("[a-z]+", text):
+            expect.extend(_ref_apply(w, merges))
+        assert got[doc_id] == expect, doc_id
+    assert got[3] == [] and got[4] == []
+
+
+def test_bpe_pair_counts_weighted(spark):
+    from etl_demo_spark.bpe import _initial_symbols, pair_counts
+
+    words = spark.createDataFrame([("ab", 3), ("b", 2)], "word STRING, freq LONG")
+    got = {(r.a, r.b): r.cnt for r in pair_counts(_initial_symbols(words)).collect()}
+    assert got == {("a", "b"): 3, ("b", "</w>"): 5}
