@@ -6098,6 +6098,57 @@ def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_delete_partitioned",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           c_acctbal, c_mktsegment
+    FROM customer
+    WHERE NOT (c_custkey % 13 = 0 AND c_mktsegment = 'AUTOMOBILE')
+    """,
+)
+def customer_delete_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped DELETE-by-key (io/tables.py
+    `delete_keys_partitioned`): the GDPR/right-to-erasure shape — a key
+    list is removed from a partitioned table by rewriting ONLY the
+    partitions that contain a matched key (blast radius asserted:
+    ['AUTOMOBILE']; untouched-partition byte-identity and the
+    drained-partition directory removal are pinned in
+    tests/test_tables.py). The oracle is the logical anti-join over the
+    whole table — physical scoping must not change the answer.
+
+    Scale: a few thousand erasure keys against a 100 TB table cost one
+    key semi-join for discovery (AQE broadcasts the key set), a pruned
+    read, one anti-join, and a write bounded by the partitions the keys
+    actually live in — never a full rewrite. Cite: reference
+    `etl_weekly_trades.py` has no delete path at all (append-only
+    SQLite)."""
+    import tempfile
+
+    from etl_demo_spark.io.tables import delete_keys_partitioned
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    target_path = tempfile.mkdtemp(prefix="delete_part_") + "/customer"
+    customer.select(cols).write.partitionBy("c_mktsegment").parquet(target_path)
+
+    erase = customer.filter(
+        (F.col("c_custkey") % 13 == 0) & (F.col("c_mktsegment") == "AUTOMOBILE")
+    ).select("c_custkey")
+    affected = delete_keys_partitioned(
+        spark, target_path, erase, ["c_custkey"], "c_mktsegment"
+    )
+    assert affected == ["AUTOMOBILE"], affected
+    remaining = spark.read.parquet(target_path)
+    return remaining.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "c_acctbal",
+        F.col("c_mktsegment").cast("string").alias("c_mktsegment"),
+    )
+
+
 # ---- BPE tokenizer training (bpe.py) ------------------------------------
 # The DuckDB oracle replays the WHOLE training loop in a recursive CTE:
 # words are carried as '|'-double-delimited symbol strings ('|l||o||w||</w>|')

@@ -308,6 +308,86 @@ def _gc(fs, jvm, root: str, keep_versions: list[int]) -> None:
             )
 
 
+def delete_keys_manifested(
+    spark: SparkSession,
+    target_path: str,
+    keys_df: DataFrame,
+    keys: list[str],
+    partition_cols,
+    fmt: str = "parquet",
+) -> list:
+    """DELETE-by-key with snapshot-manifest publication: the manifested
+    twin of `tables.delete_keys_partitioned`. New version subdirs are
+    written for the partitions that contained a matched key (a fully
+    drained partition simply drops out of the new manifest), and the
+    deletion becomes visible in one atomic pointer commit — a racing
+    reader sees the table entirely before or entirely after the erasure,
+    which is exactly the auditability a right-to-erasure job wants.
+    Retention note: the superseded version subdirs (still holding the
+    deleted rows) survive until a later commit's GC — run a follow-up
+    commit (or trim retention) when erasure must become physical."""
+    cols = _normalize_partition_cols(partition_cols)
+    single = isinstance(partition_cols, str) or len(cols) == 1
+    root = target_path.rstrip("/")
+    fs, jvm = _hadoop_fs(spark, root)
+
+    doc = _load_doc(fs, jvm, root)
+    cur_version, mapping = doc["version"], doc["partitions"]
+    new_version = cur_version + 1
+    keep = [v for v in _list_manifest_versions(fs, jvm, root)][-_RETAIN:]
+    _gc(fs, jvm, root, keep)
+    if not mapping:
+        return []
+
+    target = read_manifested(
+        spark, root, fmt, pin_partition_strings=True, partition_cols=cols
+    )
+    key_set = keys_df.select(*keys).distinct()
+    affected = [
+        tuple(r)
+        for r in target.join(key_set, keys, "left_semi")
+        .select(*cols)
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return []
+
+    remaining = target.filter(_partition_filter(cols, affected)).join(
+        key_set, keys, "left_anti"
+    )
+    for c in cols:
+        remaining = remaining.withColumn(c, F.col(c).cast("string"))
+    staging = root + ".__manifest_staging__"
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    remaining.write.mode("overwrite").partitionBy(*cols).format(fmt).save(staging)
+
+    new_mapping = dict(mapping)
+    for values in affected:
+        rel = _part_rel(cols, values)
+        staged = jvm.org.apache.hadoop.fs.Path(f"{staging}/{rel}")
+        if fs.exists(staged):
+            vrel = f"{rel}/{_vdir(new_version)}"
+            dest = f"{root}/{vrel}"
+            _mkdirs_parent(fs, jvm, dest)
+            fs.rename(staged, jvm.org.apache.hadoop.fs.Path(dest))
+            new_mapping[rel] = vrel
+        else:  # every row deleted — the leaf leaves the snapshot
+            new_mapping.pop(rel, None)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+
+    new_doc = {"version": new_version, "partitions": new_mapping}
+    if doc.get("schema") is not None:
+        new_doc["schema"] = doc["schema"]  # deletion never changes schema
+    _write_file_atomic(
+        fs,
+        jvm,
+        _manifest_path(root, new_version),
+        json.dumps(new_doc, indent=1).encode(),
+    )
+    return [values[0] for values in affected] if single else affected
+
+
 def merge_upsert_manifested(
     spark: SparkSession,
     target_path: str,

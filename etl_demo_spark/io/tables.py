@@ -221,6 +221,66 @@ def _swap_partitions(
     fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
 
+def delete_keys_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    keys_df: DataFrame,
+    keys: list[str],
+    partition_cols,
+    fmt: str = "parquet",
+) -> list:
+    """DELETE the rows whose key appears in ``keys_df`` from a
+    partitioned table, rewriting ONLY the partitions that contain a
+    matched key — the GDPR/right-to-erasure shape: a few thousand keys
+    against a 100 TB table must not become a 100 TB rewrite.
+
+    Same staging-swap protocol and crash contract as the MERGE above
+    (recovery sweep on entry, retire-and-replace, drained partitions
+    retired with the ``.done`` pen marker so recovery never resurrects
+    deleted rows). Affected discovery is the key semi-join only — unlike
+    MERGE there is no insert side, so untouched partitions are exactly
+    those holding none of the keys. Returns the partitions rewritten
+    (bare values for single-column layouts, tuples for multi-level).
+
+    Scale: one key-projected semi-join for discovery (AQE broadcasts
+    small key sets), a pruned read of the affected partitions, one
+    anti-join, and a write bounded by the affected slice. Deleting every
+    row of a partition removes its directory."""
+    cols = _normalize_partition_cols(partition_cols)
+    single = isinstance(partition_cols, str) or len(cols) == 1
+
+    staging = target_path.rstrip("/") + ".__merge_staging__"
+    fs, jvm = _hadoop_fs(spark, target_path)
+    _recover_staging(fs, jvm, target_path, staging, depth=len(cols))
+
+    target = _read_raw_partitions(spark, target_path, fmt, cols)
+    key_set = keys_df.select(*keys).distinct()
+    affected = [
+        tuple(r)
+        for r in target.join(key_set, keys, "left_semi")
+        .select(*cols)
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return []
+
+    remaining = target.filter(_partition_filter(cols, affected)).join(
+        key_set, keys, "left_anti"
+    )
+    for c in cols:
+        remaining = remaining.withColumn(c, F.col(c).cast("string"))
+    remaining.write.mode("overwrite").partitionBy(*cols).format(fmt).save(staging)
+    _swap_partitions(
+        fs,
+        jvm,
+        target_path,
+        staging,
+        [_part_rel(cols, values) for values in affected],
+    )
+    return [values[0] for values in affected] if single else affected
+
+
 def affected_partitions(
     target: DataFrame, source: DataFrame, keys: list[str], partition_cols
 ) -> list[tuple]:

@@ -292,3 +292,38 @@ def test_manifest_schema_evolution_atomic_and_time_travel(spark, tmp_path):
     )
     got = {r.id: (r.name, r.chan) for r in read_manifested(spark, path).collect()}
     assert got[1] == ("ALPHA2", "web") and got[3] == ("GAMMA2", None)
+
+
+def test_manifest_delete_keys_atomic_and_drains_leaf(spark, tmp_path):
+    from etl_demo_spark.io.manifest import (
+        delete_keys_manifested,
+        load_manifest,
+        manifest_init,
+        read_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)  # (d1,A):{1} (d1,B):{2} (d2,A):{3} (d2,B):{4}
+    manifest_init(spark, path, ["dt", "seg"])
+
+    erase = spark.createDataFrame([(1,), (99,)], "id INT")
+    affected = delete_keys_manifested(spark, path, erase, ["id"], ["dt", "seg"])
+    assert affected == [("d1", "A")]
+
+    version, mapping = load_manifest(spark, path)
+    assert version == 2
+    assert "dt=d1/seg=A" not in mapping  # drained leaf left the snapshot
+    assert mapping["dt=d1/seg=B"].endswith("__v0000000001")  # untouched
+
+    got = {r.id for r in read_manifested(spark, path).collect()}
+    assert got == {2, 3, 4}
+    # time travel still reads the pre-delete snapshot (erasure is logical
+    # until retention GC — documented)
+    v1 = {r.id for r in read_manifested(spark, path, version=1).collect()}
+    assert v1 == {1, 2, 3, 4}
+
+    # no matched keys → no new version
+    assert delete_keys_manifested(
+        spark, path, spark.createDataFrame([(123,)], "id INT"), ["id"], ["dt", "seg"]
+    ) == []
+    assert load_manifest(spark, path)[0] == 2

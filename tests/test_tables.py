@@ -522,3 +522,47 @@ def test_merge_partitioned_schema_evolution_and_followup(spark, tmp_path):
     assert got[1] == ("ALPHA2", "A", "web")
     assert got[3] == ("GAMMA2", "B", None)
     assert got[2] == ("beta", "A", None) and len(got) == 6
+
+
+def test_delete_keys_partitioned_scoped_and_drains(spark, tmp_path):
+    """DELETE-by-key: rewrites only partitions holding a matched key,
+    removes a fully-drained partition's directory, returns the blast
+    radius; untouched partitions stay byte-identical."""
+    from etl_demo_spark.io.tables import delete_keys_partitioned
+
+    path = str(tmp_path / "t")
+    _seed_table(spark, path)  # A:{1,2} B:{3,4} C:{5} D:{6}
+    before = _file_state(path)
+
+    erase = spark.createDataFrame([(1,), (5,), (77,)], "id INT")
+    affected = delete_keys_partitioned(spark, path, erase, ["id"], "seg")
+    assert sorted(affected) == ["A", "C"]
+
+    got = {r.id: r.seg for r in spark.read.parquet(path).collect()}
+    assert got == {2: "A", 3: "B", 4: "B", 6: "D"}
+    # C fully drained → directory gone; B and D byte-identical
+    import os
+
+    assert not os.path.isdir(os.path.join(path, "seg=C"))
+    untouched = {k: v for k, v in before.items() if "seg=B" in k or "seg=D" in k}
+    assert untouched == {
+        k: v for k, v in _file_state(path).items() if "seg=B" in k or "seg=D" in k
+    }
+
+    # no matched keys → no-op, nothing rewritten
+    state = _file_state(path)
+    assert delete_keys_partitioned(
+        spark, path, spark.createDataFrame([(123,)], "id INT"), ["id"], "seg"
+    ) == []
+    assert _file_state(path) == state
+
+
+def test_delete_keys_two_level(spark, tmp_path):
+    from etl_demo_spark.io.tables import delete_keys_partitioned
+
+    path = str(tmp_path / "t")
+    _seed_two_level(spark, path)
+    erase = spark.createDataFrame([(1,)], "id INT")
+    affected = delete_keys_partitioned(spark, path, erase, ["id"], ["dt", "seg"])
+    assert len(affected) == 1 and isinstance(affected[0], tuple)
+    assert 1 not in {r.id for r in spark.read.parquet(path).collect()}
