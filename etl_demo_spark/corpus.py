@@ -6099,6 +6099,61 @@ def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_update_partitioned",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 5.0
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderstatus = 'P' THEN 'F'
+                ELSE o_orderstatus END AS o_orderstatus
+    FROM orders
+    """,
+)
+def orders_update_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped UPDATE ... SET ... WHERE (io/tables.py
+    `update_where_partitioned`) in its hardest shape: the assignment
+    SETS THE PARTITION COLUMN (the status-transition bulk update —
+    every pending order finalizes with a fee). The blast radius is
+    source ∪ destination partitions (asserted ['F','P']); the drained
+    source partition's directory is removed, moved rows land in their
+    new directory, and the oracle is the logical CASE-WHEN over the
+    whole table — physical scoping and the directory moves must not
+    change the answer.
+
+    Scale: discovery pushes the predicate to the parquet scan
+    (PushedFilters), the rewrite touches the two affected partitions
+    only, and the update itself is one CASE-WHEN projection — no join
+    at all, unlike the MERGE path an UPDATE is often shoehorned into."""
+    import tempfile
+
+    from etl_demo_spark.io.tables import update_where_partitioned
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    t = orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    target_path = tempfile.mkdtemp(prefix="update_part_") + "/orders"
+    t.write.partitionBy("o_orderstatus").parquet(target_path)
+
+    affected = update_where_partitioned(
+        spark,
+        target_path,
+        {
+            "o_totalprice": F.col("o_totalprice") + F.lit(5.0),
+            "o_orderstatus": F.lit("F"),
+        },
+        F.col("o_orderstatus") == "P",
+        "o_orderstatus",
+    )
+    assert sorted(affected) == ["F", "P"], affected
+    updated = spark.read.parquet(target_path)
+    return updated.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+    )
+
+
+@query(
     "customer_delete_partitioned",
     oracle="""
     SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,

@@ -308,6 +308,28 @@ def _gc(fs, jvm, root: str, keep_versions: list[int]) -> None:
             )
 
 
+def manifest_expire(spark: SparkSession, root: str, keep: int = 1) -> list[int]:
+    """Expire old snapshots NOW: keep the newest ``keep`` manifests,
+    delete every older manifest and every version subdir only they
+    reference. This is the snapshot-expiry maintenance op (VACUUM): run
+    it after `delete_keys_manifested` when a right-to-erasure request
+    must become PHYSICAL deletion rather than waiting for a later
+    commit's retention GC — with ``keep=1`` the deleted rows' bytes are
+    gone when it returns. It also shrinks the time-travel window to the
+    kept versions, and any reader still resolving an expired manifest
+    mid-scan can fail — same in-flight-reader grace trade-off every
+    snapshot format's expire operation has. Returns the versions kept."""
+    if keep < 1:
+        raise ValueError("manifest_expire: keep must be >= 1")
+    fs, jvm = _hadoop_fs(spark, root)
+    versions = _list_manifest_versions(fs, jvm, root)
+    if not versions:
+        raise FileNotFoundError(f"no manifest under {root}/{_MANIFEST_DIR}")
+    kept = versions[-keep:]
+    _gc(fs, jvm, root, kept)
+    return kept
+
+
 def delete_keys_manifested(
     spark: SparkSession,
     target_path: str,

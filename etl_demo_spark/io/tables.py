@@ -281,6 +281,89 @@ def delete_keys_partitioned(
     return [values[0] for values in affected] if single else affected
 
 
+def update_where_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    assignments: dict,
+    predicate,
+    partition_cols,
+    fmt: str = "parquet",
+) -> list:
+    """UPDATE ... SET ... WHERE on a partitioned table, rewriting only
+    the partitions involved — completing the DML triad (MERGE above,
+    DELETE above, UPDATE here) on plain parquet.
+
+    ``assignments`` maps column name → Column expression (evaluated
+    against the matched row); ``predicate`` is a Column. Assignments MAY
+    set a partition column (the status-transition shape: move every
+    matched row from ``seg=OPEN`` to ``seg=CLOSED``): the blast radius
+    is then source partitions (rows matching the predicate) ∪
+    destination partitions (the matched rows AFTER assignment), rows
+    land in their new directory, and a drained source partition's
+    directory is removed. Same staging-swap protocol and crash contract
+    as the MERGE; returns the partitions rewritten.
+
+    Scale: discovery is one predicate-filtered scan projected to the
+    partition columns (the predicate reaches the parquet footers —
+    PushedFilters — so partitions with no candidate row-groups are
+    barely touched), then a pruned read + a single CASE-WHEN projection
+    over the affected slice. Write cost is the affected partitions, not
+    the table."""
+    cols = _normalize_partition_cols(partition_cols)
+    single = isinstance(partition_cols, str) or len(cols) == 1
+
+    staging = target_path.rstrip("/") + ".__merge_staging__"
+    fs, jvm = _hadoop_fs(spark, target_path)
+    _recover_staging(fs, jvm, target_path, staging, depth=len(cols))
+
+    target = _read_raw_partitions(spark, target_path, fmt, cols)
+    unknown = [c for c in assignments if c not in target.columns]
+    if unknown:
+        raise ValueError(
+            f"update_where_partitioned: assigned columns {unknown} not in table "
+            f"schema {target.columns} (UPDATE cannot add columns — use a "
+            "schema-evolving MERGE for that)"
+        )
+    matched = target.filter(predicate)
+    src_parts = matched.select(*cols).distinct()
+    moved = matched
+    for c, expr in assignments.items():
+        moved = moved.withColumn(c, expr)
+    if any(c in assignments for c in cols):
+        # partition values come from a computed expression now — pin them
+        # back to the on-disk string space the swap targets
+        for c in cols:
+            moved = moved.withColumn(c, F.col(c).cast("string"))
+        dst_parts = moved.select(*cols).distinct()
+        part_space = src_parts.union(dst_parts).distinct()
+    else:
+        part_space = src_parts
+    affected = [tuple(r) for r in part_space.collect()]
+    if not affected:
+        return []
+
+    scoped = target.filter(_partition_filter(cols, affected))
+    updated = scoped.select(
+        *[
+            F.when(predicate, assignments[c]).otherwise(F.col(c)).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in target.columns
+        ]
+    )
+    for c in cols:
+        updated = updated.withColumn(c, F.col(c).cast("string"))
+    updated.write.mode("overwrite").partitionBy(*cols).format(fmt).save(staging)
+    _swap_partitions(
+        fs,
+        jvm,
+        target_path,
+        staging,
+        [_part_rel(cols, values) for values in affected],
+    )
+    return [values[0] for values in affected] if single else affected
+
+
 def affected_partitions(
     target: DataFrame, source: DataFrame, keys: list[str], partition_cols
 ) -> list[tuple]:

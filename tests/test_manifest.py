@@ -327,3 +327,35 @@ def test_manifest_delete_keys_atomic_and_drains_leaf(spark, tmp_path):
         spark, path, spark.createDataFrame([(123,)], "id INT"), ["id"], ["dt", "seg"]
     ) == []
     assert load_manifest(spark, path)[0] == 2
+
+
+def test_manifest_expire_makes_erasure_physical(spark, tmp_path):
+    import glob
+
+    from etl_demo_spark.io.manifest import (
+        delete_keys_manifested,
+        manifest_expire,
+        manifest_init,
+        manifest_versions,
+        read_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    manifest_init(spark, path, ["dt", "seg"])
+    delete_keys_manifested(
+        spark, path, spark.createDataFrame([(1,)], "id INT"), ["id"], ["dt", "seg"]
+    )
+    # logically deleted, physically retained (time travel still sees it)
+    assert {r.id for r in read_manifested(spark, path, version=1).collect()} == {1, 2, 3, 4}
+    v1_files = glob.glob(f"{path}/dt=d1/seg=A/__v0000000001/*.parquet")
+    assert v1_files
+
+    kept = manifest_expire(spark, path, keep=1)
+    assert kept == [2] and manifest_versions(spark, path) == [2]
+    assert not glob.glob(f"{path}/dt=d1/seg=A/__v0000000001/*")  # bytes gone
+    assert {r.id for r in read_manifested(spark, path).collect()} == {2, 3, 4}
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_manifested(spark, path, version=1)

@@ -566,3 +566,66 @@ def test_delete_keys_two_level(spark, tmp_path):
     affected = delete_keys_partitioned(spark, path, erase, ["id"], ["dt", "seg"])
     assert len(affected) == 1 and isinstance(affected[0], tuple)
     assert 1 not in {r.id for r in spark.read.parquet(path).collect()}
+
+
+def test_update_where_partitioned_moves_and_drains(spark, tmp_path):
+    """UPDATE setting the partition column: matched rows move to the
+    destination directory, the drained source partition disappears,
+    untouched partitions stay byte-identical, non-matched rows in the
+    destination partition are preserved unmodified."""
+    import os
+
+    from etl_demo_spark.io.tables import update_where_partitioned
+
+    path = str(tmp_path / "t")
+    _seed_table(spark, path)  # A:{1,2} B:{3,4} C:{5} D:{6}
+    before = _file_state(path)
+
+    affected = update_where_partitioned(
+        spark,
+        path,
+        {"name": F.upper(F.col("name")), "seg": F.lit("B")},
+        F.col("seg") == "C",
+        "seg",
+    )
+    assert sorted(affected) == ["B", "C"]
+
+    got = {r.id: (r.name, r.seg) for r in spark.read.parquet(path).collect()}
+    assert got[5] == ("EPSILON", "B")  # moved + transformed
+    assert got[3] == ("gamma", "B") and got[4] == ("delta", "B")  # preserved
+    assert not os.path.isdir(os.path.join(path, "seg=C"))  # drained
+    untouched = {k: v for k, v in before.items() if "seg=A" in k or "seg=D" in k}
+    assert untouched == {
+        k: v for k, v in _file_state(path).items() if "seg=A" in k or "seg=D" in k
+    }
+
+
+def test_update_where_partitioned_non_partition_assignment(spark, tmp_path):
+    from etl_demo_spark.io.tables import update_where_partitioned
+
+    path = str(tmp_path / "t")
+    _seed_table(spark, path)
+    before = _file_state(path)
+    affected = update_where_partitioned(
+        spark, path, {"name": F.lit("X")}, F.col("id") == 3, "seg"
+    )
+    assert affected == ["B"]
+    got = {r.id: r.name for r in spark.read.parquet(path).collect()}
+    assert got[3] == "X" and got[4] == "delta" and got[1] == "alpha"
+    untouched = {k: v for k, v in before.items() if "seg=B" not in k}
+    assert untouched == {
+        k: v for k, v in _file_state(path).items() if "seg=B" not in k
+    }
+
+    # unknown assigned column refuses loudly; nothing matched is a no-op
+    import pytest
+
+    with pytest.raises(ValueError, match="cannot add columns"):
+        update_where_partitioned(
+            spark, path, {"nope": F.lit(1)}, F.col("id") == 1, "seg"
+        )
+    state = _file_state(path)
+    assert update_where_partitioned(
+        spark, path, {"name": F.lit("Y")}, F.col("id") == 999, "seg"
+    ) == []
+    assert _file_state(path) == state
