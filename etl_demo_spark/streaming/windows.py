@@ -144,6 +144,8 @@ def run_stream_cdc_upsert(
     partition_col: str,
     checkpoint_dir: str,
     order_col: str | None = None,
+    op_col: str | None = None,
+    delete_op: str = "D",
 ) -> None:
     """Streaming CDC upsert sink: every micro-batch MERGEs into a
     partitioned parquet table via the partition-scoped merge
@@ -152,6 +154,16 @@ def run_stream_cdc_upsert(
     CHANGE footprint, not table size. This is the streaming half of the
     lakehouse-style upsert pipeline: a CDC feed lands continuously while
     the table stays point-readable with pruned partitions.
+
+    ``op_col`` turns on TOMBSTONE handling (the Debezium-style op field
+    every real CDC feed carries): after per-key last-wins collapse, a
+    key whose final event is ``delete_op`` is DELETED from the table
+    (`io.tables.delete_keys_partitioned` — same partition scoping), any
+    other final event upserts; the op column itself never lands in the
+    table. A delete for an absent key is a no-op, so replays stay
+    idempotent. Within one batch the upsert and delete key sets are
+    disjoint by construction (only each key's last event survives), so
+    apply order cannot matter.
 
     Semantics per batch: one surviving row per key — last-wins by
     ``order_col`` (the CDC sequence/LSN column every real feed carries;
@@ -164,7 +176,10 @@ def run_stream_cdc_upsert(
     source-wins is idempotent, so exactly-once lands on the checkpoint's
     at-least-once delivery. The first batch against an empty/missing
     target bootstraps the partitioned layout."""
-    from etl_demo_spark.io.tables import merge_upsert_partitioned
+    from etl_demo_spark.io.tables import (
+        delete_keys_partitioned,
+        merge_upsert_partitioned,
+    )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -177,15 +192,27 @@ def run_stream_cdc_upsert(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+        deletes = None
+        if op_col is not None:
+            deletes = last.filter(F.col(op_col) == delete_op).select(*keys)
+            last = last.filter(F.col(op_col) != delete_op).drop(op_col)
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(target_path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         if not fs.exists(hpath):
-            last.write.partitionBy(partition_col).parquet(target_path)
+            # bootstrap: deletes against a not-yet-existing table are
+            # no-ops; an all-tombstone first batch must not create an
+            # empty layout the next merge's schema read would choke on
+            if op_col is None or not last.isEmpty():
+                last.write.partitionBy(partition_col).parquet(target_path)
         else:
             merge_upsert_partitioned(
                 spark, target_path, last, keys, partition_col
             )
+            if deletes is not None:
+                delete_keys_partitioned(
+                    spark, target_path, deletes, keys, partition_col
+                )
 
     q = (
         stream_df.writeStream.foreachBatch(apply_batch)

@@ -594,3 +594,61 @@ def test_replay_log_growth_resumes_into_cdc_upsert(spark, tmp_path):
         1: "alpha3", 2: "beta", 3: "gamma"
     }
     assert files("seg=B") == b_before  # untouched partition: same bytes
+
+
+def test_stream_cdc_tombstones_delete_and_replay_idempotent(spark, tmp_path):
+    """CDC with a Debezium-style op column: a key whose LAST batch event
+    is the tombstone is deleted (earlier same-batch upserts ignored), a
+    key whose tombstone precedes a later upsert survives, the op column
+    never lands in the table, and replaying the whole feed from a fresh
+    checkpoint converges to the same table (idempotency)."""
+    from etl_demo_spark.streaming.windows import run_stream_cdc_upsert
+
+    target = str(tmp_path / "dim")
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    schema = "id INT, name STRING, seg STRING, seq LONG, op STRING"
+
+    spark.createDataFrame(
+        [(1, "alpha", "A", 1, "U"), (2, "beta", "B", 2, "U"), (3, "gamma", "C", 3, "U")],
+        schema,
+    ).coalesce(1).write.parquet(str(inbox / "b0"))
+    stream = spark.readStream.schema(schema).parquet(str(inbox / "*"))
+    run_stream_cdc_upsert(
+        stream, target, ["id"], "seg", str(tmp_path / "ck1"),
+        order_col="seq", op_col="op",
+    )
+    assert {r.id for r in spark.read.parquet(target).collect()} == {1, 2, 3}
+    assert "op" not in spark.read.parquet(target).columns
+
+    # batch 2: id1 upsert-then-tombstone (→ deleted), id2 tombstone-then-
+    # upsert (→ survives updated), id4 inserted
+    spark.createDataFrame(
+        [
+            (1, "ALPHA2", "A", 10, "U"), (1, None, "A", 11, "D"),
+            (2, None, "B", 12, "D"), (2, "BETA2", "B", 13, "U"),
+            (4, "delta", "A", 14, "U"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(inbox / "b1"))
+    stream = spark.readStream.schema(schema).parquet(str(inbox / "*"))
+    run_stream_cdc_upsert(
+        stream, target, ["id"], "seg", str(tmp_path / "ck1"),
+        order_col="seq", op_col="op",
+    )
+    got = {r.id: (r.name, r.seg) for r in spark.read.parquet(target).collect()}
+    assert got == {2: ("BETA2", "B"), 3: ("gamma", "C"), 4: ("delta", "A")}
+    import os
+
+    assert not os.path.isdir(os.path.join(target, "seg=A")) or got  # A holds id4
+    assert got[4] == ("delta", "A")
+
+    # full replay from a FRESH checkpoint over the same inbox → same table
+    target2 = str(tmp_path / "dim2")
+    stream = spark.readStream.schema(schema).parquet(str(inbox / "*"))
+    run_stream_cdc_upsert(
+        stream, target2, ["id"], "seg", str(tmp_path / "ck2"),
+        order_col="seq", op_col="op",
+    )
+    got2 = {r.id: (r.name, r.seg) for r in spark.read.parquet(target2).collect()}
+    assert got2 == got
