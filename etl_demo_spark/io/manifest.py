@@ -308,6 +308,111 @@ def _gc(fs, jvm, root: str, keep_versions: list[int]) -> None:
             )
 
 
+def compact_manifested(
+    spark: SparkSession,
+    root: str,
+    fmt: str = "parquet",
+    target_file_bytes: int = 256 * 1024 * 1024,
+    min_files: int = 2,
+) -> list[str]:
+    """OPTIMIZE for a manifested table: rewrite every leaf holding at
+    least ``min_files`` data files into ~``target_file_bytes`` outputs,
+    published as new version subdirs in one atomic manifest commit — no
+    logical change, readers never see a half-compacted table, and a
+    crash before the commit leaves only GC-able orphans. Leaves already
+    compact are not rewritten (their version subdirs carry over), so
+    repeated runs converge to a no-op. Returns the leaf rels compacted.
+
+    This is the maintenance companion to the streaming CDC sink: every
+    micro-batch merge writes at least one file per touched leaf, so a
+    long-lived feed accretes small files; compaction restores scan
+    efficiency without pausing ingest beyond the single-writer rule.
+
+    Scale: ONE Spark job for all compacted leaves — the read is pruned
+    to them, rows are repartitioned on (partition cols + a per-leaf
+    shard id sized from the leaf's on-disk bytes), so each output leaf
+    gets ceil(bytes/target) writer tasks → that many files, and a
+    10k-file day compacts in one shuffle instead of 10k driver-side
+    jobs. File listing is manifest-resolved (no directory walk of
+    superseded versions)."""
+    cols = None  # derived from the leaf rels below
+    roots = root.rstrip("/")
+    fs, jvm = _hadoop_fs(spark, roots)
+    doc = _load_doc(fs, jvm, roots)
+    mapping = doc["partitions"]
+    if not mapping:
+        return []
+    # partition columns from any leaf rel: 'dt=d1/seg=A' → ['dt','seg']
+    cols = [seg.split("=", 1)[0] for seg in next(iter(mapping)).split("/")]
+
+    # per-leaf file inventory through the manifest (current versions only)
+    stats: dict[str, tuple[int, int]] = {}
+    for rel, vrel in mapping.items():
+        n, nbytes = 0, 0
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{roots}/{vrel}")):
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith(("_", ".")):
+                n += 1
+                nbytes += st.getLen()
+        stats[rel] = (n, nbytes)
+    to_compact = {
+        rel: max(1, -(-nbytes // target_file_bytes))
+        for rel, (n, nbytes) in stats.items()
+        if n >= min_files
+    }
+    if not to_compact:
+        return []
+
+    new_version = doc["version"] + 1
+    keep = [v for v in _list_manifest_versions(fs, jvm, roots)][-_RETAIN:]
+    _gc(fs, jvm, roots, keep)
+
+    values = [tuple(rel_to) for rel_to in (
+        tuple(seg.split("=", 1)[1] for seg in rel.split("/")) for rel in to_compact
+    )]
+    scoped = read_manifested(
+        spark, roots, fmt, pin_partition_strings=True, partition_cols=cols
+    ).filter(_partition_filter(cols, values))
+    shards = spark.createDataFrame(
+        [tuple(v) + (n,) for v, n in zip(values, to_compact.values())],
+        ", ".join(f"{c} STRING" for c in cols) + ", __n_shards INT",
+    )
+    packed = (
+        scoped.join(F.broadcast(shards), cols)
+        .withColumn(
+            "__shard",
+            F.pmod(F.hash(F.struct(*[c for c in scoped.columns])), F.col("__n_shards")),
+        )
+        .repartition(*cols, "__shard")
+        .drop("__n_shards", "__shard")
+    )
+    staging = roots + ".__manifest_staging__"
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    packed.write.mode("overwrite").partitionBy(*cols).format(fmt).save(staging)
+
+    new_mapping = dict(mapping)
+    for rel in to_compact:
+        staged = jvm.org.apache.hadoop.fs.Path(f"{staging}/{rel}")
+        if not fs.exists(staged):
+            continue  # empty leaf cannot occur via to_compact, but be safe
+        vrel = f"{rel}/{_vdir(new_version)}"
+        _mkdirs_parent(fs, jvm, f"{roots}/{vrel}")
+        fs.rename(staged, jvm.org.apache.hadoop.fs.Path(f"{roots}/{vrel}"))
+        new_mapping[rel] = vrel
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+
+    new_doc = {"version": new_version, "partitions": new_mapping}
+    if doc.get("schema") is not None:
+        new_doc["schema"] = doc["schema"]
+    _write_file_atomic(
+        fs,
+        jvm,
+        _manifest_path(roots, new_version),
+        json.dumps(new_doc, indent=1).encode(),
+    )
+    return sorted(to_compact)
+
+
 def manifest_expire(spark: SparkSession, root: str, keep: int = 1) -> list[int]:
     """Expire old snapshots NOW: keep the newest ``keep`` manifests,
     delete every older manifest and every version subdir only they

@@ -359,3 +359,48 @@ def test_manifest_expire_makes_erasure_physical(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_manifested(spark, path, version=1)
+
+
+def test_compact_manifested_one_shot_and_converges(spark, tmp_path):
+    """OPTIMIZE: multi-file leaves are rewritten to compact files in one
+    atomic commit, already-compact leaves carry their version subdirs
+    over untouched, content is byte-for-byte-equal logically, and a
+    second run is a no-op."""
+    import glob
+
+    from etl_demo_spark.io.manifest import (
+        compact_manifested,
+        load_manifest,
+        manifest_init,
+        read_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    # leaf (d1,A): 4 small files; (d1,B): 1 file
+    a = spark.createDataFrame(
+        [(i, f"n{i}", "d1", "A") for i in range(40)],
+        "id INT, name STRING, dt STRING, seg STRING",
+    )
+    a.repartition(4).write.partitionBy("dt", "seg").parquet(path)
+    b = spark.createDataFrame(
+        [(100, "solo", "d1", "B")], "id INT, name STRING, dt STRING, seg STRING"
+    )
+    b.coalesce(1).write.mode("append").partitionBy("dt", "seg").parquet(path)
+    manifest_init(spark, path, ["dt", "seg"])
+    before = {r.id: r.name for r in read_manifested(spark, path).collect()}
+
+    compacted = compact_manifested(spark, path, min_files=2)
+    assert compacted == ["dt=d1/seg=A"]
+
+    version, mapping = load_manifest(spark, path)
+    assert version == 2
+    assert mapping["dt=d1/seg=A"].endswith("__v0000000002")
+    assert mapping["dt=d1/seg=B"].endswith("__v0000000001")  # untouched
+    files = glob.glob(f"{path}/dt=d1/seg=A/__v0000000002/*.parquet")
+    assert len(files) == 1  # tiny leaf → single shard
+    after = {r.id: r.name for r in read_manifested(spark, path).collect()}
+    assert after == before
+
+    # second run: nothing left to compact
+    assert compact_manifested(spark, path, min_files=2) == []
+    assert load_manifest(spark, path)[0] == 2
