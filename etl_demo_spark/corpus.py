@@ -6099,6 +6099,67 @@ def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_compact_manifested",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(year(o_orderdate) AS VARCHAR) AS dt
+    FROM orders
+    """,
+)
+def orders_compact_manifested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance OPTIMIZE under the snapshot manifest
+    (`io/manifest.py compact_manifested`): the orders table is landed as
+    many small files per year partition (the shape a streaming CDC sink
+    accretes), compacted in one atomic commit with a time-ordered
+    cluster sort, and read back through the new manifest. The oracle is
+    the plain projection of the base table — compaction must be a pure
+    physical rewrite, so hash equality IS the no-corruption proof. File
+    shrinkage is asserted in-query (every compacted leaf collapses to
+    one file at this size); tests pin untouched-leaf carry-over and
+    no-op convergence.
+
+    Scale: one Spark job for all leaves, shard counts sized from
+    on-disk bytes, reads pruned to the compacted leaves via the
+    manifest — never a per-directory driver loop."""
+    import tempfile
+
+    from etl_demo_spark.io.manifest import (
+        compact_manifested,
+        load_manifest,
+        manifest_init,
+        read_manifested,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("string").alias("dt"),
+    )
+    target_path = tempfile.mkdtemp(prefix="compact_mfst_") + "/orders"
+    t.repartition(6).write.partitionBy("dt").parquet(target_path)
+    manifest_init(spark, target_path, "dt")
+
+    compacted = compact_manifested(
+        spark, target_path, min_files=2, sort_cols=["o_orderkey"]
+    )
+    assert compacted, "seeded 6 files per leaf — compaction must fire"
+    import glob
+
+    _, vmap = load_manifest(spark, target_path)
+    for rel in compacted:
+        files = glob.glob(f"{target_path}/{vmap[rel]}/*.parquet")
+        assert len(files) == 1, (rel, files)
+    return read_manifested(spark, target_path).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("dt").cast("string").alias("dt"),
+    )
+
+
+@query(
     "orders_update_partitioned",
     oracle="""
     SELECT o_orderkey, o_custkey,

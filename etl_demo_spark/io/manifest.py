@@ -314,6 +314,7 @@ def compact_manifested(
     fmt: str = "parquet",
     target_file_bytes: int = 256 * 1024 * 1024,
     min_files: int = 2,
+    sort_cols: list[str] | None = None,
 ) -> list[str]:
     """OPTIMIZE for a manifested table: rewrite every leaf holding at
     least ``min_files`` data files into ~``target_file_bytes`` outputs,
@@ -322,6 +323,14 @@ def compact_manifested(
     crash before the commit leaves only GC-able orphans. Leaves already
     compact are not rewritten (their version subdirs carry over), so
     repeated runs converge to a no-op. Returns the leaf rels compacted.
+
+    ``sort_cols`` additionally clusters rows WITHIN the rewritten files
+    (sortWithinPartitions — no extra shuffle): compaction doubles as a
+    re-clustering pass, tightening per-file min/max footer stats so
+    later scans filtered on those columns prune row groups. Pass a
+    Morton key expression column (io/layout.py `zorder_key`) upstream
+    for multi-dimensional clustering; here plain columns cover the
+    common time-ordered case.
 
     This is the maintenance companion to the streaming CDC sink: every
     micro-batch merge writes at least one file per touched leaf, so a
@@ -384,8 +393,13 @@ def compact_manifested(
             F.pmod(F.hash(F.struct(*[c for c in scoped.columns])), F.col("__n_shards")),
         )
         .repartition(*cols, "__shard")
-        .drop("__n_shards", "__shard")
     )
+    if sort_cols:
+        # task-local sort: rows land in their file ordered by the cluster
+        # key (leaf grouping is preserved — the partitionBy writer splits
+        # by leaf regardless of row order within the task)
+        packed = packed.sortWithinPartitions(*cols, *sort_cols)
+    packed = packed.drop("__n_shards", "__shard")
     staging = roots + ".__manifest_staging__"
     fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
     packed.write.mode("overwrite").partitionBy(*cols).format(fmt).save(staging)
