@@ -6160,6 +6160,63 @@ def orders_compact_manifested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_stats_pruned_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(year(o_orderdate) AS VARCHAR) AS dt
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 5000
+    """,
+)
+def orders_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-level data skipping from manifest min/max stats
+    (`io/manifest.py` ``stats_cols`` + ``prune_ranges``): orders is
+    landed with id-range-clustered files inside year partitions, the
+    manifest records each file's o_orderkey [min,max] at commit, and the
+    range read drops non-intersecting files from the listing BEFORE
+    Spark opens them — the Iceberg-style skip tier above footer
+    row-group pruning (asserted in-query: the pruned listing is a strict
+    subset). The oracle is the plain BETWEEN over the whole table:
+    skipping must lose no rows.
+
+    Scale: this is what makes needle-in-100 TB range lookups cheap —
+    partition pruning cuts the date dimension, file stats cut WITHIN
+    partitions on a second dimension, and neither opens a single
+    irrelevant file. Stats upkeep is one aggregation over each commit's
+    new files (see `_collect_file_stats`)."""
+    import tempfile
+
+    from etl_demo_spark.io.manifest import manifest_init, read_manifested
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("string").alias("dt"),
+    )
+    target_path = tempfile.mkdtemp(prefix="stats_prune_") + "/orders"
+    (
+        t.repartitionByRange(8, "o_orderkey")
+        .write.partitionBy("dt")
+        .parquet(target_path)
+    )
+    manifest_init(spark, target_path, "dt", stats_cols=["o_orderkey"])
+
+    full_files = len(read_manifested(spark, target_path).inputFiles())
+    pruned = read_manifested(
+        spark, target_path, prune_ranges={"o_orderkey": (1000, 5000)}
+    )
+    assert len(pruned.inputFiles()) < full_files, "stats pruning must skip files"
+    return pruned.filter(F.col("o_orderkey").between(1000, 5000)).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("dt").cast("string").alias("dt"),
+    )
+
+
+@query(
     "orders_update_partitioned",
     oracle="""
     SELECT o_orderkey, o_custkey,

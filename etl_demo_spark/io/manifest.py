@@ -106,6 +106,105 @@ def _list_manifest_versions(fs, jvm, root: str) -> list[int]:
     return sorted(versions)
 
 
+def _stat_val(v):
+    """JSON-encodable, ORDER-PRESERVING image of a column min/max:
+    numbers stay numbers, dates/timestamps become ISO strings (which
+    compare lexicographically in the same order), everything else
+    stringifies."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def _collect_file_stats(
+    spark: SparkSession, fmt: str, root: str, vrels: list[str], stats_cols: list[str]
+) -> dict:
+    """{<vrel>/<filename>: {col: [min, max]}} for every data file under
+    the given version subdirs — ONE aggregation job over exactly those
+    files (group key = the scan-provided ``_metadata.file_path``), cost
+    proportional to the newly written slice, never the table."""
+    paths = [f"{root.rstrip('/')}/{vrel}" for vrel in vrels]
+    df = spark.read.format(fmt).option("basePath", root).load(paths)
+    aggs = []
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    rows = (
+        df.groupBy(F.col("_metadata.file_path").alias("__fp")).agg(*aggs).collect()
+    )
+    out: dict = {}
+    for r in rows:
+        fp = r["__fp"]
+        rel = None
+        # resolve against the known vrels rather than string-stripping the
+        # root: _metadata paths are scheme-qualified URIs (file:///…) and
+        # the marker match is immune to how the scheme renders
+        for vrel in vrels:
+            marker = "/" + vrel + "/"
+            i = fp.find(marker)
+            if i >= 0:
+                rel = vrel + "/" + fp[i + len(marker):]
+                break
+        if rel is None:
+            continue
+        out[rel] = {
+            c: [_stat_val(r[f"__lo_{c}"]), _stat_val(r[f"__hi_{c}"])]
+            for c in stats_cols
+        }
+    return out
+
+
+def _evolve_file_stats(
+    spark: SparkSession,
+    fmt: str,
+    root: str,
+    doc: dict,
+    new_mapping: dict,
+    new_version: int,
+) -> dict | None:
+    """Next commit's ``files`` stats map: carry forward entries whose
+    version subdir is still referenced, recompute ONLY the subdirs this
+    commit created. Returns None when the table doesn't track stats."""
+    stats_cols = doc.get("stats_cols")
+    if not stats_cols:
+        return None
+    live = set(new_mapping.values())
+    carried = {
+        p: st
+        for p, st in doc.get("files", {}).items()
+        if p.rsplit("/", 1)[0] in live
+    }
+    new_vrels = [v for v in live if v.endswith(_vdir(new_version))]
+    if new_vrels:
+        carried.update(_collect_file_stats(spark, fmt, root, new_vrels, stats_cols))
+    return carried
+
+
+def prune_files(doc: dict, ranges: dict) -> tuple[list[str], int]:
+    """File-skipping decision from manifest stats: keep a file unless
+    some queried column's recorded [min, max] proves it cannot hold a
+    row in ``ranges[col] = (lo, hi)`` (either bound may be None for
+    half-open). Files without stats (or NULL bounds) are kept — pruning
+    is an OPTIMIZATION; the caller still applies the real filter to the
+    surviving rows. Returns (kept file rels, total files tracked)."""
+    files = doc.get("files", {})
+    kept = []
+    for rel, st in files.items():
+        drop = False
+        for col, (lo, hi) in ranges.items():
+            bounds = st.get(col)
+            if not bounds or bounds[0] is None or bounds[1] is None:
+                continue
+            fmin, fmax = bounds
+            if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+                drop = True
+                break
+        if not drop:
+            kept.append(rel)
+    return kept, len(files)
+
+
 def manifest_versions(spark: SparkSession, root: str) -> list[int]:
     """Committed manifest versions still on disk, oldest→newest — the
     table's time-travel window. Only the last ``_RETAIN`` survive GC, so
@@ -155,6 +254,7 @@ def read_manifested(
     pin_partition_strings: bool = False,
     partition_cols: list[str] | None = None,
     version: int | None = None,
+    prune_ranges: dict | None = None,
 ) -> DataFrame:
     """Snapshot read: resolve the current manifest once, scan exactly its
     version subdirs. The snapshot is pinned at RESOLUTION time — a merge
@@ -180,7 +280,16 @@ def read_manifested(
     surface the later-added columns as NULL (the parquet reader clips
     missing columns to null under an explicit schema) without a
     mergeSchema sweep over every file footer. Pre-schema manifests fall
-    back to inference."""
+    back to inference.
+
+    ``prune_ranges`` ({col: (lo, hi)}) enables FILE-LEVEL data skipping
+    from the manifest's stored per-file min/max stats (tables
+    initialized/committed with ``stats_cols``): files whose recorded
+    range cannot intersect the query range are dropped from the listing
+    before Spark ever opens them — the Iceberg-style skip, one tier
+    above the footer row-group pruning Spark already does. Pruning is an
+    optimization only (callers still apply the real filter); on a table
+    without stats it is a no-op."""
     fs, jvm = _hadoop_fs(spark, root)
     doc = _load_doc(fs, jvm, root, version)
     partitions = doc["partitions"]
@@ -189,7 +298,21 @@ def read_manifested(
         # an empty RDD only if they know the schema; raise instead, the
         # merge path handles emptiness before reading
         raise ValueError(f"manifest for {root} lists no partitions")
-    paths = [f"{root.rstrip('/')}/{rel}" for rel in sorted(partitions.values())]
+    if prune_ranges and doc.get("files"):
+        kept, _ = prune_files(doc, prune_ranges)
+        paths = [f"{root.rstrip('/')}/{rel}" for rel in sorted(kept)]
+        if not paths:  # every file provably outside the range
+            schema_json = doc.get("schema")
+            if schema_json is None:
+                raise ValueError(
+                    f"prune_ranges eliminated every file of {root} and the "
+                    "manifest stores no schema to shape an empty result"
+                )
+            return spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(schema_json))
+            )
+    else:
+        paths = [f"{root.rstrip('/')}/{rel}" for rel in sorted(partitions.values())]
     reader = spark.read.format(fmt).option("basePath", root)
     schema_json = doc.get("schema")
     if schema_json is None and not pin_partition_strings:
@@ -220,12 +343,24 @@ def read_manifested(
 
 
 def manifest_init(
-    spark: SparkSession, root: str, partition_cols, fmt: str = "parquet"
+    spark: SparkSession,
+    root: str,
+    partition_cols,
+    fmt: str = "parquet",
+    stats_cols: list[str] | None = None,
 ) -> int:
     """One-time migration of a plain Hive-layout table into manifest
     mode: move each leaf's files into ``<leaf>/__v0000000001`` (renames —
     metadata-only, no data copy) and commit manifest v1. Idempotent-safe
-    to call on an already-initialized table (no-op)."""
+    to call on an already-initialized table (no-op).
+
+    ``stats_cols`` turns on per-file min/max tracking for those columns:
+    v1 stats are computed here (one aggregation pass), every later
+    commit maintains them for its new files only, and
+    `read_manifested(prune_ranges=…)` skips files from the listing
+    outright. Choose the columns queries range-filter on (event time,
+    ids); combine with `compact_manifested(sort_cols=…)` so file ranges
+    are disjoint and the skip rate approaches the filter selectivity."""
     cols = _normalize_partition_cols(partition_cols)
     fs, jvm = _hadoop_fs(spark, root)
     if _list_manifest_versions(fs, jvm, root):
@@ -264,14 +399,17 @@ def manifest_init(
                     jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/{vrel}/{name}"),
                 )
         mapping[rel] = vrel
+    doc = {"version": version, "partitions": mapping, "schema": schema_json}
+    if stats_cols:
+        doc["stats_cols"] = list(stats_cols)
+        doc["files"] = _collect_file_stats(
+            spark, fmt, root, list(mapping.values()), list(stats_cols)
+        )
     _write_file_atomic(
         fs,
         jvm,
         _manifest_path(root, version),
-        json.dumps(
-            {"version": version, "partitions": mapping, "schema": schema_json},
-            indent=1,
-        ).encode(),
+        json.dumps(doc, indent=1).encode(),
     )
     return version
 
@@ -418,6 +556,10 @@ def compact_manifested(
     new_doc = {"version": new_version, "partitions": new_mapping}
     if doc.get("schema") is not None:
         new_doc["schema"] = doc["schema"]
+    stats = _evolve_file_stats(spark, fmt, roots, doc, new_mapping, new_version)
+    if stats is not None:
+        new_doc["stats_cols"] = doc["stats_cols"]
+        new_doc["files"] = stats
     _write_file_atomic(
         fs,
         jvm,
@@ -520,6 +662,10 @@ def delete_keys_manifested(
     new_doc = {"version": new_version, "partitions": new_mapping}
     if doc.get("schema") is not None:
         new_doc["schema"] = doc["schema"]  # deletion never changes schema
+    stats = _evolve_file_stats(spark, fmt, root, doc, new_mapping, new_version)
+    if stats is not None:
+        new_doc["stats_cols"] = doc["stats_cols"]
+        new_doc["files"] = stats
     _write_file_atomic(
         fs,
         jvm,
@@ -623,6 +769,10 @@ def merge_upsert_manifested(
             f for f in merged.schema.fields if f.name not in prev_names
         ]
         new_doc["schema"] = T.StructType(fields).json()
+    stats = _evolve_file_stats(spark, fmt, root, doc, new_mapping, new_version)
+    if stats is not None:
+        new_doc["stats_cols"] = doc["stats_cols"]
+        new_doc["files"] = stats
 
     # the atomic commit point
     _write_file_atomic(

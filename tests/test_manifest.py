@@ -404,3 +404,45 @@ def test_compact_manifested_one_shot_and_converges(spark, tmp_path):
     # second run: nothing left to compact
     assert compact_manifested(spark, path, min_files=2) == []
     assert load_manifest(spark, path)[0] == 2
+
+
+def test_manifest_file_stats_prune_and_maintenance(spark, tmp_path):
+    """Iceberg-style file skipping from manifest stats: a range read
+    opens only the files whose recorded [min,max] can intersect; commits
+    maintain stats for their new files; an impossible range yields an
+    empty, correctly-shaped frame without touching storage."""
+    from etl_demo_spark.io.manifest import (
+        manifest_init,
+        merge_upsert_manifested,
+        read_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"n{i}", "d1" if i < 100 else "d2") for i in range(200)],
+        "id INT, name STRING, dt STRING",
+    )
+    # disjoint id-range files within each leaf
+    df.repartitionByRange(8, F.col("id")).write.partitionBy("dt").parquet(path)
+    manifest_init(spark, path, "dt", stats_cols=["id"])
+
+    full = read_manifested(spark, path)
+    assert len(full.inputFiles()) >= 6
+
+    pruned = read_manifested(spark, path, prune_ranges={"id": (10, 15)})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    got = {r.id for r in pruned.filter("id between 10 and 15").collect()}
+    assert got == set(range(10, 16))
+
+    # a commit maintains stats: new file's range must be discoverable
+    src = spark.createDataFrame([(500, "new", "d2")], "id INT, name STRING, dt STRING")
+    merge_upsert_manifested(spark, path, src, ["id"], "dt")
+    pruned = read_manifested(spark, path, prune_ranges={"id": (450, None)})
+    assert {r.id for r in pruned.filter("id >= 450").collect()} == {500}
+    # that read must not have opened d1's files (ids 0..99)
+    assert all("dt=d1" not in f for f in pruned.inputFiles())
+
+    # impossible range: empty frame, schema intact, zero files
+    nothing = read_manifested(spark, path, prune_ranges={"id": (10000, None)})
+    assert nothing.count() == 0
+    assert nothing.columns == ["id", "name", "dt"]
