@@ -113,6 +113,48 @@ def main() -> None:
     )
     print(f"[streaming] hourly window rows: {stats.count()}")
 
+    # 7. Table DML under the snapshot manifest: merge, erase, time travel
+    from etl_demo_spark.io.manifest import (
+        delete_keys_manifested,
+        manifest_init,
+        merge_upsert_manifested,
+        read_manifested,
+    )
+
+    table = str(out / "customers")
+    cust = t["customer"].select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    cust.write.partitionBy("c_mktsegment").parquet(table)
+    manifest_init(spark, table, "c_mktsegment", stats_cols=["c_custkey"])
+    changes = cust.filter(F.col("c_custkey") % 50 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    touched = merge_upsert_manifested(
+        spark, table, changes, ["c_custkey"], "c_mktsegment"
+    )
+    erased = delete_keys_manifested(
+        spark, table,
+        cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey"),
+        ["c_custkey"], "c_mktsegment",
+    )
+    now = read_manifested(spark, table).count()
+    v1 = read_manifested(spark, table, version=1).count()
+    lookup = read_manifested(
+        spark, table, prune_ranges={"c_custkey": (1, 40)}
+    )
+    print(
+        f"[dml] merge touched {len(touched)} partitions, erase touched "
+        f"{len(erased)}; rows now={now}, at v1={v1} (time travel); "
+        f"range lookup opened {len(lookup.inputFiles())} files"
+    )
+
+    # 8. Tokenizer training: BPE on the corpus word-frequency statistic
+    from etl_demo_spark.bpe import bpe_encode, bpe_train, word_freqs
+
+    merges, _ = bpe_train(word_freqs(docs), num_merges=8)
+    enc = bpe_encode(docs.limit(3), merges)
+    first = enc.select("doc_id", F.slice("bpe_tokens", 1, 8).alias("head")).first()
+    print(f"[bpe] learned {len(merges)} merges; doc {first['doc_id']} head: {list(first['head'])}")
+
     print(f"\nartifacts in {out}")
 
 
