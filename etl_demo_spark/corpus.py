@@ -6322,6 +6322,62 @@ def customer_delete_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "duplicate_span_profile",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS tk FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(tk[i:i+7], ' ')) AS whash
+      FROM toks, LATERAL unnest(generate_series(1, len(tk) - 7)) AS t(i)
+      WHERE len(tk) >= 8
+    ),
+    dup AS (SELECT whash FROM wins GROUP BY whash HAVING COUNT(*) > 1),
+    marked AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (whash)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                       OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS new_span
+      FROM marked
+    ),
+    sp AS (
+      SELECT doc_id, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+      FROM isl
+    ),
+    per_span AS (
+      SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 8 AS e,
+             COUNT(*) AS nw
+      FROM sp GROUP BY doc_id, span_id
+    )
+    SELECT doc_id, CAST(SUM(nw) AS BIGINT) AS n_dup_windows,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(e - s) AS BIGINT) AS dup_tokens
+    FROM per_span GROUP BY doc_id
+    """,
+)
+def duplicate_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (dedup.py `duplicate_span_profile`, the
+    Lee et al. 2022 substring-dedup detector in its windowed, shuffle-
+    friendly form): every 8-token window repeated anywhere in the corpus
+    is marked, per-doc marks dilate to token intervals and merge by
+    gaps-and-islands, and the profile (duplicated windows, merged spans,
+    exactly-covered token count) is the removal layer's input. Oracled
+    end-to-end against DuckDB replaying the identical window hashing
+    (md5 over space-joined slices) and island merge.
+
+    Scale: one corpus-token-scale shuffle of 16-byte window hashes + a
+    per-doc window pass — the parallel, spill-friendly rendition of what
+    the reference implementation pays a suffix-array build for."""
+    from etl_demo_spark.dedup import duplicate_span_profile as span_profile
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return span_profile(documents, "text", "doc_id", k=8)
+
+
 # ---- BPE tokenizer training (bpe.py) ------------------------------------
 # The DuckDB oracle replays the WHOLE training loop in a recursive CTE:
 # words are carried as '|'-double-delimited symbol strings ('|l||o||w||</w>|')

@@ -16,7 +16,7 @@ O(n²) all-pairs join.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1001,4 +1001,106 @@ def sorted_neighborhood_candidates(
             & (F.col("__rn_b") <= F.col("__rn_a") + window)
         )
         .select("id_a", "id_b")
+    )
+
+
+def duplicate_window_positions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Span-level exact dedup, tier three of the dedup ladder (doc-level
+    exact → near-dup → repeated SUBSTRINGS): mark every k-token window
+    whose content occurs more than once ANYWHERE in the corpus — the
+    signal behind substring-deduplicated training sets (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", which
+    builds a suffix array; the fixed-k windowed variant here is the
+    shuffle-friendly formulation of the same detector).
+
+    Returns (id, pos, whash): 0-based token position of each duplicated
+    window in each document. Tokens are WORD_RE words (deterministic
+    cross-engine); the window key is md5 of the space-joined window —
+    content-defined, so the same 50-token boilerplate matches across
+    documents regardless of position.
+
+    Scale shape: tokenize once, build per-doc window-hash arrays with
+    built-in transform/slice (no Python), posexplode to (hash, id, pos),
+    and one count-over-hash shuffle of 16-byte keys — corpus-token scale,
+    the same order as the reference suffix-array build but embarrassingly
+    parallel and spill-friendly. A self-join back on the duplicated hash
+    set stays bounded because the hot side is pre-aggregated to DISTINCT
+    duplicated hashes (broadcast when small)."""
+    tokens = F.expr(f"regexp_extract_all({text_col}, '[a-z]+', 0)")
+    n = F.size(tokens)
+    # guard the short-doc case explicitly: sequence(1, 0) would generate
+    # a DESCENDING [1, 0] (Spark's sequence reverses when stop < start),
+    # i.e. two phantom windows, not zero
+    starts = F.when(
+        n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(
+        starts,
+        lambda i: F.md5(F.array_join(F.slice(tokens, i, k), " ")),
+    )
+    windows = (
+        df.select(F.col(id_col).alias("id"), F.posexplode(hashes).alias("pos", "whash"))
+        # posexplode is 0-based over the sequence positions
+    )
+    dup = (
+        windows.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("whash")
+    )
+    return windows.join(dup, "whash").select("id", "pos", "whash")
+
+
+def duplicate_span_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Per-document profile of duplicated token SPANS: duplicated window
+    positions are dilated to token intervals [pos, pos+k) and merged
+    with the gaps-and-islands pattern (a new span starts where the gap
+    from the previous marked window exceeds the window length), giving
+    (id, n_dup_windows, n_spans, dup_tokens) — dup_tokens is the exact
+    count of tokens covered by at least one duplicated window. The
+    filtering/removal decision layer consumes this profile (e.g. drop
+    docs with dup_tokens/n_tokens above a threshold, or strip the spans).
+
+    Everything after the window shuffle is per-doc window functions —
+    one partition-by-id pass, no second corpus-scale shuffle."""
+    marked = duplicate_window_positions(df, text_col, id_col, k)
+    w = Window.partitionBy("id").orderBy("pos")
+    spans = (
+        marked.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__new_span",
+            (F.col("__prev").isNull() | (F.col("pos") - F.col("__prev") > F.lit(k))).cast("int"),
+        )
+        .withColumn("__span_id", F.sum("__new_span").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+    )
+    per_span = spans.groupBy("id", "__span_id").agg(
+        F.min("pos").alias("__start"),
+        (F.max("pos") + F.lit(k)).alias("__end"),
+        F.count(F.lit(1)).alias("__n_windows"),
+    )
+    return (
+        per_span.groupBy("id")
+        .agg(
+            F.sum("__n_windows").alias("n_dup_windows"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("__end") - F.col("__start")).alias("dup_tokens"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_dup_windows",
+            "n_spans",
+            "dup_tokens",
+        )
     )

@@ -1344,3 +1344,43 @@ def test_bpe_pair_counts_weighted(spark):
     words = spark.createDataFrame([("ab", 3), ("b", 2)], "word STRING, freq LONG")
     got = {(r.a, r.b): r.cnt for r in pair_counts(_initial_symbols(words)).collect()}
     assert got == {("a", "b"): 3, ("b", "</w>"): 5}
+
+
+# ---------------------------------------------------------------------------
+# Span-level exact dedup (duplicate substrings)
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_span_profile_planted(spark):
+    """Hand-computed fixture: an 8-token boilerplate shared by two docs
+    is found as one merged span in each; a doc with NO repeated window
+    is absent; overlapping duplicated windows merge into one span; a
+    too-short doc yields no phantom windows (the descending-sequence
+    guard)."""
+    from pyspark.sql import Row
+
+    from etl_demo_spark.dedup import duplicate_span_profile
+
+    boiler = "please subscribe to our newsletter for updates today"  # 8 tokens
+    docs = [
+        Row(doc_id=1, text=f"unique alpha beta {boiler} gamma delta unique2"),
+        Row(doc_id=2, text=f"{boiler} zeta eta theta completely different tail"),
+        Row(doc_id=3, text="nothing here repeats anywhere at all in corpus honestly"),
+        Row(doc_id=4, text="tiny doc"),  # < 8 tokens: zero windows
+        # doc 5 repeats the boilerplate TWICE with a 1-token gap between
+        # occurrences: windows overlap → islands merge into ONE span
+        Row(doc_id=5, text=f"{boiler} x {boiler}"),
+    ]
+    got = {
+        r.doc_id: (r.n_dup_windows, r.n_spans, r.dup_tokens)
+        for r in duplicate_span_profile(spark.createDataFrame(docs)).collect()
+    }
+    # docs 1/2: exactly one 8-token window matches (the boilerplate);
+    # doc 5: the boilerplate window at pos 0 and pos 9, plus every
+    # 8-window inside "boiler x boiler" that occurs twice… compute:
+    # doc5 tokens = 17; windows at 0..9; window 0 == window 9 (boiler),
+    # so both are marked; gap 9 - 0 = 9 > 8 → TWO spans of 8 tokens.
+    assert got[1] == (1, 1, 8)
+    assert got[2] == (1, 1, 8)
+    assert 3 not in got and 4 not in got
+    assert got[5] == (2, 2, 16)
