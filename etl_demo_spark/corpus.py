@@ -6323,6 +6323,51 @@ def customer_delete_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lang_mixture_sample",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    ref AS (SELECT MIN(c) AS cmin FROM c),
+    t AS (
+      SELECT lang,
+             LEAST(c, CAST(FLOOR(SQRT(CAST(c * cmin AS DOUBLE))) AS BIGINT)) AS n
+      FROM c, ref
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mx'), 1, 8)) AS BIGINT) ASC,
+                        doc_id ASC
+             ) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang
+    FROM r JOIN t USING (lang)
+    WHERE r.rn <= t.n
+    """,
+)
+def lang_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced domain mixture (`ops.mixture_sample`,
+    alpha=0.5): each language is downsampled toward the geometric mean
+    of its own size and the smallest language's size — the α-temperature
+    rebalance every multilingual training corpus runs, anchored at the
+    min domain so nothing upsamples. Selection is the md5-uniform
+    per-domain rank, and at alpha=0.5 the target count is
+    floor(sqrt(c_d·c_min)) in IEEE double — bit-identical cross-engine,
+    which is what lets DuckDB replay the ENTIRE decision (counts,
+    targets, ranks, membership) hash-exactly.
+
+    Scale: a tiny count agg + broadcast targets + one top-n-per-group
+    window with the map-side WindowGroupLimit cut. No full sort."""
+    from etl_demo_spark.ops import mixture_sample
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return mixture_sample(documents, "lang", "doc_id", alpha=0.5, seed="mx").select(
+        "doc_id", "lang"
+    )
+
+
+@query(
     "duplicate_span_profile",
     oracle="""
     WITH toks AS (

@@ -1104,3 +1104,48 @@ def duplicate_span_profile(
             "dup_tokens",
         )
     )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """The removal layer over `duplicate_span_profile`: rebuild each
+    document's text with every duplicated span's tokens dropped (word
+    tokens only — the WORD_RE tokenization this family is defined over).
+    Documents with no duplicated window pass through with their token
+    stream intact.
+
+    Built entirely from relational ops + one JVM expression: the marked
+    positions aggregate to a per-doc set, and the rebuild is a filter
+    over posexploded tokens — no Python stage. At 100 TB the dominant
+    cost stays the single window-hash shuffle in the detector; the
+    rebuild adds one per-doc pass."""
+    marked = duplicate_window_positions(df, text_col, id_col, k)
+    # dilate window marks to covered token positions, dedup to a set
+    covered = (
+        marked.select(
+            "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("tp")
+        )
+        .distinct()
+        .groupBy("id")
+        .agg(F.collect_set("tp").alias("__drop"))
+    )
+    tokens = F.expr(f"regexp_extract_all({text_col}, '[a-z]+', 0)")
+    base = df.withColumn("__tokens", tokens)
+    joined = base.join(
+        covered, base[id_col] == covered["id"], "left"
+    ).drop("id")
+    kept = F.filter(
+        F.transform(F.col("__tokens"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: F.when(
+            F.col("__drop").isNull(), F.lit(True)
+        ).otherwise(~F.array_contains(F.col("__drop"), s["i"])),
+    )
+    return (
+        joined.withColumn(out_col, F.array_join(F.transform(kept, lambda s: s["t"]), " "))
+        .drop("__tokens", "__drop")
+    )

@@ -461,6 +461,67 @@ def stratified_exact_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    seed: str = "",
+) -> DataFrame:
+    """Temperature-balanced domain mixture (the training-data rebalance
+    every multi-source corpus job runs): downsample each domain toward
+    the geometric interpolation between its own size and the SMALLEST
+    domain's size — ``n_d = min(c_d, floor(c_d^alpha * c_min^(1-alpha)))``.
+    ``alpha=1`` keeps natural proportions, ``alpha=0`` flattens to the
+    smallest domain, the default 0.5 is the geometric-mean compromise
+    (the α-temperature scheme of multilingual-corpus sampling, applied
+    with the min domain as the anchor so no domain is ever UPsampled).
+
+    Rows are chosen per domain by the same md5-uniform rank as
+    `stratified_exact_sample`, so the selection is deterministic across
+    runs, partitionings, and engines. At alpha=0.5 the target is
+    floor(sqrt(c_d*c_min)) computed in IEEE double — bit-identical in
+    any engine (the corpus oracle replays it in SQL); other alphas go
+    through pow(), whose last-bit rounding is not cross-engine pinned.
+
+    Scale: one count aggregation (tiny result), a broadcast of the
+    per-domain targets, and the standard top-n-per-group window (Spark's
+    WindowGroupLimit cuts map-side). No full sort, no driver data."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("mixture_sample: alpha must be in [0, 1]")
+    counts = df.groupBy(F.col(domain_col).alias("__d")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    # global min over the counts frame via an unpartitioned window: the
+    # frame is |domains| rows (tiny by construction), and this avoids a
+    # 1-row cross join that would trip the cartesian-join plan audit
+    cmin = F.min("__c").over(Window.partitionBy())
+    if alpha == 0.5:
+        target = F.floor(F.sqrt((F.col("__c") * cmin).cast("double")))
+    else:
+        target = F.floor(
+            F.pow(F.col("__c").cast("double"), F.lit(alpha))
+            * F.pow(cmin.cast("double"), F.lit(1.0 - alpha))
+        )
+    targets = counts.select(
+        "__d", F.least(F.col("__c"), target).cast("long").alias("__n")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    w = Window.partitionBy(domain_col).orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(targets), F.col(domain_col) == F.col("__d"))
+        .filter(F.col("__rn") <= F.col("__n"))
+        .drop("__rn", "__d", "__n")
+    )
+
+
 def hash_bernoulli_sample(
     df: DataFrame,
     fractions: dict[str, float],

@@ -1384,3 +1384,51 @@ def test_duplicate_span_profile_planted(spark):
     assert got[2] == (1, 1, 8)
     assert 3 not in got and 4 not in got
     assert got[5] == (2, 2, 16)
+
+
+def test_strip_duplicate_spans_rebuild(spark):
+    from pyspark.sql import Row
+
+    from etl_demo_spark.dedup import strip_duplicate_spans
+
+    boiler = "please subscribe to our newsletter for updates today"
+    docs = [
+        Row(doc_id=1, text=f"unique alpha beta {boiler} gamma delta"),
+        Row(doc_id=2, text=f"{boiler} zeta eta theta completely different tail"),
+        Row(doc_id=3, text="nothing here repeats anywhere at all in corpus honestly"),
+        Row(doc_id=4, text="tiny doc"),
+    ]
+    got = {r.doc_id: r.text_deduped for r in strip_duplicate_spans(
+        spark.createDataFrame(docs)).collect()}
+    assert got[1] == "unique alpha beta gamma delta"
+    assert got[2] == "zeta eta theta completely different tail"
+    # clean docs keep their token stream (word tokens rejoined)
+    assert got[3] == "nothing here repeats anywhere at all in corpus honestly"
+    assert got[4] == "tiny doc"
+
+
+def test_mixture_sample_targets_and_determinism(spark):
+    from pyspark.sql import Row
+
+    from etl_demo_spark.ops import mixture_sample
+
+    rows = (
+        [Row(id=i, d="big") for i in range(100)]
+        + [Row(id=1000 + i, d="small") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows)
+    got = mixture_sample(df, "d", "id", alpha=0.5, seed="t").collect()
+    by_d = {}
+    for r in got:
+        by_d.setdefault(r.d, []).append(r.id)
+    # geometric-mean target: floor(sqrt(100*4)) = 20; small keeps all 4
+    assert len(by_d["big"]) == 20 and len(by_d["small"]) == 4
+    # deterministic: second run picks the identical ids
+    again = mixture_sample(df, "d", "id", alpha=0.5, seed="t").collect()
+    assert sorted(r.id for r in again) == sorted(r.id for r in got)
+    # alpha=1 keeps natural proportions (everything, since n_d = c_d)
+    assert mixture_sample(df, "d", "id", alpha=1.0).count() == 104
+    import pytest
+
+    with pytest.raises(ValueError):
+        mixture_sample(df, "d", "id", alpha=1.5)
