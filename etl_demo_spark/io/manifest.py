@@ -127,7 +127,7 @@ def _collect_file_stats(
     proportional to the newly written slice, never the table."""
     paths = [f"{root.rstrip('/')}/{vrel}" for vrel in vrels]
     df = spark.read.format(fmt).option("basePath", root).load(paths)
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__nrows")]
     for c in stats_cols:
         aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
     rows = (
@@ -152,6 +152,7 @@ def _collect_file_stats(
             c: [_stat_val(r[f"__lo_{c}"]), _stat_val(r[f"__hi_{c}"])]
             for c in stats_cols
         }
+        out[rel]["__rows"] = r["__nrows"]
     return out
 
 
@@ -567,6 +568,51 @@ def compact_manifested(
         json.dumps(new_doc, indent=1).encode(),
     )
     return sorted(to_compact)
+
+
+def manifest_diff(
+    spark: SparkSession, root: str, v_from: int, v_to: int | None = None
+) -> dict:
+    """Audit what changed between two retained snapshots from METADATA
+    alone — no data files are opened. Returns
+    ``{leaf_rel: {"status": added|removed|rewritten,
+    "rows_before": n|None, "rows_after": n|None}}`` for every leaf whose
+    version subdir differs between the manifests; unchanged leaves are
+    omitted. Row counts come from the per-file stats recorded at commit
+    (``stats_cols`` tables — any column choice records counts); tables
+    without stats still get the leaf-level status, with None counts.
+
+    The observability half of time travel: after an incident, "which
+    partitions did last night's merge rewrite and what did it do to
+    their row counts" is one pointer-file read per side. Bounded by the
+    retention window like every versioned read."""
+    fs, jvm = _hadoop_fs(spark, root)
+    a = _load_doc(fs, jvm, root, v_from)
+    b = _load_doc(fs, jvm, root, v_to)
+
+    def leaf_rows(doc: dict, vrel: str):
+        files = doc.get("files")
+        if files is None:
+            return None
+        total = 0
+        for p, st in files.items():
+            if p.rsplit("/", 1)[0] == vrel and "__rows" in st:
+                total += st["__rows"]
+        return total
+
+    out: dict = {}
+    pa, pb = a["partitions"], b["partitions"]
+    for rel in sorted(set(pa) | set(pb)):
+        va, vb = pa.get(rel), pb.get(rel)
+        if va == vb:
+            continue
+        status = "added" if va is None else "removed" if vb is None else "rewritten"
+        out[rel] = {
+            "status": status,
+            "rows_before": None if va is None else leaf_rows(a, va),
+            "rows_after": None if vb is None else leaf_rows(b, vb),
+        }
+    return out
 
 
 def manifest_expire(spark: SparkSession, root: str, keep: int = 1) -> list[int]:

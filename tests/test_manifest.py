@@ -446,3 +446,45 @@ def test_manifest_file_stats_prune_and_maintenance(spark, tmp_path):
     nothing = read_manifested(spark, path, prune_ranges={"id": (10000, None)})
     assert nothing.count() == 0
     assert nothing.columns == ["id", "name", "dt"]
+
+
+def test_manifest_diff_metadata_only(spark, tmp_path):
+    """Snapshot diff from pointer files alone: a merge's touched leaf
+    shows rewritten with exact before/after row counts (from the
+    stats recorded at commit), an insert-created leaf shows added, a
+    drained leaf shows removed; unchanged leaves are omitted."""
+    from etl_demo_spark.io.manifest import (
+        delete_keys_manifested,
+        manifest_diff,
+        manifest_init,
+        merge_upsert_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)  # (d1,A):{1} (d1,B):{2} (d2,A):{3} (d2,B):{4}
+    manifest_init(spark, path, ["dt", "seg"], stats_cols=["id"])
+
+    # v2: update row 1 + insert 99 into (d1,A); create brand-new (d3,C)
+    src = spark.createDataFrame(
+        [(1, "ALPHA2", "d1", "A"), (99, "new", "d1", "A"), (7, "seven", "d3", "C")],
+        "id INT, name STRING, dt STRING, seg STRING",
+    )
+    merge_upsert_manifested(spark, path, src, ["id"], ["dt", "seg"])
+
+    d = manifest_diff(spark, path, 1, 2)
+    assert d["dt=d1/seg=A"] == {
+        "status": "rewritten", "rows_before": 1, "rows_after": 2
+    }
+    assert d["dt=d3/seg=C"] == {
+        "status": "added", "rows_before": None, "rows_after": 1
+    }
+    assert "dt=d1/seg=B" not in d and len(d) == 2
+
+    # v3: drain (d2,A) entirely
+    delete_keys_manifested(
+        spark, path, spark.createDataFrame([(3,)], "id INT"), ["id"], ["dt", "seg"]
+    )
+    d = manifest_diff(spark, path, 2, 3)
+    assert d == {
+        "dt=d2/seg=A": {"status": "removed", "rows_before": 1, "rows_after": None}
+    }
