@@ -281,6 +281,58 @@ def delete_keys_partitioned(
     return [values[0] for values in affected] if single else affected
 
 
+def delete_where_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    predicate,
+    partition_cols,
+    fmt: str = "parquet",
+) -> list:
+    """DELETE ... WHERE on a partitioned table: the predicate twin of
+    `delete_keys_partitioned` for retention jobs ("drop everything
+    before date X in region Y") where the victims are described by a
+    condition, not a key list. Discovery is one predicate-filtered scan
+    projected to the partition columns (predicate pushed to the parquet
+    footers), the rewrite keeps the affected partitions' non-matching
+    rows, a fully-drained partition's directory is removed, and the
+    same crash-safe swap applies. Returns the partitions rewritten.
+
+    When the predicate is on the partition columns ALONE, the rewrite
+    degenerates to pure directory retirement (the staged write of the
+    affected slice is empty) — an O(metadata) partition drop."""
+    cols = _normalize_partition_cols(partition_cols)
+    single = isinstance(partition_cols, str) or len(cols) == 1
+
+    staging = target_path.rstrip("/") + ".__merge_staging__"
+    fs, jvm = _hadoop_fs(spark, target_path)
+    _recover_staging(fs, jvm, target_path, staging, depth=len(cols))
+
+    target = _read_raw_partitions(spark, target_path, fmt, cols)
+    affected = [
+        tuple(r)
+        for r in target.filter(predicate).select(*cols).distinct().collect()
+    ]
+    if not affected:
+        return []
+
+    remaining = target.filter(_partition_filter(cols, affected)).filter(
+        ~F.coalesce(predicate, F.lit(False))
+        # NULL-predicate rows are KEPT: SQL DELETE removes only rows the
+        # condition is TRUE for, and a bare ~NULL would drop them
+    )
+    for c in cols:
+        remaining = remaining.withColumn(c, F.col(c).cast("string"))
+    remaining.write.mode("overwrite").partitionBy(*cols).format(fmt).save(staging)
+    _swap_partitions(
+        fs,
+        jvm,
+        target_path,
+        staging,
+        [_part_rel(cols, values) for values in affected],
+    )
+    return [values[0] for values in affected] if single else affected
+
+
 def update_where_partitioned(
     spark: SparkSession,
     target_path: str,

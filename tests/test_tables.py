@@ -629,3 +629,39 @@ def test_update_where_partitioned_non_partition_assignment(spark, tmp_path):
         spark, path, {"name": F.lit("Y")}, F.col("id") == 999, "seg"
     ) == []
     assert _file_state(path) == state
+
+
+def test_delete_where_partitioned(spark, tmp_path):
+    """Predicate DELETE: only partitions holding a matching row rewrite,
+    NULL-predicate rows are kept (SQL DELETE semantics), a pure
+    partition-column predicate drops whole directories."""
+    import os
+
+    from etl_demo_spark.io.tables import delete_where_partitioned
+
+    path = str(tmp_path / "t")
+    rows = [
+        (1, "alpha", "A"), (2, None, "A"), (3, "gamma", "B"),
+        (4, "delta", "B"), (5, "epsilon", "C"),
+    ]
+    spark.createDataFrame(rows, "id INT, name STRING, seg STRING").write.partitionBy(
+        "seg"
+    ).parquet(path)
+    before = _file_state(path)
+
+    # row-level predicate: name starts with 'a' → only id 1 (A); the
+    # NULL name in A must survive (predicate evaluates NULL, not TRUE)
+    affected = delete_where_partitioned(
+        spark, path, F.col("name").startswith("a"), "seg"
+    )
+    assert affected == ["A"]
+    got = {r.id for r in spark.read.parquet(path).collect()}
+    assert got == {2, 3, 4, 5}
+    untouched = {k: v for k, v in before.items() if "seg=A" not in k}
+    assert untouched == {k: v for k, v in _file_state(path).items() if "seg=A" not in k}
+
+    # partition-column predicate: drop segment C wholesale
+    affected = delete_where_partitioned(spark, path, F.col("seg") == "C", "seg")
+    assert affected == ["C"]
+    assert not os.path.isdir(os.path.join(path, "seg=C"))
+    assert {r.id for r in spark.read.parquet(path).collect()} == {2, 3, 4}
