@@ -91,25 +91,30 @@ def test_corpus_registry_integrity():
 
 def test_bench_contract_emits_one_json_line(tmp_path):
     """bench.py must print exactly one JSON line with the driver's
-    required keys; run at sf0.001 via the env override to stay fast."""
+    required keys; run at sf0.001 with SPARK_GRAFT_HEADLINE_ONLY=1 so the
+    contract check covers only the headline block (the full diagnostic
+    bench — skew A/B, ANN recall, stats-skip — brushed the 900 s
+    subprocess cap under host load in round 5 and flaked the suite)."""
     import json
     import os
     import subprocess
     import sys
 
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
-               SPARK_GRAFT_CPUS="8")
+               SPARK_GRAFT_CPUS="8", SPARK_GRAFT_HEADLINE_ONLY="1")
     out = subprocess.run(
         [sys.executable, "/root/repo/bench.py"],
-        env=env, capture_output=True, text=True, timeout=900,
+        env=env, capture_output=True, text=True, timeout=600,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     assert len(json_lines) == 1, out.stdout[-500:]
     payload = json.loads(json_lines[0])
-    assert set(payload) >= {"metric", "value", "unit", "queries", "sf"}
+    assert set(payload) >= {"metric", "value", "unit", "queries", "sf",
+                            "calibration"}
     assert payload["unit"] == "sec" and payload["sf"] == 0.001
     assert payload["value"] > 0 and len(payload["queries"]) >= 10
+    assert payload["calibration"]["load_factor"] > 0
 
 
 def test_doc_totals_match_registry():
