@@ -1190,38 +1190,150 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
-@query("ann_topk_lsh")  # approximate: no SQL oracle (recall tested vs brute force)
+@query(
+    "ann_topk_lsh",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, i AS d,
+             CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT) AS qx
+      FROM embeddings, LATERAL unnest(generate_series(0, 63)) AS u(i)
+    ),
+    planes AS (
+      SELECT p, i,
+             CASE WHEN (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':'
+                                                 || CAST(i AS VARCHAR)), 1, 12))
+                             AS BIGINT) & 1) = 1
+                  THEN 1 ELSE -1 END AS s
+      FROM generate_series(0, 5) AS gp(p), generate_series(0, 63) AS gi(i)
+    ),
+    proj AS (
+      SELECT v.vec_id, pl.p, SUM(v.qx * pl.s) AS proj
+      FROM dims v JOIN planes pl ON pl.i = v.d
+      GROUP BY v.vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id
+    ),
+    qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0),
+    cand AS (
+      SELECT b.vec_id FROM buckets b, qb
+      WHERE bit_count(xor(b.bucket, qbucket)) <= 2
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+    FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, q
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X-13 scale path: sign-LSH bucketing restricts the exact re-rank to
-    the query's Hamming-≤2 bucket neighborhood (multi-probe radius 2:
-    22/64 buckets ≈ 1/3 of a full scan; the accuracy/cost dial is
-    documented on the operator); recall vs brute force asserted in
-    unit tests and reported per-round in the bench output."""
-    from etl_demo_spark.vec import lsh_topk
+    """X-13 scale path with an EXACT cross-engine oracle: sign-LSH
+    bucketing restricts the exact re-rank to the query's Hamming-≤2
+    bucket neighborhood (multi-probe radius 2: 22/64 buckets ≈ 1/3 of a
+    full scan — the accuracy/cost dial documented on the operator).
+
+    Exactly oracled via `vec.lsh_topk_exact`: md5-derived ±1 planes (the
+    hash both engines share — the SQL derives the same constants
+    in-database), integer projections on round(x·1000) quantized vectors
+    (a sign can't flip in the last ulp), Hamming-≤2 probe set, exact
+    round-6 cosine re-rank — the DuckDB replay reproduces bucket ids,
+    candidate set, and ranking bit-for-bit, certifying the same
+    bucket/probe machinery the xxhash64 fast variant (`vec.lsh_topk`,
+    recall-tested + bench-reported) runs. The probe-mask broadcast join
+    is the 100 TB shape: against a bucket-partitioned layout the
+    non-probed buckets prune at file level."""
+    from etl_demo_spark.vec import lsh_topk_exact
 
     (emb,) = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, _query_vec(spark, sf_dir), k=10, planes=6, probe_radius=2)
+    return lsh_topk_exact(
+        emb, _query_vec(spark, sf_dir), k=10, planes=6, probe_radius=2
+    )
 
 
-@query("ann_topk_ivf")  # approximate: no SQL oracle (recall tested vs brute force)
+@query(
+    "ann_topk_ivf",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, i AS d,
+             CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT) AS qx
+      FROM embeddings, LATERAL unnest(generate_series(0, 63)) AS u(i)
+    ),
+    seeds AS (
+      SELECT seed_id, c FROM (
+        SELECT vec_id AS seed_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))
+                               AS BIGINT) ASC, vec_id ASC
+               ) - 1 AS c
+        FROM embeddings
+      ) WHERE c < 16
+    ),
+    cents AS (
+      SELECT s.c, d.d, d.qx AS cx
+      FROM seeds s JOIN dims d ON d.vec_id = s.seed_id
+    ),
+    dist AS (
+      SELECT v.vec_id, ct.c, SUM((v.qx - ct.cx) * (v.qx - ct.cx)) AS d2
+      FROM dims v JOIN cents ct ON ct.d = v.d
+      GROUP BY v.vec_id, ct.c
+    ),
+    assign AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT c AS cell FROM (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY d2, c) AS rn
+        FROM dist WHERE vec_id = 0
+      ) WHERE rn <= 4
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+    FROM embeddings e
+    JOIN assign a ON a.vec_id = e.vec_id
+    JOIN probes p ON p.cell = a.cell, q
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X-13 IVF scale path: deterministic seed-centroid coarse quantizer,
-    scan only the nprobe best cells, exact cosine re-rank within them.
-    ~nprobe/n_cells of the brute-force scan cost; with a cell-partitioned
-    layout the skipped cells are pruned at file level. Recall vs brute
-    force asserted in unit tests (tests/test_llm_ops.py) — rows-only for
-    the driver, as ANN results are approximate by construction.
+    """X-13 IVF scale path with an EXACT cross-engine oracle:
+    deterministic coarse quantizer, scan only the nprobe best cells,
+    exact cosine re-rank within them — ~nprobe/n_cells of the
+    brute-force scan; with a cell-partitioned layout the skipped cells
+    prune at file level.
 
-    DEMO SHAPE, deliberately: this re-runs `ivf_assign` over the corpus
-    per query so the whole operator is visible in one self-contained
-    plan. The production serve path is `pipelines/embedding_index.py` —
-    assign ONCE, write `partitionBy("cell")` with the codebook as a
-    sidecar, and each query's probes become partition pruning against
-    the prebuilt index (build once, probe many)."""
-    from etl_demo_spark.vec import ivf_topk
+    Exactly oracled via `vec.ivf_topk_exact`: md5-hex-prefix seed
+    selection, int64 squared-L2 cell assignment on round(x·1000)
+    quantized vectors with ties to the smallest cell (the
+    `kmeans_fit_exact` contract), integer probe ranking, round-6 cosine
+    re-rank — the DuckDB replay reproduces codebook, assignment, probes,
+    and ranking bit-for-bit, certifying the same machinery the xxhash64
+    fast variant (`vec.ivf_topk`, recall-tested + bench-reported) runs.
+
+    DEMO SHAPE, deliberately: assignment re-runs over the corpus per
+    query so the whole operator is one self-contained plan. The
+    production serve path is `pipelines/embedding_index.py` — assign
+    ONCE, write `partitionBy("cell")` with the codebook as a sidecar,
+    and each query's probes become partition pruning against the
+    prebuilt index (build once, probe many)."""
+    from etl_demo_spark.vec import ivf_topk_exact
 
     (emb,) = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, _query_vec(spark, sf_dir), k=10, n_cells=16, nprobe=4)
+    return ivf_topk_exact(emb, _query_vec(spark, sf_dir), k=10, n_cells=16, nprobe=4)
 
 
 @query(

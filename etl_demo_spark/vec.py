@@ -319,6 +319,218 @@ def ivf_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def md5_plane_signs(planes: int, dim: int) -> list[list[int]]:
+    """±1 hyperplane components derived from md5: sign(p, i) = +1 iff bit 0
+    of the 48-bit hex prefix of md5(f"{p}:{i}") is set. md5 is md5 on every
+    engine — Python's hashlib here, Spark's ``md5()``, DuckDB's ``md5()``
+    all yield the same hex for the same string — so the planes are public
+    constants any engine re-derives independently (the SQL oracle computes
+    them in-database from the same strings, proving the constant set)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:12], 16) & 1
+            else -1
+            for i in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def lsh_topk_exact(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 6,
+    dim: int = 64,
+    probe_radius: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Sign-LSH ANN top-k in EXACTLY replayable arithmetic — the
+    oracle-grade twin of ``lsh_topk`` the way ``minhash_lsh_exact_pairs``
+    certifies ``minhash_near_dup``: same bucket topology, same multi-probe
+    dial, but every bucketing decision is order-free integer math a SQL
+    engine reproduces bit-for-bit.
+
+    Differences from the fast variant, each forced by exactness:
+      * plane components come from md5 (``md5_plane_signs``) instead of
+        xxhash64 — md5 is the hash both engines share;
+      * the projection sign is computed on ``round(x·scale)`` int64
+        vectors (``quantize_vec_expr``), so the dot product is an exact
+        integer in any evaluation order — float projections could flip a
+        sign in the last ulp between engines;
+      * the final re-rank is the exact cosine rounded to 6 decimals, the
+        same scoring contract ``brute_force_topk``'s oracle already
+        certifies.
+
+    Plan shape is unchanged from ``lsh_topk`` (the 100 TB shape): narrow
+    bucket projection, 1-row query-bucket broadcast, probe-mask explode +
+    broadcast join (partition pruning against a bucket-partitioned layout
+    at scale), exact re-rank only inside the probed buckets,
+    TakeOrderedAndProject top-k."""
+    from itertools import combinations
+
+    if not 0 <= probe_radius <= planes:
+        raise ValueError(f"lsh_topk_exact: probe_radius must be in [0, {planes}]")
+    signs = md5_plane_signs(planes, dim)
+
+    def bucket_of(qv: Column) -> Column:
+        packed = F.lit(0).cast("long")
+        for p in range(planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    qv,
+                    F.array(*[F.lit(s) for s in signs[p]]),
+                    lambda a, b: a * b.cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            packed = packed + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return packed
+
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        bucket_of(quantize_vec_expr(vec_col, scale)).alias("bucket"),
+    )
+    masks = [0] + [
+        sum(1 << i for i in bits)
+        for r in range(1, probe_radius + 1)
+        for bits in combinations(range(planes), r)
+    ]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    qb = df.limit(1).select(bucket_of(quantize_vec_expr_lit(query_vec, scale)).alias("qbucket"))
+    probes = qb.select(
+        F.explode(
+            F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("probe")
+    )
+    cands = bucketed.join(F.broadcast(probes), F.col("bucket") == F.col("probe"))
+    scored = cands.select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim")
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def quantize_vec_expr_lit(vec: list[float], scale: int = 1000):
+    """Literal-array twin of ``quantize_vec_expr``: quantize a constant
+    query vector with the SAME Spark expression (round-half-away on the
+    double product) the corpus rows go through, so the query's codes can
+    never diverge from row codes by a Python-vs-JVM rounding tie."""
+    return F.transform(
+        F.array(*[F.lit(float(v)) for v in vec]),
+        lambda x: F.round(x.cast("double") * scale).cast("long"),
+    )
+
+
+def ivf_topk_exact(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF ANN top-k in EXACTLY replayable arithmetic — the oracle-grade
+    twin of ``ivf_topk``. Same dataflow (coarse quantizer → probe the
+    nprobe best cells → exact re-rank inside them); every approximation
+    decision is order-free integer math both engines reproduce:
+
+      * seed centroids are the ``n_cells`` rows with the smallest md5
+        hex-prefix of the id (tie → id) — the cross-engine stand-in for
+        xxhash64 seeding (same idiom as ``minhash_lsh_exact_pairs``);
+      * cell assignment is argmin of the exact int64 squared L2 distance
+        on ``round(x·scale)`` quantized vectors, ties to the smallest
+        cell index — FAISS IndexIVFFlat's L2 coarse metric, and the same
+        integer-distance/tie contract ``kmeans_fit_exact`` pins;
+      * the query's probe cells come from the same integer distances,
+        computed on the driver over the n_cells × dim codebook
+        (microseconds; replayed in SQL by the oracle);
+      * re-rank = exact cosine rounded to 6 decimals on the original
+        float vectors, the scoring contract ``brute_force_topk`` pins.
+
+    Scale shape identical to ``ivf_topk``: codebook rides as plan
+    literals, candidates = nprobe/n_cells of the scan, and with a
+    ``partitionBy("cell")`` layout the skipped cells prune at file level
+    (pipelines/embedding_index.py is the build-once serve path)."""
+    q = df.select(
+        F.col(id_col),
+        quantize_vec_expr(vec_col, scale).alias("qv"),
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("seed_rank"),
+    )
+    seeds = (
+        q.orderBy(F.col("seed_rank").asc(), F.col(id_col).asc())
+        .limit(n_cells)
+        .select("qv")
+        .collect()
+    )
+    if len(seeds) < n_cells:
+        raise ValueError(f"ivf_topk_exact: corpus smaller than n_cells={n_cells}")
+    centroids = [[int(v) for v in r["qv"]] for r in seeds]
+
+    def d2_cells(qv: Column) -> Column:
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        qv,
+                        F.array(*[F.lit(c) for c in cen]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                for cen in centroids
+            ]
+        )
+
+    # argmin with first-occurrence tie-break == SQL ROW_NUMBER(ORDER BY d2, c)
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (
+            F.array_position(
+                d2_cells(quantize_vec_expr(vec_col, scale)),
+                F.array_min(d2_cells(quantize_vec_expr(vec_col, scale))),
+            )
+            - 1
+        )
+        .cast("int")
+        .alias("cell"),
+    )
+
+    # query probes: exact integer distances on the driver; quantize the
+    # query THROUGH Spark's own round expression (1-row job) so a Python
+    # rounding tie can never diverge from the row-side codes
+    qrow = (
+        df.sparkSession.range(1)
+        .select(quantize_vec_expr_lit(query_vec, scale).alias("qv"))
+        .first()
+    )
+    qq = [int(v) for v in qrow["qv"]]
+    d2 = [
+        (sum((a - b) * (a - b) for a, b in zip(qq, cen)), c)
+        for c, cen in enumerate(centroids)
+    ]
+    probes = [c for _, c in sorted(d2)[:nprobe]]
+
+    qf = F.array(*[F.lit(float(v)) for v in query_vec])
+    cands = assigned.filter(F.col("cell").isin(probes))
+    scored = cands.select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), qf), 6).alias("cos_sim")
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,

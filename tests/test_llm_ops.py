@@ -222,6 +222,44 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     assert recall >= 0.3, f"recall {recall}"
 
 
+def test_lsh_topk_exact_matches_fast_topology(spark):
+    """The md5/integer exact variant (the oracle-grade twin the corpus
+    query runs) behaves like an LSH: always finds the query row, recall
+    vs brute force at the corpus parameters, and returns exactly k rows
+    sorted by (cos_sim desc, vec_id asc)."""
+    from etl_demo_spark.vec import brute_force_topk, lsh_topk_exact
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, qv, k=10).collect()]
+    rows = lsh_topk_exact(emb, qv, k=10, planes=6, probe_radius=2).collect()
+    approx = [r["vec_id"] for r in rows]
+    assert len(rows) == 10
+    assert 0 in approx
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, f"recall {recall}"
+
+
+def test_ivf_topk_exact_matches_fast_topology(spark):
+    """Exact-arithmetic IVF twin: query row always found (its own cell is
+    the closest probe by construction), recall floor vs brute force, and
+    deterministic across two runs (no RNG state anywhere)."""
+    from etl_demo_spark.vec import brute_force_topk, ivf_topk_exact
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, qv, k=10).collect()]
+    r1 = ivf_topk_exact(emb, qv, k=10, n_cells=16, nprobe=4).collect()
+    r2 = ivf_topk_exact(emb, qv, k=10, n_cells=16, nprobe=4).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+    approx = [r["vec_id"] for r in r1]
+    assert 0 in approx
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, f"recall {recall}"
+
+
 def test_int8_topk_recall_vs_bruteforce(spark):
     from etl_demo_spark.vec import brute_force_topk, int8_topk
 
