@@ -25,11 +25,24 @@ file — while keeping the data plain parquet:
     readers via snapshot expiry.
 
 Crash consistency is STRONGER than the rename swap: the commit point is
-the single manifest-file rename. A crash before it leaves only
-unreferenced ``__v`` orphans (GC'd by the next merge — which also clears
-any version-number collision the re-run would hit); a crash after it is
-a completed merge. No holding pen, no recovery sweep, no half-swapped
-state. Single writer assumed, as everywhere in this module family.
+a single atomic manifest-file publish. A crash before it leaves only
+unreferenced ``__v`` orphans (GC'd by a later commit once they outlive
+the orphan grace window); a crash after it is a completed merge. No
+holding pen, no recovery sweep, no half-swapped state.
+
+MULTI-WRITER: commits are optimistic-concurrency transactions. Every
+committer (merge / delete / compact) resolves the latest snapshot,
+stages its new version subdirs under an attempt-unique token (two
+writers can never collide on a directory name), then publishes
+``v{N+1}.json`` with a compare-and-swap primitive (`_publish_cas`):
+exactly one writer wins each version; the loser drops its staged dirs
+and re-runs the whole transaction against the winner's snapshot — the
+standard snapshot-format commit protocol (Iceberg/Delta), so OPTIMIZE,
+retention DELETE, and CDC ingest can share a table without a committer
+silently clobbering another's snapshot. Unreferenced staging is
+protected from a concurrent committer's GC by a modification-time grace
+window (`_ORPHAN_GRACE_MS`) — the same reasoning as Iceberg's orphan-
+file-removal age threshold.
 
 Cite: the reference (`etl_weekly_trades.py`) has no concurrent-reader
 story at all (SQLite append). This is the engine-grade answer short of
@@ -39,6 +52,8 @@ adopting a full table format.
 from __future__ import annotations
 
 import json
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,14 +70,24 @@ from etl_demo_spark.io.tables import (
 
 _MANIFEST_DIR = "_manifests"
 _RETAIN = 2  # manifests (and their data) kept for in-flight readers
+_COMMIT_RETRIES = 5  # optimistic-concurrency attempts before giving up
+# Unreferenced __v dirs younger than this are presumed in-flight staging of
+# a concurrent committer and are NOT garbage-collected (Iceberg's orphan-file
+# age-threshold rationale). Crashed attempts are reclaimed once they age out.
+_ORPHAN_GRACE_MS = 5 * 60 * 1000
 
 
 def _manifest_path(root: str, version: int) -> str:
     return f"{root.rstrip('/')}/{_MANIFEST_DIR}/v{version:010d}.json"
 
 
-def _vdir(version: int) -> str:
-    return f"__v{version:010d}"
+def _vdir(version: int, token: str | None = None) -> str:
+    """Version-subdir name. ``token`` (attempt-unique) guarantees two
+    concurrent committers staging the same target version for the same
+    leaf can never collide on a directory — the manifest maps leaves to
+    vrels explicitly, so the name itself is opaque to readers."""
+    base = f"__v{version:010d}"
+    return f"{base}-{token}" if token else base
 
 
 def _read_file(fs, jvm, path: str) -> bytes:
@@ -76,11 +101,25 @@ def _read_file(fs, jvm, path: str) -> bytes:
         stream.close()
 
 
-def _write_file_atomic(fs, jvm, path: str, data: bytes) -> None:
-    """create tmp + close + rename: the rename is the atomic commit point
-    (single metadata op on HDFS/local; S3A needs a real table format —
-    documented, not hidden)."""
-    tmp = path + ".tmp"
+def _strip_scheme(p: str) -> str:
+    return p[len("file:"):] if p.startswith("file:") else p
+
+
+def _publish_cas(fs, jvm, path: str, data: bytes) -> bool:
+    """Atomic compare-and-swap publish of a manifest: the FULL content is
+    written to an attempt-unique temp file first, then moved to the final
+    name with create-exclusive semantics — exactly one of any number of
+    concurrent committers wins a given version (the losers get False and
+    re-resolve), and a reader can never observe a torn manifest: the
+    final path either doesn't exist or holds the complete bytes.
+
+    Local filesystems publish via a POSIX hard link (atomic; fails with
+    FileAlreadyExistsException if the target exists). HDFS publishes via
+    rename-without-overwrite (returns false when the destination exists
+    — the FileSystem contract). Object stores without an atomic
+    exclusive publish (S3 before conditional PUTs) need a real
+    table-format catalog for the pointer — documented, not hidden."""
+    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
     p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
     _mkdirs_parent(fs, jvm, path)
     stream = fs.create(p_tmp, True)
@@ -88,7 +127,77 @@ def _write_file_atomic(fs, jvm, path: str, data: bytes) -> None:
         stream.write(bytearray(data))
     finally:
         stream.close()
-    fs.rename(p_tmp, jvm.org.apache.hadoop.fs.Path(path))
+    try:
+        if fs.getUri().getScheme() == "file":
+            def topath(s: str):
+                return jvm.java.io.File(_strip_scheme(s)).toPath()
+
+            try:
+                jvm.java.nio.file.Files.createLink(topath(path), topath(tmp))
+                return True
+            except Exception as e:  # py4j surfaces the Java exception
+                jexc = getattr(e, "java_exception", None)
+                if jexc is not None and "FileAlreadyExistsException" in (
+                    jexc.getClass().getName()
+                ):
+                    return False
+                raise
+        return bool(fs.rename(p_tmp, jvm.org.apache.hadoop.fs.Path(path)))
+    finally:
+        fs.delete(p_tmp, False)
+
+
+def _next_version(fs, jvm, root: str) -> int:
+    versions = _list_manifest_versions(fs, jvm, root)
+    return (versions[-1] if versions else 0) + 1
+
+
+def _clean_stale_staging(fs, jvm, root: str) -> None:
+    """Reclaim crashed committers' sibling staging dirs
+    (``<root>.__manifest_staging__<token>``) once past the grace window;
+    young ones belong to in-flight concurrent commits."""
+    roots = root.rstrip("/")
+    parent = jvm.org.apache.hadoop.fs.Path(roots).getParent()
+    if parent is None or not fs.exists(parent):
+        return
+    marker = jvm.org.apache.hadoop.fs.Path(roots).getName() + ".__manifest_staging__"
+    cutoff = int(time.time() * 1000) - _ORPHAN_GRACE_MS
+    for st in fs.listStatus(parent):
+        name = st.getPath().getName()
+        if (
+            st.isDirectory()
+            and name.startswith(marker)
+            and st.getModificationTime() < cutoff
+        ):
+            fs.delete(st.getPath(), True)
+
+
+def _commit_retry(fs, jvm, root: str, attempt_fn):
+    """Optimistic-concurrency loop shared by every manifest committer.
+
+    ``attempt_fn(doc, new_version, token)`` runs ONE full transaction
+    attempt against the resolved snapshot ``doc`` — stage data under
+    token'd version subdirs, build the new manifest, `_publish_cas` it —
+    and returns ``(published, staged_vrels, result)``. On a lost race the
+    staged dirs are dropped and the whole transaction re-runs against the
+    winner's snapshot (the merge/delete/compact semantics recompute, so
+    writers touching the same leaf serialize correctly, not just
+    disjoint ones)."""
+    for _ in range(_COMMIT_RETRIES):
+        doc = _load_doc(fs, jvm, root)
+        new_version = _next_version(fs, jvm, root)
+        token = uuid.uuid4().hex[:8]
+        published, staged, result = attempt_fn(doc, new_version, token)
+        if published:
+            return result
+        for vrel in staged:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/{vrel}"), True
+            )
+    raise RuntimeError(
+        f"manifest commit for {root} lost the optimistic race "
+        f"{_COMMIT_RETRIES} times; retry under less write contention"
+    )
 
 
 def _list_manifest_versions(fs, jvm, root: str) -> list[int]:
@@ -162,11 +271,13 @@ def _evolve_file_stats(
     root: str,
     doc: dict,
     new_mapping: dict,
-    new_version: int,
+    new_vrels: list[str],
 ) -> dict | None:
     """Next commit's ``files`` stats map: carry forward entries whose
     version subdir is still referenced, recompute ONLY the subdirs this
-    commit created. Returns None when the table doesn't track stats."""
+    commit created (passed explicitly — attempt-token'd names carry no
+    inferable version suffix). Returns None when the table doesn't track
+    stats."""
     stats_cols = doc.get("stats_cols")
     if not stats_cols:
         return None
@@ -176,9 +287,9 @@ def _evolve_file_stats(
         for p, st in doc.get("files", {}).items()
         if p.rsplit("/", 1)[0] in live
     }
-    new_vrels = [v for v in live if v.endswith(_vdir(new_version))]
-    if new_vrels:
-        carried.update(_collect_file_stats(spark, fmt, root, new_vrels, stats_cols))
+    fresh = [v for v in new_vrels if v in live]
+    if fresh:
+        carried.update(_collect_file_stats(spark, fmt, root, fresh, stats_cols))
     return carried
 
 
@@ -406,24 +517,39 @@ def manifest_init(
         doc["files"] = _collect_file_stats(
             spark, fmt, root, list(mapping.values()), list(stats_cols)
         )
-    _write_file_atomic(
-        fs,
-        jvm,
-        _manifest_path(root, version),
-        json.dumps(doc, indent=1).encode(),
-    )
+    if not _publish_cas(
+        fs, jvm, _manifest_path(root, version), json.dumps(doc, indent=1).encode()
+    ):
+        # a concurrent init won the v1 publish; the file renames are
+        # idempotent across racers (deterministic __v1 destination), so
+        # the winner's manifest describes the same layout
+        return load_manifest(spark, root)[0]
     return version
 
 
 def _gc(fs, jvm, root: str, keep_versions: list[int]) -> None:
     """Delete manifests older than the retention window and any version
     subdir no kept manifest references — superseded data AND orphans from
-    crashed attempts (including future-numbered ones, so a re-run never
-    collides with a half-placed ``__v`` dir)."""
+    crashed attempts. Unreferenced dirs YOUNGER than the orphan grace
+    window are spared: they may be a concurrent committer's in-flight
+    staging (its manifest publishes after the data lands); a crashed
+    attempt's dirs are reclaimed once they age past the window."""
     referenced: set[str] = set()
     for v in keep_versions:
         doc = json.loads(_read_file(fs, jvm, _manifest_path(root, v)).decode())
         referenced.update(doc["partitions"].values())
+    # dirs referenced ONLY by expiring manifests are provably superseded
+    # data — deletable immediately, no grace needed (they cannot be a
+    # concurrent committer's staging: staging is never manifest-listed)
+    superseded: set[str] = set()
+    for v in _list_manifest_versions(fs, jvm, root):
+        if v not in keep_versions:
+            try:
+                old = json.loads(_read_file(fs, jvm, _manifest_path(root, v)).decode())
+            except Exception:
+                continue
+            superseded.update(set(old["partitions"].values()) - referenced)
+    cutoff = int(time.time() * 1000) - _ORPHAN_GRACE_MS
 
     # walk every __v dir under the table (any depth ≥ 1 below root)
     stack = [(jvm.org.apache.hadoop.fs.Path(root), "")]
@@ -435,7 +561,9 @@ def _gc(fs, jvm, root: str, keep_versions: list[int]) -> None:
                 continue
             r = f"{rel}/{name}" if rel else name
             if name.startswith("__v"):
-                if r not in referenced:
+                if r in referenced:
+                    pass
+                elif r in superseded or st.getModificationTime() < cutoff:
                     fs.delete(st.getPath(), True)
             elif not name.startswith(("_", ".")):
                 stack.append((st.getPath(), r))
@@ -474,7 +602,9 @@ def compact_manifested(
     This is the maintenance companion to the streaming CDC sink: every
     micro-batch merge writes at least one file per touched leaf, so a
     long-lived feed accretes small files; compaction restores scan
-    efficiency without pausing ingest beyond the single-writer rule.
+    efficiency without pausing ingest at all: the optimistic commit loop
+    lets OPTIMIZE race the CDC committer, the loser re-running against
+    the winner's snapshot.
 
     Scale: ONE Spark job for all compacted leaves — the read is pruned
     to them, rows are repartitioned on (partition cols + a per-leaf
@@ -483,91 +613,96 @@ def compact_manifested(
     10k-file day compacts in one shuffle instead of 10k driver-side
     jobs. File listing is manifest-resolved (no directory walk of
     superseded versions)."""
-    cols = None  # derived from the leaf rels below
     roots = root.rstrip("/")
     fs, jvm = _hadoop_fs(spark, roots)
-    doc = _load_doc(fs, jvm, roots)
-    mapping = doc["partitions"]
-    if not mapping:
-        return []
-    # partition columns from any leaf rel: 'dt=d1/seg=A' → ['dt','seg']
-    cols = [seg.split("=", 1)[0] for seg in next(iter(mapping)).split("/")]
+    _clean_stale_staging(fs, jvm, roots)
 
-    # per-leaf file inventory through the manifest (current versions only)
-    stats: dict[str, tuple[int, int]] = {}
-    for rel, vrel in mapping.items():
-        n, nbytes = 0, 0
-        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{roots}/{vrel}")):
-            name = st.getPath().getName()
-            if st.isFile() and not name.startswith(("_", ".")):
-                n += 1
-                nbytes += st.getLen()
-        stats[rel] = (n, nbytes)
-    to_compact = {
-        rel: max(1, -(-nbytes // target_file_bytes))
-        for rel, (n, nbytes) in stats.items()
-        if n >= min_files
-    }
-    if not to_compact:
-        return []
+    def _attempt(doc, new_version, token):
+        mapping = doc["partitions"]
+        if not mapping:
+            return True, [], []
+        # partition columns from any leaf rel: 'dt=d1/seg=A' → ['dt','seg']
+        cols = [seg.split("=", 1)[0] for seg in next(iter(mapping)).split("/")]
 
-    new_version = doc["version"] + 1
-    keep = [v for v in _list_manifest_versions(fs, jvm, roots)][-_RETAIN:]
-    _gc(fs, jvm, roots, keep)
+        # per-leaf file inventory through the manifest (current versions only)
+        stats: dict[str, tuple[int, int]] = {}
+        for rel, vrel in mapping.items():
+            n, nbytes = 0, 0
+            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{roots}/{vrel}")):
+                name = st.getPath().getName()
+                if st.isFile() and not name.startswith(("_", ".")):
+                    n += 1
+                    nbytes += st.getLen()
+            stats[rel] = (n, nbytes)
+        to_compact = {
+            rel: max(1, -(-nbytes // target_file_bytes))
+            for rel, (n, nbytes) in stats.items()
+            if n >= min_files
+        }
+        if not to_compact:
+            return True, [], []
 
-    values = [tuple(rel_to) for rel_to in (
-        tuple(seg.split("=", 1)[1] for seg in rel.split("/")) for rel in to_compact
-    )]
-    scoped = read_manifested(
-        spark, roots, fmt, pin_partition_strings=True, partition_cols=cols
-    ).filter(_partition_filter(cols, values))
-    shards = spark.createDataFrame(
-        [tuple(v) + (n,) for v, n in zip(values, to_compact.values())],
-        ", ".join(f"{c} STRING" for c in cols) + ", __n_shards INT",
-    )
-    packed = (
-        scoped.join(F.broadcast(shards), cols)
-        .withColumn(
-            "__shard",
-            F.pmod(F.hash(F.struct(*[c for c in scoped.columns])), F.col("__n_shards")),
+        keep = [v for v in _list_manifest_versions(fs, jvm, roots)][-_RETAIN:]
+        _gc(fs, jvm, roots, keep)
+
+        values = [tuple(rel_to) for rel_to in (
+            tuple(seg.split("=", 1)[1] for seg in rel.split("/")) for rel in to_compact
+        )]
+        scoped = read_manifested(
+            spark, roots, fmt, pin_partition_strings=True, partition_cols=cols
+        ).filter(_partition_filter(cols, values))
+        shards = spark.createDataFrame(
+            [tuple(v) + (n,) for v, n in zip(values, to_compact.values())],
+            ", ".join(f"{c} STRING" for c in cols) + ", __n_shards INT",
         )
-        .repartition(*cols, "__shard")
-    )
-    if sort_cols:
-        # task-local sort: rows land in their file ordered by the cluster
-        # key (leaf grouping is preserved — the partitionBy writer splits
-        # by leaf regardless of row order within the task)
-        packed = packed.sortWithinPartitions(*cols, *sort_cols)
-    packed = packed.drop("__n_shards", "__shard")
-    staging = roots + ".__manifest_staging__"
-    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
-    packed.write.mode("overwrite").partitionBy(*cols).format(fmt).save(staging)
+        packed = (
+            scoped.join(F.broadcast(shards), cols)
+            .withColumn(
+                "__shard",
+                F.pmod(
+                    F.hash(F.struct(*[c for c in scoped.columns])), F.col("__n_shards")
+                ),
+            )
+            .repartition(*cols, "__shard")
+        )
+        if sort_cols:
+            # task-local sort: rows land in their file ordered by the cluster
+            # key (leaf grouping is preserved — the partitionBy writer splits
+            # by leaf regardless of row order within the task)
+            packed = packed.sortWithinPartitions(*cols, *sort_cols)
+        packed = packed.drop("__n_shards", "__shard")
+        staging = f"{roots}.__manifest_staging__{token}"
+        packed.write.mode("overwrite").partitionBy(*cols).format(fmt).save(staging)
 
-    new_mapping = dict(mapping)
-    for rel in to_compact:
-        staged = jvm.org.apache.hadoop.fs.Path(f"{staging}/{rel}")
-        if not fs.exists(staged):
-            continue  # empty leaf cannot occur via to_compact, but be safe
-        vrel = f"{rel}/{_vdir(new_version)}"
-        _mkdirs_parent(fs, jvm, f"{roots}/{vrel}")
-        fs.rename(staged, jvm.org.apache.hadoop.fs.Path(f"{roots}/{vrel}"))
-        new_mapping[rel] = vrel
-    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+        new_mapping = dict(mapping)
+        staged_vrels: list[str] = []
+        for rel in to_compact:
+            staged = jvm.org.apache.hadoop.fs.Path(f"{staging}/{rel}")
+            if not fs.exists(staged):
+                continue  # empty leaf cannot occur via to_compact, but be safe
+            vrel = f"{rel}/{_vdir(new_version, token)}"
+            _mkdirs_parent(fs, jvm, f"{roots}/{vrel}")
+            fs.rename(staged, jvm.org.apache.hadoop.fs.Path(f"{roots}/{vrel}"))
+            new_mapping[rel] = vrel
+            staged_vrels.append(vrel)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
-    new_doc = {"version": new_version, "partitions": new_mapping}
-    if doc.get("schema") is not None:
-        new_doc["schema"] = doc["schema"]
-    stats = _evolve_file_stats(spark, fmt, roots, doc, new_mapping, new_version)
-    if stats is not None:
-        new_doc["stats_cols"] = doc["stats_cols"]
-        new_doc["files"] = stats
-    _write_file_atomic(
-        fs,
-        jvm,
-        _manifest_path(roots, new_version),
-        json.dumps(new_doc, indent=1).encode(),
-    )
-    return sorted(to_compact)
+        new_doc = {"version": new_version, "partitions": new_mapping}
+        if doc.get("schema") is not None:
+            new_doc["schema"] = doc["schema"]
+        fstats = _evolve_file_stats(spark, fmt, roots, doc, new_mapping, staged_vrels)
+        if fstats is not None:
+            new_doc["stats_cols"] = doc["stats_cols"]
+            new_doc["files"] = fstats
+        ok = _publish_cas(
+            fs,
+            jvm,
+            _manifest_path(roots, new_version),
+            json.dumps(new_doc, indent=1).encode(),
+        )
+        return ok, staged_vrels, sorted(to_compact)
+
+    return _commit_retry(fs, jvm, roots, _attempt)
 
 
 def manifest_diff(
@@ -659,66 +794,70 @@ def delete_keys_manifested(
     single = isinstance(partition_cols, str) or len(cols) == 1
     root = target_path.rstrip("/")
     fs, jvm = _hadoop_fs(spark, root)
+    _clean_stale_staging(fs, jvm, root)
 
-    doc = _load_doc(fs, jvm, root)
-    cur_version, mapping = doc["version"], doc["partitions"]
-    new_version = cur_version + 1
-    keep = [v for v in _list_manifest_versions(fs, jvm, root)][-_RETAIN:]
-    _gc(fs, jvm, root, keep)
-    if not mapping:
-        return []
+    def _attempt(doc, new_version, token):
+        mapping = doc["partitions"]
+        keep = [v for v in _list_manifest_versions(fs, jvm, root)][-_RETAIN:]
+        _gc(fs, jvm, root, keep)
+        if not mapping:
+            return True, [], []
 
-    target = read_manifested(
-        spark, root, fmt, pin_partition_strings=True, partition_cols=cols
-    )
-    key_set = keys_df.select(*keys).distinct()
-    affected = [
-        tuple(r)
-        for r in target.join(key_set, keys, "left_semi")
-        .select(*cols)
-        .distinct()
-        .collect()
-    ]
-    if not affected:
-        return []
+        target = read_manifested(
+            spark, root, fmt, pin_partition_strings=True, partition_cols=cols
+        )
+        key_set = keys_df.select(*keys).distinct()
+        affected = [
+            tuple(r)
+            for r in target.join(key_set, keys, "left_semi")
+            .select(*cols)
+            .distinct()
+            .collect()
+        ]
+        if not affected:
+            return True, [], []
 
-    remaining = target.filter(_partition_filter(cols, affected)).join(
-        key_set, keys, "left_anti"
-    )
-    for c in cols:
-        remaining = remaining.withColumn(c, F.col(c).cast("string"))
-    staging = root + ".__manifest_staging__"
-    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
-    remaining.write.mode("overwrite").partitionBy(*cols).format(fmt).save(staging)
+        remaining = target.filter(_partition_filter(cols, affected)).join(
+            key_set, keys, "left_anti"
+        )
+        for c in cols:
+            remaining = remaining.withColumn(c, F.col(c).cast("string"))
+        staging = f"{root}.__manifest_staging__{token}"
+        remaining.write.mode("overwrite").partitionBy(*cols).format(fmt).save(staging)
 
-    new_mapping = dict(mapping)
-    for values in affected:
-        rel = _part_rel(cols, values)
-        staged = jvm.org.apache.hadoop.fs.Path(f"{staging}/{rel}")
-        if fs.exists(staged):
-            vrel = f"{rel}/{_vdir(new_version)}"
-            dest = f"{root}/{vrel}"
-            _mkdirs_parent(fs, jvm, dest)
-            fs.rename(staged, jvm.org.apache.hadoop.fs.Path(dest))
-            new_mapping[rel] = vrel
-        else:  # every row deleted — the leaf leaves the snapshot
-            new_mapping.pop(rel, None)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+        new_mapping = dict(mapping)
+        staged_vrels: list[str] = []
+        for values in affected:
+            rel = _part_rel(cols, values)
+            staged = jvm.org.apache.hadoop.fs.Path(f"{staging}/{rel}")
+            if fs.exists(staged):
+                vrel = f"{rel}/{_vdir(new_version, token)}"
+                dest = f"{root}/{vrel}"
+                _mkdirs_parent(fs, jvm, dest)
+                fs.rename(staged, jvm.org.apache.hadoop.fs.Path(dest))
+                new_mapping[rel] = vrel
+                staged_vrels.append(vrel)
+            else:  # every row deleted — the leaf leaves the snapshot
+                new_mapping.pop(rel, None)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
-    new_doc = {"version": new_version, "partitions": new_mapping}
-    if doc.get("schema") is not None:
-        new_doc["schema"] = doc["schema"]  # deletion never changes schema
-    stats = _evolve_file_stats(spark, fmt, root, doc, new_mapping, new_version)
-    if stats is not None:
-        new_doc["stats_cols"] = doc["stats_cols"]
-        new_doc["files"] = stats
-    _write_file_atomic(
-        fs,
-        jvm,
-        _manifest_path(root, new_version),
-        json.dumps(new_doc, indent=1).encode(),
-    )
-    return [values[0] for values in affected] if single else affected
+        new_doc = {"version": new_version, "partitions": new_mapping}
+        if doc.get("schema") is not None:
+            new_doc["schema"] = doc["schema"]  # deletion never changes schema
+        stats = _evolve_file_stats(spark, fmt, root, doc, new_mapping, staged_vrels)
+        if stats is not None:
+            new_doc["stats_cols"] = doc["stats_cols"]
+            new_doc["files"] = stats
+        ok = _publish_cas(
+            fs,
+            jvm,
+            _manifest_path(root, new_version),
+            json.dumps(new_doc, indent=1).encode(),
+        )
+        result = [values[0] for values in affected] if single else affected
+        return ok, staged_vrels, result
+
+    return _commit_retry(fs, jvm, root, _attempt)
 
 
 def merge_upsert_manifested(
@@ -747,6 +886,11 @@ def merge_upsert_manifested(
     (its readers must opt into a mergeSchema footer sweep). Time travel
     to a pre-evolution version reads the old schema.
 
+    Concurrency: an optimistic transaction (`_commit_retry`) — on a lost
+    CAS the merge RE-RUNS against the winner's snapshot, so two writers
+    upserting the same leaf serialize (last committer's merge sees the
+    first's rows), and no snapshot is ever silently clobbered.
+
     Scale: identical read/write footprint to the swap path (affected
     leaves only) plus one O(partitions) JSON pointer file per commit —
     the same metadata cost every snapshot format pays, and the reason a
@@ -758,73 +902,74 @@ def merge_upsert_manifested(
     single = isinstance(partition_cols, str) or len(cols) == 1
     root = target_path.rstrip("/")
     fs, jvm = _hadoop_fs(spark, root)
+    _clean_stale_staging(fs, jvm, root)
 
-    doc = _load_doc(fs, jvm, root)
-    cur_version, mapping = doc["version"], doc["partitions"]
-    prev_schema_json = doc.get("schema")
-    new_version = cur_version + 1
-    # GC superseded/orphaned data from before this commit; also clears
-    # any __v{new_version} leftovers of a crashed prior attempt
-    keep = [v for v in _list_manifest_versions(fs, jvm, root)][-_RETAIN:]
-    _gc(fs, jvm, root, keep)
+    def _attempt(doc, new_version, token):
+        mapping = doc["partitions"]
+        prev_schema_json = doc.get("schema")
+        keep = [v for v in _list_manifest_versions(fs, jvm, root)][-_RETAIN:]
+        _gc(fs, jvm, root, keep)
 
-    if mapping:
-        target = read_manifested(
-            spark, root, fmt, pin_partition_strings=True, partition_cols=cols
-        )
-    else:  # fully-drained table: every source row is an insert
-        target = source.filter(F.lit(False))
+        if mapping:
+            target = read_manifested(
+                spark, root, fmt, pin_partition_strings=True, partition_cols=cols
+            )
+        else:  # fully-drained table: every source row is an insert
+            target = source.filter(F.lit(False))
+            for c in cols:
+                target = target.withColumn(c, F.col(c).cast("string"))
+        affected = affected_partitions(target, source, keys, cols)
+        if not affected:
+            return True, [], []
+
+        scoped = target.filter(_partition_filter(cols, affected))
+        merged = merge_upsert(scoped, source, keys, schema_evolution=schema_evolution)
         for c in cols:
-            target = target.withColumn(c, F.col(c).cast("string"))
-    affected = affected_partitions(target, source, keys, cols)
-    if not affected:
-        return []
+            merged = merged.withColumn(c, F.col(c).cast("string"))
+        staging = f"{root}.__manifest_staging__{token}"
+        merged.write.mode("overwrite").partitionBy(*cols).format(fmt).save(staging)
 
-    scoped = target.filter(_partition_filter(cols, affected))
-    merged = merge_upsert(scoped, source, keys, schema_evolution=schema_evolution)
-    for c in cols:
-        merged = merged.withColumn(c, F.col(c).cast("string"))
-    staging = root + ".__manifest_staging__"
-    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
-    merged.write.mode("overwrite").partitionBy(*cols).format(fmt).save(staging)
+        new_mapping = dict(mapping)
+        staged_vrels: list[str] = []
+        for values in affected:
+            rel = _part_rel(cols, values)
+            staged = jvm.org.apache.hadoop.fs.Path(f"{staging}/{rel}")
+            if fs.exists(staged):
+                vrel = f"{rel}/{_vdir(new_version, token)}"
+                dest = f"{root}/{vrel}"
+                _mkdirs_parent(fs, jvm, dest)  # ensure <root>/<rel>/ exists
+                fs.rename(staged, jvm.org.apache.hadoop.fs.Path(dest))
+                new_mapping[rel] = vrel
+                staged_vrels.append(vrel)
+            else:  # merge drained this leaf — drop it from the snapshot
+                new_mapping.pop(rel, None)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
-    new_mapping = dict(mapping)
-    for values in affected:
-        rel = _part_rel(cols, values)
-        staged = jvm.org.apache.hadoop.fs.Path(f"{staging}/{rel}")
-        if fs.exists(staged):
-            vrel = f"{rel}/{_vdir(new_version)}"
-            dest = f"{root}/{vrel}"
-            _mkdirs_parent(fs, jvm, dest)  # ensure <root>/<rel>/ exists
-            fs.rename(staged, jvm.org.apache.hadoop.fs.Path(dest))
-            new_mapping[rel] = vrel
-        else:  # merge drained this leaf — drop it from the snapshot
-            new_mapping.pop(rel, None)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+        # evolve the stored schema: existing columns keep their recorded
+        # types (partition cols were string-cast only for the staged WRITE —
+        # the stored type remains the read authority), genuinely new columns
+        # append with the merge output's type. Legacy manifests without a
+        # schema stay schema-less (inference fallback) rather than guessing.
+        new_doc = {"version": new_version, "partitions": new_mapping}
+        if prev_schema_json is not None:
+            prev_schema = T.StructType.fromJson(json.loads(prev_schema_json))
+            prev_names = {f.name for f in prev_schema.fields}
+            fields = list(prev_schema.fields) + [
+                f for f in merged.schema.fields if f.name not in prev_names
+            ]
+            new_doc["schema"] = T.StructType(fields).json()
+        stats = _evolve_file_stats(spark, fmt, root, doc, new_mapping, staged_vrels)
+        if stats is not None:
+            new_doc["stats_cols"] = doc["stats_cols"]
+            new_doc["files"] = stats
 
-    # evolve the stored schema: existing columns keep their recorded
-    # types (partition cols were string-cast only for the staged WRITE —
-    # the stored type remains the read authority), genuinely new columns
-    # append with the merge output's type. Legacy manifests without a
-    # schema stay schema-less (inference fallback) rather than guessing.
-    new_doc = {"version": new_version, "partitions": new_mapping}
-    if prev_schema_json is not None:
-        prev_schema = T.StructType.fromJson(json.loads(prev_schema_json))
-        prev_names = {f.name for f in prev_schema.fields}
-        fields = list(prev_schema.fields) + [
-            f for f in merged.schema.fields if f.name not in prev_names
-        ]
-        new_doc["schema"] = T.StructType(fields).json()
-    stats = _evolve_file_stats(spark, fmt, root, doc, new_mapping, new_version)
-    if stats is not None:
-        new_doc["stats_cols"] = doc["stats_cols"]
-        new_doc["files"] = stats
+        ok = _publish_cas(  # the atomic commit point
+            fs,
+            jvm,
+            _manifest_path(root, new_version),
+            json.dumps(new_doc, indent=1).encode(),
+        )
+        result = [values[0] for values in affected] if single else affected
+        return ok, staged_vrels, result
 
-    # the atomic commit point
-    _write_file_atomic(
-        fs,
-        jvm,
-        _manifest_path(root, new_version),
-        json.dumps(new_doc, indent=1).encode(),
-    )
-    return [values[0] for values in affected] if single else affected
+    return _commit_retry(fs, jvm, root, _attempt)

@@ -62,7 +62,8 @@ def test_manifest_merge_semantics_and_blast_radius(spark, tmp_path):
 
     version, mapping = load_manifest(spark, path)
     assert version == 2
-    assert mapping["dt=d1/seg=A"] == "dt=d1/seg=A/__v0000000002"
+    # commit vdirs carry an attempt-unique token suffix (OCC staging)
+    assert mapping["dt=d1/seg=A"].startswith("dt=d1/seg=A/__v0000000002")
     assert mapping["dt=d1/seg=B"] == "dt=d1/seg=B/__v0000000001"  # untouched
 
     got = {r.id: (r.name, r.dt, r.seg) for r in read_manifested(spark, path).collect()}
@@ -113,10 +114,11 @@ def test_manifest_merge_drains_leaf(spark, tmp_path):
 
 
 def test_manifest_crashed_attempt_is_invisible_and_healed(spark, tmp_path):
-    """A crash after placing new __v dirs but BEFORE the manifest rename
+    """A crash after placing new __v dirs but BEFORE the manifest publish
     leaves the table exactly as it was (readers resolve the old
-    manifest); the re-run GCs the orphaned version dirs — including the
-    version-number collision — and converges."""
+    manifest); a later commit GCs the orphaned version dirs once they age
+    past the orphan grace window (younger orphans are spared — they could
+    be a CONCURRENT committer's in-flight staging) and converges."""
     from etl_demo_spark.io.manifest import (
         load_manifest,
         manifest_init,
@@ -128,8 +130,8 @@ def test_manifest_crashed_attempt_is_invisible_and_healed(spark, tmp_path):
     _seed(spark, path)
     manifest_init(spark, path, ["dt", "seg"])
 
-    # simulate the crashed attempt: an orphan __v0000000002 with junk
-    orphan = os.path.join(path, "dt=d1", "seg=A", "__v0000000002")
+    # simulate the crashed attempt: an orphan token'd __v dir with junk
+    orphan = os.path.join(path, "dt=d1", "seg=A", "__v0000000002-deadbeef")
     os.makedirs(orphan)
     with open(os.path.join(orphan, "part-junk.parquet"), "wb") as f:
         f.write(b"junk")
@@ -146,6 +148,17 @@ def test_manifest_crashed_attempt_is_invisible_and_healed(spark, tmp_path):
     assert version == 2
     got = {r.id: r.name for r in read_manifested(spark, path).collect()}
     assert got[1] == "ALPHA2" and len(got) == 4
+    # the young orphan is SPARED (grace window: could be in-flight staging)
+    assert os.path.isdir(orphan)
+
+    # age it past the grace window; the next commit reclaims it
+    old = 1_000_000_000  # epoch seconds, far in the past
+    os.utime(orphan, (old, old))
+    source2 = spark.createDataFrame(
+        [(3, "GAMMA2", "d2", "A")], "id INT, name STRING, dt STRING, seg STRING"
+    )
+    merge_upsert_manifested(spark, path, source2, ["id"], ["dt", "seg"])
+    assert not os.path.isdir(orphan)
 
 
 def test_manifest_concurrent_reader_never_sees_missing_partition(spark, tmp_path):
@@ -394,9 +407,9 @@ def test_compact_manifested_one_shot_and_converges(spark, tmp_path):
 
     version, mapping = load_manifest(spark, path)
     assert version == 2
-    assert mapping["dt=d1/seg=A"].endswith("__v0000000002")
+    assert "__v0000000002" in mapping["dt=d1/seg=A"]  # token'd OCC vdir
     assert mapping["dt=d1/seg=B"].endswith("__v0000000001")  # untouched
-    files = glob.glob(f"{path}/dt=d1/seg=A/__v0000000002/*.parquet")
+    files = glob.glob(f"{path}/dt=d1/seg=A/__v0000000002-*/*.parquet")
     assert len(files) == 1  # tiny leaf → single shard
     after = {r.id: r.name for r in read_manifested(spark, path).collect()}
     assert after == before
@@ -488,3 +501,108 @@ def test_manifest_diff_metadata_only(spark, tmp_path):
     assert d == {
         "dt=d2/seg=A": {"status": "removed", "rows_before": 1, "rows_after": None}
     }
+
+
+# ---------------------------------------------------------------------------
+# Optimistic multi-writer concurrency (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_publish_cas_first_writer_wins(spark, tmp_path):
+    """The CAS primitive: exactly one publish of a given path succeeds,
+    the loser gets False, the winner's FULL content is what readers see,
+    and no temp litter survives."""
+    import os
+
+    from etl_demo_spark.io.manifest import _publish_cas
+    from etl_demo_spark.io.tables import _hadoop_fs
+
+    d = str(tmp_path / "cas")
+    os.makedirs(d)
+    fs, jvm = _hadoop_fs(spark, d)
+    p = f"{d}/v0000000001.json"
+    assert _publish_cas(fs, jvm, p, b'{"w": "first"}') is True
+    assert _publish_cas(fs, jvm, p, b'{"w": "second"}') is False
+    with open(p) as f:
+        assert f.read() == '{"w": "first"}'
+    assert [n for n in os.listdir(d) if n.endswith(".tmp")] == []
+
+
+def test_manifest_lost_race_retries_on_winners_snapshot(spark, tmp_path, monkeypatch):
+    """THE lost-update test: writer B commits a full merge into the SAME
+    leaf between writer A's snapshot resolve and A's publish. A's CAS
+    must fail, and A's retry must re-run the merge against B's snapshot —
+    both writers' rows survive (a clobber would lose B's insert, since a
+    merge rewrites the whole leaf)."""
+    import etl_demo_spark.io.manifest as m
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    m.manifest_init(spark, path, ["dt", "seg"])
+
+    real_publish = m._publish_cas
+    state = {"injected": False}
+
+    def racing_publish(fs, jvm, p, data):
+        if not state["injected"]:
+            state["injected"] = True
+            src_b = spark.createDataFrame(
+                [(99, "B-INSERT", "d1", "A")],
+                "id INT, name STRING, dt STRING, seg STRING",
+            )
+            m.merge_upsert_manifested(spark, path, src_b, ["id"], ["dt", "seg"])
+        return real_publish(fs, jvm, p, data)
+
+    monkeypatch.setattr(m, "_publish_cas", racing_publish)
+    src_a = spark.createDataFrame(
+        [(1, "A-UPDATE", "d1", "A")], "id INT, name STRING, dt STRING, seg STRING"
+    )
+    affected = m.merge_upsert_manifested(spark, path, src_a, ["id"], ["dt", "seg"])
+    assert affected == [("d1", "A")]
+
+    version, _ = m.load_manifest(spark, path)
+    assert version == 3  # B won v2; A retried onto v3
+    got = {r.id: r.name for r in m.read_manifested(spark, path).collect()}
+    assert got[1] == "A-UPDATE"  # A's change landed
+    assert got[99] == "B-INSERT"  # B's snapshot was NOT clobbered
+    assert len(got) == 5
+
+
+def test_manifest_two_writers_threaded_both_commit(spark, tmp_path):
+    """Two real threads merging concurrently: exactly one commit wins per
+    version, the loser retries onto the next, and no snapshot is lost —
+    final state carries both writers' rows at version 3."""
+    from etl_demo_spark.io.manifest import (
+        load_manifest,
+        manifest_init,
+        merge_upsert_manifested,
+        read_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    manifest_init(spark, path, ["dt", "seg"])
+    barrier = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def writer(key, name, dt, seg):
+        try:
+            src = spark.createDataFrame(
+                [(key, name, dt, seg)], "id INT, name STRING, dt STRING, seg STRING"
+            )
+            barrier.wait(timeout=60)
+            merge_upsert_manifested(spark, path, src, ["id"], ["dt", "seg"])
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errors.append(e)
+
+    t1 = threading.Thread(target=writer, args=(1, "W1", "d1", "A"))
+    t2 = threading.Thread(target=writer, args=(4, "W2", "d2", "B"))
+    t1.start()
+    t2.start()
+    t1.join(timeout=300)
+    t2.join(timeout=300)
+    assert not errors, errors
+    got = {r.id: r.name for r in read_manifested(spark, path).collect()}
+    assert got[1] == "W1" and got[4] == "W2" and len(got) == 4
+    version, _ = load_manifest(spark, path)
+    assert version == 3
