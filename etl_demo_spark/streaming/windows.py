@@ -146,6 +146,7 @@ def run_stream_cdc_upsert(
     order_col: str | None = None,
     op_col: str | None = None,
     delete_op: str = "D",
+    mode: str = "swap",
 ) -> None:
     """Streaming CDC upsert sink: every micro-batch MERGEs into a
     partitioned parquet table via the partition-scoped merge
@@ -154,6 +155,20 @@ def run_stream_cdc_upsert(
     CHANGE footprint, not table size. This is the streaming half of the
     lakehouse-style upsert pipeline: a CDC feed lands continuously while
     the table stays point-readable with pruned partitions.
+
+    ``mode="manifest"`` commits every micro-batch atomically through the
+    snapshot-manifest layer (`io.manifest.merge_upsert_manifested` /
+    `delete_keys_manifested`): a batch reader racing the stream resolves
+    a complete snapshot on every read — never a half-swapped table or a
+    vanished partition, which the default ``"swap"`` sink can still
+    expose during its rename window (documented there). The first batch
+    bootstraps the layout and `manifest_init`s it; a pre-existing plain
+    Hive table is migrated in place on the first merge (init is
+    idempotent). Upsert and tombstone application stay two commits per
+    batch — each individually atomic; replays keep both idempotent. The
+    manifest layer's optimistic commit loop also makes this sink safe to
+    run CONCURRENTLY with OPTIMIZE (`compact_manifested`) or a retention
+    DELETE on the same table.
 
     ``op_col`` turns on TOMBSTONE handling (the Debezium-style op field
     every real CDC feed carries): after per-key last-wins collapse, a
@@ -176,10 +191,18 @@ def run_stream_cdc_upsert(
     source-wins is idempotent, so exactly-once lands on the checkpoint's
     at-least-once delivery. The first batch against an empty/missing
     target bootstraps the partitioned layout."""
+    from etl_demo_spark.io.manifest import (
+        delete_keys_manifested,
+        manifest_init,
+        merge_upsert_manifested,
+    )
     from etl_demo_spark.io.tables import (
         delete_keys_partitioned,
         merge_upsert_partitioned,
     )
+
+    if mode not in ("swap", "manifest"):
+        raise ValueError(f"run_stream_cdc_upsert: unknown mode {mode!r}")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -205,6 +228,19 @@ def run_stream_cdc_upsert(
             # empty layout the next merge's schema read would choke on
             if op_col is None or not last.isEmpty():
                 last.write.partitionBy(partition_col).parquet(target_path)
+                if mode == "manifest":
+                    manifest_init(spark, target_path, partition_col)
+        elif mode == "manifest":
+            # idempotent: migrates a pre-existing plain table once,
+            # no-ops on every later batch
+            manifest_init(spark, target_path, partition_col)
+            merge_upsert_manifested(
+                spark, target_path, last, keys, partition_col
+            )
+            if deletes is not None:
+                delete_keys_manifested(
+                    spark, target_path, deletes, keys, partition_col
+                )
         else:
             merge_upsert_partitioned(
                 spark, target_path, last, keys, partition_col

@@ -652,3 +652,74 @@ def test_stream_cdc_tombstones_delete_and_replay_idempotent(spark, tmp_path):
     )
     got2 = {r.id: (r.name, r.seg) for r in spark.read.parquet(target2).collect()}
     assert got2 == got
+
+
+def test_stream_cdc_manifest_mode_reader_always_sees_complete_snapshot(
+    spark, tmp_path
+):
+    """mode="manifest" CDC sink: a batch reader loop racing the stream
+    must observe, on EVERY read, one of the complete committed snapshots
+    — never a half-merged table, a vanished partition, or a torn state.
+    Tombstones apply as their own atomic commit, so the upsert-applied /
+    delete-pending intermediate is itself a complete valid snapshot."""
+    import threading
+
+    from etl_demo_spark.io.manifest import load_manifest, read_manifested
+    from etl_demo_spark.streaming.windows import run_stream_cdc_upsert
+
+    target = str(tmp_path / "dim")
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id INT, name STRING, seg STRING, op STRING"
+
+    def feed(batch_name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(inbox / batch_name)
+        )
+        stream = spark.readStream.schema(schema).parquet(str(inbox / "*"))
+        run_stream_cdc_upsert(
+            stream, target, ["id"], "seg", ckpt, op_col="op", mode="manifest"
+        )
+
+    # bootstrap commit (s0) before the reader starts
+    feed("b0", [(1, "alpha", "A", "U"), (2, "beta", "B", "U"),
+                (3, "gamma", "A", "U"), (4, "delta", "B", "U")])
+    s0 = {1: "alpha", 2: "beta", 3: "gamma", 4: "delta"}
+    s1 = {**s0, 1: "v1", 9: "iota"}
+    s2a = {**s1, 3: "v2"}
+    s2b = {k: v for k, v in s2a.items() if k != 2}
+    s3 = {**s2b, 7: "eta"}
+    valid = [s0, s1, s2a, s2b, s3]
+
+    stop = threading.Event()
+    violations: list = []
+    seen: set = set()
+
+    def reader():
+        while not stop.is_set():
+            got = {
+                r.id: r.name for r in read_manifested(spark, target).collect()
+            }
+            seen.add(tuple(sorted(got.items())))
+            if got not in valid:
+                violations.append(got)
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        feed("b1", [(1, "v1", "A", "U"), (9, "iota", "A", "U")])
+        feed("b2", [(3, "v2", "A", "U"), (2, "beta", "B", "D")])
+        feed("b3", [(7, "eta", "B", "U")])
+    finally:
+        stop.set()
+        t.join(timeout=120)
+
+    assert not violations, violations[:3]
+    assert len(seen) >= 2  # the reader actually raced the commits
+    got = {r.id: r.name for r in read_manifested(spark, target).collect()}
+    assert got == s3
+    version, mapping = load_manifest(spark, target)
+    # b1 upsert, b2 upsert, b2 delete, b3 upsert = 4 commits after init
+    assert version == 5
+    assert all(rel.split("/")[0] in ("seg=A", "seg=B") for rel in mapping)
