@@ -6583,13 +6583,16 @@ _BPE_CACHE: dict = {}
 
 
 def _bpe_trained(spark: SparkSession, sf_dir: str):
-    from etl_demo_spark.bpe import bpe_train, word_freqs
+    from etl_demo_spark.bpe import bpe_train_incremental, word_freqs
 
     key = str(sf_dir)
     got = _BPE_CACHE.get(key)
     if got is None:
         (documents,) = _t(spark, sf_dir, "documents")
-        merges, final = bpe_train(word_freqs(documents), _BPE_K)
+        # the incremental trainer (persisted pair-count deltas — the
+        # production-vocab scale shape) is merge-for-merge identical to
+        # bpe_train, so the recursive-CTE replay oracle certifies it
+        merges, final = bpe_train_incremental(word_freqs(documents), _BPE_K)
         got = _BPE_CACHE[key] = (merges, final)
     return got
 

@@ -1346,6 +1346,27 @@ def test_bpe_train_matches_reference_exactly(spark):
     assert got == ref_vocab
 
 
+def test_bpe_train_incremental_equals_naive_trainer(spark):
+    """The incremental trainer (persisted pair-count table + per-merge
+    deltas over the affected-word slice — the production-vocab scale
+    shape) must be merge-for-merge AND table-for-table identical to the
+    naive full-recount trainer on the adversarial corpus, including the
+    overlap/tie fixtures and the past-exhaustion early stop. This
+    equality is what keeps the corpus query's DuckDB recursive-CTE
+    replay oracle valid for the incremental trainer."""
+    from etl_demo_spark.bpe import bpe_train, bpe_train_incremental
+
+    words = spark.createDataFrame(
+        list(BPE_CORPUS.items()), "word STRING, freq LONG"
+    )
+    m_naive, f_naive = bpe_train(words, 40, checkpoint_every=8)
+    m_incr, f_incr = bpe_train_incremental(words, 40)
+    assert m_incr == m_naive
+    got_n = {r.word: list(r.symbols) for r in f_naive.collect()}
+    got_i = {r.word: list(r.symbols) for r in f_incr.collect()}
+    assert got_i == got_n
+
+
 def test_bpe_encode_matches_sequential_apply_incl_unseen(spark):
     from etl_demo_spark.bpe import bpe_encode, bpe_train
 
