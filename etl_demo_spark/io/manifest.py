@@ -22,7 +22,14 @@ file — while keeping the data plain parquet:
   * superseded version subdirs (and manifests) are garbage-collected at
     the START of a later merge, with a two-manifest retention window —
     the same deferred-delete grace period Iceberg/Delta give in-flight
-    readers via snapshot expiry.
+    readers via snapshot expiry;
+  * commit METADATA is O(change), not O(table): a commit publishes a
+    DELTA manifest (changed/removed leaves + new-file stats + a parent
+    pointer) until the chain reaches ``_FULL_EVERY``, then a full
+    snapshot manifest resets it — Delta Lake's log/checkpoint split.
+    Readers materialize state by walking at most ``_FULL_EVERY`` small
+    files; GC keeps retained versions' ancestor chains as metadata-only
+    survivors while still reclaiming their superseded data.
 
 Crash consistency is STRONGER than the rename swap: the commit point is
 a single atomic manifest-file publish. A crash before it leaves only
@@ -71,6 +78,11 @@ from etl_demo_spark.io.tables import (
 _MANIFEST_DIR = "_manifests"
 _RETAIN = 2  # manifests (and their data) kept for in-flight readers
 _COMMIT_RETRIES = 5  # optimistic-concurrency attempts before giving up
+# Delta-manifest chain bound: commits write only their CHANGED leaves plus a
+# parent pointer (metadata cost O(change), not O(table)) until the chain
+# reaches this length, then a full snapshot manifest resets it — Delta
+# Lake's log/checkpoint split. Resolution walks at most this many files.
+_FULL_EVERY = 8
 # Unreferenced __v dirs younger than this are presumed in-flight staging of
 # a concurrent committer and are NOT garbage-collected (Iceberg's orphan-file
 # age-threshold rationale). Crashed attempts are reclaimed once they age out.
@@ -318,12 +330,115 @@ def prune_files(doc: dict, ranges: dict) -> tuple[list[str], int]:
 
 
 def manifest_versions(spark: SparkSession, root: str) -> list[int]:
-    """Committed manifest versions still on disk, oldest→newest — the
-    table's time-travel window. Only the last ``_RETAIN`` survive GC, so
-    this is short by construction; anything listed is fully readable
-    (GC keeps every version subdir a retained manifest references)."""
+    """The table's time-travel window, oldest→newest: the last
+    ``_RETAIN`` committed versions. Anything returned is fully readable
+    (GC keeps every version subdir a retained manifest references).
+    Older manifest FILES may survive on disk as delta-chain ancestors —
+    metadata-only resolution inputs whose exclusive data is already
+    reclaimed — and are deliberately not advertised here."""
     fs, jvm = _hadoop_fs(spark, root)
-    return _list_manifest_versions(fs, jvm, root)
+    return _list_manifest_versions(fs, jvm, root)[-_RETAIN:]
+
+
+def _load_raw(fs, jvm, root: str, version: int) -> dict:
+    return json.loads(_read_file(fs, jvm, _manifest_path(root, version)).decode())
+
+
+def _resolve_doc(fs, jvm, root: str, version: int) -> dict:
+    """Materialize the snapshot state of ``version`` by walking its delta
+    chain down to the nearest FULL manifest and applying each delta's
+    changed/removed leaves (and file-stats deltas) on the way back up.
+    The chain is at most ``_FULL_EVERY`` hops by construction. The
+    resolved doc carries ``_chain`` (hops from the last full) so the next
+    commit knows when to write a checkpoint snapshot."""
+    raw = _load_raw(fs, jvm, root, version)
+    if "parent" not in raw:
+        doc = dict(raw)
+        doc["version"] = version
+        doc["_chain"] = 0
+        return doc
+    parent = raw["parent"]
+    if not isinstance(parent, int) or parent >= version:
+        raise ValueError(
+            f"corrupt manifest chain at v{version} of {root}: parent {parent!r}"
+        )
+    base = _resolve_doc(fs, jvm, root, parent)
+    partitions = dict(base.get("partitions", {}))
+    partitions.update(raw.get("partitions_delta", {}))
+    for rel in raw.get("removed", []):
+        partitions.pop(rel, None)
+    doc: dict = {
+        "version": version,
+        "partitions": partitions,
+        "_chain": base["_chain"] + 1,
+    }
+    schema = raw.get("schema", base.get("schema"))
+    if schema is not None:
+        doc["schema"] = schema
+    stats_cols = raw.get("stats_cols", base.get("stats_cols"))
+    if stats_cols:
+        doc["stats_cols"] = stats_cols
+        live = set(partitions.values())
+        files = {
+            p: st
+            for p, st in base.get("files", {}).items()
+            if p.rsplit("/", 1)[0] in live
+        }
+        files.update(raw.get("files_delta", {}))
+        doc["files"] = files
+    return doc
+
+
+def _encode_commit(prev_doc: dict, new_doc: dict) -> bytes:
+    """Serialize a commit as a DELTA manifest (changed/added leaves,
+    removed leaves, new-file stats, parent pointer — O(change) bytes)
+    unless the parent chain has reached ``_FULL_EVERY``, in which case a
+    FULL snapshot manifest resets the chain. ``new_doc`` is always the
+    fully-materialized state the committer built; the delta is computed
+    here by diffing against the resolved parent, so committers stay
+    oblivious to the encoding."""
+    if prev_doc.get("_chain", 0) + 1 >= _FULL_EVERY:
+        full = {k: v for k, v in new_doc.items() if not k.startswith("_")}
+        return json.dumps(full, indent=1).encode()
+    prev_p = prev_doc.get("partitions", {})
+    new_p = new_doc["partitions"]
+    delta: dict = {
+        "version": new_doc["version"],
+        "parent": prev_doc["version"],
+        "partitions_delta": {
+            r: v for r, v in new_p.items() if prev_p.get(r) != v
+        },
+    }
+    removed = [r for r in prev_p if r not in new_p]
+    if removed:
+        delta["removed"] = removed
+    if "schema" in new_doc and new_doc.get("schema") != prev_doc.get("schema"):
+        delta["schema"] = new_doc["schema"]
+    if "stats_cols" in new_doc:
+        if new_doc["stats_cols"] != prev_doc.get("stats_cols"):
+            delta["stats_cols"] = new_doc["stats_cols"]
+        prev_files = prev_doc.get("files", {})
+        fdelta = {
+            p: st
+            for p, st in new_doc.get("files", {}).items()
+            if prev_files.get(p) != st
+        }
+        if fdelta:
+            delta["files_delta"] = fdelta
+    return json.dumps(delta, indent=1).encode()
+
+
+def _ancestors(fs, jvm, root: str, version: int) -> set[int]:
+    """The manifest files ``version`` needs for resolution: itself plus
+    its parent chain down to the nearest full snapshot."""
+    out = set()
+    v = version
+    while True:
+        out.add(v)
+        raw = _load_raw(fs, jvm, root, v)
+        if "parent" not in raw:
+            return out
+        v = raw["parent"]
 
 
 def _load_doc(fs, jvm, root: str, version: int | None = None) -> dict:
@@ -332,18 +447,19 @@ def _load_doc(fs, jvm, root: str, version: int | None = None) -> dict:
         raise FileNotFoundError(
             f"no manifest under {root}/{_MANIFEST_DIR}; run manifest_init()"
         )
+    readable = versions[-_RETAIN:]
     if version is None:
         v = versions[-1]
-    elif version in versions:
+    elif version in readable:
         v = version
     else:
+        # older manifests may survive on disk as delta-chain ancestors,
+        # but only the retained window's DATA is guaranteed present
         raise FileNotFoundError(
-            f"manifest v{version} not retained for {root}; available: {versions} "
+            f"manifest v{version} not retained for {root}; available: {readable} "
             f"(retention keeps the last {_RETAIN} commits)"
         )
-    doc = json.loads(_read_file(fs, jvm, _manifest_path(root, v)).decode())
-    doc["version"] = v
-    return doc
+    return _resolve_doc(fs, jvm, root, v)
 
 
 def load_manifest(
@@ -534,18 +650,20 @@ def _gc(fs, jvm, root: str, keep_versions: list[int]) -> None:
     window are spared: they may be a concurrent committer's in-flight
     staging (its manifest publishes after the data lands); a crashed
     attempt's dirs are reclaimed once they age past the window."""
+    listed = _list_manifest_versions(fs, jvm, root)
     referenced: set[str] = set()
+    closure: set[int] = set()
     for v in keep_versions:
-        doc = json.loads(_read_file(fs, jvm, _manifest_path(root, v)).decode())
-        referenced.update(doc["partitions"].values())
+        referenced.update(_resolve_doc(fs, jvm, root, v)["partitions"].values())
+        closure.update(_ancestors(fs, jvm, root, v))
     # dirs referenced ONLY by expiring manifests are provably superseded
     # data — deletable immediately, no grace needed (they cannot be a
     # concurrent committer's staging: staging is never manifest-listed)
     superseded: set[str] = set()
-    for v in _list_manifest_versions(fs, jvm, root):
+    for v in listed:
         if v not in keep_versions:
             try:
-                old = json.loads(_read_file(fs, jvm, _manifest_path(root, v)).decode())
+                old = _resolve_doc(fs, jvm, root, v)
             except Exception:
                 continue
             superseded.update(set(old["partitions"].values()) - referenced)
@@ -568,8 +686,11 @@ def _gc(fs, jvm, root: str, keep_versions: list[int]) -> None:
             elif not name.startswith(("_", ".")):
                 stack.append((st.getPath(), r))
 
-    for v in _list_manifest_versions(fs, jvm, root):
-        if v not in keep_versions and v < max(keep_versions):
+    # manifest files: keep the retained versions AND their delta-chain
+    # ancestors (needed for resolution — their exclusive DATA is already
+    # reclaimed above, they are metadata-only survivors)
+    for v in listed:
+        if v not in closure and v < max(keep_versions):
             fs.delete(
                 jvm.org.apache.hadoop.fs.Path(_manifest_path(root, v)), False
             )
@@ -698,7 +819,7 @@ def compact_manifested(
             fs,
             jvm,
             _manifest_path(roots, new_version),
-            json.dumps(new_doc, indent=1).encode(),
+            _encode_commit(doc, new_doc),
         )
         return ok, staged_vrels, sorted(to_compact)
 
@@ -768,6 +889,46 @@ def manifest_expire(spark: SparkSession, root: str, keep: int = 1) -> list[int]:
     if not versions:
         raise FileNotFoundError(f"no manifest under {root}/{_MANIFEST_DIR}")
     kept = versions[-keep:]
+    # checkpoint every kept DELTA manifest as a FULL snapshot in place
+    # (same version number, equivalent resolved content) so its ancestor
+    # chain — and any data only those ancestors reference — can be
+    # dropped: erasure must not be blocked by metadata-resolution links.
+    # The in-place swap is atomic locally (NIO ATOMIC_MOVE); a racing
+    # reader resolves either the delta (ancestors still present) or the
+    # identical full. On stores without atomic replace this maintenance
+    # op has a sub-ms non-atomic window — documented, maintenance-only.
+    for v in kept:
+        raw = _load_raw(fs, jvm, root, v)
+        if "parent" not in raw:
+            continue
+        doc = _resolve_doc(fs, jvm, root, v)
+        full = {k: x for k, x in doc.items() if not k.startswith("_")}
+        data = json.dumps(full, indent=1).encode()
+        path = _manifest_path(root, v)
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        stream = fs.create(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
+        if fs.getUri().getScheme() == "file":
+            # varargs CopyOption... needs a real Java array via py4j
+            opts = spark.sparkContext._gateway.new_array(
+                jvm.java.nio.file.CopyOption, 2
+            )
+            opts[0] = jvm.java.nio.file.StandardCopyOption.ATOMIC_MOVE
+            opts[1] = jvm.java.nio.file.StandardCopyOption.REPLACE_EXISTING
+            jvm.java.nio.file.Files.move(
+                jvm.java.io.File(_strip_scheme(tmp)).toPath(),
+                jvm.java.io.File(_strip_scheme(path)).toPath(),
+                opts,
+            )
+        else:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(path), False)
+            fs.rename(
+                jvm.org.apache.hadoop.fs.Path(tmp),
+                jvm.org.apache.hadoop.fs.Path(path),
+            )
     _gc(fs, jvm, root, kept)
     return kept
 
@@ -852,7 +1013,7 @@ def delete_keys_manifested(
             fs,
             jvm,
             _manifest_path(root, new_version),
-            json.dumps(new_doc, indent=1).encode(),
+            _encode_commit(doc, new_doc),
         )
         result = [values[0] for values in affected] if single else affected
         return ok, staged_vrels, result
@@ -892,10 +1053,12 @@ def merge_upsert_manifested(
     first's rows), and no snapshot is ever silently clobbered.
 
     Scale: identical read/write footprint to the swap path (affected
-    leaves only) plus one O(partitions) JSON pointer file per commit —
-    the same metadata cost every snapshot format pays, and the reason a
-    100 TB table wants partition counts in the thousands, not millions
-    (at which point adopt a real table format's file-level manifests)."""
+    leaves only) plus an O(CHANGED leaves) delta-manifest JSON per
+    commit (`_encode_commit`; a full O(partitions) snapshot only every
+    ``_FULL_EVERY`` commits) — the log/checkpoint metadata cost every
+    snapshot format pays. Driver-side resolution walks at most
+    ``_FULL_EVERY`` small files; at 100k+ leaves with range-filtered
+    reads, adopt a real table format's file-level manifest pruning."""
     from etl_demo_spark.ops import merge_upsert
 
     cols = _normalize_partition_cols(partition_cols)
@@ -967,7 +1130,7 @@ def merge_upsert_manifested(
             fs,
             jvm,
             _manifest_path(root, new_version),
-            json.dumps(new_doc, indent=1).encode(),
+            _encode_commit(doc, new_doc),
         )
         result = [values[0] for values in affected] if single else affected
         return ok, staged_vrels, result

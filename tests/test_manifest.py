@@ -606,3 +606,122 @@ def test_manifest_two_writers_threaded_both_commit(spark, tmp_path):
     assert got[1] == "W1" and got[4] == "W2" and len(got) == 4
     version, _ = load_manifest(spark, path)
     assert version == 3
+
+
+# ---------------------------------------------------------------------------
+# Delta manifests: O(change) commit metadata, bounded resolution (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_delta_manifest_metadata_cost_bounded_at_10k_leaves(spark, tmp_path):
+    """Metadata-layer scaling contract, exercised at 10k synthetic
+    leaves with no data files: a commit touching 10 leaves must write
+    O(change) bytes (not O(table)), resolution through a delta chain
+    must reproduce the exact materialized state, and the chain length
+    must be bounded by the checkpoint cadence."""
+    import json
+    import os
+
+    from etl_demo_spark.io.manifest import (
+        _FULL_EVERY,
+        _encode_commit,
+        _manifest_path,
+        _resolve_doc,
+        _ancestors,
+    )
+    from etl_demo_spark.io.tables import _hadoop_fs
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_manifests"))
+    fs, jvm = _hadoop_fs(spark, root)
+
+    n = 10_000
+    parts = {f"dt=d{i}": f"dt=d{i}/__v0000000001" for i in range(n)}
+    full_doc = {"version": 1, "partitions": parts, "schema": None}
+    full_bytes = json.dumps(full_doc, indent=1).encode()
+    with open(_manifest_path(root, 1), "wb") as f:
+        f.write(full_bytes)
+
+    # ten commits, each touching 10 leaves; expected state tracked in python
+    expected = dict(parts)
+    for v in range(2, 12):
+        prev = _resolve_doc(fs, jvm, root, v - 1)
+        new_parts = dict(prev["partitions"])
+        for i in range(10):
+            leaf = f"dt=d{(v * 37 + i) % n}"
+            new_parts[leaf] = f"{leaf}/__v{v:010d}-tok"
+            expected[leaf] = new_parts[leaf]
+        data = _encode_commit(
+            prev, {"version": v, "partitions": new_parts, "schema": None}
+        )
+        with open(_manifest_path(root, v), "wb") as f:
+            f.write(data)
+        raw = json.loads(data)
+        if "parent" in raw:  # delta commit: O(change) bytes
+            assert len(data) < len(full_bytes) * 0.02, (v, len(data))
+            assert len(raw["partitions_delta"]) == 10
+        # resolution reproduces the exact state regardless of encoding
+        assert _resolve_doc(fs, jvm, root, v)["partitions"] == expected
+
+    # chain bounded: every version resolves through <= _FULL_EVERY files
+    for v in range(2, 12):
+        assert len(_ancestors(fs, jvm, root, v)) <= _FULL_EVERY
+    # at least one checkpoint (full) manifest appeared past the cadence
+    fulls = [
+        v for v in range(2, 12)
+        if "parent" not in json.loads(open(_manifest_path(root, v)).read())
+    ]
+    assert fulls, "no full checkpoint manifest written in 10 commits"
+
+
+def test_delta_manifest_end_to_end_chain_and_time_travel(spark, tmp_path, monkeypatch):
+    """Real commits: merges publish DELTA manifests (parent pointer,
+    changed leaves only), a full checkpoint appears at the cadence
+    boundary, reads and time travel work across it, and GC keeps the
+    ancestor chain resolvable while still reclaiming superseded data."""
+    import json
+
+    import etl_demo_spark.io.manifest as m
+
+    monkeypatch.setattr(m, "_FULL_EVERY", 3)
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    m.manifest_init(spark, path, ["dt", "seg"])
+
+    for i in range(2, 7):  # commits v2..v6
+        src = spark.createDataFrame(
+            [(1, f"v{i}", "d1", "A")], "id INT, name STRING, dt STRING, seg STRING"
+        )
+        m.merge_upsert_manifested(spark, path, src, ["id"], ["dt", "seg"])
+
+    kinds = {}
+    for v in range(1, 7):
+        try:
+            raw = json.loads(open(m._manifest_path(path, v)).read())
+            kinds[v] = "delta" if "parent" in raw else "full"
+        except FileNotFoundError:
+            kinds[v] = "gone"
+    # v1 full (init); v2 delta(1); v3 delta(2); v4 full (chain hit 3);
+    # v5 delta(4); v6 delta(5). GC keeps the retained window's chains.
+    assert kinds[4] == "full" and kinds[5] == "delta" and kinds[6] == "delta"
+    raw6 = json.loads(open(m._manifest_path(path, 6)).read())
+    assert raw6["parent"] == 5
+    assert set(raw6["partitions_delta"]) == {"dt=d1/seg=A"}
+    assert "removed" not in raw6
+
+    # reads resolve through the chain; time travel crosses the boundary
+    got = {r.id: r.name for r in m.read_manifested(spark, path).collect()}
+    assert got[1] == "v6" and len(got) == 4
+    vs = m.manifest_versions(spark, path)
+    assert vs == [5, 6]
+    prior = {
+        r.id: r.name
+        for r in m.read_manifested(spark, path, version=5).collect()
+    }
+    assert prior[1] == "v5"
+    # unreadable outside the window even if the manifest file survives as
+    # a resolution ancestor
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        m.read_manifested(spark, path, version=3)
