@@ -6100,6 +6100,78 @@ def embedding_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "trade_graph_pagerank",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) AS s,
+                      CAST(1000000 + o.o_custkey AS BIGINT) AS c
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    e AS (
+      SELECT s AS src, c AS dst FROM pairs
+      UNION ALL
+      SELECT c AS src, s AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    outdeg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
+    ea AS (
+      SELECT src, dst, 1 AS take FROM e
+      UNION ALL
+      SELECT node, node, 0 FROM nodes
+    ),
+    pr(it, node, v) AS (
+      SELECT 0, node, CAST(1000000 AS BIGINT) FROM nodes
+      UNION ALL
+      SELECT agg.it + 1, agg.node,
+             CAST(150000 + (85 * agg.m) // 100 AS BIGINT)
+      FROM (
+        SELECT p.it, ea.dst AS node,
+               SUM(CASE WHEN ea.take = 1 THEN p.v // o.deg ELSE 0 END) AS m
+        FROM pr p
+        JOIN ea ON ea.src = p.node
+        LEFT JOIN outdeg o ON o.node = p.node
+        WHERE p.it < 3
+        GROUP BY p.it, ea.dst
+      ) agg
+    )
+    SELECT node, v AS pr FROM pr WHERE it = 3
+    """,
+)
+def trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative GRAPH algorithm, distributed and EXACTLY oracled:
+    PageRank over the bidirectional supplier↔customer trade graph
+    (distinct lineitem-in-order pairs; customer ids offset by 1e6 into a
+    shared node space), 3 iterations of `ops.pagerank_exact` — integer
+    scores scaled by 1e6, floor-division transfers, so the fixpoint is
+    bit-identical under any partitioning and a DuckDB RECURSIVE CTE
+    replays it hash-exact (the `embedding_kmeans_profile` pattern
+    extended from centroids to graphs; the oracle folds a 0-weight
+    self-loop into the edge set so the recursion needs only ONE
+    reference to the working table).
+
+    Scale shape: one contribution join (rank ⋈ edges on src — co-located
+    when the edge table is pre-partitioned by src) + one partial-
+    aggregated groupBy(dst) shuffle per iteration; rank-table lineage
+    truncated per iteration. The class of workload (web-graph/citation
+    ranking) runs on billion-edge tables with exactly this plan."""
+    from etl_demo_spark.ops import pagerank_exact
+
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").cast("long").alias("s"),
+            (F.col("o_custkey") + F.lit(1_000_000)).cast("long").alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")).unionByName(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    return pagerank_exact(edges, n_iter=3)
+
+
 # Shared body of the recursive-spine query: Spark additionally needs the
 # MAX RECURSION LEVEL clause (its recursion guard defaults to 100 and the
 # clause is Spark-specific syntax); DuckDB runs the plain form.

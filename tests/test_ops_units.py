@@ -668,3 +668,34 @@ def test_cache_scope_tokens(spark):
     assert c.storageLevel.useMemory
     assert release_persisted() == 2  # b + default pool
     assert not b.storageLevel.useMemory
+
+
+def test_pagerank_exact_hand_computed_and_partition_invariant(spark):
+    """ops.pagerank_exact: (a) matches a hand-computed 3-node fixpoint
+    (integer transfers, floor divisions); (b) bit-identical under wildly
+    different edge partitioning — the property that lets the DuckDB
+    recursive-CTE oracle replay the distributed run exactly."""
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.ops import pagerank_exact
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1)], "src LONG, dst LONG"
+    )
+    # iter1: m = {1:1e6, 2:5e5, 3:15e5} -> pr {1:1000000, 2:575000, 3:1425000}
+    # iter2: m = {1:1425000, 2:500000, 3:1075000}
+    #        pr {1: 150000+1211250, 2: 575000, 3: 150000+913750}
+    got = {r.node: r.pr for r in pagerank_exact(edges, n_iter=2).collect()}
+    assert got == {1: 1361250, 2: 575000, 3: 1063750}
+
+    scrambled = {
+        r.node: r.pr
+        for r in pagerank_exact(edges.repartition(7), n_iter=2).collect()
+    }
+    assert scrambled == got
+
+    # duplicate edges collapse (distinct) — same fixpoint
+    doubled = edges.unionByName(edges)
+    assert {
+        r.node: r.pr for r in pagerank_exact(doubled, n_iter=2).collect()
+    } == got
