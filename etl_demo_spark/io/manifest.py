@@ -483,6 +483,7 @@ def read_manifested(
     partition_cols: list[str] | None = None,
     version: int | None = None,
     prune_ranges: dict | None = None,
+    leaf_filter: dict | None = None,
 ) -> DataFrame:
     """Snapshot read: resolve the current manifest once, scan exactly its
     version subdirs. The snapshot is pinned at RESOLUTION time — a merge
@@ -517,7 +518,18 @@ def read_manifested(
     before Spark ever opens them — the Iceberg-style skip, one tier
     above the footer row-group pruning Spark already does. Pruning is an
     optimization only (callers still apply the real filter); on a table
-    without stats it is a no-op."""
+    without stats it is a no-op.
+
+    ``leaf_filter`` ({partition_col: value | [values]}) prunes the leaf
+    MAPPING on the driver before Spark ever sees a path. Spark's own
+    partition pruning removes non-matching leaves from the SCAN, but the
+    file index still lists and stat()s every path handed to it — at
+    100k leaves that's the driver-side cost this bounds: a dict scan of
+    the resolved manifest, then a file index over only the matching
+    leaves. Equality/IN semantics on the on-disk partition strings
+    (exact match); callers still apply the real filter to the rows, so
+    over-pruning is impossible and an unknown column is an error rather
+    than a silent full scan."""
     fs, jvm = _hadoop_fs(spark, root)
     doc = _load_doc(fs, jvm, root, version)
     partitions = doc["partitions"]
@@ -526,6 +538,45 @@ def read_manifested(
         # an empty RDD only if they know the schema; raise instead, the
         # merge path handles emptiness before reading
         raise ValueError(f"manifest for {root} lists no partitions")
+    if leaf_filter:
+        def leaf_kv(rel: str) -> dict:
+            return dict(seg.split("=", 1) for seg in rel.split("/"))
+
+        sample = leaf_kv(next(iter(partitions)))
+        unknown = set(leaf_filter) - set(sample)
+        if unknown:
+            raise ValueError(
+                f"leaf_filter columns {sorted(unknown)} are not partition "
+                f"columns of {root} (leaves carry {sorted(sample)})"
+            )
+        want = {
+            c: {str(x) for x in v} if isinstance(v, (list, tuple, set)) else {str(v)}
+            for c, v in leaf_filter.items()
+        }
+        partitions = {
+            rel: vrel
+            for rel, vrel in partitions.items()
+            if all(leaf_kv(rel)[c] in vals for c, vals in want.items())
+        }
+        if not partitions:
+            schema_json = doc.get("schema")
+            if schema_json is None:
+                raise ValueError(
+                    f"leaf_filter eliminated every leaf of {root} and the "
+                    "manifest stores no schema to shape an empty result"
+                )
+            return spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(schema_json))
+            )
+        if doc.get("files"):
+            live = set(partitions.values())
+            doc = dict(doc)
+            doc["files"] = {
+                p: st
+                for p, st in doc["files"].items()
+                if p.rsplit("/", 1)[0] in live
+            }
+        doc = {**doc, "partitions": partitions}
     if prune_ranges and doc.get("files"):
         kept, _ = prune_files(doc, prune_ranges)
         paths = [f"{root.rstrip('/')}/{rel}" for rel in sorted(kept)]

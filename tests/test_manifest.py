@@ -725,3 +725,40 @@ def test_delta_manifest_end_to_end_chain_and_time_travel(spark, tmp_path, monkey
 
     with pytest.raises(FileNotFoundError):
         m.read_manifested(spark, path, version=3)
+
+
+def test_read_manifested_leaf_filter_prunes_on_driver(spark, tmp_path):
+    """leaf_filter prunes the resolved mapping BEFORE Spark builds a file
+    index: only matching leaves' files are listed, rows are correct,
+    stats-based file pruning composes, unknown columns error loudly, and
+    a fully-pruned read returns an empty schema-shaped frame."""
+    import pytest
+
+    from etl_demo_spark.io.manifest import manifest_init, read_manifested
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    manifest_init(spark, path, ["dt", "seg"], stats_cols=["id"])
+
+    one = read_manifested(spark, path, leaf_filter={"dt": "d1"})
+    assert {(r.dt, r.seg) for r in one.collect()} == {("d1", "A"), ("d1", "B")}
+    # the file index only ever saw the two matching leaves
+    assert all("dt=d1" in f for f in one.inputFiles())
+    assert len(one.inputFiles()) > 0
+
+    both = read_manifested(spark, path, leaf_filter={"dt": ["d1", "d2"], "seg": "B"})
+    assert {r.id for r in both.collect()} == {2, 4}
+    assert all("seg=B" in f for f in both.inputFiles())
+
+    # composes with stats pruning (id=1 lives only in (d1,A))
+    combo = read_manifested(
+        spark, path, leaf_filter={"dt": "d1"}, prune_ranges={"id": (1, 1)}
+    )
+    assert {r.id for r in combo.filter(F.col("id") == 1).collect()} == {1}
+
+    empty = read_manifested(spark, path, leaf_filter={"dt": "d9"})
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "name", "dt", "seg"}
+
+    with pytest.raises(ValueError, match="not partition columns"):
+        read_manifested(spark, path, leaf_filter={"nope": "x"})
