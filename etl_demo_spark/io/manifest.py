@@ -239,18 +239,57 @@ def _stat_val(v):
     return str(v)
 
 
+def _bloom_word_aggs(col: str, bits: int, k: int) -> list:
+    """bits//64 BIT_OR aggregates building a per-file bloom bitset for
+    ``col``: each row contributes k set bits (JVM-side shift/or folds, no
+    Python — the DataFrame `shiftleft` wrapper only takes literal shift
+    amounts, so the dynamic shift is an SQL expression); NULLs set no
+    bits so a NULL probe can't alias."""
+    pexprs = [
+        f"pmod(xxhash64(cast({col} as string), {i}), {bits})" for i in range(k)
+    ]
+    aggs = []
+    for w in range(bits // 64):
+        parts = [
+            f"(case when {col} is not null and ({p} div 64) = {w} "
+            f"then shiftleft(cast(1 as bigint), cast({p} % 64 as int)) "
+            f"else cast(0 as bigint) end)"
+            for p in pexprs
+        ]
+        row_word = " | ".join(parts)
+        aggs.append(F.bit_or(F.expr(row_word)).alias(f"__bw_{col}_{w}"))
+    return aggs
+
+
 def _collect_file_stats(
-    spark: SparkSession, fmt: str, root: str, vrels: list[str], stats_cols: list[str]
+    spark: SparkSession,
+    fmt: str,
+    root: str,
+    vrels: list[str],
+    stats_cols: list[str],
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 1024,
+    bloom_k: int = 4,
 ) -> dict:
     """{<vrel>/<filename>: {col: [min, max]}} for every data file under
     the given version subdirs — ONE aggregation job over exactly those
     files (group key = the scan-provided ``_metadata.file_path``), cost
-    proportional to the newly written slice, never the table."""
+    proportional to the newly written slice, never the table.
+
+    ``bloom_cols`` additionally record a per-file BLOOM bitset
+    (``__bloom_<col>``: bits//64 int64 words, k xxhash64-derived bits per
+    value) — the point-lookup complement to min/max: on a column whose
+    values are scattered across files (no clustering), every file's
+    [min, max] straddles every probe and range skipping is useless, but
+    a membership bitset still prunes decisively (Iceberg's parquet bloom
+    story, lifted to the manifest tier)."""
     paths = [f"{root.rstrip('/')}/{vrel}" for vrel in vrels]
     df = spark.read.format(fmt).option("basePath", root).load(paths)
     aggs = [F.count(F.lit(1)).alias("__nrows")]
     for c in stats_cols:
         aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    for c in bloom_cols or []:
+        aggs += _bloom_word_aggs(c, bloom_bits, bloom_k)
     rows = (
         df.groupBy(F.col("_metadata.file_path").alias("__fp")).agg(*aggs).collect()
     )
@@ -274,6 +313,10 @@ def _collect_file_stats(
             for c in stats_cols
         }
         out[rel]["__rows"] = r["__nrows"]
+        for c in bloom_cols or []:
+            out[rel][f"__bloom_{c}"] = [
+                int(r[f"__bw_{c}_{w}"] or 0) for w in range(bloom_bits // 64)
+            ]
     return out
 
 
@@ -291,7 +334,8 @@ def _evolve_file_stats(
     inferable version suffix). Returns None when the table doesn't track
     stats."""
     stats_cols = doc.get("stats_cols")
-    if not stats_cols:
+    bloom_cols = doc.get("bloom_cols")
+    if not stats_cols and not bloom_cols:
         return None
     live = set(new_mapping.values())
     carried = {
@@ -301,8 +345,30 @@ def _evolve_file_stats(
     }
     fresh = [v for v in new_vrels if v in live]
     if fresh:
-        carried.update(_collect_file_stats(spark, fmt, root, fresh, stats_cols))
+        carried.update(
+            _collect_file_stats(
+                spark,
+                fmt,
+                root,
+                fresh,
+                stats_cols or [],
+                bloom_cols,
+                doc.get("bloom_bits", 1024),
+                doc.get("bloom_k", 4),
+            )
+        )
     return carried
+
+
+_STATS_CONFIG_KEYS = ("stats_cols", "bloom_cols", "bloom_bits", "bloom_k")
+
+
+def _carry_stats_config(doc: dict, new_doc: dict) -> None:
+    """Copy the stats/bloom configuration keys a table was initialized
+    with into the next commit's doc — config is immutable per table."""
+    for key in _STATS_CONFIG_KEYS:
+        if key in doc:
+            new_doc[key] = doc[key]
 
 
 def prune_files(doc: dict, ranges: dict) -> tuple[list[str], int]:
@@ -322,6 +388,54 @@ def prune_files(doc: dict, ranges: dict) -> tuple[list[str], int]:
                 continue
             fmin, fmax = bounds
             if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+                drop = True
+                break
+        if not drop:
+            kept.append(rel)
+    return kept, len(files)
+
+
+def prune_files_bloom(
+    spark: SparkSession, doc: dict, points: dict
+) -> tuple[list[str], int]:
+    """File-skipping decision from the manifest's per-file bloom bitsets:
+    keep a file unless some probed column's bitset proves the value is
+    ABSENT (any of its k bits unset). The probe's bit positions are
+    computed through a 1-row Spark job with the SAME xxhash64 expression
+    that built the bitsets, so Python never re-implements the JVM hash.
+    Files without a bitset are kept — pruning is an optimization; the
+    caller still applies the real filter. False positives only ever keep
+    an extra file, never lose a row."""
+    bloom_cols = doc.get("bloom_cols") or []
+    bits = doc.get("bloom_bits", 1024)
+    k = doc.get("bloom_k", 4)
+    files = doc.get("files", {})
+    probes: dict[str, list[int]] = {}
+    exprs = []
+    for col, value in points.items():
+        if col not in bloom_cols or value is None:
+            continue
+        for i in range(k):
+            exprs.append(
+                F.pmod(
+                    F.xxhash64(F.lit(str(value)), F.lit(i)), F.lit(bits)
+                ).alias(f"__p_{col}_{i}")
+            )
+        probes[col] = []
+    if not probes:
+        return list(files), len(files)
+    row = spark.range(1).select(*exprs).first()
+    for col in probes:
+        probes[col] = [int(row[f"__p_{col}_{i}"]) for i in range(k)]
+
+    kept = []
+    for rel, st in files.items():
+        drop = False
+        for col, poss in probes.items():
+            words = st.get(f"__bloom_{col}")
+            if not words:
+                continue
+            if any(not (words[p >> 6] >> (p & 63)) & 1 for p in poss):
                 drop = True
                 break
         if not drop:
@@ -375,9 +489,11 @@ def _resolve_doc(fs, jvm, root: str, version: int) -> dict:
     schema = raw.get("schema", base.get("schema"))
     if schema is not None:
         doc["schema"] = schema
-    stats_cols = raw.get("stats_cols", base.get("stats_cols"))
-    if stats_cols:
-        doc["stats_cols"] = stats_cols
+    for key in _STATS_CONFIG_KEYS:
+        val = raw.get(key, base.get(key))
+        if val is not None:
+            doc[key] = val
+    if doc.get("stats_cols") or doc.get("bloom_cols"):
         live = set(partitions.values())
         files = {
             p: st
@@ -414,9 +530,10 @@ def _encode_commit(prev_doc: dict, new_doc: dict) -> bytes:
         delta["removed"] = removed
     if "schema" in new_doc and new_doc.get("schema") != prev_doc.get("schema"):
         delta["schema"] = new_doc["schema"]
-    if "stats_cols" in new_doc:
-        if new_doc["stats_cols"] != prev_doc.get("stats_cols"):
-            delta["stats_cols"] = new_doc["stats_cols"]
+    if any(k in new_doc for k in ("stats_cols", "bloom_cols")):
+        for key in _STATS_CONFIG_KEYS:
+            if key in new_doc and new_doc[key] != prev_doc.get(key):
+                delta[key] = new_doc[key]
         prev_files = prev_doc.get("files", {})
         fdelta = {
             p: st
@@ -484,6 +601,7 @@ def read_manifested(
     version: int | None = None,
     prune_ranges: dict | None = None,
     leaf_filter: dict | None = None,
+    prune_points: dict | None = None,
 ) -> DataFrame:
     """Snapshot read: resolve the current manifest once, scan exactly its
     version subdirs. The snapshot is pinned at RESOLUTION time — a merge
@@ -529,7 +647,14 @@ def read_manifested(
     leaves. Equality/IN semantics on the on-disk partition strings
     (exact match); callers still apply the real filter to the rows, so
     over-pruning is impossible and an unknown column is an error rather
-    than a silent full scan."""
+    than a silent full scan.
+
+    ``prune_points`` ({col: value}) enables BLOOM-based file skipping for
+    point lookups on ``bloom_cols`` tables (see `manifest_init`): the
+    complement to ``prune_ranges`` for columns whose values are scattered
+    across files — min/max straddles every probe there, a membership
+    bitset still prunes decisively. Composes with both other prunes;
+    false positives cost an extra file open, never a lost row."""
     fs, jvm = _hadoop_fs(spark, root)
     doc = _load_doc(fs, jvm, root, version)
     partitions = doc["partitions"]
@@ -577,14 +702,18 @@ def read_manifested(
                 if p.rsplit("/", 1)[0] in live
             }
         doc = {**doc, "partitions": partitions}
-    if prune_ranges and doc.get("files"):
-        kept, _ = prune_files(doc, prune_ranges)
+    if (prune_ranges or prune_points) and doc.get("files"):
+        kept = set(doc["files"])
+        if prune_ranges:
+            kept &= set(prune_files(doc, prune_ranges)[0])
+        if prune_points:
+            kept &= set(prune_files_bloom(spark, doc, prune_points)[0])
         paths = [f"{root.rstrip('/')}/{rel}" for rel in sorted(kept)]
-        if not paths:  # every file provably outside the range
+        if not paths:  # every file provably outside the range / absent
             schema_json = doc.get("schema")
             if schema_json is None:
                 raise ValueError(
-                    f"prune_ranges eliminated every file of {root} and the "
+                    f"pruning eliminated every file of {root} and the "
                     "manifest stores no schema to shape an empty result"
                 )
             return spark.createDataFrame(
@@ -627,6 +756,9 @@ def manifest_init(
     partition_cols,
     fmt: str = "parquet",
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 1024,
+    bloom_k: int = 4,
 ) -> int:
     """One-time migration of a plain Hive-layout table into manifest
     mode: move each leaf's files into ``<leaf>/__v0000000001`` (renames —
@@ -639,7 +771,17 @@ def manifest_init(
     `read_manifested(prune_ranges=…)` skips files from the listing
     outright. Choose the columns queries range-filter on (event time,
     ids); combine with `compact_manifested(sort_cols=…)` so file ranges
-    are disjoint and the skip rate approaches the filter selectivity."""
+    are disjoint and the skip rate approaches the filter selectivity.
+
+    ``bloom_cols`` additionally records a per-file BLOOM bitset
+    (``bloom_bits`` bits, ``bloom_k`` xxhash64-derived bits per value)
+    for point-lookup skipping via `read_manifested(prune_points=…)` —
+    the membership complement to min/max for high-cardinality columns
+    with no clustering, where every file's range straddles every probe.
+    Sizing: false-positive rate ≈ (1−e^(−k·n/m))^k for n values per
+    file and m bits; the 1024-bit default suits ≲200 distinct values
+    per file at ~15% FP — raise ``bloom_bits`` for bigger files (cost
+    is bits/8 bytes per file per column in the manifest)."""
     cols = _normalize_partition_cols(partition_cols)
     fs, jvm = _hadoop_fs(spark, root)
     if _list_manifest_versions(fs, jvm, root):
@@ -679,10 +821,22 @@ def manifest_init(
                 )
         mapping[rel] = vrel
     doc = {"version": version, "partitions": mapping, "schema": schema_json}
-    if stats_cols:
-        doc["stats_cols"] = list(stats_cols)
+    if stats_cols or bloom_cols:
+        if stats_cols:
+            doc["stats_cols"] = list(stats_cols)
+        if bloom_cols:
+            doc["bloom_cols"] = list(bloom_cols)
+            doc["bloom_bits"] = int(bloom_bits)
+            doc["bloom_k"] = int(bloom_k)
         doc["files"] = _collect_file_stats(
-            spark, fmt, root, list(mapping.values()), list(stats_cols)
+            spark,
+            fmt,
+            root,
+            list(mapping.values()),
+            list(stats_cols or []),
+            list(bloom_cols) if bloom_cols else None,
+            int(bloom_bits),
+            int(bloom_k),
         )
     if not _publish_cas(
         fs, jvm, _manifest_path(root, version), json.dumps(doc, indent=1).encode()
@@ -864,7 +1018,7 @@ def compact_manifested(
             new_doc["schema"] = doc["schema"]
         fstats = _evolve_file_stats(spark, fmt, roots, doc, new_mapping, staged_vrels)
         if fstats is not None:
-            new_doc["stats_cols"] = doc["stats_cols"]
+            _carry_stats_config(doc, new_doc)
             new_doc["files"] = fstats
         ok = _publish_cas(
             fs,
@@ -1058,7 +1212,7 @@ def delete_keys_manifested(
             new_doc["schema"] = doc["schema"]  # deletion never changes schema
         stats = _evolve_file_stats(spark, fmt, root, doc, new_mapping, staged_vrels)
         if stats is not None:
-            new_doc["stats_cols"] = doc["stats_cols"]
+            _carry_stats_config(doc, new_doc)
             new_doc["files"] = stats
         ok = _publish_cas(
             fs,
@@ -1174,7 +1328,7 @@ def merge_upsert_manifested(
             new_doc["schema"] = T.StructType(fields).json()
         stats = _evolve_file_stats(spark, fmt, root, doc, new_mapping, staged_vrels)
         if stats is not None:
-            new_doc["stats_cols"] = doc["stats_cols"]
+            _carry_stats_config(doc, new_doc)
             new_doc["files"] = stats
 
         ok = _publish_cas(  # the atomic commit point

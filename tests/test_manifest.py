@@ -762,3 +762,63 @@ def test_read_manifested_leaf_filter_prunes_on_driver(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not partition columns"):
         read_manifested(spark, path, leaf_filter={"nope": "x"})
+
+
+def test_bloom_file_skipping_point_lookup(spark, tmp_path):
+    """Per-file bloom bitsets: on a column whose values are scattered
+    across files (min/max useless — every file straddles every probe), a
+    point lookup through prune_points opens a strict subset of files and
+    loses no rows; an absent value prunes to (near) nothing; bitsets are
+    maintained for a later commit's new files only."""
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.io.manifest import (
+        _load_doc,
+        manifest_init,
+        merge_upsert_manifested,
+        prune_files,
+        read_manifested,
+    )
+    from etl_demo_spark.io.tables import _hadoop_fs
+
+    path = str(tmp_path / "t")
+    # ids 0..3999 scattered over 8 files per leaf via hash repartition
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("dt"),
+        (F.col("id") * 7).alias("val"),
+    )
+    df.repartition(8).write.partitionBy("dt").parquet(path)
+    manifest_init(spark, path, ["dt"], stats_cols=["id"], bloom_cols=["id"])
+
+    full = read_manifested(spark, path)
+    n_files = len(full.inputFiles())
+    assert n_files >= 12
+
+    # min/max CANNOT prune this layout (scattered ids)...
+    fs, jvm = _hadoop_fs(spark, path)
+    doc = _load_doc(fs, jvm, path)
+    kept_range, total = prune_files(doc, {"id": (1234, 1234)})
+    assert len(kept_range) == total
+    # ...but the bloom bitset can
+    probe = read_manifested(spark, path, prune_points={"id": 1234})
+    assert len(probe.inputFiles()) < n_files / 2, (
+        len(probe.inputFiles()), n_files
+    )
+    got = probe.filter(F.col("id") == 1234).collect()
+    assert len(got) == 1 and got[0]["val"] == 1234 * 7
+
+    # an absent value prunes to almost nothing (false positives only)
+    absent = read_manifested(spark, path, prune_points={"id": 999_999})
+    assert len(absent.inputFiles()) <= max(3, n_files // 4)
+    assert absent.filter(F.col("id") == 999_999).count() == 0
+
+    # maintenance: a merge commit records bitsets for its new files,
+    # and the new key becomes bloom-findable
+    src = spark.createDataFrame(
+        [(777_777, "0", 1)], "id LONG, dt STRING, val LONG"
+    )
+    merge_upsert_manifested(spark, path, src, ["id"], ["dt"])
+    after = read_manifested(spark, path, prune_points={"id": 777_777})
+    hit = after.filter(F.col("id") == 777_777).collect()
+    assert len(hit) == 1 and len(after.inputFiles()) < n_files
