@@ -1341,3 +1341,115 @@ def merge_upsert_manifested(
         return ok, staged_vrels, result
 
     return _commit_retry(fs, jvm, root, _attempt)
+
+
+def write_manifested(
+    df: DataFrame,
+    root: str,
+    partition_cols,
+    fmt: str = "parquet",
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 1024,
+    bloom_k: int = 4,
+) -> int:
+    """Create a manifested table from a DataFrame in one call: write the
+    partitioned layout, then `manifest_init` it (stats/bloom config
+    included). The convenience CTAS for this module — after it, the
+    table is merge/delete/compact/time-travel ready. Refuses to
+    overwrite an existing manifested table (use the DML surface for
+    changes; a blind rewrite would bypass snapshot semantics)."""
+    spark = df.sparkSession
+    cols = _normalize_partition_cols(partition_cols)
+    fs, jvm = _hadoop_fs(spark, root)
+    if _list_manifest_versions(fs, jvm, root):
+        raise ValueError(
+            f"{root} is already a manifested table; use merge/delete/compact "
+            "instead of rewriting it"
+        )
+    df.write.mode("errorifexists").partitionBy(*cols).format(fmt).save(root)
+    return manifest_init(
+        spark, root, cols, fmt, stats_cols, bloom_cols, bloom_bits, bloom_k
+    )
+
+
+def manifest_files(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """The table's FILES metadata as a DataFrame (Iceberg's ``.files``
+    metadata table, lifted to this layer): one row per live data file of
+    the resolved snapshot — leaf, physical rel, size in bytes, row count
+    and per-column min/max where stats are tracked. Metadata-only (one
+    chain resolution + one listStatus per leaf; no data files opened) —
+    the observability surface for "what does this table physically look
+    like": skew hunts, small-file audits before OPTIMIZE, stats checks.
+
+    Columns: leaf, file_rel, bytes, rows (nullable), stats (map<string,
+    array<string>> of [min, max] images, nullable)."""
+    fs, jvm = _hadoop_fs(spark, root)
+    doc = _load_doc(fs, jvm, root, version)
+    fstats = doc.get("files", {})
+    rows = []
+    for rel, vrel in sorted(doc["partitions"].items()):
+        for st in fs.listStatus(
+            jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/{vrel}")
+        ):
+            name = st.getPath().getName()
+            if not st.isFile() or name.startswith(("_", ".")):
+                continue
+            frel = f"{vrel}/{name}"
+            rec = fstats.get(frel, {})
+            stats = {
+                c: [str(v[0]), str(v[1])]
+                for c, v in rec.items()
+                if not c.startswith("__") and isinstance(v, list)
+            }
+            rows.append(
+                (rel, frel, int(st.getLen()), rec.get("__rows"), stats or None)
+            )
+    return spark.createDataFrame(
+        rows,
+        "leaf STRING, file_rel STRING, bytes LONG, rows LONG, "
+        "stats MAP<STRING, ARRAY<STRING>>",
+    )
+
+
+def manifest_orphans(spark: SparkSession, root: str) -> DataFrame:
+    """Dry-run orphan report: every ``__v`` directory no retained
+    manifest references, with its age and whether the next commit's GC
+    would reclaim it (past the grace window) or spare it as possible
+    in-flight staging. The look-before-VACUUM surface — metadata and
+    directory listing only, nothing is deleted.
+
+    Columns: dir_rel, bytes, age_seconds, reclaimable."""
+    fs, jvm = _hadoop_fs(spark, root)
+    listed = _list_manifest_versions(fs, jvm, root)
+    if not listed:
+        raise FileNotFoundError(f"no manifest under {root}/{_MANIFEST_DIR}")
+    keep = listed[-_RETAIN:]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_resolve_doc(fs, jvm, root, v)["partitions"].values())
+    now_ms = int(time.time() * 1000)
+    rows = []
+    stack = [(jvm.org.apache.hadoop.fs.Path(root), "")]
+    while stack:
+        path, rel = stack.pop()
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            if not st.isDirectory():
+                continue
+            r = f"{rel}/{name}" if rel else name
+            if name.startswith("__v"):
+                if r in referenced:
+                    continue
+                size = fs.getContentSummary(st.getPath()).getLength()
+                age_s = max(0, (now_ms - st.getModificationTime()) // 1000)
+                rows.append(
+                    (r, int(size), int(age_s), age_s * 1000 >= _ORPHAN_GRACE_MS)
+                )
+            elif not name.startswith(("_", ".")):
+                stack.append((st.getPath(), r))
+    return spark.createDataFrame(
+        rows, "dir_rel STRING, bytes LONG, age_seconds LONG, reclaimable BOOLEAN"
+    )

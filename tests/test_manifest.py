@@ -822,3 +822,63 @@ def test_bloom_file_skipping_point_lookup(spark, tmp_path):
     after = read_manifested(spark, path, prune_points={"id": 777_777})
     hit = after.filter(F.col("id") == 777_777).collect()
     assert len(hit) == 1 and len(after.inputFiles()) < n_files
+
+
+def test_manifest_observability_surfaces(spark, tmp_path):
+    """write_manifested CTAS + the two metadata tables: .files-style
+    inventory (leaf, bytes, rows, stats images) and the dry-run orphan
+    report (age + reclaimability, nothing deleted)."""
+    import os
+
+    from etl_demo_spark.io.manifest import (
+        manifest_files,
+        manifest_orphans,
+        merge_upsert_manifested,
+        read_manifested,
+        write_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "alpha", "d1"), (2, "beta", "d1"), (3, "gamma", "d2")],
+        "id INT, name STRING, dt STRING",
+    )
+    v = write_manifested(df, path, ["dt"], stats_cols=["id"])
+    assert v == 1
+    assert {r.id for r in read_manifested(spark, path).collect()} == {1, 2, 3}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="already a manifested table"):
+        write_manifested(df, path, ["dt"])
+
+    inv = manifest_files(spark, path)
+    rows = inv.collect()
+    assert {r.leaf for r in rows} == {"dt=d1", "dt=d2"}
+    assert all(r.bytes > 0 for r in rows)
+    d1 = [r for r in rows if r.leaf == "dt=d1"]
+    assert sum(r.rows for r in d1) == 2
+    assert all(r.stats["id"] is not None for r in rows)
+
+    # a superseding merge leaves v1's old dir as a RETAINED (referenced)
+    # dir, not an orphan; a hand-planted junk dir IS an orphan
+    merge_upsert_manifested(
+        spark,
+        path,
+        spark.createDataFrame([(1, "ALPHA", "d1")], "id INT, name STRING, dt STRING"),
+        ["id"],
+        ["dt"],
+    )
+    junk = os.path.join(path, "dt=d1", "__v0000000009-junk")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "f.parquet"), "wb") as f:
+        f.write(b"x" * 100)
+    orph = {r.dir_rel: r for r in manifest_orphans(spark, path).collect()}
+    assert "dt=d1/__v0000000009-junk" in orph
+    assert not orph["dt=d1/__v0000000009-junk"].reclaimable  # young
+    old = 1_000_000_000
+    os.utime(junk, (old, old))
+    orph2 = {r.dir_rel: r for r in manifest_orphans(spark, path).collect()}
+    assert orph2["dt=d1/__v0000000009-junk"].reclaimable
+    # dry run: nothing was deleted
+    assert os.path.isdir(junk)
