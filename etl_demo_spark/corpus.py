@@ -6456,6 +6456,66 @@ def orders_update_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_update_manifested",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 7.0
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderstatus = 'P' THEN 'F'
+                ELSE o_orderstatus END AS o_orderstatus
+    FROM orders
+    """,
+)
+def orders_update_manifested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate UPDATE through the SNAPSHOT-MANIFEST layer
+    (io/manifest.py `update_where_manifested`) in its hardest shape: the
+    assignment SETS THE PARTITION COLUMN (every pending order finalizes
+    with a fee), so rows MOVE between leaves — and unlike the swap-mode
+    twin (`orders_update_partitioned`), the source-leaf drain and the
+    destination-leaf growth become visible in ONE atomic CAS commit: a
+    racing reader can never observe the transition half-applied. Blast
+    radius asserted (['F','P']); the oracle is the logical CASE-WHEN
+    over the whole table — physical scoping, directory moves, and the
+    manifest publication must not change the answer.
+
+    Scale: identical read/write footprint to the swap twin (predicate
+    pushed to the scan, two leaves rewritten) plus the O(changed-leaves)
+    delta-manifest commit under the optimistic multi-writer loop."""
+    import tempfile
+
+    from etl_demo_spark.io.manifest import (
+        manifest_init,
+        read_manifested,
+        update_where_manifested,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    t = orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    target_path = tempfile.mkdtemp(prefix="update_mani_") + "/orders"
+    t.write.partitionBy("o_orderstatus").parquet(target_path)
+    manifest_init(spark, target_path, "o_orderstatus")
+
+    affected = update_where_manifested(
+        spark,
+        target_path,
+        {
+            "o_totalprice": F.col("o_totalprice") + F.lit(7.0),
+            "o_orderstatus": F.lit("F"),
+        },
+        F.col("o_orderstatus") == "P",
+        "o_orderstatus",
+    )
+    assert sorted(affected) == ["F", "P"], affected
+    updated = read_manifested(spark, target_path)
+    return updated.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+    )
+
+
+@query(
     "customer_delete_partitioned",
     oracle="""
     SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,

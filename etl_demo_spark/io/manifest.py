@@ -1453,3 +1453,187 @@ def manifest_orphans(spark: SparkSession, root: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dir_rel STRING, bytes LONG, age_seconds LONG, reclaimable BOOLEAN"
     )
+
+
+def delete_where_manifested(
+    spark: SparkSession,
+    target_path: str,
+    predicate,
+    partition_cols,
+    fmt: str = "parquet",
+) -> list:
+    """DELETE ... WHERE with snapshot-manifest publication — the
+    manifested twin of `tables.delete_where_partitioned` (retention jobs:
+    "drop everything before date X in region Y"). Discovery is one
+    predicate-filtered scan projected to the partition columns, the
+    rewrite keeps the affected leaves' non-matching rows (NULL-predicate
+    rows are KEPT — SQL DELETE removes only TRUE rows), a fully-drained
+    leaf drops out of the snapshot, and the whole deletion becomes
+    visible in one atomic CAS commit under the optimistic multi-writer
+    loop. Returns the partitions rewritten."""
+    cols = _normalize_partition_cols(partition_cols)
+    single = isinstance(partition_cols, str) or len(cols) == 1
+    root = target_path.rstrip("/")
+    fs, jvm = _hadoop_fs(spark, root)
+    _clean_stale_staging(fs, jvm, root)
+
+    def _attempt(doc, new_version, token):
+        mapping = doc["partitions"]
+        keep = [v for v in _list_manifest_versions(fs, jvm, root)][-_RETAIN:]
+        _gc(fs, jvm, root, keep)
+        if not mapping:
+            return True, [], []
+
+        target = read_manifested(
+            spark, root, fmt, pin_partition_strings=True, partition_cols=cols
+        )
+        affected = [
+            tuple(r)
+            for r in target.filter(predicate).select(*cols).distinct().collect()
+        ]
+        if not affected:
+            return True, [], []
+
+        remaining = target.filter(_partition_filter(cols, affected)).filter(
+            ~F.coalesce(predicate, F.lit(False))
+        )
+        for c in cols:
+            remaining = remaining.withColumn(c, F.col(c).cast("string"))
+        staging = f"{root}.__manifest_staging__{token}"
+        remaining.write.mode("overwrite").partitionBy(*cols).format(fmt).save(
+            staging
+        )
+
+        new_mapping = dict(mapping)
+        staged_vrels: list[str] = []
+        for values in affected:
+            rel = _part_rel(cols, values)
+            staged = jvm.org.apache.hadoop.fs.Path(f"{staging}/{rel}")
+            if fs.exists(staged):
+                vrel = f"{rel}/{_vdir(new_version, token)}"
+                _mkdirs_parent(fs, jvm, f"{root}/{vrel}")
+                fs.rename(staged, jvm.org.apache.hadoop.fs.Path(f"{root}/{vrel}"))
+                new_mapping[rel] = vrel
+                staged_vrels.append(vrel)
+            else:  # every row deleted — the leaf leaves the snapshot
+                new_mapping.pop(rel, None)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+
+        new_doc = {"version": new_version, "partitions": new_mapping}
+        if doc.get("schema") is not None:
+            new_doc["schema"] = doc["schema"]
+        stats = _evolve_file_stats(spark, fmt, root, doc, new_mapping, staged_vrels)
+        if stats is not None:
+            _carry_stats_config(doc, new_doc)
+            new_doc["files"] = stats
+        ok = _publish_cas(
+            fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
+        )
+        result = [values[0] for values in affected] if single else affected
+        return ok, staged_vrels, result
+
+    return _commit_retry(fs, jvm, root, _attempt)
+
+
+def update_where_manifested(
+    spark: SparkSession,
+    target_path: str,
+    assignments: dict,
+    predicate,
+    partition_cols,
+    fmt: str = "parquet",
+) -> list:
+    """UPDATE ... SET ... WHERE with snapshot-manifest publication — the
+    manifested twin of `tables.update_where_partitioned`, completing the
+    DML triad (MERGE / DELETE / UPDATE) on the snapshot layer.
+    Assignments MAY set a partition column (the status-transition bulk
+    update): the blast radius is source ∪ destination leaves, moved rows
+    land under their new leaf's version subdir, a drained source leaf
+    drops out of the snapshot, and readers see the entire update — both
+    directories — in one atomic CAS commit (the swap path moves two
+    directories non-atomically; here the transition cannot be observed
+    half-applied). Schema is unchanged by construction (UPDATE cannot
+    add columns). Optimistic multi-writer like every other committer."""
+    cols = _normalize_partition_cols(partition_cols)
+    single = isinstance(partition_cols, str) or len(cols) == 1
+    root = target_path.rstrip("/")
+    fs, jvm = _hadoop_fs(spark, root)
+    _clean_stale_staging(fs, jvm, root)
+
+    def _attempt(doc, new_version, token):
+        mapping = doc["partitions"]
+        keep = [v for v in _list_manifest_versions(fs, jvm, root)][-_RETAIN:]
+        _gc(fs, jvm, root, keep)
+        if not mapping:
+            return True, [], []
+
+        target = read_manifested(
+            spark, root, fmt, pin_partition_strings=True, partition_cols=cols
+        )
+        unknown = [c for c in assignments if c not in target.columns]
+        if unknown:
+            raise ValueError(
+                f"update_where_manifested: assigned columns {unknown} not in "
+                f"table schema {target.columns} (UPDATE cannot add columns — "
+                "use a schema-evolving MERGE for that)"
+            )
+        matched = target.filter(predicate)
+        src_parts = matched.select(*cols).distinct()
+        moved = matched
+        for c, expr in assignments.items():
+            moved = moved.withColumn(c, expr)
+        if any(c in assignments for c in cols):
+            for c in cols:
+                moved = moved.withColumn(c, F.col(c).cast("string"))
+            part_space = src_parts.union(moved.select(*cols).distinct()).distinct()
+        else:
+            part_space = src_parts
+        affected = [tuple(r) for r in part_space.collect()]
+        if not affected:
+            return True, [], []
+
+        scoped = target.filter(_partition_filter(cols, affected))
+        updated = scoped.select(
+            *[
+                F.when(predicate, assignments[c]).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in target.columns
+            ]
+        )
+        for c in cols:
+            updated = updated.withColumn(c, F.col(c).cast("string"))
+        staging = f"{root}.__manifest_staging__{token}"
+        updated.write.mode("overwrite").partitionBy(*cols).format(fmt).save(
+            staging
+        )
+
+        new_mapping = dict(mapping)
+        staged_vrels: list[str] = []
+        for values in affected:
+            rel = _part_rel(cols, values)
+            staged = jvm.org.apache.hadoop.fs.Path(f"{staging}/{rel}")
+            if fs.exists(staged):
+                vrel = f"{rel}/{_vdir(new_version, token)}"
+                _mkdirs_parent(fs, jvm, f"{root}/{vrel}")
+                fs.rename(staged, jvm.org.apache.hadoop.fs.Path(f"{root}/{vrel}"))
+                new_mapping[rel] = vrel
+                staged_vrels.append(vrel)
+            else:  # drained source leaf
+                new_mapping.pop(rel, None)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+
+        new_doc = {"version": new_version, "partitions": new_mapping}
+        if doc.get("schema") is not None:
+            new_doc["schema"] = doc["schema"]
+        stats = _evolve_file_stats(spark, fmt, root, doc, new_mapping, staged_vrels)
+        if stats is not None:
+            _carry_stats_config(doc, new_doc)
+            new_doc["files"] = stats
+        ok = _publish_cas(
+            fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
+        )
+        result = [values[0] for values in affected] if single else affected
+        return ok, staged_vrels, result
+
+    return _commit_retry(fs, jvm, root, _attempt)

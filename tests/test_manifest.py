@@ -882,3 +882,55 @@ def test_manifest_observability_surfaces(spark, tmp_path):
     assert orph2["dt=d1/__v0000000009-junk"].reclaimable
     # dry run: nothing was deleted
     assert os.path.isdir(junk)
+
+
+def test_delete_and_update_where_manifested(spark, tmp_path):
+    """Predicate DML through the snapshot layer: DELETE WHERE keeps
+    NULL-predicate rows (SQL semantics), drains leaves atomically;
+    UPDATE WHERE with a partition-moving assignment publishes source
+    drain + destination growth in one commit; both bump versions under
+    the OCC protocol and time travel still reads the pre-DML state."""
+    from etl_demo_spark.io.manifest import (
+        delete_where_manifested,
+        load_manifest,
+        manifest_init,
+        read_manifested,
+        update_where_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    rows = [
+        (1, 10, "A"), (2, None, "A"), (3, 30, "A"),
+        (4, 40, "B"), (5, 5, "C"),
+    ]
+    spark.createDataFrame(rows, "id INT, val INT, seg STRING").write.partitionBy(
+        "seg"
+    ).parquet(path)
+    manifest_init(spark, path, "seg")
+
+    # DELETE val < 20: id1 (10) and id5 (5) go; id2's NULL predicate KEEPS it
+    affected = delete_where_manifested(
+        spark, path, F.col("val") < 20, "seg"
+    )
+    assert sorted(affected) == ["A", "C"]
+    got = {r.id for r in read_manifested(spark, path).collect()}
+    assert got == {2, 3, 4}
+    _, mapping = load_manifest(spark, path)
+    assert "seg=C" not in mapping  # drained leaf left the snapshot
+
+    # UPDATE moving rows A -> Z (partition-moving assignment)
+    affected = update_where_manifested(
+        spark,
+        path,
+        {"val": F.coalesce(F.col("val"), F.lit(0)) + 1, "seg": F.lit("Z")},
+        F.col("seg") == "A",
+        "seg",
+    )
+    assert sorted(affected) == ["A", "Z"]
+    got = {r.id: (r.val, r.seg) for r in read_manifested(spark, path).collect()}
+    assert got == {2: (1, "Z"), 3: (31, "Z"), 4: (40, "B")}
+    version, mapping = load_manifest(spark, path)
+    assert version == 3 and "seg=A" not in mapping
+    # time travel: the pre-UPDATE snapshot still reads complete
+    prior = {r.id for r in read_manifested(spark, path, version=2).collect()}
+    assert prior == {2, 3, 4}
