@@ -137,15 +137,37 @@ def _bench_stats_skip(spark, sf_dir: str) -> dict:
     n_full = full.filter(F.col("o_orderkey").between(lo, hi)).count()
     n_pruned = pruned.filter(F.col("o_orderkey").between(lo, hi)).count()
     assert n_full == n_pruned, (n_full, n_pruned)
+
+    # BLOOM point-lookup skipping on the SAME layout: o_custkey values are
+    # scattered across the o_orderkey-clustered files (min/max useless for
+    # them), so the bitset is what prunes. Probe a key known to exist.
+    bloom_root = tempfile.mkdtemp(prefix="bench_bloom_") + "/orders"
+    t.repartitionByRange(16, "o_orderkey").write.partitionBy("dt").parquet(
+        bloom_root
+    )
+    manifest_init(spark, bloom_root, "dt", bloom_cols=["o_custkey"])
+    probe_key = orders.select("o_custkey").first()[0]
+    bfull = read_manifested(spark, bloom_root)
+    bprobe = read_manifested(
+        spark, bloom_root, prune_points={"o_custkey": probe_key}
+    )
+    nb_full = bfull.filter(F.col("o_custkey") == probe_key).count()
+    nb_probe = bprobe.filter(F.col("o_custkey") == probe_key).count()
+    assert nb_full == nb_probe and nb_probe > 0, (nb_full, nb_probe)
+
     return {
         "files_total": len(full.inputFiles()),
         "files_opened": len(pruned.inputFiles()),
         "scan_plain": best3(full),
         "scan_pruned": best3(pruned),
         "rows_matched": n_full,
-        "note": "manifest min/max file skipping on a clustered layout; "
-        "files_opened is the cluster-relevant signal (IO requests), "
-        "wall time the local[32] proxy",
+        "bloom_files_total": len(bfull.inputFiles()),
+        "bloom_files_opened": len(bprobe.inputFiles()),
+        "bloom_rows_matched": nb_probe,
+        "note": "manifest min/max file skipping on a clustered layout + "
+        "bloom point-lookup skipping on a scattered column of the same "
+        "layout; files_opened is the cluster-relevant signal (IO "
+        "requests), wall time the local[32] proxy",
     }
 
 
