@@ -486,6 +486,8 @@ def _resolve_doc(fs, jvm, root: str, version: int) -> dict:
         "partitions": partitions,
         "_chain": base["_chain"] + 1,
     }
+    if "committed_at_ms" in raw:  # per-commit stamp, never inherited
+        doc["committed_at_ms"] = raw["committed_at_ms"]
     schema = raw.get("schema", base.get("schema"))
     if schema is not None:
         doc["schema"] = schema
@@ -512,15 +514,21 @@ def _encode_commit(prev_doc: dict, new_doc: dict) -> bytes:
     FULL snapshot manifest resets the chain. ``new_doc`` is always the
     fully-materialized state the committer built; the delta is computed
     here by diffing against the resolved parent, so committers stay
-    oblivious to the encoding."""
+    oblivious to the encoding. Every commit is stamped with
+    ``committed_at_ms`` (wall clock at encode time) for AS-OF-timestamp
+    resolution (`version_at_timestamp`); the stamp is per-commit, never
+    inherited through the chain."""
+    stamp = int(time.time() * 1000)
     if prev_doc.get("_chain", 0) + 1 >= _FULL_EVERY:
         full = {k: v for k, v in new_doc.items() if not k.startswith("_")}
+        full["committed_at_ms"] = stamp
         return json.dumps(full, indent=1).encode()
     prev_p = prev_doc.get("partitions", {})
     new_p = new_doc["partitions"]
     delta: dict = {
         "version": new_doc["version"],
         "parent": prev_doc["version"],
+        "committed_at_ms": stamp,
         "partitions_delta": {
             r: v for r, v in new_p.items() if prev_p.get(r) != v
         },
@@ -820,7 +828,12 @@ def manifest_init(
                     jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/{vrel}/{name}"),
                 )
         mapping[rel] = vrel
-    doc = {"version": version, "partitions": mapping, "schema": schema_json}
+    doc = {
+        "version": version,
+        "partitions": mapping,
+        "schema": schema_json,
+        "committed_at_ms": int(time.time() * 1000),
+    }
     if stats_cols or bloom_cols:
         if stats_cols:
             doc["stats_cols"] = list(stats_cols)
@@ -1637,3 +1650,92 @@ def update_where_manifested(
         return ok, staged_vrels, result
 
     return _commit_retry(fs, jvm, root, _attempt)
+
+
+def version_at_timestamp(spark: SparkSession, root: str, ts_ms: int) -> int:
+    """AS-OF-TIMESTAMP resolution: the newest RETAINED version whose
+    commit stamp is <= ``ts_ms`` (epoch millis) — pair with
+    ``read_manifested(version=...)`` for "read the table as of 2am"
+    incident forensics. Bounded by the same retention window as every
+    versioned read; raises if no retained commit is old enough (the
+    honest answer — resolving to a newer snapshot would silently lie)."""
+    fs, jvm = _hadoop_fs(spark, root)
+    versions = _list_manifest_versions(fs, jvm, root)
+    if not versions:
+        raise FileNotFoundError(f"no manifest under {root}/{_MANIFEST_DIR}")
+    best = None
+    for v in versions[-_RETAIN:]:
+        stamp = _load_raw(fs, jvm, root, v).get("committed_at_ms")
+        if stamp is not None and stamp <= ts_ms:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no retained snapshot of {root} at or before ts_ms={ts_ms} "
+            f"(window: {versions[-_RETAIN:]})"
+        )
+    return best
+
+
+def read_changes(
+    spark: SparkSession,
+    root: str,
+    v_from: int,
+    v_to: int | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """CHANGE FEED between two retained snapshots (Delta's table_changes
+    for this layer): the row-level diff v_from → v_to as a DataFrame
+    with a ``_change_type`` column (``insert`` / ``delete``; an updated
+    row appears as its delete + its insert — the CDC consumer contract).
+
+    Cost is bounded by the CHANGED leaves: unchanged leaves (same
+    version subdir in both manifests) are never read; the diff itself is
+    two multiset EXCEPT ALLs over the changed slice, so duplicate rows
+    diff correctly without requiring a key column. Both versions must be
+    within the retention window (their data is guaranteed present)."""
+    fs, jvm = _hadoop_fs(spark, root)
+    a = _load_doc(fs, jvm, root, v_from)
+    b = _load_doc(fs, jvm, root, v_to)
+    if b["version"] <= a["version"]:
+        raise ValueError(
+            f"read_changes: v_to ({b['version']}) must be newer than "
+            f"v_from ({a['version']})"
+        )
+    pa, pb = a["partitions"], b["partitions"]
+    old_vrels = [pa[r] for r in pa if pb.get(r) != pa[r]]
+    new_vrels = [pb[r] for r in pb if pa.get(r) != pb[r]]
+
+    schema_json = b.get("schema") or a.get("schema")
+    schema = (
+        T.StructType.fromJson(json.loads(schema_json)) if schema_json else None
+    )
+
+    def side(vrels: list[str]) -> DataFrame | None:
+        if not vrels:
+            return None
+        paths = [f"{root.rstrip('/')}/{v}" for v in sorted(vrels)]
+        reader = spark.read.format(fmt).option("basePath", root)
+        if schema is not None:
+            df = reader.schema(schema).load(paths)
+            return df.select(*[f.name for f in schema.fields])
+        return reader.load(paths)
+
+    old_df, new_df = side(old_vrels), side(new_vrels)
+    if old_df is None and new_df is None:
+        if schema is None:
+            raise ValueError(
+                f"read_changes: no change between v{a['version']} and "
+                f"v{b['version']} of {root} and no stored schema to shape "
+                "an empty result"
+            )
+        empty = spark.createDataFrame([], schema)
+        return empty.withColumn("_change_type", F.lit("insert")).filter(
+            F.lit(False)
+        )
+    if old_df is None:
+        old_df = new_df.filter(F.lit(False))
+    if new_df is None:
+        new_df = old_df.filter(F.lit(False))
+    inserts = new_df.exceptAll(old_df).withColumn("_change_type", F.lit("insert"))
+    deletes = old_df.exceptAll(new_df).withColumn("_change_type", F.lit("delete"))
+    return inserts.unionByName(deletes)

@@ -934,3 +934,57 @@ def test_delete_and_update_where_manifested(spark, tmp_path):
     # time travel: the pre-UPDATE snapshot still reads complete
     prior = {r.id for r in read_manifested(spark, path, version=2).collect()}
     assert prior == {2, 3, 4}
+
+
+def test_change_feed_and_timestamp_travel(spark, tmp_path):
+    """read_changes: row-level diff between snapshots bounded by changed
+    leaves — an update surfaces as delete+insert, a drained leaf's rows
+    as deletes, unchanged leaves are never scanned. version_at_timestamp
+    resolves AS-OF stamps within the retention window."""
+    import time as _time
+
+    from etl_demo_spark.io.manifest import (
+        manifest_init,
+        merge_upsert_manifested,
+        read_changes,
+        read_manifested,
+        version_at_timestamp,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)  # v1
+    manifest_init(spark, path, ["dt", "seg"])
+    t_after_v1 = int(_time.time() * 1000)
+
+    # v2: update id1, insert id9 (both in d1/A); move id2 d1/B -> d2/B
+    src = spark.createDataFrame(
+        [(1, "ALPHA2", "d1", "A"), (9, "iota", "d1", "A"), (2, "beta", "d2", "B")],
+        "id INT, name STRING, dt STRING, seg STRING",
+    )
+    merge_upsert_manifested(spark, path, src, ["id"], ["dt", "seg"])
+
+    ch = read_changes(spark, path, 1, 2)
+    got = {(r.id, r.name, r.dt, r.seg, r._change_type) for r in ch.collect()}
+    assert got == {
+        (1, "alpha", "d1", "A", "delete"),
+        (1, "ALPHA2", "d1", "A", "insert"),
+        (9, "iota", "d1", "A", "insert"),
+        (2, "beta", "d1", "B", "delete"),
+        (2, "beta", "d2", "B", "insert"),
+    }
+    # unchanged leaf (d2,A) never read
+    assert not any("dt=d2/seg=A" in f for f in ch.inputFiles())
+
+    # AS-OF timestamp: between the two commits resolves to v1
+    v = version_at_timestamp(spark, path, t_after_v1)
+    assert v == 1
+    assert {r.id for r in read_manifested(spark, path, version=v).collect()} == {
+        1, 2, 3, 4
+    }
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        version_at_timestamp(spark, path, 1)  # epoch 1970: nothing retained
+
+    with pytest.raises(ValueError, match="must be newer"):
+        read_changes(spark, path, 2, 1)
