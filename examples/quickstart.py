@@ -137,13 +137,18 @@ def main() -> None:
         ["c_custkey"], "c_mktsegment",
     )
     now = read_manifested(spark, table).count()
-    v1 = read_manifested(spark, table, version=1).count()
+    # time travel: the retained window is the last 2 commits (older
+    # manifests may survive on disk only as delta-chain ancestors)
+    from etl_demo_spark.io.manifest import manifest_versions
+
+    vs = manifest_versions(spark, table)
+    prior = read_manifested(spark, table, version=vs[-2]).count()
     lookup = read_manifested(
         spark, table, prune_ranges={"c_custkey": (1, 40)}
     )
     print(
         f"[dml] merge touched {len(touched)} partitions, erase touched "
-        f"{len(erased)}; rows now={now}, at v1={v1} (time travel); "
+        f"{len(erased)}; rows now={now}, at v{vs[-2]}={prior} (time travel); "
         f"range lookup opened {len(lookup.inputFiles())} files"
     )
 
