@@ -8333,3 +8333,101 @@ def semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     planted = base.unionByName(scaled2).unionByName(scaled3)
     return semantic_dedup(planted, threshold=0.9, planes=6)
+
+
+@query(
+    "orders_mv_incremental",
+    oracle="""
+    WITH post_dml AS (
+        SELECT o_orderpriority, o_custkey,
+               CAST(CASE WHEN o_orderstatus = 'P'
+                         THEN o_totalprice + 7.0
+                         ELSE o_totalprice END AS DECIMAL(18,2)) AS px
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(px) AS DOUBLE) AS revenue,
+           CAST(MAX(px) AS DOUBLE) AS max_price,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_cust
+    FROM post_dml
+    WHERE NOT (px > 450000.00)
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained MATERIALIZED VIEW over the manifest
+    change feed (mv.py): create the view at the base snapshot, run two
+    DML commits against the base — a partition-moving predicate UPDATE
+    (every pending order finalizes with a fee) and a predicate DELETE
+    (drop the >450k price tier, which removes every group's stored
+    maximum) — and REFRESH incrementally after each. The oracle is the
+    full aggregate over the post-DML table: two change-feed folds plus
+    one bounded MIN/MAX repair must land on exactly the state a full
+    recompute would. Both refreshes are asserted 'incremental' (never
+    the full-recompute fallback), and the DELETE refresh is asserted to
+    repair every group — the deleted tier crosses each stored max.
+
+    Scale: the folds read only CHANGED leaves of the base (two multiset
+    EXCEPT ALLs), the repair re-reads the base restricted to touched
+    groups via a broadcast semi-join, and each refresh commits atomically
+    through the snapshot-manifest merge — a nightly 100 TB aggregate
+    refresh costs O(diff), not a table scan. SUMs fold in exact DECIMAL
+    (associative), so the incremental state is bit-identical to the
+    recompute. Cite: reference `etl_weekly_trades.py:107-156` recomputes
+    its weekly aggregate from scratch every run — this is that job's
+    engine-grade replacement."""
+    import tempfile
+
+    from etl_demo_spark.io.manifest import (
+        delete_where_manifested,
+        update_where_manifested,
+        write_manifested,
+    )
+    from etl_demo_spark.mv import mv_create, mv_read, mv_refresh
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        "o_orderpriority",
+    )
+    root = tempfile.mkdtemp(prefix="mv_inc_")
+    base, mv = f"{root}/orders", f"{root}/by_priority"
+    write_manifested(t, base, "o_orderstatus")
+    mv_create(
+        spark, base, mv,
+        keys=["o_orderpriority"],
+        aggs={
+            "n_orders": ("count", None),
+            "revenue": ("sum", "px"),
+            "max_price": ("max", "px"),
+            "min_cust": ("min", "o_custkey"),
+        },
+        derived={"px": "CAST(o_totalprice AS DECIMAL(18,2))"},
+        buckets=4,
+    )
+
+    update_where_manifested(
+        spark, base,
+        {"o_totalprice": F.col("o_totalprice") + F.lit(7.0),
+         "o_orderstatus": F.lit("F")},
+        F.col("o_orderstatus") == "P",
+        "o_orderstatus",
+    )
+    r1 = mv_refresh(spark, mv)
+    assert r1["mode"] == "incremental", r1
+
+    delete_where_manifested(
+        spark, base, F.col("o_totalprice") > 450000.0, "o_orderstatus"
+    )
+    r2 = mv_refresh(spark, mv)
+    assert r2["mode"] == "incremental", r2
+    assert r2["recomputed_groups"] >= 1, r2  # the deleted tier held each max
+
+    return mv_read(spark, mv).select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("max_price").cast("double").alias("max_price"),
+        F.col("min_cust").cast("bigint").alias("min_cust"),
+    )
