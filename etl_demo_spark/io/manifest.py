@@ -921,6 +921,7 @@ def compact_manifested(
     target_file_bytes: int = 256 * 1024 * 1024,
     min_files: int = 2,
     sort_cols: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
 ) -> list[str]:
     """OPTIMIZE for a manifested table: rewrite every leaf holding at
     least ``min_files`` data files into ~``target_file_bytes`` outputs,
@@ -933,10 +934,21 @@ def compact_manifested(
     ``sort_cols`` additionally clusters rows WITHIN the rewritten files
     (sortWithinPartitions — no extra shuffle): compaction doubles as a
     re-clustering pass, tightening per-file min/max footer stats so
-    later scans filtered on those columns prune row groups. Pass a
-    Morton key expression column (io/layout.py `zorder_key`) upstream
-    for multi-dimensional clustering; here plain columns cover the
-    common time-ordered case.
+    later scans filtered on those columns prune row groups. Plain
+    columns cover the common time-ordered case.
+
+    ``zorder_cols`` (mutually exclusive with ``sort_cols``) makes
+    OPTIMIZE a multi-dimensional re-clustering pass — Delta's
+    ``OPTIMIZE ... ZORDER BY``: rows are RANGE-partitioned on the
+    Morton interleave of the quantized columns (io/layout.py
+    `zorder_key`) and sorted by it within each writer task, so every
+    rewritten file spans a compact hyper-rectangle in ``zorder_cols``
+    space. With those columns in `manifest_init(stats_cols=…)`, the
+    commit records tight per-file min/max on EVERY clustered dimension
+    and `read_manifested(prune_ranges=…)` skips files for predicates on
+    ANY of them — not just a lead sort key. The range partitioner
+    replaces the per-leaf byte-sized hash sharding (file sizes then
+    follow the key distribution); numeric columns only (quantization).
 
     This is the maintenance companion to the streaming CDC sink: every
     micro-batch merge writes at least one file per touched leaf, so a
@@ -952,6 +964,11 @@ def compact_manifested(
     10k-file day compacts in one shuffle instead of 10k driver-side
     jobs. File listing is manifest-resolved (no directory walk of
     superseded versions)."""
+    if sort_cols and zorder_cols:
+        raise ValueError(
+            "compact_manifested: sort_cols and zorder_cols are mutually "
+            "exclusive (a Z-order rewrite defines its own ordering)"
+        )
     roots = root.rstrip("/")
     fs, jvm = _hadoop_fs(spark, roots)
     _clean_stale_staging(fs, jvm, roots)
@@ -994,22 +1011,51 @@ def compact_manifested(
             [tuple(v) + (n,) for v, n in zip(values, to_compact.values())],
             ", ".join(f"{c} STRING" for c in cols) + ", __n_shards INT",
         )
-        packed = (
-            scoped.join(F.broadcast(shards), cols)
-            .withColumn(
-                "__shard",
-                F.pmod(
-                    F.hash(F.struct(*[c for c in scoped.columns])), F.col("__n_shards")
-                ),
+        if zorder_cols:
+            # Z-order rewrite: range-partition on (leaf cols, Morton key) so
+            # each writer task holds a CONTIGUOUS zkey slice of one leaf —
+            # its output file is a compact hyper-rectangle in zorder space.
+            # One tiny bounds agg (a single driver row) feeds quantization.
+            from etl_demo_spark.io.layout import _BITS, _quantize, zorder_key
+
+            bits = min(_BITS, 63 // len(zorder_cols))
+            baggs = []
+            for c in zorder_cols:
+                baggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+            brow = scoped.agg(*baggs).collect()[0]
+            quantized = []
+            for c in zorder_cols:
+                lo, hi = brow[f"__lo_{c}"], brow[f"__hi_{c}"]
+                if lo is None or hi is None:
+                    raise ValueError(
+                        f"compact_manifested: zorder column {c!r} is all-NULL"
+                    )
+                quantized.append(_quantize(F.col(c), float(lo), float(hi), bits=bits))
+            total_shards = int(sum(to_compact.values()))
+            packed = (
+                scoped.withColumn("__zkey", zorder_key(quantized, bits=bits))
+                .repartitionByRange(max(total_shards, 1), *cols, F.col("__zkey"))
+                .sortWithinPartitions(*cols, "__zkey")
+                .drop("__zkey")
             )
-            .repartition(*cols, "__shard")
-        )
-        if sort_cols:
-            # task-local sort: rows land in their file ordered by the cluster
-            # key (leaf grouping is preserved — the partitionBy writer splits
-            # by leaf regardless of row order within the task)
-            packed = packed.sortWithinPartitions(*cols, *sort_cols)
-        packed = packed.drop("__n_shards", "__shard")
+        else:
+            packed = (
+                scoped.join(F.broadcast(shards), cols)
+                .withColumn(
+                    "__shard",
+                    F.pmod(
+                        F.hash(F.struct(*[c for c in scoped.columns])),
+                        F.col("__n_shards"),
+                    ),
+                )
+                .repartition(*cols, "__shard")
+            )
+            if sort_cols:
+                # task-local sort: rows land in their file ordered by the
+                # cluster key (leaf grouping is preserved — the partitionBy
+                # writer splits by leaf regardless of row order in the task)
+                packed = packed.sortWithinPartitions(*cols, *sort_cols)
+            packed = packed.drop("__n_shards", "__shard")
         staging = f"{roots}.__manifest_staging__{token}"
         packed.write.mode("overwrite").partitionBy(*cols).format(fmt).save(staging)
 

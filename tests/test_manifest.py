@@ -988,3 +988,69 @@ def test_change_feed_and_timestamp_travel(spark, tmp_path):
 
     with pytest.raises(ValueError, match="must be newer"):
         read_changes(spark, path, 2, 1)
+
+
+def test_compact_manifested_zorder_prunes_both_dimensions(spark, tmp_path):
+    """OPTIMIZE ... ZORDER: after a Z-order compaction, manifest file
+    stats prune range reads on EITHER clustered dimension — the
+    scattered pre-compaction layout makes min/max useless on both."""
+    from etl_demo_spark.io.manifest import (
+        compact_manifested,
+        manifest_init,
+        read_manifested,
+    )
+
+    path = str(tmp_path / "grid")
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+        F.lit("d1").alias("dt"),
+    )
+    # 16 scattered files: every file spans the full x and y ranges
+    df.repartition(16).write.partitionBy("dt").parquet(path)
+    manifest_init(spark, path, "dt", stats_cols=["x", "y"])
+
+    before = read_manifested(spark, path)
+    total_files = len(before.inputFiles())
+    assert total_files >= 16
+    scat_x = len(
+        read_manifested(spark, path, prune_ranges={"x": (0, 7)}).inputFiles()
+    )
+    assert scat_x == total_files  # scattered: stats prune nothing
+
+    compacted = compact_manifested(
+        spark, path, target_file_bytes=6 * 1024, zorder_cols=["x", "y"]
+    )
+    assert compacted == ["dt=d1"]
+    after = read_manifested(spark, path)
+    out_files = len(after.inputFiles())
+    assert out_files >= 4  # a real multi-file rewrite, not one blob
+
+    # logical equality: pure rewrite
+    assert after.count() == n
+    assert (
+        after.select(F.sum("payload")).collect()[0][0]
+        == before.select(F.sum("payload")).collect()[0][0]
+    )
+
+    # both dimensions now prune to strict subsets with zero row loss
+    for col, lohi, expect_rows in (
+        ("x", (0, 7), n // 8),
+        ("y", (0, 7), 64 * 8),
+    ):
+        pruned = read_manifested(spark, path, prune_ranges={col: lohi})
+        assert len(pruned.inputFiles()) < out_files, col
+        assert (
+            pruned.filter(
+                (F.col(col) >= lohi[0]) & (F.col(col) <= lohi[1])
+            ).count()
+            == expect_rows
+        ), col
+
+    # sort_cols + zorder_cols together are refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        compact_manifested(spark, path, sort_cols=["x"], zorder_cols=["y"])
