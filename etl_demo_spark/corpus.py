@@ -6401,6 +6401,74 @@ def orders_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_delete_dv",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(year(o_orderdate) AS VARCHAR) AS dt
+    FROM orders
+    WHERE NOT (o_orderkey % 7 = 0 AND o_totalprice > 1000.0)
+    """,
+)
+def orders_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE via DELETION VECTORS (`io/manifest.py
+    delete_rows_manifested`): merge-on-read erasure — the matched rows'
+    (file, row-ordinal) coordinates land in a parquet sidecar and one
+    atomic manifest commit points at it; NOT ONE data file is rewritten
+    (asserted in-query: the file inventory is byte-identical before and
+    after). The read filters with a broadcast anti-join on
+    ``_metadata.row_index``. The oracle is the complement predicate over
+    the base table — the anti-join must remove exactly the TRUE rows.
+
+    Scale: THE write-amplification fix — deleting 0.1% of a 100 TB table
+    rewrites ~100 GB under copy-on-write but writes only MBs of
+    positions here (Delta 3.x / Iceberg v2 merge-on-read). Read-side
+    cost is one broadcast anti-join, bounded by compaction cadence:
+    OPTIMIZE reads through the DVs and materializes them."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    from etl_demo_spark.io.manifest import (
+        delete_rows_manifested,
+        manifest_init,
+        read_manifested,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("string").alias("dt"),
+    )
+    target_path = tempfile.mkdtemp(prefix="dv_delete_") + "/orders"
+    t.repartition(4).write.partitionBy("dt").parquet(target_path)
+    manifest_init(spark, target_path, "dt", stats_cols=["o_orderkey"])
+
+    inventory = {
+        f: _os.path.getsize(f)
+        for f in _glob.glob(f"{target_path}/dt=*/__v*/*.parquet")
+    }
+    n = delete_rows_manifested(
+        spark,
+        target_path,
+        (F.col("o_orderkey") % 7 == 0) & (F.col("o_totalprice") > 1000.0),
+    )
+    assert n > 0, "the predicate matches rows at every sf"
+    after = {
+        f: _os.path.getsize(f)
+        for f in _glob.glob(f"{target_path}/dt=*/__v*/*.parquet")
+    }
+    assert inventory == after, "DV delete must rewrite no data file"
+    return read_manifested(spark, target_path).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("dt").cast("string").alias("dt"),
+    )
+
+
+@query(
     "orders_update_partitioned",
     oracle="""
     SELECT o_orderkey, o_custkey,

@@ -87,6 +87,12 @@ _FULL_EVERY = 8
 # a concurrent committer and are NOT garbage-collected (Iceberg's orphan-file
 # age-threshold rationale). Crashed attempts are reclaimed once they age out.
 _ORPHAN_GRACE_MS = 5 * 60 * 1000
+# Deletion-vector datasets live under <root>/_dv/__v{N}-{token}: one parquet
+# dataset per DV commit holding every (file_rel, pos) deleted as of that
+# snapshot. Cumulative by construction, bounded by compaction (a rewrite
+# materializes the deletions and the pointer's entries for those files drop).
+_DV_DIR = "_dv"
+_DV_SCHEMA = "file_rel STRING, pos BIGINT"
 
 
 def _manifest_path(root: str, version: int) -> str:
@@ -371,6 +377,72 @@ def _carry_stats_config(doc: dict, new_doc: dict) -> None:
             new_doc[key] = doc[key]
 
 
+def _load_dv(spark: SparkSession, root: str, dv: dict) -> DataFrame:
+    """The snapshot's deletion-vector dataset: (file_rel, pos) of every
+    logically deleted row. Explicit schema — the read must never sample
+    footers of a dataset whose shape is a contract."""
+    return spark.read.schema(_DV_SCHEMA).parquet(
+        f"{root.rstrip('/')}/{dv['rel']}"
+    )
+
+
+def _attach_location(spark: SparkSession, df: DataFrame, root: str) -> DataFrame:
+    """Append the row's physical coordinates — ``__dv_file`` (path
+    relative to the table root, the manifest's file-rel key space) and
+    ``__dv_pos`` (ordinal within its parquet file, Spark's
+    ``_metadata.row_index``). The root prefix is the Hadoop-qualified
+    rendering, which is exactly how the scan renders
+    ``_metadata.file_path`` (pinned by test), so the rel extraction is a
+    constant-length substring — no per-row string search."""
+    fs, jvm = _hadoop_fs(spark, root)
+    q = fs.makeQualified(
+        jvm.org.apache.hadoop.fs.Path(root.rstrip("/"))
+    ).toString()
+    return df.withColumn(
+        "__dv_file", F.expr(f"substring(_metadata.file_path, {len(q) + 2})")
+    ).withColumn("__dv_pos", F.col("_metadata.row_index"))
+
+
+def _apply_dv(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    dv: dict | None,
+    keep_location: bool = False,
+) -> DataFrame:
+    """Filter logically deleted rows out of a raw scan by anti-joining on
+    (file_rel, row_index). The DV side is BROADCAST: its size is the
+    table's live deletion count, bounded by compaction cadence (a rewrite
+    materializes deletions and shrinks the dataset) — the same read-side
+    contract Delta's deletion vectors carry. The scan side never
+    shuffles."""
+    if dv is None and not keep_location:
+        return df
+    out = _attach_location(spark, df, root)
+    if dv is not None:
+        dvdf = _load_dv(spark, root, dv)
+        cond = (out["__dv_file"] == dvdf["file_rel"]) & (
+            out["__dv_pos"] == dvdf["pos"]
+        )
+        out = out.join(F.broadcast(dvdf), cond, "left_anti")
+    return out if keep_location else out.drop("__dv_file", "__dv_pos")
+
+
+def _carry_dv(doc: dict, new_doc: dict) -> None:
+    """Carry the deletion-vector pointer into the next commit, pruning
+    entries for files the commit rewrote or dropped — their deletions
+    were MATERIALIZED by the DV-applying read that fed the rewrite. If
+    nothing survives, the pointer is dropped entirely and the dataset
+    becomes GC-able."""
+    dv = doc.get("dv")
+    if not dv:
+        return
+    live = set(new_doc["partitions"].values())
+    kept = {p: n for p, n in dv["files"].items() if p.rsplit("/", 1)[0] in live}
+    if kept:
+        new_doc["dv"] = {"rel": dv["rel"], "files": kept}
+
+
 def prune_files(doc: dict, ranges: dict) -> tuple[list[str], int]:
     """File-skipping decision from manifest stats: keep a file unless
     some queried column's recorded [min, max] proves it cannot hold a
@@ -491,6 +563,11 @@ def _resolve_doc(fs, jvm, root: str, version: int) -> dict:
     schema = raw.get("schema", base.get("schema"))
     if schema is not None:
         doc["schema"] = schema
+    # deletion-vector pointer: inherited unless the commit changed it; an
+    # explicit null (a commit that materialized every deletion) drops it
+    dv = raw.get("dv", base.get("dv"))
+    if dv is not None:
+        doc["dv"] = dv
     for key in _STATS_CONFIG_KEYS:
         val = raw.get(key, base.get(key))
         if val is not None:
@@ -538,6 +615,10 @@ def _encode_commit(prev_doc: dict, new_doc: dict) -> bytes:
         delta["removed"] = removed
     if "schema" in new_doc and new_doc.get("schema") != prev_doc.get("schema"):
         delta["schema"] = new_doc["schema"]
+    if new_doc.get("dv") != prev_doc.get("dv"):
+        # an explicit null records "all deletion vectors materialized";
+        # resolution then stops inheriting the parent's pointer
+        delta["dv"] = new_doc.get("dv")
     if any(k in new_doc for k in ("stats_cols", "bloom_cols")):
         for key in _STATS_CONFIG_KEYS:
             if key in new_doc and new_doc[key] != prev_doc.get(key):
@@ -610,6 +691,7 @@ def read_manifested(
     prune_ranges: dict | None = None,
     leaf_filter: dict | None = None,
     prune_points: dict | None = None,
+    _with_location: bool = False,
 ) -> DataFrame:
     """Snapshot read: resolve the current manifest once, scan exactly its
     version subdirs. The snapshot is pinned at RESOLUTION time — a merge
@@ -662,7 +744,15 @@ def read_manifested(
     complement to ``prune_ranges`` for columns whose values are scattered
     across files — min/max straddles every probe there, a membership
     bitset still prunes decisively. Composes with both other prunes;
-    false positives cost an extra file open, never a lost row."""
+    false positives cost an extra file open, never a lost row.
+
+    Deletion vectors: a snapshot carrying a ``dv`` pointer (see
+    `delete_rows_manifested`) reads its data files UNCHANGED and filters
+    the logically deleted rows with a broadcast anti-join on
+    (file_rel, ``_metadata.row_index``); files whose every row is
+    deleted leave the listing before Spark opens them (stats tables).
+    ``_with_location`` (internal) appends ``__dv_file``/``__dv_pos`` —
+    the row coordinates the DV committers key on."""
     fs, jvm = _hadoop_fs(spark, root)
     doc = _load_doc(fs, jvm, root, version)
     partitions = doc["partitions"]
@@ -710,29 +800,44 @@ def read_manifested(
                 if p.rsplit("/", 1)[0] in live
             }
         doc = {**doc, "partitions": partitions}
-    if (prune_ranges or prune_points) and doc.get("files"):
-        kept = set(doc["files"])
+    dv = doc.get("dv")
+    # FULLY-deleted files (DV cardinality == the file's recorded row
+    # count) leave the listing outright — the anti-join would drain them
+    # anyway, but not opening them is the point of file-level metadata
+    dead_files: set[str] = set()
+    if dv and doc.get("files"):
+        dead_files = {
+            p
+            for p, n in dv["files"].items()
+            if doc["files"].get(p, {}).get("__rows") == n
+        }
+
+    def _empty(why: str) -> DataFrame:
+        schema_json = doc.get("schema")
+        if schema_json is None:
+            raise ValueError(
+                f"{why} eliminated every file of {root} and the "
+                "manifest stores no schema to shape an empty result"
+            )
+        return spark.createDataFrame(
+            [], T.StructType.fromJson(json.loads(schema_json))
+        )
+
+    if (prune_ranges or prune_points or dead_files) and doc.get("files"):
+        kept = set(doc["files"]) - dead_files
         if prune_ranges:
             kept &= set(prune_files(doc, prune_ranges)[0])
         if prune_points:
             kept &= set(prune_files_bloom(spark, doc, prune_points)[0])
         paths = [f"{root.rstrip('/')}/{rel}" for rel in sorted(kept)]
         if not paths:  # every file provably outside the range / absent
-            schema_json = doc.get("schema")
-            if schema_json is None:
-                raise ValueError(
-                    f"pruning eliminated every file of {root} and the "
-                    "manifest stores no schema to shape an empty result"
-                )
-            return spark.createDataFrame(
-                [], T.StructType.fromJson(json.loads(schema_json))
-            )
+            return _empty("pruning")
     else:
         paths = [f"{root.rstrip('/')}/{rel}" for rel in sorted(partitions.values())]
     reader = spark.read.format(fmt).option("basePath", root)
     schema_json = doc.get("schema")
     if schema_json is None and not pin_partition_strings:
-        return reader.load(paths)
+        return _apply_dv(spark, reader.load(paths), root, dv, _with_location)
     import copy
 
     if schema_json is not None:
@@ -755,7 +860,12 @@ def read_manifested(
     # a partitioned read under a user schema surfaces the partition
     # columns LAST regardless of schema order; restore the stored order
     # so evolved tables present a stable column layout
-    return loaded.select(*[f.name for f in schema.fields])
+    names = [f.name for f in schema.fields]
+    if _with_location:
+        return _apply_dv(spark, loaded, root, dv, keep_location=True).select(
+            *names, "__dv_file", "__dv_pos"
+        )
+    return _apply_dv(spark, loaded, root, dv).select(*names)
 
 
 def manifest_init(
@@ -870,14 +980,19 @@ def _gc(fs, jvm, root: str, keep_versions: list[int]) -> None:
     attempt's dirs are reclaimed once they age past the window."""
     listed = _list_manifest_versions(fs, jvm, root)
     referenced: set[str] = set()
+    referenced_dv: set[str] = set()
     closure: set[int] = set()
     for v in keep_versions:
-        referenced.update(_resolve_doc(fs, jvm, root, v)["partitions"].values())
+        kept_doc = _resolve_doc(fs, jvm, root, v)
+        referenced.update(kept_doc["partitions"].values())
+        if kept_doc.get("dv"):
+            referenced_dv.add(kept_doc["dv"]["rel"])
         closure.update(_ancestors(fs, jvm, root, v))
     # dirs referenced ONLY by expiring manifests are provably superseded
     # data — deletable immediately, no grace needed (they cannot be a
     # concurrent committer's staging: staging is never manifest-listed)
     superseded: set[str] = set()
+    superseded_dv: set[str] = set()
     for v in listed:
         if v not in keep_versions:
             try:
@@ -885,7 +1000,22 @@ def _gc(fs, jvm, root: str, keep_versions: list[int]) -> None:
             except Exception:
                 continue
             superseded.update(set(old["partitions"].values()) - referenced)
+            if old.get("dv") and old["dv"]["rel"] not in referenced_dv:
+                superseded_dv.add(old["dv"]["rel"])
     cutoff = int(time.time() * 1000) - _ORPHAN_GRACE_MS
+
+    # deletion-vector datasets (root/_dv/__v…): same lifecycle as version
+    # subdirs — keep what retained manifests point at, reclaim superseded
+    # pointers immediately and crashed attempts past the grace window.
+    # (The __v walk below never descends into '_'-prefixed dirs.)
+    dvp = jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/{_DV_DIR}")
+    if fs.exists(dvp):
+        for st in fs.listStatus(dvp):
+            r = f"{_DV_DIR}/{st.getPath().getName()}"
+            if r in referenced_dv:
+                continue
+            if r in superseded_dv or st.getModificationTime() < cutoff:
+                fs.delete(st.getPath(), True)
 
     # walk every __v dir under the table (any depth ≥ 1 below root)
     stack = [(jvm.org.apache.hadoop.fs.Path(root), "")]
@@ -1075,6 +1205,7 @@ def compact_manifested(
         new_doc = {"version": new_version, "partitions": new_mapping}
         if doc.get("schema") is not None:
             new_doc["schema"] = doc["schema"]
+        _carry_dv(doc, new_doc)
         fstats = _evolve_file_stats(spark, fmt, roots, doc, new_mapping, staged_vrels)
         if fstats is not None:
             _carry_stats_config(doc, new_doc)
@@ -1269,6 +1400,7 @@ def delete_keys_manifested(
         new_doc = {"version": new_version, "partitions": new_mapping}
         if doc.get("schema") is not None:
             new_doc["schema"] = doc["schema"]  # deletion never changes schema
+        _carry_dv(doc, new_doc)
         stats = _evolve_file_stats(spark, fmt, root, doc, new_mapping, staged_vrels)
         if stats is not None:
             _carry_stats_config(doc, new_doc)
@@ -1385,6 +1517,7 @@ def merge_upsert_manifested(
                 f for f in merged.schema.fields if f.name not in prev_names
             ]
             new_doc["schema"] = T.StructType(fields).json()
+        _carry_dv(doc, new_doc)
         stats = _evolve_file_stats(spark, fmt, root, doc, new_mapping, staged_vrels)
         if stats is not None:
             _carry_stats_config(doc, new_doc)
@@ -1581,6 +1714,7 @@ def delete_where_manifested(
         new_doc = {"version": new_version, "partitions": new_mapping}
         if doc.get("schema") is not None:
             new_doc["schema"] = doc["schema"]
+        _carry_dv(doc, new_doc)
         stats = _evolve_file_stats(spark, fmt, root, doc, new_mapping, staged_vrels)
         if stats is not None:
             _carry_stats_config(doc, new_doc)
@@ -1685,6 +1819,7 @@ def update_where_manifested(
         new_doc = {"version": new_version, "partitions": new_mapping}
         if doc.get("schema") is not None:
             new_doc["schema"] = doc["schema"]
+        _carry_dv(doc, new_doc)
         stats = _evolve_file_stats(spark, fmt, root, doc, new_mapping, staged_vrels)
         if stats is not None:
             _carry_stats_config(doc, new_doc)
@@ -1694,6 +1829,106 @@ def update_where_manifested(
         )
         result = [values[0] for values in affected] if single else affected
         return ok, staged_vrels, result
+
+    return _commit_retry(fs, jvm, root, _attempt)
+
+
+def delete_rows_manifested(
+    spark: SparkSession,
+    target_path: str,
+    predicate,
+    fmt: str = "parquet",
+) -> int:
+    """DELETE ... WHERE via DELETION VECTORS — the merge-on-read twin of
+    `delete_where_manifested` (which is copy-on-write). No data file is
+    rewritten: the matched rows' physical coordinates (file rel, row
+    ordinal) are appended to the snapshot's DV dataset under
+    ``<root>/_dv/``, and one atomic manifest commit points at it. Reads
+    filter the deleted rows with a broadcast anti-join and drop
+    fully-deleted files from the listing (`read_manifested`).
+
+    This is THE write-amplification fix at scale: deleting 0.1% of a
+    100 TB table rewrites ~100 GB of parquet under copy-on-write but
+    writes only a few MB of positions here — Delta 3.x / Iceberg v2
+    merge-on-read semantics, built from `_metadata.row_index` and a
+    plain parquet sidecar. The read-side cost (one broadcast anti-join)
+    is bounded by compaction cadence: `compact_manifested` reads through
+    the DVs, so a rewrite MATERIALIZES the deletions and the carried
+    pointer drops those files' entries (`_carry_dv`).
+
+    SQL NULL semantics match the rewrite path: only predicate-TRUE rows
+    delete. Idempotent across reruns (the snapshot read already excludes
+    deleted rows, so a re-matched row cannot re-enter). Optimistic
+    multi-writer like every committer. Returns the rows newly deleted."""
+    root = target_path.rstrip("/")
+    fs, jvm = _hadoop_fs(spark, root)
+    _clean_stale_staging(fs, jvm, root)
+
+    def _attempt(doc, new_version, token):
+        mapping = doc["partitions"]
+        keep = [v for v in _list_manifest_versions(fs, jvm, root)][-_RETAIN:]
+        _gc(fs, jvm, root, keep)
+        if not mapping:
+            return True, [], 0
+
+        target = read_manifested(
+            spark, root, fmt, version=doc["version"], _with_location=True
+        )
+        matched = target.filter(F.coalesce(predicate, F.lit(False))).select(
+            F.col("__dv_file").alias("file_rel"), F.col("__dv_pos").alias("pos")
+        )
+        old = doc.get("dv")
+        if old:
+            # carry the live files' existing positions; rows for files a
+            # later rewrite dropped are stale — filter them out so the
+            # dataset converges instead of accreting forever
+            live_files = spark.createDataFrame(
+                [(p,) for p in old["files"]], "file_rel STRING"
+            )
+            prev = _load_dv(spark, root, old).join(
+                F.broadcast(live_files), "file_rel", "left_semi"
+            )
+            all_dv = prev.unionByName(matched)
+        else:
+            all_dv = matched
+        all_dv = all_dv.persist()
+        try:
+            counts = {
+                r["file_rel"]: r["n"]
+                for r in all_dv.groupBy("file_rel")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            prev_total = sum(old["files"].values()) if old else 0
+            n_new = sum(counts.values()) - prev_total
+            if n_new == 0:
+                return True, [], 0
+            dv_rel = f"{_DV_DIR}/{_vdir(new_version, token)}"
+            # ~5M positions per output file: tiny tables get one file,
+            # a mass delete still writes in parallel
+            nparts = max(1, sum(counts.values()) // 5_000_000)
+            all_dv.repartition(nparts).write.mode("errorifexists").parquet(
+                f"{root}/{dv_rel}"
+            )
+        finally:
+            all_dv.unpersist()
+
+        new_doc = {
+            "version": new_version,
+            "partitions": dict(mapping),
+            "dv": {"rel": dv_rel, "files": counts},
+        }
+        if doc.get("schema") is not None:
+            new_doc["schema"] = doc["schema"]
+        if doc.get("stats_cols") or doc.get("bloom_cols"):
+            # data files are untouched: stats stay valid (min/max/bloom
+            # become conservative over-approximations of the live rows)
+            _carry_stats_config(doc, new_doc)
+            new_doc["files"] = doc.get("files", {})
+        ok = _publish_cas(
+            fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
+        )
+        return ok, [dv_rel], n_new
 
     return _commit_retry(fs, jvm, root, _attempt)
 
@@ -1748,25 +1983,42 @@ def read_changes(
             f"v_from ({a['version']})"
         )
     pa, pb = a["partitions"], b["partitions"]
-    old_vrels = [pa[r] for r in pa if pb.get(r) != pa[r]]
-    new_vrels = [pb[r] for r in pb if pa.get(r) != pb[r]]
+    # a DV-only commit changes no version subdir, but rows still
+    # disappeared: leaves holding files whose deletion count differs
+    # between the snapshots join the changed set on both sides (DV sets
+    # are append-only per file until a rewrite, so a count diff is a
+    # faithful set-diff detector)
+    fa = (a.get("dv") or {}).get("files", {})
+    fb = (b.get("dv") or {}).get("files", {})
+    dv_vrels = {
+        p.rsplit("/", 1)[0]
+        for p in set(fa) | set(fb)
+        if fa.get(p) != fb.get(p)
+    }
+    old_vrels = sorted(
+        {pa[r] for r in pa if pb.get(r) != pa[r]} | (dv_vrels & set(pa.values()))
+    )
+    new_vrels = sorted(
+        {pb[r] for r in pb if pa.get(r) != pb[r]} | (dv_vrels & set(pb.values()))
+    )
 
     schema_json = b.get("schema") or a.get("schema")
     schema = (
         T.StructType.fromJson(json.loads(schema_json)) if schema_json else None
     )
 
-    def side(vrels: list[str]) -> DataFrame | None:
+    def side(vrels: list[str], doc: dict) -> DataFrame | None:
         if not vrels:
             return None
         paths = [f"{root.rstrip('/')}/{v}" for v in sorted(vrels)]
         reader = spark.read.format(fmt).option("basePath", root)
         if schema is not None:
             df = reader.schema(schema).load(paths)
+            df = _apply_dv(spark, df, root, doc.get("dv"))
             return df.select(*[f.name for f in schema.fields])
-        return reader.load(paths)
+        return _apply_dv(spark, reader.load(paths), root, doc.get("dv"))
 
-    old_df, new_df = side(old_vrels), side(new_vrels)
+    old_df, new_df = side(old_vrels, a), side(new_vrels, b)
     if old_df is None and new_df is None:
         if schema is None:
             raise ValueError(

@@ -1,0 +1,257 @@
+"""Deletion vectors (io/manifest.py delete_rows_manifested): merge-on-read
+DELETE — no data file is rewritten, reads anti-join the position sidecar,
+rewrites materialize the deletions, GC reclaims superseded DV datasets."""
+
+from __future__ import annotations
+
+import glob
+import os
+import threading
+
+from pyspark.sql import functions as F
+
+
+def _seed(spark, path: str, stats: bool = True):
+    from etl_demo_spark.io.manifest import write_manifested
+
+    df = spark.range(100).select(
+        "id",
+        (F.col("id") % 4).cast("string").alias("k"),
+        (F.col("id") * 10).alias("v"),
+    )
+    write_manifested(
+        df.repartition(3), path, "k", stats_cols=["id"] if stats else None
+    )
+
+
+def test_dv_delete_rewrites_nothing_and_filters_reads(spark, tmp_path):
+    """The write-amplification contract: DELETE via deletion vectors
+    leaves every data file byte-identical (same paths, same sizes) and
+    writes only the _dv sidecar; reads exclude exactly the matched rows.
+    NULL-predicate rows are KEPT (SQL DELETE removes only TRUE rows)."""
+    from etl_demo_spark.io.manifest import (
+        delete_rows_manifested,
+        read_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    before = {
+        f: os.path.getsize(f) for f in glob.glob(f"{path}/k=*/__v*/*.parquet")
+    }
+
+    n = delete_rows_manifested(spark, path, F.col("id") % 10 == 3)
+    assert n == 10
+    after = {
+        f: os.path.getsize(f) for f in glob.glob(f"{path}/k=*/__v*/*.parquet")
+    }
+    assert before == after, "DV delete must not touch data files"
+    assert os.path.isdir(os.path.join(path, "_dv"))
+
+    got = sorted(r.id for r in read_manifested(spark, path).collect())
+    assert got == [i for i in range(100) if i % 10 != 3]
+
+    # NULL predicate keeps the row: v IS NULL rows survive a v<0 delete
+    path2 = str(tmp_path / "t2")
+    rows = [(1, None, "A"), (2, -5, "A"), (3, 7, "B")]
+    from etl_demo_spark.io.manifest import write_manifested
+
+    write_manifested(
+        spark.createDataFrame(rows, "id INT, val INT, seg STRING"), path2, "seg"
+    )
+    assert delete_rows_manifested(spark, path2, F.col("val") < 0) == 1
+    assert {r.id for r in read_manifested(spark, path2).collect()} == {1, 3}
+
+
+def test_dv_composes_idempotent_and_noop_skips_commit(spark, tmp_path):
+    """Consecutive DV deletes union correctly; a re-run of the same
+    predicate matches nothing (the snapshot read already excludes deleted
+    rows) and publishes NO new version."""
+    from etl_demo_spark.io.manifest import (
+        delete_rows_manifested,
+        manifest_versions,
+        read_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    assert delete_rows_manifested(spark, path, F.col("id") % 10 == 3) == 10
+    # 3 already gone from [0..5): 0,1,2,4 remain to delete
+    assert delete_rows_manifested(spark, path, F.col("id") < 5) == 4
+    got = sorted(r.id for r in read_manifested(spark, path).collect())
+    assert got == [i for i in range(100) if i % 10 != 3 and i >= 5]
+
+    vs = manifest_versions(spark, path)
+    assert delete_rows_manifested(spark, path, F.col("id") < 5) == 0
+    assert manifest_versions(spark, path) == vs, "no-op must not commit"
+
+
+def test_dv_time_travel_and_change_feed(spark, tmp_path):
+    """A DV-only commit changes no version subdir, yet time travel reads
+    the pre-delete rows and read_changes surfaces the deletions — scoped
+    to the leaves whose DV entries changed, never the whole table."""
+    from etl_demo_spark.io.manifest import (
+        delete_rows_manifested,
+        manifest_versions,
+        read_changes,
+        read_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    v1 = manifest_versions(spark, path)[-1]
+    # ids 0,4,8,..,96 live in k=0; delete four of them
+    assert delete_rows_manifested(spark, path, F.col("id").isin(0, 4, 8, 12)) == 4
+    v2 = manifest_versions(spark, path)[-1]
+
+    prior = sorted(r.id for r in read_manifested(spark, path, version=v1).collect())
+    assert prior == list(range(100))
+
+    ch = read_changes(spark, path, v1, v2)
+    got = {(r.id, r._change_type) for r in ch.collect()}
+    assert got == {(0, "delete"), (4, "delete"), (8, "delete"), (12, "delete")}
+    # diff cost bounded by the DV-affected leaf (plus the sidecar):
+    # k=1/2/3 never scanned
+    assert all(
+        "/k=0/" in f or "/_dv/" in f for f in ch.inputFiles()
+    ), ch.inputFiles()
+
+
+def test_dv_row_coordinates_match_manifest_keyspace(spark, tmp_path):
+    """_attach_location's rel extraction (qualified-root substring of
+    _metadata.file_path) must land in the SAME key space as the
+    manifest's per-file stats map — the invariant the anti-join and the
+    full-file drop both key on."""
+    from etl_demo_spark.io.manifest import (
+        _hadoop_fs,
+        _load_doc,
+        read_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    fs, jvm = _hadoop_fs(spark, path)
+    doc = _load_doc(fs, jvm, path)
+    located = read_manifested(spark, path, _with_location=True)
+    rels = {
+        r["__dv_file"] for r in located.select("__dv_file").distinct().collect()
+    }
+    assert rels == set(doc["files"]), (rels, set(doc["files"]))
+    # positions are per-file ordinals: each file's max pos == rows-1
+    per_file = {
+        r["__dv_file"]: r.mx
+        for r in located.groupBy("__dv_file")
+        .agg(F.max("__dv_pos").alias("mx"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for rel, mx in per_file.items():
+        assert mx == doc["files"][rel]["__rows"] - 1
+
+
+def test_dv_fully_deleted_file_leaves_listing(spark, tmp_path):
+    """When a file's DV cardinality reaches its recorded row count, the
+    read drops it from the listing outright (stats tables) — the
+    scan-avoidance tier above the anti-join."""
+    from etl_demo_spark.io.manifest import (
+        delete_rows_manifested,
+        read_manifested,
+        write_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(
+        "id", (F.col("id") % 4).cast("string").alias("k")
+    )
+    write_manifested(df.coalesce(1), path, "k", stats_cols=["id"])
+    assert delete_rows_manifested(spark, path, F.col("k") == "1") == 25
+    rd = read_manifested(spark, path)
+    assert not any("k=1" in f for f in rd.inputFiles()), rd.inputFiles()
+    assert rd.count() == 75
+    # stats pruning composes with DVs: a range read over deleted ids
+    # still excludes them
+    pruned = read_manifested(spark, path, prune_ranges={"id": (0, 10)})
+    live = sorted(
+        r.id for r in pruned.filter(F.col("id").between(0, 10)).collect()
+    )
+    assert live == [i for i in range(11) if i % 4 != 1]
+
+
+def test_dv_materialized_by_rewrites_and_gc_reclaims(spark, tmp_path):
+    """Copy-on-write committers read THROUGH the DVs: compaction
+    materializes the deletions, drops the pointer, and once the
+    DV-carrying manifests roll out of retention the sidecar dataset is
+    GC'd. A partition-scoped merge prunes only its leaves' entries."""
+    from etl_demo_spark.io.manifest import (
+        _hadoop_fs,
+        _load_doc,
+        compact_manifested,
+        delete_rows_manifested,
+        merge_upsert_manifested,
+        read_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    assert delete_rows_manifested(spark, path, F.col("id") < 8) == 8
+    fs, jvm = _hadoop_fs(spark, path)
+    doc = _load_doc(fs, jvm, path)
+    assert doc["dv"]["files"] and sum(doc["dv"]["files"].values()) == 8
+
+    # merge touching k=0 only: its DV entries are pruned, others carried
+    src = spark.createDataFrame(
+        [(200, "0", 42)], "id BIGINT, k STRING, v BIGINT"
+    )
+    merge_upsert_manifested(spark, path, src, ["id"], "k")
+    doc = _load_doc(fs, jvm, path)
+    assert doc.get("dv"), "untouched leaves keep their DV entries"
+    assert all("k=0" not in p for p in doc["dv"]["files"]), doc["dv"]["files"]
+    got = sorted(r.id for r in read_manifested(spark, path).collect())
+    assert got == [i for i in range(8, 100)] + [200]
+
+    # full compaction materializes the rest and drops the pointer
+    compact_manifested(spark, path, min_files=1)
+    doc = _load_doc(fs, jvm, path)
+    assert "dv" not in doc
+    got2 = sorted(r.id for r in read_manifested(spark, path).collect())
+    assert got2 == got
+
+    # retention: two more commits roll the DV-carrying manifests out of
+    # the window; their sidecar is superseded metadata -> reclaimed
+    for i in (300, 301):
+        merge_upsert_manifested(
+            spark,
+            path,
+            spark.createDataFrame([(i, "0", 1)], "id BIGINT, k STRING, v BIGINT"),
+            ["id"],
+            "k",
+        )
+    dv_dirs = glob.glob(f"{path}/_dv/*")
+    assert dv_dirs == [], dv_dirs
+
+
+def test_dv_two_writers_threaded_both_commit(spark, tmp_path):
+    """OCC: two concurrent DV deleters serialize — both sets of rows end
+    up deleted, counts are exact, and no snapshot is lost."""
+    from etl_demo_spark.io.manifest import (
+        delete_rows_manifested,
+        read_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    results: dict[str, int] = {}
+    errs: list[Exception] = []
+
+    def run(name: str, pred):
+        try:
+            results[name] = delete_rows_manifested(spark, path, pred)
+        except Exception as e:  # pragma: no cover - surfaced in assert
+            errs.append(e)
+
+    t1 = threading.Thread(target=run, args=("a", F.col("id") < 10))
+    t2 = threading.Thread(target=run, args=("b", F.col("id") >= 90))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    assert results["a"] == 10 and results["b"] == 10
+    got = sorted(r.id for r in read_manifested(spark, path).collect())
+    assert got == list(range(10, 90))
