@@ -6469,6 +6469,77 @@ def orders_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_alter_evolution",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_custkey AS BIGINT) AS customer_id,
+           o_totalprice,
+           CAST(NULL AS VARCHAR) AS note,
+           CAST(year(o_orderdate) AS VARCHAR) AS dt
+    FROM orders
+    """,
+)
+def orders_alter_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE as metadata-only commits (`io/manifest.py
+    alter_manifested`): the orders table lands with o_custkey narrowed to
+    INT, then — without touching one data file (asserted: the file
+    inventory incl. mtimes is identical) — the column is WIDENED back to
+    BIGINT, RENAMED to customer_id (Delta-style column mapping: reads
+    scan the frozen physical name and alias to the logical one), and a
+    nullable note column is ADDED (NULL for every pre-evolution file).
+    The oracle is the equivalent projection of the base table — the
+    evolved read must reproduce values exactly through the mapping.
+
+    Scale: schema changes on a 100 TB table MUST be O(metadata) — a
+    rewrite-based rename is a full-table job; this is one pointer-file
+    commit, and old + post-evolution files coexist in one scan."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    from etl_demo_spark.io.manifest import (
+        alter_manifested,
+        manifest_init,
+        read_manifested,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("int").alias("o_custkey"),
+        "o_totalprice",
+        F.year("o_orderdate").cast("string").alias("dt"),
+    )
+    target_path = tempfile.mkdtemp(prefix="alter_evo_") + "/orders"
+    t.repartition(4).write.partitionBy("dt").parquet(target_path)
+    manifest_init(spark, target_path, "dt")
+
+    inventory = {
+        f: _os.path.getmtime(f)
+        for f in _glob.glob(f"{target_path}/dt=*/__v*/*.parquet")
+    }
+    alter_manifested(spark, target_path, widen_types={"o_custkey": "bigint"})
+    alter_manifested(
+        spark,
+        target_path,
+        rename_columns={"o_custkey": "customer_id"},
+        add_columns={"note": "string"},
+    )
+    after = {
+        f: _os.path.getmtime(f)
+        for f in _glob.glob(f"{target_path}/dt=*/__v*/*.parquet")
+    }
+    assert inventory == after, "ALTER must rewrite no data file"
+    return read_manifested(spark, target_path).select(
+        "o_orderkey",
+        "customer_id",
+        "o_totalprice",
+        "note",
+        F.col("dt").cast("string").alias("dt"),
+    )
+
+
+@query(
     "orders_update_partitioned",
     oracle="""
     SELECT o_orderkey, o_custkey,

@@ -245,12 +245,15 @@ def _stat_val(v):
     return str(v)
 
 
-def _bloom_word_aggs(col: str, bits: int, k: int) -> list:
+def _bloom_word_aggs(col: str, bits: int, k: int, key: str | None = None) -> list:
     """bits//64 BIT_OR aggregates building a per-file bloom bitset for
     ``col``: each row contributes k set bits (JVM-side shift/or folds, no
     Python — the DataFrame `shiftleft` wrapper only takes literal shift
     amounts, so the dynamic shift is an SQL expression); NULLs set no
-    bits so a NULL probe can't alias."""
+    bits so a NULL probe can't alias. ``key`` names the output aliases
+    (the LOGICAL column under an active column mapping, where ``col`` is
+    the on-disk physical name)."""
+    key = key or col
     pexprs = [
         f"pmod(xxhash64(cast({col} as string), {i}), {bits})" for i in range(k)
     ]
@@ -263,7 +266,7 @@ def _bloom_word_aggs(col: str, bits: int, k: int) -> list:
             for p in pexprs
         ]
         row_word = " | ".join(parts)
-        aggs.append(F.bit_or(F.expr(row_word)).alias(f"__bw_{col}_{w}"))
+        aggs.append(F.bit_or(F.expr(row_word)).alias(f"__bw_{key}_{w}"))
     return aggs
 
 
@@ -276,11 +279,15 @@ def _collect_file_stats(
     bloom_cols: list[str] | None = None,
     bloom_bits: int = 1024,
     bloom_k: int = 4,
+    mapping: dict | None = None,
 ) -> dict:
     """{<vrel>/<filename>: {col: [min, max]}} for every data file under
     the given version subdirs — ONE aggregation job over exactly those
     files (group key = the scan-provided ``_metadata.file_path``), cost
-    proportional to the newly written slice, never the table.
+    proportional to the newly written slice, never the table. Stats and
+    bloom columns are LOGICAL names; ``mapping`` translates them to the
+    on-disk physical names when a column mapping is active (output stays
+    keyed by logical names — the prune API's key space).
 
     ``bloom_cols`` additionally record a per-file BLOOM bitset
     (``__bloom_<col>``: bits//64 int64 words, k xxhash64-derived bits per
@@ -291,11 +298,15 @@ def _collect_file_stats(
     story, lifted to the manifest tier)."""
     paths = [f"{root.rstrip('/')}/{vrel}" for vrel in vrels]
     df = spark.read.format(fmt).option("basePath", root).load(paths)
+
+    def phys(c: str) -> str:
+        return (mapping or {}).get(c, c)
+
     aggs = [F.count(F.lit(1)).alias("__nrows")]
     for c in stats_cols:
-        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+        aggs += [F.min(phys(c)).alias(f"__lo_{c}"), F.max(phys(c)).alias(f"__hi_{c}")]
     for c in bloom_cols or []:
-        aggs += _bloom_word_aggs(c, bloom_bits, bloom_k)
+        aggs += _bloom_word_aggs(phys(c), bloom_bits, bloom_k, key=c)
     rows = (
         df.groupBy(F.col("_metadata.file_path").alias("__fp")).agg(*aggs).collect()
     )
@@ -333,12 +344,15 @@ def _evolve_file_stats(
     doc: dict,
     new_mapping: dict,
     new_vrels: list[str],
+    col_mapping: dict | None = None,
 ) -> dict | None:
     """Next commit's ``files`` stats map: carry forward entries whose
     version subdir is still referenced, recompute ONLY the subdirs this
     commit created (passed explicitly — attempt-token'd names carry no
     inferable version suffix). Returns None when the table doesn't track
-    stats."""
+    stats. ``col_mapping`` overrides the doc's column mapping for the
+    fresh-file aggregation (a schema-evolving merge writes under the
+    EXTENDED mapping)."""
     stats_cols = doc.get("stats_cols")
     bloom_cols = doc.get("bloom_cols")
     if not stats_cols and not bloom_cols:
@@ -361,6 +375,11 @@ def _evolve_file_stats(
                 bloom_cols,
                 doc.get("bloom_bits", 1024),
                 doc.get("bloom_k", 4),
+                mapping=(
+                    col_mapping
+                    if col_mapping is not None
+                    else doc.get("column_mapping")
+                ),
             )
         )
     return carried
@@ -441,6 +460,59 @@ def _carry_dv(doc: dict, new_doc: dict) -> None:
     kept = {p: n for p, n in dv["files"].items() if p.rsplit("/", 1)[0] in live}
     if kept:
         new_doc["dv"] = {"rel": dv["rel"], "files": kept}
+
+
+def _carry_mapping(doc: dict, new_doc: dict) -> None:
+    """Column-mapping is table state like schema: every commit carries it
+    unchanged unless it explicitly evolved it (merge schema evolution,
+    ALTER)."""
+    if doc.get("column_mapping") is not None and "column_mapping" not in new_doc:
+        new_doc["column_mapping"] = doc["column_mapping"]
+
+
+def _extend_mapping(mapping: dict, new_names: list[str]) -> dict:
+    """Register new logical columns in an ACTIVE column mapping. Physical
+    names are frozen at introduction: a new column takes its own name
+    unless a prior rename left that physical name occupied (rename a→b
+    then add a fresh 'a'), in which case a suffixed physical name keeps
+    old files' bytes unambiguous — Delta's column-mapping rule."""
+    out = dict(mapping)
+    taken = set(out.values())
+    for name in new_names:
+        if name in out:
+            continue
+        phys = name
+        n = 1
+        while phys in taken:
+            phys = f"{name}__p{n}"
+            n += 1
+        out[name] = phys
+        taken.add(phys)
+    return out
+
+
+def _to_physical(df: DataFrame, mapping: dict | None) -> DataFrame:
+    """Rename a staged write's columns logical→physical. Identity when
+    the table has no column mapping (the default, and the pre-mapping
+    on-disk layout)."""
+    if not mapping:
+        return df
+    return df.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+    )
+
+
+def _physical_schema(schema: T.StructType, mapping: dict | None) -> T.StructType:
+    """The stored (logical) schema rendered in on-disk physical names —
+    what the parquet scan must be handed when a mapping is active."""
+    if not mapping:
+        return schema
+    return T.StructType(
+        [
+            T.StructField(mapping.get(f.name, f.name), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
 
 
 def prune_files(doc: dict, ranges: dict) -> tuple[list[str], int]:
@@ -568,6 +640,9 @@ def _resolve_doc(fs, jvm, root: str, version: int) -> dict:
     dv = raw.get("dv", base.get("dv"))
     if dv is not None:
         doc["dv"] = dv
+    cm = raw.get("column_mapping", base.get("column_mapping"))
+    if cm is not None:
+        doc["column_mapping"] = cm
     for key in _STATS_CONFIG_KEYS:
         val = raw.get(key, base.get(key))
         if val is not None:
@@ -597,7 +672,13 @@ def _encode_commit(prev_doc: dict, new_doc: dict) -> bytes:
     inherited through the chain."""
     stamp = int(time.time() * 1000)
     if prev_doc.get("_chain", 0) + 1 >= _FULL_EVERY:
-        full = {k: v for k, v in new_doc.items() if not k.startswith("_")}
+        # explicit-null keys (a dropped stats config) exist only to stop
+        # delta-chain inheritance; a full snapshot simply omits them
+        full = {
+            k: v
+            for k, v in new_doc.items()
+            if not k.startswith("_") and v is not None
+        }
         full["committed_at_ms"] = stamp
         return json.dumps(full, indent=1).encode()
     prev_p = prev_doc.get("partitions", {})
@@ -619,6 +700,8 @@ def _encode_commit(prev_doc: dict, new_doc: dict) -> bytes:
         # an explicit null records "all deletion vectors materialized";
         # resolution then stops inheriting the parent's pointer
         delta["dv"] = new_doc.get("dv")
+    if new_doc.get("column_mapping") != prev_doc.get("column_mapping"):
+        delta["column_mapping"] = new_doc.get("column_mapping")
     if any(k in new_doc for k in ("stats_cols", "bloom_cols")):
         for key in _STATS_CONFIG_KEYS:
             if key in new_doc and new_doc[key] != prev_doc.get(key):
@@ -837,6 +920,8 @@ def read_manifested(
     reader = spark.read.format(fmt).option("basePath", root)
     schema_json = doc.get("schema")
     if schema_json is None and not pin_partition_strings:
+        # pre-schema manifests can't carry a column mapping (ALTER
+        # requires a stored schema), so the inferred names are physical
         return _apply_dv(spark, reader.load(paths), root, dv, _with_location)
     import copy
 
@@ -854,18 +939,28 @@ def read_manifested(
                 for f in schema.fields
             ]
         )
+    # the scan is handed the PHYSICAL rendering of the stored schema
+    # (identity when no column mapping); renamed columns read their
+    # frozen on-disk name and surface under the logical one below
+    cmap = doc.get("column_mapping")
     loaded = (
-        spark.read.format(fmt).schema(schema).option("basePath", root).load(paths)
+        spark.read.format(fmt)
+        .schema(_physical_schema(schema, cmap))
+        .option("basePath", root)
+        .load(paths)
     )
     # a partitioned read under a user schema surfaces the partition
     # columns LAST regardless of schema order; restore the stored order
     # so evolved tables present a stable column layout
-    names = [f.name for f in schema.fields]
+    out_cols = [
+        F.col((cmap or {}).get(f.name, f.name)).alias(f.name)
+        for f in schema.fields
+    ]
     if _with_location:
         return _apply_dv(spark, loaded, root, dv, keep_location=True).select(
-            *names, "__dv_file", "__dv_pos"
+            *out_cols, "__dv_file", "__dv_pos"
         )
-    return _apply_dv(spark, loaded, root, dv).select(*names)
+    return _apply_dv(spark, loaded, root, dv).select(*out_cols)
 
 
 def manifest_init(
@@ -1187,7 +1282,9 @@ def compact_manifested(
                 packed = packed.sortWithinPartitions(*cols, *sort_cols)
             packed = packed.drop("__n_shards", "__shard")
         staging = f"{roots}.__manifest_staging__{token}"
-        packed.write.mode("overwrite").partitionBy(*cols).format(fmt).save(staging)
+        _to_physical(packed, doc.get("column_mapping")).write.mode(
+            "overwrite"
+        ).partitionBy(*cols).format(fmt).save(staging)
 
         new_mapping = dict(mapping)
         staged_vrels: list[str] = []
@@ -1205,6 +1302,7 @@ def compact_manifested(
         new_doc = {"version": new_version, "partitions": new_mapping}
         if doc.get("schema") is not None:
             new_doc["schema"] = doc["schema"]
+        _carry_mapping(doc, new_doc)
         _carry_dv(doc, new_doc)
         fstats = _evolve_file_stats(spark, fmt, roots, doc, new_mapping, staged_vrels)
         if fstats is not None:
@@ -1379,7 +1477,9 @@ def delete_keys_manifested(
         for c in cols:
             remaining = remaining.withColumn(c, F.col(c).cast("string"))
         staging = f"{root}.__manifest_staging__{token}"
-        remaining.write.mode("overwrite").partitionBy(*cols).format(fmt).save(staging)
+        _to_physical(remaining, doc.get("column_mapping")).write.mode(
+            "overwrite"
+        ).partitionBy(*cols).format(fmt).save(staging)
 
         new_mapping = dict(mapping)
         staged_vrels: list[str] = []
@@ -1400,6 +1500,7 @@ def delete_keys_manifested(
         new_doc = {"version": new_version, "partitions": new_mapping}
         if doc.get("schema") is not None:
             new_doc["schema"] = doc["schema"]  # deletion never changes schema
+        _carry_mapping(doc, new_doc)
         _carry_dv(doc, new_doc)
         stats = _evolve_file_stats(spark, fmt, root, doc, new_mapping, staged_vrels)
         if stats is not None:
@@ -1485,8 +1586,18 @@ def merge_upsert_manifested(
         merged = merge_upsert(scoped, source, keys, schema_evolution=schema_evolution)
         for c in cols:
             merged = merged.withColumn(c, F.col(c).cast("string"))
+        # under an active column mapping, columns a schema-evolving merge
+        # introduces get their physical names frozen here, and the staged
+        # write lands in physical names
+        cmap = doc.get("column_mapping")
+        if cmap is not None:
+            cmap = _extend_mapping(
+                cmap, [c for c in merged.columns if c not in cmap]
+            )
         staging = f"{root}.__manifest_staging__{token}"
-        merged.write.mode("overwrite").partitionBy(*cols).format(fmt).save(staging)
+        _to_physical(merged, cmap).write.mode("overwrite").partitionBy(
+            *cols
+        ).format(fmt).save(staging)
 
         new_mapping = dict(mapping)
         staged_vrels: list[str] = []
@@ -1517,8 +1628,12 @@ def merge_upsert_manifested(
                 f for f in merged.schema.fields if f.name not in prev_names
             ]
             new_doc["schema"] = T.StructType(fields).json()
+        if cmap is not None:
+            new_doc["column_mapping"] = cmap
         _carry_dv(doc, new_doc)
-        stats = _evolve_file_stats(spark, fmt, root, doc, new_mapping, staged_vrels)
+        stats = _evolve_file_stats(
+            spark, fmt, root, doc, new_mapping, staged_vrels, col_mapping=cmap
+        )
         if stats is not None:
             _carry_stats_config(doc, new_doc)
             new_doc["files"] = stats
@@ -1692,9 +1807,9 @@ def delete_where_manifested(
         for c in cols:
             remaining = remaining.withColumn(c, F.col(c).cast("string"))
         staging = f"{root}.__manifest_staging__{token}"
-        remaining.write.mode("overwrite").partitionBy(*cols).format(fmt).save(
-            staging
-        )
+        _to_physical(remaining, doc.get("column_mapping")).write.mode(
+            "overwrite"
+        ).partitionBy(*cols).format(fmt).save(staging)
 
         new_mapping = dict(mapping)
         staged_vrels: list[str] = []
@@ -1714,6 +1829,7 @@ def delete_where_manifested(
         new_doc = {"version": new_version, "partitions": new_mapping}
         if doc.get("schema") is not None:
             new_doc["schema"] = doc["schema"]
+        _carry_mapping(doc, new_doc)
         _carry_dv(doc, new_doc)
         stats = _evolve_file_stats(spark, fmt, root, doc, new_mapping, staged_vrels)
         if stats is not None:
@@ -1797,9 +1913,9 @@ def update_where_manifested(
         for c in cols:
             updated = updated.withColumn(c, F.col(c).cast("string"))
         staging = f"{root}.__manifest_staging__{token}"
-        updated.write.mode("overwrite").partitionBy(*cols).format(fmt).save(
-            staging
-        )
+        _to_physical(updated, doc.get("column_mapping")).write.mode(
+            "overwrite"
+        ).partitionBy(*cols).format(fmt).save(staging)
 
         new_mapping = dict(mapping)
         staged_vrels: list[str] = []
@@ -1819,6 +1935,7 @@ def update_where_manifested(
         new_doc = {"version": new_version, "partitions": new_mapping}
         if doc.get("schema") is not None:
             new_doc["schema"] = doc["schema"]
+        _carry_mapping(doc, new_doc)
         _carry_dv(doc, new_doc)
         stats = _evolve_file_stats(spark, fmt, root, doc, new_mapping, staged_vrels)
         if stats is not None:
@@ -1829,6 +1946,181 @@ def update_where_manifested(
         )
         result = [values[0] for values in affected] if single else affected
         return ok, staged_vrels, result
+
+    return _commit_retry(fs, jvm, root, _attempt)
+
+
+# Reader-proven widenings (pinned by test): the parquet scan upcasts the
+# on-disk physical type to the wider stored type per batch, so a widen is
+# metadata-only — no file rewrite, old files read as the wider type.
+_WIDEN_OK = {
+    ("tinyint", "smallint"),
+    ("tinyint", "int"),
+    ("tinyint", "bigint"),
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+
+def alter_manifested(
+    spark: SparkSession,
+    target_path: str,
+    add_columns: dict[str, str] | None = None,
+    drop_columns: list[str] | None = None,
+    rename_columns: dict[str, str] | None = None,
+    widen_types: dict[str, str] | None = None,
+    fmt: str = "parquet",
+) -> int:
+    """ALTER TABLE for manifested tables — every variant is a
+    METADATA-ONLY atomic commit; no data file is ever read or rewritten:
+
+      * ``add_columns`` ({name: DDL type}): appended nullable; files
+        written before the evolution surface the column as NULL via the
+        explicit-schema read.
+      * ``drop_columns``: the field leaves the stored schema (and the
+        stats/bloom config); old files keep the bytes, reads never
+        project them. Time travel to a pre-drop version still sees it.
+      * ``rename_columns`` ({old: new}): Delta-style COLUMN MAPPING —
+        the first rename freezes every column's physical (on-disk) name;
+        reads scan physical names and alias to logical, later writes
+        land in physical names, so old and new files stay consistent
+        without rewriting either (parquet by-name resolution alone would
+        NULL the renamed column in old files).
+      * ``widen_types`` ({name: wider DDL type}): integral upcasts and
+        float→double (`_WIDEN_OK`, reader-proven); the scan upcasts old
+        files' narrower physical type per batch.
+
+    Partition columns are immutable (their names are the directory
+    layout). Optimistic multi-writer like every committer; returns the
+    committed version. Rekeys per-file stats on rename/drop so
+    ``prune_ranges``/``prune_points`` keep working in logical names."""
+    root = target_path.rstrip("/")
+    fs, jvm = _hadoop_fs(spark, root)
+    add_columns = dict(add_columns or {})
+    drop_columns = list(drop_columns or [])
+    rename_columns = dict(rename_columns or {})
+    widen_types = dict(widen_types or {})
+    if not (add_columns or drop_columns or rename_columns or widen_types):
+        raise ValueError("alter_manifested: no operation given")
+    touched: list[str] = (
+        list(add_columns) + drop_columns + list(rename_columns) + list(widen_types)
+    )
+    if len(set(touched)) != len(touched):
+        raise ValueError(
+            f"alter_manifested: a column appears in more than one operation: "
+            f"{sorted({c for c in touched if touched.count(c) > 1})}"
+        )
+
+    def _attempt(doc, new_version, token):
+        if doc.get("schema") is None:
+            raise ValueError(
+                f"{root} stores no schema (pre-schema manifest); "
+                "ALTER requires manifest-managed schema authority"
+            )
+        schema = T.StructType.fromJson(json.loads(doc["schema"]))
+        names = [f.name for f in schema.fields]
+        part_cols = (
+            {seg.split("=", 1)[0] for seg in next(iter(doc["partitions"])).split("/")}
+            if doc["partitions"]
+            else set()
+        )
+        for c in drop_columns + list(rename_columns) + list(widen_types):
+            if c not in names:
+                raise ValueError(f"alter_manifested: no such column {c!r}")
+            if c in part_cols:
+                raise ValueError(
+                    f"alter_manifested: {c!r} is a partition column — its "
+                    "name/type is the directory layout, immutable here"
+                )
+        for c, new in rename_columns.items():
+            # a target name may only be taken by a column itself renamed
+            # away in the same ALTER (swap support)
+            if (new in names and new not in rename_columns) or new in add_columns:
+                raise ValueError(f"alter_manifested: rename target {new!r} exists")
+        for c in add_columns:
+            if c in names:
+                raise ValueError(f"alter_manifested: column {c!r} already exists")
+
+        mapping = doc.get("column_mapping")
+        if rename_columns and mapping is None:
+            mapping = {n: n for n in names}  # freeze physical names NOW
+        stats_cols = list(doc.get("stats_cols") or [])
+        bloom_cols = list(doc.get("bloom_cols") or [])
+        files = doc.get("files")
+
+        fields: list[T.StructField] = []
+        for f in schema.fields:
+            if f.name in drop_columns:
+                if mapping is not None:
+                    mapping.pop(f.name, None)
+                stats_cols = [c for c in stats_cols if c != f.name]
+                bloom_cols = [c for c in bloom_cols if c != f.name]
+                continue
+            name, dtype = f.name, f.dataType
+            if f.name in widen_types:
+                new_t = T._parse_datatype_string(widen_types[f.name])
+                pair = (dtype.simpleString(), new_t.simpleString())
+                if pair not in _WIDEN_OK:
+                    raise ValueError(
+                        f"alter_manifested: {pair[0]} -> {pair[1]} is not a "
+                        f"reader-safe widening (allowed: {sorted(_WIDEN_OK)})"
+                    )
+                dtype = new_t
+            if f.name in rename_columns:
+                new = rename_columns[f.name]
+                mapping[new] = mapping.pop(f.name)
+                stats_cols = [new if c == f.name else c for c in stats_cols]
+                bloom_cols = [new if c == f.name else c for c in bloom_cols]
+                name = new
+            fields.append(T.StructField(name, dtype, f.nullable))
+        for c, ddl in add_columns.items():
+            fields.append(T.StructField(c, T._parse_datatype_string(ddl), True))
+        if mapping is not None and add_columns:
+            mapping = _extend_mapping(mapping, list(add_columns))
+
+        # rekey per-file stats into the new logical names; dropped
+        # columns' entries go with them
+        if files is not None and (rename_columns or drop_columns):
+            ren = dict(rename_columns)
+            new_files = {}
+            for rel, st in files.items():
+                rec = {}
+                for k, v in st.items():
+                    base = k[len("__bloom_"):] if k.startswith("__bloom_") else k
+                    if base in drop_columns:
+                        continue
+                    tgt = ren.get(base, base)
+                    rec["__bloom_" + tgt if k.startswith("__bloom_") else tgt] = v
+                new_files[rel] = rec
+            files = new_files
+
+        new_doc = {
+            "version": new_version,
+            "partitions": dict(doc["partitions"]),
+            "schema": T.StructType(fields).json(),
+        }
+        if mapping is not None:
+            new_doc["column_mapping"] = mapping
+        _carry_dv(doc, new_doc)
+        if stats_cols:
+            new_doc["stats_cols"] = stats_cols
+        elif doc.get("stats_cols"):
+            new_doc["stats_cols"] = None  # dropped the last stats column
+        if bloom_cols:
+            new_doc["bloom_cols"] = bloom_cols
+            for key in ("bloom_bits", "bloom_k"):
+                if key in doc:
+                    new_doc[key] = doc[key]
+        elif doc.get("bloom_cols"):
+            new_doc["bloom_cols"] = None
+        if files is not None and (stats_cols or bloom_cols):
+            new_doc["files"] = files
+        ok = _publish_cas(
+            fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
+        )
+        return ok, [], new_version
 
     return _commit_retry(fs, jvm, root, _attempt)
 
@@ -1920,6 +2212,7 @@ def delete_rows_manifested(
         }
         if doc.get("schema") is not None:
             new_doc["schema"] = doc["schema"]
+        _carry_mapping(doc, new_doc)
         if doc.get("stats_cols") or doc.get("bloom_cols"):
             # data files are untouched: stats stay valid (min/max/bloom
             # become conservative over-approximations of the live rows)
@@ -2007,15 +2300,25 @@ def read_changes(
         T.StructType.fromJson(json.loads(schema_json)) if schema_json else None
     )
 
+    # physical column names are FROZEN under column mapping, so both
+    # sides read under the NEWER snapshot's logical schema + mapping and
+    # line up even across a rename between the two versions
+    cm = (b if b.get("schema") else a).get("column_mapping")
+
     def side(vrels: list[str], doc: dict) -> DataFrame | None:
         if not vrels:
             return None
         paths = [f"{root.rstrip('/')}/{v}" for v in sorted(vrels)]
         reader = spark.read.format(fmt).option("basePath", root)
         if schema is not None:
-            df = reader.schema(schema).load(paths)
+            df = reader.schema(_physical_schema(schema, cm)).load(paths)
             df = _apply_dv(spark, df, root, doc.get("dv"))
-            return df.select(*[f.name for f in schema.fields])
+            return df.select(
+                *[
+                    F.col((cm or {}).get(f.name, f.name)).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
         return _apply_dv(spark, reader.load(paths), root, doc.get("dv"))
 
     old_df, new_df = side(old_vrels, a), side(new_vrels, b)

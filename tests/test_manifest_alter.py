@@ -1,0 +1,185 @@
+"""ALTER TABLE for manifested tables (io/manifest.py alter_manifested):
+metadata-only add/drop/rename/widen with Delta-style column mapping —
+renames freeze physical names; no variant rewrites a data file."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _seed(spark, path: str):
+    from etl_demo_spark.io.manifest import write_manifested
+
+    df = spark.createDataFrame(
+        [(1, 10, 1.5, "A"), (2, 20, 2.5, "A"), (3, 30, 3.5, "B")],
+        "id INT, qty INT, price FLOAT, seg STRING",
+    )
+    write_manifested(df, path, "seg", stats_cols=["qty"])
+
+
+def _inventory(path: str) -> dict[str, float]:
+    return {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/seg=*/__v*/*.parquet")
+    }
+
+
+def test_alter_add_and_widen_metadata_only(spark, tmp_path):
+    from etl_demo_spark.io.manifest import alter_manifested, read_manifested
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    before = _inventory(path)
+    alter_manifested(
+        spark,
+        path,
+        add_columns={"note": "string"},
+        widen_types={"qty": "bigint", "price": "double"},
+    )
+    assert _inventory(path) == before, "ALTER must touch no data file"
+    out = read_manifested(spark, path)
+    types = dict(out.dtypes)
+    assert types["qty"] == "bigint" and types["price"] == "double"
+    assert out.filter("note is null").count() == 3
+    got = {r.id: (r.qty, r.price) for r in out.collect()}
+    assert got == {1: (10, 1.5), 2: (20, 2.5), 3: (30, 3.5)}
+
+
+def test_alter_rename_reads_old_files_and_new_writes(spark, tmp_path):
+    """The column-mapping contract: after a rename, old files read under
+    the frozen physical name, later merges write under it, and both
+    coexist in one scan; stats pruning keys by the NEW logical name."""
+    from etl_demo_spark.io.manifest import (
+        _hadoop_fs,
+        _load_doc,
+        alter_manifested,
+        merge_upsert_manifested,
+        read_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    alter_manifested(spark, path, rename_columns={"qty": "quantity"})
+    out = read_manifested(spark, path)
+    assert {r.id: r.quantity for r in out.collect()} == {1: 10, 2: 20, 3: 30}
+
+    src = spark.createDataFrame(
+        [(4, 40, 4.5, "B")], "id INT, quantity INT, price FLOAT, seg STRING"
+    )
+    merge_upsert_manifested(spark, path, src, ["id"], "seg")
+    got = {r.id: r.quantity for r in read_manifested(spark, path).collect()}
+    assert got == {1: 10, 2: 20, 3: 30, 4: 40}
+    # the new file's bytes carry the PHYSICAL name
+    fs, jvm = _hadoop_fs(spark, path)
+    doc = _load_doc(fs, jvm, path)
+    assert doc["column_mapping"]["quantity"] == "qty"
+    raw = spark.read.parquet(*[
+        f for f in read_manifested(spark, path).inputFiles() if "seg=B" in f
+    ])
+    assert "qty" in raw.columns and "quantity" not in raw.columns
+
+    # stats rekeyed: pruning works in logical names, loses no rows
+    pruned = read_manifested(spark, path, prune_ranges={"quantity": (35, 50)})
+    assert {
+        r.id for r in pruned.filter("quantity between 35 and 50").collect()
+    } == {4}
+
+
+def test_alter_readd_renamed_name_gets_fresh_physical(spark, tmp_path):
+    """rename a→b then add a fresh 'a': the new column must NOT read the
+    old files' bytes — its physical name is suffixed away from the frozen
+    one (Delta column-mapping rule)."""
+    from etl_demo_spark.io.manifest import (
+        _hadoop_fs,
+        _load_doc,
+        alter_manifested,
+        read_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    alter_manifested(spark, path, rename_columns={"qty": "quantity"})
+    alter_manifested(spark, path, add_columns={"qty": "int"})
+    fs, jvm = _hadoop_fs(spark, path)
+    doc = _load_doc(fs, jvm, path)
+    assert doc["column_mapping"]["quantity"] == "qty"
+    assert doc["column_mapping"]["qty"] != "qty"
+    out = read_manifested(spark, path)
+    assert out.filter("qty is null").count() == 3
+    assert {r.quantity for r in out.collect()} == {10, 20, 30}
+
+
+def test_alter_drop_and_time_travel(spark, tmp_path):
+    from etl_demo_spark.io.manifest import (
+        alter_manifested,
+        manifest_versions,
+        read_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    alter_manifested(spark, path, drop_columns=["price"])
+    out = read_manifested(spark, path)
+    assert "price" not in out.columns
+    assert {r.id for r in out.collect()} == {1, 2, 3}
+    # pre-drop snapshot still reads the column (files were never touched)
+    vs = manifest_versions(spark, path)
+    prior = read_manifested(spark, path, version=vs[-2])
+    assert dict(prior.dtypes)["price"] == "float"
+    assert {r.price for r in prior.collect()} == {1.5, 2.5, 3.5}
+
+
+def test_alter_validation_and_guards(spark, tmp_path):
+    from etl_demo_spark.io.manifest import alter_manifested
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    with pytest.raises(ValueError, match="no operation"):
+        alter_manifested(spark, path)
+    with pytest.raises(ValueError, match="partition column"):
+        alter_manifested(spark, path, rename_columns={"seg": "segment"})
+    with pytest.raises(ValueError, match="no such column"):
+        alter_manifested(spark, path, drop_columns=["ghost"])
+    with pytest.raises(ValueError, match="already exists"):
+        alter_manifested(spark, path, add_columns={"qty": "int"})
+    with pytest.raises(ValueError, match="rename target"):
+        alter_manifested(spark, path, rename_columns={"qty": "price"})
+    with pytest.raises(ValueError, match="not a reader-safe widening"):
+        alter_manifested(spark, path, widen_types={"qty": "float"})
+    with pytest.raises(ValueError, match="more than one operation"):
+        alter_manifested(
+            spark, path, drop_columns=["qty"], widen_types={"qty": "bigint"}
+        )
+
+
+def test_alter_composes_with_dv_and_compaction(spark, tmp_path):
+    """The mapped table stays a full citizen of the DML surface: DV
+    deletes, change feed, and a materializing compaction all run on a
+    renamed schema; the physical rewrite lands in physical names so a
+    later read still resolves."""
+    from etl_demo_spark.io.manifest import (
+        alter_manifested,
+        compact_manifested,
+        delete_rows_manifested,
+        manifest_versions,
+        read_changes,
+        read_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    alter_manifested(spark, path, rename_columns={"qty": "quantity"})
+    v_pre = manifest_versions(spark, path)[-1]
+    assert delete_rows_manifested(spark, path, F.col("quantity") == 20) == 1
+    v_post = manifest_versions(spark, path)[-1]
+
+    ch = read_changes(spark, path, v_pre, v_post)
+    got = {(r.id, r.quantity, r._change_type) for r in ch.collect()}
+    assert got == {(2, 20, "delete")}
+
+    compact_manifested(spark, path, min_files=1)
+    got2 = sorted((r.id, r.quantity) for r in read_manifested(spark, path).collect())
+    assert got2 == [(1, 10), (3, 30)]
