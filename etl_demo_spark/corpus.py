@@ -6469,6 +6469,74 @@ def orders_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "priority_revenue_bucketed",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS {DEC_SQL}) * (1 - CAST(l_discount AS {RATE_SQL}))), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-FREE fact-fact join via bucketed layout (`io/bucketed.py`):
+    lineitem and orders are hash-clustered into co-aligned buckets on the
+    order key at write time, so the join reads co-located buckets and the
+    plan carries ZERO hash exchanges on either side (asserted in-query —
+    broadcast disabled so the proof is the bucketing, not table size).
+    The oracle is the plain join: bucketing must be invisible to results.
+
+    Scale: the lineitem⋈orders shuffle is THE dominant network cost of
+    TPC-H-shaped workloads at 100 TB; bucketing pays it once at ingest
+    and every subsequent join/agg on the key skips it. Mismatched bucket
+    counts coalesce at read (pinned by test)."""
+    import tempfile
+
+    from etl_demo_spark.io.bucketed import (
+        assert_no_shuffle_join,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    write_bucketed(
+        li.select("l_orderkey", "l_extendedprice", "l_discount"),
+        "bkt_lineitem",
+        "l_orderkey",
+        8,
+        sort_cols="l_orderkey",
+        path=f"{base}/lineitem",
+    )
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey").select(
+            "l_orderkey", "o_orderpriority"
+        ),
+        "bkt_orders",
+        "l_orderkey",
+        8,
+        sort_cols="l_orderkey",
+        path=f"{base}/orders",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_bucketed(spark, "bkt_lineitem").join(
+            read_bucketed(spark, "bkt_orders"), "l_orderkey"
+        )
+        assert_no_shuffle_join(joined, sides=2)
+        revenue_s = money_c("l_extendedprice") * (10000 - rate_bp("l_discount"))
+        return joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            ssum(revenue_s, 6).alias("revenue"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@query(
     "orders_alter_evolution",
     oracle="""
     SELECT o_orderkey,
