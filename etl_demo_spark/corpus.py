@@ -6469,6 +6469,111 @@ def orders_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "url_canonical_dedup",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+             (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+             (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END) || '.Example.COM' ||
+             (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+             '/Articles/item-' || CAST(doc_id % 100 AS BIGINT) ||
+             (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+             (CASE WHEN doc_id % 3 = 0 THEN '?id=' || CAST(doc_id % 100 AS BIGINT) || '&utm_source=feed&cat=A'
+                   WHEN doc_id % 3 = 1 THEN '?cat=A&id=' || CAST(doc_id % 100 AS BIGINT) || '&fbclid=x'
+                   ELSE '?utm_campaign=z&cat=A&id=' || CAST(doc_id % 100 AS BIGINT) END) ||
+             (CASE WHEN doc_id % 7 = 0 THEN '#sec-2' ELSE '' END) AS url
+      FROM documents
+    ), stripped AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
+      FROM raw
+    ), parts AS (
+      SELECT doc_id, url, scheme,
+             lower(regexp_extract(rest, '^([^/?]+)', 1)) AS hostport,
+             substr(rest, length(regexp_extract(rest, '^([^/?]+)', 1)) + 1) AS pathq
+      FROM stripped
+    ), pieces AS (
+      SELECT doc_id, url, scheme,
+             regexp_replace(
+               CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                    WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                    ELSE hostport END, '^www\\.', '') AS host,
+             regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS path0,
+             array_to_string(list_sort(list_filter(string_split(regexp_extract(pathq, '\\?(.*)$', 1), '&'),
+               p -> NOT (p LIKE 'utm_%' OR p LIKE 'fbclid=%' OR p LIKE 'gclid=%' OR p LIKE 'ref=%' OR p = ''))), '&') AS qc
+      FROM parts
+    ), cu AS (
+      SELECT doc_id, url,
+             scheme || '://' || host ||
+             (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+             (CASE WHEN qc = '' THEN '' ELSE '?' || qc END) AS canonical_url
+      FROM pieces
+    )
+    SELECT canonical_url,
+           CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw
+    FROM cu
+    GROUP BY canonical_url
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup, the FIRST tier of a web-corpus pipeline
+    (`web.py canonical_url` / `url_dedup`): deterministic messy URLs are
+    synthesized per document (scheme/host case, www., default :443
+    port, trailing slash, shuffled query order, utm_*/fbclid tracking
+    params, fragments — the variation classes CommonCrawl-style
+    canonicalizers normalize), canonicalized with pure Catalyst
+    regexp/array expressions, and grouped to one keeper per canonical
+    URL. The oracle replays BOTH the synthesis and the canonicalization
+    in SQL — hash equality proves the transform semantics exactly.
+
+    Scale: a projection + one hash agg on a ~60-byte key; runs before
+    any content-based dedup tier and removes the bulk of crawl
+    duplicates without a signature shuffle."""
+    from etl_demo_spark.web import canonical_url
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    item = (did % 100).cast("string")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(did % 2 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(did % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Articles/item-"),
+        item,
+        F.when(did % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit("?id="), item, F.lit("&utm_source=feed&cat=A")),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(F.lit("?cat=A&id="), item, F.lit("&fbclid=x")),
+        )
+        .otherwise(
+            F.concat(F.lit("?utm_campaign=z&cat=A&id="), item)
+        ),
+        F.when(did % 7 == 0, F.lit("#sec-2")).otherwise(F.lit("")),
+    )
+    raw = docs.select("doc_id", url.alias("url"))
+    return (
+        raw.withColumn("canonical_url", canonical_url("url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+            F.countDistinct("url").alias("n_raw"),
+        )
+    )
+
+
+@query(
     "priority_revenue_bucketed",
     oracle=f"""
     SELECT o_orderpriority,
