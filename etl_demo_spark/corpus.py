@@ -6642,6 +6642,61 @@ def priority_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_dpp_pruned_join",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS dt,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM orders
+    WHERE year(o_orderdate) <= 1997
+    GROUP BY CAST(year(o_orderdate) AS INT)
+    """,
+)
+def orders_dpp_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning (Catalyst built-in, plan-pinned here):
+    the fact table is laid out partitioned by year; the query filters a
+    tiny DIMENSION (era='old'), not the fact, so static pruning can't
+    fire — Catalyst injects a dynamicpruning subquery that evaluates the
+    broadcast dim side FIRST and prunes the fact scan's partitions at
+    RUNTIME (asserted in-query on the scan's PartitionFilters). The
+    oracle is the equivalent static predicate — DPP must lose no rows.
+
+    Scale: the star-schema staple — 'revenue for promo weeks' reads only
+    promo-week partitions of a 100 TB fact even though the predicate
+    lives on the dimension. Declarative layout + built-in optimizer
+    behavior; nothing hand-scheduled."""
+    import tempfile
+
+    from etl_demo_spark.corpus import dec as _dec
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="dpp_") + "/orders"
+    orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("dt"),
+    ).write.partitionBy("dt").parquet(base)
+
+    fact = spark.read.option("basePath", base).parquet(base)
+    dim = (
+        fact.select("dt")
+        .distinct()
+        .withColumn(
+            "era", F.when(F.col("dt") <= 1997, F.lit("old")).otherwise(F.lit("new"))
+        )
+    )
+    joined = fact.join(F.broadcast(dim.filter(F.col("era") == "old")), "dt")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "expected a dynamicpruning subquery on the fact scan:\n" + plan
+    )
+    return joined.groupBy(F.col("dt").cast("int").alias("dt")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("total"),
+    )
+
+
+@query(
     "orders_alter_evolution",
     oracle="""
     SELECT o_orderkey,
