@@ -6697,6 +6697,58 @@ def orders_dpp_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lineitem_bloomfilter_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS {DEC_SQL}) * (1 - CAST(l_discount AS {RATE_SQL}))), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+def lineitem_bloomfilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME bloom-filter join pruning (Catalyst built-in, plan-pinned):
+    the selective predicate lives on orders, the join key is NOT a
+    partition column, so neither static nor dynamic PARTITION pruning
+    can help — instead Catalyst builds a bloom filter over the filtered
+    orders' keys at runtime and pushes it into the lineitem scan
+    (``bloom_filter_agg`` + ``might_contain``, asserted in-query), so
+    non-matching lineitem rows die at the scan instead of crossing the
+    join shuffle. The oracle is the plain filtered join.
+
+    Scale: the semi-join-reduction sibling of DPP — on a 100 TB fact the
+    default thresholds (creation side < 10 MB, application side > 10 GB)
+    fire on their own; the local fixture only has to lower the
+    application-side floor (restored after)."""
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    thr_key = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    prev_thr = spark.conf.get(thr_key)
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(thr_key, "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        joined = li.join(urgent, li.l_orderkey == urgent.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, (
+            "expected a runtime bloom filter pushed into the fact scan:\n" + plan
+        )
+        revenue_s = money_c("l_extendedprice") * (10000 - rate_bp("l_discount"))
+        return joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            ssum(revenue_s, 6).alias("revenue"),
+        )
+    finally:
+        spark.conf.set(thr_key, prev_thr)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+@query(
     "orders_alter_evolution",
     oracle="""
     SELECT o_orderkey,
