@@ -6101,6 +6101,91 @@ def embedding_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_topk_pq",
+    oracle="""
+    WITH RECURSIVE qlong AS (
+      SELECT vec_id, i, i // 16 AS s,
+             CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT) AS x
+      FROM embeddings, LATERAL unnest(generate_series(0, len(embedding) - 1)) AS t(i)
+    ),
+    cent(it, s, c, i, cx) AS (
+      SELECT 0, i // 16, CAST(vec_id AS INT), i, x FROM qlong WHERE vec_id < 8
+      UNION ALL
+      SELECT it + 1, s, cl, i, CAST(FLOOR(CAST(sx AS DOUBLE) / nv) AS BIGINT)
+      FROM (
+        SELECT a.it, a.s, a.cl, q.i, SUM(q.x) AS sx, COUNT(*) AS nv
+        FROM (
+          SELECT it, s, vec_id, cl FROM (
+            SELECT d.it, d.s, d.vec_id, d.c AS cl,
+                   ROW_NUMBER() OVER (PARTITION BY d.it, d.s, d.vec_id
+                                      ORDER BY d.dist, d.c) AS rn
+            FROM (
+              SELECT cent.it, cent.s, q2.vec_id, cent.c,
+                     SUM((q2.x - cent.cx) * (q2.x - cent.cx)) AS dist
+              FROM cent JOIN qlong q2 USING (i)
+              WHERE cent.it < 3
+              GROUP BY cent.it, cent.s, q2.vec_id, cent.c
+            ) d
+          ) WHERE rn = 1
+        ) a
+        JOIN qlong q ON q.vec_id = a.vec_id AND q.s = a.s
+        GROUP BY a.it, a.s, a.cl, q.i
+      )
+    ),
+    codes AS (
+      SELECT vec_id, s, cl FROM (
+        SELECT d.vec_id, d.s, d.c AS cl,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.s
+                                  ORDER BY d.dist, d.c) AS rn
+        FROM (
+          SELECT q2.vec_id, cent.s, cent.c,
+                 SUM((q2.x - cent.cx) * (q2.x - cent.cx)) AS dist
+          FROM cent JOIN qlong q2 USING (i)
+          WHERE cent.it = 3
+          GROUP BY q2.vec_id, cent.s, cent.c
+        ) d
+      ) WHERE rn = 1
+    ),
+    dt AS (
+      SELECT cent.s, cent.c, SUM((q.x - cent.cx) * (q.x - cent.cx)) AS dist
+      FROM cent JOIN qlong q USING (i)
+      WHERE cent.it = 3 AND q.vec_id = 0
+      GROUP BY cent.s, cent.c
+    ),
+    scored AS (
+      SELECT codes.vec_id, CAST(SUM(dt.dist) AS BIGINT) AS pq_dist
+      FROM codes JOIN dt ON dt.s = codes.s AND dt.c = codes.cl
+      GROUP BY codes.vec_id
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, pq_dist
+    FROM scored ORDER BY pq_dist, vec_id LIMIT 10
+    """,
+)
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-13 PRODUCT QUANTIZATION top-k (Jégou et al. 2011), EXACTLY
+    oracled: 4 subspaces × 16 dims each train 8-centroid codebooks by
+    integer-exact Lloyd's (`vec.pq_fit_exact`), vectors compress to 4
+    codes, and the query ranks by the ADC table — the sum of per-subspace
+    exact int64 distances to the coded centroids. A DuckDB RECURSIVE CTE
+    replays ALL FOUR codebook trainings in one recursion keyed by
+    (iteration, subspace, code, dim), then the encoding, the distance
+    table, and the ranking — hash equality end to end, extending the
+    `embedding_kmeans_profile` fixpoint-oracle pattern to the
+    multi-codebook case.
+
+    Scale: PQ is the memory tier below int8 SQ — m bytes per vector
+    instead of dim (64-dim float32 → 4 bytes, 64×), which is what lets
+    a 100 TB corpus's ANN index live in cluster RAM; scan cost is one
+    table lookup per subspace per row (memory-bandwidth bound). Training
+    is one narrow Arrow-batched assignment + one (m·ksub)-group
+    aggregate per iteration, all subspaces together."""
+    from etl_demo_spark.vec import pq_topk
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return pq_topk(emb, k=10, query_id=0, m=4, ksub=8, n_iter=3)
+
+
+@query(
     "trade_graph_pagerank",
     oracle="""
     WITH RECURSIVE pairs AS (
