@@ -381,6 +381,150 @@ def _bench_skew(spark, sf_dir: str) -> dict:
     return out
 
 
+def _bench_dv_delete(spark, sf_dir: str) -> dict:
+    """Write-amplification A/B for DELETE on the manifest layer: the same
+    ~1% predicate executed copy-on-write (`delete_where_manifested`,
+    rewrites every affected leaf) vs merge-on-read deletion vectors
+    (`delete_rows_manifested`, writes only a position sidecar). The
+    cluster-relevant signal is BYTES WRITTEN — at 100 TB the CoW rewrite
+    is ~the affected partitions' full size, the DV commit is a few MB of
+    positions; wall time on local[32] is the proxy. Reported read-back
+    counts pin that both paths delete the identical rows."""
+    import glob
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.io.manifest import (
+        delete_rows_manifested,
+        delete_where_manifested,
+        manifest_init,
+        read_manifested,
+    )
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("string").alias("dt"),
+    )
+    pred = (F.col("o_orderkey") % 100) == 7
+
+    def total_bytes(root: str) -> int:
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(f"{root}/**/*", recursive=True)
+            if os.path.isfile(f)
+        )
+
+    out: dict = {}
+    for mode, fn in (
+        ("cow", lambda p: delete_where_manifested(spark, p, pred, "dt")),
+        ("dv", lambda p: delete_rows_manifested(spark, p, pred)),
+    ):
+        base = tempfile.mkdtemp(prefix=f"bench_dv_{mode}_")
+        root = f"{base}/orders"
+        t.repartition(4).write.partitionBy("dt").parquet(root)
+        manifest_init(spark, root, "dt")
+        before = total_bytes(base)
+        t0 = time.perf_counter()
+        fn(root)
+        out[f"{mode}_seconds"] = round(time.perf_counter() - t0, 3)
+        out[f"{mode}_bytes_written"] = total_bytes(base) - before
+        out[f"{mode}_rows_after"] = read_manifested(spark, root).count()
+        shutil.rmtree(base, ignore_errors=True)
+    assert out["cow_rows_after"] == out["dv_rows_after"]
+    out["write_amplification_cow_over_dv"] = round(
+        out["cow_bytes_written"] / max(1, out["dv_bytes_written"]), 1
+    )
+    out["note"] = (
+        "same ~1% DELETE, copy-on-write leaf rewrite vs deletion-vector "
+        "sidecar; bytes_written is the cluster signal (CoW rewrites every "
+        "affected partition, DV writes only positions)"
+    )
+    return out
+
+
+def _bench_bucketed_join(spark, sf_dir: str) -> dict:
+    """Shuffle-elimination A/B: lineitem ⋈ orders on the order key as a
+    plain shuffled sort-merge join vs pre-bucketed catalog tables
+    (io/bucketed.py). Reports wall (best of 2, noop sink), the plans'
+    hash-exchange counts (2 → 0), and the one-time bucketed-write cost
+    the layout amortizes over every later join on the key."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.io.bucketed import read_bucketed, write_bucketed
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+
+    def timed(df) -> float:
+        df.write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    def exchanges(df) -> int:
+        return (
+            df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .count("Exchange hashpartitioning")
+        )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        agg = lambda j: j.groupBy("o_orderpriority").agg(  # noqa: E731
+            F.count(F.lit(1)).alias("n")
+        )
+        plain = li.join(orders, "l_orderkey")
+        out: dict = {
+            "plain_exchanges": exchanges(plain),
+            "plain_seconds": timed(agg(plain)),
+        }
+        base = tempfile.mkdtemp(prefix="bench_bucketed_")
+        t0 = time.perf_counter()
+        spark.sql("DROP TABLE IF EXISTS bench_bkt_li")
+        spark.sql("DROP TABLE IF EXISTS bench_bkt_orders")
+        write_bucketed(
+            li, "bench_bkt_li", "l_orderkey", 16,
+            sort_cols="l_orderkey", path=f"{base}/li",
+        )
+        write_bucketed(
+            orders, "bench_bkt_orders", "l_orderkey", 16,
+            sort_cols="l_orderkey", path=f"{base}/orders",
+        )
+        out["bucketed_write_seconds"] = round(time.perf_counter() - t0, 3)
+        bkt = read_bucketed(spark, "bench_bkt_li").join(
+            read_bucketed(spark, "bench_bkt_orders"), "l_orderkey"
+        )
+        out["bucketed_exchanges"] = exchanges(bkt)
+        out["bucketed_seconds"] = timed(agg(bkt))
+        out["note"] = (
+            "fact-fact join, broadcast disabled: the bucketed layout pays "
+            "one clustered write and removes every hash exchange from later "
+            "joins on the key (exchange count is the cluster signal; at "
+            "100 TB each exchange is the full table over the network)"
+        )
+        return out
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from etl_demo_spark.session import get_spark
@@ -494,6 +638,8 @@ def main() -> None:
     payload["skew"] = _bench_skew(spark, sf_dir)
     payload["stats_skip"] = _bench_stats_skip(spark, sf_dir)
     payload["mv_refresh"] = _bench_mv_refresh(spark, sf_dir)
+    payload["dv_delete"] = _bench_dv_delete(spark, sf_dir)
+    payload["bucketed_join"] = _bench_bucketed_join(spark, sf_dir)
     payload["ann_recall_at_10"] = ann_recall
     print(json.dumps(payload))
 
