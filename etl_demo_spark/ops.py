@@ -295,13 +295,13 @@ def write_bucketed(
     Two tables bucketed identically join WITHOUT a shuffle (the plan shows
     no Exchange on either side) — at 100 TB this is the difference between
     re-shuffling the fact table on every query and shuffling it once at
-    write time. Requires a catalog table (saveAsTable)."""
-    (
-        df.write.mode("overwrite")
-        .bucketBy(num_buckets, *bucket_cols)
-        .sortBy(*bucket_cols)
-        .saveAsTable(table)
-    )
+    write time. Requires a catalog table (saveAsTable). Thin front for
+    `io/bucketed.write_bucketed`, which adds external paths, independent
+    sort columns, format choice, a read helper, and a no-shuffle plan
+    guard — use that module for new code."""
+    from etl_demo_spark.io.bucketed import write_bucketed as _wb
+
+    _wb(df, table, list(bucket_cols), num_buckets, sort_cols=list(bucket_cols))
 
 
 # ---------------------------------------------------------------------------
