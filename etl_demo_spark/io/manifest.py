@@ -1291,7 +1291,11 @@ def compact_manifested(
         for rel in to_compact:
             staged = jvm.org.apache.hadoop.fs.Path(f"{staging}/{rel}")
             if not fs.exists(staged):
-                continue  # empty leaf cannot occur via to_compact, but be safe
+                # a leaf whose every row is deletion-vector-deleted reads
+                # as empty: the rewrite MATERIALIZES that deletion, so
+                # the leaf drops out of the snapshot
+                new_mapping.pop(rel, None)
+                continue
             vrel = f"{rel}/{_vdir(new_version, token)}"
             _mkdirs_parent(fs, jvm, f"{roots}/{vrel}")
             fs.rename(staged, jvm.org.apache.hadoop.fs.Path(f"{roots}/{vrel}"))
@@ -2125,6 +2129,45 @@ def alter_manifested(
     return _commit_retry(fs, jvm, root, _attempt)
 
 
+def rollback_manifested(
+    spark: SparkSession, target_path: str, version: int
+) -> int:
+    """RESTORE the table to a retained snapshot — as a NEW commit, never
+    by rewinding the pointer (Delta's RESTORE semantics): the bad commits
+    stay in history for forensics, readers see the restore atomically,
+    and the OCC loop serializes it against concurrent writers. The
+    restored state is the old snapshot's complete doc — leaf mapping,
+    schema, column mapping, deletion vectors, stats — so a rollback
+    across an ALTER or a DV delete restores those too.
+
+    Only RETAINED versions are restorable (their data is GC-guaranteed
+    present); the incident-recovery window this affords is `_RETAIN`
+    commits — size retention to the rollback horizon you want. Returns
+    the new version number."""
+    root = target_path.rstrip("/")
+    fs, jvm = _hadoop_fs(spark, root)
+
+    def _attempt(doc, new_version, token):
+        old = _load_doc(fs, jvm, root, version)  # raises outside retention
+        new_doc = {
+            k: v
+            for k, v in old.items()
+            if not k.startswith("_") and k not in ("version", "committed_at_ms")
+        }
+        new_doc["version"] = new_version
+        # explicit nulls stop delta-chain inheritance of state the old
+        # snapshot did not have (e.g. rolling back across a DV delete)
+        for key in ("dv", "schema", "column_mapping", *_STATS_CONFIG_KEYS):
+            if key in doc and key not in new_doc:
+                new_doc[key] = None
+        ok = _publish_cas(
+            fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
+        )
+        return ok, [], new_version
+
+    return _commit_retry(fs, jvm, root, _attempt)
+
+
 def delete_rows_manifested(
     spark: SparkSession,
     target_path: str,
@@ -2152,6 +2195,41 @@ def delete_rows_manifested(
     delete. Idempotent across reruns (the snapshot read already excludes
     deleted rows, so a re-matched row cannot re-enter). Optimistic
     multi-writer like every committer. Returns the rows newly deleted."""
+    return _delete_dv(
+        spark,
+        target_path,
+        fmt,
+        lambda t: t.filter(F.coalesce(predicate, F.lit(False))),
+    )
+
+
+def delete_keys_dv_manifested(
+    spark: SparkSession,
+    target_path: str,
+    keys_df: DataFrame,
+    keys: list[str],
+    fmt: str = "parquet",
+) -> int:
+    """DELETE-by-key via deletion vectors — the merge-on-read twin of
+    `delete_keys_manifested`: matched keys' row positions land in the DV
+    sidecar (one semi-join discovery pass, no file rewritten). The CDC
+    tombstone shape: a streaming sink applying Debezium deletes per
+    micro-batch must not rewrite a partition per batch — positions are
+    O(tombstones). NOTE the erasure caveat is STRONGER than the rewrite
+    twin's: deleted bytes live in the data files until a compaction
+    materializes the DVs (then normal retention GC applies) — for
+    right-to-erasure, follow with `compact_manifested` + `manifest_expire`.
+    Returns the rows newly deleted."""
+    key_set = keys_df.select(*keys).distinct()
+    return _delete_dv(
+        spark, target_path, fmt, lambda t: t.join(key_set, keys, "left_semi")
+    )
+
+
+def _delete_dv(spark: SparkSession, target_path: str, fmt: str, matcher) -> int:
+    """Shared merge-on-read DELETE commit: ``matcher`` narrows the
+    location-bearing snapshot read to the doomed rows; everything after
+    is the DV union + counts + sidecar write + pointer CAS."""
     root = target_path.rstrip("/")
     fs, jvm = _hadoop_fs(spark, root)
     _clean_stale_staging(fs, jvm, root)
@@ -2166,7 +2244,7 @@ def delete_rows_manifested(
         target = read_manifested(
             spark, root, fmt, version=doc["version"], _with_location=True
         )
-        matched = target.filter(F.coalesce(predicate, F.lit(False))).select(
+        matched = matcher(target).select(
             F.col("__dv_file").alias("file_rel"), F.col("__dv_pos").alias("pos")
         )
         old = doc.get("dv")

@@ -147,6 +147,7 @@ def run_stream_cdc_upsert(
     op_col: str | None = None,
     delete_op: str = "D",
     mode: str = "swap",
+    delete_mode: str = "rewrite",
 ) -> None:
     """Streaming CDC upsert sink: every micro-batch MERGEs into a
     partitioned parquet table via the partition-scoped merge
@@ -170,6 +171,15 @@ def run_stream_cdc_upsert(
     run CONCURRENTLY with OPTIMIZE (`compact_manifested`) or a retention
     DELETE on the same table.
 
+    ``delete_mode="dv"`` (manifest mode only) applies tombstones via
+    DELETION VECTORS (`io.manifest.delete_keys_dv_manifested`) instead
+    of a partition rewrite: per batch the tombstones cost O(positions)
+    written, not O(affected partitions) — the write-amplification fix a
+    long-lived CDC feed needs (a rewrite per micro-batch re-copies hot
+    partitions continuously; the DV sidecar grows by the tombstone
+    count, and the nightly OPTIMIZE the feed already needs for small
+    files materializes the deletions in the same pass).
+
     ``op_col`` turns on TOMBSTONE handling (the Debezium-style op field
     every real CDC feed carries): after per-key last-wins collapse, a
     key whose final event is ``delete_op`` is DELETED from the table
@@ -192,6 +202,7 @@ def run_stream_cdc_upsert(
     at-least-once delivery. The first batch against an empty/missing
     target bootstraps the partitioned layout."""
     from etl_demo_spark.io.manifest import (
+        delete_keys_dv_manifested,
         delete_keys_manifested,
         manifest_init,
         merge_upsert_manifested,
@@ -203,6 +214,15 @@ def run_stream_cdc_upsert(
 
     if mode not in ("swap", "manifest"):
         raise ValueError(f"run_stream_cdc_upsert: unknown mode {mode!r}")
+    if delete_mode not in ("rewrite", "dv"):
+        raise ValueError(
+            f"run_stream_cdc_upsert: unknown delete_mode {delete_mode!r}"
+        )
+    if delete_mode == "dv" and mode != "manifest":
+        raise ValueError(
+            "run_stream_cdc_upsert: delete_mode='dv' needs mode='manifest' "
+            "(deletion vectors live in the snapshot-manifest layer)"
+        )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -238,9 +258,14 @@ def run_stream_cdc_upsert(
                 spark, target_path, last, keys, partition_col
             )
             if deletes is not None:
-                delete_keys_manifested(
-                    spark, target_path, deletes, keys, partition_col
-                )
+                if delete_mode == "dv":
+                    delete_keys_dv_manifested(
+                        spark, target_path, deletes, keys
+                    )
+                else:
+                    delete_keys_manifested(
+                        spark, target_path, deletes, keys, partition_col
+                    )
         else:
             merge_upsert_partitioned(
                 spark, target_path, last, keys, partition_col

@@ -1054,3 +1054,58 @@ def test_compact_manifested_zorder_prunes_both_dimensions(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="mutually exclusive"):
         compact_manifested(spark, path, sort_cols=["x"], zorder_cols=["y"])
+
+
+def test_rollback_restores_snapshot_as_new_commit(spark, tmp_path):
+    """RESTORE semantics: rollback publishes a NEW version holding the
+    old snapshot's complete state (mapping, schema, DVs) — history moves
+    forward, the restored read equals the old read, and rolling back
+    across a DV delete clears the pointer rather than inheriting it."""
+    import pytest
+
+    from etl_demo_spark.io.manifest import (
+        _hadoop_fs,
+        _load_doc,
+        alter_manifested,
+        delete_rows_manifested,
+        manifest_versions,
+        merge_upsert_manifested,
+        read_manifested,
+        rollback_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    from etl_demo_spark.io.manifest import manifest_init
+
+    manifest_init(spark, path, ["dt", "seg"])  # v1
+    src = spark.createDataFrame(
+        [(9, "iota", "d1", "A")], "id INT, name STRING, dt STRING, seg STRING"
+    )
+    merge_upsert_manifested(spark, path, src, ["id"], ["dt", "seg"])  # v2
+    v1_rows = {r.id for r in read_manifested(spark, path, version=1).collect()}
+
+    new_v = rollback_manifested(spark, path, 1)  # v3 == v1
+    assert new_v == 3
+    assert manifest_versions(spark, path)[-1] == 3
+    got = {r.id for r in read_manifested(spark, path).collect()}
+    assert got == v1_rows == {1, 2, 3, 4}
+
+    # rollback across a DV delete: the restored snapshot has NO dv
+    delete_rows_manifested(spark, path, F.col("id") == 2)  # v4
+    assert {r.id for r in read_manifested(spark, path).collect()} == {1, 3, 4}
+    rollback_manifested(spark, path, 3)  # v5 == v3
+    fs, jvm = _hadoop_fs(spark, path)
+    doc = _load_doc(fs, jvm, path)
+    assert "dv" not in doc
+    assert {r.id for r in read_manifested(spark, path).collect()} == {1, 2, 3, 4}
+
+    # rollback across an ALTER restores the pre-ALTER schema
+    alter_manifested(spark, path, add_columns={"note": "string"})  # v6
+    assert "note" in read_manifested(spark, path).columns
+    rollback_manifested(spark, path, 5)  # v7
+    assert "note" not in read_manifested(spark, path).columns
+
+    # only retained versions restore
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        rollback_manifested(spark, path, 1)

@@ -723,3 +723,79 @@ def test_stream_cdc_manifest_mode_reader_always_sees_complete_snapshot(
     # b1 upsert, b2 upsert, b2 delete, b3 upsert = 4 commits after init
     assert version == 5
     assert all(rel.split("/")[0] in ("seg=A", "seg=B") for rel in mapping)
+
+
+def test_stream_cdc_dv_tombstones_no_rewrite(spark, tmp_path):
+    """delete_mode="dv": tombstones apply as deletion-vector commits —
+    the tombstone batch rewrites NO data file (byte-identical inventory),
+    deleted keys disappear from reads, replays stay idempotent, and a
+    later OPTIMIZE materializes the deletions."""
+    import glob
+    import os
+
+    import pytest
+
+    from etl_demo_spark.io.manifest import (
+        _hadoop_fs,
+        _load_doc,
+        compact_manifested,
+        read_manifested,
+    )
+    from etl_demo_spark.streaming.windows import run_stream_cdc_upsert
+
+    target = str(tmp_path / "dim")
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id INT, name STRING, seg STRING, op STRING"
+
+    def feed(batch_name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(inbox / batch_name)
+        )
+        stream = spark.readStream.schema(schema).parquet(str(inbox / "*"))
+        run_stream_cdc_upsert(
+            stream, target, ["id"], "seg", ckpt,
+            op_col="op", mode="manifest", delete_mode="dv",
+        )
+
+    feed("b0", [(1, "alpha", "A", "U"), (2, "beta", "B", "U"),
+                (3, "gamma", "A", "U")])
+
+    inventory = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{target}/seg=*/__v*/*.parquet")
+    }
+    feed("b1", [(2, "beta", "B", "D")])  # pure-tombstone batch
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{target}/seg=*/__v*/*.parquet")
+    }
+    assert inventory == after, "DV tombstones must rewrite no data file"
+    got = {r.id: r.name for r in read_manifested(spark, target).collect()}
+    assert got == {1: "alpha", 3: "gamma"}
+    fs, jvm = _hadoop_fs(spark, target)
+    doc = _load_doc(fs, jvm, target)
+    assert doc.get("dv") and sum(doc["dv"]["files"].values()) == 1
+
+    # replay idempotence: re-run the whole inbox on a FRESH checkpoint
+    stream = spark.readStream.schema(schema).parquet(str(inbox / "*"))
+    run_stream_cdc_upsert(
+        stream, target, ["id"], "seg", str(tmp_path / "ckpt2"),
+        op_col="op", mode="manifest", delete_mode="dv",
+    )
+    got = {r.id: r.name for r in read_manifested(spark, target).collect()}
+    assert got == {1: "alpha", 3: "gamma"}
+
+    # the feed's OPTIMIZE pass materializes the deletions
+    compact_manifested(spark, target, min_files=1)
+    doc = _load_doc(fs, jvm, target)
+    assert "dv" not in doc
+    got = {r.id: r.name for r in read_manifested(spark, target).collect()}
+    assert got == {1: "alpha", 3: "gamma"}
+
+    with pytest.raises(ValueError, match="needs mode='manifest'"):
+        run_stream_cdc_upsert(
+            spark.readStream.schema(schema).parquet(str(inbox / "*")),
+            target, ["id"], "seg", ckpt, delete_mode="dv",
+        )
