@@ -6554,6 +6554,70 @@ def orders_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_nfc_normalize",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id, lang,
+             substr(text, 1, 40) ||
+             (CASE doc_id % 3
+                WHEN 0 THEN ' Café du Marché'
+                WHEN 1 THEN ' Café du Marché'
+                ELSE ' plain ascii' END) ||
+             (CASE WHEN doc_id % 5 = 0 THEN ' Å' ELSE '' END) AS raw
+      FROM documents
+    ), n AS (
+      SELECT lang, raw, nfc_normalize(raw) AS norm FROM raw
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN raw <> norm THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(SUM(length(raw) - length(norm)) AS BIGINT) AS chars_saved
+    FROM n
+    GROUP BY lang
+    """,
+)
+def doc_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (`text.nfc_normalize_udf`): mixed
+    decomposed / precomposed sequences are injected deterministically
+    (NFD 'e'+combining-acute vs precomposed 'é' vs plain ASCII — the
+    variation a multilingual crawl actually contains), normalized with
+    the Arrow-batched UDF, and profiled per language (docs changed,
+    code points saved). The DuckDB oracle replays synthesis +
+    ``nfc_normalize`` — hash equality pins that Python's unicodedata and
+    DuckDB's ICU-backed normalizer implement the same standard, i.e. the
+    UDF is cross-engine exact.
+
+    Why it's load-bearing: decomposed and precomposed spellings hash
+    DIFFERENTLY, so every downstream dedup tier (URL keys, exact
+    fingerprints, MinHash shingles) sees phantom distinct documents
+    until this pass runs. One Arrow-batched projection — no shuffle."""
+    from etl_demo_spark.text import nfc_normalize_udf
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    raw = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.when(did % 3 == 0, F.lit(" Café du Marché"))
+            .when(did % 3 == 1, F.lit(" Café du Marché"))
+            .otherwise(F.lit(" plain ascii")),
+            F.when(did % 5 == 0, F.lit(" Å")).otherwise(F.lit("")),
+        ).alias("raw"),
+    )
+    nfc = nfc_normalize_udf()
+    n = raw.withColumn("norm", nfc(F.col("raw")))
+    return n.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("raw") != F.col("norm"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_changed"),
+        F.sum(F.length("raw") - F.length("norm")).alias("chars_saved"),
+    )
+
+
+@query(
     "url_canonical_dedup",
     oracle="""
     WITH raw AS (

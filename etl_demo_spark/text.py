@@ -393,3 +393,28 @@ def pii_counts(text: Column | str) -> tuple[Column, Column]:
         F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0)),
         F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), 0)),
     )
+
+
+def nfc_normalize_udf():
+    """Unicode NFC normalization as an Arrow-batched pandas UDF — the
+    canonicalization pass every multilingual training corpus runs before
+    tokenization/dedup (decomposed sequences like 'e'+U+0301 and
+    precomposed 'é' must hash identically or every content-dedup tier
+    sees phantom distinct documents). Python's unicodedata implements
+    the same Unicode standard as DuckDB's nfc_normalize — parity is
+    pinned by the corpus oracle, so the UDF is cross-engine exact.
+
+    NFC (not NFKC) deliberately: canonical equivalence only — it never
+    changes what the text MEANS (NFKC folds ﬁ→fi, ½→1/2, which is a
+    lossy modeling decision, not a canonicalization)."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return _norm
