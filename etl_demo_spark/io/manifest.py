@@ -643,6 +643,9 @@ def _resolve_doc(fs, jvm, root: str, version: int) -> dict:
     cm = raw.get("column_mapping", base.get("column_mapping"))
     if cm is not None:
         doc["column_mapping"] = cm
+    cons = raw.get("constraints", base.get("constraints"))
+    if cons is not None:
+        doc["constraints"] = cons
     for key in _STATS_CONFIG_KEYS:
         val = raw.get(key, base.get(key))
         if val is not None:
@@ -702,6 +705,8 @@ def _encode_commit(prev_doc: dict, new_doc: dict) -> bytes:
         delta["dv"] = new_doc.get("dv")
     if new_doc.get("column_mapping") != prev_doc.get("column_mapping"):
         delta["column_mapping"] = new_doc.get("column_mapping")
+    if new_doc.get("constraints") != prev_doc.get("constraints"):
+        delta["constraints"] = new_doc.get("constraints")
     if any(k in new_doc for k in ("stats_cols", "bloom_cols")):
         for key in _STATS_CONFIG_KEYS:
             if key in new_doc and new_doc[key] != prev_doc.get(key):
@@ -1307,6 +1312,7 @@ def compact_manifested(
         if doc.get("schema") is not None:
             new_doc["schema"] = doc["schema"]
         _carry_mapping(doc, new_doc)
+        _carry_constraints(doc, new_doc)
         _carry_dv(doc, new_doc)
         fstats = _evolve_file_stats(spark, fmt, roots, doc, new_mapping, staged_vrels)
         if fstats is not None:
@@ -1505,6 +1511,7 @@ def delete_keys_manifested(
         if doc.get("schema") is not None:
             new_doc["schema"] = doc["schema"]  # deletion never changes schema
         _carry_mapping(doc, new_doc)
+        _carry_constraints(doc, new_doc)
         _carry_dv(doc, new_doc)
         stats = _evolve_file_stats(spark, fmt, root, doc, new_mapping, staged_vrels)
         if stats is not None:
@@ -1590,6 +1597,7 @@ def merge_upsert_manifested(
         merged = merge_upsert(scoped, source, keys, schema_evolution=schema_evolution)
         for c in cols:
             merged = merged.withColumn(c, F.col(c).cast("string"))
+        _validate_constraints(doc, merged, "merge_upsert_manifested")
         # under an active column mapping, columns a schema-evolving merge
         # introduces get their physical names frozen here, and the staged
         # write lands in physical names
@@ -1634,6 +1642,7 @@ def merge_upsert_manifested(
             new_doc["schema"] = T.StructType(fields).json()
         if cmap is not None:
             new_doc["column_mapping"] = cmap
+        _carry_constraints(doc, new_doc)
         _carry_dv(doc, new_doc)
         stats = _evolve_file_stats(
             spark, fmt, root, doc, new_mapping, staged_vrels, col_mapping=cmap
@@ -1834,6 +1843,7 @@ def delete_where_manifested(
         if doc.get("schema") is not None:
             new_doc["schema"] = doc["schema"]
         _carry_mapping(doc, new_doc)
+        _carry_constraints(doc, new_doc)
         _carry_dv(doc, new_doc)
         stats = _evolve_file_stats(spark, fmt, root, doc, new_mapping, staged_vrels)
         if stats is not None:
@@ -1916,6 +1926,7 @@ def update_where_manifested(
         )
         for c in cols:
             updated = updated.withColumn(c, F.col(c).cast("string"))
+        _validate_constraints(doc, updated, "update_where_manifested")
         staging = f"{root}.__manifest_staging__{token}"
         _to_physical(updated, doc.get("column_mapping")).write.mode(
             "overwrite"
@@ -1940,6 +1951,7 @@ def update_where_manifested(
         if doc.get("schema") is not None:
             new_doc["schema"] = doc["schema"]
         _carry_mapping(doc, new_doc)
+        _carry_constraints(doc, new_doc)
         _carry_dv(doc, new_doc)
         stats = _evolve_file_stats(spark, fmt, root, doc, new_mapping, staged_vrels)
         if stats is not None:
@@ -2047,6 +2059,22 @@ def alter_manifested(
             if c in names:
                 raise ValueError(f"alter_manifested: column {c!r} already exists")
 
+        cons = doc.get("constraints") or {}
+        if cons and (rename_columns or drop_columns):
+            import re as _re
+
+            for c in list(rename_columns) + drop_columns:
+                hit = sorted(
+                    n
+                    for n, expr in cons.items()
+                    if _re.search(rf"\b{_re.escape(c)}\b", expr)
+                )
+                if hit:
+                    raise ValueError(
+                        f"alter_manifested: column {c!r} is referenced by "
+                        f"CHECK constraint(s) {hit}; drop them first"
+                    )
+
         mapping = doc.get("column_mapping")
         if rename_columns and mapping is None:
             mapping = {n: n for n in names}  # freeze physical names NOW
@@ -2107,6 +2135,7 @@ def alter_manifested(
         }
         if mapping is not None:
             new_doc["column_mapping"] = mapping
+        _carry_constraints(doc, new_doc)
         _carry_dv(doc, new_doc)
         if stats_cols:
             new_doc["stats_cols"] = stats_cols
@@ -2121,6 +2150,126 @@ def alter_manifested(
             new_doc["bloom_cols"] = None
         if files is not None and (stats_cols or bloom_cols):
             new_doc["files"] = files
+        ok = _publish_cas(
+            fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
+        )
+        return ok, [], new_version
+
+    return _commit_retry(fs, jvm, root, _attempt)
+
+
+class ConstraintViolation(ValueError):
+    """A commit was REFUSED because staged rows violate a table CHECK
+    constraint. The table is unchanged (validation runs before any
+    rename/publish)."""
+
+
+def _carry_constraints(doc: dict, new_doc: dict) -> None:
+    if doc.get("constraints") and "constraints" not in new_doc:
+        new_doc["constraints"] = doc["constraints"]
+
+
+def _validate_constraints(doc: dict, staged: DataFrame, context: str) -> None:
+    """Enforce the table's CHECK constraints on a commit's CHANGED slice
+    (never the whole table — the committer only stages what it touched).
+    SQL CHECK semantics: a row fails only when the expression is FALSE;
+    NULL passes (add an explicit IS NOT NULL constraint to forbid it).
+    One aggregate job counts violations for every constraint at once;
+    a violation aborts BEFORE anything is renamed or published."""
+    constraints = doc.get("constraints")
+    if not constraints:
+        return
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(F.expr(sql), F.lit(True)), 1).otherwise(0)
+        ).alias(name)
+        for name, sql in constraints.items()
+    ]
+    row = staged.agg(*aggs).first()
+    bad = {name: int(row[name]) for name in constraints if row[name]}
+    if bad:
+        detail = ", ".join(
+            f"{name!r} ({constraints[name]}): {n} row(s)"
+            for name, n in sorted(bad.items())
+        )
+        raise ConstraintViolation(
+            f"{context}: staged rows violate CHECK constraint(s) {detail}; "
+            "commit refused, table unchanged"
+        )
+
+
+def add_constraint_manifested(
+    spark: SparkSession, target_path: str, name: str, sql_expr: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT (Delta-style CHECK constraints):
+    store a SQL boolean expression in the manifest; every later commit
+    (merge / UPDATE / CDC batch) validates its STAGED slice against it
+    and is refused wholesale on violation — bad rows never become
+    readable, atomically. Adding the constraint validates the EXISTING
+    table first (one full predicate scan — the one-time cost Delta also
+    pays), so a green ALTER means the WHOLE table satisfies it.
+    Returns the committed version."""
+    root = target_path.rstrip("/")
+    fs, jvm = _hadoop_fs(spark, root)
+
+    def _attempt(doc, new_version, token):
+        existing = doc.get("constraints") or {}
+        if name in existing:
+            raise ValueError(
+                f"add_constraint_manifested: constraint {name!r} already "
+                f"exists ({existing[name]!r}); drop it first"
+            )
+        probe = {**doc, "constraints": {name: sql_expr}}
+        if doc["partitions"]:
+            current = read_manifested(spark, root, version=doc["version"])
+            _validate_constraints(probe, current, "add_constraint_manifested")
+        new_doc = {
+            "version": new_version,
+            "partitions": dict(doc["partitions"]),
+            "constraints": {**existing, name: sql_expr},
+        }
+        if doc.get("schema") is not None:
+            new_doc["schema"] = doc["schema"]
+        _carry_mapping(doc, new_doc)
+        _carry_dv(doc, new_doc)
+        if doc.get("stats_cols") or doc.get("bloom_cols"):
+            _carry_stats_config(doc, new_doc)
+            new_doc["files"] = doc.get("files", {})
+        ok = _publish_cas(
+            fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
+        )
+        return ok, [], new_version
+
+    return _commit_retry(fs, jvm, root, _attempt)
+
+
+def drop_constraint_manifested(
+    spark: SparkSession, target_path: str, name: str
+) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT: metadata-only commit."""
+    root = target_path.rstrip("/")
+    fs, jvm = _hadoop_fs(spark, root)
+
+    def _attempt(doc, new_version, token):
+        existing = doc.get("constraints") or {}
+        if name not in existing:
+            raise ValueError(
+                f"drop_constraint_manifested: no constraint {name!r} "
+                f"(have: {sorted(existing)})"
+            )
+        kept = {k: v for k, v in existing.items() if k != name}
+        new_doc = {
+            "version": new_version,
+            "partitions": dict(doc["partitions"]),
+            "constraints": kept if kept else None,
+        }
+        if doc.get("schema") is not None:
+            new_doc["schema"] = doc["schema"]
+        _carry_mapping(doc, new_doc)
+        _carry_dv(doc, new_doc)
+        if doc.get("stats_cols") or doc.get("bloom_cols"):
+            _carry_stats_config(doc, new_doc)
+            new_doc["files"] = doc.get("files", {})
         ok = _publish_cas(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
         )
@@ -2157,7 +2306,9 @@ def rollback_manifested(
         new_doc["version"] = new_version
         # explicit nulls stop delta-chain inheritance of state the old
         # snapshot did not have (e.g. rolling back across a DV delete)
-        for key in ("dv", "schema", "column_mapping", *_STATS_CONFIG_KEYS):
+        for key in (
+            "dv", "schema", "column_mapping", "constraints", *_STATS_CONFIG_KEYS
+        ):
             if key in doc and key not in new_doc:
                 new_doc[key] = None
         ok = _publish_cas(
@@ -2291,6 +2442,7 @@ def _delete_dv(spark: SparkSession, target_path: str, fmt: str, matcher) -> int:
         if doc.get("schema") is not None:
             new_doc["schema"] = doc["schema"]
         _carry_mapping(doc, new_doc)
+        _carry_constraints(doc, new_doc)
         if doc.get("stats_cols") or doc.get("bloom_cols"):
             # data files are untouched: stats stay valid (min/max/bloom
             # become conservative over-approximations of the live rows)

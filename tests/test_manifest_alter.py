@@ -183,3 +183,68 @@ def test_alter_composes_with_dv_and_compaction(spark, tmp_path):
     compact_manifested(spark, path, min_files=1)
     got2 = sorted((r.id, r.quantity) for r in read_manifested(spark, path).collect())
     assert got2 == [(1, 10), (3, 30)]
+
+
+def test_check_constraints_gate_commits(spark, tmp_path):
+    """Delta-style CHECK constraints: ADD validates the existing table,
+    later merges/updates validate their STAGED slice and are refused
+    wholesale on violation (table unchanged, version unchanged); NULL
+    passes (SQL CHECK semantics); DROP lifts the gate; ALTER refuses to
+    rename/drop a constrained column."""
+    import pytest
+
+    from etl_demo_spark.io.manifest import (
+        ConstraintViolation,
+        add_constraint_manifested,
+        alter_manifested,
+        drop_constraint_manifested,
+        manifest_versions,
+        merge_upsert_manifested,
+        read_manifested,
+        update_where_manifested,
+        write_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    rows = [(1, 10, "A"), (2, None, "A"), (3, 30, "B")]
+    write_manifested(
+        spark.createDataFrame(rows, "id INT, qty INT, seg STRING"), path, "seg"
+    )
+    add_constraint_manifested(spark, path, "qty_pos", "qty > 0")  # NULL passes
+
+    # ADD against violating existing data is refused
+    with pytest.raises(ConstraintViolation, match="qty_small"):
+        add_constraint_manifested(spark, path, "qty_small", "qty < 20")
+
+    # violating merge refused wholesale; table and version unchanged
+    vs = manifest_versions(spark, path)
+    bad = spark.createDataFrame([(9, -5, "A"), (8, 7, "B")], "id INT, qty INT, seg STRING")
+    with pytest.raises(ConstraintViolation, match="qty_pos"):
+        merge_upsert_manifested(spark, path, bad, ["id"], "seg")
+    assert manifest_versions(spark, path) == vs
+    assert {r.id for r in read_manifested(spark, path).collect()} == {1, 2, 3}
+
+    # valid merge passes
+    good = spark.createDataFrame([(8, 7, "B")], "id INT, qty INT, seg STRING")
+    merge_upsert_manifested(spark, path, good, ["id"], "seg")
+    assert {r.id for r in read_manifested(spark, path).collect()} == {1, 2, 3, 8}
+
+    # violating UPDATE refused
+    with pytest.raises(ConstraintViolation, match="qty_pos"):
+        update_where_manifested(
+            spark, path, {"qty": F.lit(-1)}, F.col("id") == 1, "seg"
+        )
+
+    # constrained column is rename/drop-protected
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        alter_manifested(spark, path, rename_columns={"qty": "quantity"})
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        alter_manifested(spark, path, drop_columns=["qty"])
+
+    # DROP lifts the gate
+    drop_constraint_manifested(spark, path, "qty_pos")
+    update_where_manifested(
+        spark, path, {"qty": F.lit(-1)}, F.col("id") == 1, "seg"
+    )
+    got = {r.id: r.qty for r in read_manifested(spark, path).collect()}
+    assert got[1] == -1
