@@ -6898,6 +6898,139 @@ def lineitem_bloomfilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_rollback_restore",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(year(o_orderdate) AS VARCHAR) AS dt
+    FROM orders
+    """,
+)
+def orders_rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE after a bad commit (`io/manifest.py rollback_manifested`):
+    the table takes a corrupting UPDATE (every price zeroed), then rolls
+    back to the pre-incident snapshot — as a NEW commit, so history
+    moves forward and the bad version stays auditable (asserted:
+    post-rollback version > bad version, and time travel still reads the
+    corruption). The oracle is the original projection — the restored
+    read must be bit-identical to pre-incident.
+
+    Scale: rollback is one pointer commit regardless of table size —
+    the incident-recovery primitive a 100 TB table cannot get from
+    re-running yesterday's pipeline."""
+    import tempfile
+
+    from etl_demo_spark.io.manifest import (
+        manifest_versions,
+        read_manifested,
+        rollback_manifested,
+        update_where_manifested,
+        write_manifested,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("string").alias("dt"),
+    )
+    target_path = tempfile.mkdtemp(prefix="rollback_") + "/orders"
+    write_manifested(t.repartition(4), target_path, "dt")
+    good_v = manifest_versions(spark, target_path)[-1]
+
+    update_where_manifested(
+        spark, target_path, {"o_totalprice": F.lit(0.0)}, F.lit(True), "dt"
+    )
+    bad_v = manifest_versions(spark, target_path)[-1]
+    new_v = rollback_manifested(spark, target_path, good_v)
+    assert new_v > bad_v, (new_v, bad_v)
+    # the incident stays auditable inside the retention window
+    corrupted = read_manifested(spark, target_path, version=bad_v)
+    assert corrupted.filter(F.col("o_totalprice") != 0.0).count() == 0
+    return read_manifested(spark, target_path).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("dt").cast("string").alias("dt"),
+    )
+
+
+@query(
+    "orders_constraint_gate",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice,
+           CAST(year(o_orderdate) AS VARCHAR) AS dt
+    FROM orders
+    """,
+)
+def orders_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint enforcement (`io/manifest.py
+    add_constraint_manifested`): the table takes a positive-price
+    constraint, a VIOLATING bulk update is refused wholesale (asserted:
+    version unchanged), and a valid update commits normally. The oracle
+    is the base table with only the VALID update applied — proof that
+    the refused commit left no trace and the gate let the good one
+    through.
+
+    Scale: validation is one aggregate job over the commit's STAGED
+    slice (never the table), so the gate costs what the commit already
+    reads; refusal happens before any rename — a 100 TB table can't be
+    half-poisoned."""
+    import tempfile
+
+    from etl_demo_spark.io.manifest import (
+        ConstraintViolation,
+        add_constraint_manifested,
+        manifest_versions,
+        update_where_manifested,
+        read_manifested,
+        write_manifested,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderstatus",
+        F.year("o_orderdate").cast("string").alias("dt"),
+    )
+    target_path = tempfile.mkdtemp(prefix="constraint_") + "/orders"
+    write_manifested(t.repartition(4), target_path, "dt")
+    add_constraint_manifested(spark, target_path, "price_pos", "o_totalprice > 0")
+
+    vs = manifest_versions(spark, target_path)
+    try:
+        update_where_manifested(
+            spark,
+            target_path,
+            {"o_totalprice": F.lit(-1.0)},
+            F.col("o_orderstatus") == "F",
+            "dt",
+        )
+        raise AssertionError("violating update must be refused")
+    except ConstraintViolation:
+        pass
+    assert manifest_versions(spark, target_path) == vs, "refusal must not commit"
+
+    update_where_manifested(
+        spark,
+        target_path,
+        {"o_totalprice": F.col("o_totalprice") + F.lit(1.0)},
+        F.col("o_orderstatus") == "O",
+        "dt",
+    )
+    return read_manifested(spark, target_path).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("dt").cast("string").alias("dt"),
+    )
+
+
+@query(
     "orders_alter_evolution",
     oracle="""
     SELECT o_orderkey,
