@@ -6554,6 +6554,67 @@ def orders_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_overlap_chunks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, t,
+             GREATEST(0, CAST(CEIL((len(t) - 64) / 48.0) AS INT)) * 48 AS last_start
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, t, g.start
+      FROM sized, LATERAL unnest(generate_series(0, last_start, 48)) AS g(start)
+    )
+    SELECT doc_id,
+           CAST(start // 48 AS INT) AS chunk_id,
+           CAST(len(t[start + 1 : start + 64]) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(t[start + 1 : start + 64], ' ')) AS chunk_md5
+    FROM ex
+    """,
+)
+def doc_overlap_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style OVERLAPPING window chunker: each document's token stream
+    is cut into 64-token windows at stride 48 (16-token overlap — the
+    boundary-context rule retrieval chunkers use so no sentence is ever
+    split across chunks without a copy). Distinct from `doc_pack_chunks`
+    (training-data packing concatenates docs; retrieval chunking never
+    crosses document boundaries). Chunk identity is pinned by md5 of the
+    reconstructed window — the oracle replays tokenization, window
+    arithmetic, slicing, and hashing.
+
+    Scale: one narrow projection + an explode whose fan-out is
+    ceil(tokens/stride) per document — no shuffle, no state; the 100 TB
+    corpus chunks in a single map stage."""
+    from etl_demo_spark.text import tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    c, s = 64, 48
+    toks = tokens("text")
+    base = docs.select("doc_id", toks.alias("t"))
+    last_start = (
+        F.greatest(
+            F.lit(0),
+            F.ceil((F.size("t") - F.lit(c)) / F.lit(float(s))).cast("int"),
+        )
+        * s
+    )
+    ex = base.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), last_start, F.lit(s))).alias("start"),
+    )
+    chunk = F.slice("t", F.col("start") + 1, c)
+    return ex.select(
+        "doc_id",
+        (F.col("start") / s).cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+@query(
     "doc_nfc_normalize",
     oracle="""
     WITH raw AS (

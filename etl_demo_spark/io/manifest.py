@@ -1734,6 +1734,48 @@ def manifest_files(
     )
 
 
+def manifest_properties(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """The table's governance state as one key/value DataFrame — the
+    DESCRIBE EXTENDED surface for this layer: version, commit stamp,
+    leaf/file counts, schema fields, CHECK constraints, column-mapping
+    entries, deletion-vector summary, stats/bloom config. Metadata-only
+    (one chain resolution, no data files opened, no listStatus).
+
+    Columns: key STRING, value STRING."""
+    fs, jvm = _hadoop_fs(spark, root)
+    doc = _load_doc(fs, jvm, root, version)
+    rows: list[tuple[str, str]] = [
+        ("version", str(doc["version"])),
+        ("committed_at_ms", str(doc.get("committed_at_ms", ""))),
+        ("n_leaves", str(len(doc["partitions"]))),
+    ]
+    if doc.get("files") is not None:
+        rows.append(("n_files", str(len(doc["files"]))))
+        total = sum(
+            st.get("__rows", 0) for st in doc["files"].values()
+        )
+        rows.append(("rows_physical", str(total)))
+    if doc.get("schema") is not None:
+        for f in T.StructType.fromJson(json.loads(doc["schema"])).fields:
+            rows.append((f"schema.{f.name}", f.dataType.simpleString()))
+    for name, expr in sorted((doc.get("constraints") or {}).items()):
+        rows.append((f"constraint.{name}", expr))
+    for logical, phys in sorted((doc.get("column_mapping") or {}).items()):
+        if logical != phys:
+            rows.append((f"column_mapping.{logical}", phys))
+    dv = doc.get("dv")
+    if dv:
+        rows.append(("dv.files", str(len(dv["files"]))))
+        rows.append(("dv.deleted_rows", str(sum(dv["files"].values()))))
+        rows.append(("dv.rel", dv["rel"]))
+    for key in _STATS_CONFIG_KEYS:
+        if doc.get(key) is not None:
+            rows.append((key, str(doc[key])))
+    return spark.createDataFrame(rows, "key STRING, value STRING")
+
+
 def manifest_orphans(spark: SparkSession, root: str) -> DataFrame:
     """Dry-run orphan report: every ``__v`` directory no retained
     manifest references, with its age and whether the next commit's GC

@@ -248,3 +248,29 @@ def test_check_constraints_gate_commits(spark, tmp_path):
     )
     got = {r.id: r.qty for r in read_manifested(spark, path).collect()}
     assert got[1] == -1
+
+
+def test_manifest_properties_surface(spark, tmp_path):
+    """DESCRIBE EXTENDED for the layer: version, schema, constraints,
+    mapping, DV summary — one metadata-only DataFrame."""
+    from etl_demo_spark.io.manifest import (
+        add_constraint_manifested,
+        alter_manifested,
+        delete_rows_manifested,
+        manifest_properties,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    alter_manifested(spark, path, rename_columns={"qty": "quantity"})
+    add_constraint_manifested(spark, path, "q_pos", "quantity > 0")
+    delete_rows_manifested(spark, path, F.col("id") == 2)
+
+    props = {r.key: r.value for r in manifest_properties(spark, path).collect()}
+    assert props["n_leaves"] == "2"
+    assert props["schema.quantity"] == "int"
+    assert props["constraint.q_pos"] == "quantity > 0"
+    assert props["column_mapping.quantity"] == "qty"
+    assert props["dv.deleted_rows"] == "1"
+    assert int(props["version"]) >= 4
+    assert int(props["rows_physical"]) == 3  # DV rows still physical
