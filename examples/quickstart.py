@@ -152,6 +152,81 @@ def main() -> None:
         f"range lookup opened {len(lookup.inputFiles())} files"
     )
 
+    # 7b. Table governance: DV deletes, ALTER, constraints, rollback
+    from etl_demo_spark.io.manifest import (
+        ConstraintViolation,
+        add_constraint_manifested,
+        alter_manifested,
+        delete_rows_manifested,
+        manifest_properties,
+        rollback_manifested,
+    )
+
+    n_dv = delete_rows_manifested(spark, table, F.col("c_acctbal") < 0)
+    alter_manifested(
+        spark, table,
+        rename_columns={"c_acctbal": "balance"},
+        add_columns={"note": "string"},
+    )
+    add_constraint_manifested(spark, table, "key_pos", "c_custkey > 0")
+    try:
+        merge_upsert_manifested(
+            spark, table,
+            read_manifested(spark, table).limit(1).withColumn(
+                "c_custkey", F.lit(-1)
+            ),
+            ["c_custkey"], "c_mktsegment",
+        )
+        raise AssertionError("constraint must refuse")
+    except ConstraintViolation:
+        refused = True
+    # incident drill: a bad bulk update lands, RESTORE to the last good
+    # snapshot as a new commit (history keeps the incident auditable)
+    from etl_demo_spark.io.manifest import update_where_manifested
+
+    last_good = manifest_versions(spark, table)[-1]
+    update_where_manifested(
+        spark, table, {"balance": F.lit(0.0)}, F.lit(True), "c_mktsegment"
+    )
+    rollback_manifested(spark, table, last_good)
+    props = {r.key: r.value for r in manifest_properties(spark, table).collect()}
+    print(
+        f"[governance] dv-deleted {n_dv} rows in place (no rewrite); renamed "
+        f"c_acctbal->balance as metadata; constraint refused a bad merge: "
+        f"{refused}; table now v{props['version']} with "
+        f"{props.get('dv.deleted_rows', '0')} DV rows pending compaction"
+    )
+
+    # 7c. Web-corpus prep: URL dedup + NFC normalization + RAG chunking
+    from etl_demo_spark.text import nfc_normalize_udf
+    from etl_demo_spark.web import url_dedup
+
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"), F.lit(".example.com/d/"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit("?utm_source=feed&id="), (F.col("doc_id") % 100).cast("string"),
+        ).alias("url"),
+    )
+    kept = url_dedup(urls)
+    nfc = nfc_normalize_udf()
+    n_norm = (
+        docs.select(nfc(F.col("text")).alias("n"), "text")
+        .filter(F.col("n") != F.col("text"))
+        .count()
+    )
+    print(
+        f"[web] {urls.count()} raw urls -> {kept.count()} canonical; "
+        f"{n_norm} docs changed by NFC normalization"
+    )
+
+    # 7d. Compressed vector search: product quantization (4 bytes/vector)
+    from etl_demo_spark.vec import pq_topk
+
+    pq = pq_topk(emb, k=3, query_id=0, m=4, ksub=8, n_iter=2).collect()
+    print("[ann] pq top-3 (ADC dist):", [(r[0], r[1]) for r in pq])
+
     # 8. Tokenizer training: BPE on the corpus word-frequency statistic
     from etl_demo_spark.bpe import bpe_encode, bpe_train, word_freqs
 

@@ -508,3 +508,73 @@ def test_edit_distance_join_property(spark_handle, words, k):
         if lev(a, b) <= k
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-6b properties: URL canonicalization, NFC normalization, PQ coding
+# ---------------------------------------------------------------------------
+
+_SCHEMES = ["http", "HTTP", "https", "HTTPS"]
+_HOSTS = ["Example.COM", "www.example.com", "EXAMPLE.com:443", "a.b.org:8080"]
+_PATHS = ["", "/", "/x", "/x/", "/X/y//"]
+_PARAMS = ["", "?b=2&a=1", "?utm_source=s&a=1", "?fbclid=f", "?a=1&a=0"]
+_FRAGS = ["", "#top"]
+
+
+url_strategy = st.builds(
+    lambda s, h, p, q, f: f"{s}://{h}{p}{q}{f}",
+    st.sampled_from(_SCHEMES),
+    st.sampled_from(_HOSTS),
+    st.sampled_from(_PATHS),
+    st.sampled_from(_PARAMS),
+    st.sampled_from(_FRAGS),
+)
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(st.lists(url_strategy, min_size=1, max_size=12))
+def test_canonical_url_idempotent(spark, urls):
+    """canonical(canonical(u)) == canonical(u): the canonical form is a
+    FIXED POINT — if re-canonicalizing moved anything, two pipeline runs
+    would disagree on dedup keys."""
+    from etl_demo_spark.web import canonical_url
+
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i INT, url STRING")
+    once = df.select("i", canonical_url("url").alias("c1"))
+    twice = once.select("i", "c1", canonical_url("c1").alias("c2"))
+    bad = twice.filter(F.col("c1") != F.col("c2")).collect()
+    assert not bad, bad
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("abcé́̊A Åéﬁ1"),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_nfc_normalize_idempotent_and_canonical_equivalent(spark, texts):
+    """NFC is idempotent, and normalization preserves canonical
+    equivalence (round-trip through Python's unicodedata agrees with the
+    UDF output — the same invariant the DuckDB oracle pins)."""
+    import unicodedata
+
+    from etl_demo_spark.text import nfc_normalize_udf
+
+    nfc = nfc_normalize_udf()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i INT, t STRING"
+    )
+    out = df.select("i", "t", nfc(F.col("t")).alias("n")).collect()
+    for r in out:
+        assert r.n == unicodedata.normalize("NFC", r.t)
+        assert unicodedata.normalize("NFC", r.n) == r.n
