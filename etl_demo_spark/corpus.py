@@ -6186,6 +6186,149 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_topk_ivfpq",
+    oracle="""
+    WITH RECURSIVE qlong AS (
+      SELECT vec_id, i,
+             CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000) AS BIGINT) AS x
+      FROM embeddings, LATERAL unnest(generate_series(0, len(embedding) - 1)) AS t(i)
+    ),
+    ccent(it, c, i, cx) AS (
+      SELECT 0, CAST(vec_id AS INT), i, x FROM qlong WHERE vec_id < 8
+      UNION ALL
+      SELECT it + 1, cl, i, CAST(FLOOR(CAST(sx AS DOUBLE) / nv) AS BIGINT)
+      FROM (
+        SELECT a.it, a.cl, q.i, SUM(q.x) AS sx, COUNT(*) AS nv
+        FROM (
+          SELECT it, vec_id, cl FROM (
+            SELECT d.it, d.vec_id, d.c AS cl,
+                   ROW_NUMBER() OVER (PARTITION BY d.it, d.vec_id
+                                      ORDER BY d.dist, d.c) AS rn
+            FROM (
+              SELECT ccent.it, q2.vec_id, ccent.c,
+                     SUM((q2.x - ccent.cx) * (q2.x - ccent.cx)) AS dist
+              FROM ccent JOIN qlong q2 USING (i)
+              WHERE ccent.it < 3
+              GROUP BY ccent.it, q2.vec_id, ccent.c
+            ) d
+          ) WHERE rn = 1
+        ) a
+        JOIN qlong q ON q.vec_id = a.vec_id
+        GROUP BY a.it, a.cl, q.i
+      )
+    ),
+    cells AS (
+      SELECT vec_id, cl FROM (
+        SELECT d.vec_id, d.c AS cl,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.dist, d.c) AS rn
+        FROM (
+          SELECT q2.vec_id, ccent.c,
+                 SUM((q2.x - ccent.cx) * (q2.x - ccent.cx)) AS dist
+          FROM ccent JOIN qlong q2 USING (i)
+          WHERE ccent.it = 3
+          GROUP BY q2.vec_id, ccent.c
+        ) d
+      ) WHERE rn = 1
+    ),
+    resid AS (
+      SELECT q.vec_id, cells.cl AS cell, q.i, q.x - cc.cx AS x
+      FROM qlong q
+      JOIN cells ON cells.vec_id = q.vec_id
+      JOIN ccent cc ON cc.it = 3 AND cc.c = cells.cl AND cc.i = q.i
+    ),
+    pcent(it, s, c, i, cx) AS (
+      SELECT 0, i // 16, CAST(vec_id AS INT), i, x FROM resid WHERE vec_id < 8
+      UNION ALL
+      SELECT it + 1, s, cl, i, CAST(FLOOR(CAST(sx AS DOUBLE) / nv) AS BIGINT)
+      FROM (
+        SELECT a.it, a.s, a.cl, r.i, SUM(r.x) AS sx, COUNT(*) AS nv
+        FROM (
+          SELECT it, s, vec_id, cl FROM (
+            SELECT d.it, d.s, d.vec_id, d.c AS cl,
+                   ROW_NUMBER() OVER (PARTITION BY d.it, d.s, d.vec_id
+                                      ORDER BY d.dist, d.c) AS rn
+            FROM (
+              SELECT pcent.it, pcent.s, r2.vec_id, pcent.c,
+                     SUM((r2.x - pcent.cx) * (r2.x - pcent.cx)) AS dist
+              FROM pcent JOIN resid r2 ON r2.i = pcent.i
+              WHERE pcent.it < 3
+              GROUP BY pcent.it, pcent.s, r2.vec_id, pcent.c
+            ) d
+          ) WHERE rn = 1
+        ) a
+        JOIN resid r ON r.vec_id = a.vec_id AND r.i // 16 = a.s
+        GROUP BY a.it, a.s, a.cl, r.i
+      )
+    ),
+    codes AS (
+      SELECT vec_id, s, cl FROM (
+        SELECT d.vec_id, d.s, d.c AS cl,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.s
+                                  ORDER BY d.dist, d.c) AS rn
+        FROM (
+          SELECT r2.vec_id, pcent.s, pcent.c,
+                 SUM((r2.x - pcent.cx) * (r2.x - pcent.cx)) AS dist
+          FROM pcent JOIN resid r2 ON r2.i = pcent.i
+          WHERE pcent.it = 3
+          GROUP BY r2.vec_id, pcent.s, pcent.c
+        ) d
+      ) WHERE rn = 1
+    ),
+    probed AS (
+      SELECT c FROM (
+        SELECT cc.c, SUM((q.x - cc.cx) * (q.x - cc.cx)) AS dist
+        FROM ccent cc JOIN qlong q USING (i)
+        WHERE cc.it = 3 AND q.vec_id = 0
+        GROUP BY cc.c
+      ) ORDER BY dist, c LIMIT 2
+    ),
+    dt AS (
+      SELECT qr.cell, pc.s, pc.c,
+             SUM((qr.x - pc.cx) * (qr.x - pc.cx)) AS dist
+      FROM (
+        SELECT cc.c AS cell, q.i, q.x - cc.cx AS x
+        FROM ccent cc JOIN qlong q USING (i)
+        WHERE cc.it = 3 AND q.vec_id = 0 AND cc.c IN (SELECT c FROM probed)
+      ) qr
+      JOIN pcent pc ON pc.i = qr.i
+      WHERE pc.it = 3
+      GROUP BY qr.cell, pc.s, pc.c
+    ),
+    scored AS (
+      SELECT codes.vec_id, CAST(SUM(dt.dist) AS BIGINT) AS pq_dist
+      FROM codes
+      JOIN cells ON cells.vec_id = codes.vec_id
+      JOIN dt ON dt.cell = cells.cl AND dt.s = codes.s AND dt.c = codes.cl
+      WHERE cells.cl IN (SELECT c FROM probed)
+      GROUP BY codes.vec_id
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, pq_dist
+    FROM scored ORDER BY pq_dist, vec_id LIMIT 10
+    """,
+)
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-13 IVF-PQ top-k — the FAISS PRODUCTION index shape (coarse
+    quantizer cells + product quantization over the RESIDUALS + nprobe
+    cell probing + per-cell ADC ranking), EXACTLY oracled by CHAINING the
+    two fixpoint recursions: the coarse k-means recursion feeds integer
+    residuals into the multi-codebook PQ recursion, then probing, the
+    per-cell distance tables, and the ranking all replay in the same
+    DuckDB query — the composition proof that the engine's index
+    building blocks are deterministic enough to stack.
+
+    Scale: index state is n_cells·dim + m·ksub·dsub ints plus m bytes
+    per vector; a query scans only its probed cells (partition-prunable
+    with the cell-partitioned layout of pipelines/embedding_index.py) at
+    one table lookup per subspace per row."""
+    from etl_demo_spark.vec import ivf_pq_topk
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb, k=10, query_id=0, n_cells=8, nprobe=2, m=4, ksub=8, n_iter=3
+    )
+
+
+@query(
     "trade_graph_pagerank",
     oracle="""
     WITH RECURSIVE pairs AS (

