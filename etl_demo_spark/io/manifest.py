@@ -1359,11 +1359,29 @@ def manifest_diff(
                 total += st["__rows"]
         return total
 
+    def leaf_dv(doc: dict, vrel: str) -> int:
+        dv = doc.get("dv")
+        if not dv:
+            return 0
+        return sum(
+            n for p, n in dv["files"].items() if p.rsplit("/", 1)[0] == vrel
+        )
+
     out: dict = {}
     pa, pb = a["partitions"], b["partitions"]
     for rel in sorted(set(pa) | set(pb)):
         va, vb = pa.get(rel), pb.get(rel)
         if va == vb:
+            # same files, but a deletion-vector commit may have logically
+            # deleted rows in place — surface it (live = physical − DV'd)
+            if va is not None and leaf_dv(a, va) != leaf_dv(b, vb):
+                before = leaf_rows(a, va)
+                after = leaf_rows(b, vb)
+                out[rel] = {
+                    "status": "rows_deleted",
+                    "rows_before": None if before is None else before - leaf_dv(a, va),
+                    "rows_after": None if after is None else after - leaf_dv(b, vb),
+                }
             continue
         status = "added" if va is None else "removed" if vb is None else "rewritten"
         out[rel] = {
@@ -1732,6 +1750,25 @@ def manifest_files(
         "leaf STRING, file_rel STRING, bytes LONG, rows LONG, "
         "stats MAP<STRING, ARRAY<STRING>>",
     )
+
+
+def register_manifested(
+    spark: SparkSession,
+    name: str,
+    root: str,
+    fmt: str = "parquet",
+    version: int | None = None,
+) -> DataFrame:
+    """Register the snapshot read as a temp view so plain ``spark.sql``
+    can query the manifested table (joins, window functions, CTEs — the
+    whole SQL surface over the governed layout). The view PINS the
+    snapshot resolved NOW (paths + deletion vectors + schema as of this
+    call) — exactly the read-consistency a long multi-statement SQL
+    session wants; re-register to observe later commits. ``version``
+    registers a time-travel view."""
+    df = read_manifested(spark, root, fmt, version=version)
+    df.createOrReplaceTempView(name)
+    return df
 
 
 def manifest_properties(

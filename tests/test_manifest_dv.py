@@ -255,3 +255,76 @@ def test_dv_two_writers_threaded_both_commit(spark, tmp_path):
     assert results["a"] == 10 and results["b"] == 10
     got = sorted(r.id for r in read_manifested(spark, path).collect())
     assert got == list(range(10, 90))
+
+
+def test_manifest_diff_surfaces_dv_deletes(spark, tmp_path):
+    """A DV-only commit changes no version subdir, but the snapshot diff
+    must still report the leaf's LIVE row change (physical − DV'd)."""
+    from etl_demo_spark.io.manifest import (
+        delete_rows_manifested,
+        manifest_diff,
+        manifest_versions,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    v1 = manifest_versions(spark, path)[-1]
+    # k=0 holds ids 0,4,...,96 (25 rows); delete three of them
+    assert delete_rows_manifested(spark, path, F.col("id").isin(0, 4, 8)) == 3
+    v2 = manifest_versions(spark, path)[-1]
+    d = manifest_diff(spark, path, v1, v2)
+    assert d == {
+        "k=0": {"status": "rows_deleted", "rows_before": 25, "rows_after": 22}
+    }, d
+
+
+def test_register_manifested_sql_and_snapshot_pin(spark, tmp_path):
+    """spark.sql over the governed table; the view pins the snapshot at
+    registration (a later DV delete is invisible until re-register)."""
+    from etl_demo_spark.io.manifest import (
+        delete_rows_manifested,
+        register_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    register_manifested(spark, "mtab", path)
+    n0 = spark.sql("SELECT count(*) AS n FROM mtab WHERE id % 2 = 0").first().n
+    assert n0 == 50
+    delete_rows_manifested(spark, path, F.col("id") < 10)
+    # pinned view still reads the registration-time snapshot
+    assert spark.sql("SELECT count(*) AS n FROM mtab").first().n == 100
+    register_manifested(spark, "mtab", path)
+    assert spark.sql("SELECT count(*) AS n FROM mtab").first().n == 90
+
+
+def test_dv_sequence_equals_filter_composition(spark, tmp_path):
+    """Property: any sequence of DV deletes is extensionally a filter
+    composition — the surviving rows equal the base table filtered by
+    the conjunction of negated predicates (with SQL NULL semantics)."""
+    from etl_demo_spark.io.manifest import (
+        delete_rows_manifested,
+        read_manifested,
+        write_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(200).select(
+        "id",
+        (F.col("id") % 3).cast("string").alias("k"),
+        F.when(F.col("id") % 11 == 0, None).otherwise(F.col("id") * 2).alias("v"),
+    )
+    write_manifested(base.repartition(3), path, "k")
+    preds = [
+        F.col("v") > 300,
+        F.col("id") % 7 == 0,
+        (F.col("v") < 50) & (F.col("id") % 2 == 0),
+    ]
+    for p in preds:
+        delete_rows_manifested(spark, path, p)
+    expected = base
+    for p in preds:
+        expected = expected.filter(~F.coalesce(p, F.lit(False)))
+    got = sorted(r.id for r in read_manifested(spark, path).collect())
+    want = sorted(r.id for r in expected.collect())
+    assert got == want
