@@ -7102,6 +7102,64 @@ def lineitem_bloomfilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_repartition_layout",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+           CAST(year(o_orderdate) AS VARCHAR) AS dt
+    FROM orders
+    """,
+)
+def orders_repartition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATOMIC RE-PARTITIONING (`io/manifest.py repartition_manifested`):
+    the table lands partitioned by year, then — discovering queries
+    actually filter by priority — is rewritten under an
+    o_orderpriority layout in ONE commit (asserted in-query: every new
+    leaf is priority-keyed; time travel still reads the year layout).
+    The oracle is the plain projection: re-layout must be a pure
+    physical move.
+
+    Scale: one table-sized shuffle with byte-derived shard counts —
+    the same job shape as a full OPTIMIZE, scheduled the same way; the
+    pointer swap makes the layout change invisible to racing readers
+    until it is complete."""
+    import tempfile
+
+    from etl_demo_spark.io.manifest import (
+        load_manifest,
+        manifest_versions,
+        read_manifested,
+        repartition_manifested,
+        write_manifested,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.year("o_orderdate").cast("string").alias("dt"),
+    )
+    target_path = tempfile.mkdtemp(prefix="repart_") + "/orders"
+    write_manifested(t.repartition(4), target_path, "dt")
+    v_old = manifest_versions(spark, target_path)[-1]
+
+    leaves = repartition_manifested(spark, target_path, "o_orderpriority")
+    assert leaves and all(r.startswith("o_orderpriority=") for r in leaves), leaves
+    _, mapping = load_manifest(spark, target_path)
+    assert all(rel.startswith("o_orderpriority=") for rel in mapping)
+    old = read_manifested(spark, target_path, version=v_old)
+    assert any("/dt=" in f for f in old.inputFiles())
+    return read_manifested(spark, target_path).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderpriority").cast("string").alias("o_orderpriority"),
+        F.col("dt").cast("string").alias("dt"),
+    )
+
+
+@query(
     "orders_rollback_restore",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice,

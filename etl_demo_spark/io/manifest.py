@@ -1329,6 +1329,116 @@ def compact_manifested(
     return _commit_retry(fs, jvm, roots, _attempt)
 
 
+def repartition_manifested(
+    spark: SparkSession,
+    root: str,
+    new_partition_cols,
+    fmt: str = "parquet",
+    target_file_bytes: int = 256 * 1024 * 1024,
+) -> list[str]:
+    """CHANGE THE TABLE'S PARTITIONING in one atomic commit — the
+    recovery for "we partitioned by the wrong column": every row is
+    rewritten under the new ``k=v`` layout, published as one pointer
+    swap. Readers racing the rewrite see the old layout until the
+    commit, the new one after — never a mix; time travel still reads
+    the old layout. Deletion vectors are MATERIALIZED by the rewrite
+    (the read applies them); schema, constraints, column mapping, and
+    stats/bloom config carry (stats recompute for the new files).
+
+    Honesty note vs real table formats: Iceberg's partition-spec
+    evolution is metadata-only and applies the new spec to NEW data,
+    at the cost of multi-spec scan planning; this engine rewrites
+    physically — a full-table job you schedule like a compaction, after
+    which every query benefits immediately. The new partition columns
+    must exist in the schema and (under column mapping) be
+    identity-mapped — a renamed column cannot become a directory name
+    without ambiguity.
+
+    Scale: ONE shuffle sized by the table (repartition on the new keys
+    with byte-derived shard counts), the same job shape as a full
+    compaction. Returns the new leaf rels."""
+    cols = _normalize_partition_cols(new_partition_cols)
+    roots = root.rstrip("/")
+    fs, jvm = _hadoop_fs(spark, roots)
+    _clean_stale_staging(fs, jvm, roots)
+
+    def _attempt(doc, new_version, token):
+        mapping = doc["partitions"]
+        if not mapping:
+            return True, [], []
+        cmap = doc.get("column_mapping") or {}
+        for c in cols:
+            if cmap.get(c, c) != c:
+                raise ValueError(
+                    f"repartition_manifested: {c!r} is renamed under column "
+                    f"mapping (physical {cmap[c]!r}); partition columns must "
+                    "be identity-mapped"
+                )
+        target = read_manifested(spark, roots, fmt, version=doc["version"])
+        missing = [c for c in cols if c not in target.columns]
+        if missing:
+            raise ValueError(
+                f"repartition_manifested: columns {missing} not in table "
+                f"schema {target.columns}"
+            )
+        # size the shuffle from the table's on-disk bytes
+        nbytes = 0
+        for vrel in mapping.values():
+            for st in fs.listStatus(
+                jvm.org.apache.hadoop.fs.Path(f"{roots}/{vrel}")
+            ):
+                if st.isFile():
+                    nbytes += st.getLen()
+        shards = max(1, -(-nbytes // target_file_bytes))
+        out = target
+        for c in cols:
+            out = out.withColumn(c, F.col(c).cast("string"))
+        staging = f"{roots}.__manifest_staging__{token}"
+        _to_physical(
+            out.repartition(shards, *cols), doc.get("column_mapping")
+        ).write.mode("overwrite").partitionBy(*cols).format(fmt).save(staging)
+
+        new_mapping: dict = {}
+        staged_vrels: list[str] = []
+        stack = [(jvm.org.apache.hadoop.fs.Path(staging), "", 0)]
+        while stack:
+            path, rel, d = stack.pop()
+            for st in fs.listStatus(path):
+                name = st.getPath().getName()
+                if not st.isDirectory() or "=" not in name:
+                    continue
+                r = f"{rel}/{name}" if rel else name
+                if d + 1 == len(cols):
+                    vrel = f"{r}/{_vdir(new_version, token)}"
+                    _mkdirs_parent(fs, jvm, f"{roots}/{vrel}")
+                    fs.rename(
+                        st.getPath(),
+                        jvm.org.apache.hadoop.fs.Path(f"{roots}/{vrel}"),
+                    )
+                    new_mapping[r] = vrel
+                    staged_vrels.append(vrel)
+                else:
+                    stack.append((st.getPath(), r, d + 1))
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+
+        new_doc = {"version": new_version, "partitions": new_mapping}
+        if doc.get("schema") is not None:
+            new_doc["schema"] = doc["schema"]
+        _carry_mapping(doc, new_doc)
+        _carry_constraints(doc, new_doc)
+        # DVs were materialized by the DV-applying read; drop the pointer
+        stats = _evolve_file_stats(spark, fmt, roots, doc, new_mapping, staged_vrels)
+        if stats is not None:
+            _carry_stats_config(doc, new_doc)
+            new_doc["files"] = stats
+        ok = _publish_cas(
+            fs, jvm, _manifest_path(roots, new_version), _encode_commit(doc, new_doc)
+        )
+        return ok, staged_vrels, sorted(new_mapping)
+
+    return _commit_retry(fs, jvm, roots, _attempt)
+
+
 def manifest_diff(
     spark: SparkSession, root: str, v_from: int, v_to: int | None = None
 ) -> dict:

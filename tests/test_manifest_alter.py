@@ -274,3 +274,67 @@ def test_manifest_properties_surface(spark, tmp_path):
     assert props["dv.deleted_rows"] == "1"
     assert int(props["version"]) >= 4
     assert int(props["rows_physical"]) == 3  # DV rows still physical
+
+
+def test_repartition_manifested_atomic_relayout(spark, tmp_path):
+    """Change the partitioning in one atomic commit: rows identical, new
+    k=v layout on disk, time travel reads the OLD layout, DVs are
+    materialized by the rewrite, stats recompute for the new files, and
+    constraints carry."""
+    from etl_demo_spark.io.manifest import (
+        _hadoop_fs,
+        _load_doc,
+        add_constraint_manifested,
+        delete_rows_manifested,
+        load_manifest,
+        manifest_versions,
+        read_manifested,
+        repartition_manifested,
+        write_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(100).select(
+        "id",
+        (F.col("id") % 4).cast("string").alias("k"),
+        (F.col("id") % 3).alias("g"),
+    )
+    write_manifested(df.repartition(3), path, "k", stats_cols=["id"])
+    add_constraint_manifested(spark, path, "id_pos", "id >= 0")
+    assert delete_rows_manifested(spark, path, F.col("id") < 10) == 10
+    v_old = manifest_versions(spark, path)[-1]
+
+    leaves = repartition_manifested(spark, path, "g")
+    assert sorted(leaves) == ["g=0", "g=1", "g=2"]
+    _, mapping = load_manifest(spark, path)
+    assert all(rel.startswith("g=") for rel in mapping)
+
+    got = sorted(r.id for r in read_manifested(spark, path).collect())
+    assert got == list(range(10, 100))
+    # the rewrite materialized the DVs and dropped the pointer
+    fs, jvm = _hadoop_fs(spark, path)
+    doc = _load_doc(fs, jvm, path)
+    assert "dv" not in doc
+    assert doc.get("constraints") == {"id_pos": "id >= 0"}
+    # stats recomputed under the new layout, pruning still works
+    pruned = read_manifested(spark, path, prune_ranges={"id": (90, 99)})
+    assert len(pruned.inputFiles()) <= len(read_manifested(spark, path).inputFiles())
+    assert sorted(
+        r.id for r in pruned.filter(F.col("id") >= 90).collect()
+    ) == list(range(90, 100))
+    # time travel: the pre-relayout snapshot reads the OLD layout
+    old = read_manifested(spark, path, version=v_old)
+    assert any("/k=" in f for f in old.inputFiles())
+    assert sorted(r.id for r in old.collect()) == list(range(10, 100))
+
+    # a renamed (non-identity-mapped) column cannot become the partition
+    # key — its physical name would be ambiguous as a directory name
+    from etl_demo_spark.io.manifest import (
+        alter_manifested,
+        drop_constraint_manifested,
+    )
+
+    drop_constraint_manifested(spark, path, "id_pos")
+    alter_manifested(spark, path, rename_columns={"id": "row_id"})
+    with pytest.raises(ValueError, match="identity-mapped"):
+        repartition_manifested(spark, path, "row_id")
