@@ -328,3 +328,90 @@ def test_dv_sequence_equals_filter_composition(spark, tmp_path):
     got = sorted(r.id for r in read_manifested(spark, path).collect())
     want = sorted(r.id for r in expected.collect())
     assert got == want
+
+
+def test_dv_composes_with_leaf_filter_and_version(spark, tmp_path):
+    """DV anti-join composes with driver-side leaf pruning AND time
+    travel in one read: the pruned listing still excludes deleted rows,
+    and a versioned read of a pruned leaf applies THAT version's DV."""
+    from etl_demo_spark.io.manifest import (
+        delete_rows_manifested,
+        manifest_versions,
+        read_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    delete_rows_manifested(spark, path, F.col("id").isin(0, 4, 1, 5))
+    v1 = manifest_versions(spark, path)[-1]
+    delete_rows_manifested(spark, path, F.col("id") == 8)
+
+    k0 = read_manifested(spark, path, leaf_filter={"k": "0"})
+    assert all("/k=0/" in f or "/_dv/" in f for f in k0.inputFiles())
+    got = sorted(r.id for r in k0.collect())
+    assert got == [i for i in range(100) if i % 4 == 0 and i not in (0, 4, 8)]
+
+    prior = read_manifested(spark, path, version=v1, leaf_filter={"k": "0"})
+    got_prior = sorted(r.id for r in prior.collect())
+    assert got_prior == [i for i in range(100) if i % 4 == 0 and i not in (0, 4)]
+
+
+def test_delete_keys_dv_direct_and_composite_keys(spark, tmp_path):
+    """delete_keys_dv_manifested: key-set deletion through the sidecar —
+    composite keys, absent keys are no-ops, no file rewritten."""
+    from etl_demo_spark.io.manifest import (
+        delete_keys_dv_manifested,
+        read_manifested,
+        write_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    rows = [(1, "a", "A"), (1, "b", "A"), (2, "a", "B"), (3, "c", "B")]
+    write_manifested(
+        spark.createDataFrame(rows, "id INT, sub STRING, seg STRING"), path, "seg"
+    )
+    before = sorted(glob.glob(f"{path}/seg=*/__v*/*.parquet"))
+    keys = spark.createDataFrame(
+        [(1, "b"), (3, "c"), (9, "zz")], "id INT, sub STRING"
+    )
+    n = delete_keys_dv_manifested(spark, path, keys, ["id", "sub"])
+    assert n == 2  # (9,'zz') absent -> no-op
+    assert sorted(glob.glob(f"{path}/seg=*/__v*/*.parquet")) == before
+    got = {(r.id, r.sub) for r in read_manifested(spark, path).collect()}
+    assert got == {(1, "a"), (2, "a")}
+    # replay is idempotent
+    assert delete_keys_dv_manifested(spark, path, keys, ["id", "sub"]) == 0
+
+
+def test_rollback_loses_race_and_retries(spark, tmp_path):
+    """RESTORE participates in the OCC protocol: a competing commit
+    between resolve and publish forces the rollback onto the next
+    version, and the restored state still wins."""
+    from etl_demo_spark.io import manifest as M
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    M.delete_rows_manifested(spark, path, F.col("id") < 5)  # v2
+    calls = {"n": 0}
+    orig = M._publish_cas
+
+    def racing(fs, jvm, p, data):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            # inject a competing DV delete that wins this version
+            M._publish_cas = orig
+            try:
+                M.delete_rows_manifested(spark, path, F.col("id") == 50)
+            finally:
+                M._publish_cas = racing
+            return orig(fs, jvm, p, data)  # now loses: version taken
+        return orig(fs, jvm, p, data)
+
+    M._publish_cas = racing
+    try:
+        new_v = M.rollback_manifested(spark, path, 2)
+    finally:
+        M._publish_cas = orig
+    assert new_v == 4  # lost v3 to the injected delete, landed on v4
+    got = sorted(r.id for r in M.read_manifested(spark, path).collect())
+    assert got == list(range(5, 100))  # v2 state restored, id 50 back
