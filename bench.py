@@ -257,9 +257,31 @@ def _bench_mv_refresh(spark, sf_dir: str) -> dict:
         )
         changed_rows = src.count()
         t0 = time.perf_counter()
-        stats = mv_refresh(spark, mv)
+        stats = mv_refresh(spark, mv, cost_based=False)  # pin the fold path
         t_incr = min(t_incr, time.perf_counter() - t0)
         assert stats["mode"] == "incremental", stats
+
+    # cost-based policy (the default): at this base size the estimator
+    # must pick the cheaper path at BOTH change fractions — full here
+    # (base far below the 256 MiB floor, where the fold's fixed overhead
+    # dominates); incremental is what it keeps for 100 TB bases.
+    policy: dict = {}
+    for label, frac_src in (
+        ("small_fraction", t.join(slice_keys, "o_orderkey", "semi").withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(10.0))),
+        ("large_fraction", t.sample(0.5, seed=7).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(20.0))),
+    ):
+        n = frac_src.count()
+        merge_upsert_manifested(spark, base, frac_src, ["o_orderkey"], "dt")
+        t0 = time.perf_counter()
+        stats = mv_refresh(spark, mv)
+        policy[label] = {
+            "changed_rows": n,
+            "path_chosen": stats["mode"],
+            "reason": stats["reason"],
+            "seconds": round(time.perf_counter() - t0, 3),
+        }
     return {
         "base_rows": base_rows,
         "changed_rows_per_cycle": changed_rows,
@@ -267,10 +289,13 @@ def _bench_mv_refresh(spark, sf_dir: str) -> dict:
         "files_read_by_fold": fold_files,
         "full_recompute": round(t_full, 3),
         "incremental_refresh": round(t_incr, 3),
+        "cost_based_policy": policy,
         "note": "refresh time includes the atomic manifest commit; "
         "files_read_by_fold vs files_total is the cluster signal — the "
         "fold reads only the leaves the DML changed (two EXCEPT ALLs), "
-        "never the full history",
+        "never the full history; incremental_refresh pins the fold with "
+        "cost_based=False, cost_based_policy shows what the default "
+        "policy picks at this scale",
     }
 
 
@@ -642,6 +667,26 @@ def main() -> None:
     payload["bucketed_join"] = _bench_bucketed_join(spark, sf_dir)
     payload["ann_recall_at_10"] = ann_recall
     print(json.dumps(payload))
+    # The round driver keeps only a ~2,000-char TAIL of stdout; the full
+    # line above can exceed that, truncating its head and leaving the
+    # round artifact unparseable (round 6: parsed=null). So the FINAL
+    # stdout line is a compact (<1.5 kB) summary carrying the driver's
+    # contract keys — metric/value/unit/queries/sf — plus calibration.
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "queries": payload["queries"],
+        "sf": payload["sf"],
+        "calibration": payload["calibration"],
+        "streaming_rows_per_sec": payload["streaming"]["rows_per_sec"],
+        "note": "compact tail line; full detail in the preceding line",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1500:  # never let the tail line itself outgrow the tail
+        compact.pop("calibration", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -9377,13 +9377,13 @@ def orders_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus") == "P",
         "o_orderstatus",
     )
-    r1 = mv_refresh(spark, mv)
+    r1 = mv_refresh(spark, mv, cost_based=False)
     assert r1["mode"] == "incremental", r1
 
     delete_where_manifested(
         spark, base, F.col("o_totalprice") > 450000.0, "o_orderstatus"
     )
-    r2 = mv_refresh(spark, mv)
+    r2 = mv_refresh(spark, mv, cost_based=False)
     assert r2["mode"] == "incremental", r2
     assert r2["recomputed_groups"] >= 1, r2  # the deleted tier held each max
 

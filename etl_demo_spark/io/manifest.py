@@ -58,7 +58,9 @@ adopting a full table format.
 
 from __future__ import annotations
 
+import base64
 import json
+import math
 import time
 import uuid
 
@@ -245,6 +247,55 @@ def _stat_val(v):
     return str(v)
 
 
+def _bloom_bits_for(ndv: int, k: int, fpr: float, bits_max: int) -> int | None:
+    """Bitset size for a file holding ``ndv`` distinct values: the
+    smallest power of two giving the target false-positive rate with k
+    probes (bits/key = -k / ln(1 - fpr^(1/k)); ~10.5 at fpr=1%, k=4),
+    clamped to [256, bits_max]. Returns None when even ``bits_max``
+    leaves < 2 bits/key (FPR ≥ ~60%) — a saturated bitset prunes
+    nothing, so storing it would be pure manifest bloat."""
+    ndv = max(1, int(ndv))
+    if bits_max < 2 * ndv:
+        return None
+    bits_per_key = -k / math.log(1.0 - fpr ** (1.0 / k))
+    target = max(256, int(math.ceil(bits_per_key * ndv)))
+    bits = 1
+    while bits < target:
+        bits <<= 1
+    return min(bits, bits_max)
+
+
+def _pack_words(words: list[int]) -> str:
+    """Base64 little-endian int64 packing for a bloom bitset — ~3×
+    smaller in the JSON manifest than a digit list, and O(1) to parse."""
+    return base64.b64encode(
+        b"".join((w & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little") for w in words)
+    ).decode("ascii")
+
+
+def _unpack_words(blob) -> list[int]:
+    """Accept both bitset encodings: legacy int list and packed base64."""
+    if isinstance(blob, list):
+        return [int(w) for w in blob]
+    raw = base64.b64decode(blob)
+    return [
+        int.from_bytes(raw[i : i + 8], "little") for i in range(0, len(raw), 8)
+    ]
+
+
+def _fold_words(words: list[int], target_bits: int) -> list[int]:
+    """Fold a power-of-two bitset down to ``target_bits`` by OR-ing
+    halves. Valid because positions are ``pmod(hash, bits)`` with bits a
+    power of two: ``h mod 2^m  mod 2^(m-1) == h mod 2^(m-1)``, and word
+    granularity (64) divides every size involved — so the folded bitset
+    is bit-identical to one built directly at the smaller size."""
+    tw = target_bits // 64
+    while len(words) > tw:
+        half = len(words) // 2
+        words = [words[i] | words[i + half] for i in range(half)]
+    return words
+
+
 def _bloom_word_aggs(col: str, bits: int, k: int, key: str | None = None) -> list:
     """bits//64 BIT_OR aggregates building a per-file bloom bitset for
     ``col``: each row contributes k set bits (JVM-side shift/or folds, no
@@ -277,12 +328,14 @@ def _collect_file_stats(
     vrels: list[str],
     stats_cols: list[str],
     bloom_cols: list[str] | None = None,
-    bloom_bits: int = 1024,
+    bloom_bits: int | None = None,
     bloom_k: int = 4,
     mapping: dict | None = None,
+    bloom_fpr: float = 0.01,
+    bloom_bits_max: int = 16384,
 ) -> dict:
     """{<vrel>/<filename>: {col: [min, max]}} for every data file under
-    the given version subdirs — ONE aggregation job over exactly those
+    the given version subdirs — aggregation jobs over exactly those
     files (group key = the scan-provided ``_metadata.file_path``), cost
     proportional to the newly written slice, never the table. Stats and
     bloom columns are LOGICAL names; ``mapping`` translates them to the
@@ -290,30 +343,50 @@ def _collect_file_stats(
     keyed by logical names — the prune API's key space).
 
     ``bloom_cols`` additionally record a per-file BLOOM bitset
-    (``__bloom_<col>``: bits//64 int64 words, k xxhash64-derived bits per
-    value) — the point-lookup complement to min/max: on a column whose
-    values are scattered across files (no clustering), every file's
-    [min, max] straddles every probe and range skipping is useless, but
-    a membership bitset still prunes decisively (Iceberg's parquet bloom
-    story, lifted to the manifest tier)."""
+    (``__bloom_<col>``) — the point-lookup complement to min/max: on a
+    column whose values are scattered across files (no clustering),
+    every file's [min, max] straddles every probe and range skipping is
+    useless, but a membership bitset still prunes decisively (Iceberg's
+    parquet bloom story, lifted to the manifest tier).
+
+    Bitset sizing is ADAPTIVE by default (``bloom_bits=None``): the
+    same stats job records per-file ``approx_count_distinct``, words
+    are built at ``bloom_bits_max`` and each file's bitset is FOLDED
+    down to the smallest power of two meeting ``bloom_fpr`` for ITS
+    distinct count (stored packed base64). A fixed-size table at 100 TB
+    row counts saturates — the bench's own sf0.1 layout put the old
+    1024-bit default at FPR ≈ 0.97 — while per-file sizing keeps cost
+    proportional to content. Files too big for ``bloom_bits_max`` store
+    no bitset (kept by the prune — correct, just unpruned) rather than
+    a saturated one. Passing an int ``bloom_bits`` selects the legacy
+    fixed-size layout.
+
+    The word build is a separate explode→two-level aggregation: k
+    hashes per row then bit_or by (file, word) — O(k) work per row
+    regardless of bitset width, where the legacy single-agg CASE fan-out
+    is O(k·words) per row and stops scaling past a few hundred words."""
     paths = [f"{root.rstrip('/')}/{vrel}" for vrel in vrels]
     df = spark.read.format(fmt).option("basePath", root).load(paths)
 
     def phys(c: str) -> str:
         return (mapping or {}).get(c, c)
 
+    adaptive = bloom_bits is None
     aggs = [F.count(F.lit(1)).alias("__nrows")]
     for c in stats_cols:
         aggs += [F.min(phys(c)).alias(f"__lo_{c}"), F.max(phys(c)).alias(f"__hi_{c}")]
     for c in bloom_cols or []:
-        aggs += _bloom_word_aggs(phys(c), bloom_bits, bloom_k, key=c)
+        if adaptive:
+            aggs.append(
+                F.approx_count_distinct(phys(c)).alias(f"__ndv_{c}")
+            )
+        else:
+            aggs += _bloom_word_aggs(phys(c), bloom_bits, bloom_k, key=c)
     rows = (
         df.groupBy(F.col("_metadata.file_path").alias("__fp")).agg(*aggs).collect()
     )
-    out: dict = {}
-    for r in rows:
-        fp = r["__fp"]
-        rel = None
+
+    def to_rel(fp: str) -> str | None:
         # resolve against the known vrels rather than string-stripping the
         # root: _metadata paths are scheme-qualified URIs (file:///…) and
         # the marker match is immune to how the scheme renders
@@ -321,8 +394,13 @@ def _collect_file_stats(
             marker = "/" + vrel + "/"
             i = fp.find(marker)
             if i >= 0:
-                rel = vrel + "/" + fp[i + len(marker):]
-                break
+                return vrel + "/" + fp[i + len(marker):]
+        return None
+
+    out: dict = {}
+    ndv: dict = {}
+    for r in rows:
+        rel = to_rel(r["__fp"])
         if rel is None:
             continue
         out[rel] = {
@@ -331,9 +409,85 @@ def _collect_file_stats(
         }
         out[rel]["__rows"] = r["__nrows"]
         for c in bloom_cols or []:
-            out[rel][f"__bloom_{c}"] = [
-                int(r[f"__bw_{c}_{w}"] or 0) for w in range(bloom_bits // 64)
-            ]
+            if adaptive:
+                ndv[(rel, c)] = int(r[f"__ndv_{c}"] or 0)
+            else:
+                out[rel][f"__bloom_{c}"] = [
+                    int(r[f"__bw_{c}_{w}"] or 0) for w in range(bloom_bits // 64)
+                ]
+
+    if adaptive and bloom_cols:
+        # one exploded pass: k positions per row per column, bit_or'd by
+        # (file, column, word). Map-side partial agg bounds the shuffle
+        # at files × live-words per column — tiny next to the data.
+        B = int(bloom_bits_max)
+        pos_cols = []
+        for c in bloom_cols:
+            p = phys(c)
+            pos_cols.append(
+                F.when(
+                    F.col(p).isNotNull(),
+                    F.array(
+                        *[
+                            F.pmod(
+                                F.xxhash64(F.col(p).cast("string"), F.lit(i)),
+                                F.lit(B),
+                            )
+                            for i in range(bloom_k)
+                        ]
+                    ),
+                ).alias(f"__pos_{c}")
+            )
+        stacked = (
+            df.select(F.col("_metadata.file_path").alias("__fp"), *pos_cols)
+            .select(
+                "__fp",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("col"),
+                                F.col(f"__pos_{c}").alias("pos"),
+                            )
+                            for c in bloom_cols
+                        ]
+                    )
+                ).alias("e"),
+            )
+            .select("__fp", F.col("e.col").alias("col"), F.explode("e.pos").alias("p"))
+        )
+        wrows = (
+            stacked.groupBy(
+                "__fp", "col", (F.col("p") / 64).cast("long").alias("w")
+            )
+            .agg(
+                # the Python shiftleft wrapper takes only literal shift
+                # amounts; the dynamic shift is an SQL expression
+                F.bit_or(
+                    F.expr(
+                        "shiftleft(cast(1 as bigint), cast(p % 64 as int))"
+                    )
+                ).alias("word")
+            )
+            .collect()
+        )
+        sparse: dict = {}
+        for r in wrows:
+            rel = to_rel(r["__fp"])
+            if rel is not None:
+                sparse.setdefault((rel, r["col"]), {})[int(r["w"])] = int(r["word"])
+        for rel in out:
+            for c in bloom_cols:
+                target = _bloom_bits_for(
+                    ndv.get((rel, c), 0), bloom_k, bloom_fpr, B
+                )
+                if target is None:
+                    continue
+                got = sparse.get((rel, c), {})
+                words = [got.get(w, 0) for w in range(B // 64)]
+                out[rel][f"__bloom_{c}"] = _pack_words(
+                    _fold_words(words, target)
+                )
     return out
 
 
@@ -373,19 +527,28 @@ def _evolve_file_stats(
                 fresh,
                 stats_cols or [],
                 bloom_cols,
-                doc.get("bloom_bits", 1024),
+                doc.get("bloom_bits"),
                 doc.get("bloom_k", 4),
                 mapping=(
                     col_mapping
                     if col_mapping is not None
                     else doc.get("column_mapping")
                 ),
+                bloom_fpr=doc.get("bloom_fpr", 0.01),
+                bloom_bits_max=doc.get("bloom_bits_max", 16384),
             )
         )
     return carried
 
 
-_STATS_CONFIG_KEYS = ("stats_cols", "bloom_cols", "bloom_bits", "bloom_k")
+_STATS_CONFIG_KEYS = (
+    "stats_cols",
+    "bloom_cols",
+    "bloom_bits",
+    "bloom_k",
+    "bloom_fpr",
+    "bloom_bits_max",
+)
 
 
 def _carry_stats_config(doc: dict, new_doc: dict) -> None:
@@ -465,19 +628,27 @@ def _carry_dv(doc: dict, new_doc: dict) -> None:
 def _carry_mapping(doc: dict, new_doc: dict) -> None:
     """Column-mapping is table state like schema: every commit carries it
     unchanged unless it explicitly evolved it (merge schema evolution,
-    ALTER)."""
+    ALTER). The dropped-physical tombstone set travels with it: those
+    names stay unavailable forever so old files' stale bytes can never
+    resurface under a re-added logical column."""
     if doc.get("column_mapping") is not None and "column_mapping" not in new_doc:
         new_doc["column_mapping"] = doc["column_mapping"]
+    if doc.get("dropped_physical") and "dropped_physical" not in new_doc:
+        new_doc["dropped_physical"] = doc["dropped_physical"]
 
 
-def _extend_mapping(mapping: dict, new_names: list[str]) -> dict:
+def _extend_mapping(
+    mapping: dict, new_names: list[str], tombstones: list[str] | None = None
+) -> dict:
     """Register new logical columns in an ACTIVE column mapping. Physical
     names are frozen at introduction: a new column takes its own name
     unless a prior rename left that physical name occupied (rename a→b
-    then add a fresh 'a'), in which case a suffixed physical name keeps
-    old files' bytes unambiguous — Delta's column-mapping rule."""
+    then add a fresh 'a') OR a DROP tombstoned it (drop a then re-add
+    'a' — old files still hold a's bytes, which must surface as NULL,
+    not stale data), in which case a suffixed physical name keeps old
+    files' bytes unambiguous — Delta's column-mapping rule."""
     out = dict(mapping)
-    taken = set(out.values())
+    taken = set(out.values()) | set(tombstones or ())
     for name in new_names:
         if name in out:
             continue
@@ -549,9 +720,16 @@ def prune_files_bloom(
     that built the bitsets, so Python never re-implements the JVM hash.
     Files without a bitset are kept — pruning is an optimization; the
     caller still applies the real filter. False positives only ever keep
-    an extra file, never lose a row."""
+    an extra file, never lose a row.
+
+    Bitsets may be per-file SIZED (adaptive tables): probe positions are
+    computed once at the build width (``bloom_bits_max``) and masked
+    down to each file's power-of-two width — identical to hashing at
+    that width, the same identity the build-side fold relies on."""
     bloom_cols = doc.get("bloom_cols") or []
-    bits = doc.get("bloom_bits", 1024)
+    bits = (
+        doc.get("bloom_bits") or doc.get("bloom_bits_max") or 16384
+    )
     k = doc.get("bloom_k", 4)
     files = doc.get("files", {})
     probes: dict[str, list[int]] = {}
@@ -576,10 +754,14 @@ def prune_files_bloom(
     for rel, st in files.items():
         drop = False
         for col, poss in probes.items():
-            words = st.get(f"__bloom_{col}")
-            if not words:
+            blob = st.get(f"__bloom_{col}")
+            if not blob:
                 continue
-            if any(not (words[p >> 6] >> (p & 63)) & 1 for p in poss):
+            words = _unpack_words(blob)
+            nbits = len(words) * 64
+            # mask to this file's width; identity when widths match
+            eff = poss if nbits == bits else [p & (nbits - 1) for p in poss]
+            if any(not (words[p >> 6] >> (p & 63)) & 1 for p in eff):
                 drop = True
                 break
         if not drop:
@@ -643,6 +825,9 @@ def _resolve_doc(fs, jvm, root: str, version: int) -> dict:
     cm = raw.get("column_mapping", base.get("column_mapping"))
     if cm is not None:
         doc["column_mapping"] = cm
+    dp = raw.get("dropped_physical", base.get("dropped_physical"))
+    if dp is not None:
+        doc["dropped_physical"] = dp
     cons = raw.get("constraints", base.get("constraints"))
     if cons is not None:
         doc["constraints"] = cons
@@ -705,6 +890,8 @@ def _encode_commit(prev_doc: dict, new_doc: dict) -> bytes:
         delta["dv"] = new_doc.get("dv")
     if new_doc.get("column_mapping") != prev_doc.get("column_mapping"):
         delta["column_mapping"] = new_doc.get("column_mapping")
+    if new_doc.get("dropped_physical") != prev_doc.get("dropped_physical"):
+        delta["dropped_physical"] = new_doc.get("dropped_physical")
     if new_doc.get("constraints") != prev_doc.get("constraints"):
         delta["constraints"] = new_doc.get("constraints")
     if any(k in new_doc for k in ("stats_cols", "bloom_cols")):
@@ -975,8 +1162,10 @@ def manifest_init(
     fmt: str = "parquet",
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
-    bloom_bits: int = 1024,
+    bloom_bits: int | None = None,
     bloom_k: int = 4,
+    bloom_fpr: float = 0.01,
+    bloom_bits_max: int = 16384,
 ) -> int:
     """One-time migration of a plain Hive-layout table into manifest
     mode: move each leaf's files into ``<leaf>/__v0000000001`` (renames —
@@ -992,14 +1181,20 @@ def manifest_init(
     are disjoint and the skip rate approaches the filter selectivity.
 
     ``bloom_cols`` additionally records a per-file BLOOM bitset
-    (``bloom_bits`` bits, ``bloom_k`` xxhash64-derived bits per value)
-    for point-lookup skipping via `read_manifested(prune_points=…)` —
-    the membership complement to min/max for high-cardinality columns
-    with no clustering, where every file's range straddles every probe.
-    Sizing: false-positive rate ≈ (1−e^(−k·n/m))^k for n values per
-    file and m bits; the 1024-bit default suits ≲200 distinct values
-    per file at ~15% FP — raise ``bloom_bits`` for bigger files (cost
-    is bits/8 bytes per file per column in the manifest)."""
+    (``bloom_k`` xxhash64-derived bits per value) for point-lookup
+    skipping via `read_manifested(prune_points=…)` — the membership
+    complement to min/max for high-cardinality columns with no
+    clustering, where every file's range straddles every probe.
+
+    Sizing is ADAPTIVE by default: each file's bitset is the smallest
+    power of two meeting ``bloom_fpr`` for that file's distinct count
+    (measured at commit time; false-positive rate ≈ (1−e^(−k·n/m))^k),
+    capped at ``bloom_bits_max`` bits (= bits/8 bytes stored per file
+    per column; files whose ndv saturates even the cap store nothing
+    and simply stay unpruned). A FIXED size can still be forced by
+    passing ``bloom_bits`` — but note a fixed size that suits today's
+    file row counts saturates when files grow; adaptive sizing is what
+    holds at 100 TB layouts."""
     cols = _normalize_partition_cols(partition_cols)
     fs, jvm = _hadoop_fs(spark, root)
     if _list_manifest_versions(fs, jvm, root):
@@ -1049,8 +1244,12 @@ def manifest_init(
             doc["stats_cols"] = list(stats_cols)
         if bloom_cols:
             doc["bloom_cols"] = list(bloom_cols)
-            doc["bloom_bits"] = int(bloom_bits)
             doc["bloom_k"] = int(bloom_k)
+            if bloom_bits is not None:  # legacy fixed-size layout
+                doc["bloom_bits"] = int(bloom_bits)
+            else:
+                doc["bloom_fpr"] = float(bloom_fpr)
+                doc["bloom_bits_max"] = int(bloom_bits_max)
         doc["files"] = _collect_file_stats(
             spark,
             fmt,
@@ -1058,8 +1257,10 @@ def manifest_init(
             list(mapping.values()),
             list(stats_cols or []),
             list(bloom_cols) if bloom_cols else None,
-            int(bloom_bits),
+            None if bloom_bits is None else int(bloom_bits),
             int(bloom_k),
+            bloom_fpr=float(bloom_fpr),
+            bloom_bits_max=int(bloom_bits_max),
         )
     if not _publish_cas(
         fs, jvm, _manifest_path(root, version), json.dumps(doc, indent=1).encode()
@@ -1732,7 +1933,9 @@ def merge_upsert_manifested(
         cmap = doc.get("column_mapping")
         if cmap is not None:
             cmap = _extend_mapping(
-                cmap, [c for c in merged.columns if c not in cmap]
+                cmap,
+                [c for c in merged.columns if c not in cmap],
+                tombstones=doc.get("dropped_physical"),
             )
         staging = f"{root}.__manifest_staging__{token}"
         _to_physical(merged, cmap).write.mode("overwrite").partitionBy(
@@ -1798,8 +2001,10 @@ def write_manifested(
     fmt: str = "parquet",
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
-    bloom_bits: int = 1024,
+    bloom_bits: int | None = None,
     bloom_k: int = 4,
+    bloom_fpr: float = 0.01,
+    bloom_bits_max: int = 16384,
 ) -> int:
     """Create a manifested table from a DataFrame in one call: write the
     partitioned layout, then `manifest_init` it (stats/bloom config
@@ -1817,7 +2022,16 @@ def write_manifested(
         )
     df.write.mode("errorifexists").partitionBy(*cols).format(fmt).save(root)
     return manifest_init(
-        spark, root, cols, fmt, stats_cols, bloom_cols, bloom_bits, bloom_k
+        spark,
+        root,
+        cols,
+        fmt,
+        stats_cols,
+        bloom_cols,
+        bloom_bits,
+        bloom_k,
+        bloom_fpr=bloom_fpr,
+        bloom_bits_max=bloom_bits_max,
     )
 
 
@@ -2239,10 +2453,20 @@ def alter_manifested(
                     f"alter_manifested: {c!r} is a partition column — its "
                     "name/type is the directory layout, immutable here"
                 )
+        targets = list(rename_columns.values())
+        if len(set(targets)) != len(targets):
+            raise ValueError(
+                "alter_manifested: duplicate rename targets "
+                f"{sorted({t for t in targets if targets.count(t) > 1})}"
+            )
         for c, new in rename_columns.items():
             # a target name may only be taken by a column itself renamed
-            # away in the same ALTER (swap support)
-            if (new in names and new not in rename_columns) or new in add_columns:
+            # away (swap support) or dropped in the same ALTER
+            if (
+                new in names
+                and new not in rename_columns
+                and new not in drop_columns
+            ) or new in add_columns:
                 raise ValueError(f"alter_manifested: rename target {new!r} exists")
         for c in add_columns:
             if c in names:
@@ -2265,19 +2489,16 @@ def alter_manifested(
                     )
 
         mapping = doc.get("column_mapping")
-        if rename_columns and mapping is None:
-            mapping = {n: n for n in names}  # freeze physical names NOW
-        stats_cols = list(doc.get("stats_cols") or [])
-        bloom_cols = list(doc.get("bloom_cols") or [])
-        files = doc.get("files")
+        if (rename_columns or drop_columns) and mapping is None:
+            # freeze physical names NOW — drops need it too, so a later
+            # re-add of the same name can't resurrect old files' bytes
+            # via by-name parquet resolution
+            mapping = {n: n for n in names}
+        dropped_phys = list(doc.get("dropped_physical") or [])
 
         fields: list[T.StructField] = []
         for f in schema.fields:
             if f.name in drop_columns:
-                if mapping is not None:
-                    mapping.pop(f.name, None)
-                stats_cols = [c for c in stats_cols if c != f.name]
-                bloom_cols = [c for c in bloom_cols if c != f.name]
                 continue
             name, dtype = f.name, f.dataType
             if f.name in widen_types:
@@ -2289,17 +2510,46 @@ def alter_manifested(
                         f"reader-safe widening (allowed: {sorted(_WIDEN_OK)})"
                     )
                 dtype = new_t
-            if f.name in rename_columns:
-                new = rename_columns[f.name]
-                mapping[new] = mapping.pop(f.name)
-                stats_cols = [new if c == f.name else c for c in stats_cols]
-                bloom_cols = [new if c == f.name else c for c in bloom_cols]
-                name = new
-            fields.append(T.StructField(name, dtype, f.nullable))
+            fields.append(
+                T.StructField(rename_columns.get(name, name), dtype, f.nullable)
+            )
         for c, ddl in add_columns.items():
             fields.append(T.StructField(c, T._parse_datatype_string(ddl), True))
+        final_names = [f.name for f in fields]
+        if len(set(final_names)) != len(final_names):
+            raise ValueError(
+                "alter_manifested: post-ALTER schema has duplicate columns "
+                f"{sorted({n for n in final_names if final_names.count(n) > 1})}"
+            )
+
+        # rekey mapping / stats config in ONE pass from the pre-ALTER
+        # snapshot — sequential pop/insert corrupts swaps (a<->b) and
+        # chains (a->b, b->c), silently pointing logical names at the
+        # wrong physical bytes
+        if mapping is not None:
+            dropped_phys += [
+                mapping[c] for c in drop_columns if c in mapping
+            ]
+            mapping = {
+                rename_columns.get(l, l): p
+                for l, p in mapping.items()
+                if l not in drop_columns
+            }
+        stats_cols = [
+            rename_columns.get(c, c)
+            for c in (doc.get("stats_cols") or [])
+            if c not in drop_columns
+        ]
+        bloom_cols = [
+            rename_columns.get(c, c)
+            for c in (doc.get("bloom_cols") or [])
+            if c not in drop_columns
+        ]
+        files = doc.get("files")
         if mapping is not None and add_columns:
-            mapping = _extend_mapping(mapping, list(add_columns))
+            mapping = _extend_mapping(
+                mapping, list(add_columns), tombstones=dropped_phys
+            )
 
         # rekey per-file stats into the new logical names; dropped
         # columns' entries go with them
@@ -2324,6 +2574,8 @@ def alter_manifested(
         }
         if mapping is not None:
             new_doc["column_mapping"] = mapping
+        if dropped_phys:
+            new_doc["dropped_physical"] = dropped_phys
         _carry_constraints(doc, new_doc)
         _carry_dv(doc, new_doc)
         if stats_cols:
@@ -2496,7 +2748,12 @@ def rollback_manifested(
         # explicit nulls stop delta-chain inheritance of state the old
         # snapshot did not have (e.g. rolling back across a DV delete)
         for key in (
-            "dv", "schema", "column_mapping", "constraints", *_STATS_CONFIG_KEYS
+            "dv",
+            "schema",
+            "column_mapping",
+            "dropped_physical",
+            "constraints",
+            *_STATS_CONFIG_KEYS,
         ):
             if key in doc and key not in new_doc:
                 new_doc[key] = None

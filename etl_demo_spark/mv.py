@@ -67,6 +67,7 @@ from pyspark.sql import functions as F
 
 from etl_demo_spark.io.manifest import (
     _hadoop_fs,
+    _load_doc,
     _publish_cas,
     _read_file,
     manifest_versions,
@@ -426,8 +427,83 @@ def _full_source(spark: SparkSession, spec: dict, mv_root: str, v_to: int) -> Da
     return fresh.unionByName(dead.select(*fresh.columns))
 
 
-def mv_refresh(spark: SparkSession, mv_root: str) -> dict:
-    """REFRESH MATERIALIZED VIEW, incrementally where possible.
+def _refresh_cost_estimate(
+    spark: SparkSession,
+    spec: dict,
+    v_from: int,
+    v_to: int,
+    floor_bytes: int,
+    crossover: float,
+) -> dict:
+    """Metadata-only byte estimate of the two refresh paths, from the
+    two base manifests plus a content-summary per leaf (no data read).
+
+    * incremental reads the CHANGED version subdirs on both sides of the
+      feed (the same changed-leaf rule `read_changes` applies, DV-only
+      commits included);
+    * full reads every live leaf at ``v_to``.
+
+    Full recompute wins when the base is small (below ``floor_bytes`` a
+    single scan beats the fold's fixed multi-job overhead — the regime
+    where incremental was measured 11× slower) or when the changed slice
+    is a large fraction of the base (``crossover``). The live-leaf sweep
+    EARLY-EXITS once the running total proves incremental wins, so the
+    driver cost on a huge table is O(changed leaves), not O(leaves)."""
+    root = spec["base_root"]
+    fs, jvm = _hadoop_fs(spark, root)
+    a = _load_doc(fs, jvm, root, v_from)
+    b = _load_doc(fs, jvm, root, v_to)
+    pa, pb = a["partitions"], b["partitions"]
+    fa = (a.get("dv") or {}).get("files", {})
+    fb = (b.get("dv") or {}).get("files", {})
+    dv_vrels = {
+        p.rsplit("/", 1)[0]
+        for p in set(fa) | set(fb)
+        if fa.get(p) != fb.get(p)
+    }
+    changed = (
+        {pa[r] for r in pa if pb.get(r) != pa[r]}
+        | {pb[r] for r in pb if pa.get(r) != pb[r]}
+        | (dv_vrels & (set(pa.values()) | set(pb.values())))
+    )
+
+    def vbytes(vrel: str) -> int:
+        return int(
+            fs.getContentSummary(
+                jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/{vrel}")
+            ).getLength()
+        )
+
+    changed_bytes = sum(vbytes(v) for v in changed)
+    stop_at = max(
+        float(floor_bytes),
+        changed_bytes / crossover if crossover > 0 else float("inf"),
+    )
+    base_bytes, complete = 0, True
+    for v in set(pb.values()):
+        base_bytes += vbytes(v)
+        if base_bytes > stop_at:
+            complete = False  # incremental wins; remainder irrelevant
+            break
+    full_cheaper = complete and (
+        base_bytes <= floor_bytes or changed_bytes >= crossover * base_bytes
+    )
+    return {
+        "changed_bytes": changed_bytes,
+        "base_bytes_scanned": base_bytes,
+        "base_scan_complete": complete,
+        "full_cheaper": full_cheaper,
+    }
+
+
+def mv_refresh(
+    spark: SparkSession,
+    mv_root: str,
+    cost_based: bool = True,
+    full_floor_bytes: int = 256 << 20,
+    changed_frac_crossover: float = 0.2,
+) -> dict:
+    """REFRESH MATERIALIZED VIEW, incrementally where cheaper.
 
     Resolution order: (1) a PENDING intent (crash recovery) re-runs its
     recorded fold; (2) otherwise the base's current version is compared
@@ -437,18 +513,33 @@ def mv_refresh(spark: SparkSession, mv_root: str) -> dict:
     manifested merge; the intent that described it was CAS-published
     first, so a crash anywhere re-converges on the next call.
 
+    ``cost_based`` (default on) additionally picks FULL recompute when
+    the manifests' metadata says it is cheaper than the fold: base table
+    under ``full_floor_bytes`` (a small table's single scan beats the
+    fold's fixed multi-job overhead), or changed-leaf bytes ≥
+    ``changed_frac_crossover`` × live base bytes (most of the table
+    changed — the feed read approaches a full scan while folding costs
+    extra). The decision is recorded in the intent, so crash recovery
+    replays the same path. Pass ``cost_based=False`` to force the fold
+    whenever the watermark is retained (e.g. to pin CDC semantics in
+    tests).
+
     Returns a stats dict: ``mode`` ('noop'|'incremental'|'full'),
+    ``reason`` ('fold'|'cost'|'watermark_expired'|'pending_intent'),
     ``base_from``/``base_to``, ``mv_version``, ``changed_groups``,
-    ``recomputed_groups``."""
+    ``recomputed_groups``, and ``cost`` (the byte estimate, when one
+    was made)."""
     fs, jvm = _hadoop_fs(spark, mv_root)
     spec = _load_spec(fs, jvm, mv_root)
     cur = manifest_versions(spark, mv_root)[-1]
     base_vs = manifest_versions(spark, spec["base_root"])
 
+    cost = None
     pending = _load_intent(fs, jvm, mv_root, cur + 1)
     if pending is not None:
         v_from, v_to = pending["base_from"], int(pending["base_to"])
         full = bool(pending["full"])
+        reason = "pending_intent"
         if not full and v_from not in base_vs:
             full = v_to in base_vs  # recorded diff expired: try full@to
         if full and v_to not in base_vs:
@@ -462,6 +553,7 @@ def mv_refresh(spark: SparkSession, mv_root: str) -> dict:
         if base_cur == watermark:
             return {
                 "mode": "noop",
+                "reason": "up_to_date",
                 "base_from": watermark,
                 "base_to": watermark,
                 "mv_version": cur,
@@ -470,6 +562,14 @@ def mv_refresh(spark: SparkSession, mv_root: str) -> dict:
             }
         v_from, v_to = watermark, base_cur
         full = v_from not in base_vs
+        reason = "watermark_expired" if full else "fold"
+        if not full and cost_based:
+            cost = _refresh_cost_estimate(
+                spark, spec, v_from, v_to, full_floor_bytes,
+                changed_frac_crossover,
+            )
+            if cost["full_cheaper"]:
+                full, reason = True, "cost"
         if not _publish_intent(
             fs,
             jvm,
@@ -528,6 +628,7 @@ def mv_refresh(spark: SparkSession, mv_root: str) -> dict:
                 )
                 return {
                     "mode": "noop",
+                    "reason": "empty_diff",
                     "base_from": v_from,
                     "base_to": v_to,
                     "mv_version": cur,
@@ -536,14 +637,18 @@ def mv_refresh(spark: SparkSession, mv_root: str) -> dict:
                 }
     finally:
         source.unpersist()
-    return {
+    out = {
         "mode": "full" if full else "incremental",
+        "reason": reason,
         "base_from": v_from,
         "base_to": v_to,
         "mv_version": cur + 1,
         "changed_groups": changed,
         "recomputed_groups": recomputed,
     }
+    if cost is not None:
+        out["cost"] = cost
+    return out
 
 
 # ------------------------------------------------------------------- read

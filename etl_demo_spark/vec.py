@@ -921,8 +921,10 @@ def kmeans_fit_exact(
             new_c: list[list[int]] = [None] * k  # type: ignore[list-item]
             for r in means:
                 n = r["n"]
+                # exact integer floor division (see pq_fit_exact): stays
+                # bit-identical to the integer SQL replay past 2^53
                 new_c[r["cluster"]] = [
-                    math.floor(float(r[f"s{i}"]) / n) for i in range(dim)
+                    int(r[f"s{i}"]) // n for i in range(dim)
                 ]
             centroids = new_c
     finally:
@@ -1237,8 +1239,11 @@ def pq_fit_exact(
             new_c: list[list[list[int]]] = [[None] * ksub for _ in range(m)]  # type: ignore[list-item]
             for r in rows:
                 n = r["n"]
+                # exact integer floor division: Row values are Python
+                # ints and // already floors, so the replay stays
+                # bit-identical past 2^53 where float64 would round
                 new_c[r["s"]][r["c"]] = [
-                    math.floor(float(r[f"x{i}"]) / n) for i in range(dsub)
+                    int(r[f"x{i}"]) // n for i in range(dsub)
                 ]
             codebooks = new_c
     finally:

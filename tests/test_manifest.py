@@ -824,6 +824,67 @@ def test_bloom_file_skipping_point_lookup(spark, tmp_path):
     assert len(hit) == 1 and len(after.inputFiles()) < n_files
 
 
+def test_bloom_adaptive_sizing_high_ndv(spark, tmp_path):
+    """Per-file ADAPTIVE bloom sizing at realistic file sizes: with ~2k
+    distinct values per file the old fixed 1024-bit default saturates
+    (FPR ≈ 0.97 — prunes nothing); adaptive sizing picks a per-file
+    power-of-two meeting the target FPR, so a point lookup opens ~the
+    true containing files. Files whose ndv saturates even the cap store
+    NO bitset (kept, unpruned, still correct)."""
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.io.manifest import (
+        _load_doc,
+        _unpack_words,
+        manifest_init,
+        read_manifested,
+    )
+    from etl_demo_spark.io.tables import _hadoop_fs
+
+    path = str(tmp_path / "t")
+    # 32k ids scattered over 8 files per leaf -> ~2k distinct per file
+    df = spark.range(0, 32_000).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("dt"),
+        (F.col("id") * 7).alias("val"),
+    )
+    df.repartition(8).write.partitionBy("dt").parquet(path)
+    manifest_init(spark, path, ["dt"], bloom_cols=["id"])
+
+    fs, jvm = _hadoop_fs(spark, path)
+    doc = _load_doc(fs, jvm, path)
+    assert "bloom_bits" not in doc and doc.get("bloom_bits_max") == 16384
+    sizes = {
+        len(_unpack_words(st["__bloom_id"])) * 64
+        for st in doc["files"].values()
+        if "__bloom_id" in st
+    }
+    assert sizes, "every ~2k-ndv file should fit under the 16384-bit cap"
+    assert all(s >= 8192 for s in sizes), sizes  # sized for the ndv, not 1024
+
+    n_files = len(read_manifested(spark, path).inputFiles())
+    assert n_files >= 12
+    probe = read_manifested(spark, path, prune_points={"id": 12345})
+    # true containing count is 1; allow a couple of false positives
+    assert len(probe.inputFiles()) <= 3, (len(probe.inputFiles()), n_files)
+    got = probe.filter(F.col("id") == 12345).collect()
+    assert len(got) == 1 and got[0]["val"] == 12345 * 7
+
+    absent = read_manifested(spark, path, prune_points={"id": 999_999_999})
+    assert len(absent.inputFiles()) <= 2
+    assert absent.filter(F.col("id") == 999_999_999).count() == 0
+
+    # saturation: cap too small for the ndv -> bitset omitted, reads keep
+    # every file and lose no rows
+    path2 = str(tmp_path / "sat")
+    df.repartition(2).write.partitionBy("dt").parquet(path2)  # ~8k ndv/file
+    manifest_init(spark, path2, ["dt"], bloom_cols=["id"], bloom_bits_max=4096)
+    doc2 = _load_doc(*_hadoop_fs(spark, path2), path2)
+    assert all("__bloom_id" not in st for st in doc2["files"].values())
+    p2 = read_manifested(spark, path2, prune_points={"id": 777})
+    assert p2.filter(F.col("id") == 777).count() == 1
+
+
 def test_manifest_observability_surfaces(spark, tmp_path):
     """write_manifested CTAS + the two metadata tables: .files-style
     inventory (leaf, bytes, rows, stats images) and the dry-run orphan

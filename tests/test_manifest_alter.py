@@ -155,6 +155,118 @@ def test_alter_validation_and_guards(spark, tmp_path):
         )
 
 
+def test_alter_swap_and_chain_renames_keep_physical_bytes(spark, tmp_path):
+    """Swap (a<->b) and chain (a->b, b->c) renames in ONE ALTER must
+    rekey the column mapping atomically from the pre-ALTER snapshot —
+    sequential pop/insert silently points logical names at the wrong
+    physical bytes."""
+    from etl_demo_spark.io.manifest import (
+        _hadoop_fs,
+        _load_doc,
+        alter_manifested,
+        read_manifested,
+    )
+
+    # swap qty <-> price: qty must now hold the old prices and vice versa
+    path = str(tmp_path / "swap")
+    _seed(spark, path)
+    alter_manifested(
+        spark, path, rename_columns={"qty": "price", "price": "qty"}
+    )
+    fs, jvm = _hadoop_fs(spark, path)
+    doc = _load_doc(fs, jvm, path)
+    assert doc["column_mapping"]["price"] == "qty"
+    assert doc["column_mapping"]["qty"] == "price"
+    got = {r.id: (r.price, r.qty) for r in read_manifested(spark, path).collect()}
+    assert got == {1: (10, 1.5), 2: (20, 2.5), 3: (30, 3.5)}
+
+    # chain qty->price, price->cost in one ALTER
+    path2 = str(tmp_path / "chain")
+    _seed(spark, path2)
+    alter_manifested(
+        spark, path2, rename_columns={"qty": "price", "price": "cost"}
+    )
+    doc2 = _load_doc(*_hadoop_fs(spark, path2), path2)
+    assert doc2["column_mapping"]["price"] == "qty"
+    assert doc2["column_mapping"]["cost"] == "price"
+    got2 = {
+        r.id: (r.price, r.cost) for r in read_manifested(spark, path2).collect()
+    }
+    assert got2 == {1: (10, 1.5), 2: (20, 2.5), 3: (30, 3.5)}
+
+
+def test_alter_duplicate_rename_targets_rejected(spark, tmp_path):
+    from etl_demo_spark.io.manifest import alter_manifested
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    with pytest.raises(ValueError, match="duplicate rename targets"):
+        alter_manifested(
+            spark, path, rename_columns={"qty": "x", "price": "x"}
+        )
+    # rename landing on a column ADDED in the same ALTER is also a clash
+    with pytest.raises(ValueError, match="rename target"):
+        alter_manifested(
+            spark,
+            path,
+            rename_columns={"qty": "x"},
+            add_columns={"x": "int"},
+        )
+
+
+def test_alter_drop_then_readd_surfaces_null_not_stale_bytes(spark, tmp_path):
+    """Dropping a column tombstones its physical name: a later add of the
+    same logical name must take a FRESH physical name so old files
+    surface NULL, not the dropped column's stale bytes."""
+    from etl_demo_spark.io.manifest import (
+        _hadoop_fs,
+        _load_doc,
+        alter_manifested,
+        read_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)  # no column mapping yet — drop must freeze one
+    alter_manifested(spark, path, drop_columns=["price"])
+    fs, jvm = _hadoop_fs(spark, path)
+    doc = _load_doc(fs, jvm, path)
+    assert doc["dropped_physical"] == ["price"]
+    assert "price" not in doc["column_mapping"]
+
+    alter_manifested(spark, path, add_columns={"price": "double"})
+    doc = _load_doc(fs, jvm, path)
+    assert doc["column_mapping"]["price"] != "price", (
+        "re-added column reused the tombstoned physical name — old files "
+        "would resurrect dropped data"
+    )
+    out = read_manifested(spark, path)
+    assert out.filter("price is null").count() == 3
+    assert {r.id for r in out.collect()} == {1, 2, 3}
+
+
+def test_alter_rename_onto_column_dropped_same_alter(spark, tmp_path):
+    """rename qty->price while dropping price in the same ALTER: the name
+    is freed by the drop; the renamed column keeps its own bytes and the
+    dropped column's physical name is tombstoned."""
+    from etl_demo_spark.io.manifest import (
+        _hadoop_fs,
+        _load_doc,
+        alter_manifested,
+        read_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    alter_manifested(
+        spark, path, drop_columns=["price"], rename_columns={"qty": "price"}
+    )
+    doc = _load_doc(*_hadoop_fs(spark, path), path)
+    assert doc["column_mapping"]["price"] == "qty"
+    assert doc["dropped_physical"] == ["price"]
+    got = {r.id: r.price for r in read_manifested(spark, path).collect()}
+    assert got == {1: 10, 2: 20, 3: 30}
+
+
 def test_alter_composes_with_dv_and_compaction(spark, tmp_path):
     """The mapped table stays a full citizen of the DML surface: DV
     deletes, change feed, and a materializing compaction all run on a

@@ -104,7 +104,7 @@ def test_create_matches_full_aggregate_and_noop(spark, tmp_path):
     assert got["c"]["n"] == 1 and got["c"]["n_vals"] == 0
     assert got["c"]["total"] is None and got["c"]["avg_val"] is None
     assert got["c"]["lo"] is None and got["c"]["hi"] is None
-    r = mv_refresh(spark, mv)
+    r = mv_refresh(spark, mv, cost_based=False)
     assert r["mode"] == "noop"
     assert mv_watermark(spark, mv) == 1
 
@@ -120,7 +120,7 @@ def test_incremental_fold_insert_update_delete(spark, tmp_path):
         "id INT, grp STRING, val DOUBLE, part STRING",
     )
     merge_upsert_manifested(spark, base, src, ["id"], "part")
-    r = mv_refresh(spark, mv)
+    r = mv_refresh(spark, mv, cost_based=False)
     assert r["mode"] == "incremental"
     assert r["mv_version"] == 2
     # the update touched a non-extreme row and the inserts need no repair:
@@ -130,7 +130,7 @@ def test_incremental_fold_insert_update_delete(spark, tmp_path):
 
     # now delete the stored max of 'a' -> exactly one group repairs
     delete_where_manifested(spark, base, F.col("id") == 3, "part")
-    r = mv_refresh(spark, mv)
+    r = mv_refresh(spark, mv, cost_based=False)
     assert r["mode"] == "incremental"
     assert r["recomputed_groups"] == 1
     _assert_matches(spark, base, mv)
@@ -139,7 +139,7 @@ def test_incremental_fold_insert_update_delete(spark, tmp_path):
 def test_group_death_tombstone_rebirth_and_vacuum(spark, tmp_path):
     base, mv = _mk(spark, tmp_path)
     delete_where_manifested(spark, base, F.col("grp") == "b", "part")
-    mv_refresh(spark, mv)
+    mv_refresh(spark, mv, cost_based=False)
     _assert_matches(spark, base, mv)
     assert "b" not in _got(spark, mv)
     tomb = mv_state(spark, mv).filter(F.col("_n") == 0).collect()
@@ -153,13 +153,13 @@ def test_group_death_tombstone_rebirth_and_vacuum(spark, tmp_path):
         [(9, "b", 7.0, "p1")], "id INT, grp STRING, val DOUBLE, part STRING"
     )
     merge_upsert_manifested(spark, base, src, ["id"], "part")
-    mv_refresh(spark, mv)
+    mv_refresh(spark, mv, cost_based=False)
     _assert_matches(spark, base, mv)
     assert _got(spark, mv)["b"]["lo"] == 7.0
 
     # vacuum drops only tombstones (kill one group again first)
     delete_where_manifested(spark, base, F.col("grp") == "c", "part")
-    mv_refresh(spark, mv)
+    mv_refresh(spark, mv, cost_based=False)
     assert mv_vacuum(spark, mv) >= 1
     assert mv_state(spark, mv).filter(F.col("_n") == 0).count() == 0
     _assert_matches(spark, base, mv)
@@ -179,19 +179,19 @@ def test_crash_between_intent_and_merge_recovers(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(mvmod, "merge_upsert_manifested", boom)
     with pytest.raises(RuntimeError, match="injected crash"):
-        mv_refresh(spark, mv)
+        mv_refresh(spark, mv, cost_based=False)
     monkeypatch.undo()
 
     # intent is pending; the MV itself is untouched and still readable
     assert manifest_versions(spark, mv)[-1] == 1
     assert mv_watermark(spark, mv) == 1
     # recovery: the next refresh re-runs the recorded fold
-    r = mv_refresh(spark, mv)
+    r = mv_refresh(spark, mv, cost_based=False)
     assert r["mode"] == "incremental" and r["mv_version"] == 2
     assert mv_watermark(spark, mv) == 2
     _assert_matches(spark, base, mv)
     # and it converges: nothing further to do
-    assert mv_refresh(spark, mv)["mode"] == "noop"
+    assert mv_refresh(spark, mv, cost_based=False)["mode"] == "noop"
 
 
 def test_concurrent_refresher_loses_intent_cas(spark, tmp_path, monkeypatch):
@@ -211,10 +211,10 @@ def test_concurrent_refresher_loses_intent_cas(spark, tmp_path, monkeypatch):
         lambda fs, jvm, root, intent: real(fs, jvm, root, intent) and False,
     )
     with pytest.raises(MVConcurrentRefreshError):
-        mv_refresh(spark, mv)
+        mv_refresh(spark, mv, cost_based=False)
     monkeypatch.undo()
     # the "other" refresher's intent is pending; this refresher resumes it
-    r = mv_refresh(spark, mv)
+    r = mv_refresh(spark, mv, cost_based=False)
     assert r["mv_version"] == 2
     _assert_matches(spark, base, mv)
 
@@ -229,12 +229,12 @@ def test_retention_lag_falls_back_to_full(spark, tmp_path):
         )
         merge_upsert_manifested(spark, base, src, ["id"], "part")
     assert 1 not in manifest_versions(spark, base)
-    r = mv_refresh(spark, mv)
+    r = mv_refresh(spark, mv, cost_based=False)
     assert r["mode"] == "full"
     _assert_matches(spark, base, mv)
     # back on the incremental path afterwards
     delete_where_manifested(spark, base, F.col("id") == 20, "part")
-    assert mv_refresh(spark, mv)["mode"] == "incremental"
+    assert mv_refresh(spark, mv, cost_based=False)["mode"] == "incremental"
     _assert_matches(spark, base, mv)
 
 
@@ -244,7 +244,7 @@ def test_mv_read_time_travel_and_empty_diff_commit(spark, tmp_path):
         [(7, "a", 99.0, "p1")], "id INT, grp STRING, val DOUBLE, part STRING"
     )
     merge_upsert_manifested(spark, base, src, ["id"], "part")
-    mv_refresh(spark, mv)
+    mv_refresh(spark, mv, cost_based=False)
     # the MV is itself a manifested table: time travel to the pre-refresh view
     old = {r["grp"]: r for r in mv_read(spark, mv, version=1).collect()}
     assert old["a"]["n"] == 3 and _got(spark, mv)["a"]["n"] == 4
@@ -254,7 +254,70 @@ def test_mv_read_time_travel_and_empty_diff_commit(spark, tmp_path):
     from etl_demo_spark.io.manifest import compact_manifested
 
     compact_manifested(spark, base)
-    r = mv_refresh(spark, mv)
+    r = mv_refresh(spark, mv, cost_based=False)
     assert r["changed_groups"] == 0
     assert mv_watermark(spark, mv) == manifest_versions(spark, base)[-1]
     _assert_matches(spark, base, mv)
+
+
+def test_cost_based_refresh_policy(spark, tmp_path):
+    """Default cost-based policy: a tiny base (under the full floor)
+    takes FULL recompute — the fold's fixed multi-job overhead can't
+    win there — while the estimate/decision are recorded; raising the
+    knobs back toward zero floor + high crossover re-selects the fold.
+    Both paths converge to the same state."""
+    base, mv = _mk(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(7, "a", 99.0, "p1"), (8, "d", 1.0, "p2")],
+        "id INT, grp STRING, val DOUBLE, part STRING",
+    )
+    merge_upsert_manifested(spark, base, src, ["id"], "part")
+    r = mv_refresh(spark, mv)  # defaults: 256 MiB floor
+    assert r["mode"] == "full" and r["reason"] == "cost", r
+    assert r["cost"]["full_cheaper"] is True
+    assert r["cost"]["base_scan_complete"] is True
+    assert 0 < r["cost"]["changed_bytes"]
+    _assert_matches(spark, base, mv)
+
+    # an 8-leaf base where one leaf's change is a small fraction: with
+    # the floor off, the fold is chosen and the estimate shows why
+    base2 = str(tmp_path / "base8")
+    mv2 = str(tmp_path / "view8")
+    big = spark.range(0, 80).selectExpr(
+        "cast(id as int) AS id",
+        "concat('g', id % 3) AS grp",
+        "cast(id as double) AS val",
+        "concat('p', id % 8) AS part",
+    )
+    write_manifested(big, base2, "part")
+    mv_create(
+        spark, base2, mv2, ["grp"],
+        {"n": ("count", None), "hi": ("max", "val")}, buckets=2,
+    )
+    one = spark.createDataFrame(
+        [(0, "g0", 500.0, "p0")], "id INT, grp STRING, val DOUBLE, part STRING"
+    )
+    merge_upsert_manifested(spark, base2, one, ["id"], "part")
+    r2 = mv_refresh(
+        spark, mv2, full_floor_bytes=0, changed_frac_crossover=0.9
+    )
+    assert r2["mode"] == "incremental" and r2["reason"] == "fold", r2
+    assert r2["cost"]["full_cheaper"] is False
+
+    # rewriting every leaf makes the changed slice ~the whole table:
+    # full wins on the fraction crossover, not the floor
+    allrows = read_manifested(spark, base2).withColumn(
+        "val", F.col("val") + F.lit(1.0)
+    )
+    merge_upsert_manifested(spark, base2, allrows, ["id"], "part")
+    r3 = mv_refresh(spark, mv2, full_floor_bytes=0, changed_frac_crossover=0.2)
+    assert r3["mode"] == "full" and r3["reason"] == "cost", r3
+    exp = {
+        r["grp"]: (r["n"], r["hi"])
+        for r in read_manifested(spark, base2)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("val").alias("hi"))
+        .collect()
+    }
+    got = {r["grp"]: (r["n"], r["hi"]) for r in mv_read(spark, mv2).collect()}
+    assert got == exp
