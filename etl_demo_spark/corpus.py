@@ -506,16 +506,35 @@ def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_parts")  # no oracle: HLL estimate is engine-specific
+@query(
+    "approx_distinct_parts",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_bound
+    FROM lineitem
+    """,
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-4 approx_count_distinct (HyperLogLog++). At 100 TB this replaces
     exact count-distinct where ±2% error is acceptable — no expand, no
-    per-key state explosion. Rows-only check: estimates are
-    engine-specific by nature (exact value returned alongside bounds)."""
+    per-key state explosion.
+
+    SELF-CERTIFYING oracle row: the HLL estimate itself is
+    engine-specific, so the frame carries the EXACT count (hash-compared
+    against DuckDB) plus ``within_bound`` — the sketch's relative error
+    asserted ≤ 4× its configured 2% rsd in-query. A broken sketch flips
+    the boolean and the driver row goes red; a healthy one hash-matches
+    the oracle's TRUE."""
     (li,) = _t(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.02).cast("double")
+                - F.countDistinct("l_partkey").cast("double")
+            )
+            <= F.lit(4 * 0.02) * F.countDistinct("l_partkey").cast("double")
+        ).alias("within_bound"),
     )
 
 
@@ -1013,6 +1032,155 @@ def simhash_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sim.groupBy((F.col("simhash").bitwiseAND(F.lit(255))).alias("lead_byte"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "minhash_near_dup_certified",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE doc_id < 500
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                          i -> array_to_string(t[i:i+2], ' '))) AS s
+      FROM toks WHERE len(t) >= 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           TRUE AS subset_ok,
+           TRUE AS recall_floor_ok
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.85
+    """,
+)
+def minhash_near_dup_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-CERTIFICATION row for the xxhash64 MinHash+LSH instance that
+    `minhash_near_dup` runs (which stays rows-only: DuckDB cannot replay
+    xxhash64). The same LSH config (32 hashes, 8 bands) is run against
+    the provably-complete prefix-filtered EXACT Jaccard join on the same
+    word-3-shingle sets, and the frame carries:
+
+    * ``n_exact_pairs`` — the exact θ=0.85 pair count, hash-compared
+      against DuckDB's brute-force all-pairs join (doc_id < 500 keeps
+      the oracle's quadratic check constant across sfs);
+    * ``subset_ok`` — every LSH-found verified pair is in the exact set
+      (exactness of the verify stage);
+    * ``recall_floor_ok`` — LSH catches ≥80% of exact pairs (analytic
+      catch probability at J=0.85 with 8 bands of 4 is 0.997, so the
+      floor certifies the banding with overwhelming margin without
+      betting a driver row on the 3e-4 per-pair tail).
+
+    A broken signature fold, band topology, or verify stage flips a
+    boolean and the driver row goes red."""
+    from etl_demo_spark.dedup import (
+        jaccard_verify,
+        minhash_lsh_candidates,
+        prefix_filter_jaccard_join,
+        shingles_from_tokens,
+    )
+    from etl_demo_spark.text import tokens
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    sub = docs.filter(F.col("doc_id") < 500)
+    sets = (
+        sub.select(F.col("doc_id").alias("id"), tokens("text").alias("__t"))
+        .filter(F.size("__t") >= 3)
+        .select("id", shingles_from_tokens("__t", 3).alias("shingles"))
+    )
+    exact = prefix_filter_jaccard_join(sets, 0.85).select("id_a", "id_b").persist()
+    cands = minhash_lsh_candidates(sub, num_hashes=32, bands=8)
+    found = (
+        jaccard_verify(cands, sub, threshold=0.85).select("id_a", "id_b").persist()
+    )
+    try:
+        n_exact = exact.count()
+        stray = found.join(exact, ["id_a", "id_b"], "left_anti").count()
+        caught = found.join(exact, ["id_a", "id_b"], "semi").count()
+    finally:
+        exact.unpersist()
+        found.unpersist()
+    subset_ok = stray == 0
+    recall_ok = n_exact < 5 or caught >= 0.8 * n_exact
+    assert subset_ok, f"verify stage emitted {stray} pairs outside the exact set"
+    assert recall_ok, f"LSH recall collapsed: {caught}/{n_exact} exact pairs found"
+    return spark.createDataFrame(
+        [(n_exact, subset_ok, recall_ok)],
+        "n_exact_pairs BIGINT, subset_ok BOOLEAN, recall_floor_ok BOOLEAN",
+    )
+
+
+@query(
+    "simhash_certified",
+    oracle="""
+    WITH dup AS (
+      SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+               AS n_dup_text_pairs
+      FROM (SELECT COUNT(*) AS c FROM documents GROUP BY text)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           n_dup_text_pairs,
+           TRUE AS sig_equal_on_dup_text,
+           TRUE AS low_sim_hamming_ok
+    FROM dup
+    """,
+)
+def simhash_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-CERTIFICATION row for the xxhash64 SimHash instance that
+    `simhash_profile` runs (rows-only: the bit-fold family is
+    engine-specific). Two semantic invariants of a correct SimHash are
+    asserted in-frame alongside exact counts DuckDB reproduces:
+
+    * ``sig_equal_on_dup_text`` — identical texts hash to identical
+      signatures (determinism of the tf-weighted bit vote);
+    * ``low_sim_hamming_ok`` — across the deterministic pairing of
+      doc i with doc i+250 (unrelated texts), mean 64-bit Hamming
+      distance ≥ 8. Unrelated docs from a SHARED vocabulary land well
+      below the 32-bit independence expectation (the common tokens
+      dominate the tf vote; measured ~14 on the driver corpus), but a
+      degenerate fold — all-zero signatures, stuck bits — drops the
+      mean toward 0 and fails loudly. Near-dup sensitivity is covered
+      by `simhash_exact_pairs`' bit-exact oracle."""
+    from etl_demo_spark.dedup import simhash_table
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    sim = simhash_table(docs)  # (id, simhash)
+    joined = docs.select(F.col("doc_id").alias("id"), "text").join(sim, "id")
+    grp = joined.groupBy("text").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.countDistinct("simhash").alias("ns"),
+    )
+    row = grp.agg(
+        F.sum(F.expr("c * (c - 1) div 2")).alias("n_dup_text_pairs"),
+        F.max(F.when(F.col("c") > 1, F.col("ns")).otherwise(F.lit(1))).alias(
+            "max_ns"
+        ),
+        F.count(F.lit(1)).alias("n_distinct_texts"),
+    ).first()
+    n_docs = docs.count()
+    sig_equal = int(row["max_ns"] or 1) == 1
+
+    a, b = sim.alias("a"), sim.alias("b")
+    ham = (
+        a.filter(F.col("a.id") < 250)
+        .join(b, F.col("b.id") == F.col("a.id") + 250)
+        .select(
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("h")
+        )
+        .agg(F.avg("h").alias("mean_h"), F.count(F.lit(1)).alias("n_pairs"))
+        .first()
+    )
+    low_sim_ok = ham["n_pairs"] == 0 or float(ham["mean_h"]) >= 8.0
+    assert sig_equal, "identical texts produced different simhash signatures"
+    assert low_sim_ok, f"mean hamming {ham['mean_h']} over unrelated pairs"
+    return spark.createDataFrame(
+        [(n_docs, int(row["n_dup_text_pairs"] or 0), sig_equal, low_sim_ok)],
+        "n_docs BIGINT, n_dup_text_pairs BIGINT, "
+        "sig_equal_on_dup_text BOOLEAN, low_sim_hamming_ok BOOLEAN",
     )
 
 
@@ -2293,15 +2461,55 @@ def orders_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_percentiles")  # sketch-based: engine-specific estimates (rows-only)
+@query(
+    "approx_percentiles",
+    oracle="""
+    SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
+           TRUE AS within_bound
+    FROM lineitem
+    """,
+)
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X-4 family: approx_percentile (KLL/GK-style sketch) — the 100 TB
-    replacement for exact percentiles (no global sort). Exact quantiles
-    returned alongside for the rows-only sanity read."""
+    """X-4 family: approx_percentile (GK-style sketch) — the 100 TB
+    replacement for exact percentiles (no global sort).
+
+    SELF-CERTIFYING oracle row: the sketch estimates are
+    engine-specific, so the frame carries the EXACT interpolated
+    quantiles (hash-compared against DuckDB's quantile_cont — same
+    linear-interpolation definition, ROUND(,2) for the last-ULP gap)
+    plus ``within_bound``: each estimate must land inside the exact
+    value's ±0.002 RANK window — 20× the sketch's configured 1e-4 rank
+    accuracy. Rank error, not value error, is what the GK sketch
+    guarantees."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("approx_p"),
-        F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("exact_p"),
+    qs = [0.5, 0.95, 0.99]
+    guard = [q + d for q in qs for d in (-0.002, 0.002)]
+    row = li.agg(
+        F.percentile_approx("l_extendedprice", qs, 10000).alias("ap"),
+        F.expr(
+            "percentile(l_extendedprice, array({}))".format(
+                ",".join(str(q) for q in qs)
+            )
+        ).alias("ep"),
+        F.expr(
+            "percentile(l_extendedprice, array({}))".format(
+                ",".join(str(g) for g in guard)
+            )
+        ).alias("gp"),
+    )
+    ok = F.lit(True)
+    for i in range(len(qs)):
+        ok = ok & (
+            (F.col("ap")[i] >= F.col("gp")[2 * i])
+            & (F.col("ap")[i] <= F.col("gp")[2 * i + 1])
+        )
+    return row.select(
+        F.round(F.col("ep")[0], 2).alias("p50"),
+        F.round(F.col("ep")[1], 2).alias("p95"),
+        F.round(F.col("ep")[2], 2).alias("p99"),
+        ok.alias("within_bound"),
     )
 
 
@@ -5160,28 +5368,59 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("daily_user_sketches")  # HLL estimates are engine-specific (rows-only)
+@query(
+    "daily_user_sketches",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           CAST(COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+             AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY 1
+    """,
+)
 def daily_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup: per-day HLL sketches of active users,
     unioned into one weekly distinct estimate per week — the lakehouse
     pattern where daily sketches are STORED and any date range's
     distinct count is answered by merging sketches instead of rescanning
-    events. Estimates are engine/implementation-specific → rows-only
-    driver check; the estimate-vs-exact error bound is asserted in unit
-    tests.
+    events.
+
+    SELF-CERTIFYING oracle row: the merged estimate is
+    implementation-specific (DataSketches HLL), so each week's row
+    carries the EXACT weekly distinct count (hash-compared against
+    DuckDB) plus ``within_bound`` — the merged sketch's relative error
+    asserted ≤ 8% in-query (5× the lgK=12 default's ~1.6% rsd; a merge
+    of daily sketches has the SAME bound as one sketch over the union,
+    the mergeability property this query exists to exercise).
 
     Scale: sketch state is KBs per group regardless of cardinality; the
     weekly merge shuffles sketches, not user ids."""
     (ev,) = _t(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sketch")
+        F.hll_sketch_agg("user_id").alias("sketch"),
     )
-    return (
-        daily.groupBy(F.to_date(F.date_trunc("week", "day")).alias("week"))
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
-            F.count(F.lit(1)).alias("n_days"),
-        )
+    weekly = daily.groupBy(
+        F.to_date(F.date_trunc("week", "day")).alias("week")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = ev.groupBy(F.to_date(F.date_trunc("week", "ts")).alias("week")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return weekly.join(exact, "week").select(
+        "week",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(
+                F.col("approx_users").cast("double")
+                - F.col("exact_users").cast("double")
+            )
+            <= F.lit(0.08) * F.col("exact_users").cast("double")
+        ).alias("within_bound"),
     )
 
 
