@@ -122,6 +122,31 @@ def main() -> int:
         f"({len(corr_queries) - n_no_oracle} oracled green, "
         f"{n_no_oracle} rows-only), planshape invariants hold"
     )
+
+    # Stage any driver-named artifacts sitting uncommitted in the tree
+    # (BENCH_r*.json / CORRECTNESS_r*.json overwrites land AFTER the
+    # round's last code commit — rounds 5 and 6 both shipped with them
+    # dangling). `git add` only; the closing `git commit` stays a human
+    # action so the round's final message is deliberate.
+    import subprocess as sp
+
+    dirty = sp.run(
+        ["git", "status", "--porcelain"], cwd=REPO, capture_output=True, text=True
+    ).stdout.splitlines()
+    staged = []
+    for line in dirty:
+        name = line[3:].strip()
+        if name.startswith(("BENCH_r", "CORRECTNESS_r", "CORRECTNESS_FULL_r")) or name in (
+            "PLANSHAPE.json",
+            "LEAKCHECK.json",
+            "COPYCHECK.json",
+            "VERDICT.md",
+            "ADVICE.md",
+        ):
+            sp.run(["git", "add", name], cwd=REPO)
+            staged.append(name)
+    if staged:
+        print(f"staged round artifacts: {sorted(staged)}")
     return 0
 
 

@@ -450,3 +450,64 @@ def test_repartition_manifested_atomic_relayout(spark, tmp_path):
     alter_manifested(spark, path, rename_columns={"id": "row_id"})
     with pytest.raises(ValueError, match="identity-mapped"):
         repartition_manifested(spark, path, "row_id")
+
+
+def test_drop_tombstone_respected_by_merge_schema_evolution(spark, tmp_path):
+    """The drop tombstone must bind ALL paths that mint physical names:
+    a schema-evolving MERGE re-introducing a dropped logical name gets a
+    SUFFIXED physical name, so old files surface NULL for it instead of
+    the dropped column's stale bytes."""
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.io.manifest import (
+        _hadoop_fs,
+        _load_doc,
+        alter_manifested,
+        merge_upsert_manifested,
+        read_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    alter_manifested(spark, path, drop_columns=["price"])
+
+    src = spark.createDataFrame(
+        [(4, 40, "B", 9.99)], "id INT, qty INT, seg STRING, price DOUBLE"
+    )
+    merge_upsert_manifested(
+        spark, path, src, ["id"], "seg", schema_evolution=True
+    )
+    doc = _load_doc(*_hadoop_fs(spark, path), path)
+    assert doc["column_mapping"]["price"] != "price", (
+        "merge evolution reused the tombstoned physical name"
+    )
+    out = read_manifested(spark, path)
+    got = {r.id: r.price for r in out.collect()}
+    assert got == {1: None, 2: None, 3: None, 4: 9.99}
+
+
+def test_alter_rekeys_adaptive_bloom_blobs(spark, tmp_path):
+    """Renaming a bloom column rekeys its packed per-file bitsets to the
+    new logical name and point-lookup pruning keeps working — files were
+    never touched, so the bitsets (keyed by logical name) must follow
+    the rename."""
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.io.manifest import (
+        alter_manifested,
+        read_manifested,
+        write_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("dt"),
+    )
+    write_manifested(df.repartition(8), path, "dt", bloom_cols=["id"])
+    n_files = len(read_manifested(spark, path).inputFiles())
+
+    alter_manifested(spark, path, rename_columns={"id": "item_id"})
+    probe = read_manifested(spark, path, prune_points={"item_id": 1234})
+    assert len(probe.inputFiles()) < n_files / 2
+    assert probe.filter(F.col("item_id") == 1234).count() == 1

@@ -578,3 +578,67 @@ def test_nfc_normalize_idempotent_and_canonical_equivalent(spark, texts):
     for r in out:
         assert r.n == unicodedata.normalize("NFC", r.t)
         assert unicodedata.normalize("NFC", r.n) == r.n
+
+
+# ---------------------------------------------------------------- blooms
+
+
+@given(
+    positions=st.lists(st.integers(min_value=0, max_value=(1 << 14) - 1),
+                       min_size=0, max_size=200),
+    target_log2=st.integers(min_value=8, max_value=14),
+)
+@settings(max_examples=200, deadline=None)
+def test_bloom_fold_equals_direct_build(positions, target_log2):
+    """Folding a bitset built at 2^14 bits down to 2^t must be
+    BIT-IDENTICAL to building directly at 2^t with positions taken mod
+    2^t — the identity both the adaptive build and the probe-side mask
+    rely on."""
+    from etl_demo_spark.io.manifest import _fold_words
+
+    B, T = 1 << 14, 1 << target_log2
+    big = [0] * (B // 64)
+    small = [0] * (T // 64)
+    for p in positions:
+        big[p >> 6] |= 1 << (p & 63)
+        q = p % T
+        small[q >> 6] |= 1 << (q & 63)
+    assert _fold_words(list(big), T) == small
+
+
+@given(words=st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                      min_size=1, max_size=64))
+@settings(max_examples=100, deadline=None)
+def test_bloom_pack_roundtrip(words):
+    from etl_demo_spark.io.manifest import _pack_words, _unpack_words
+
+    assert _unpack_words(_pack_words(words)) == words
+    assert _unpack_words(words) == words  # legacy list passthrough
+
+
+@given(
+    ndv=st.integers(min_value=0, max_value=100_000),
+    k=st.integers(min_value=1, max_value=8),
+    fpr=st.floats(min_value=0.001, max_value=0.2),
+    cap_log2=st.integers(min_value=9, max_value=16),
+)
+@settings(max_examples=300, deadline=None)
+def test_bloom_bits_for_contract(ndv, k, fpr, cap_log2):
+    """Size is a power of two in [256, cap]; None exactly when the cap
+    leaves < 2 bits per key; achieved FPR at the chosen size meets the
+    target unless the cap clamped it."""
+    import math
+
+    from etl_demo_spark.io.manifest import _bloom_bits_for
+
+    cap = 1 << cap_log2
+    bits = _bloom_bits_for(ndv, k, fpr, cap)
+    n = max(1, ndv)
+    if cap < 2 * n:
+        assert bits is None
+        return
+    assert bits is not None and 256 <= bits <= cap
+    assert bits & (bits - 1) == 0
+    if bits < cap:  # not clamped: the target FPR must be met
+        achieved = (1 - math.exp(-k * n / bits)) ** k
+        assert achieved <= fpr * 1.01
