@@ -226,10 +226,54 @@ def _decode_avi(b: bytes) -> list[np.ndarray] | None:
     return frames or None
 
 
+def _ffmpeg_enabled() -> bool:
+    """Inter-frame codecs (H.264/VP9/AV1) need a real decoder. The
+    stdlib paths stay the DEFAULT; this opt-in gate requires BOTH the
+    env flag and the binary, so the engine's behavior never silently
+    depends on what happens to be installed on a worker."""
+    import os
+    import shutil
+
+    return os.environ.get("SPARK_GRAFT_FFMPEG") == "1" and bool(
+        shutil.which("ffmpeg")
+    )
+
+
+def decode_ffmpeg_frames(b: bytes) -> list[np.ndarray] | None:
+    """Decode ANY container/codec ffmpeg handles by piping the blob in
+    and Y4M out, then reusing this module's own Y4M parser — one decode
+    path, two producers. Returns None on any failure (filter-don't-fail)
+    or when the gate is off. Runs inside the executor-side Pandas UDF:
+    one subprocess per blob, bounded by the Arrow batch size."""
+    if not _ffmpeg_enabled():
+        return None
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [
+                "ffmpeg", "-v", "error", "-i", "pipe:0",
+                "-f", "yuv4mpeg2", "-pix_fmt", "yuv444p", "pipe:1",
+            ],
+            input=b,
+            capture_output=True,
+            timeout=120,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    if r.returncode != 0 or not r.stdout:
+        return None
+    return decode_y4m_frames(r.stdout)
+
+
 def decode_video_frames(b: bytes) -> list[np.ndarray] | None:
-    """Container sniff: Y4M then AVI/MJPEG. Frames are (H, W, 1) or
-    (H, W, 3) uint8; None when neither container parses."""
+    """Container sniff: Y4M then AVI/MJPEG, then — only when the
+    SPARK_GRAFT_FFMPEG=1 gate is on and the binary exists — an ffmpeg
+    pipe for inter-frame codecs. Frames are (H, W, 1) or (H, W, 3)
+    uint8; None when nothing decodes."""
     frames = decode_y4m_frames(b)
     if frames is None:
         frames = decode_avi_mjpeg_frames(b)
+    if frames is None:
+        frames = decode_ffmpeg_frames(b)
     return frames

@@ -115,3 +115,45 @@ def test_sample_video_frames_real_stride_and_png_output(spark):
         px = decode_png_pixels(bytes(r.frame))
         assert px.shape == (6, 8, 3)
         assert (px == 30 * src).all()
+
+
+def test_ffmpeg_gate_off_by_default(monkeypatch):
+    """Without SPARK_GRAFT_FFMPEG=1 the ffmpeg path must not run even if
+    the binary exists — engine behavior can't depend on worker PATH."""
+    from etl_demo_spark.io.video import decode_ffmpeg_frames
+
+    monkeypatch.delenv("SPARK_GRAFT_FFMPEG", raising=False)
+    assert decode_ffmpeg_frames(b"\x00\x00\x00\x18ftypmp42") is None
+
+
+def test_ffmpeg_interframe_decode_when_present(monkeypatch, tmp_path):
+    """Gated end-to-end: encode a tiny H.264 clip with ffmpeg, decode it
+    through decode_video_frames' ffmpeg pipe, check frame count + pixel
+    parity vs the raw source (lossless x264 at qp 0 when available,
+    else a tolerance). Skips cleanly where ffmpeg is absent."""
+    import shutil
+    import subprocess
+
+    if not shutil.which("ffmpeg"):
+        pytest.skip("ffmpeg not installed")
+    monkeypatch.setenv("SPARK_GRAFT_FFMPEG", "1")
+
+    from etl_demo_spark.io.video import decode_video_frames, y4m_bytes
+
+    rng = np.random.default_rng(7)
+    src = [rng.integers(0, 256, (32, 48), dtype=np.uint8) for _ in range(5)]
+    raw = y4m_bytes(src)
+    enc = subprocess.run(
+        ["ffmpeg", "-v", "error", "-i", "pipe:0", "-c:v", "libx264",
+         "-preset", "ultrafast", "-qp", "0", "-f", "mp4",
+         "-movflags", "frag_keyframe+empty_moov", "pipe:1"],
+        input=raw, capture_output=True, timeout=120,
+    )
+    if enc.returncode != 0:
+        pytest.skip(f"ffmpeg encode unavailable: {enc.stderr[:200]!r}")
+    frames = decode_video_frames(enc.stdout)
+    assert frames is not None and len(frames) == 5
+    for got, want in zip(frames, src):
+        assert got.shape[:2] == want.shape
+        g = got[..., 0].astype(int) if got.ndim == 3 else got.astype(int)
+        assert np.abs(g - want.astype(int)).mean() < 3.0
