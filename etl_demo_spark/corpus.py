@@ -9633,3 +9633,94 @@ def orders_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_price").cast("double").alias("max_price"),
         F.col("min_cust").cast("bigint").alias("min_cust"),
     )
+
+
+@query(
+    "event_value_gapfill",
+    oracle="""
+    WITH sparse AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(ROUND(AVG(value) * 10000) AS BIGINT) AS v
+      FROM events WHERE value > 180 GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+      FROM sparse GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 hour)) AS bucket
+      FROM bounds
+    ),
+    dense AS (
+      SELECT s.event_type, s.bucket, sp.v,
+             ROW_NUMBER() OVER (PARTITION BY s.event_type
+                                ORDER BY s.bucket) AS rn
+      FROM spine s LEFT JOIN sparse sp
+        ON s.event_type = sp.event_type AND s.bucket = sp.bucket
+    ),
+    marked AS (
+      SELECT *,
+        LAST_VALUE(v IGNORE NULLS) OVER w_prev AS pv,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+          OVER w_prev AS pr,
+        FIRST_VALUE(v IGNORE NULLS) OVER w_next AS nv,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+          OVER w_next AS nr
+      FROM dense
+      WINDOW w_prev AS (PARTITION BY event_type ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_next AS (PARTITION BY event_type ORDER BY bucket
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:00:00') AS bucket,
+           CASE WHEN v IS NOT NULL THEN v / 10000.0
+                WHEN pr IS NOT NULL AND nr IS NOT NULL
+                  THEN ((pv * (nr - rn) + nv * (rn - pr))
+                        / CAST(nr - pr AS DOUBLE)) / 10000.0
+           END AS value_filled,
+           (v IS NULL AND pr IS NOT NULL AND nr IS NOT NULL)
+             AS interpolated
+    FROM marked
+    """,
+)
+def event_value_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series GAP FILLING with linear interpolation
+    (`ops.gap_fill_interpolate`) — the time_bucket_gapfill+interpolate
+    shape: hourly mean `value` per event type over a deliberately
+    sparsified series (value > 180 keeps ~30% of hours), densified to
+    the full per-type hour spine with interior gaps linearly
+    interpolated between the bracketing observations and edge gaps NULL.
+
+    Cross-engine exactness: bucket means are scaled to INTEGERS
+    (round(avg·10⁴)) before interpolation, the operator's
+    weighted-average form keeps the numerator exact, and the single
+    int/int division is IEEE-identical on both engines — no final-round
+    boundary exists, the whole fill replays bit-for-bit in DuckDB
+    window functions.
+
+    Scale shape: the spine is `sequence()` exploded executor-side (no
+    driver loop), one exchange for the bounds agg, one for the
+    spine⋈observed join, per-key window sorts ride that partitioning."""
+    from etl_demo_spark.ops import gap_fill_interpolate
+
+    (ev,) = _t(spark, sf_dir, "events")
+    sparse = (
+        ev.filter(F.col("value") > 180)
+        .groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket")
+        )
+        .agg(
+            F.round(F.avg("value") * 10000).cast("long").alias("v")
+        )
+    )
+    filled = gap_fill_interpolate(
+        sparse, ["event_type"], "bucket", "v", step="interval 1 hour"
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:00:00").alias("bucket"),
+        (F.col("value_filled") / F.lit(10000.0)).alias("value_filled"),
+        "interpolated",
+    )

@@ -903,3 +903,79 @@ def pagerank_exact(
             .localCheckpoint(eager=True)
         )
     return pr
+
+
+def gap_fill_interpolate(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    bucket_col: str,
+    value_col: str,
+    step: str = "interval 1 hour",
+    method: str = "linear",
+) -> DataFrame:
+    """Time-series GAP FILLING over a sparse bucketed series — the
+    `time_bucket_gapfill` + `interpolate`/`locf` shape every metrics
+    store grows: given one row per (key, bucket) with buckets MISSING
+    where nothing happened, emit the dense per-key series with gaps
+    filled.
+
+    Per key: bounds from one aggregate, the dense spine from
+    ``sequence(lo, hi, step)`` exploded EXECUTOR-side (never a driver
+    loop — a 10-year hourly spine is 87k rows per key, generated where
+    the key lives), left-join the observed rows back, then fill:
+
+    * ``method="locf"`` — last observation carried forward;
+    * ``method="linear"`` — interior gaps interpolate between the
+      bracketing observations (equally-spaced buckets, so row position
+      is the time axis: prev + (next−prev) · gap_fraction); leading /
+      trailing gaps have no bracket and stay NULL (Timescale's
+      `interpolate` contract).
+
+    Output: key_cols + bucket_col + ``value_filled`` + ``interpolated``
+    (true only for interior filled gaps). Scale shape: one hash
+    exchange for the bounds aggregate, one for the spine⋈observed join,
+    and the per-key window sorts ride the join's partitioning — no
+    global sort, no driver data."""
+    if method not in ("linear", "locf"):
+        raise ValueError(f"gap_fill_interpolate: unknown method {method!r}")
+    keys = list(key_cols)
+    bounds = df.groupBy(*keys).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    spine = bounds.select(
+        *keys,
+        F.explode(F.expr(f"sequence(__lo, __hi, {step})")).alias(bucket_col),
+    )
+    dense = spine.join(
+        df.select(*keys, bucket_col, value_col), [*keys, bucket_col], "left"
+    )
+    w = Window.partitionBy(*keys).orderBy(bucket_col)
+    dense = dense.withColumn("__rn", F.row_number().over(w))
+    wprev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wnext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    v = F.col(value_col)
+    pv = F.last(v, ignorenulls=True).over(wprev)
+    pr = F.last(F.when(v.isNotNull(), F.col("__rn")), ignorenulls=True).over(wprev)
+    nv = F.first(v, ignorenulls=True).over(wnext)
+    nr = F.first(F.when(v.isNotNull(), F.col("__rn")), ignorenulls=True).over(wnext)
+    if method == "locf":
+        filled = F.coalesce(v, pv)
+        interp = v.isNull() & pv.isNotNull()
+    else:
+        # weighted-average form (pv·(nr−rn) + nv·(rn−pr)) / (nr−pr):
+        # algebraically the usual pv + (nv−pv)·frac, but with INTEGER
+        # value columns the numerator/denominator are exact ints and the
+        # single division is IEEE-identical across engines — the form
+        # the cross-engine-exact corpus oracle relies on
+        rn = F.col("__rn")
+        filled = F.when(v.isNotNull(), v).when(
+            pr.isNotNull() & nr.isNotNull(),
+            (pv * (nr - rn) + nv * (rn - pr)) / (nr - pr),
+        )
+        interp = v.isNull() & pr.isNotNull() & nr.isNotNull()
+    return dense.select(
+        *keys,
+        bucket_col,
+        filled.alias("value_filled"),
+        interp.alias("interpolated"),
+    )

@@ -699,3 +699,66 @@ def test_pagerank_exact_hand_computed_and_partition_invariant(spark):
     assert {
         r.node: r.pr for r in pagerank_exact(doubled, n_iter=2).collect()
     } == got
+
+
+def test_gap_fill_interpolate_linear_and_locf(spark):
+    """Dense spine per key; interior gaps interpolate linearly (exact
+    thirds on an integer series), leading/trailing gaps stay NULL under
+    linear but carry forward under locf; observed rows pass through."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.ops import gap_fill_interpolate
+
+    t0 = datetime.datetime(2024, 1, 1, 0)
+
+    def h(n):
+        return t0 + datetime.timedelta(hours=n)
+
+    rows = [
+        ("a", h(1), 10.0),   # leading gap at h0 is OUTSIDE bounds (min=h1)
+        ("a", h(4), 40.0),   # h2,h3 interior gap
+        ("a", h(5), None),   # observed NULL == gap
+        ("a", h(7), 70.0),
+        ("b", h(0), 5.0),
+        ("b", h(2), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, bucket TIMESTAMP, v DOUBLE")
+
+    lin = {
+        (r["k"], r["bucket"].hour): (r["value_filled"], r["interpolated"])
+        for r in gap_fill_interpolate(df, ["k"], "bucket", "v").collect()
+    }
+    assert lin[("a", 1)] == (10.0, False)
+    assert lin[("a", 2)] == (20.0, True)
+    assert lin[("a", 3)] == (30.0, True)
+    assert lin[("a", 4)] == (40.0, False)
+    assert lin[("a", 5)] == (50.0, True)   # NULL observation interpolates
+    assert lin[("a", 6)] == (60.0, True)
+    assert lin[("a", 7)] == (70.0, False)
+    assert lin[("b", 1)] == (5.0, True)
+    assert len([k for k in lin if k[0] == "a"]) == 7  # dense h1..h7
+
+    # trailing gap: drop the h7 anchor -> h5,h6 have no next bracket
+    lin2 = {
+        (r["k"], r["bucket"].hour): (r["value_filled"], r["interpolated"])
+        for r in gap_fill_interpolate(
+            df.filter("v IS NULL OR v < 65"), ["k"], "bucket", "v"
+        ).collect()
+    }
+    assert lin2[("a", 5)] == (None, False)
+
+    locf = {
+        (r["k"], r["bucket"].hour): (r["value_filled"], r["interpolated"])
+        for r in gap_fill_interpolate(
+            df, ["k"], "bucket", "v", method="locf"
+        ).collect()
+    }
+    assert locf[("a", 2)] == (10.0, True)
+    assert locf[("a", 6)] == (40.0, True)  # carried, not interpolated
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown method"):
+        gap_fill_interpolate(df, ["k"], "bucket", "v", method="spline")
