@@ -9724,3 +9724,128 @@ def event_value_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value_filled") / F.lit(10000.0)).alias("value_filled"),
         "interpolated",
     )
+
+
+@query(
+    "catalog_atomic_transfer",
+    oracle="""
+    WITH a_final AS (
+      SELECT o_orderpriority, COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      FROM orders
+      WHERE o_orderstatus = 'O' AND NOT (o_totalprice > 250000.0)
+      GROUP BY o_orderpriority
+    ),
+    b_final AS (
+      SELECT o_orderpriority, COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      FROM orders
+      WHERE o_orderstatus = 'P'
+         OR (o_orderstatus = 'O' AND o_totalprice > 250000.0)
+      GROUP BY o_orderpriority
+    )
+    SELECT 'open' AS side, o_orderpriority, CAST(n AS BIGINT) AS n,
+           CAST(total AS DOUBLE) AS total
+    FROM a_final
+    UNION ALL
+    SELECT 'archive' AS side, o_orderpriority, CAST(n AS BIGINT) AS n,
+           CAST(total AS DOUBLE) AS total
+    FROM b_final
+    """,
+)
+def catalog_atomic_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATOMIC CROSS-TABLE commit through the multi-table catalog
+    (`io/catalog.py`): two manifested tables (open orders / archive),
+    a transfer that DELETEs the >250k tier from one and MERGEs it into
+    the other as two ordinary per-table commits, then ONE catalog flip.
+
+    In-query asserts pin the transactional contract a single-table
+    format cannot give: (1) a snapshot resolved BEFORE the flip still
+    reads the pre-transfer state of BOTH tables even after the table
+    commits land durable; (2) the post-flip snapshot sees both sides
+    moved; (3) row count and decimal total are conserved across every
+    catalog-visible state — no reader can ever observe the transferred
+    tier in both tables or in neither.
+
+    The returned frame is the post-flip consistent state, which the
+    oracle derives straight from the base data — so the hash check
+    certifies the whole DML + catalog pipeline moved exactly the right
+    rows. Scale: the catalog document is O(tables); resolution adds one
+    tiny JSON read to each snapshot."""
+    import tempfile
+
+    from etl_demo_spark.io.catalog import (
+        catalog_commit,
+        catalog_init,
+        catalog_snapshot,
+    )
+    from etl_demo_spark.io.manifest import (
+        delete_where_manifested,
+        manifest_versions,
+        merge_upsert_manifested,
+        write_manifested,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        "o_orderpriority",
+    )
+    root = tempfile.mkdtemp(prefix="cat_tx_")
+    a_root, b_root, cat = f"{root}/open", f"{root}/archive", f"{root}/cat"
+    write_manifested(
+        base.filter(F.col("o_orderstatus") == "O"), a_root, "o_orderpriority"
+    )
+    write_manifested(
+        base.filter(F.col("o_orderstatus") == "P"), b_root, "o_orderpriority"
+    )
+    catalog_init(spark, cat, {"open": a_root, "archive": b_root})
+
+    def totals(snap, name):
+        r = snap.read(name).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("t"),
+        ).first()
+        return int(r["n"]), r["t"] or 0
+
+    pre = catalog_snapshot(spark, cat)
+    a0, b0 = totals(pre, "open"), totals(pre, "archive")
+
+    moving = pre.read("open").filter(F.col("o_totalprice") > 250000.0)
+    merge_upsert_manifested(
+        spark, b_root, moving, ["o_orderkey"], "o_orderpriority"
+    )
+    delete_where_manifested(
+        spark, a_root, F.col("o_totalprice") > 250000.0, "o_orderpriority"
+    )
+    # durable table commits, but the catalog still serves the old pins
+    mid = catalog_snapshot(spark, cat)
+    assert totals(mid, "open") == a0 and totals(mid, "archive") == b0, (
+        "catalog leaked a half-applied transfer"
+    )
+
+    catalog_commit(
+        spark,
+        cat,
+        {
+            "open": manifest_versions(spark, a_root)[-1],
+            "archive": manifest_versions(spark, b_root)[-1],
+        },
+    )
+    post = catalog_snapshot(spark, cat)
+    a1, b1 = totals(post, "open"), totals(post, "archive")
+    assert a1[0] + b1[0] == a0[0] + b0[0], "row count not conserved"
+    assert a1[1] + b1[1] == a0[1] + b0[1], "decimal total not conserved"
+    assert totals(pre, "open") == a0, "pre-flip snapshot lost repeatability"
+
+    def side(snap, name, label):
+        return snap.read(name).groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        ).select(F.lit(label).alias("side"), "o_orderpriority", "n", "total")
+
+    return side(post, "open", "open").unionByName(
+        side(post, "archive", "archive")
+    )

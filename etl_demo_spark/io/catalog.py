@@ -1,0 +1,222 @@
+"""Multi-table CATALOG: atomic cross-table commits and consistent
+snapshots over manifested tables.
+
+Single-table snapshot formats (and `io/manifest.py` so far) make each
+TABLE atomic, but a pipeline that commits orders and its order_events
+side table separately exposes readers to a torn state between the two
+commits — the classic lakehouse gap that warehouses close with
+multi-statement transactions. This module closes it with one more
+pointer level, the same trick the manifest layer plays on directories:
+
+* a catalog is a directory of versioned JSON documents, each pinning
+  ``{table_name: {root, version}}`` for every member table;
+* writers run their per-table DML first (each lands as a normal
+  manifest commit — durable but NOT yet visible through the catalog),
+  then publish ONE catalog version flipping all the pins together via
+  the same create-exclusive CAS the manifests use. Concurrent catalog
+  committers race the CAS; losers re-resolve and retry against the
+  winner's pins (their per-table versions are still the newest — the
+  retry just re-merges the pin map);
+* readers resolve the catalog once and read every member table AT ITS
+  PINNED VERSION (`read_manifested(version=…)`): all-or-nothing
+  visibility, repeatable across tables for the lifetime of the
+  snapshot object. A crash after the table commits but before the
+  catalog publish leaves the catalog on the old pins — consistent,
+  never torn; the orphaned table versions age out through normal
+  per-table retention/GC.
+* the catalog itself time-travels: `catalog_versions` + ``version=``
+  give CROSS-TABLE time travel ("the whole schema as of commit 41"),
+  which no single-table snapshot can offer.
+
+Retention interplay: a catalog pin older than its table's
+`_RETAIN`-version window can no longer be read — same contract as
+single-table time travel, surfaced as a clear error. Pin lag is bounded
+by publishing the catalog in the same job that runs the DML.
+
+Scale: documents are O(tables) — trivially small next to the per-table
+manifests; one extra read per snapshot resolution.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_demo_spark.io.manifest import (
+    _RETAIN,
+    _hadoop_fs,
+    _list_manifest_versions,
+    _publish_cas,
+    _read_file,
+    read_manifested,
+)
+
+_CAT_DIR = "_catalog"
+_MAX_RETRIES = 20
+
+
+class CatalogConflict(RuntimeError):
+    """The CAS publish lost ``_MAX_RETRIES`` consecutive races."""
+
+
+def _cat_path(cat_root: str, version: int) -> str:
+    return f"{cat_root.rstrip('/')}/{_CAT_DIR}/v{version:010d}.json"
+
+
+def _cat_versions(fs, jvm, cat_root: str) -> list[int]:
+    d = jvm.org.apache.hadoop.fs.Path(f"{cat_root.rstrip('/')}/{_CAT_DIR}")
+    if not fs.exists(d):
+        return []
+    out = []
+    for st in fs.listStatus(d):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _load_cat(fs, jvm, cat_root: str, version: int) -> dict:
+    return json.loads(_read_file(fs, jvm, _cat_path(cat_root, version)).decode())
+
+
+def _table_head(spark: SparkSession, root: str) -> int:
+    fs, jvm = _hadoop_fs(spark, root)
+    vs = _list_manifest_versions(fs, jvm, root)
+    if not vs:
+        raise ValueError(f"{root} is not a manifested table")
+    return vs[-1]
+
+
+def catalog_init(
+    spark: SparkSession, cat_root: str, tables: dict[str, str]
+) -> int:
+    """Create catalog v1 pinning every member table's CURRENT manifest
+    version. Idempotent-safe: an existing catalog is left untouched and
+    its head version returned."""
+    fs, jvm = _hadoop_fs(spark, cat_root)
+    vs = _cat_versions(fs, jvm, cat_root)
+    if vs:
+        return vs[-1]
+    doc = {
+        "version": 1,
+        "committed_at_ms": int(time.time() * 1000),
+        "tables": {
+            name: {"root": root.rstrip("/"), "version": _table_head(spark, root)}
+            for name, root in tables.items()
+        },
+    }
+    if not _publish_cas(
+        fs, jvm, _cat_path(cat_root, 1), json.dumps(doc, indent=1).encode()
+    ):
+        return _cat_versions(fs, jvm, cat_root)[-1]  # concurrent init won
+    return 1
+
+
+def catalog_versions(spark: SparkSession, cat_root: str) -> list[int]:
+    fs, jvm = _hadoop_fs(spark, cat_root)
+    return _cat_versions(fs, jvm, cat_root)
+
+
+def catalog_commit(
+    spark: SparkSession, cat_root: str, pins: dict[str, int]
+) -> int:
+    """Atomically flip the catalog to new per-table versions.
+
+    ``pins`` maps member-table NAMES to the manifest versions their DML
+    just produced (``manifest_versions(spark, root)[-1]`` right after
+    the DML call). All named tables become visible at the new versions in
+    ONE catalog commit; unnamed member tables keep their current pins.
+    On a lost CAS race the pin map re-merges onto the winner's document
+    and retries — two writers touching DISJOINT tables both land;
+    writers pinning the SAME table land in CAS order (last wins, both
+    versions remain time-travelable). Returns the catalog version
+    published."""
+    fs, jvm = _hadoop_fs(spark, cat_root)
+    for _ in range(_MAX_RETRIES):
+        head = _cat_versions(fs, jvm, cat_root)[-1]
+        doc = _load_cat(fs, jvm, cat_root, head)
+        unknown = set(pins) - set(doc["tables"])
+        if unknown:
+            raise ValueError(
+                f"catalog_commit: tables {sorted(unknown)} are not catalog "
+                f"members (have: {sorted(doc['tables'])})"
+            )
+        new = {
+            "version": head + 1,
+            "committed_at_ms": int(time.time() * 1000),
+            "tables": {
+                name: {
+                    "root": entry["root"],
+                    "version": int(pins.get(name, entry["version"])),
+                }
+                for name, entry in doc["tables"].items()
+            },
+        }
+        if _publish_cas(
+            fs,
+            jvm,
+            _cat_path(cat_root, head + 1),
+            json.dumps(new, indent=1).encode(),
+        ):
+            return head + 1
+    raise CatalogConflict(
+        f"catalog_commit: lost {_MAX_RETRIES} consecutive publish races on "
+        f"{cat_root}"
+    )
+
+
+class CatalogSnapshot:
+    """A resolved catalog version: every ``read()`` serves the pinned
+    per-table versions, however many commits land meanwhile — the
+    cross-table repeatable-read handle."""
+
+    def __init__(self, spark: SparkSession, version: int, tables: dict):
+        self._spark = spark
+        self.version = version
+        self.tables = tables
+
+    def read(self, name: str, fmt: str = "parquet") -> DataFrame:
+        if name not in self.tables:
+            raise ValueError(
+                f"catalog snapshot v{self.version} has no table {name!r} "
+                f"(have: {sorted(self.tables)})"
+            )
+        entry = self.tables[name]
+        fs, jvm = _hadoop_fs(self._spark, entry["root"])
+        retained = _list_manifest_versions(fs, jvm, entry["root"])[-_RETAIN:]
+        if entry["version"] not in retained:
+            raise ValueError(
+                f"catalog snapshot v{self.version} pins {name!r} at table "
+                f"version {entry['version']}, which has left the table's "
+                f"retention window (retained: {retained}) — its data may be "
+                "GC'd; resolve a newer catalog version"
+            )
+        return read_manifested(
+            self._spark, entry["root"], fmt, version=entry["version"]
+        )
+
+    def pins(self) -> dict[str, int]:
+        return {n: e["version"] for n, e in self.tables.items()}
+
+
+def catalog_snapshot(
+    spark: SparkSession, cat_root: str, version: int | None = None
+) -> CatalogSnapshot:
+    """Resolve the catalog ONCE (head or a time-travel version) and
+    return the consistent cross-table read handle."""
+    fs, jvm = _hadoop_fs(spark, cat_root)
+    vs = _cat_versions(fs, jvm, cat_root)
+    if not vs:
+        raise ValueError(f"{cat_root} is not a catalog (no versions)")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(
+            f"catalog version {v} not available at {cat_root} (have {vs})"
+        )
+    doc = _load_cat(fs, jvm, cat_root, v)
+    return CatalogSnapshot(spark, v, doc["tables"])
