@@ -9849,3 +9849,55 @@ def catalog_atomic_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return side(post, "open", "open").unionByName(
         side(post, "archive", "archive")
     )
+
+
+@query(
+    "orders_commit_history",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(4 AS BIGINT), 'ALTER',  TRUE,  CAST(3 AS BIGINT), TRUE),
+      (CAST(3 AS BIGINT), 'DELETE', TRUE,  CAST(2 AS BIGINT), TRUE),
+      (CAST(2 AS BIGINT), 'MERGE',  TRUE,  CAST(1 AS BIGINT), FALSE),
+      (CAST(1 AS BIGINT), 'CREATE', FALSE, CAST(NULL AS BIGINT), FALSE)
+    ) AS t(version, operation, is_delta, parent, readable)
+    """,
+)
+def orders_commit_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit AUDIT TRAIL (`manifest_history` — the DESCRIBE HISTORY
+    surface): a fixed DML sequence (CREATE → MERGE → DELETE → ALTER)
+    must surface exactly its operation labels, delta/full encodings,
+    parent pointers, and retention-window readability. The frame is
+    fully deterministic by construction (timestamps excluded), so the
+    oracle is the literal expected history — a hash match certifies
+    that every committer stamps its label, that labels survive the
+    delta manifest encoding, and that resolution never inherits a
+    parent's label."""
+    import tempfile
+
+    from etl_demo_spark.io.manifest import (
+        alter_manifested,
+        delete_where_manifested,
+        manifest_history,
+        merge_upsert_manifested,
+        write_manifested,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).limit(200)
+    root = tempfile.mkdtemp(prefix="hist_") + "/t"
+    write_manifested(t, root, "o_orderpriority")                      # v1
+    src = t.limit(5).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    )
+    merge_upsert_manifested(
+        spark, root, src, ["o_orderkey"], "o_orderpriority"
+    )                                                                 # v2
+    delete_where_manifested(
+        spark, root, F.col("o_orderkey") % 2 == 0, "o_orderpriority"
+    )                                                                 # v3
+    alter_manifested(spark, root, add_columns={"note": "string"})     # v4
+    return manifest_history(spark, root).select(
+        "version", "operation", "is_delta", "parent", "readable"
+    )

@@ -814,6 +814,8 @@ def _resolve_doc(fs, jvm, root: str, version: int) -> dict:
     }
     if "committed_at_ms" in raw:  # per-commit stamp, never inherited
         doc["committed_at_ms"] = raw["committed_at_ms"]
+    if "operation" in raw:  # per-commit label, never inherited
+        doc["operation"] = raw["operation"]
     schema = raw.get("schema", base.get("schema"))
     if schema is not None:
         doc["schema"] = schema
@@ -875,6 +877,11 @@ def _encode_commit(prev_doc: dict, new_doc: dict) -> bytes:
         "version": new_doc["version"],
         "parent": prev_doc["version"],
         "committed_at_ms": stamp,
+        **(
+            {"operation": new_doc["operation"]}
+            if "operation" in new_doc
+            else {}
+        ),
         "partitions_delta": {
             r: v for r, v in new_p.items() if prev_p.get(r) != v
         },
@@ -1238,6 +1245,7 @@ def manifest_init(
         "partitions": mapping,
         "schema": schema_json,
         "committed_at_ms": int(time.time() * 1000),
+        "operation": "CREATE",
     }
     if stats_cols or bloom_cols:
         if stats_cols:
@@ -1519,6 +1527,7 @@ def compact_manifested(
         if fstats is not None:
             _carry_stats_config(doc, new_doc)
             new_doc["files"] = fstats
+        new_doc["operation"] = "OPTIMIZE"
         ok = _publish_cas(
             fs,
             jvm,
@@ -1632,6 +1641,7 @@ def repartition_manifested(
         if stats is not None:
             _carry_stats_config(doc, new_doc)
             new_doc["files"] = stats
+        new_doc["operation"] = "REPARTITION"
         ok = _publish_cas(
             fs, jvm, _manifest_path(roots, new_version), _encode_commit(doc, new_doc)
         )
@@ -1846,6 +1856,7 @@ def delete_keys_manifested(
         if stats is not None:
             _carry_stats_config(doc, new_doc)
             new_doc["files"] = stats
+        new_doc["operation"] = "DELETE"
         ok = _publish_cas(
             fs,
             jvm,
@@ -1982,6 +1993,7 @@ def merge_upsert_manifested(
             _carry_stats_config(doc, new_doc)
             new_doc["files"] = stats
 
+        new_doc["operation"] = "MERGE"
         ok = _publish_cas(  # the atomic commit point
             fs,
             jvm,
@@ -2137,6 +2149,52 @@ def manifest_properties(
     return spark.createDataFrame(rows, "key STRING, value STRING")
 
 
+def manifest_history(spark: SparkSession, root: str) -> DataFrame:
+    """DESCRIBE HISTORY for a manifested table: one row per commit whose
+    manifest file is still on disk (the retained window PLUS older
+    delta-chain ancestors kept as resolution inputs), newest first —
+    version, commit timestamp, the OPERATION that produced it (CREATE /
+    MERGE / DELETE / UPDATE / OPTIMIZE / ALTER / RESTORE / …), whether
+    it was encoded as a delta, its parent, and whether the version is
+    still readable (inside the retention window — older rows are audit
+    metadata only, their exclusive data may be GC'd).
+
+    Metadata-only: one directory listing + one small JSON read per
+    commit; commits from before the operation label existed surface
+    NULL. The audit-trail surface Delta's DESCRIBE HISTORY provides,
+    at this layer."""
+    fs, jvm = _hadoop_fs(spark, root)
+    all_vs = _list_manifest_versions(fs, jvm, root)
+    readable = set(all_vs[-_RETAIN:])
+    rows = []
+    for v in reversed(all_vs):
+        raw = _load_raw(fs, jvm, root, v)
+        stamp = raw.get("committed_at_ms")
+        rows.append(
+            (
+                v,
+                None if stamp is None else int(stamp),
+                raw.get("operation"),
+                "parent" in raw,
+                raw.get("parent"),
+                v in readable,
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "version LONG, committed_at_ms LONG, operation STRING, "
+        "is_delta BOOLEAN, parent LONG, readable BOOLEAN",
+    )
+    return df.select(
+        "version",
+        F.timestamp_millis(F.col("committed_at_ms")).alias("committed_at"),
+        "operation",
+        "is_delta",
+        "parent",
+        "readable",
+    )
+
+
 def manifest_orphans(spark: SparkSession, root: str) -> DataFrame:
     """Dry-run orphan report: every ``__v`` directory no retained
     manifest references, with its age and whether the next commit's GC
@@ -2252,6 +2310,7 @@ def delete_where_manifested(
         if stats is not None:
             _carry_stats_config(doc, new_doc)
             new_doc["files"] = stats
+        new_doc["operation"] = "DELETE"
         ok = _publish_cas(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
         )
@@ -2360,6 +2419,7 @@ def update_where_manifested(
         if stats is not None:
             _carry_stats_config(doc, new_doc)
             new_doc["files"] = stats
+        new_doc["operation"] = "UPDATE"
         ok = _publish_cas(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
         )
@@ -2591,6 +2651,7 @@ def alter_manifested(
             new_doc["bloom_cols"] = None
         if files is not None and (stats_cols or bloom_cols):
             new_doc["files"] = files
+        new_doc["operation"] = "ALTER"
         ok = _publish_cas(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
         )
@@ -2676,6 +2737,7 @@ def add_constraint_manifested(
         if doc.get("stats_cols") or doc.get("bloom_cols"):
             _carry_stats_config(doc, new_doc)
             new_doc["files"] = doc.get("files", {})
+        new_doc["operation"] = "ADD CONSTRAINT"
         ok = _publish_cas(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
         )
@@ -2711,6 +2773,7 @@ def drop_constraint_manifested(
         if doc.get("stats_cols") or doc.get("bloom_cols"):
             _carry_stats_config(doc, new_doc)
             new_doc["files"] = doc.get("files", {})
+        new_doc["operation"] = "DROP CONSTRAINT"
         ok = _publish_cas(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
         )
@@ -2757,6 +2820,7 @@ def rollback_manifested(
         ):
             if key in doc and key not in new_doc:
                 new_doc[key] = None
+        new_doc["operation"] = "RESTORE"
         ok = _publish_cas(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
         )
@@ -2894,6 +2958,7 @@ def _delete_dv(spark: SparkSession, target_path: str, fmt: str, matcher) -> int:
             # become conservative over-approximations of the live rows)
             _carry_stats_config(doc, new_doc)
             new_doc["files"] = doc.get("files", {})
+        new_doc["operation"] = "DELETE"
         ok = _publish_cas(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
         )

@@ -511,3 +511,45 @@ def test_alter_rekeys_adaptive_bloom_blobs(spark, tmp_path):
     probe = read_manifested(spark, path, prune_points={"item_id": 1234})
     assert len(probe.inputFiles()) < n_files / 2
     assert probe.filter(F.col("item_id") == 1234).count() == 1
+
+
+def test_manifest_history_operations(spark, tmp_path):
+    """DESCRIBE HISTORY surface: every commit carries its operation
+    label through both delta and full-snapshot encodings; resolution
+    never inherits a parent's label; rows outside the retention window
+    stay listed as audit metadata with readable=False."""
+    from etl_demo_spark.io.manifest import (
+        alter_manifested,
+        delete_where_manifested,
+        manifest_history,
+        merge_upsert_manifested,
+        update_where_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)  # v1 CREATE
+    src = spark.createDataFrame(
+        [(4, 40, 4.5, "B")], "id INT, qty INT, price FLOAT, seg STRING"
+    )
+    merge_upsert_manifested(spark, path, src, ["id"], "seg")       # v2
+    delete_where_manifested(spark, path, F.col("id") == 2, "seg")  # v3
+    update_where_manifested(
+        spark, path, {"qty": F.col("qty") + 1}, F.col("id") == 1, "seg"
+    )                                                              # v4
+    alter_manifested(spark, path, add_columns={"note": "string"})  # v5
+
+    h = {r["version"]: r for r in manifest_history(spark, path).collect()}
+    assert h[1]["operation"] == "CREATE" and h[1]["is_delta"] is False
+    assert h[2]["operation"] == "MERGE"
+    assert h[3]["operation"] == "DELETE"
+    assert h[4]["operation"] == "UPDATE"
+    assert h[5]["operation"] == "ALTER"
+    # newest two readable (retention=2), older rows audit-only
+    assert h[5]["readable"] and h[4]["readable"]
+    assert not h[1]["readable"] and not h[2]["readable"] and not h[3]["readable"]
+    # timestamps monotone non-decreasing along versions
+    ts = [h[v]["committed_at"] for v in sorted(h)]
+    assert all(a <= b for a, b in zip(ts, ts[1:]))
+    # delta commits carry their parent pointer
+    deltas = [r for r in h.values() if r["is_delta"]]
+    assert deltas and all(r["parent"] is not None for r in deltas)
