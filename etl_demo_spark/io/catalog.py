@@ -205,15 +205,35 @@ class CatalogSnapshot:
 
 
 def catalog_snapshot(
-    spark: SparkSession, cat_root: str, version: int | None = None
+    spark: SparkSession,
+    cat_root: str,
+    version: int | None = None,
+    as_of_ms: int | None = None,
 ) -> CatalogSnapshot:
-    """Resolve the catalog ONCE (head or a time-travel version) and
-    return the consistent cross-table read handle."""
+    """Resolve the catalog ONCE (head, an explicit version, or the
+    newest version committed at-or-before ``as_of_ms`` — cross-table
+    AS OF TIMESTAMP) and return the consistent read handle."""
+    if version is not None and as_of_ms is not None:
+        raise ValueError("catalog_snapshot: version and as_of_ms are exclusive")
     fs, jvm = _hadoop_fs(spark, cat_root)
     vs = _cat_versions(fs, jvm, cat_root)
     if not vs:
         raise ValueError(f"{cat_root} is not a catalog (no versions)")
-    v = vs[-1] if version is None else version
+    if as_of_ms is not None:
+        hits = [
+            v
+            for v in vs
+            if (_load_cat(fs, jvm, cat_root, v).get("committed_at_ms") or 0)
+            <= as_of_ms
+        ]
+        if not hits:
+            raise ValueError(
+                f"no catalog version at {cat_root} was committed at or "
+                f"before {as_of_ms}"
+            )
+        v = hits[-1]
+    else:
+        v = vs[-1] if version is None else version
     if v not in vs:
         raise ValueError(
             f"catalog version {v} not available at {cat_root} (have {vs})"

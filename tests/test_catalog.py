@@ -167,3 +167,27 @@ def test_pinned_version_survives_dml_until_retention(spark, tmp_path):
         snap.read("a")
     assert _totals(catalog_snapshot(spark, cat)) == (320, 0)
     assert catalog_versions(spark, cat) == [1, 2, 3]
+
+
+def test_catalog_as_of_timestamp(spark, tmp_path):
+    """Cross-table AS OF TIMESTAMP: the newest catalog version committed
+    at-or-before the asked instant wins; before-the-beginning raises;
+    version= and as_of_ms= are mutually exclusive."""
+    import time
+
+    a, b, cat = _mk(spark, tmp_path)
+    from etl_demo_spark.io.manifest import manifest_versions
+
+    t_before = int(time.time() * 1000)
+    time.sleep(0.05)
+    delete_where_manifested(spark, a, F.col("id") == 1, "part")
+    catalog_commit(spark, cat, {"a": manifest_versions(spark, a)[-1]})
+
+    old = catalog_snapshot(spark, cat, as_of_ms=t_before)
+    assert old.version == 1 and _totals(old) == (300, 0)
+    now = catalog_snapshot(spark, cat, as_of_ms=int(time.time() * 1000))
+    assert now.version == 2 and _totals(now) == (200, 0)
+    with pytest.raises(ValueError, match="at or before"):
+        catalog_snapshot(spark, cat, as_of_ms=1)
+    with pytest.raises(ValueError, match="exclusive"):
+        catalog_snapshot(spark, cat, version=1, as_of_ms=t_before)
