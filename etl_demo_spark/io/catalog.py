@@ -204,6 +204,24 @@ class CatalogSnapshot:
         return {n: e["version"] for n, e in self.tables.items()}
 
 
+def register_catalog(
+    spark: SparkSession,
+    cat_root: str,
+    prefix: str = "",
+    version: int | None = None,
+    as_of_ms: int | None = None,
+) -> "CatalogSnapshot":
+    """Register EVERY member table of one catalog snapshot as a temp
+    view (``<prefix><table_name>``) so plain ``spark.sql`` joins across
+    them under ONE consistent cross-table pin — the multi-table
+    extension of `register_manifested`. Re-register to observe later
+    catalog commits. Returns the snapshot used."""
+    snap = catalog_snapshot(spark, cat_root, version=version, as_of_ms=as_of_ms)
+    for name in snap.tables:
+        snap.read(name).createOrReplaceTempView(f"{prefix}{name}")
+    return snap
+
+
 def catalog_snapshot(
     spark: SparkSession,
     cat_root: str,

@@ -148,6 +148,8 @@ def run_stream_cdc_upsert(
     delete_op: str = "D",
     mode: str = "swap",
     delete_mode: str = "rewrite",
+    catalog_root: str | None = None,
+    catalog_table: str | None = None,
 ) -> None:
     """Streaming CDC upsert sink: every micro-batch MERGEs into a
     partitioned parquet table via the partition-scoped merge
@@ -180,6 +182,17 @@ def run_stream_cdc_upsert(
     count, and the nightly OPTIMIZE the feed already needs for small
     files materializes the deletions in the same pass).
 
+    ``catalog_root``/``catalog_table`` (manifest mode only) pin the
+    table's post-batch version in a multi-table CATALOG
+    (`io.catalog.catalog_commit`) after BOTH per-batch commits land.
+    This closes the sink's one visibility seam: upsert and tombstone
+    application are two individually-atomic table commits, so a direct
+    table reader can land between them; a reader resolving through the
+    catalog sees each micro-batch all-or-nothing. A crash between the
+    table commits and the catalog pin leaves catalog readers on the
+    previous batch's consistent state; the checkpoint replays the batch
+    (both commits are idempotent) and the pin lands on retry.
+
     ``op_col`` turns on TOMBSTONE handling (the Debezium-style op field
     every real CDC feed carries): after per-key last-wins collapse, a
     key whose final event is ``delete_op`` is DELETED from the table
@@ -205,8 +218,19 @@ def run_stream_cdc_upsert(
         delete_keys_dv_manifested,
         delete_keys_manifested,
         manifest_init,
+        manifest_versions,
         merge_upsert_manifested,
     )
+
+    if catalog_root is not None and mode != "manifest":
+        raise ValueError(
+            "run_stream_cdc_upsert: catalog pinning requires mode='manifest' "
+            "(the catalog pins manifest versions)"
+        )
+    if (catalog_root is None) != (catalog_table is None):
+        raise ValueError(
+            "run_stream_cdc_upsert: catalog_root and catalog_table go together"
+        )
     from etl_demo_spark.io.tables import (
         delete_keys_partitioned,
         merge_upsert_partitioned,
@@ -274,6 +298,18 @@ def run_stream_cdc_upsert(
                 delete_keys_partitioned(
                     spark, target_path, deletes, keys, partition_col
                 )
+
+        # catalog pin LAST: both table commits for this batch become
+        # visible to catalog readers in one flip (all-or-nothing); a
+        # crash before this line leaves them on the previous batch
+        if catalog_root is not None and fs.exists(hpath):
+            from etl_demo_spark.io.catalog import catalog_commit
+
+            catalog_commit(
+                spark,
+                catalog_root,
+                {catalog_table: manifest_versions(spark, target_path)[-1]},
+            )
 
     q = (
         stream_df.writeStream.foreachBatch(apply_batch)

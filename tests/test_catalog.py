@@ -191,3 +191,26 @@ def test_catalog_as_of_timestamp(spark, tmp_path):
         catalog_snapshot(spark, cat, as_of_ms=1)
     with pytest.raises(ValueError, match="exclusive"):
         catalog_snapshot(spark, cat, version=1, as_of_ms=t_before)
+
+
+def test_register_catalog_sql_views_are_pinned(spark, tmp_path):
+    """register_catalog exposes every member table as a temp view under
+    one consistent pin: a cross-table SQL join sees the snapshot state;
+    later DML + catalog commits don't move the views until re-register."""
+    from etl_demo_spark.io.catalog import register_catalog
+    from etl_demo_spark.io.manifest import manifest_versions
+
+    a, b, cat = _mk(spark, tmp_path)
+    snap = register_catalog(spark, cat, prefix="cx_")
+    tot = spark.sql(
+        "SELECT (SELECT SUM(amt) FROM cx_a) + (SELECT SUM(amt) FROM cx_b) AS t"
+    ).first()["t"]
+    assert tot == 300 and snap.version == 1
+
+    delete_where_manifested(spark, a, F.col("id") == 1, "part")
+    catalog_commit(spark, cat, {"a": manifest_versions(spark, a)[-1]})
+    # views still serve the registered pin
+    assert spark.sql("SELECT SUM(amt) AS s FROM cx_a").first()["s"] == 300
+    snap2 = register_catalog(spark, cat, prefix="cx_")
+    assert snap2.version == 2
+    assert spark.sql("SELECT SUM(amt) AS s FROM cx_a").first()["s"] == 200

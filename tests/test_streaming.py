@@ -799,3 +799,123 @@ def test_stream_cdc_dv_tombstones_no_rewrite(spark, tmp_path):
             spark.readStream.schema(schema).parquet(str(inbox / "*")),
             target, ["id"], "seg", ckpt, delete_mode="dv",
         )
+
+
+def test_stream_cdc_catalog_pins_batches_atomically(spark, tmp_path):
+    """catalog_root/catalog_table on the CDC sink: each micro-batch's
+    upsert + tombstone pair becomes visible through the catalog in ONE
+    flip; a crash between the table commits and the pin leaves catalog
+    readers on the previous batch, and the checkpoint replay converges."""
+    import pytest
+
+    from etl_demo_spark.io.catalog import (
+        catalog_init,
+        catalog_snapshot,
+        catalog_versions,
+    )
+    from etl_demo_spark.io.manifest import read_manifested, write_manifested
+    from etl_demo_spark.streaming.windows import run_stream_cdc_upsert
+
+    target = str(tmp_path / "dim")
+    cat = str(tmp_path / "cat")
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id INT, name STRING, seg STRING, op STRING"
+
+    # bootstrap the member table + catalog before the feed starts
+    write_manifested(
+        spark.createDataFrame([(0, "seed", "A", "U")], schema).drop("op"),
+        target,
+        "seg",
+    )
+    catalog_init(spark, cat, {"dim": target})
+
+    with pytest.raises(ValueError, match="requires mode='manifest'"):
+        run_stream_cdc_upsert(
+            spark.readStream.schema(schema).parquet(str(inbox / "*")),
+            target, ["id"], "seg", ckpt,
+            catalog_root=cat, catalog_table="dim",
+        )
+    with pytest.raises(ValueError, match="go together"):
+        run_stream_cdc_upsert(
+            spark.readStream.schema(schema).parquet(str(inbox / "*")),
+            target, ["id"], "seg", ckpt,
+            mode="manifest", catalog_root=cat,
+        )
+
+    def feed(batch_name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(inbox / batch_name)
+        )
+        stream = spark.readStream.schema(schema).parquet(str(inbox / "*"))
+        run_stream_cdc_upsert(
+            stream, target, ["id"], "seg", ckpt,
+            op_col="op", mode="manifest", delete_mode="dv",
+            catalog_root=cat, catalog_table="dim",
+        )
+
+    # batch 1: upsert two keys AND delete the seed — two table commits,
+    # one catalog flip
+    feed("b0", [(1, "alpha", "A", "U"), (2, "beta", "B", "U"),
+                (0, "seed", "A", "D")])
+    snap = catalog_snapshot(spark, cat)
+    got = {r.id: r.name for r in snap.read("dim").collect()}
+    assert got == {1: "alpha", 2: "beta"}
+    v_after_b0 = snap.version
+
+    # crash injection: tombstone apply dies AFTER the merge commit →
+    # the catalog must still serve batch-1 state (never the torn one)
+    import etl_demo_spark.streaming.windows as win
+
+    import etl_demo_spark.io.manifest as man
+
+    real_dv = man.delete_keys_dv_manifested
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before catalog pin")
+
+    man_patch = pytest.MonkeyPatch()
+    man_patch.setattr(
+        "etl_demo_spark.streaming.windows.delete_keys_dv_manifested",
+        boom,
+        raising=False,
+    )
+    # the sink imports inside the function, so patch the source module
+    man_patch.setattr(man, "delete_keys_dv_manifested", boom)
+    spark.createDataFrame(
+        [(3, "gamma", "A", "U"), (1, "alpha", "A", "D")], schema
+    ).coalesce(1).write.parquet(str(inbox / "b1"))
+    stream = spark.readStream.schema(schema).parquet(str(inbox / "*"))
+    with pytest.raises(Exception):
+        run_stream_cdc_upsert(
+            stream, target, ["id"], "seg", ckpt,
+            op_col="op", mode="manifest", delete_mode="dv",
+            catalog_root=cat, catalog_table="dim",
+        )
+    man_patch.undo()
+
+    # direct table read CAN see the half-applied batch (merge landed,
+    # delete didn't) — that is exactly the seam...
+    direct = {r.id for r in read_manifested(spark, target).collect()}
+    assert 3 in direct and 1 in direct
+    # ...but the catalog still serves the complete batch-1 state
+    snap2 = catalog_snapshot(spark, cat)
+    assert snap2.version == v_after_b0
+    assert {r.id: r.name for r in snap2.read("dim").collect()} == {
+        1: "alpha", 2: "beta"
+    }
+
+    # recovery: replay converges and the pin lands
+    stream = spark.readStream.schema(schema).parquet(str(inbox / "*"))
+    run_stream_cdc_upsert(
+        stream, target, ["id"], "seg", ckpt,
+        op_col="op", mode="manifest", delete_mode="dv",
+        catalog_root=cat, catalog_table="dim",
+    )
+    final = catalog_snapshot(spark, cat)
+    assert final.version > v_after_b0
+    assert {r.id: r.name for r in final.read("dim").collect()} == {
+        2: "beta", 3: "gamma"
+    }
+    assert len(catalog_versions(spark, cat)) >= 3
