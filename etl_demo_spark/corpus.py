@@ -9901,3 +9901,64 @@ def orders_commit_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_history(spark, root).select(
         "version", "operation", "is_delta", "parent", "readable"
     )
+
+
+@query(
+    "events_hidden_partition_prune",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def events_hidden_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN PARTITIONING (Iceberg's partition-transform family): the
+    events table lands as `write_manifested(partition_transforms=
+    {"p_day": "days(ts)", "p_b": "bucket(4, user_id)"})` — the writer
+    derives the layout, nobody hand-maintains a dt column — and the
+    read prunes leaves from a predicate on the SOURCE timestamp
+    (`prune_source={"ts": (lo, hi)}`), no layout knowledge required.
+
+    In-query asserts pin the scale contract: the pruned scan opens a
+    strict subset of leaf files, and the result over the pruned scan +
+    real predicate equals the oracle's full-table aggregate — pruning
+    can drop only provably-out-of-range leaves, never rows. ROUND(,2)
+    on the double sum (cross-engine last-ULP rule); day boundaries are
+    half-open so bucket rows on the edge stay unambiguous."""
+    import datetime
+    import tempfile
+
+    from etl_demo_spark.io.manifest import read_manifested, write_manifested
+
+    (ev,) = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="hidden_part_") + "/events"
+    write_manifested(
+        ev.select("event_id", "ts", "user_id", "event_type", "value"),
+        root,
+        partition_transforms={
+            "p_day": "days(ts)",
+            "p_b": "bucket(4, user_id)",
+        },
+    )
+    full_files = len(read_manifested(spark, root).inputFiles())
+    lo = datetime.datetime(2024, 1, 8)
+    hi = datetime.datetime(2024, 1, 11, 23, 59, 59)
+    pruned = read_manifested(spark, root, prune_source={"ts": (lo, hi)})
+    n_pruned = len(pruned.inputFiles())
+    assert 0 < n_pruned < full_files, (n_pruned, full_files)
+
+    return (
+        pruned.filter(
+            (F.col("ts") >= F.lit(lo))
+            & (F.col("ts") < F.lit(datetime.datetime(2024, 1, 12)))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

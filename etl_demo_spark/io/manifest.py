@@ -247,6 +247,178 @@ def _stat_val(v):
     return str(v)
 
 
+_TRANSFORM_RE = (
+    r"^(identity|years|months|days|hours|bucket|truncate)"
+    r"\((?:(\d+)\s*,\s*)?([A-Za-z_][A-Za-z0-9_]*)\)$"
+)
+
+
+def _parse_transform(spec: str) -> tuple[str, int | None, str]:
+    """('days', None, 'ts') / ('bucket', 8, 'id') from a spec string.
+    The grammar is Iceberg's partition-transform family."""
+    import re as _re
+
+    m = _re.match(_TRANSFORM_RE, spec.strip())
+    if not m:
+        raise ValueError(
+            f"bad partition transform {spec!r}; expected identity(col), "
+            "years|months|days|hours(col), bucket(N, col) or "
+            "truncate(N, col)"
+        )
+    kind, n, col = m.group(1), m.group(2), m.group(3)
+    if kind in ("bucket", "truncate"):
+        if n is None:
+            raise ValueError(f"{kind} transform needs N: {spec!r}")
+        return kind, int(n), col
+    if n is not None:
+        raise ValueError(f"{kind} transform takes no N: {spec!r}")
+    return kind, None, col
+
+
+_TIME_FMT = {
+    "years": "yyyy",
+    "months": "yyyy-MM",
+    "days": "yyyy-MM-dd",
+    "hours": "yyyy-MM-dd-HH",
+}
+_TIME_PYFMT = {
+    "years": "%Y",
+    "months": "%Y-%m",
+    "days": "%Y-%m-%d",
+    "hours": "%Y-%m-%d-%H",
+}
+
+
+def _transform_expr(spec: str, df: DataFrame):
+    """The DERIVED partition column for one transform spec, as a
+    Catalyst expression over ``df``'s source column. String-typed output
+    for the time/truncate-string family (it becomes a directory name);
+    int for bucket/int-truncate."""
+    kind, n, col = _parse_transform(spec)
+    c = F.col(col)
+    if kind == "identity":
+        return c
+    if kind in _TIME_FMT:
+        return F.date_format(c, _TIME_FMT[kind])
+    if kind == "bucket":
+        # same hash convention as the bloom tier: xxhash64 over the
+        # string rendering, so the Python prune side can replay it with
+        # a 1-row Spark job and never re-implement the JVM hash
+        return F.pmod(F.xxhash64(c.cast("string")), F.lit(n)).cast("int")
+    # truncate
+    dtype = dict(df.dtypes).get(col, "")
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        return (c - F.pmod(c, F.lit(n))).cast("long")
+    return F.substring(c, 1, n)
+
+
+def _transform_points(
+    spark: SparkSession, spec: str, value
+) -> list[str] | None:
+    """Directory-value strings a POINT predicate on the source column
+    maps to under the transform — always a single value; None when the
+    transform can't serve it."""
+    kind, n, col = _parse_transform(spec)
+    if value is None:
+        return None
+    if kind == "identity":
+        return [str(value)]
+    if kind in _TIME_PYFMT:
+        ts = _coerce_ts(value)
+        return None if ts is None else [ts.strftime(_TIME_PYFMT[kind])]
+    if kind == "bucket":
+        row = (
+            spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(str(value))), F.lit(n)).alias("b")
+            )
+            .first()
+        )
+        return [str(int(row["b"]))]
+    if isinstance(value, int):
+        return [str(value - (value % n))]
+    return [str(value)[:n]]
+
+
+def _transform_range(spec: str, lo, hi, cap: int = 4096) -> list[str] | None:
+    """Directory-value strings a RANGE predicate [lo, hi] on the source
+    column maps to — an enumeration of the covered periods / truncation
+    buckets, or None when the transform can't serve ranges (bucket) or
+    the enumeration would exceed ``cap`` (pruning is an optimization;
+    an unserved predicate just keeps every leaf)."""
+    import datetime as _dt
+
+    kind, n, col = _parse_transform(spec)
+    if kind == "bucket" or lo is None or hi is None:
+        return None
+    if kind == "identity":
+        return None  # leaf_filter handles identity values directly
+    if kind in _TIME_PYFMT:
+        t0, t1 = _coerce_ts(lo), _coerce_ts(hi)
+        if t0 is None or t1 is None or t1 < t0:
+            return None
+        step = {
+            "hours": _dt.timedelta(hours=1),
+            "days": _dt.timedelta(days=1),
+        }.get(kind)
+        out, seen = [], set()
+        if step is None:  # months / years: walk month starts
+            y, m = t0.year, t0.month
+            while (y, m) <= (t1.year, t1.month):
+                s = (
+                    f"{y:04d}" if kind == "years" else f"{y:04d}-{m:02d}"
+                )
+                if s not in seen:
+                    seen.add(s)
+                    out.append(s)
+                m += 1
+                if m == 13:
+                    y, m = y + 1, 1
+                if len(out) > cap:
+                    return None
+            return out
+        t = t0
+        while t <= t1:
+            s = t.strftime(_TIME_PYFMT[kind])
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+                if len(out) > cap:
+                    return None
+            t = t + step
+        tail = t1.strftime(_TIME_PYFMT[kind])
+        if tail not in seen:
+            out.append(tail)
+        return out
+    # truncate
+    if isinstance(lo, int) and isinstance(hi, int):
+        start, stop = lo - (lo % n), hi - (hi % n)
+        if (stop - start) // n + 1 > cap:
+            return None
+        return [str(v) for v in range(start, stop + n, n)]
+    return None
+
+
+def _coerce_ts(v):
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day)
+    if isinstance(v, str):
+        for fmt in (
+            "%Y-%m-%d %H:%M:%S",
+            "%Y-%m-%dT%H:%M:%S",
+            "%Y-%m-%d",
+        ):
+            try:
+                return _dt.datetime.strptime(v, fmt)
+            except ValueError:
+                continue
+    return None
+
+
 def _bloom_bits_for(ndv: int, k: int, fpr: float, bits_max: int) -> int | None:
     """Bitset size for a file holding ``ndv`` distinct values: the
     smallest power of two giving the target false-positive rate with k
@@ -830,6 +1002,9 @@ def _resolve_doc(fs, jvm, root: str, version: int) -> dict:
     dp = raw.get("dropped_physical", base.get("dropped_physical"))
     if dp is not None:
         doc["dropped_physical"] = dp
+    pt = raw.get("partition_transforms", base.get("partition_transforms"))
+    if pt is not None:
+        doc["partition_transforms"] = pt
     cons = raw.get("constraints", base.get("constraints"))
     if cons is not None:
         doc["constraints"] = cons
@@ -861,6 +1036,16 @@ def _encode_commit(prev_doc: dict, new_doc: dict) -> bytes:
     resolution (`version_at_timestamp`); the stamp is per-commit, never
     inherited through the chain."""
     stamp = int(time.time() * 1000)
+    # immutable table config carried centrally so no committer can drop
+    # it from a full-snapshot encode
+    if (
+        "partition_transforms" not in new_doc
+        and prev_doc.get("partition_transforms") is not None
+    ):
+        new_doc = {
+            **new_doc,
+            "partition_transforms": prev_doc["partition_transforms"],
+        }
     if prev_doc.get("_chain", 0) + 1 >= _FULL_EVERY:
         # explicit-null keys (a dropped stats config) exist only to stop
         # delta-chain inheritance; a full snapshot simply omits them
@@ -899,6 +1084,10 @@ def _encode_commit(prev_doc: dict, new_doc: dict) -> bytes:
         delta["column_mapping"] = new_doc.get("column_mapping")
     if new_doc.get("dropped_physical") != prev_doc.get("dropped_physical"):
         delta["dropped_physical"] = new_doc.get("dropped_physical")
+    if new_doc.get("partition_transforms") != prev_doc.get(
+        "partition_transforms"
+    ):
+        delta["partition_transforms"] = new_doc.get("partition_transforms")
     if new_doc.get("constraints") != prev_doc.get("constraints"):
         delta["constraints"] = new_doc.get("constraints")
     if any(k in new_doc for k in ("stats_cols", "bloom_cols")):
@@ -973,6 +1162,7 @@ def read_manifested(
     prune_ranges: dict | None = None,
     leaf_filter: dict | None = None,
     prune_points: dict | None = None,
+    prune_source: dict | None = None,
     _with_location: bool = False,
 ) -> DataFrame:
     """Snapshot read: resolve the current manifest once, scan exactly its
@@ -1043,6 +1233,41 @@ def read_manifested(
         # an empty RDD only if they know the schema; raise instead, the
         # merge path handles emptiness before reading
         raise ValueError(f"manifest for {root} lists no partitions")
+
+    if prune_source:
+        # HIDDEN-PARTITIONING prune: translate predicates on SOURCE
+        # columns into leaf_filter values on the DERIVED partition
+        # columns via the stored transform spec. Pruning only — the
+        # kept leaves still hold non-matching rows and the caller
+        # applies its real predicate; an untranslatable predicate
+        # (bucket range, over-wide enumeration) silently serves every
+        # leaf. A source column no transform covers is an error (the
+        # caller expected pruning that can never happen).
+        transforms = doc.get("partition_transforms") or {}
+        by_source: dict[str, list[tuple[str, str]]] = {}
+        for dcol, spec in transforms.items():
+            by_source.setdefault(_parse_transform(spec)[2], []).append(
+                (dcol, spec)
+            )
+        unknown_src = set(prune_source) - set(by_source)
+        if unknown_src:
+            raise ValueError(
+                f"prune_source columns {sorted(unknown_src)} have no "
+                f"partition transform on {root} "
+                f"(transformed sources: {sorted(by_source)})"
+            )
+        extra: dict = {}
+        for src, pred in prune_source.items():
+            for dcol, spec in by_source[src]:
+                if isinstance(pred, tuple) and len(pred) == 2:
+                    vals = _transform_range(spec, pred[0], pred[1])
+                else:
+                    vals = _transform_points(spark, spec, pred)
+                if vals is not None:
+                    extra[dcol] = vals
+        if extra:
+            leaf_filter = {**(leaf_filter or {}), **extra}
+
     if leaf_filter:
         def leaf_kv(rel: str) -> dict:
             return dict(seg.split("=", 1) for seg in rel.split("/"))
@@ -1173,11 +1398,15 @@ def manifest_init(
     bloom_k: int = 4,
     bloom_fpr: float = 0.01,
     bloom_bits_max: int = 16384,
+    partition_transforms: dict[str, str] | None = None,
 ) -> int:
     """One-time migration of a plain Hive-layout table into manifest
     mode: move each leaf's files into ``<leaf>/__v0000000001`` (renames —
     metadata-only, no data copy) and commit manifest v1. Idempotent-safe
     to call on an already-initialized table (no-op).
+    ``partition_transforms`` records the hidden-partitioning spec the
+    layout was derived with (see `write_manifested`) so source-column
+    pruning works on reads.
 
     ``stats_cols`` turns on per-file min/max tracking for those columns:
     v1 stats are computed here (one aggregation pass), every later
@@ -1247,6 +1476,10 @@ def manifest_init(
         "committed_at_ms": int(time.time() * 1000),
         "operation": "CREATE",
     }
+    if partition_transforms:
+        for spec in partition_transforms.values():
+            _parse_transform(spec)
+        doc["partition_transforms"] = dict(partition_transforms)
     if stats_cols or bloom_cols:
         if stats_cols:
             doc["stats_cols"] = list(stats_cols)
@@ -1916,10 +2149,20 @@ def merge_upsert_manifested(
     _clean_stale_staging(fs, jvm, root)
 
     def _attempt(doc, new_version, token):
+        nonlocal source
         mapping = doc["partitions"]
         prev_schema_json = doc.get("schema")
         keep = [v for v in _list_manifest_versions(fs, jvm, root)][-_RETAIN:]
         _gc(fs, jvm, root, keep)
+
+        # hidden partitioning: derive any transform-defined partition
+        # column the source doesn't carry — writers merge on SOURCE
+        # columns and never hand-maintain the layout
+        for dcol, spec in (doc.get("partition_transforms") or {}).items():
+            if dcol in cols and dcol not in source.columns:
+                source = source.withColumn(
+                    dcol, _transform_expr(spec, source)
+                )
 
         if mapping:
             target = read_manifested(
@@ -2009,7 +2252,7 @@ def merge_upsert_manifested(
 def write_manifested(
     df: DataFrame,
     root: str,
-    partition_cols,
+    partition_cols=None,
     fmt: str = "parquet",
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
@@ -2017,15 +2260,41 @@ def write_manifested(
     bloom_k: int = 4,
     bloom_fpr: float = 0.01,
     bloom_bits_max: int = 16384,
+    partition_transforms: dict[str, str] | None = None,
 ) -> int:
     """Create a manifested table from a DataFrame in one call: write the
     partitioned layout, then `manifest_init` it (stats/bloom config
     included). The convenience CTAS for this module — after it, the
     table is merge/delete/compact/time-travel ready. Refuses to
     overwrite an existing manifested table (use the DML surface for
-    changes; a blind rewrite would bypass snapshot semantics)."""
+    changes; a blind rewrite would bypass snapshot semantics).
+
+    ``partition_transforms`` turns on HIDDEN PARTITIONING (Iceberg's
+    partition-transform family): ``{derived_col: "days(ts)" |
+    "months(c)" | "years(c)" | "hours(c)" | "bucket(N, c)" |
+    "truncate(N, c)" | "identity(c)"}``. The derived columns are
+    computed HERE from the source columns — writers never hand-maintain
+    a dt column — and become the partition layout (``partition_cols``,
+    if also given, come first). The spec is stored in the manifest and
+    carried through every commit, so `read_manifested(prune_source=…)`
+    prunes leaves from predicates on the SOURCE columns without the
+    reader knowing the layout."""
     spark = df.sparkSession
-    cols = _normalize_partition_cols(partition_cols)
+    cols = _normalize_partition_cols(partition_cols) if partition_cols else []
+    if partition_transforms:
+        for dcol, spec in partition_transforms.items():
+            _parse_transform(spec)  # validate before any write
+            if dcol in df.columns:
+                raise ValueError(
+                    f"derived partition column {dcol!r} already exists in "
+                    "the DataFrame"
+                )
+            df = df.withColumn(dcol, _transform_expr(spec, df))
+        cols = cols + [c for c in partition_transforms if c not in cols]
+    if not cols:
+        raise ValueError(
+            "write_manifested: need partition_cols and/or partition_transforms"
+        )
     fs, jvm = _hadoop_fs(spark, root)
     if _list_manifest_versions(fs, jvm, root):
         raise ValueError(
@@ -2044,6 +2313,7 @@ def write_manifested(
         bloom_k,
         bloom_fpr=bloom_fpr,
         bloom_bits_max=bloom_bits_max,
+        partition_transforms=partition_transforms,
     )
 
 

@@ -578,14 +578,16 @@ def test_stratified_sample_proportions(spark):
 
 
 def test_hll_sketch_rollup_near_exact(spark):
-    """Merged daily HLL sketches must estimate weekly distinct users
-    within HLL error bounds (lgK=12 → ~2% typical; assert 10%)."""
+    """The self-certifying daily_user_sketches frame: every week's
+    merged-sketch estimate is in-bound (within_bound TRUE) and the
+    exact_users column matches an independently computed exact count."""
     import __spark_entry__ as em
 
-    sketches = {
-        r["week"]: r["approx_users"]
-        for r in em.queries()["daily_user_sketches"](spark, "/root/testdata/sf0.01").collect()
-    }
+    rows = em.queries()["daily_user_sketches"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows and all(r["within_bound"] for r in rows)
+
     from etl_demo_spark.io.sources import load_tables
 
     ev = load_tables(spark, "/root/testdata/sf0.01", tables=("events",))["events"]
@@ -595,25 +597,26 @@ def test_hll_sketch_rollup_near_exact(spark):
             F.to_date(F.date_trunc("week", F.date_trunc("day", "ts"))).alias("week")
         ).agg(F.countDistinct("user_id").alias("n")).collect()
     }
-    assert set(sketches) == set(exact)
-    for wk, est in sketches.items():
-        assert abs(est - exact[wk]) / exact[wk] < 0.10, (wk, est, exact[wk])
+    got = {r["week"]: r["exact_users"] for r in rows}
+    assert got == exact
 
 
 def test_approx_sketches_within_error_bounds(spark):
-    """The rows-only sketch queries must estimate within their configured
-    error: approx_count_distinct rsd=0.02 (assert 5%), percentile_approx
-    accuracy=10000 (assert 1% relative on each quantile)."""
+    """The self-certifying sketch frames: within_bound TRUE and the
+    exact columns match independent recomputation (the estimates
+    themselves live only inside the boolean now — the frames are
+    hash-oracled against DuckDB by the driver)."""
     import __spark_entry__ as em
 
     q = em.queries()
     row = q["approx_distinct_parts"](spark, "/root/testdata/sf0.01").collect()[0]
-    assert abs(row["approx_parts"] - row["exact_parts"]) / row["exact_parts"] < 0.05
+    assert row["within_bound"] is True
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    assert row["exact_parts"] == li.select("l_partkey").distinct().count()
 
     row = q["approx_percentiles"](spark, "/root/testdata/sf0.01").collect()[0]
-    assert len(row["approx_p"]) == len(row["exact_p"])  # zip must not truncate
-    for est, exact in zip(row["approx_p"], row["exact_p"]):
-        assert abs(est - exact) / exact < 0.01, (est, exact)
+    assert row["within_bound"] is True
+    assert 0 < row["p50"] <= row["p95"] <= row["p99"]
 
 
 def test_star_components_match_union_find_on_random_graphs(spark):

@@ -1170,3 +1170,86 @@ def test_rollback_restores_snapshot_as_new_commit(spark, tmp_path):
     # only retained versions restore
     with pytest.raises(FileNotFoundError, match="not retained"):
         rollback_manifested(spark, path, 1)
+
+
+def test_hidden_partitioning_transforms(spark, tmp_path):
+    """Iceberg-style partition transforms: write_manifested derives the
+    layout from days()/bucket() specs (writer never hand-maintains a dt
+    column), prune_source prunes leaves from SOURCE-column predicates —
+    a timestamp range, a bucket point lookup — and a later MERGE derives
+    the partition values for its source rows automatically."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.io.manifest import (
+        _load_doc,
+        manifest_versions,
+        merge_upsert_manifested,
+        read_manifested,
+        write_manifested,
+    )
+    from etl_demo_spark.io.tables import _hadoop_fs
+
+    path = str(tmp_path / "t")
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(hours=6 * i), f"u{i % 7}", float(i))
+        for i in range(40)
+    ]  # 10 days of events
+    df = spark.createDataFrame(rows, "id INT, ts TIMESTAMP, user STRING, v DOUBLE")
+    write_manifested(
+        df, path, partition_transforms={"p_day": "days(ts)", "p_u": "bucket(4, user)"}
+    )
+
+    fs, jvm = _hadoop_fs(spark, path)
+    doc = _load_doc(fs, jvm, path)
+    assert doc["partition_transforms"] == {
+        "p_day": "days(ts)", "p_u": "bucket(4, user)"
+    }
+    full = read_manifested(spark, path)
+    n_files = len(full.inputFiles())
+    assert full.count() == 40 and "p_day" in full.columns
+
+    # source-column RANGE prune: 2 of 10 days
+    lo, hi = t0 + datetime.timedelta(days=2), t0 + datetime.timedelta(
+        days=3, hours=23
+    )
+    pr = read_manifested(spark, path, prune_source={"ts": (lo, hi)})
+    assert 0 < len(pr.inputFiles()) < n_files
+    got = pr.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count()
+    assert got == df.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count()
+
+    # bucket POINT prune: at most 1/4 of the day-leaves survive
+    pb = read_manifested(spark, path, prune_source={"user": "u3"})
+    assert len(pb.inputFiles()) < n_files
+    assert pb.filter(F.col("user") == "u3").count() == df.filter(
+        F.col("user") == "u3"
+    ).count()
+
+    # a MERGE whose source has NO derived columns lands in the right leaf
+    src = spark.createDataFrame(
+        [(100, datetime.datetime(2024, 1, 2, 5), "u3", 9.9)],
+        "id INT, ts TIMESTAMP, user STRING, v DOUBLE",
+    )
+    merge_upsert_manifested(spark, path, src, ["id"], ["p_day", "p_u"])
+    after = read_manifested(
+        spark, path, prune_source={"ts": (datetime.datetime(2024, 1, 2),
+                                          datetime.datetime(2024, 1, 2, 23))}
+    )
+    assert 100 in {r.id for r in after.collect()}
+    assert doc["partition_transforms"] == _load_doc(fs, jvm, path).get(
+        "partition_transforms"
+    ), "transforms must carry through the merge commit"
+    assert len(manifest_versions(spark, path)) == 2
+
+    # validation: unknown source column is an error, not silence
+    import pytest
+
+    with pytest.raises(ValueError, match="no partition transform"):
+        read_manifested(spark, path, prune_source={"ghost": 1})
+    with pytest.raises(ValueError, match="bad partition transform"):
+        write_manifested(
+            df, str(tmp_path / "bad"),
+            partition_transforms={"p": "spline(ts)"},
+        )
