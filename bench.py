@@ -155,6 +155,35 @@ def _bench_stats_skip(spark, sf_dir: str) -> dict:
     nb_probe = bprobe.filter(F.col("o_custkey") == probe_key).count()
     assert nb_full == nb_probe and nb_probe > 0, (nb_full, nb_probe)
 
+    # HIDDEN-PARTITIONING prune: the same orders data laid out by
+    # months(o_orderdate) via a partition transform; a one-month
+    # source-column range predicate must open ~1/N of the leaves with
+    # the reader knowing nothing about the layout.
+    from etl_demo_spark.io.manifest import write_manifested
+
+    hp_root = tempfile.mkdtemp(prefix="bench_hidden_") + "/orders"
+    write_manifested(
+        orders.select("o_orderkey", "o_orderdate", "o_totalprice"),
+        hp_root,
+        partition_transforms={"p_month": "months(o_orderdate)"},
+    )
+    hfull = read_manifested(spark, hp_root)
+    some_month = orders.select(F.date_trunc("month", "o_orderdate")).first()[0]
+    import datetime as _dt
+
+    m_lo = some_month
+    m_hi = some_month + _dt.timedelta(days=27)
+    hprobe = read_manifested(
+        spark, hp_root, prune_source={"o_orderdate": (m_lo, m_hi)}
+    )
+    nh_full = hfull.filter(
+        F.col("o_orderdate").between(F.lit(m_lo), F.lit(m_hi))
+    ).count()
+    nh_probe = hprobe.filter(
+        F.col("o_orderdate").between(F.lit(m_lo), F.lit(m_hi))
+    ).count()
+    assert nh_full == nh_probe and nh_probe > 0, (nh_full, nh_probe)
+
     return {
         "files_total": len(full.inputFiles()),
         "files_opened": len(pruned.inputFiles()),
@@ -164,10 +193,14 @@ def _bench_stats_skip(spark, sf_dir: str) -> dict:
         "bloom_files_total": len(bfull.inputFiles()),
         "bloom_files_opened": len(bprobe.inputFiles()),
         "bloom_rows_matched": nb_probe,
+        "hidden_partition_files_total": len(hfull.inputFiles()),
+        "hidden_partition_files_opened": len(hprobe.inputFiles()),
+        "hidden_partition_rows_matched": nh_probe,
         "note": "manifest min/max file skipping on a clustered layout + "
         "bloom point-lookup skipping on a scattered column of the same "
-        "layout; files_opened is the cluster-relevant signal (IO "
-        "requests), wall time the local[32] proxy",
+        "layout + hidden-partition (months transform) pruning from a "
+        "source-column range; files_opened is the cluster-relevant "
+        "signal (IO requests), wall time the local[32] proxy",
     }
 
 

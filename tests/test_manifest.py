@@ -1253,3 +1253,56 @@ def test_hidden_partitioning_transforms(spark, tmp_path):
             df, str(tmp_path / "bad"),
             partition_transforms={"p": "spline(ts)"},
         )
+
+
+def test_hidden_partitioning_composes_with_dml_and_maintenance(spark, tmp_path):
+    """A transform-partitioned table stays a full citizen of the DML and
+    maintenance surface: DV delete, compaction (spec carries, pruning
+    still works), time travel to the pre-delete snapshot, and the
+    change feed."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.io.manifest import (
+        _hadoop_fs,
+        _load_doc,
+        compact_manifested,
+        delete_rows_manifested,
+        manifest_versions,
+        read_changes,
+        read_manifested,
+        write_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    t0 = datetime.datetime(2024, 3, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(hours=12 * i), float(i)) for i in range(12)
+    ]  # 6 days
+    df = spark.createDataFrame(rows, "id INT, ts TIMESTAMP, v DOUBLE")
+    write_manifested(df, path, partition_transforms={"p_day": "days(ts)"})
+
+    assert delete_rows_manifested(spark, path, F.col("id") == 4) == 1
+    v_pre, v_post = manifest_versions(spark, path)[-2:]
+    got = {r.id for r in read_manifested(spark, path).collect()}
+    assert got == set(range(12)) - {4}
+    # time travel still shows the deleted row
+    assert 4 in {
+        r.id for r in read_manifested(spark, path, version=v_pre).collect()
+    }
+    ch = {(r.id, r._change_type) for r in read_changes(spark, path, v_pre, v_post).collect()}
+    assert ch == {(4, "delete")}
+
+    compact_manifested(spark, path, min_files=1)
+    fs, jvm = _hadoop_fs(spark, path)
+    doc = _load_doc(fs, jvm, path)
+    assert doc.get("partition_transforms") == {"p_day": "days(ts)"}, (
+        "spec must carry through compaction"
+    )
+    # pruning still works on the compacted layout
+    lo = datetime.datetime(2024, 3, 2)
+    hi = datetime.datetime(2024, 3, 2, 23)
+    pr = read_manifested(spark, path, prune_source={"ts": (lo, hi)})
+    assert len(pr.inputFiles()) < len(read_manifested(spark, path).inputFiles())
+    assert {r.id for r in pr.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).collect()} == {2, 3}
