@@ -2405,6 +2405,8 @@ def manifest_properties(
             rows.append((f"schema.{f.name}", f.dataType.simpleString()))
     for name, expr in sorted((doc.get("constraints") or {}).items()):
         rows.append((f"constraint.{name}", expr))
+    for dcol, spec in sorted((doc.get("partition_transforms") or {}).items()):
+        rows.append((f"partition_transform.{dcol}", spec))
     for logical, phys in sorted((doc.get("column_mapping") or {}).items()):
         if logical != phys:
             rows.append((f"column_mapping.{logical}", phys))

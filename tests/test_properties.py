@@ -642,3 +642,51 @@ def test_bloom_bits_for_contract(ndv, k, fpr, cap_log2):
     if bits < cap:  # not clamped: the target FPR must be met
         achieved = (1 - math.exp(-k * n / bits)) ** k
         assert achieved <= fpr * 1.01
+
+
+# ------------------------------------------------- partition transforms
+
+
+@given(
+    lo_h=st.integers(min_value=0, max_value=2000),
+    span_h=st.integers(min_value=0, max_value=500),
+    kind=st.sampled_from(["hours", "days", "months", "years"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_transform_range_enumeration_is_complete(lo_h, span_h, kind):
+    """NO FALSE PRUNING: every period string a timestamp inside [lo, hi]
+    maps to must appear in the enumeration — a leaf holding in-range
+    rows can never be pruned. (Extra periods only cost IO, never rows.)"""
+    from etl_demo_spark.io.manifest import _TIME_PYFMT, _transform_range
+
+    base = datetime.datetime(2023, 11, 20, 7)
+    lo = base + datetime.timedelta(hours=lo_h)
+    hi = lo + datetime.timedelta(hours=span_h)
+    spec = f"{kind}(ts)"
+    vals = _transform_range(spec, lo, hi)
+    assert vals is not None
+    need = set()
+    t = lo
+    while t <= hi:
+        need.add(t.strftime(_TIME_PYFMT[kind]))
+        t += datetime.timedelta(hours=1)
+    need.add(hi.strftime(_TIME_PYFMT[kind]))
+    assert need <= set(vals), sorted(need - set(vals))
+
+
+@given(
+    lo=st.integers(min_value=-10_000, max_value=10_000),
+    span=st.integers(min_value=0, max_value=5_000),
+    n=st.integers(min_value=1, max_value=100),
+)
+@settings(max_examples=300, deadline=None)
+def test_transform_range_truncate_int_complete(lo, span, n):
+    from etl_demo_spark.io.manifest import _transform_range
+
+    hi = lo + span
+    vals = _transform_range(f"truncate({n}, v)", lo, hi)
+    if vals is None:  # enumeration over cap — allowed (prune skipped)
+        assert span // n + 1 > 4096
+        return
+    need = {str(v - (v % n)) for v in range(lo, hi + 1)}
+    assert need <= set(vals)
