@@ -30,3 +30,24 @@ def test_quickstart_runs_end_to_end():
         "[streaming] hourly window rows:",
     ):
         assert marker in out, f"missing {marker!r} in:\n{out}"
+
+
+def test_lakehouse_tour_runs_end_to_end():
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "examples" / "lakehouse_tour.py")],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    for marker in (
+        "layout derived from months(o_orderdate)",
+        "one-month predicate opens",
+        "deletion vectors removed",
+        "partition_transform.p_month",
+        "mv_refresh chose",
+        "done — all surfaces exercised",
+    ):
+        assert marker in out, f"missing {marker!r} in:\n{out}"
