@@ -9962,3 +9962,84 @@ def events_hidden_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "orders_append_ingest",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total
+    FROM (
+      SELECT o_orderpriority, o_totalprice FROM orders
+      UNION ALL
+      SELECT o_orderpriority, o_totalprice + 1000000.0 FROM orders
+      WHERE o_orderkey % 10 = 0
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_append_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-only ingest fast path (`append_manifested`): a daily-load
+    slice lands as EXTRA version subdirs of the touched leaves — the
+    in-query asserts pin that NO pre-existing data file was rewritten
+    (byte-identical inventory incl. mtimes) while every appended row is
+    immediately visible, stats-maintained, and change-feed-visible as an
+    insert. A MERGE of the same slice would re-read and rewrite every
+    touched leaf; at 100 TB with accreting daily partitions that is the
+    difference between O(new data) and quadratic-over-the-day ingest.
+
+    The returned frame aggregates base ∪ appended rows, which the oracle
+    derives from the base table alone — a hash match certifies the
+    append moved exactly the intended rows and nothing else."""
+    import glob
+    import os
+    import tempfile
+
+    from etl_demo_spark.io.manifest import (
+        append_manifested,
+        manifest_versions,
+        read_changes,
+        read_manifested,
+        write_manifested,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    root = tempfile.mkdtemp(prefix="append_") + "/orders"
+    write_manifested(base, root, "o_orderpriority")
+    inventory = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{root}/o_orderpriority=*/__v*/*.parquet")
+    }
+
+    slice_ = base.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1_000_000.0)
+    )
+    n_slice = slice_.count()
+    append_manifested(spark, root, slice_)
+
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{root}/o_orderpriority=*/__v*/*.parquet")
+    }
+    assert inventory.items() <= after.items(), (
+        "append rewrote a pre-existing data file"
+    )
+    vs = manifest_versions(spark, root)
+    feed = read_changes(spark, root, vs[-2], vs[-1])
+    n_ins = feed.filter(F.col("_change_type") == "insert").count()
+    n_del = feed.filter(F.col("_change_type") == "delete").count()
+    assert (n_ins, n_del) == (n_slice, 0), (n_ins, n_del, n_slice)
+
+    return (
+        read_manifested(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )

@@ -684,6 +684,13 @@ def _evolve_file_stats(
     if not stats_cols and not bloom_cols:
         return None
     live = set(new_mapping.values())
+    # append extras that survive this commit (same structural rule as
+    # _carry_extras: untouched primary vrel keeps its extras) keep their
+    # per-file stats too
+    old_p = doc.get("partitions", {})
+    for rel, vs in (doc.get("extra_vrels") or {}).items():
+        if new_mapping.get(rel) == old_p.get(rel):
+            live.update(vs)
     carried = {
         p: st
         for p, st in doc.get("files", {}).items()
@@ -791,7 +798,7 @@ def _carry_dv(doc: dict, new_doc: dict) -> None:
     dv = doc.get("dv")
     if not dv:
         return
-    live = set(new_doc["partitions"].values())
+    live = _all_vrels(new_doc)
     kept = {p: n for p, n in dv["files"].items() if p.rsplit("/", 1)[0] in live}
     if kept:
         new_doc["dv"] = {"rel": dv["rel"], "files": kept}
@@ -1005,6 +1012,9 @@ def _resolve_doc(fs, jvm, root: str, version: int) -> dict:
     pt = raw.get("partition_transforms", base.get("partition_transforms"))
     if pt is not None:
         doc["partition_transforms"] = pt
+    ev = raw.get("extra_vrels", base.get("extra_vrels"))
+    if ev is not None:
+        doc["extra_vrels"] = ev
     cons = raw.get("constraints", base.get("constraints"))
     if cons is not None:
         doc["constraints"] = cons
@@ -1013,7 +1023,7 @@ def _resolve_doc(fs, jvm, root: str, version: int) -> dict:
         if val is not None:
             doc[key] = val
     if doc.get("stats_cols") or doc.get("bloom_cols"):
-        live = set(partitions.values())
+        live = _all_vrels(doc) | set(partitions.values())
         files = {
             p: st
             for p, st in base.get("files", {}).items()
@@ -1084,6 +1094,8 @@ def _encode_commit(prev_doc: dict, new_doc: dict) -> bytes:
         delta["column_mapping"] = new_doc.get("column_mapping")
     if new_doc.get("dropped_physical") != prev_doc.get("dropped_physical"):
         delta["dropped_physical"] = new_doc.get("dropped_physical")
+    if new_doc.get("extra_vrels") != prev_doc.get("extra_vrels"):
+        delta["extra_vrels"] = new_doc.get("extra_vrels")
     if new_doc.get("partition_transforms") != prev_doc.get(
         "partition_transforms"
     ):
@@ -1300,6 +1312,8 @@ def read_manifested(
             )
         if doc.get("files"):
             live = set(partitions.values())
+            for r in partitions:
+                live.update((doc.get("extra_vrels") or {}).get(r, []))
             doc = dict(doc)
             doc["files"] = {
                 p: st
@@ -1307,6 +1321,12 @@ def read_manifested(
                 if p.rsplit("/", 1)[0] in live
             }
         doc = {**doc, "partitions": partitions}
+        if doc.get("extra_vrels"):
+            doc["extra_vrels"] = {
+                r: vs
+                for r, vs in doc["extra_vrels"].items()
+                if r in partitions
+            }
     dv = doc.get("dv")
     # FULLY-deleted files (DV cardinality == the file's recorded row
     # count) leave the listing outright — the anti-join would drain them
@@ -1340,7 +1360,10 @@ def read_manifested(
         if not paths:  # every file provably outside the range / absent
             return _empty("pruning")
     else:
-        paths = [f"{root.rstrip('/')}/{rel}" for rel in sorted(partitions.values())]
+        scan_vrels = set(partitions.values())
+        for r in partitions:
+            scan_vrels.update((doc.get("extra_vrels") or {}).get(r, []))
+        paths = [f"{root.rstrip('/')}/{rel}" for rel in sorted(scan_vrels)]
     reader = spark.read.format(fmt).option("basePath", root)
     schema_json = doc.get("schema")
     if schema_json is None and not pin_partition_strings:
@@ -1513,6 +1536,45 @@ def manifest_init(
     return version
 
 
+def _all_vrels(doc: dict) -> set[str]:
+    """Every live version subdir of a snapshot: each leaf's PRIMARY vrel
+    plus any APPEND extras (`append_manifested` adds files as extra
+    vrels instead of rewriting the leaf)."""
+    out = set(doc.get("partitions", {}).values())
+    for vs in (doc.get("extra_vrels") or {}).values():
+        out.update(vs)
+    return out
+
+
+def _leaf_vrels(doc: dict, rel: str) -> list[str]:
+    """All version subdirs holding leaf ``rel``'s data, primary first."""
+    out = [doc["partitions"][rel]]
+    out += list((doc.get("extra_vrels") or {}).get(rel, []))
+    return out
+
+
+def _carry_extras(doc: dict, new_doc: dict) -> None:
+    """Carry append extras into the next commit. A leaf whose PRIMARY
+    vrel is unchanged keeps its extras (nothing consolidated them); a
+    leaf the commit rewrote — new primary vrel — read its content
+    THROUGH the manifest (extras included) and consolidated it, so its
+    extras are dropped, as are extras of removed leaves. Detection is
+    structural (vrel comparison), so every committer makes the same
+    correct decision with one call."""
+    extras = doc.get("extra_vrels") or {}
+    if not extras:
+        return
+    old_p = doc.get("partitions", {})
+    new_p = new_doc["partitions"]
+    kept = {
+        rel: list(vs)
+        for rel, vs in extras.items()
+        if rel in new_p and new_p[rel] == old_p.get(rel)
+    }
+    if kept:
+        new_doc["extra_vrels"] = kept
+
+
 def _gc(fs, jvm, root: str, keep_versions: list[int]) -> None:
     """Delete manifests older than the retention window and any version
     subdir no kept manifest references — superseded data AND orphans from
@@ -1526,7 +1588,7 @@ def _gc(fs, jvm, root: str, keep_versions: list[int]) -> None:
     closure: set[int] = set()
     for v in keep_versions:
         kept_doc = _resolve_doc(fs, jvm, root, v)
-        referenced.update(kept_doc["partitions"].values())
+        referenced.update(_all_vrels(kept_doc))
         if kept_doc.get("dv"):
             referenced_dv.add(kept_doc["dv"]["rel"])
         closure.update(_ancestors(fs, jvm, root, v))
@@ -1541,7 +1603,7 @@ def _gc(fs, jvm, root: str, keep_versions: list[int]) -> None:
                 old = _resolve_doc(fs, jvm, root, v)
             except Exception:
                 continue
-            superseded.update(set(old["partitions"].values()) - referenced)
+            superseded.update(_all_vrels(old) - referenced)
             if old.get("dv") and old["dv"]["rel"] not in referenced_dv:
                 superseded_dv.add(old["dv"]["rel"])
     cutoff = int(time.time() * 1000) - _ORPHAN_GRACE_MS
@@ -1652,15 +1714,20 @@ def compact_manifested(
         # partition columns from any leaf rel: 'dt=d1/seg=A' → ['dt','seg']
         cols = [seg.split("=", 1)[0] for seg in next(iter(mapping)).split("/")]
 
-        # per-leaf file inventory through the manifest (current versions only)
+        # per-leaf file inventory through the manifest (current versions
+        # only, APPEND extras included — a leaf accreting append vrels
+        # is exactly what compaction exists to consolidate)
         stats: dict[str, tuple[int, int]] = {}
-        for rel, vrel in mapping.items():
+        for rel in mapping:
             n, nbytes = 0, 0
-            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{roots}/{vrel}")):
-                name = st.getPath().getName()
-                if st.isFile() and not name.startswith(("_", ".")):
-                    n += 1
-                    nbytes += st.getLen()
+            for vrel in _leaf_vrels(doc, rel):
+                for st in fs.listStatus(
+                    jvm.org.apache.hadoop.fs.Path(f"{roots}/{vrel}")
+                ):
+                    name = st.getPath().getName()
+                    if st.isFile() and not name.startswith(("_", ".")):
+                        n += 1
+                        nbytes += st.getLen()
             stats[rel] = (n, nbytes)
         to_compact = {
             rel: max(1, -(-nbytes // target_file_bytes))
@@ -1760,6 +1827,7 @@ def compact_manifested(
         if fstats is not None:
             _carry_stats_config(doc, new_doc)
             new_doc["files"] = fstats
+        _carry_extras(doc, new_doc)
         new_doc["operation"] = "OPTIMIZE"
         ok = _publish_cas(
             fs,
@@ -1874,6 +1942,7 @@ def repartition_manifested(
         if stats is not None:
             _carry_stats_config(doc, new_doc)
             new_doc["files"] = stats
+        _carry_extras(doc, new_doc)
         new_doc["operation"] = "REPARTITION"
         ok = _publish_cas(
             fs, jvm, _manifest_path(roots, new_version), _encode_commit(doc, new_doc)
@@ -1926,6 +1995,18 @@ def manifest_diff(
     for rel in sorted(set(pa) | set(pb)):
         va, vb = pa.get(rel), pb.get(rel)
         if va == vb:
+            # primary unchanged, but APPEND extras may have grown
+            ea = (a.get("extra_vrels") or {}).get(rel, [])
+            eb = (b.get("extra_vrels") or {}).get(rel, [])
+            if list(ea) != list(eb):
+                before = sum(leaf_rows(a, v) or 0 for v in [va] + list(ea))
+                after = sum(leaf_rows(b, v) or 0 for v in [vb] + list(eb))
+                out[rel] = {
+                    "status": "rows_appended",
+                    "rows_before": before - leaf_dv(a, va),
+                    "rows_after": after - leaf_dv(b, vb),
+                }
+                continue
             # same files, but a deletion-vector commit may have logically
             # deleted rows in place — surface it (live = physical − DV'd)
             if va is not None and leaf_dv(a, va) != leaf_dv(b, vb):
@@ -2089,6 +2170,7 @@ def delete_keys_manifested(
         if stats is not None:
             _carry_stats_config(doc, new_doc)
             new_doc["files"] = stats
+        _carry_extras(doc, new_doc)
         new_doc["operation"] = "DELETE"
         ok = _publish_cas(
             fs,
@@ -2236,6 +2318,7 @@ def merge_upsert_manifested(
             _carry_stats_config(doc, new_doc)
             new_doc["files"] = stats
 
+        _carry_extras(doc, new_doc)
         new_doc["operation"] = "MERGE"
         ok = _publish_cas(  # the atomic commit point
             fs,
@@ -2317,6 +2400,132 @@ def write_manifested(
     )
 
 
+def append_manifested(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    fmt: str = "parquet",
+) -> list[str]:
+    """APPEND-only ingest: the source's rows land as EXTRA version
+    subdirs of the leaves they belong to — cost is O(new data) written
+    and NO existing data file is read or rewritten. This is the missing
+    fast path next to MERGE for insert-only feeds (event logs, daily
+    loads): a merge on the same rows re-reads and rewrites every touched
+    leaf, which on an accreting daily partition is quadratic over the
+    day. Appended vrels ride the snapshot like any other data — reads,
+    stats pruning, DV deletes, time travel, and the change feed (new
+    rows surface as inserts) all see them — and the leaf's NEXT rewrite
+    (MERGE / UPDATE / DELETE / OPTIMIZE) consolidates them into its new
+    primary vrel, so compaction cadence bounds the per-leaf vrel count.
+
+    Hidden partitioning: transform-defined partition columns the source
+    doesn't carry are derived from the stored spec. CHECK constraints
+    validate the staged slice; a violating append is refused wholesale.
+    Brand-new leaves (a partition value the table has never seen) become
+    ordinary primary vrels. Duplicate keys are NOT detected — this is
+    INSERT, not upsert; use `merge_upsert_manifested` for idempotent
+    feeds. Returns the leaf rels appended to."""
+    root = target_path.rstrip("/")
+    fs, jvm = _hadoop_fs(spark, root)
+    _clean_stale_staging(fs, jvm, root)
+
+    def _attempt(doc, new_version, token):
+        mapping = doc["partitions"]
+        if not mapping:
+            raise ValueError(
+                f"append_manifested: {root} has no partitions — create the "
+                "table with write_manifested first"
+            )
+        cols = [seg.split("=", 1)[0] for seg in next(iter(mapping)).split("/")]
+        src = source
+        for dcol, spec in (doc.get("partition_transforms") or {}).items():
+            if dcol in cols and dcol not in src.columns:
+                src = src.withColumn(dcol, _transform_expr(spec, src))
+        _validate_constraints(doc, src, "append_manifested")
+        for c in cols:
+            src = src.withColumn(c, F.col(c).cast("string"))
+        cmap = doc.get("column_mapping")
+        staging = f"{root}.__manifest_staging__{token}"
+        _to_physical(src, cmap).write.mode("overwrite").partitionBy(
+            *cols
+        ).format(fmt).save(staging)
+
+        # move each staged leaf dir into an extra (or fresh) vrel
+        extras = {
+            r: list(v) for r, v in (doc.get("extra_vrels") or {}).items()
+        }
+        new_mapping = dict(mapping)
+        staged_vrels: list[str] = []
+        touched: list[str] = []
+        stack = [(jvm.org.apache.hadoop.fs.Path(staging), "", 0)]
+        leaves: list[str] = []
+        while stack:
+            path, rel, d = stack.pop()
+            for st in fs.listStatus(path):
+                name = st.getPath().getName()
+                if not st.isDirectory() or "=" not in name:
+                    continue
+                r = f"{rel}/{name}" if rel else name
+                if d + 1 == len(cols):
+                    leaves.append(r)
+                else:
+                    stack.append((st.getPath(), r, d + 1))
+        for rel in leaves:
+            vrel = f"{rel}/{_vdir(new_version, token)}"
+            dest = f"{root}/{vrel}"
+            _mkdirs_parent(fs, jvm, dest)
+            fs.rename(
+                jvm.org.apache.hadoop.fs.Path(f"{staging}/{rel}"),
+                jvm.org.apache.hadoop.fs.Path(dest),
+            )
+            if rel in new_mapping:
+                extras.setdefault(rel, []).append(vrel)
+            else:
+                new_mapping[rel] = vrel  # first data for this leaf
+            staged_vrels.append(vrel)
+            touched.append(rel)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+        if not touched:  # empty source: nothing to commit
+            return True, [], []
+
+        new_doc = {"version": new_version, "partitions": new_mapping}
+        if extras:
+            new_doc["extra_vrels"] = extras
+        if doc.get("schema") is not None:
+            new_doc["schema"] = doc["schema"]
+        _carry_mapping(doc, new_doc)
+        _carry_constraints(doc, new_doc)
+        _carry_dv(doc, new_doc)
+        # stats: carry EVERYTHING (no primary changed) + collect for the
+        # freshly appended vrels
+        stats = _evolve_file_stats(spark, fmt, root, doc, mapping, [])
+        if stats is not None:
+            stats.update(
+                _collect_file_stats(
+                    spark,
+                    fmt,
+                    root,
+                    staged_vrels,
+                    list(doc.get("stats_cols") or []),
+                    doc.get("bloom_cols"),
+                    doc.get("bloom_bits"),
+                    doc.get("bloom_k", 4),
+                    mapping=cmap,
+                    bloom_fpr=doc.get("bloom_fpr", 0.01),
+                    bloom_bits_max=doc.get("bloom_bits_max", 16384),
+                )
+            )
+            _carry_stats_config(doc, new_doc)
+            new_doc["files"] = stats
+        new_doc["operation"] = "APPEND"
+        ok = _publish_cas(
+            fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
+        )
+        return ok, staged_vrels, sorted(touched)
+
+    return _commit_retry(fs, jvm, root, _attempt)
+
+
 def manifest_files(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
@@ -2334,7 +2543,8 @@ def manifest_files(
     doc = _load_doc(fs, jvm, root, version)
     fstats = doc.get("files", {})
     rows = []
-    for rel, vrel in sorted(doc["partitions"].items()):
+    for rel in sorted(doc["partitions"]):
+      for vrel in _leaf_vrels(doc, rel):
         for st in fs.listStatus(
             jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/{vrel}")
         ):
@@ -2482,7 +2692,7 @@ def manifest_orphans(spark: SparkSession, root: str) -> DataFrame:
     keep = listed[-_RETAIN:]
     referenced: set[str] = set()
     for v in keep:
-        referenced.update(_resolve_doc(fs, jvm, root, v)["partitions"].values())
+        referenced.update(_all_vrels(_resolve_doc(fs, jvm, root, v)))
     now_ms = int(time.time() * 1000)
     rows = []
     stack = [(jvm.org.apache.hadoop.fs.Path(root), "")]
@@ -2582,6 +2792,7 @@ def delete_where_manifested(
         if stats is not None:
             _carry_stats_config(doc, new_doc)
             new_doc["files"] = stats
+        _carry_extras(doc, new_doc)
         new_doc["operation"] = "DELETE"
         ok = _publish_cas(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
@@ -2691,6 +2902,7 @@ def update_where_manifested(
         if stats is not None:
             _carry_stats_config(doc, new_doc)
             new_doc["files"] = stats
+        _carry_extras(doc, new_doc)
         new_doc["operation"] = "UPDATE"
         ok = _publish_cas(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
@@ -2923,6 +3135,7 @@ def alter_manifested(
             new_doc["bloom_cols"] = None
         if files is not None and (stats_cols or bloom_cols):
             new_doc["files"] = files
+        _carry_extras(doc, new_doc)
         new_doc["operation"] = "ALTER"
         ok = _publish_cas(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
@@ -3009,6 +3222,7 @@ def add_constraint_manifested(
         if doc.get("stats_cols") or doc.get("bloom_cols"):
             _carry_stats_config(doc, new_doc)
             new_doc["files"] = doc.get("files", {})
+        _carry_extras(doc, new_doc)
         new_doc["operation"] = "ADD CONSTRAINT"
         ok = _publish_cas(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
@@ -3045,6 +3259,7 @@ def drop_constraint_manifested(
         if doc.get("stats_cols") or doc.get("bloom_cols"):
             _carry_stats_config(doc, new_doc)
             new_doc["files"] = doc.get("files", {})
+        _carry_extras(doc, new_doc)
         new_doc["operation"] = "DROP CONSTRAINT"
         ok = _publish_cas(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
@@ -3087,6 +3302,7 @@ def rollback_manifested(
             "schema",
             "column_mapping",
             "dropped_physical",
+            "extra_vrels",
             "constraints",
             *_STATS_CONFIG_KEYS,
         ):
@@ -3230,6 +3446,7 @@ def _delete_dv(spark: SparkSession, target_path: str, fmt: str, matcher) -> int:
             # become conservative over-approximations of the live rows)
             _carry_stats_config(doc, new_doc)
             new_doc["files"] = doc.get("files", {})
+        _carry_extras(doc, new_doc)
         new_doc["operation"] = "DELETE"
         ok = _publish_cas(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
@@ -3301,11 +3518,25 @@ def read_changes(
         for p in set(fa) | set(fb)
         if fa.get(p) != fb.get(p)
     }
+    # a leaf's content is its FULL vrel set (primary + append extras);
+    # any set difference marks the leaf changed and the diff reads the
+    # whole leaf on both sides — appended rows surface as inserts
+    def vset(doc_, p_, r):
+        return {p_[r]} | set((doc_.get("extra_vrels") or {}).get(r, []))
+
+    changed_rels = {
+        r
+        for r in set(pa) | set(pb)
+        if (r in pa) != (r in pb)
+        or vset(a, pa, r) != vset(b, pb, r)
+    }
     old_vrels = sorted(
-        {pa[r] for r in pa if pb.get(r) != pa[r]} | (dv_vrels & set(pa.values()))
+        {v for r in changed_rels & set(pa) for v in vset(a, pa, r)}
+        | (dv_vrels & _all_vrels(a))
     )
     new_vrels = sorted(
-        {pb[r] for r in pb if pa.get(r) != pb[r]} | (dv_vrels & set(pb.values()))
+        {v for r in changed_rels & set(pb) for v in vset(b, pb, r)}
+        | (dv_vrels & _all_vrels(b))
     )
 
     schema_json = b.get("schema") or a.get("schema")

@@ -1306,3 +1306,171 @@ def test_hidden_partitioning_composes_with_dml_and_maintenance(spark, tmp_path):
     pr = read_manifested(spark, path, prune_source={"ts": (lo, hi)})
     assert len(pr.inputFiles()) < len(read_manifested(spark, path).inputFiles())
     assert {r.id for r in pr.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).collect()} == {2, 3}
+
+
+def test_append_manifested_no_rewrite_fast_path(spark, tmp_path):
+    """APPEND lands new files as extra version subdirs: byte-identical
+    existing inventory (mtimes included), rows visible immediately,
+    operation=APPEND in the history, change feed shows pure inserts,
+    time travel to the pre-append snapshot, and a brand-new partition
+    value becomes an ordinary primary leaf."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.io.manifest import (
+        append_manifested,
+        manifest_history,
+        manifest_versions,
+        read_changes,
+        read_manifested,
+        write_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")],
+        "id INT, name STRING, part STRING",
+    )
+    write_manifested(df, path, "part")
+    before = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/part=*/__v*/*.parquet")
+    }
+
+    touched = append_manifested(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(4, "d", "p1"), (5, "e", "p3")], "id INT, name STRING, part STRING"
+        ),
+    )
+    assert touched == ["part=p1", "part=p3"]
+    after = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/part=*/__v*/*.parquet")
+    }
+    assert before.items() <= after.items(), "append must not touch existing files"
+    assert len(after) > len(before)
+
+    got = {r.id: (r.name, r.part) for r in read_manifested(spark, path).collect()}
+    assert got == {
+        1: ("a", "p1"), 2: ("b", "p1"), 3: ("c", "p2"),
+        4: ("d", "p1"), 5: ("e", "p3"),
+    }
+    h = {r["version"]: r["operation"] for r in manifest_history(spark, path).collect()}
+    assert h[2] == "APPEND"
+    vs = manifest_versions(spark, path)
+    assert {r.id for r in read_manifested(spark, path, version=vs[-2]).collect()} == {1, 2, 3}
+    ch = {(r.id, r._change_type) for r in read_changes(spark, path, vs[-2], vs[-1]).collect()}
+    assert ch == {(4, "insert"), (5, "insert")}
+
+
+def test_append_then_rewrite_consolidates_extras(spark, tmp_path):
+    """A later MERGE or OPTIMIZE on an appended leaf consolidates the
+    extras into its new primary vrel (extra_vrels entry dropped, no row
+    lost); stats stay maintained so range pruning covers appended files."""
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.io.manifest import (
+        _hadoop_fs,
+        _load_doc,
+        append_manifested,
+        compact_manifested,
+        merge_upsert_manifested,
+        read_manifested,
+        write_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i * 10, "p1" if i < 3 else "p2") for i in range(6)],
+        "id INT, v INT, part STRING",
+    )
+    write_manifested(df, path, "part", stats_cols=["id"])
+    append_manifested(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(100, 1000, "p1"), (101, 1010, "p2")], "id INT, v INT, part STRING"
+        ),
+    )
+    fs, jvm = _hadoop_fs(spark, path)
+    doc = _load_doc(fs, jvm, path)
+    assert set(doc["extra_vrels"]) == {"part=p1", "part=p2"}
+    # appended files carry stats: a range probe on the appended ids opens
+    # only their files
+    pr = read_manifested(spark, path, prune_ranges={"id": (100, 101)})
+    assert 0 < len(pr.inputFiles()) < len(read_manifested(spark, path).inputFiles())
+    assert {r.id for r in pr.filter("id >= 100").collect()} == {100, 101}
+
+    # merge touching p1 consolidates p1's extras, leaves p2's alone
+    merge_upsert_manifested(
+        spark, path,
+        spark.createDataFrame([(0, 999, "p1")], "id INT, v INT, part STRING"),
+        ["id"], "part",
+    )
+    doc = _load_doc(fs, jvm, path)
+    assert "part=p1" not in (doc.get("extra_vrels") or {})
+    assert "part=p2" in doc["extra_vrels"]
+    got = {r.id: r.v for r in read_manifested(spark, path).collect()}
+    assert got[0] == 999 and got[100] == 1000 and got[101] == 1010
+
+    # compaction consolidates the rest
+    compact_manifested(spark, path, min_files=2)
+    doc = _load_doc(fs, jvm, path)
+    assert not doc.get("extra_vrels")
+    assert {r.id for r in read_manifested(spark, path).collect()} == (
+        set(range(6)) | {100, 101}
+    )
+
+
+def test_append_composes_with_dv_constraints_and_transforms(spark, tmp_path):
+    """Appends respect CHECK constraints (refused wholesale), derive
+    hidden-partitioning columns, and appended rows are DV-deletable."""
+    import datetime
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.io.manifest import (
+        ConstraintViolation,
+        add_constraint_manifested,
+        append_manifested,
+        delete_rows_manifested,
+        read_manifested,
+        write_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    t0 = datetime.datetime(2024, 5, 1)
+    df = spark.createDataFrame(
+        [(i, t0 + datetime.timedelta(days=i), float(i)) for i in range(4)],
+        "id INT, ts TIMESTAMP, v DOUBLE",
+    )
+    write_manifested(df, path, partition_transforms={"p_day": "days(ts)"})
+    add_constraint_manifested(spark, path, "v_nonneg", "v >= 0")
+
+    with pytest.raises(ConstraintViolation):
+        append_manifested(
+            spark, path,
+            spark.createDataFrame(
+                [(9, t0, -1.0)], "id INT, ts TIMESTAMP, v DOUBLE"
+            ),
+        )
+    # hidden partitioning: source carries NO p_day; appended row lands in
+    # the right derived leaf and prunes by source predicate
+    append_manifested(
+        spark, path,
+        spark.createDataFrame(
+            [(10, datetime.datetime(2024, 5, 2, 6), 7.0)],
+            "id INT, ts TIMESTAMP, v DOUBLE",
+        ),
+    )
+    pr = read_manifested(
+        spark, path,
+        prune_source={"ts": (datetime.datetime(2024, 5, 2),
+                             datetime.datetime(2024, 5, 2, 23))},
+    )
+    assert {r.id for r in pr.collect()} == {1, 10}
+    assert delete_rows_manifested(spark, path, F.col("id") == 10) == 1
+    assert 10 not in {r.id for r in read_manifested(spark, path).collect()}
