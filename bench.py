@@ -332,6 +332,79 @@ def _bench_mv_refresh(spark, sf_dir: str) -> dict:
     }
 
 
+def _bench_append_ingest(spark, sf_dir: str) -> dict:
+    """Append-only ingest vs MERGE of the identical slice, on identical
+    tables: wall time and — the cluster signal — BYTES WRITTEN by the
+    commit. A merge re-reads and rewrites every touched leaf, so its
+    write cost is the leaf size; an append writes only the new rows."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.io.manifest import (
+        _all_vrels,
+        _hadoop_fs,
+        _load_doc,
+        append_manifested,
+        merge_upsert_manifested,
+        read_manifested,
+        write_manifested,
+    )
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("string").alias("dt"),
+    )
+    slice_ = (
+        t.orderBy("o_orderkey")
+        .limit(2000)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(100_000_000))
+    )
+    n_slice = slice_.count()
+
+    def new_bytes(root, before_vrels) -> int:
+        fs, jvm = _hadoop_fs(spark, root)
+        doc = _load_doc(fs, jvm, root)
+        total = 0
+        for vrel in _all_vrels(doc) - before_vrels:
+            total += int(
+                fs.getContentSummary(
+                    jvm.org.apache.hadoop.fs.Path(f"{root}/{vrel}")
+                ).getLength()
+            )
+        return total
+
+    out = {}
+    for mode in ("append", "merge"):
+        root = tempfile.mkdtemp(prefix=f"bench_ing_{mode}_") + "/orders"
+        write_manifested(t, root, "dt")
+        fs, jvm = _hadoop_fs(spark, root)
+        before = _all_vrels(_load_doc(fs, jvm, root))
+        t0 = time.perf_counter()
+        if mode == "append":
+            append_manifested(spark, root, slice_)
+        else:
+            merge_upsert_manifested(spark, root, slice_, ["o_orderkey"], "dt")
+        wall = time.perf_counter() - t0
+        out[mode] = {
+            "seconds": round(wall, 3),
+            "bytes_written": new_bytes(root, before),
+        }
+        assert read_manifested(spark, root).count() == t.count() + n_slice
+    out["rows_appended"] = n_slice
+    out["write_amplification_merge_over_append"] = round(
+        out["merge"]["bytes_written"] / max(1, out["append"]["bytes_written"]), 1
+    )
+    out["note"] = (
+        "identical slice into identical tables; bytes_written is the "
+        "cluster signal — merge rewrites every touched leaf, append "
+        "writes only the new rows"
+    )
+    return out
+
+
 def _bench_skew(spark, sf_dir: str) -> dict:
     """Skew-mitigation A/B on a zipf-ish fixture (90% of rows on one hot
     key, 16× exploded lineitem, high-cardinality values):
@@ -697,6 +770,7 @@ def main() -> None:
     payload["stats_skip"] = _bench_stats_skip(spark, sf_dir)
     payload["mv_refresh"] = _bench_mv_refresh(spark, sf_dir)
     payload["dv_delete"] = _bench_dv_delete(spark, sf_dir)
+    payload["append_ingest"] = _bench_append_ingest(spark, sf_dir)
     payload["bucketed_join"] = _bench_bucketed_join(spark, sf_dir)
     payload["ann_recall_at_10"] = ann_recall
     print(json.dumps(payload))
