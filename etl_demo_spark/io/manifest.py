@@ -1015,6 +1015,9 @@ def _resolve_doc(fs, jvm, root: str, version: int) -> dict:
     ev = raw.get("extra_vrels", base.get("extra_vrels"))
     if ev is not None:
         doc["extra_vrels"] = ev
+    tx = raw.get("txns", base.get("txns"))
+    if tx is not None:
+        doc["txns"] = tx
     cons = raw.get("constraints", base.get("constraints"))
     if cons is not None:
         doc["constraints"] = cons
@@ -1056,6 +1059,8 @@ def _encode_commit(prev_doc: dict, new_doc: dict) -> bytes:
             **new_doc,
             "partition_transforms": prev_doc["partition_transforms"],
         }
+    if "txns" not in new_doc and prev_doc.get("txns") is not None:
+        new_doc = {**new_doc, "txns": prev_doc["txns"]}
     if prev_doc.get("_chain", 0) + 1 >= _FULL_EVERY:
         # explicit-null keys (a dropped stats config) exist only to stop
         # delta-chain inheritance; a full snapshot simply omits them
@@ -1096,6 +1101,8 @@ def _encode_commit(prev_doc: dict, new_doc: dict) -> bytes:
         delta["dropped_physical"] = new_doc.get("dropped_physical")
     if new_doc.get("extra_vrels") != prev_doc.get("extra_vrels"):
         delta["extra_vrels"] = new_doc.get("extra_vrels")
+    if new_doc.get("txns") != prev_doc.get("txns"):
+        delta["txns"] = new_doc.get("txns")
     if new_doc.get("partition_transforms") != prev_doc.get(
         "partition_transforms"
     ):
@@ -2405,6 +2412,8 @@ def append_manifested(
     target_path: str,
     source: DataFrame,
     fmt: str = "parquet",
+    txn_app: str | None = None,
+    txn_version: int | None = None,
 ) -> list[str]:
     """APPEND-only ingest: the source's rows land as EXTRA version
     subdirs of the leaves they belong to — cost is O(new data) written
@@ -2423,13 +2432,30 @@ def append_manifested(
     validate the staged slice; a violating append is refused wholesale.
     Brand-new leaves (a partition value the table has never seen) become
     ordinary primary vrels. Duplicate keys are NOT detected — this is
-    INSERT, not upsert; use `merge_upsert_manifested` for idempotent
-    feeds. Returns the leaf rels appended to."""
+    INSERT, not upsert; use `merge_upsert_manifested` for keyed feeds.
+
+    EXACTLY-ONCE for replayed writers: ``txn_app`` + ``txn_version``
+    (Delta's idempotent-writes txn appId/version) record the writer's
+    monotonically increasing version IN the commit; a replay carrying a
+    version at-or-below the recorded one is a NO-OP — the transaction
+    guard and the data land in one atomic commit, so there is no crash
+    window where data applied but the guard didn't. This is what makes
+    a foreachBatch append sink (`streaming.run_stream_append`) safe
+    under micro-batch replay, where a bare append would duplicate rows.
+    Returns the leaf rels appended to ([] for a skipped replay)."""
+    if (txn_app is None) != (txn_version is None):
+        raise ValueError(
+            "append_manifested: txn_app and txn_version go together"
+        )
     root = target_path.rstrip("/")
     fs, jvm = _hadoop_fs(spark, root)
     _clean_stale_staging(fs, jvm, root)
 
     def _attempt(doc, new_version, token):
+        if txn_app is not None:
+            applied = (doc.get("txns") or {}).get(txn_app)
+            if applied is not None and int(txn_version) <= int(applied):
+                return True, [], []  # replayed transaction: already in
         mapping = doc["partitions"]
         if not mapping:
             raise ValueError(
@@ -2491,6 +2517,10 @@ def append_manifested(
         new_doc = {"version": new_version, "partitions": new_mapping}
         if extras:
             new_doc["extra_vrels"] = extras
+        if txn_app is not None:
+            new_doc["txns"] = {
+                **(doc.get("txns") or {}), txn_app: int(txn_version)
+            }
         if doc.get("schema") is not None:
             new_doc["schema"] = doc["schema"]
         _carry_mapping(doc, new_doc)
@@ -3303,6 +3333,7 @@ def rollback_manifested(
             "column_mapping",
             "dropped_physical",
             "extra_vrels",
+            "txns",
             "constraints",
             *_STATS_CONFIG_KEYS,
         ):

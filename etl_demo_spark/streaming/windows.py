@@ -137,6 +137,67 @@ def run_stream_foreach_batch(
     q.awaitTermination()
 
 
+def run_stream_append(
+    stream_df: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    txn_app: str = "stream_append",
+    catalog_root: str | None = None,
+    catalog_table: str | None = None,
+) -> None:
+    """Streaming APPEND sink for insert-only feeds (event logs, IoT,
+    clickstreams): every micro-batch lands through the manifest layer's
+    append fast path — O(batch) written, NO existing file read or
+    rewritten — where the CDC upsert sink would re-merge (and therefore
+    rewrite) the touched leaves on every batch.
+
+    EXACTLY-ONCE under replay: the micro-batch id is recorded as a
+    transaction version (``txn_app``) inside the SAME atomic commit as
+    the data, so a restarted query re-offering an already-applied batch
+    is a no-op — the guard a bare blind append lacks. The target table
+    must exist (`write_manifested` bootstraps the layout and, if hidden
+    partitioning is configured, appends derive their partition values
+    from the stored spec).
+
+    ``catalog_root``/``catalog_table`` additionally pin each batch's
+    version in a multi-table catalog, same contract as the CDC sink."""
+    if (catalog_root is None) != (catalog_table is None):
+        raise ValueError(
+            "run_stream_append: catalog_root and catalog_table go together"
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from etl_demo_spark.io.manifest import (
+            append_manifested,
+            manifest_versions,
+        )
+
+        spark = batch_df.sparkSession
+        append_manifested(
+            spark,
+            target_path,
+            batch_df,
+            txn_app=txn_app,
+            txn_version=int(batch_id),
+        )
+        if catalog_root is not None:
+            from etl_demo_spark.io.catalog import catalog_commit
+
+            catalog_commit(
+                spark,
+                catalog_root,
+                {catalog_table: manifest_versions(spark, target_path)[-1]},
+            )
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_cdc_upsert(
     stream_df: DataFrame,
     target_path: str,

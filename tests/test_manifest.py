@@ -1474,3 +1474,39 @@ def test_append_composes_with_dv_constraints_and_transforms(spark, tmp_path):
     assert {r.id for r in pr.collect()} == {1, 10}
     assert delete_rows_manifested(spark, path, F.col("id") == 10) == 1
     assert 10 not in {r.id for r in read_manifested(spark, path).collect()}
+
+
+def test_append_txn_guard_idempotent(spark, tmp_path):
+    """Delta-style idempotent writes: an append replayed at-or-below its
+    recorded txn version is a no-op; higher versions apply; app ids are
+    independent lines; the guard and the data share one atomic commit."""
+    import pytest
+
+    from etl_demo_spark.io.manifest import (
+        _hadoop_fs,
+        _load_doc,
+        append_manifested,
+        manifest_versions,
+        read_manifested,
+        write_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    write_manifested(
+        spark.createDataFrame([(0, "p0")], "id INT, part STRING"), path, "part"
+    )
+    src = spark.createDataFrame([(1, "p0")], "id INT, part STRING")
+    assert append_manifested(spark, path, src, txn_app="a", txn_version=1)
+    v = manifest_versions(spark, path)[-1]
+    # replay at the same and at a lower version: no-ops, no new commit
+    assert append_manifested(spark, path, src, txn_app="a", txn_version=1) == []
+    assert append_manifested(spark, path, src, txn_app="a", txn_version=0) == []
+    assert manifest_versions(spark, path)[-1] == v
+    assert read_manifested(spark, path).count() == 2
+    # a higher version applies; the recorded watermark advances
+    assert append_manifested(spark, path, src, txn_app="a", txn_version=2)
+    doc = _load_doc(*_hadoop_fs(spark, path), path)
+    assert doc["txns"] == {"a": 2}
+    assert read_manifested(spark, path).count() == 3
+    with pytest.raises(ValueError, match="go together"):
+        append_manifested(spark, path, src, txn_app="a")

@@ -919,3 +919,64 @@ def test_stream_cdc_catalog_pins_batches_atomically(spark, tmp_path):
         2: "beta", 3: "gamma"
     }
     assert len(catalog_versions(spark, cat)) >= 3
+
+
+def test_stream_append_exactly_once_under_replay(spark, tmp_path):
+    """The streaming APPEND sink: per-batch rows land as extra vrels
+    (no rewrite), and a FULL REPLAY on a fresh checkpoint — the failure
+    mode where a bare blind append duplicates every row — is a no-op
+    because the batch id rides the commit as a transaction version."""
+    import glob
+    import os
+
+    from etl_demo_spark.io.manifest import (
+        _hadoop_fs,
+        _load_doc,
+        read_manifested,
+        write_manifested,
+    )
+    from etl_demo_spark.streaming.windows import run_stream_append
+
+    target = str(tmp_path / "events")
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    schema = "id INT, v INT, part STRING"
+    write_manifested(
+        spark.createDataFrame([(0, 0, "p0")], schema), target, "part"
+    )
+
+    def feed(batch_name, rows, ckpt):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(inbox / batch_name)
+        )
+        stream = spark.readStream.schema(schema).parquet(str(inbox / "*"))
+        run_stream_append(stream, target, ckpt, txn_app="t1")
+
+    ck1 = str(tmp_path / "ck1")
+    feed("b0", [(1, 10, "p0"), (2, 20, "p1")], ck1)
+    inventory = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{target}/part=*/__v*/*.parquet")
+    }
+    feed("b1", [(3, 30, "p0")], ck1)
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{target}/part=*/__v*/*.parquet")
+    }
+    assert inventory.items() <= after.items(), "append sink rewrote a file"
+    got = {r.id for r in read_manifested(spark, target).collect()}
+    assert got == {0, 1, 2, 3}
+
+    # FULL REPLAY on a fresh checkpoint: both batches re-offered as
+    # batch 0 — at-or-below the recorded txn version -> skipped
+    stream = spark.readStream.schema(schema).parquet(str(inbox / "*"))
+    run_stream_append(stream, target, str(tmp_path / "ck2"), txn_app="t1")
+    got2 = {r.id for r in read_manifested(spark, target).collect()}
+    assert got2 == {0, 1, 2, 3}, "replay duplicated appended rows"
+
+    # a DIFFERENT app id is an independent transaction line and applies
+    stream = spark.readStream.schema(schema).parquet(str(inbox / "*"))
+    run_stream_append(stream, target, str(tmp_path / "ck3"), txn_app="t2")
+    assert read_manifested(spark, target).count() == 4 + 3  # dup by design
+    doc = _load_doc(*_hadoop_fs(spark, target), target)
+    assert set(doc["txns"]) == {"t1", "t2"}
