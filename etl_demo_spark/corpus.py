@@ -10109,3 +10109,64 @@ def stream_append_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "event_value_gapfill_locf",
+    oracle="""
+    WITH sparse AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(ROUND(AVG(value) * 10000) AS BIGINT) AS v
+      FROM events WHERE value > 180 GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+      FROM sparse GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 hour)) AS bucket
+      FROM bounds
+    ),
+    dense AS (
+      SELECT s.event_type, s.bucket, sp.v
+      FROM spine s LEFT JOIN sparse sp
+        ON s.event_type = sp.event_type AND s.bucket = sp.bucket
+    )
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:00:00') AS bucket,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) / 10000.0 AS value_filled,
+           (v IS NULL AND LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) IS NOT NULL) AS interpolated
+    FROM dense
+    """,
+)
+def event_value_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOCF (last observation carried forward) variant of the gap
+    filler — the fill a metrics store uses when interpolation would
+    invent values (counters, states): gaps take the previous observed
+    value, leading gaps stay NULL. Same integer-scaled exactness as the
+    linear variant (one int/int division, no round boundary)."""
+    from etl_demo_spark.ops import gap_fill_interpolate
+
+    (ev,) = _t(spark, sf_dir, "events")
+    sparse = (
+        ev.filter(F.col("value") > 180)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.round(F.avg("value") * 10000).cast("long").alias("v"))
+    )
+    filled = gap_fill_interpolate(
+        sparse, ["event_type"], "bucket", "v", step="interval 1 hour",
+        method="locf",
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:00:00").alias("bucket"),
+        (F.col("value_filled") / F.lit(10000.0)).alias("value_filled"),
+        "interpolated",
+    )

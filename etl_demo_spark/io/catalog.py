@@ -204,6 +204,46 @@ class CatalogSnapshot:
         return {n: e["version"] for n, e in self.tables.items()}
 
 
+def catalog_history(spark: SparkSession, cat_root: str) -> DataFrame:
+    """The catalog's commit history as a DataFrame: one row per catalog
+    version per member table with the pinned table version — the
+    cross-table DESCRIBE HISTORY ("what did the whole schema look like
+    at catalog v3, and which commit moved which table"). Metadata-only:
+    one small JSON read per catalog version."""
+    fs, jvm = _hadoop_fs(spark, cat_root)
+    vs = _cat_versions(fs, jvm, cat_root)
+    if not vs:
+        raise ValueError(f"{cat_root} is not a catalog (no versions)")
+    rows = []
+    prev: dict = {}
+    for v in vs:
+        doc = _load_cat(fs, jvm, cat_root, v)
+        for name, entry in sorted(doc["tables"].items()):
+            rows.append(
+                (
+                    v,
+                    int(doc.get("committed_at_ms") or 0),
+                    name,
+                    int(entry["version"]),
+                    prev.get(name) != entry["version"],
+                )
+            )
+        prev = {n: e["version"] for n, e in doc["tables"].items()}
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        rows,
+        "catalog_version LONG, committed_at_ms LONG, table STRING, "
+        "table_version LONG, changed BOOLEAN",
+    ).select(
+        "catalog_version",
+        F.timestamp_millis(F.col("committed_at_ms")).alias("committed_at"),
+        "table",
+        "table_version",
+        "changed",
+    )
+
+
 def register_catalog(
     spark: SparkSession,
     cat_root: str,

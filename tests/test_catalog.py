@@ -214,3 +214,26 @@ def test_register_catalog_sql_views_are_pinned(spark, tmp_path):
     snap2 = register_catalog(spark, cat, prefix="cx_")
     assert snap2.version == 2
     assert spark.sql("SELECT SUM(amt) AS s FROM cx_a").first()["s"] == 200
+
+
+def test_catalog_history_surface(spark, tmp_path):
+    """Cross-table DESCRIBE HISTORY: one row per (catalog version,
+    table) with the pinned table version; `changed` marks which table
+    each catalog commit moved (v1 rows all count as changed — first
+    pin)."""
+    from etl_demo_spark.io.catalog import catalog_history
+    from etl_demo_spark.io.manifest import manifest_versions
+
+    a, b, cat = _mk(spark, tmp_path)
+    delete_where_manifested(spark, a, F.col("id") == 1, "part")
+    catalog_commit(spark, cat, {"a": manifest_versions(spark, a)[-1]})
+
+    h = catalog_history(spark, cat).collect()
+    assert {(r["catalog_version"], r["table"]) for r in h} == {
+        (1, "a"), (1, "b"), (2, "a"), (2, "b"),
+    }
+    by = {(r["catalog_version"], r["table"]): r for r in h}
+    assert by[(2, "a")]["changed"] and not by[(2, "b")]["changed"]
+    assert by[(2, "a")]["table_version"] == 2
+    assert by[(2, "b")]["table_version"] == by[(1, "b")]["table_version"]
+    assert all(r["committed_at"] is not None for r in h)
