@@ -493,6 +493,28 @@ def _bloom_word_aggs(col: str, bits: int, k: int, key: str | None = None) -> lis
     return aggs
 
 
+def _validate_bloom_config(
+    bloom_bits: int | None, bloom_bits_max: int | None
+) -> None:
+    """The fold/mask identity (`p & (nbits-1)` == `pmod(h, nbits)` at a
+    power-of-two width, words materialized as `range(bits // 64)`) only
+    holds when the build width is a power of two. A non-power-of-two
+    value would silently drop set bits and mis-mask probes — wrong file
+    PRUNING (missing rows), not an error — so refuse it up front."""
+    if bloom_bits_max is not None:
+        b = int(bloom_bits_max)
+        if b < 256 or (b & (b - 1)) != 0:
+            raise ValueError(
+                f"bloom_bits_max must be a power of two >= 256, got {b}"
+            )
+    if bloom_bits is not None:
+        b = int(bloom_bits)
+        if b < 64 or b % 64 != 0:
+            raise ValueError(
+                f"bloom_bits must be a positive multiple of 64, got {b}"
+            )
+
+
 def _collect_file_stats(
     spark: SparkSession,
     fmt: str,
@@ -537,6 +559,8 @@ def _collect_file_stats(
     hashes per row then bit_or by (file, word) — O(k) work per row
     regardless of bitset width, where the legacy single-agg CASE fan-out
     is O(k·words) per row and stops scaling past a few hundred words."""
+    if bloom_cols:
+        _validate_bloom_config(bloom_bits, None if bloom_bits is not None else bloom_bits_max)
     paths = [f"{root.rstrip('/')}/{vrel}" for vrel in vrels]
     df = spark.read.format(fmt).option("basePath", root).load(paths)
 
@@ -1514,6 +1538,9 @@ def manifest_init(
         if stats_cols:
             doc["stats_cols"] = list(stats_cols)
         if bloom_cols:
+            _validate_bloom_config(
+                bloom_bits, None if bloom_bits is not None else bloom_bits_max
+            )
             doc["bloom_cols"] = list(bloom_cols)
             doc["bloom_k"] = int(bloom_k)
             if bloom_bits is not None:  # legacy fixed-size layout
@@ -2005,24 +2032,32 @@ def manifest_diff(
             # primary unchanged, but APPEND extras may have grown
             ea = (a.get("extra_vrels") or {}).get(rel, [])
             eb = (b.get("extra_vrels") or {}).get(rel, [])
+            # DV deletes can land in append extras too — count them over
+            # the leaf's FULL vrel set on both sides, mirroring the row sum
+            dv_a = sum(leaf_dv(a, v) for v in [va] + list(ea))
+            dv_b = sum(leaf_dv(b, v) for v in [vb] + list(eb))
             if list(ea) != list(eb):
                 before = sum(leaf_rows(a, v) or 0 for v in [va] + list(ea))
                 after = sum(leaf_rows(b, v) or 0 for v in [vb] + list(eb))
                 out[rel] = {
                     "status": "rows_appended",
-                    "rows_before": before - leaf_dv(a, va),
-                    "rows_after": after - leaf_dv(b, vb),
+                    "rows_before": before - dv_a,
+                    "rows_after": after - dv_b,
                 }
                 continue
             # same files, but a deletion-vector commit may have logically
             # deleted rows in place — surface it (live = physical − DV'd)
-            if va is not None and leaf_dv(a, va) != leaf_dv(b, vb):
+            if va is not None and dv_a != dv_b:
                 before = leaf_rows(a, va)
                 after = leaf_rows(b, vb)
+                if before is not None:
+                    before += sum(leaf_rows(a, v) or 0 for v in ea)
+                if after is not None:
+                    after += sum(leaf_rows(b, v) or 0 for v in eb)
                 out[rel] = {
                     "status": "rows_deleted",
-                    "rows_before": None if before is None else before - leaf_dv(a, va),
-                    "rows_after": None if after is None else after - leaf_dv(b, vb),
+                    "rows_before": None if before is None else before - dv_a,
+                    "rows_after": None if after is None else after - dv_b,
                 }
             continue
         status = "added" if va is None else "removed" if vb is None else "rewritten"
@@ -2467,6 +2502,31 @@ def append_manifested(
         for dcol, spec in (doc.get("partition_transforms") or {}).items():
             if dcol in cols and dcol not in src.columns:
                 src = src.withColumn(dcol, _transform_expr(spec, src))
+        # APPEND is insert-only — it never evolves schema, so a source
+        # that doesn't match the table (missing column, typo'd extra,
+        # incompatible type) must be REFUSED here, not silently written
+        # as files whose reads surface NULLs. Schema evolution goes
+        # through merge_upsert_manifested, which maps it explicitly.
+        if doc.get("schema") is not None:
+            table_schema = T.StructType.fromJson(json.loads(doc["schema"]))
+            want = {f.name: f.dataType.simpleString() for f in table_schema}
+            have = {f.name: f.dataType.simpleString() for f in src.schema}
+            missing = sorted(set(want) - set(have))
+            extra = sorted(set(have) - set(want))
+            # partition columns are string-cast at write time (and may be
+            # transform-DERIVED above) — presence is checked, type is not
+            wrong = sorted(
+                f"{n}: source {have[n]} vs table {want[n]}"
+                for n in set(want) & set(have)
+                if have[n] != want[n] and n not in cols
+            )
+            if missing or extra or wrong:
+                raise ValueError(
+                    "append_manifested: source schema does not match the "
+                    f"table at {root} — missing={missing} extra={extra} "
+                    f"type_mismatch={wrong}. Appends never evolve schema; "
+                    "route schema changes through merge_upsert_manifested."
+                )
         _validate_constraints(doc, src, "append_manifested")
         for c in cols:
             src = src.withColumn(c, F.col(c).cast("string"))
@@ -3158,7 +3218,10 @@ def alter_manifested(
             new_doc["stats_cols"] = None  # dropped the last stats column
         if bloom_cols:
             new_doc["bloom_cols"] = bloom_cols
-            for key in ("bloom_bits", "bloom_k"):
+            # carry EVERY bloom config key — dropping bloom_bits_max /
+            # bloom_fpr on a full-snapshot boundary would change the
+            # probe build width and silently mis-prune adaptive tables
+            for key in ("bloom_bits", "bloom_k", "bloom_fpr", "bloom_bits_max"):
                 if key in doc:
                     new_doc[key] = doc[key]
         elif doc.get("bloom_cols"):

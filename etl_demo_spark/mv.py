@@ -461,11 +461,26 @@ def _refresh_cost_estimate(
         for p in set(fa) | set(fb)
         if fa.get(p) != fb.get(p)
     }
-    changed = (
-        {pa[r] for r in pa if pb.get(r) != pa[r]}
-        | {pb[r] for r in pb if pa.get(r) != pb[r]}
-        | (dv_vrels & (set(pa.values()) | set(pb.values())))
-    )
+    # a leaf's vrel SET includes append extras — a leaf whose primary is
+    # unchanged but accreted extra vrels IS changed (read_changes
+    # processes it), so the estimate must cost those bytes too
+    ea = a.get("extra_vrels") or {}
+    eb = b.get("extra_vrels") or {}
+
+    def vset(p: dict, e: dict, r: str) -> set:
+        out = set(e.get(r, []))
+        if r in p:
+            out.add(p[r])
+        return out
+
+    all_vrels_a = set(pa.values()) | {v for vs in ea.values() for v in vs}
+    all_vrels_b = set(pb.values()) | {v for vs in eb.values() for v in vs}
+    changed = set()
+    for r in set(pa) | set(pb):
+        sa, sb = vset(pa, ea, r), vset(pb, eb, r)
+        if sa != sb:
+            changed |= sa ^ sb
+    changed |= dv_vrels & (all_vrels_a | all_vrels_b)
 
     def vbytes(vrel: str) -> int:
         return int(
@@ -480,7 +495,7 @@ def _refresh_cost_estimate(
         changed_bytes / crossover if crossover > 0 else float("inf"),
     )
     base_bytes, complete = 0, True
-    for v in set(pb.values()):
+    for v in all_vrels_b:
         base_bytes += vbytes(v)
         if base_bytes > stop_at:
             complete = False  # incremental wins; remainder irrelevant

@@ -1510,3 +1510,92 @@ def test_append_txn_guard_idempotent(spark, tmp_path):
     assert read_manifested(spark, path).count() == 3
     with pytest.raises(ValueError, match="go together"):
         append_manifested(spark, path, src, txn_app="a")
+
+
+def test_append_rejects_schema_mismatch(spark, tmp_path):
+    """ADVICE r7: append is INSERT, never schema evolution — a source
+    missing a column, carrying an extra one, or with an incompatible
+    type is refused wholesale (reads would otherwise silently surface
+    NULLs / drop the unknown column)."""
+    import pytest
+
+    from etl_demo_spark.io.manifest import append_manifested, write_manifested
+
+    path = str(tmp_path / "t")
+    write_manifested(
+        spark.createDataFrame(
+            [(1, "a", "p1")], "id INT, name STRING, part STRING"
+        ),
+        path,
+        "part",
+    )
+    with pytest.raises(ValueError, match="missing=\\['name'\\]"):
+        append_manifested(
+            spark, path,
+            spark.createDataFrame([(2, "p1")], "id INT, part STRING"),
+        )
+    with pytest.raises(ValueError, match="extra=\\['typo'\\]"):
+        append_manifested(
+            spark, path,
+            spark.createDataFrame(
+                [(2, "b", "x", "p1")],
+                "id INT, name STRING, typo STRING, part STRING",
+            ),
+        )
+    with pytest.raises(ValueError, match="type_mismatch"):
+        append_manifested(
+            spark, path,
+            spark.createDataFrame(
+                [(2, "b", "p1")], "id BIGINT, name STRING, part STRING"
+            ),
+        )
+    # matching schema (any column ORDER) still appends
+    src = spark.createDataFrame(
+        [("c", "p1", 3)], "name STRING, part STRING, id INT"
+    ).select("id", "name", "part")
+    assert append_manifested(spark, path, src) == ["part=p1"]
+
+
+def test_manifest_diff_counts_dv_inside_append_extras(spark, tmp_path):
+    """ADVICE r7: rows_before/rows_after must subtract DV-deleted rows
+    that live inside APPEND extra vrels, and a DV-only commit whose
+    deletes land in an extra vrel must surface as rows_deleted."""
+    from etl_demo_spark.io.manifest import (
+        append_manifested,
+        delete_rows_manifested,
+        manifest_diff,
+        manifest_init,
+        write_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    write_manifested(
+        spark.createDataFrame(
+            [(i, "p1") for i in range(5)], "id INT, part STRING"
+        ),
+        path,
+        "part",
+        stats_cols=["id"],
+    )  # v1: 5 rows
+    append_manifested(
+        spark, path,
+        spark.createDataFrame(
+            [(i, "p1") for i in range(100, 104)], "id INT, part STRING"
+        ),
+    )  # v2: +4 rows in an extra vrel
+    # v3: DV-delete 2 rows that live ONLY in the appended extra
+    assert delete_rows_manifested(spark, path, F.col("id").isin(100, 101)) == 2
+
+    d23 = manifest_diff(spark, path, 2, 3)
+    assert d23 == {
+        "part=p1": {"status": "rows_deleted", "rows_before": 9, "rows_after": 7}
+    }
+    # and a later append's before-count reflects the extras' DV deletes
+    append_manifested(
+        spark, path,
+        spark.createDataFrame([(200, "p1")], "id INT, part STRING"),
+    )  # v4
+    d34 = manifest_diff(spark, path, 3, 4)
+    assert d34 == {
+        "part=p1": {"status": "rows_appended", "rows_before": 7, "rows_after": 8}
+    }

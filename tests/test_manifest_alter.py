@@ -553,3 +553,89 @@ def test_manifest_history_operations(spark, tmp_path):
     # delta commits carry their parent pointer
     deltas = [r for r in h.values() if r["is_delta"]]
     assert deltas and all(r["parent"] is not None for r in deltas)
+
+
+def test_alter_carries_adaptive_bloom_config_across_full_snapshot(
+    spark, tmp_path
+):
+    """ADVICE r7 (medium): alter_manifested must carry bloom_fpr and
+    bloom_bits_max, not just bloom_bits/bloom_k. With a non-default
+    bloom_bits_max (65536), dropping the key on a _FULL_EVERY
+    full-snapshot boundary would make prune_files_bloom fall back to a
+    16384-bit build width whose probe positions no longer match the
+    stored bitsets — files that DO contain the probed value would be
+    wrongly pruned (silent missing rows)."""
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.io.manifest import (
+        _FULL_EVERY,
+        _hadoop_fs,
+        _load_doc,
+        alter_manifested,
+        merge_upsert_manifested,
+        read_manifested,
+        write_manifested,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 4000).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("dt")
+    )
+    write_manifested(
+        df.repartition(8), path, "dt", bloom_cols=["id"], bloom_bits_max=65536
+    )  # v1
+    alter_manifested(spark, path, add_columns={"note": "string"})  # v2
+    # push past the next full-snapshot boundary with merges so the ALTER
+    # doc's key set is what survives the delta chain's re-encoding
+    v = 2
+    while v % _FULL_EVERY != 0:
+        src = spark.createDataFrame(
+            [(4000 + v, str(v % 2), None)], "id BIGINT, dt STRING, note STRING"
+        )
+        merge_upsert_manifested(spark, path, src, ["id"], "dt")
+        v += 1
+    doc = _load_doc(*_hadoop_fs(spark, path), path)
+    assert doc.get("bloom_bits_max") == 65536, doc.keys()
+    assert "bloom_fpr" in doc
+    # and pruning still finds a value that IS present
+    probe = read_manifested(spark, path, prune_points={"id": 1234})
+    assert probe.filter(F.col("id") == 1234).count() == 1
+
+
+def test_bloom_config_validation_rejects_bad_widths(spark, tmp_path):
+    """ADVICE r7 (medium): non-power-of-two bloom_bits_max (or a
+    bloom_bits not a multiple of 64) silently loses set bits and
+    mis-masks probes — must raise up front."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.io.manifest import manifest_init, write_manifested
+
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("dt")
+    )
+    with pytest.raises(ValueError, match="power of two"):
+        write_manifested(
+            df, str(tmp_path / "a"), "dt", bloom_cols=["id"],
+            bloom_bits_max=10000,
+        )
+    with pytest.raises(ValueError, match="power of two"):
+        write_manifested(
+            df, str(tmp_path / "b"), "dt", bloom_cols=["id"],
+            bloom_bits_max=128,  # below the 256 floor
+        )
+    with pytest.raises(ValueError, match="multiple of 64"):
+        write_manifested(
+            df, str(tmp_path / "c"), "dt", bloom_cols=["id"], bloom_bits=100
+        )
+    p = str(tmp_path / "d")
+    df.write.partitionBy("dt").parquet(p)
+    with pytest.raises(ValueError, match="power of two"):
+        manifest_init(spark, p, ["dt"], bloom_cols=["id"], bloom_bits_max=3000)
+    # the valid shapes still work
+    write_manifested(
+        df, str(tmp_path / "e"), "dt", bloom_cols=["id"], bloom_bits_max=4096
+    )
+    write_manifested(
+        df, str(tmp_path / "f"), "dt", bloom_cols=["id"], bloom_bits=1024
+    )
