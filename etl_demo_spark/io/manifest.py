@@ -687,63 +687,6 @@ def _collect_file_stats(
     return out
 
 
-def _evolve_file_stats(
-    spark: SparkSession,
-    fmt: str,
-    root: str,
-    doc: dict,
-    new_mapping: dict,
-    new_vrels: list[str],
-    col_mapping: dict | None = None,
-) -> dict | None:
-    """Next commit's ``files`` stats map: carry forward entries whose
-    version subdir is still referenced, recompute ONLY the subdirs this
-    commit created (passed explicitly — attempt-token'd names carry no
-    inferable version suffix). Returns None when the table doesn't track
-    stats. ``col_mapping`` overrides the doc's column mapping for the
-    fresh-file aggregation (a schema-evolving merge writes under the
-    EXTENDED mapping)."""
-    stats_cols = doc.get("stats_cols")
-    bloom_cols = doc.get("bloom_cols")
-    if not stats_cols and not bloom_cols:
-        return None
-    live = set(new_mapping.values())
-    # append extras that survive this commit (same structural rule as
-    # _carry_extras: untouched primary vrel keeps its extras) keep their
-    # per-file stats too
-    old_p = doc.get("partitions", {})
-    for rel, vs in (doc.get("extra_vrels") or {}).items():
-        if new_mapping.get(rel) == old_p.get(rel):
-            live.update(vs)
-    carried = {
-        p: st
-        for p, st in doc.get("files", {}).items()
-        if p.rsplit("/", 1)[0] in live
-    }
-    fresh = [v for v in new_vrels if v in live]
-    if fresh:
-        carried.update(
-            _collect_file_stats(
-                spark,
-                fmt,
-                root,
-                fresh,
-                stats_cols or [],
-                bloom_cols,
-                doc.get("bloom_bits"),
-                doc.get("bloom_k", 4),
-                mapping=(
-                    col_mapping
-                    if col_mapping is not None
-                    else doc.get("column_mapping")
-                ),
-                bloom_fpr=doc.get("bloom_fpr", 0.01),
-                bloom_bits_max=doc.get("bloom_bits_max", 16384),
-            )
-        )
-    return carried
-
-
 _STATS_CONFIG_KEYS = (
     "stats_cols",
     "bloom_cols",
@@ -760,6 +703,223 @@ def _carry_stats_config(doc: dict, new_doc: dict) -> None:
     for key in _STATS_CONFIG_KEYS:
         if key in doc:
             new_doc[key] = doc[key]
+
+
+# ---------------------------------------------------------------------------
+# SPLIT stats layout (Iceberg's manifest-list/manifest-file shape)
+#
+# The embedded layout serializes every file's stats (bloom bitsets
+# included) into each FULL snapshot manifest — ~1.5 KB/file measured at
+# the 10k-file rehearsal, i.e. a 15 MB snapshot document, growing
+# linearly to O(100 MB) at the 100 TB file counts. The split layout
+# stores per-LEAF stats files under ``_manifests/stats/`` and keeps only
+# a {leaf → stats-file} POINTER MAP in the snapshot (Iceberg's manifest
+# list): a full snapshot is O(leaves) short strings, a commit writes one
+# small stats file per TOUCHED leaf (cost O(change)), and resolution
+# never loads stats at all — readers load exactly the leaves their
+# partition/hidden-partition prune left standing. Stats files are
+# immutable (attempt-token'd names — concurrent committers can't
+# collide) so they cache safely and GC by the same
+# referenced/superseded/grace rules as version subdirs.
+#
+# Cite: Iceberg spec "Manifests"/"Manifest Lists" (public docs); the
+# reference engine (etl_weekly_trades.py) has no file-skipping metadata
+# at all.
+# ---------------------------------------------------------------------------
+
+_STATS_SUBDIR = f"{_MANIFEST_DIR}/stats"
+
+
+def _leaf_stats_path(root: str, fname: str) -> str:
+    return f"{root.rstrip('/')}/{_STATS_SUBDIR}/{fname}"
+
+
+def _split_leaf_fname(version: int, token: str, leaf_rel: str) -> str:
+    import hashlib
+
+    h = hashlib.md5(leaf_rel.encode()).hexdigest()[:12]
+    return f"s{version:010d}-{token}-{h}.json"
+
+
+def _write_leaf_stats(fs, jvm, root: str, fname: str, entries: dict) -> None:
+    path = _leaf_stats_path(root, fname)
+    _mkdirs_parent(fs, jvm, path)
+    stream = fs.create(jvm.org.apache.hadoop.fs.Path(path), True)
+    try:
+        stream.write(bytearray(json.dumps(entries).encode()))
+    finally:
+        stream.close()
+
+
+# stats files are immutable once published, so a (root, fname) cache is
+# always coherent; bounded to keep long-lived drivers flat
+_LEAF_STATS_CACHE: dict[tuple[str, str], dict] = {}
+_LEAF_STATS_CACHE_MAX = 4096
+
+
+def _read_leaf_stats(fs, jvm, root: str, fname: str) -> dict:
+    key = (root, fname)
+    hit = _LEAF_STATS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    d = json.loads(_read_file(fs, jvm, _leaf_stats_path(root, fname)).decode())
+    if len(_LEAF_STATS_CACHE) >= _LEAF_STATS_CACHE_MAX:
+        _LEAF_STATS_CACHE.clear()
+    _LEAF_STATS_CACHE[key] = d
+    return d
+
+
+def _read_split_stats(
+    fs, jvm, root: str, doc: dict, leaves=None
+) -> dict:
+    """Materialize the {vrel/file → stats} map for the requested leaves
+    (default: every leaf) of a split-layout snapshot. Callers that know
+    their leaf set (post-prune reads, manifest_diff) pass it and pay
+    O(their leaves); observability sweeps pass None and pay O(table) —
+    the honest cost of a full inventory."""
+    fm = doc.get("files_manifests") or {}
+    out: dict = {}
+    for leaf, fname in fm.items():
+        if leaves is not None and leaf not in leaves:
+            continue
+        out.update(_read_leaf_stats(fs, jvm, root, fname))
+    return out
+
+
+def _materialized_files(fs, jvm, root: str, doc: dict, leaves=None) -> dict:
+    """Layout-blind view of a snapshot's per-file stats."""
+    if doc.get("files_manifests") is not None:
+        return _read_split_stats(fs, jvm, root, doc, leaves)
+    return doc.get("files", {})
+
+
+def _split_stats_from_entries(
+    fs, jvm, root: str, version: int, token: str, entries: dict
+) -> dict:
+    """Write one stats file per leaf present in ``entries`` and return
+    the {leaf → stats fname} pointer map (used by init/convert, where
+    EVERY leaf is touched)."""
+    by_leaf: dict[str, dict] = {}
+    for p, st in entries.items():
+        by_leaf.setdefault(p.rsplit("/", 2)[0], {})[p] = st
+    fm = {}
+    for leaf, ents in by_leaf.items():
+        fname = _split_leaf_fname(version, token, leaf)
+        _write_leaf_stats(fs, jvm, root, fname, ents)
+        fm[leaf] = fname
+    return fm
+
+
+def _carry_files(doc: dict, new_doc: dict) -> None:
+    """Stats carry for commits that touch NO data file (constraints, DV
+    deletes): pointer map in split layout, embedded dict otherwise."""
+    if doc.get("files_manifests") is not None:
+        new_doc["files_manifests"] = doc["files_manifests"]
+    else:
+        new_doc["files"] = doc.get("files", {})
+
+
+def _attach_stats(
+    spark: SparkSession,
+    fmt: str,
+    root: str,
+    doc: dict,
+    new_doc: dict,
+    new_vrels: list[str],
+    token: str,
+    col_mapping: dict | None = None,
+) -> None:
+    """Stats-evolution funnel every data-touching committer calls AFTER
+    setting new_doc's partitions and extra_vrels. Embedded layout:
+    carry-live + collect-fresh into ``new_doc['files']`` (the historical
+    behavior). Split layout: rewrite stats files for TOUCHED leaves only
+    — carry every other leaf's pointer untouched — so commit metadata
+    cost is O(touched leaves), never O(table)."""
+    stats_cols = doc.get("stats_cols")
+    bloom_cols = doc.get("bloom_cols")
+    if not stats_cols and not bloom_cols:
+        return
+    _carry_stats_config(doc, new_doc)
+    new_mapping = new_doc["partitions"]
+    live = set(new_mapping.values())
+    for vs in (new_doc.get("extra_vrels") or {}).values():
+        live.update(vs)
+    fresh = [v for v in new_vrels if v in live]
+    cmap = col_mapping if col_mapping is not None else doc.get("column_mapping")
+
+    if doc.get("files_manifests") is None:
+        carried = {
+            p: st
+            for p, st in doc.get("files", {}).items()
+            if p.rsplit("/", 1)[0] in live
+        }
+        if fresh:
+            carried.update(
+                _collect_file_stats(
+                    spark, fmt, root, fresh,
+                    list(stats_cols or []), bloom_cols,
+                    doc.get("bloom_bits"), doc.get("bloom_k", 4),
+                    mapping=cmap,
+                    bloom_fpr=doc.get("bloom_fpr", 0.01),
+                    bloom_bits_max=doc.get("bloom_bits_max", 16384),
+                )
+            )
+        new_doc["files"] = carried
+        return
+
+    fs, jvm = _hadoop_fs(spark, root)
+    old_fm = doc["files_manifests"]
+    touched = {v.rsplit("/", 1)[0] for v in fresh}
+    # a leaf whose vrel SET shrank without fresh data (extras retired,
+    # leaf rewritten elsewhere) — detect structurally so its stats file
+    # drops the dead vrels' entries
+    old_p = doc.get("partitions", {})
+    old_extras = doc.get("extra_vrels") or {}
+    for rel in new_mapping:
+        old_set = {old_p[rel]} | set(old_extras.get(rel, [])) if rel in old_p else set()
+        new_set = {new_mapping[rel]} | set((new_doc.get("extra_vrels") or {}).get(rel, []))
+        if old_set and old_set != new_set:
+            touched.add(rel)
+    fresh_stats = (
+        _collect_file_stats(
+            spark, fmt, root, fresh,
+            list(stats_cols or []), bloom_cols,
+            doc.get("bloom_bits"), doc.get("bloom_k", 4),
+            mapping=cmap,
+            bloom_fpr=doc.get("bloom_fpr", 0.01),
+            bloom_bits_max=doc.get("bloom_bits_max", 16384),
+        )
+        if fresh
+        else {}
+    )
+    fm = {
+        r: f for r, f in old_fm.items() if r in new_mapping and r not in touched
+    }
+    for leaf in sorted(touched):
+        if leaf not in new_mapping:
+            continue  # staged then dropped (drained leaf)
+        entries: dict = {}
+        if leaf in old_fm:
+            entries.update(
+                {
+                    p: st
+                    for p, st in _read_leaf_stats(
+                        fs, jvm, root, old_fm[leaf]
+                    ).items()
+                    if p.rsplit("/", 1)[0] in live
+                }
+            )
+        entries.update(
+            {
+                p: st
+                for p, st in fresh_stats.items()
+                if p.rsplit("/", 2)[0] == leaf
+            }
+        )
+        fname = _split_leaf_fname(new_doc["version"], token, leaf)
+        _write_leaf_stats(fs, jvm, root, fname, entries)
+        fm[leaf] = fname
+    new_doc["files_manifests"] = fm
 
 
 def _load_dv(spark: SparkSession, root: str, dv: dict) -> DataFrame:
@@ -1050,6 +1210,24 @@ def _resolve_doc(fs, jvm, root: str, version: int) -> dict:
         if val is not None:
             doc[key] = val
     if doc.get("stats_cols") or doc.get("bloom_cols"):
+        # SPLIT layout resolves the pointer map only — O(leaves) short
+        # strings, never the stats themselves (loaded lazily per leaf)
+        if (
+            "files_manifests" in raw
+            or "files_manifests_delta" in raw
+            or base.get("files_manifests") is not None
+        ):
+            if "files_manifests" in raw:  # explicit override / null stop
+                fm = dict(raw["files_manifests"] or {})
+            else:
+                fm = dict(base.get("files_manifests") or {})
+                fm.update(raw.get("files_manifests_delta", {}))
+                for rel in raw.get("removed", []):
+                    fm.pop(rel, None)
+            doc["files_manifests"] = {
+                r: f for r, f in fm.items() if r in partitions
+            }
+            return doc
         live = _all_vrels(doc) | set(partitions.values())
         files = {
             p: st
@@ -1137,14 +1315,27 @@ def _encode_commit(prev_doc: dict, new_doc: dict) -> bytes:
         for key in _STATS_CONFIG_KEYS:
             if key in new_doc and new_doc[key] != prev_doc.get(key):
                 delta[key] = new_doc[key]
-        prev_files = prev_doc.get("files", {})
-        fdelta = {
-            p: st
-            for p, st in new_doc.get("files", {}).items()
-            if prev_files.get(p) != st
-        }
-        if fdelta:
-            delta["files_delta"] = fdelta
+        if new_doc.get("files_manifests") is not None:
+            # split layout: the delta carries only the TOUCHED leaves'
+            # new stats-file pointers — O(change) short strings; removed
+            # leaves drop their pointer via the shared `removed` list
+            prev_fm = prev_doc.get("files_manifests") or {}
+            fmd = {
+                r: f
+                for r, f in new_doc["files_manifests"].items()
+                if prev_fm.get(r) != f
+            }
+            if fmd:
+                delta["files_manifests_delta"] = fmd
+        else:
+            prev_files = prev_doc.get("files", {})
+            fdelta = {
+                p: st
+                for p, st in new_doc.get("files", {}).items()
+                if prev_files.get(p) != st
+            }
+            if fdelta:
+                delta["files_delta"] = fdelta
     return json.dumps(delta, indent=1).encode()
 
 
@@ -1351,6 +1542,13 @@ def read_manifested(
                 for p, st in doc["files"].items()
                 if p.rsplit("/", 1)[0] in live
             }
+        if doc.get("files_manifests"):
+            doc = dict(doc)
+            doc["files_manifests"] = {
+                r: f
+                for r, f in doc["files_manifests"].items()
+                if r in partitions
+            }
         doc = {**doc, "partitions": partitions}
         if doc.get("extra_vrels"):
             doc["extra_vrels"] = {
@@ -1359,6 +1557,19 @@ def read_manifested(
                 if r in partitions
             }
     dv = doc.get("dv")
+    # SPLIT layout: materialize per-file stats for exactly the leaves
+    # the partition/hidden prune left standing — the point of the split:
+    # a filtered point lookup loads O(matching leaves) stats files, and
+    # resolution above never loaded any. Materialized only when a prune
+    # will consume them (or DV dead-file elision applies); a plain scan
+    # of a split table touches no stats file at all.
+    if doc.get("files_manifests") and (prune_ranges or prune_points or dv):
+        doc = {
+            **doc,
+            "files": _read_split_stats(
+                fs, jvm, root, doc, leaves=set(partitions)
+            ),
+        }
     # FULLY-deleted files (DV cardinality == the file's recorded row
     # count) leave the listing outright — the anti-join would drain them
     # anyway, but not opening them is the point of file-level metadata
@@ -1453,6 +1664,7 @@ def manifest_init(
     bloom_fpr: float = 0.01,
     bloom_bits_max: int = 16384,
     partition_transforms: dict[str, str] | None = None,
+    stats_split: bool = False,
 ) -> int:
     """One-time migration of a plain Hive-layout table into manifest
     mode: move each leaf's files into ``<leaf>/__v0000000001`` (renames —
@@ -1548,7 +1760,7 @@ def manifest_init(
             else:
                 doc["bloom_fpr"] = float(bloom_fpr)
                 doc["bloom_bits_max"] = int(bloom_bits_max)
-        doc["files"] = _collect_file_stats(
+        entries = _collect_file_stats(
             spark,
             fmt,
             root,
@@ -1560,6 +1772,15 @@ def manifest_init(
             bloom_fpr=float(bloom_fpr),
             bloom_bits_max=int(bloom_bits_max),
         )
+        if stats_split:
+            # Iceberg-style SPLIT layout from birth: per-leaf stats
+            # files + a pointer map; the snapshot document stays
+            # O(leaves) regardless of file count
+            doc["files_manifests"] = _split_stats_from_entries(
+                fs, jvm, root, version, uuid.uuid4().hex[:8], entries
+            )
+        else:
+            doc["files"] = entries
     if not _publish_cas(
         fs, jvm, _manifest_path(root, version), json.dumps(doc, indent=1).encode()
     ):
@@ -1619,18 +1840,23 @@ def _gc(fs, jvm, root: str, keep_versions: list[int]) -> None:
     listed = _list_manifest_versions(fs, jvm, root)
     referenced: set[str] = set()
     referenced_dv: set[str] = set()
+    referenced_stats: set[str] = set()
     closure: set[int] = set()
     for v in keep_versions:
         kept_doc = _resolve_doc(fs, jvm, root, v)
         referenced.update(_all_vrels(kept_doc))
         if kept_doc.get("dv"):
             referenced_dv.add(kept_doc["dv"]["rel"])
+        referenced_stats.update(
+            (kept_doc.get("files_manifests") or {}).values()
+        )
         closure.update(_ancestors(fs, jvm, root, v))
     # dirs referenced ONLY by expiring manifests are provably superseded
     # data — deletable immediately, no grace needed (they cannot be a
     # concurrent committer's staging: staging is never manifest-listed)
     superseded: set[str] = set()
     superseded_dv: set[str] = set()
+    superseded_stats: set[str] = set()
     for v in listed:
         if v not in keep_versions:
             try:
@@ -1640,7 +1866,23 @@ def _gc(fs, jvm, root: str, keep_versions: list[int]) -> None:
             superseded.update(_all_vrels(old) - referenced)
             if old.get("dv") and old["dv"]["rel"] not in referenced_dv:
                 superseded_dv.add(old["dv"]["rel"])
+            superseded_stats.update(
+                set((old.get("files_manifests") or {}).values())
+                - referenced_stats
+            )
     cutoff = int(time.time() * 1000) - _ORPHAN_GRACE_MS
+
+    # split-layout leaf stats files: same lifecycle — keep what retained
+    # manifests point at, reclaim superseded pointers immediately and
+    # crashed attempts' orphans past the grace window
+    sdir = jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/{_STATS_SUBDIR}")
+    if fs.exists(sdir):
+        for st in fs.listStatus(sdir):
+            name = st.getPath().getName()
+            if name in referenced_stats:
+                continue
+            if name in superseded_stats or st.getModificationTime() < cutoff:
+                fs.delete(st.getPath(), False)
 
     # deletion-vector datasets (root/_dv/__v…): same lifecycle as version
     # subdirs — keep what retained manifests point at, reclaim superseded
@@ -1857,11 +2099,8 @@ def compact_manifested(
         _carry_mapping(doc, new_doc)
         _carry_constraints(doc, new_doc)
         _carry_dv(doc, new_doc)
-        fstats = _evolve_file_stats(spark, fmt, roots, doc, new_mapping, staged_vrels)
-        if fstats is not None:
-            _carry_stats_config(doc, new_doc)
-            new_doc["files"] = fstats
         _carry_extras(doc, new_doc)
+        _attach_stats(spark, fmt, roots, doc, new_doc, staged_vrels, token)
         new_doc["operation"] = "OPTIMIZE"
         ok = _publish_cas(
             fs,
@@ -1972,11 +2211,8 @@ def repartition_manifested(
         _carry_mapping(doc, new_doc)
         _carry_constraints(doc, new_doc)
         # DVs were materialized by the DV-applying read; drop the pointer
-        stats = _evolve_file_stats(spark, fmt, roots, doc, new_mapping, staged_vrels)
-        if stats is not None:
-            _carry_stats_config(doc, new_doc)
-            new_doc["files"] = stats
         _carry_extras(doc, new_doc)
+        _attach_stats(spark, fmt, roots, doc, new_doc, staged_vrels, token)
         new_doc["operation"] = "REPARTITION"
         ok = _publish_cas(
             fs, jvm, _manifest_path(roots, new_version), _encode_commit(doc, new_doc)
@@ -2008,6 +2244,11 @@ def manifest_diff(
 
     def leaf_rows(doc: dict, vrel: str):
         files = doc.get("files")
+        if files is None and doc.get("files_manifests") is not None:
+            # split layout: load only the ONE leaf this vrel belongs to
+            files = _read_split_stats(
+                fs, jvm, root, doc, leaves={vrel.rsplit("/", 1)[0]}
+            )
         if files is None:
             return None
         total = 0
@@ -2208,11 +2449,8 @@ def delete_keys_manifested(
         _carry_mapping(doc, new_doc)
         _carry_constraints(doc, new_doc)
         _carry_dv(doc, new_doc)
-        stats = _evolve_file_stats(spark, fmt, root, doc, new_mapping, staged_vrels)
-        if stats is not None:
-            _carry_stats_config(doc, new_doc)
-            new_doc["files"] = stats
         _carry_extras(doc, new_doc)
+        _attach_stats(spark, fmt, root, doc, new_doc, staged_vrels, token)
         new_doc["operation"] = "DELETE"
         ok = _publish_cas(
             fs,
@@ -2353,14 +2591,11 @@ def merge_upsert_manifested(
             new_doc["column_mapping"] = cmap
         _carry_constraints(doc, new_doc)
         _carry_dv(doc, new_doc)
-        stats = _evolve_file_stats(
-            spark, fmt, root, doc, new_mapping, staged_vrels, col_mapping=cmap
-        )
-        if stats is not None:
-            _carry_stats_config(doc, new_doc)
-            new_doc["files"] = stats
-
         _carry_extras(doc, new_doc)
+        _attach_stats(
+            spark, fmt, root, doc, new_doc, staged_vrels, token,
+            col_mapping=cmap,
+        )
         new_doc["operation"] = "MERGE"
         ok = _publish_cas(  # the atomic commit point
             fs,
@@ -2386,6 +2621,7 @@ def write_manifested(
     bloom_fpr: float = 0.01,
     bloom_bits_max: int = 16384,
     partition_transforms: dict[str, str] | None = None,
+    stats_split: bool = False,
 ) -> int:
     """Create a manifested table from a DataFrame in one call: write the
     partitioned layout, then `manifest_init` it (stats/bloom config
@@ -2439,7 +2675,45 @@ def write_manifested(
         bloom_fpr=bloom_fpr,
         bloom_bits_max=bloom_bits_max,
         partition_transforms=partition_transforms,
+        stats_split=stats_split,
     )
+
+
+def convert_to_split_stats(spark: SparkSession, target_path: str) -> int:
+    """Migrate an embedded-stats manifested table to the SPLIT layout
+    (per-leaf stats files + a pointer map in the snapshot) as one
+    metadata-only commit — no data file is read or touched. Idempotent:
+    a table already split (or without stats) returns its current
+    version. Do this when a table's file count makes the embedded
+    snapshot document the bottleneck (the 10k-file rehearsal measured
+    15.4 MB / 1.18 s resolve embedded; split resolves O(leaves))."""
+    root = target_path.rstrip("/")
+    fs, jvm = _hadoop_fs(spark, root)
+
+    def _attempt(doc, new_version, token):
+        if doc.get("files_manifests") is not None or doc.get("files") is None:
+            return True, [], doc["version"]  # already split / no stats
+        new_doc = {
+            "version": new_version,
+            "partitions": dict(doc["partitions"]),
+            "files_manifests": _split_stats_from_entries(
+                fs, jvm, root, new_version, token, doc["files"]
+            ),
+        }
+        if doc.get("schema") is not None:
+            new_doc["schema"] = doc["schema"]
+        _carry_mapping(doc, new_doc)
+        _carry_constraints(doc, new_doc)
+        _carry_dv(doc, new_doc)
+        _carry_stats_config(doc, new_doc)
+        _carry_extras(doc, new_doc)
+        new_doc["operation"] = "CONVERT"
+        ok = _publish_cas(
+            fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
+        )
+        return ok, [], new_version
+
+    return _commit_retry(fs, jvm, root, _attempt)
 
 
 def append_manifested(
@@ -2587,26 +2861,12 @@ def append_manifested(
         _carry_constraints(doc, new_doc)
         _carry_dv(doc, new_doc)
         # stats: carry EVERYTHING (no primary changed) + collect for the
-        # freshly appended vrels
-        stats = _evolve_file_stats(spark, fmt, root, doc, mapping, [])
-        if stats is not None:
-            stats.update(
-                _collect_file_stats(
-                    spark,
-                    fmt,
-                    root,
-                    staged_vrels,
-                    list(doc.get("stats_cols") or []),
-                    doc.get("bloom_cols"),
-                    doc.get("bloom_bits"),
-                    doc.get("bloom_k", 4),
-                    mapping=cmap,
-                    bloom_fpr=doc.get("bloom_fpr", 0.01),
-                    bloom_bits_max=doc.get("bloom_bits_max", 16384),
-                )
-            )
-            _carry_stats_config(doc, new_doc)
-            new_doc["files"] = stats
+        # freshly appended vrels; in the split layout only the appended
+        # leaves' stats files are rewritten (merged old + fresh entries)
+        _attach_stats(
+            spark, fmt, root, doc, new_doc, staged_vrels, token,
+            col_mapping=cmap,
+        )
         new_doc["operation"] = "APPEND"
         ok = _publish_cas(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
@@ -2631,7 +2891,8 @@ def manifest_files(
     array<string>> of [min, max] images, nullable)."""
     fs, jvm = _hadoop_fs(spark, root)
     doc = _load_doc(fs, jvm, root, version)
-    fstats = doc.get("files", {})
+    # full inventory is inherently O(table); split tables load all leaves
+    fstats = _materialized_files(fs, jvm, root, doc)
     rows = []
     for rel in sorted(doc["partitions"]):
       for vrel in _leaf_vrels(doc, rel):
@@ -2694,12 +2955,13 @@ def manifest_properties(
         ("committed_at_ms", str(doc.get("committed_at_ms", ""))),
         ("n_leaves", str(len(doc["partitions"]))),
     ]
-    if doc.get("files") is not None:
-        rows.append(("n_files", str(len(doc["files"]))))
-        total = sum(
-            st.get("__rows", 0) for st in doc["files"].values()
-        )
+    if doc.get("files") is not None or doc.get("files_manifests") is not None:
+        fstats = _materialized_files(fs, jvm, root, doc)
+        rows.append(("n_files", str(len(fstats))))
+        total = sum(st.get("__rows", 0) for st in fstats.values())
         rows.append(("rows_physical", str(total)))
+        if doc.get("files_manifests") is not None:
+            rows.append(("stats_layout", "split"))
     if doc.get("schema") is not None:
         for f in T.StructType.fromJson(json.loads(doc["schema"])).fields:
             rows.append((f"schema.{f.name}", f.dataType.simpleString()))
@@ -2878,11 +3140,8 @@ def delete_where_manifested(
         _carry_mapping(doc, new_doc)
         _carry_constraints(doc, new_doc)
         _carry_dv(doc, new_doc)
-        stats = _evolve_file_stats(spark, fmt, root, doc, new_mapping, staged_vrels)
-        if stats is not None:
-            _carry_stats_config(doc, new_doc)
-            new_doc["files"] = stats
         _carry_extras(doc, new_doc)
+        _attach_stats(spark, fmt, root, doc, new_doc, staged_vrels, token)
         new_doc["operation"] = "DELETE"
         ok = _publish_cas(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
@@ -2988,11 +3247,8 @@ def update_where_manifested(
         _carry_mapping(doc, new_doc)
         _carry_constraints(doc, new_doc)
         _carry_dv(doc, new_doc)
-        stats = _evolve_file_stats(spark, fmt, root, doc, new_mapping, staged_vrels)
-        if stats is not None:
-            _carry_stats_config(doc, new_doc)
-            new_doc["files"] = stats
         _carry_extras(doc, new_doc)
+        _attach_stats(spark, fmt, root, doc, new_doc, staged_vrels, token)
         new_doc["operation"] = "UPDATE"
         ok = _publish_cas(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
@@ -3179,7 +3435,17 @@ def alter_manifested(
             for c in (doc.get("bloom_cols") or [])
             if c not in drop_columns
         ]
-        files = doc.get("files")
+        split = doc.get("files_manifests") is not None
+        rekeying = bool(rename_columns or drop_columns)
+        # split layout: only a stats-REKEYING alter needs the per-leaf
+        # files (and must rewrite every leaf stats file — the one
+        # inherently O(table-metadata) alter); every other alter carries
+        # the pointer map untouched
+        files = (
+            _read_split_stats(fs, jvm, root, doc)
+            if split and rekeying and (stats_cols or bloom_cols)
+            else doc.get("files")
+        )
         if mapping is not None and add_columns:
             mapping = _extend_mapping(
                 mapping, list(add_columns), tombstones=dropped_phys
@@ -3227,7 +3493,14 @@ def alter_manifested(
         elif doc.get("bloom_cols"):
             new_doc["bloom_cols"] = None
         if files is not None and (stats_cols or bloom_cols):
-            new_doc["files"] = files
+            if split:
+                new_doc["files_manifests"] = _split_stats_from_entries(
+                    fs, jvm, root, new_version, token, files
+                )
+            else:
+                new_doc["files"] = files
+        elif split and (stats_cols or bloom_cols):
+            new_doc["files_manifests"] = doc["files_manifests"]
         _carry_extras(doc, new_doc)
         new_doc["operation"] = "ALTER"
         ok = _publish_cas(
@@ -3314,7 +3587,7 @@ def add_constraint_manifested(
         _carry_dv(doc, new_doc)
         if doc.get("stats_cols") or doc.get("bloom_cols"):
             _carry_stats_config(doc, new_doc)
-            new_doc["files"] = doc.get("files", {})
+            _carry_files(doc, new_doc)
         _carry_extras(doc, new_doc)
         new_doc["operation"] = "ADD CONSTRAINT"
         ok = _publish_cas(
@@ -3351,7 +3624,7 @@ def drop_constraint_manifested(
         _carry_dv(doc, new_doc)
         if doc.get("stats_cols") or doc.get("bloom_cols"):
             _carry_stats_config(doc, new_doc)
-            new_doc["files"] = doc.get("files", {})
+            _carry_files(doc, new_doc)
         _carry_extras(doc, new_doc)
         new_doc["operation"] = "DROP CONSTRAINT"
         ok = _publish_cas(
@@ -3398,6 +3671,7 @@ def rollback_manifested(
             "extra_vrels",
             "txns",
             "constraints",
+            "files_manifests",
             *_STATS_CONFIG_KEYS,
         ):
             if key in doc and key not in new_doc:
@@ -3539,7 +3813,7 @@ def _delete_dv(spark: SparkSession, target_path: str, fmt: str, matcher) -> int:
             # data files are untouched: stats stay valid (min/max/bloom
             # become conservative over-approximations of the live rows)
             _carry_stats_config(doc, new_doc)
-            new_doc["files"] = doc.get("files", {})
+            _carry_files(doc, new_doc)
         _carry_extras(doc, new_doc)
         new_doc["operation"] = "DELETE"
         ok = _publish_cas(
