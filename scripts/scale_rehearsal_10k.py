@@ -38,6 +38,11 @@ def main() -> None:
     ap.add_argument("--files", type=int, default=10_000)
     ap.add_argument("--rows-per-file", type=int, default=500)
     ap.add_argument("--keep", action="store_true", help="keep the table dir")
+    ap.add_argument(
+        "--split", action="store_true",
+        help="use the Iceberg-style split stats layout (per-leaf "
+        "manifests + pointer-map snapshot) instead of embedded stats",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -79,27 +84,38 @@ def main() -> None:
     t_write = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    manifest_init(spark, root, ["dt"], stats_cols=["v"], bloom_cols=["id"])
+    manifest_init(
+        spark, root, ["dt"], stats_cols=["v"], bloom_cols=["id"],
+        stats_split=args.split,
+    )
     t_init = time.perf_counter() - t0
 
     fs, jvm = _hadoop_fs(spark, root)
     t0 = time.perf_counter()
     doc = _load_doc(fs, jvm, root)
     t_resolve = time.perf_counter() - t0
-    n_files = len(doc.get("files", {}))
-    from etl_demo_spark.io.manifest import _manifest_path
+    from etl_demo_spark.io.manifest import _manifest_path, _materialized_files
+
+    # split layout: resolution above loaded NO stats; time the full
+    # materialization separately (the O(table) cost an unfiltered bloom
+    # probe pays — a leaf-filtered read pays only its leaves)
+    t0 = time.perf_counter()
+    files_map = _materialized_files(fs, jvm, root, doc)
+    t_stats_load = time.perf_counter() - t0
+    n_files = len(files_map)
+    pruned_doc = {**doc, "files": files_map}
 
     manifest_bytes = fs.getFileStatus(
         jvm.org.apache.hadoop.fs.Path(_manifest_path(root, doc["version"]))
     ).getLen()
 
     t0 = time.perf_counter()
-    kept_range, total = prune_files(doc, {"v": (1, 1)})
+    kept_range, total = prune_files(pruned_doc, {"v": (1, 1)})
     t_prune_range = time.perf_counter() - t0
 
     probe_id = n_rows // 2
     t0 = time.perf_counter()
-    kept_bloom, _ = prune_files_bloom(spark, doc, {"id": probe_id})
+    kept_bloom, _ = prune_files_bloom(spark, pruned_doc, {"id": probe_id})
     t_prune_bloom = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -115,14 +131,17 @@ def main() -> None:
     compact_manifested(spark, root, min_files=2)
     t_compact = time.perf_counter() - t0
     post = _load_doc(fs, jvm, root)
+    post = {**post, "files": _materialized_files(fs, jvm, root, post)}
 
     out = {
+        "layout": "split" if args.split else "embedded",
         "files": n_files,
         "leaves": leaves,
         "rows": n_rows,
         "write_layout_sec": round(t_write, 2),
         "manifest_init_sec": round(t_init, 2),
         "resolve_sec": round(t_resolve, 3),
+        "stats_load_sec": round(t_stats_load, 3),
         "manifest_bytes": int(manifest_bytes),
         "prune_range_sec": round(t_prune_range, 3),
         "prune_range_kept": len(kept_range),
