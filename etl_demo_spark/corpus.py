@@ -10170,3 +10170,135 @@ def event_value_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value_filled") / F.lit(10000.0)).alias("value_filled"),
         "interpolated",
     )
+
+
+@query(
+    "catalog_sql_dml",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    feed AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0
+    ),
+    after_ins AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, o_totalprice, 'I'
+      FROM feed WHERE o_totalprice > 300000.0
+    ),
+    msrc AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice * 2 AS o_totalprice,
+             'M' AS o_orderstatus
+      FROM feed WHERE o_totalprice > 280000.0
+    ),
+    after_merge AS (
+      SELECT * FROM after_ins
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM msrc)
+      UNION ALL
+      SELECT * FROM msrc
+    ),
+    after_upd AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderstatus = 'M' THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM after_merge
+    ),
+    after_del AS (
+      SELECT * FROM after_upd WHERE NOT (o_totalprice < 40000.0)
+    )
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM after_del
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def catalog_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DML against CATALOG NAMES (`io/catalog.py catalog_sql`) — the
+    write path a `register_catalog` user reaches for next: INSERT INTO /
+    MERGE INTO / UPDATE / DELETE statements addressed at catalog member
+    names, each routed through the manifested committers
+    (append_manifested / merge_upsert_manifested / update_where /
+    delete_where) and published by ONE catalog pin flip per statement.
+
+    The sequence exercises every supported verb against a target built
+    from the F-status orders slice, sourcing from a sibling member view
+    inside the same consistent snapshot: a positional INSERT...SELECT
+    (with a literal retyped column, proving the ANSI cast), the
+    upsert-shaped MERGE (matched rows rewritten, unmatched inserted —
+    including brand-new leaves), an expression UPDATE on the merged
+    tier, and a predicate DELETE. The returned frame reads the FINAL
+    pinned snapshot; the oracle replays the same four mutations as pure
+    SQL over the base parquet, so a hash match certifies statement
+    parsing, positional mapping, key extraction, commit routing, and
+    pin-flip visibility end to end. In-query asserts pin that every
+    statement advanced the catalog by exactly one version.
+
+    Scale: parsing is a statement-head regex; data movement is the
+    committers' own (INSERT appends O(new rows) with no existing file
+    read; MERGE/UPDATE/DELETE rewrite affected leaves only)."""
+    import tempfile
+
+    from etl_demo_spark.io.catalog import (
+        catalog_init,
+        catalog_snapshot,
+        catalog_sql,
+    )
+    from etl_demo_spark.io.manifest import write_manifested
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus"]
+    root = tempfile.mkdtemp(prefix="cat_sql_")
+    t_root, f_root, cat = f"{root}/target", f"{root}/feed", f"{root}/cat"
+    write_manifested(
+        orders.filter(F.col("o_orderstatus") == "F").select(*cols),
+        t_root,
+        "o_orderpriority",
+    )
+    write_manifested(
+        orders.filter(
+            (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 200000.0)
+        ).select(*cols),
+        f_root,
+        "o_orderpriority",
+    )
+    catalog_init(spark, cat, {"dml_target": t_root, "dml_feed": f_root})
+
+    statements = [
+        # positional INSERT with an explicit column list; the string
+        # literal 'I' lands in o_orderstatus via the ANSI positional cast
+        "INSERT INTO dml_target (o_orderkey, o_orderpriority, "
+        "o_totalprice, o_orderstatus) "
+        "SELECT o_orderkey, o_orderpriority, o_totalprice, 'I' "
+        "FROM dml_feed WHERE o_totalprice > 300000.0",
+        # upsert MERGE: >300000 keys were just inserted (matched →
+        # rewritten at doubled price), 280000–300000 are new inserts
+        "MERGE INTO dml_target USING (SELECT o_orderkey, o_orderpriority, "
+        "o_totalprice * 2 AS o_totalprice, 'M' AS o_orderstatus "
+        "FROM dml_feed WHERE o_totalprice > 280000.0) s "
+        "ON dml_target.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+        "UPDATE dml_target SET o_totalprice = o_totalprice + 1000.0 "
+        "WHERE o_orderstatus = 'M'",
+        "DELETE FROM dml_target WHERE o_totalprice < 40000.0",
+    ]
+    v = catalog_snapshot(spark, cat).version
+    for stmt in statements:
+        nv = catalog_sql(spark, cat, stmt)
+        assert nv == v + 1, "each statement must flip the pin exactly once"
+        v = nv
+
+    final = catalog_snapshot(spark, cat)
+    return (
+        final.read("dml_target")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )

@@ -40,17 +40,26 @@ manifests; one extra read per snapshot resolution.
 from __future__ import annotations
 
 import json
+import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from etl_demo_spark.io.manifest import (
     _RETAIN,
     _hadoop_fs,
     _list_manifest_versions,
+    _load_doc,
     _publish_cas,
     _read_file,
+    append_manifested,
+    delete_where_manifested,
+    manifest_versions,
+    merge_upsert_manifested,
     read_manifested,
+    update_where_manifested,
 )
 
 _CAT_DIR = "_catalog"
@@ -260,6 +269,228 @@ def register_catalog(
     for name in snap.tables:
         snap.read(name).createOrReplaceTempView(f"{prefix}{name}")
     return snap
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` outside parentheses and single-quoted strings —
+    enough structure to carve `SET a = f(x, y), b = 'i, j'` into its
+    assignments without a SQL grammar."""
+    out, depth, q, start = [], 0, False, 0
+    for i, ch in enumerate(s):
+        if q:
+            if ch == "'":
+                q = False
+        elif ch == "'":
+            q = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return [p.strip() for p in out if p.strip()]
+
+
+def _table_partition_cols(spark: SparkSession, root: str) -> list[str]:
+    fs, jvm = _hadoop_fs(spark, root)
+    doc = _load_doc(fs, jvm, root)
+    mapping = doc.get("partitions") or {}
+    if not mapping:
+        raise ValueError(f"{root} has no partitions — not DML-addressable")
+    return [seg.split("=", 1)[0] for seg in next(iter(mapping)).split("/")]
+
+
+def _table_schema(spark: SparkSession, root: str) -> T.StructType | None:
+    fs, jvm = _hadoop_fs(spark, root)
+    doc = _load_doc(fs, jvm, root)
+    if doc.get("schema") is None:
+        return None
+    return T.StructType.fromJson(json.loads(doc["schema"]))
+
+
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s*"
+    r"(?:\(\s*(?P<cols>[^)]+?)\s*\)\s*)?"
+    r"(?P<query>(?:SELECT|VALUES|WITH|TABLE|FROM)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<table>\w+)\s+WHERE\s+(?P<pred>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<table>\w+)\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<pred>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<table>\w+)(?:\s+AS)?(?:\s+(?P<talias>\w+))?\s+"
+    r"USING\s+(?:\(\s*(?P<subq>.+?)\s*\)|(?P<srcname>\w+))(?:\s+AS)?"
+    r"(?:\s+(?P<salias>\w+))?\s+"
+    r"ON\s+(?P<cond>.+?)\s+"
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def catalog_sql(
+    spark: SparkSession,
+    cat_root: str,
+    statement: str,
+    prefix: str = "",
+    fmt: str = "parquet",
+) -> int:
+    """SQL DML against CATALOG table names — the write path next to
+    `register_catalog`'s read views. A registered user's next step after
+    ``SELECT``-ing the pinned views is ``INSERT INTO`` / ``MERGE INTO``
+    those same names; this is the thin resolver that routes each
+    statement through the existing manifested committers and then flips
+    the catalog pin, so the mutation becomes visible to catalog readers
+    in one atomic pointer swap (never a half-published table version).
+
+    Supported statements (one per call; the target must be a catalog
+    member name, unqualified):
+
+    * ``INSERT INTO t [(c1, …)] <SELECT|VALUES|WITH query>`` —
+      positional column mapping (ANSI INSERT), each column cast to the
+      table's stored type, routed through `append_manifested` (an
+      insert-only fast commit; no existing file is read). The column
+      list, when given, must name every table column — appends never
+      evolve schema.
+    * ``MERGE INTO t [AS a] USING (<subquery>)|view [AS b] ON a.k = b.k
+      [AND …] WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+      INSERT *`` — the upsert shape, routed through
+      `merge_upsert_manifested` with the ON-clause equality columns as
+      keys. (Conditional WHEN clauses are not resolved here — use the
+      DataFrame API for bespoke merge logic.)
+    * ``UPDATE t SET c = expr[, …] [WHERE pred]`` →
+      `update_where_manifested`.
+    * ``DELETE FROM t WHERE pred`` → `delete_where_manifested`.
+
+    The source query/subquery/predicates evaluate against THIS call's
+    catalog snapshot: every member table is registered (or refreshed) as
+    ``<prefix><name>`` before execution, so ``INSERT INTO a SELECT …
+    FROM b`` reads b at the same consistent pin set it publishes
+    against. After the table commit, the catalog pin flips and the
+    views re-register onto the new snapshot. Returns the new catalog
+    version.
+
+    Scale: parsing is a statement-head regex — all data movement is the
+    underlying committers' (append: O(new data); merge/update/delete:
+    O(affected leaves)); the pin flip is one tiny JSON CAS."""
+    snap = register_catalog(spark, cat_root, prefix=prefix)
+
+    def _resolve(name: str) -> str:
+        if name not in snap.tables:
+            raise ValueError(
+                f"catalog_sql: {name!r} is not a member of {cat_root} "
+                f"(have: {sorted(snap.tables)})"
+            )
+        return snap.tables[name]["root"]
+
+    m = _INSERT_RE.match(statement)
+    if m:
+        name = m.group("table")
+        root = _resolve(name)
+        src = spark.sql(m.group("query"))
+        schema = _table_schema(spark, root)
+        if schema is None:
+            raise ValueError(
+                f"catalog_sql: table {name!r} stores no schema — "
+                "positional INSERT needs one"
+            )
+        names = (
+            _split_top_level(m.group("cols"))
+            if m.group("cols")
+            else [f.name for f in schema]
+        )
+        if set(names) != {f.name for f in schema}:
+            raise ValueError(
+                f"catalog_sql: INSERT column list must name every table "
+                f"column (got {sorted(names)}, table has "
+                f"{sorted(f.name for f in schema)}) — appends never "
+                "evolve schema"
+            )
+        if len(src.columns) != len(names):
+            raise ValueError(
+                f"catalog_sql: INSERT query yields {len(src.columns)} "
+                f"columns, target list has {len(names)}"
+            )
+        types = {f.name: f.dataType for f in schema}
+        staged = src.toDF(*names).select(
+            *[F.col(n).cast(types[n]).alias(n) for n in names]
+        )
+        append_manifested(spark, root, staged, fmt=fmt)
+    elif (m := _MERGE_RE.match(statement)) is not None:
+        name = m.group("table")
+        root = _resolve(name)
+        talias = m.group("talias") or name
+        salias = m.group("salias") or m.group("srcname")
+        src = (
+            spark.sql(m.group("subq"))
+            if m.group("subq")
+            else spark.table(m.group("srcname"))
+        )
+        keys = []
+        for conj in re.split(r"\s+AND\s+", m.group("cond"), flags=re.IGNORECASE):
+            eq = re.match(
+                r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", conj
+            )
+            if not eq:
+                raise ValueError(
+                    f"catalog_sql: MERGE ON clause must be equality "
+                    f"conjuncts qualified by the two aliases, got {conj!r}"
+                )
+            a_al, a_col, b_al, b_col = eq.groups()
+            if {a_al, b_al} != {talias, salias} or a_col != b_col:
+                raise ValueError(
+                    f"catalog_sql: MERGE key must equate the SAME column "
+                    f"across target/source aliases, got {conj!r}"
+                )
+            keys.append(a_col)
+        merge_upsert_manifested(
+            spark, root, src, keys, _table_partition_cols(spark, root), fmt=fmt
+        )
+    elif (m := _UPDATE_RE.match(statement)) is not None:
+        name = m.group("table")
+        root = _resolve(name)
+        assignments = {}
+        for part in _split_top_level(m.group("sets")):
+            col, _, rhs = part.partition("=")
+            if not _ or not col.strip().isidentifier():
+                raise ValueError(
+                    f"catalog_sql: bad SET assignment {part!r}"
+                )
+            assignments[col.strip()] = F.expr(rhs.strip())
+        pred = F.expr(m.group("pred")) if m.group("pred") else F.lit(True)
+        update_where_manifested(
+            spark, root, assignments, pred,
+            _table_partition_cols(spark, root), fmt=fmt,
+        )
+    elif (m := _DELETE_RE.match(statement)) is not None:
+        name = m.group("table")
+        root = _resolve(name)
+        delete_where_manifested(
+            spark, root, F.expr(m.group("pred")),
+            _table_partition_cols(spark, root), fmt=fmt,
+        )
+    else:
+        raise ValueError(
+            "catalog_sql: unsupported statement (supported: INSERT INTO "
+            "name <query>; MERGE INTO name USING … ON … WHEN MATCHED THEN "
+            "UPDATE SET * WHEN NOT MATCHED THEN INSERT *; UPDATE name SET "
+            "… [WHERE …]; DELETE FROM name WHERE …): "
+            + statement.strip()[:120]
+        )
+
+    cv = catalog_commit(
+        spark, cat_root, {name: manifest_versions(spark, root)[-1]}
+    )
+    register_catalog(spark, cat_root, prefix=prefix)
+    return cv
 
 
 def catalog_snapshot(

@@ -1,0 +1,130 @@
+"""SQL DML through catalog names (`catalog_sql`): INSERT / MERGE /
+UPDATE / DELETE route through the manifested committers, flip the
+catalog pin atomically, and refresh the registered views."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    from etl_demo_spark.io.catalog import catalog_init
+    from etl_demo_spark.io.manifest import write_manifested
+
+    orders = spark.createDataFrame(
+        [
+            (1, "A", 10.0, "2026-01"),
+            (2, "B", 20.0, "2026-01"),
+            (3, "A", 30.0, "2026-02"),
+        ],
+        "ok INT, cust STRING, price DOUBLE, month STRING",
+    )
+    feed = spark.createDataFrame(
+        [(4, "C", 40.0, "2026-02"), (2, "B", 25.0, "2026-01")],
+        "ok INT, cust STRING, price DOUBLE, month STRING",
+    )
+    o_root, f_root = str(tmp_path / "orders"), str(tmp_path / "feed")
+    write_manifested(orders, o_root, "month")
+    write_manifested(feed, f_root, "month")
+    cat_root = str(tmp_path / "cat")
+    catalog_init(spark, cat_root, {"orders": o_root, "feed": f_root})
+    return cat_root
+
+
+def _rows(spark):
+    return {
+        tuple(r)
+        for r in spark.table("orders")
+        .select("ok", "cust", "price", "month")
+        .collect()
+    }
+
+
+def test_insert_values_positional_cast(spark, cat):
+    from etl_demo_spark.io.catalog import catalog_sql, catalog_snapshot
+
+    v = catalog_sql(
+        spark, cat, "INSERT INTO orders VALUES (9, 'Z', 90, '2026-03')"
+    )
+    assert v == 2
+    assert (9, "Z", 90.0, "2026-03") in _rows(spark)  # int 90 cast to DOUBLE
+    # the pin flipped: a fresh snapshot reads the row too
+    got = catalog_snapshot(spark, cat).read("orders")
+    assert got.where("ok = 9").count() == 1
+
+
+def test_insert_select_from_sibling_view(spark, cat):
+    from etl_demo_spark.io.catalog import catalog_sql
+
+    catalog_sql(
+        spark,
+        cat,
+        "INSERT INTO orders (ok, cust, price, month) "
+        "SELECT ok + 100, cust, price * 2, month FROM feed WHERE ok = 4",
+    )
+    assert (104, "C", 80.0, "2026-02") in _rows(spark)
+
+
+def test_merge_upsert_shape(spark, cat):
+    from etl_demo_spark.io.catalog import catalog_sql
+
+    catalog_sql(
+        spark,
+        cat,
+        "MERGE INTO orders t USING (SELECT * FROM feed) s ON t.ok = s.ok "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    rows = _rows(spark)
+    assert (2, "B", 25.0, "2026-01") in rows  # matched: updated
+    assert (4, "C", 40.0, "2026-02") in rows  # not matched: inserted
+    assert (2, "B", 20.0, "2026-01") not in rows
+    assert len(rows) == 4
+
+
+def test_update_and_delete(spark, cat):
+    from etl_demo_spark.io.catalog import catalog_sql
+
+    catalog_sql(
+        spark, cat,
+        "UPDATE orders SET price = price + 1, cust = upper(cust) "
+        "WHERE month = '2026-01'",
+    )
+    assert (1, "A", 11.0, "2026-01") in _rows(spark)
+    assert (3, "A", 30.0, "2026-02") in _rows(spark)  # untouched
+    catalog_sql(spark, cat, "DELETE FROM orders WHERE price >= 21")
+    assert {r[0] for r in _rows(spark)} == {1}
+
+
+def test_unsupported_and_unknown_raise(spark, cat):
+    from etl_demo_spark.io.catalog import catalog_sql
+
+    with pytest.raises(ValueError, match="unsupported statement"):
+        catalog_sql(spark, cat, "TRUNCATE TABLE orders")
+    with pytest.raises(ValueError, match="not a member"):
+        catalog_sql(spark, cat, "DELETE FROM nope WHERE 1=1")
+    with pytest.raises(ValueError, match="every table column"):
+        catalog_sql(spark, cat, "INSERT INTO orders (ok) SELECT 1")
+    # partial merge shapes are refused, not silently half-applied
+    with pytest.raises(ValueError, match="unsupported statement"):
+        catalog_sql(
+            spark, cat,
+            "MERGE INTO orders t USING feed s ON t.ok = s.ok "
+            "WHEN MATCHED THEN DELETE",
+        )
+
+
+def test_prefixed_views_and_pin_consistency(spark, cat):
+    from etl_demo_spark.io.catalog import catalog_sql, catalog_versions
+
+    v0 = catalog_versions(spark, cat)[-1]
+    catalog_sql(
+        spark,
+        cat,
+        "INSERT INTO feed SELECT ok, cust, price, month FROM c_orders "
+        "WHERE ok = 1",
+        prefix="c_",
+    )
+    assert catalog_versions(spark, cat)[-1] == v0 + 1
+    assert spark.table("c_feed").where("ok = 1").count() == 1
