@@ -706,6 +706,361 @@ def _carry_stats_config(doc: dict, new_doc: dict) -> None:
 
 
 # ---------------------------------------------------------------------------
+# INLINE (single-pass) stats: write the staged data files AND compute
+# their per-file min/max/ndv/bloom stats in ONE Spark job.
+#
+# The post-write path (`_collect_file_stats`) re-reads the freshly
+# written files in 1–2 extra aggregation jobs per commit — 212.5 s of
+# the 10k-file migration rehearsal, and a full re-read of every append's
+# slice. The inline path replaces the staging write itself: a
+# `mapInArrow` stage writes each leaf's rows to parquet via pyarrow
+# (bounded row-group buffering, task-deterministic file names, write-
+# to-temp + atomic replace so task retries converge) and accumulates the
+# SAME per-file statistics from the Arrow batches already in hand —
+# commit-time stats cost becomes 0 extra full-data jobs.
+#
+# Bit-compatibility with the post-write pass:
+# * bloom positions are precomputed JVM-SIDE with the identical
+#   `pmod(xxhash64(cast(col as string), i), bits)` expressions and
+#   shipped as an extra array column (dropped from the written file), so
+#   the bitsets OR together to the same words and fold by the same
+#   power-of-two identity;
+# * min/max come from Arrow kernels / numpy with Spark's float-NaN
+#   ordering replicated explicitly (NaN greatest: max is NaN if any NaN,
+#   min is NaN only if ALL values are), timestamps re-normalized to the
+#   session-naive form `_stat_val` sees from collected Rows;
+# * ndv is EXACT (a bounded distinct set per file — the saturation
+#   boundary `_bloom_bits_for` cares about is ndv > bits_max/2, so the
+#   set is capped there and larger files honestly store no bitset),
+#   where the post-write pass uses approx_count_distinct; exact ndv can
+#   only size the fold target more truthfully. Folding both layouts to
+#   the smaller width yields bit-identical bitsets (property-tested).
+#
+# Scope gates (`_inline_stats_ok`): parquet format, a local/file: root
+# (the executor-side writer uses OS file APIs; object stores keep the
+# post-write scan), and atomic-typed stats/bloom columns. Anything else
+# falls back to `_collect_file_stats` transparently.
+# ---------------------------------------------------------------------------
+
+_INLINE_ROW_BUFFER = 256 * 1024  # rows buffered per leaf before a row group
+
+
+def _os_path(p: str) -> str | None:
+    """Local-filesystem path for a root/staging location, or None when
+    the scheme isn't local (s3://, hdfs://, …)."""
+    if p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(p).path)
+    head = p.split("/", 1)[0]
+    if ":" in head:  # some other scheme
+        return None
+    return p
+
+
+def _inline_stats_ok(
+    df: DataFrame,
+    stats_cols: list[str] | None,
+    bloom_cols: list[str] | None,
+    fmt: str,
+    dest: str,
+    mapping: dict | None,
+) -> bool:
+    """Can this staged write take the single-pass inline path?"""
+    if fmt != "parquet" or _os_path(dest) is None:
+        return False
+    atomic = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+        T.DoubleType, T.StringType, T.DateType, T.TimestampType,
+        T.TimestampNTZType, T.BooleanType, T.DecimalType,
+    )
+    types = {f.name: f.dataType for f in df.schema.fields}
+    for c in list(stats_cols or []) + list(bloom_cols or []):
+        p = (mapping or {}).get(c, c)
+        if p not in types or not isinstance(types[p], atomic):
+            return False
+    return True
+
+
+def _inline_norm_scalar(v):
+    """Collected-Row image of an Arrow scalar: Spark sends mapInArrow
+    timestamps tz-tagged with the session zone, while driver-collected
+    Rows (what `_stat_val` historically saw) are session-naive — strip
+    to naive UTC so both paths serialize identically. The engine pins
+    spark.sql.session.timeZone=UTC (session.py)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return v
+
+
+def _inline_stats_writer(
+    dest_os: str,
+    cols: list[str],
+    stats_cols: list[str],
+    bloom_cols: list[str],
+    bloom_bits: int | None,
+    bloom_k: int,
+    bloom_fpr: float,
+    bloom_bits_max: int,
+    token: str,
+    phys: dict,
+):
+    """The mapInArrow function: writes `<dest>/<leaf dirs>/part-*.parquet`
+    per leaf encountered in this task's partition and yields one
+    (rel, entry-JSON) row per file written. Executor-side; everything it
+    closes over is plain data."""
+    adaptive = bloom_bits is None
+    bits_build = int(bloom_bits_max if adaptive else bloom_bits)
+    nwords = bits_build // 64
+    ndv_cap = int(bloom_bits_max) // 2
+
+    def fn(batches):
+        import os
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        drop = set(cols) | {f"__bpos_{c}" for c in bloom_cols}
+        state: dict = {}
+
+        def leaf_state(rel: str, schema: pa.Schema):
+            st = state.get(rel)
+            if st is not None:
+                return st
+            data_schema = pa.schema(
+                [schema.field(i) for i in range(len(schema))
+                 if schema.field(i).name not in drop]
+            )
+            d = os.path.join(dest_os, *rel.split("/"))
+            os.makedirs(d, exist_ok=True)
+            # deterministic per (leaf, task, attempt-token): a task RETRY
+            # rewrites the same final name via atomic replace instead of
+            # leaving a duplicate file next to the first attempt's
+            fname = f"part-{pid:05d}-{token}.snappy.parquet"
+            final = os.path.join(d, fname)
+            tmp = os.path.join(d, f".{fname}.inprogress")
+            st = {
+                "rel": f"{rel}/{fname}",
+                "final": final,
+                "tmp": tmp,
+                "writer": pq.ParquetWriter(tmp, data_schema, compression="snappy"),
+                "names": [f.name for f in data_schema],
+                "buf": [],
+                "buf_rows": 0,
+                "rows": 0,
+                "mm": {c: [None, None] for c in stats_cols},
+                "nan": {c: False for c in stats_cols},
+                "words": {c: np.zeros(nwords, dtype=np.uint64) for c in bloom_cols},
+                "ndv": {c: set() for c in bloom_cols},
+            }
+            state[rel] = st
+            return st
+
+        def flush(st):
+            if st["buf_rows"]:
+                st["writer"].write_table(
+                    pa.Table.from_batches(
+                        [b.select(st["names"]) for b in st["buf"]]
+                    )
+                )
+                st["buf"], st["buf_rows"] = [], 0
+
+        def upd_minmax(st, c, arr):
+            a = arr.drop_null()
+            if len(a) == 0:
+                return
+            mm = st["mm"][c]
+            if pa.types.is_floating(arr.type):
+                v = a.to_numpy(zero_copy_only=False)
+                nan = np.isnan(v)
+                if nan.any():
+                    st["nan"][c] = True
+                    v = v[~nan]
+                if len(v) == 0:
+                    return
+                lo, hi = float(v.min()), float(v.max())
+            else:
+                try:
+                    s = pc.min_max(a).as_py()
+                    lo, hi = s["min"], s["max"]
+                except pa.ArrowNotImplementedError:
+                    vals = a.to_pylist()
+                    lo, hi = min(vals), max(vals)
+                lo, hi = _inline_norm_scalar(lo), _inline_norm_scalar(hi)
+            if mm[0] is None or lo < mm[0]:
+                mm[0] = lo
+            if mm[1] is None or hi > mm[1]:
+                mm[1] = hi
+
+        def upd_bloom(st, c, sub):
+            flat = pc.list_flatten(sub.column(f"__bpos_{c}"))
+            if len(flat):
+                p = flat.to_numpy(zero_copy_only=False).astype(np.uint64)
+                np.bitwise_or.at(
+                    st["words"][c],
+                    (p >> np.uint64(6)).astype(np.int64),
+                    np.left_shift(np.uint64(1), p & np.uint64(63)),
+                )
+            if adaptive and st["ndv"][c] is not None:
+                vals = sub.column(phys[c]).drop_null()
+                if len(vals):
+                    st["ndv"][c].update(pc.unique(vals).to_pylist())
+                    if len(st["ndv"][c]) > ndv_cap:
+                        # saturates even bits_max — same boundary as
+                        # _bloom_bits_for(ndv): store no bitset, stop
+                        # accumulating (memory stays O(bits_max))
+                        st["ndv"][c] = None
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            # group this batch's rows by leaf: join the (string-cast)
+            # partition values, dictionary-encode, split by code. The
+            # \x00/\x01 sentinels only matter if a partition VALUE
+            # contains them — not reachable through the string casts
+            # upstream of real data.
+            parts = [
+                pc.fill_null(pc.cast(batch.column(c), pa.string()), "\x00N")
+                for c in cols
+            ]
+            key = (
+                parts[0]
+                if len(parts) == 1
+                else pc.binary_join_element_wise(*parts, "\x01")
+            )
+            codes = pc.dictionary_encode(key).indices.to_numpy(
+                zero_copy_only=False
+            )
+            for u in np.unique(codes):
+                mask = codes == u
+                idx = int(np.flatnonzero(mask)[0])
+                vals = [batch.column(c)[idx].as_py() for c in cols]
+                rel = _part_rel(cols, vals)
+                sub = (
+                    batch
+                    if mask.all()
+                    else batch.filter(pa.array(mask))
+                )
+                st = leaf_state(rel, batch.schema)
+                st["buf"].append(sub)
+                st["buf_rows"] += sub.num_rows
+                st["rows"] += sub.num_rows
+                if st["buf_rows"] >= _INLINE_ROW_BUFFER:
+                    flush(st)
+                for c in stats_cols:
+                    upd_minmax(st, c, sub.column(phys[c]))
+                for c in bloom_cols:
+                    upd_bloom(st, c, sub)
+
+        rels, entries = [], []
+        for rel in sorted(state):
+            st = state[rel]
+            flush(st)
+            st["writer"].close()
+            os.replace(st["tmp"], st["final"])
+            entry: dict = {}
+            for c in stats_cols:
+                lo, hi = st["mm"][c]
+                if st["nan"][c]:
+                    # Spark float ordering: NaN is the greatest value —
+                    # max is NaN whenever one is present; min is NaN
+                    # only when EVERY non-null value is NaN
+                    hi = float("nan")
+                    if lo is None:
+                        lo = float("nan")
+                entry[c] = [_stat_val(lo), _stat_val(hi)]
+            entry["__rows"] = st["rows"]
+            for c in bloom_cols:
+                words = st["words"][c].astype(np.int64)
+                if adaptive:
+                    nd = st["ndv"][c]
+                    if nd is None:
+                        continue
+                    target = _bloom_bits_for(
+                        len(nd), bloom_k, bloom_fpr, bloom_bits_max
+                    )
+                    if target is None:
+                        continue
+                    entry[f"__bloom_{c}"] = _pack_words(
+                        _fold_words([int(w) for w in words], target)
+                    )
+                else:
+                    # legacy fixed layout stores the signed int64 word
+                    # list, matching Spark's bit_or longs byte-for-byte
+                    entry[f"__bloom_{c}"] = [int(w) for w in words]
+            rels.append(st["rel"])
+            entries.append(json.dumps(entry))
+        if rels:
+            yield pa.record_batch(
+                [pa.array(rels, pa.string()), pa.array(entries, pa.string())],
+                names=["rel", "entry"],
+            )
+
+    return fn
+
+
+def _write_staging_with_stats(
+    df: DataFrame,
+    dest: str,
+    cols: list[str],
+    stats_cols: list[str] | None,
+    bloom_cols: list[str] | None,
+    bloom_bits: int | None,
+    bloom_k: int,
+    bloom_fpr: float,
+    bloom_bits_max: int,
+    token: str,
+    mapping: dict | None = None,
+) -> dict:
+    """Single-pass staged write: lay the Hive-partitioned layout under
+    ``dest`` AND return ``{"<leaf>/<fname>": stats_entry}`` for every
+    file written — the inline replacement for `df.write.partitionBy`
+    followed by `_collect_file_stats`. One Spark job total (the action
+    is collecting the tiny per-file stats rows; the files are its
+    side output). ``df`` arrives physical-named with partition columns
+    already string-cast, exactly as the legacy write path stages it."""
+    stats_cols = list(stats_cols or [])
+    bloom_cols = list(bloom_cols or [])
+    phys = {c: (mapping or {}).get(c, c) for c in stats_cols + bloom_cols}
+    adaptive = bloom_bits is None
+    bits_build = int(bloom_bits_max if adaptive else bloom_bits)
+    staged = df
+    for c in bloom_cols:
+        p = phys[c]
+        staged = staged.withColumn(
+            f"__bpos_{c}",
+            F.when(
+                F.col(p).isNotNull(),
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col(p).cast("string"), F.lit(i)),
+                            F.lit(bits_build),
+                        )
+                        for i in range(bloom_k)
+                    ]
+                ),
+            ),
+        )
+    dest_os = _os_path(dest)
+    import os
+
+    os.makedirs(dest_os, exist_ok=True)  # empty source still stages a dir
+    fn = _inline_stats_writer(
+        dest_os, list(cols), stats_cols, bloom_cols,
+        bloom_bits, bloom_k, bloom_fpr, bloom_bits_max, token, phys,
+    )
+    rows = staged.mapInArrow(fn, "rel STRING, entry STRING").collect()
+    return {r["rel"]: json.loads(r["entry"]) for r in rows}
+
+
+# ---------------------------------------------------------------------------
 # SPLIT stats layout (Iceberg's manifest-list/manifest-file shape)
 #
 # The embedded layout serializes every file's stats (bloom bitsets
@@ -828,13 +1183,19 @@ def _attach_stats(
     new_vrels: list[str],
     token: str,
     col_mapping: dict | None = None,
+    precomputed: dict | None = None,
 ) -> None:
     """Stats-evolution funnel every data-touching committer calls AFTER
     setting new_doc's partitions and extra_vrels. Embedded layout:
     carry-live + collect-fresh into ``new_doc['files']`` (the historical
     behavior). Split layout: rewrite stats files for TOUCHED leaves only
     — carry every other leaf's pointer untouched — so commit metadata
-    cost is O(touched leaves), never O(table)."""
+    cost is O(touched leaves), never O(table).
+
+    ``precomputed`` short-circuits the fresh-file scan: a committer that
+    staged through `_write_staging_with_stats` already holds every new
+    file's entry (keys are final ``<leaf>/<vdir>/<file>`` rels) — no
+    re-read of the data happens here at all."""
     stats_cols = doc.get("stats_cols")
     bloom_cols = doc.get("bloom_cols")
     if not stats_cols and not bloom_cols:
@@ -847,23 +1208,32 @@ def _attach_stats(
     fresh = [v for v in new_vrels if v in live]
     cmap = col_mapping if col_mapping is not None else doc.get("column_mapping")
 
+    def _fresh_stats() -> dict:
+        if not fresh:
+            return {}
+        if precomputed is not None:
+            fresh_set = set(fresh)
+            return {
+                p: st
+                for p, st in precomputed.items()
+                if p.rsplit("/", 1)[0] in fresh_set
+            }
+        return _collect_file_stats(
+            spark, fmt, root, fresh,
+            list(stats_cols or []), bloom_cols,
+            doc.get("bloom_bits"), doc.get("bloom_k", 4),
+            mapping=cmap,
+            bloom_fpr=doc.get("bloom_fpr", 0.01),
+            bloom_bits_max=doc.get("bloom_bits_max", 16384),
+        )
+
     if doc.get("files_manifests") is None:
         carried = {
             p: st
             for p, st in doc.get("files", {}).items()
             if p.rsplit("/", 1)[0] in live
         }
-        if fresh:
-            carried.update(
-                _collect_file_stats(
-                    spark, fmt, root, fresh,
-                    list(stats_cols or []), bloom_cols,
-                    doc.get("bloom_bits"), doc.get("bloom_k", 4),
-                    mapping=cmap,
-                    bloom_fpr=doc.get("bloom_fpr", 0.01),
-                    bloom_bits_max=doc.get("bloom_bits_max", 16384),
-                )
-            )
+        carried.update(_fresh_stats())
         new_doc["files"] = carried
         return
 
@@ -880,18 +1250,7 @@ def _attach_stats(
         new_set = {new_mapping[rel]} | set((new_doc.get("extra_vrels") or {}).get(rel, []))
         if old_set and old_set != new_set:
             touched.add(rel)
-    fresh_stats = (
-        _collect_file_stats(
-            spark, fmt, root, fresh,
-            list(stats_cols or []), bloom_cols,
-            doc.get("bloom_bits"), doc.get("bloom_k", 4),
-            mapping=cmap,
-            bloom_fpr=doc.get("bloom_fpr", 0.01),
-            bloom_bits_max=doc.get("bloom_bits_max", 16384),
-        )
-        if fresh
-        else {}
-    )
+    fresh_stats = _fresh_stats()
     fm = {
         r: f for r, f in old_fm.items() if r in new_mapping and r not in touched
     }
@@ -1100,6 +1459,13 @@ def prune_files_bloom(
     for col, value in points.items():
         if col not in bloom_cols or value is None:
             continue
+        if isinstance(value, (list, tuple, set, frozenset, dict)):
+            # str() of a container would hash its REPR: no bitset matches,
+            # every file prunes, and the read silently loses real rows
+            raise ValueError(
+                f"prune_points[{col!r}] must be a scalar probe value, got "
+                f"{type(value).__name__}; probe one value per call"
+            )
         for i in range(k):
             exprs.append(
                 F.pmod(
@@ -1665,6 +2031,7 @@ def manifest_init(
     bloom_bits_max: int = 16384,
     partition_transforms: dict[str, str] | None = None,
     stats_split: bool = False,
+    precomputed_stats: dict | None = None,
 ) -> int:
     """One-time migration of a plain Hive-layout table into manifest
     mode: move each leaf's files into ``<leaf>/__v0000000001`` (renames —
@@ -1760,18 +2127,27 @@ def manifest_init(
             else:
                 doc["bloom_fpr"] = float(bloom_fpr)
                 doc["bloom_bits_max"] = int(bloom_bits_max)
-        entries = _collect_file_stats(
-            spark,
-            fmt,
-            root,
-            list(mapping.values()),
-            list(stats_cols or []),
-            list(bloom_cols) if bloom_cols else None,
-            None if bloom_bits is None else int(bloom_bits),
-            int(bloom_k),
-            bloom_fpr=float(bloom_fpr),
-            bloom_bits_max=int(bloom_bits_max),
-        )
+        if precomputed_stats is not None:
+            # the writer that laid this layout (write_manifested's
+            # inline path) already computed every file's entry against
+            # PRE-migration rels — rekey onto the __v1 subdirs
+            entries = {}
+            for p, st in precomputed_stats.items():
+                leaf, fname = p.rsplit("/", 1)
+                entries[f"{leaf}/{_vdir(version)}/{fname}"] = st
+        else:
+            entries = _collect_file_stats(
+                spark,
+                fmt,
+                root,
+                list(mapping.values()),
+                list(stats_cols or []),
+                list(bloom_cols) if bloom_cols else None,
+                None if bloom_bits is None else int(bloom_bits),
+                int(bloom_k),
+                bloom_fpr=float(bloom_fpr),
+                bloom_bits_max=int(bloom_bits_max),
+            )
         if stats_split:
             # Iceberg-style SPLIT layout from birth: per-leaf stats
             # files + a pointer map; the snapshot document stays
@@ -2472,6 +2848,7 @@ def merge_upsert_manifested(
     partition_cols,
     fmt: str = "parquet",
     schema_evolution: bool = False,
+    stats_inline: bool | None = None,
 ) -> list:
     """MERGE with snapshot-manifest publication: same semantics, scoping,
     and return contract as `tables.merge_upsert_partitioned`, but the
@@ -2554,9 +2931,31 @@ def merge_upsert_manifested(
                 tombstones=doc.get("dropped_physical"),
             )
         staging = f"{root}.__manifest_staging__{token}"
-        _to_physical(merged, cmap).write.mode("overwrite").partitionBy(
-            *cols
-        ).format(fmt).save(staging)
+        physical = _to_physical(merged, cmap)
+        tracked = bool(doc.get("stats_cols") or doc.get("bloom_cols"))
+        use_inline = (
+            tracked
+            and stats_inline is not False
+            and _inline_stats_ok(
+                physical, doc.get("stats_cols"), doc.get("bloom_cols"),
+                fmt, staging, cmap,
+            )
+        )
+        staged_stats: dict | None = None
+        if use_inline:
+            # single-pass staging: files + their per-file stats from one
+            # job — the commit re-reads nothing below
+            staged_stats = _write_staging_with_stats(
+                physical, staging, cols,
+                doc.get("stats_cols"), doc.get("bloom_cols"),
+                doc.get("bloom_bits"), doc.get("bloom_k", 4),
+                doc.get("bloom_fpr", 0.01), doc.get("bloom_bits_max", 16384),
+                token, mapping=cmap,
+            )
+        else:
+            physical.write.mode("overwrite").partitionBy(
+                *cols
+            ).format(fmt).save(staging)
 
         new_mapping = dict(mapping)
         staged_vrels: list[str] = []
@@ -2592,9 +2991,16 @@ def merge_upsert_manifested(
         _carry_constraints(doc, new_doc)
         _carry_dv(doc, new_doc)
         _carry_extras(doc, new_doc)
+        precomputed = None
+        if staged_stats is not None:
+            vdir = _vdir(new_version, token)
+            precomputed = {}
+            for p, st in staged_stats.items():
+                leaf, fname = p.rsplit("/", 1)
+                precomputed[f"{leaf}/{vdir}/{fname}"] = st
         _attach_stats(
             spark, fmt, root, doc, new_doc, staged_vrels, token,
-            col_mapping=cmap,
+            col_mapping=cmap, precomputed=precomputed,
         )
         new_doc["operation"] = "MERGE"
         ok = _publish_cas(  # the atomic commit point
@@ -2622,6 +3028,7 @@ def write_manifested(
     bloom_bits_max: int = 16384,
     partition_transforms: dict[str, str] | None = None,
     stats_split: bool = False,
+    stats_inline: bool | None = None,
 ) -> int:
     """Create a manifested table from a DataFrame in one call: write the
     partitioned layout, then `manifest_init` it (stats/bloom config
@@ -2662,7 +3069,40 @@ def write_manifested(
             f"{root} is already a manifested table; use merge/delete/compact "
             "instead of rewriting it"
         )
-    df.write.mode("errorifexists").partitionBy(*cols).format(fmt).save(root)
+    tracked = bool(stats_cols or bloom_cols)
+    use_inline = (
+        tracked
+        and stats_inline is not False
+        and _inline_stats_ok(df, stats_cols, bloom_cols, fmt, root, None)
+    )
+    if stats_inline is True and not use_inline:
+        raise ValueError(
+            "write_manifested: stats_inline=True but the inline single-"
+            "pass writer can't apply (needs parquet, a local root, atomic "
+            "stats/bloom column types, and stats_cols/bloom_cols set)"
+        )
+    precomputed = None
+    if use_inline:
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(root)):
+            raise ValueError(f"{root} already exists")
+        # CTAS through the single-pass writer: data files + every file's
+        # stats entry from ONE job; manifest_init below then runs no
+        # stats scan at all. Partition columns string-cast first so the
+        # directory rendering matches Spark's writer.
+        staged = df
+        for c in cols:
+            staged = staged.withColumn(c, F.col(c).cast("string"))
+        if bloom_cols:
+            _validate_bloom_config(
+                bloom_bits, None if bloom_bits is not None else bloom_bits_max
+            )
+        precomputed = _write_staging_with_stats(
+            staged, root, cols, stats_cols, bloom_cols,
+            bloom_bits, bloom_k, bloom_fpr, bloom_bits_max,
+            uuid.uuid4().hex[:8],
+        )
+    else:
+        df.write.mode("errorifexists").partitionBy(*cols).format(fmt).save(root)
     return manifest_init(
         spark,
         root,
@@ -2676,6 +3116,7 @@ def write_manifested(
         bloom_bits_max=bloom_bits_max,
         partition_transforms=partition_transforms,
         stats_split=stats_split,
+        precomputed_stats=precomputed,
     )
 
 
@@ -2723,6 +3164,7 @@ def append_manifested(
     fmt: str = "parquet",
     txn_app: str | None = None,
     txn_version: int | None = None,
+    stats_inline: bool | None = None,
 ) -> list[str]:
     """APPEND-only ingest: the source's rows land as EXTRA version
     subdirs of the leaves they belong to — cost is O(new data) written
@@ -2751,7 +3193,13 @@ def append_manifested(
     window where data applied but the guard didn't. This is what makes
     a foreachBatch append sink (`streaming.run_stream_append`) safe
     under micro-batch replay, where a bare append would duplicate rows.
-    Returns the leaf rels appended to ([] for a skipped replay)."""
+    Returns the leaf rels appended to ([] for a skipped replay).
+
+    ``stats_inline``: None (default) stages through the SINGLE-PASS
+    writer whenever the table tracks stats and `_inline_stats_ok` holds
+    — the staged files and their per-file stats come out of one job, so
+    the commit re-reads nothing. False forces the legacy post-write
+    scan; True raises if the inline path can't apply."""
     if (txn_app is None) != (txn_version is None):
         raise ValueError(
             "append_manifested: txn_app and txn_version go together"
@@ -2806,9 +3254,33 @@ def append_manifested(
             src = src.withColumn(c, F.col(c).cast("string"))
         cmap = doc.get("column_mapping")
         staging = f"{root}.__manifest_staging__{token}"
-        _to_physical(src, cmap).write.mode("overwrite").partitionBy(
-            *cols
-        ).format(fmt).save(staging)
+        physical = _to_physical(src, cmap)
+        tracked = bool(doc.get("stats_cols") or doc.get("bloom_cols"))
+        inline_ok = tracked and _inline_stats_ok(
+            physical, doc.get("stats_cols"), doc.get("bloom_cols"),
+            fmt, staging, cmap,
+        )
+        if stats_inline is True and not inline_ok:
+            raise ValueError(
+                "append_manifested: stats_inline=True but the inline "
+                "single-pass writer can't apply here (needs parquet, a "
+                "local root, atomic stats/bloom column types, and a "
+                "stats-tracking table)"
+            )
+        use_inline = inline_ok and stats_inline is not False
+        staged_stats: dict | None = None
+        if use_inline:
+            staged_stats = _write_staging_with_stats(
+                physical, staging, cols,
+                doc.get("stats_cols"), doc.get("bloom_cols"),
+                doc.get("bloom_bits"), doc.get("bloom_k", 4),
+                doc.get("bloom_fpr", 0.01), doc.get("bloom_bits_max", 16384),
+                token, mapping=cmap,
+            )
+        else:
+            physical.write.mode("overwrite").partitionBy(
+                *cols
+            ).format(fmt).save(staging)
 
         # move each staged leaf dir into an extra (or fresh) vrel
         extras = {
@@ -2860,12 +3332,20 @@ def append_manifested(
         _carry_mapping(doc, new_doc)
         _carry_constraints(doc, new_doc)
         _carry_dv(doc, new_doc)
-        # stats: carry EVERYTHING (no primary changed) + collect for the
-        # freshly appended vrels; in the split layout only the appended
-        # leaves' stats files are rewritten (merged old + fresh entries)
+        # stats: carry EVERYTHING (no primary changed) + the freshly
+        # appended vrels' entries — from the inline writer when it
+        # staged (zero re-read), else a post-write scan; in the split
+        # layout only the appended leaves' stats files are rewritten
+        precomputed = None
+        if staged_stats is not None:
+            vmap = {rel: f"{rel}/{_vdir(new_version, token)}" for rel in leaves}
+            precomputed = {}
+            for p, st in staged_stats.items():
+                leaf, fname = p.rsplit("/", 1)
+                precomputed[f"{vmap[leaf]}/{fname}"] = st
         _attach_stats(
             spark, fmt, root, doc, new_doc, staged_vrels, token,
-            col_mapping=cmap,
+            col_mapping=cmap, precomputed=precomputed,
         )
         new_doc["operation"] = "APPEND"
         ok = _publish_cas(

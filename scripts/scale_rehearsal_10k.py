@@ -43,6 +43,12 @@ def main() -> None:
         help="use the Iceberg-style split stats layout (per-leaf "
         "manifests + pointer-map snapshot) instead of embedded stats",
     )
+    ap.add_argument(
+        "--inline", action="store_true",
+        help="create the table through the single-pass inline-stats "
+        "writer (write_manifested stats_inline=True): files AND their "
+        "stats from ONE job, no post-write scan",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -75,20 +81,32 @@ def main() -> None:
         (F.col("id") % leaves).cast("string").alias("dt"),
         (F.col("id") % leaves).alias("v"),
     )
-    t0 = time.perf_counter()
-    (
-        df.repartition(files_per_leaf)
-        .write.partitionBy("dt")
-        .parquet(root)
-    )
-    t_write = time.perf_counter() - t0
+    if args.inline:
+        from etl_demo_spark.io.manifest import write_manifested
 
-    t0 = time.perf_counter()
-    manifest_init(
-        spark, root, ["dt"], stats_cols=["v"], bloom_cols=["id"],
-        stats_split=args.split,
-    )
-    t_init = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        write_manifested(
+            df.repartition(files_per_leaf), root, ["dt"],
+            stats_cols=["v"], bloom_cols=["id"],
+            stats_split=args.split, stats_inline=True,
+        )
+        t_write = time.perf_counter() - t0
+        t_init = 0.0  # no post-write stats pass exists on this path
+    else:
+        t0 = time.perf_counter()
+        (
+            df.repartition(files_per_leaf)
+            .write.partitionBy("dt")
+            .parquet(root)
+        )
+        t_write = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        manifest_init(
+            spark, root, ["dt"], stats_cols=["v"], bloom_cols=["id"],
+            stats_split=args.split,
+        )
+        t_init = time.perf_counter() - t0
 
     fs, jvm = _hadoop_fs(spark, root)
     t0 = time.perf_counter()
@@ -135,6 +153,8 @@ def main() -> None:
 
     out = {
         "layout": "split" if args.split else "embedded",
+        "stats_mode": "inline" if args.inline else "postscan",
+        "write_plus_stats_sec": round(t_write + t_init, 2),
         "files": n_files,
         "leaves": leaves,
         "rows": n_rows,
