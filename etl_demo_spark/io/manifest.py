@@ -4367,8 +4367,15 @@ def read_changes(
         if fa.get(p) != fb.get(p)
     }
     # a leaf's content is its FULL vrel set (primary + append extras);
-    # any set difference marks the leaf changed and the diff reads the
-    # whole leaf on both sides — appended rows surface as inserts
+    # any set difference marks the leaf changed. Leaves whose change is
+    # PURELY ACCRETIVE (same primary, old vrels a subset of new, no DV
+    # movement) take the append fast path: the diff is structurally the
+    # new extra vrels, read directly as inserts — no whole-leaf read,
+    # no EXCEPT ALL. A daily-partition MV fold over an insert-only feed
+    # then costs O(appended rows), not O(the accreting leaf) — the
+    # difference between a usable and a useless change feed at 100 TB.
+    # Everything else (rewrites, drains, DV deletes) diffs by multiset
+    # EXCEPT ALL over the whole leaf, as before.
     def vset(doc_, p_, r):
         return {p_[r]} | set((doc_.get("extra_vrels") or {}).get(r, []))
 
@@ -4378,12 +4385,21 @@ def read_changes(
         if (r in pa) != (r in pb)
         or vset(a, pa, r) != vset(b, pb, r)
     }
+    append_only_vrels: set[str] = set()
+    diff_rels: set[str] = set()
+    for r in changed_rels:
+        if r in pa and r in pb and pa[r] == pb[r]:
+            sa, sb = vset(a, pa, r), vset(b, pb, r)
+            if sa <= sb and not ((sa | sb) & dv_vrels):
+                append_only_vrels |= sb - sa
+                continue
+        diff_rels.add(r)
     old_vrels = sorted(
-        {v for r in changed_rels & set(pa) for v in vset(a, pa, r)}
+        {v for r in diff_rels & set(pa) for v in vset(a, pa, r)}
         | (dv_vrels & _all_vrels(a))
     )
     new_vrels = sorted(
-        {v for r in changed_rels & set(pb) for v in vset(b, pb, r)}
+        {v for r in diff_rels & set(pb) for v in vset(b, pb, r)}
         | (dv_vrels & _all_vrels(b))
     )
 
@@ -4414,7 +4430,8 @@ def read_changes(
         return _apply_dv(spark, reader.load(paths), root, doc.get("dv"))
 
     old_df, new_df = side(old_vrels, a), side(new_vrels, b)
-    if old_df is None and new_df is None:
+    appended = side(sorted(append_only_vrels), b)
+    if old_df is None and new_df is None and appended is None:
         if schema is None:
             raise ValueError(
                 f"read_changes: no change between v{a['version']} and "
@@ -4425,10 +4442,20 @@ def read_changes(
         return empty.withColumn("_change_type", F.lit("insert")).filter(
             F.lit(False)
         )
-    if old_df is None:
-        old_df = new_df.filter(F.lit(False))
-    if new_df is None:
-        new_df = old_df.filter(F.lit(False))
-    inserts = new_df.exceptAll(old_df).withColumn("_change_type", F.lit("insert"))
-    deletes = old_df.exceptAll(new_df).withColumn("_change_type", F.lit("delete"))
-    return inserts.unionByName(deletes)
+    out = None
+    if old_df is not None or new_df is not None:
+        if old_df is None:
+            old_df = new_df.filter(F.lit(False))
+        if new_df is None:
+            new_df = old_df.filter(F.lit(False))
+        inserts = new_df.exceptAll(old_df).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        deletes = old_df.exceptAll(new_df).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        out = inserts.unionByName(deletes)
+    if appended is not None:
+        fast = appended.withColumn("_change_type", F.lit("insert"))
+        out = fast if out is None else out.unionByName(fast)
+    return out

@@ -607,8 +607,13 @@ def mv_refresh(
         source, recomputed = _fold_incremental(spark, spec, mv_root, v_from, v_to)
     source = _bucketed(source, spec["keys"], spec["buckets"]).persist()
     try:
-        changed = source.count()
-        neg = source.filter(F.col("_n") < 0).count()
+        # one action for both decision scalars — a second count over the
+        # persisted fold is a whole extra job of fixed overhead
+        stat = source.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.when(F.col("_n") < 0, 1).otherwise(0)).alias("neg"),
+        ).first()
+        changed, neg = int(stat["c"]), int(stat["neg"] or 0)
         if neg:
             raise RuntimeError(
                 f"{mv_root}: {neg} groups folded to negative counts — the "
