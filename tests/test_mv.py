@@ -261,26 +261,27 @@ def test_mv_read_time_travel_and_empty_diff_commit(spark, tmp_path):
 
 
 def test_cost_based_refresh_policy(spark, tmp_path):
-    """Default cost-based policy: a tiny base (under the full floor)
-    takes FULL recompute — the fold's fixed multi-job overhead can't
-    win there — while the estimate/decision are recorded; raising the
-    knobs back toward zero floor + high crossover re-selects the fold.
-    Both paths converge to the same state."""
+    """Default SHAPE-AWARE cost policy: a whole-leaf MERGE feed (read
+    both sides + EXCEPT ALL, 8x-weighted) takes FULL recompute even
+    when the changed fraction is small; an APPEND-shaped change (new
+    vrels read once as inserts) takes the fold at default knobs. Both
+    paths converge to the same state."""
     base, mv = _mk(spark, tmp_path)
     src = spark.createDataFrame(
         [(7, "a", 99.0, "p1"), (8, "d", 1.0, "p2")],
         "id INT, grp STRING, val DOUBLE, part STRING",
     )
     merge_upsert_manifested(spark, base, src, ["id"], "part")
-    r = mv_refresh(spark, mv)  # defaults: 256 MiB floor
+    r = mv_refresh(spark, mv)  # diff-shaped: 8x both sides >= base
     assert r["mode"] == "full" and r["reason"] == "cost", r
     assert r["cost"]["full_cheaper"] is True
     assert r["cost"]["base_scan_complete"] is True
-    assert 0 < r["cost"]["changed_bytes"]
+    assert 0 < r["cost"]["diff_bytes"]
     _assert_matches(spark, base, mv)
 
-    # an 8-leaf base where one leaf's change is a small fraction: with
-    # the floor off, the fold is chosen and the estimate shows why
+    # an 8-leaf base with an APPEND-shaped change: the feed is the new
+    # vrel's bytes only — the fold is chosen at DEFAULT knobs and the
+    # estimate shows why (append_bytes tiny, diff_bytes zero)
     base2 = str(tmp_path / "base8")
     mv2 = str(tmp_path / "view8")
     big = spark.range(0, 80).selectExpr(
@@ -294,15 +295,27 @@ def test_cost_based_refresh_policy(spark, tmp_path):
         spark, base2, mv2, ["grp"],
         {"n": ("count", None), "hi": ("max", "val")}, buckets=2,
     )
+    from etl_demo_spark.io.manifest import append_manifested
+
     one = spark.createDataFrame(
-        [(0, "g0", 500.0, "p0")], "id INT, grp STRING, val DOUBLE, part STRING"
+        [(1000, "g0", 500.0, "p0")],
+        "id INT, grp STRING, val DOUBLE, part STRING",
     )
-    merge_upsert_manifested(spark, base2, one, ["id"], "part")
-    r2 = mv_refresh(
-        spark, mv2, full_floor_bytes=0, changed_frac_crossover=0.9
-    )
+    append_manifested(spark, base2, one)
+    r2 = mv_refresh(spark, mv2)  # default knobs pick the fold
     assert r2["mode"] == "incremental" and r2["reason"] == "fold", r2
     assert r2["cost"]["full_cheaper"] is False
+    assert r2["cost"]["diff_bytes"] == 0
+    assert 0 < r2["cost"]["append_bytes"] < r2["cost"]["base_bytes_scanned"]
+    exp2 = {
+        r["grp"]: (r["n"], r["hi"])
+        for r in read_manifested(spark, base2)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("val").alias("hi"))
+        .collect()
+    }
+    got2 = {r["grp"]: (r["n"], r["hi"]) for r in mv_read(spark, mv2).collect()}
+    assert got2 == exp2
 
     # rewriting every leaf makes the changed slice ~the whole table:
     # full wins on the fraction crossover, not the floor
