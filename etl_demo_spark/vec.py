@@ -1040,6 +1040,96 @@ def ann_recall_report(
     return {"lsh": round(tot_lsh / n, 2), "ivf": round(tot_ivf / n, 2)}
 
 
+def ann_probe_curve(
+    df: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lsh_planes: int = 6,
+    lsh_radii: tuple = (1, 2, 3),
+    ivf_cells: int = 16,
+    ivf_nprobes: tuple = (2, 4, 8),
+) -> dict:
+    """Recall-vs-probe-cost OPERATING CURVE for the two approximate
+    indexes: mean recall@k at three probe settings each, with the
+    theoretical scan fraction per setting, so a user can pick the
+    recall/cost point instead of trusting one default. Recall is
+    monotone in the probe count by construction — a larger radius /
+    nprobe scans a SUPERSET of candidates, and top-k over a superset
+    can only move toward the exact top-k (pinned by test).
+
+    Scan-fraction model: IVF probes ``nprobe/n_cells`` of the corpus
+    (cells are ~uniform under a hash-seeded k-means‖ start); LSH with
+    Hamming radius r probes ``sum_{i<=r} C(planes, i) / 2^planes`` of
+    the 2^planes buckets. Exact neighbors are computed ONCE per query
+    and reused across every setting."""
+    import math as _math
+
+    qids = [
+        r[0] for r in df.select(id_col).orderBy(id_col).limit(n_queries).collect()
+    ]
+    qvecs = {
+        r[0]: [float(x) for x in r[1]]
+        for r in df.filter(F.col(id_col).isin(qids))
+        .select(id_col, vec_col)
+        .collect()
+    }
+    exact = {
+        qid: {
+            r[0]
+            for r in brute_force_topk(
+                df, qvecs[qid], k=k, id_col=id_col, vec_col=vec_col
+            ).collect()
+        }
+        for qid in qids
+    }
+    n = max(len(qids), 1)
+
+    def buckets_frac(r: int) -> float:
+        tot = sum(_math.comb(lsh_planes, i) for i in range(r + 1))
+        return round(tot / (1 << lsh_planes), 4)
+
+    curve: dict = {"lsh": [], "ivf": []}
+    for radius in lsh_radii:
+        tot = 0.0
+        for qid in qids:
+            got = {
+                r[0]
+                for r in lsh_topk(
+                    df, qvecs[qid], k=k, id_col=id_col, vec_col=vec_col,
+                    planes=lsh_planes, probe_radius=radius,
+                ).collect()
+            }
+            tot += len(exact[qid] & got) / max(len(exact[qid]), 1)
+        curve["lsh"].append(
+            {
+                "probe_radius": radius,
+                "recall_at_k": round(tot / n, 2),
+                "scan_fraction": buckets_frac(radius),
+            }
+        )
+    for nprobe in ivf_nprobes:
+        tot = 0.0
+        for qid in qids:
+            got = {
+                r[0]
+                for r in ivf_topk(
+                    df, qvecs[qid], k=k, n_cells=ivf_cells, nprobe=nprobe,
+                    id_col=id_col, vec_col=vec_col,
+                ).collect()
+            }
+            tot += len(exact[qid] & got) / max(len(exact[qid]), 1)
+        curve["ivf"].append(
+            {
+                "nprobe": nprobe,
+                "recall_at_k": round(tot / n, 2),
+                "scan_fraction": round(nprobe / ivf_cells, 4),
+            }
+        )
+    return curve
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.9,

@@ -1580,3 +1580,25 @@ def test_ivf_pq_topk_probes_and_ranks(spark):
     assert 0 in ids
     dists = [r["pq_dist"] for r in got]
     assert dists == sorted(dists)
+
+
+def test_ann_probe_curve_monotone_and_costed(spark):
+    """The bench's recall-vs-probe operating curve: recall@k is monotone
+    non-decreasing in the probe count for BOTH indexes (a larger radius /
+    nprobe scans a candidate SUPERSET, so top-k can only move toward the
+    exact top-k), and every point carries its theoretical scan fraction
+    so the user can pick an operating point."""
+    from etl_demo_spark.vec import ann_probe_curve
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    curve = ann_probe_curve(emb, n_queries=5)
+    for index in ("lsh", "ivf"):
+        pts = curve[index]
+        assert len(pts) == 3
+        recalls = [p["recall_at_k"] for p in pts]
+        fracs = [p["scan_fraction"] for p in pts]
+        assert recalls == sorted(recalls), (index, recalls)
+        assert fracs == sorted(fracs) and fracs[-1] <= 1.0, (index, fracs)
+        assert recalls[-1] > 0.0
+    # the widest settings scan more and may not be free: fractions differ
+    assert curve["ivf"][0]["scan_fraction"] < curve["ivf"][-1]["scan_fraction"]
