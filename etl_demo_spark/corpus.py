@@ -10302,3 +10302,108 @@ def catalog_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+@query(
+    "catalog_sql_txn_transfer",
+    oracle="""
+    WITH open0 AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderstatus = 'O'
+    ),
+    archive0 AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    moved AS (SELECT * FROM open0 WHERE o_totalprice > 250000.0),
+    open1 AS (SELECT * FROM open0 WHERE NOT (o_totalprice > 250000.0)),
+    archive1 AS (SELECT * FROM archive0 UNION ALL SELECT * FROM moved)
+    SELECT 'open' AS side, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM open1 GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'archive' AS side, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM archive1 GROUP BY o_orderpriority
+    """,
+)
+def catalog_sql_txn_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-STATEMENT ATOMIC SQL TRANSACTION (`catalog_sql_txn`) — the
+    warehouse BEGIN...COMMIT shape no single-table snapshot format can
+    give: a money-transfer-style move (INSERT the >250k tier into the
+    archive, DELETE it from open) expressed as TWO plain SQL statements
+    against catalog names, landing as two durable-but-invisible table
+    commits and ONE catalog pin flip.
+
+    In-query asserts pin the transactional contract: (1) the catalog
+    advanced exactly ONE version for the whole batch; (2) a snapshot
+    resolved BEFORE the transaction still reads the pre-transfer state
+    of BOTH tables afterward (repeatable read); (3) row count and
+    decimal total are conserved across the flip — no catalog reader can
+    ever observe the tier in both tables or in neither. The returned
+    frame is the post-commit consistent state; the oracle derives it
+    straight from the base parquet, so the hash match certifies the
+    statement parsing, the snapshot-read source semantics, both
+    committers, and the single-flip publication end to end."""
+    import tempfile
+
+    from etl_demo_spark.io.catalog import (
+        catalog_init,
+        catalog_snapshot,
+        catalog_sql_txn,
+        catalog_versions,
+    )
+    from etl_demo_spark.io.manifest import write_manifested
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    root = tempfile.mkdtemp(prefix="cat_txn_")
+    a_root, b_root, cat = f"{root}/open", f"{root}/archive", f"{root}/cat"
+    write_manifested(
+        orders.filter(F.col("o_orderstatus") == "O").select(*cols),
+        a_root, "o_orderpriority",
+    )
+    write_manifested(
+        orders.filter(F.col("o_orderstatus") == "F").select(*cols),
+        b_root, "o_orderpriority",
+    )
+    catalog_init(spark, cat, {"open": a_root, "archive": b_root})
+
+    def totals(snap, name):
+        r = snap.read(name).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("t"),
+        ).first()
+        return int(r["n"]), r["t"] or 0
+
+    pre = catalog_snapshot(spark, cat)
+    a0, b0 = totals(pre, "open"), totals(pre, "archive")
+    v0 = catalog_versions(spark, cat)[-1]
+
+    cv = catalog_sql_txn(
+        spark,
+        cat,
+        [
+            "INSERT INTO archive (o_orderkey, o_orderpriority, o_totalprice) "
+            "SELECT o_orderkey, o_orderpriority, o_totalprice FROM open "
+            "WHERE o_totalprice > 250000.0",
+            "DELETE FROM open WHERE o_totalprice > 250000.0",
+        ],
+    )
+    assert cv == v0 + 1, "a transaction must flip the catalog exactly once"
+    a1, b1 = totals(pre, "open"), totals(pre, "archive")
+    assert (a1, b1) == (a0, b0), "pre-txn snapshot lost repeatability"
+    post = catalog_snapshot(spark, cat)
+    a2, b2 = totals(post, "open"), totals(post, "archive")
+    assert a2[0] + b2[0] == a0[0] + b0[0], "row count not conserved"
+    assert a2[1] + b2[1] == a0[1] + b0[1], "decimal total not conserved"
+
+    def side(name, label):
+        return post.read(name).groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        ).select(F.lit(label).alias("side"), "o_orderpriority", "n", "total")
+
+    return side("open", "open").unionByName(side("archive", "archive"))

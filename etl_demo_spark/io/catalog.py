@@ -382,6 +382,25 @@ def catalog_sql(
     underlying committers' (append: O(new data); merge/update/delete:
     O(affected leaves)); the pin flip is one tiny JSON CAS."""
     snap = register_catalog(spark, cat_root, prefix=prefix)
+    name, root = _apply_dml(spark, snap, cat_root, statement, fmt)
+    cv = catalog_commit(
+        spark, cat_root, {name: manifest_versions(spark, root)[-1]}
+    )
+    register_catalog(spark, cat_root, prefix=prefix)
+    return cv
+
+
+def _apply_dml(
+    spark: SparkSession,
+    snap: "CatalogSnapshot",
+    cat_root: str,
+    statement: str,
+    fmt: str,
+) -> tuple[str, str]:
+    """Parse-and-route ONE DML statement against a resolved snapshot's
+    member names; returns (table name, table root) of the target. The
+    caller owns the catalog pin flip — `catalog_sql` flips per
+    statement, `catalog_sql_txn` once for the whole batch."""
 
     def _resolve(name: str) -> str:
         if name not in snap.tables:
@@ -485,10 +504,45 @@ def catalog_sql(
             "… [WHERE …]; DELETE FROM name WHERE …): "
             + statement.strip()[:120]
         )
+    return name, root
 
-    cv = catalog_commit(
-        spark, cat_root, {name: manifest_versions(spark, root)[-1]}
-    )
+
+def catalog_sql_txn(
+    spark: SparkSession,
+    cat_root: str,
+    statements: list[str],
+    prefix: str = "",
+    fmt: str = "parquet",
+) -> int:
+    """MULTI-STATEMENT ATOMIC TRANSACTION over catalog tables — the
+    multi-table counterpart of a warehouse's BEGIN…COMMIT, which no
+    single-table snapshot format can offer: every statement's table
+    commit lands durable-but-INVISIBLE, then ONE catalog version flips
+    all the touched pins together. Readers see the entire transaction
+    or none of it; a crash anywhere before the flip leaves the catalog
+    on the old pins (the orphaned table versions age out through normal
+    per-table retention), never a torn intermediate.
+
+    Isolation shape, stated honestly: SELECT sources and predicates
+    evaluate against the TRANSACTION-START snapshot views (repeatable
+    read — statement 3's subquery does not see statement 1's inserts
+    through the views), while each statement's own TARGET-table DML
+    composes sequentially at table head (a DELETE after an INSERT INTO
+    the same table removes the inserted rows). That is snapshot-read /
+    sequential-write — the same contract the per-table committers give,
+    lifted to statement batches. Statement grammar = `catalog_sql`'s.
+
+    Returns the catalog version that published the batch. Scale: N
+    table commits + one tiny JSON CAS; no statement re-reads another's
+    data beyond what its own DML needs."""
+    if not statements:
+        raise ValueError("catalog_sql_txn: empty statement list")
+    snap = register_catalog(spark, cat_root, prefix=prefix)
+    pins: dict[str, int] = {}
+    for stmt in statements:
+        name, root = _apply_dml(spark, snap, cat_root, stmt, fmt)
+        pins[name] = manifest_versions(spark, root)[-1]
+    cv = catalog_commit(spark, cat_root, pins)
     register_catalog(spark, cat_root, prefix=prefix)
     return cv
 

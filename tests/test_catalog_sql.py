@@ -128,3 +128,73 @@ def test_prefixed_views_and_pin_consistency(spark, cat):
     )
     assert catalog_versions(spark, cat)[-1] == v0 + 1
     assert spark.table("c_feed").where("ok = 1").count() == 1
+
+
+def test_txn_two_statements_one_flip(spark, cat):
+    from etl_demo_spark.io.catalog import (
+        catalog_snapshot,
+        catalog_sql_txn,
+        catalog_versions,
+    )
+
+    pre = catalog_snapshot(spark, cat)
+    v0 = catalog_versions(spark, cat)[-1]
+    cv = catalog_sql_txn(
+        spark,
+        cat,
+        [
+            "INSERT INTO orders (ok, cust, price, month) "
+            "SELECT ok + 500, cust, price, month FROM feed",
+            "DELETE FROM feed WHERE ok = 2",
+        ],
+    )
+    # TWO table commits (one per table), ONE catalog flip
+    assert cv == v0 + 1 and catalog_versions(spark, cat)[-1] == cv
+    ids = {r[0] for r in spark.table("orders").select("ok").collect()}
+    assert {502, 504} <= ids
+    assert spark.table("feed").where("ok = 2").count() == 0
+    # the pre-txn snapshot (each table one version back — retained)
+    # still reads the untouched state of BOTH tables: all-or-nothing
+    assert pre.read("orders").where("ok >= 500").count() == 0
+    assert pre.read("feed").where("ok = 2").count() == 1
+
+
+def test_txn_same_table_statements_compose_sequentially(spark, cat):
+    from etl_demo_spark.io.catalog import catalog_sql_txn
+
+    catalog_sql_txn(
+        spark,
+        cat,
+        [
+            "INSERT INTO orders VALUES (700, 'T', 5.0, '2026-07')",
+            "INSERT INTO orders VALUES (701, 'T', 6.0, '2026-07')",
+            "DELETE FROM orders WHERE ok = 700",
+        ],
+    )
+    ids = {r[0] for r in spark.table("orders").select("ok").collect()}
+    assert 701 in ids and 700 not in ids  # DELETE saw the first INSERT
+
+
+def test_txn_snapshot_read_isolation(spark, cat):
+    from etl_demo_spark.io.catalog import catalog_sql_txn
+
+    # statement 2 SELECTs from the orders VIEW — pinned at txn start, so
+    # it must NOT see statement 1's insert (no double-copy)
+    catalog_sql_txn(
+        spark,
+        cat,
+        [
+            "INSERT INTO orders VALUES (900, 'X', 1.0, '2026-09')",
+            "INSERT INTO feed (ok, cust, price, month) "
+            "SELECT ok + 1000, cust, price, month FROM orders WHERE ok >= 900",
+        ],
+    )
+    assert spark.table("orders").where("ok = 900").count() == 1
+    assert spark.table("feed").where("ok >= 1900").count() == 0
+
+
+def test_txn_empty_refused(spark, cat):
+    from etl_demo_spark.io.catalog import catalog_sql_txn
+
+    with pytest.raises(ValueError, match="empty statement list"):
+        catalog_sql_txn(spark, cat, [])
