@@ -10407,3 +10407,83 @@ def catalog_sql_txn_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(label).alias("side"), "o_orderpriority", "n", "total")
 
     return side("open", "open").unionByName(side("archive", "archive"))
+
+
+@query(
+    "stream_table_changes",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value,
+           CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_create,
+           CAST(SUM(CASE WHEN event_id % 3 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_append1,
+           CAST(SUM(CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_append2
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail a manifested table as a STREAM (`io/table_stream`, the
+    Delta-CDF readStream-on-a-table shape): the events table is built in
+    three commits (CREATE + two appends, sliced by event_id % 3), then
+    `format("tablestream")` replays the commit log — offsets are
+    manifest versions, partitions are the committed files themselves,
+    each row stamped with the `_commit_version` that introduced it. The
+    oracle recomputes the per-commit attribution from the slice
+    predicate, so a hash match certifies the stream delivered every row
+    exactly once AND attributed it to the right commit. In-query asserts
+    pin exactly-once on restart: a second drain from the same checkpoint
+    with no new commits delivers nothing."""
+    import tempfile
+
+    from etl_demo_spark.io.manifest import append_manifested, write_manifested
+    from etl_demo_spark.io.table_stream import register_table_stream_source
+
+    register_table_stream_source(spark)
+    (ev,) = _t(spark, sf_dir, "events")
+    src = ev.select("event_id", "ts", "user_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="stream_table_changes_")
+    table, sink, ck = f"{root}/events", f"{root}/sink", f"{root}/ck"
+    write_manifested(
+        src.filter(F.col("event_id") % 3 == 0), table, "event_type"
+    )  # v1
+    append_manifested(spark, table, src.filter(F.col("event_id") % 3 == 1))
+    append_manifested(spark, table, src.filter(F.col("event_id") % 3 == 2))
+
+    def drain() -> int:
+        q = (
+            spark.readStream.format("tablestream")
+            .option("path", table)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(sink).count()
+
+    n1 = drain()
+    n2 = drain()  # same checkpoint, no new commits: must be a no-op
+    assert n1 == n2, f"restart re-delivered rows: {n1} -> {n2}"
+
+    feed = spark.read.parquet(sink)
+    types = {r[0] for r in feed.select("_change_type").distinct().collect()}
+    assert types == {"insert"}, types
+    return feed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.sum(F.when(F.col("_commit_version") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_create"),
+        F.sum(F.when(F.col("_commit_version") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_append1"),
+        F.sum(F.when(F.col("_commit_version") == 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_append2"),
+    )

@@ -113,7 +113,15 @@ def _vdir(version: int, token: str | None = None) -> str:
 def _read_file(fs, jvm, path: str) -> bytes:
     """Read a small (manifest-sized) file through the Hadoop FS API — the
     commons-io helper shipped with the Hadoop client pulls the whole
-    stream in one py4j round trip instead of a call per byte."""
+    stream in one py4j round trip instead of a call per byte.
+
+    ``fs=None`` falls back to plain-posix IO: the table-stream source's
+    reader runs in a driver-side Python process with no JVM handle (the
+    Python DataSource API), and manifest resolution there only ever
+    READS small JSON files."""
+    if fs is None:
+        with open(_strip_scheme(path), "rb") as f:
+            return f.read()
     stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
     try:
         return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
@@ -221,12 +229,23 @@ def _commit_retry(fs, jvm, root: str, attempt_fn):
 
 
 def _list_manifest_versions(fs, jvm, root: str) -> list[int]:
-    mdir = jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/{_MANIFEST_DIR}")
-    if not fs.exists(mdir):
-        return []
+    if fs is None:  # plain-posix listing for JVM-less readers (see _read_file)
+        import os
+
+        mdir = _strip_scheme(f"{root.rstrip('/')}/{_MANIFEST_DIR}")
+        try:
+            names = os.listdir(mdir)
+        except FileNotFoundError:
+            return []
+    else:
+        mdir_p = jvm.org.apache.hadoop.fs.Path(
+            f"{root.rstrip('/')}/{_MANIFEST_DIR}"
+        )
+        if not fs.exists(mdir_p):
+            return []
+        names = [st.getPath().getName() for st in fs.listStatus(mdir_p)]
     versions = []
-    for st in fs.listStatus(mdir):
-        name = st.getPath().getName()
+    for name in names:
         if name.startswith("v") and name.endswith(".json"):
             try:
                 versions.append(int(name[1:-5]))

@@ -225,5 +225,10 @@ class ReplayDataSource(DataSource):
 
 
 def register_replay_source(spark: Any) -> None:
-    """Idempotent registration of the ``replay`` streaming format."""
-    spark.dataSource.register(ReplayDataSource)
+    """Idempotent registration of the ``replay`` streaming format.
+
+    Registered pickle-BY-VALUE (io/pyds.py) so the planning and executor
+    workers never need ``etl_demo_spark`` on their import path."""
+    from etl_demo_spark.io.pyds import register_data_source
+
+    register_data_source(spark, ReplayDataSource)

@@ -258,4 +258,6 @@ def register_sqlite_source(spark: Any) -> None:
     SQL conf, default off in Spark 4.1): with it off, Spark refuses any
     reader that implements ``pushFilters``."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(SQLiteDataSource)
+    from etl_demo_spark.io.pyds import register_data_source
+
+    register_data_source(spark, SQLiteDataSource)  # by-value: see io/pyds.py

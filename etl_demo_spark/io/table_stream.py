@@ -1,0 +1,354 @@
+"""Change-feed STREAMING source over manifested tables (Python
+DataSource API, Spark 4 ``DataSourceStreamReader``) — X-10 × the
+lakehouse substrate; the Delta-Lake ``readStream``-on-a-table /
+change-data-feed shape, built on this repo's manifest layer.
+
+What it is: ``spark.readStream.format("tablestream").option("path",
+table_root).load()`` tails a manifested table's COMMIT LOG — every
+micro-batch delivers the rows appended by a contiguous range of
+manifest versions, stamped with ``_change_type`` (``insert``) and
+``_commit_version`` (the snapshot version whose commit introduced the
+row). The table itself is the queue: downstream jobs (MV folds,
+feature backfills, CDC fan-out) subscribe to a table another pipeline
+is appending to, with no second copy of the data and no external
+broker.
+
+Design (and why it scales):
+
+* OFFSETS ARE MANIFEST VERSIONS — ``{"v": N}`` means "the state up to
+  snapshot N has been delivered". ``latestOffset`` is a directory
+  listing of ``_manifests/`` (O(versions) names, no data touched);
+  exactly-once falls out of the checkpoint replaying version ranges
+  against IMMUTABLE manifests. No per-row bookkeeping at any scale.
+* PARTITIONS ARE THE COMMITTED FILES THEMSELVES. A version range's
+  change set is computed structurally from the manifests (the same
+  accretive-leaf logic as `read_changes`): the new vrels introduced by
+  each commit ARE the batch, one input partition per data file,
+  executor-parallel pyarrow reads. Nothing is recomputed, diffed, or
+  copied — delivering a 1 GB append costs reading 1 GB, once.
+* APPEND-ONLY BY CONTRACT, LIKE DELTA'S SOURCE. A commit that rewrites
+  or drops a leaf (compaction, UPDATE/DELETE, merge into an existing
+  leaf, a DV delete) is not representable as pure inserts; the source
+  FAILS LOUDLY by default (Delta's behavior without ``ignoreChanges``).
+  ``on_rewrite=skip`` opts into skipping such leaves (the stream stays
+  alive through maintenance windows; rewritten rows are NOT
+  re-delivered — document your consumer accordingly).
+* the reader resolves manifests with plain-posix IO (``fs=None`` fast
+  path in the manifest layer) because Python DataSource readers run
+  outside the JVM. Data files are read with pyarrow. Local/posix
+  paths; at scale the same reader routes through ``pyarrow.fs`` —
+  the manifest JSON and parquet bytes are filesystem-agnostic.
+* SCHEMA comes from the newest snapshot (logical names under column
+  mapping; physical file columns are mapped back on read). Files
+  written before a column was added surface NULLs for it — the same
+  contract as the batch reader. Partition-directory values (classic
+  Hive partitioning) are parsed from the leaf path and coerced to the
+  schema type; hidden-partitioning tables keep source columns in the
+  files, so nothing is parsed for them.
+
+Reference anchor: the reference engine (etl_weekly_trades.py) has no
+streaming at all — this is north-star X-10 surface. The semantics
+follow Delta Lake's streaming source (startingVersion / ignoreChanges)
+as public prior art.
+
+Options: ``path`` (table root, required), ``starting_version``
+(int, default 1 = full history from the CREATE commit; ``latest`` =
+only commits after the stream starts), ``on_rewrite``
+(``fail`` default / ``skip``).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from dataclasses import dataclass
+from typing import Any
+from urllib.parse import unquote
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+# Baked at driver import time and shipped inside the by-value pickle
+# (io/pyds.py): the planning/executor workers are fresh interpreters that
+# may not have the repo on their path — the lazy manifest import below
+# bootstraps sys.path from this constant before importing.
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def _manifest():
+    """The manifest layer, importable from any worker (see _REPO_ROOT)."""
+    try:
+        from etl_demo_spark.io import manifest
+    except ModuleNotFoundError:  # foreign-cwd worker: bootstrap the path
+        import sys
+
+        if _REPO_ROOT not in sys.path:
+            sys.path.insert(0, _REPO_ROOT)
+        from etl_demo_spark.io import manifest
+    return manifest
+
+
+def _strip_scheme(p: str) -> str:
+    return p[len("file:"):] if p.startswith("file:") else p
+
+_META_COLS = [
+    T.StructField("_change_type", T.StringType()),
+    T.StructField("_commit_version", T.LongType()),
+]
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _leaf_dir_values(leaf_rel: str) -> dict[str, str | None]:
+    """Parse a Hive-style leaf path (``k=v/k2=v2``) into a {physical
+    column → raw string} map. Values are URL-unquoted exactly once (the
+    writer's escaping); the Hive null sentinel maps to None."""
+    out: dict[str, str | None] = {}
+    for seg in leaf_rel.split("/"):
+        if "=" not in seg:
+            continue
+        k, _, v = seg.partition("=")
+        out[k] = None if v == _HIVE_NULL else unquote(v)
+    return out
+
+
+def _coerce_dir_value(raw: str | None, dt: T.DataType):
+    """Coerce a partition-directory string to the logical column type —
+    the Python-side twin of the batch reader's string-pin-then-cast."""
+    if raw is None:
+        return None
+    if isinstance(dt, T.StringType):
+        return raw
+    if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
+        return int(raw)
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return float(raw)
+    if isinstance(dt, T.DecimalType):
+        from decimal import Decimal
+
+        return Decimal(raw)
+    if isinstance(dt, T.BooleanType):
+        return raw.lower() == "true"
+    if isinstance(dt, T.DateType):
+        import datetime
+
+        return datetime.date.fromisoformat(raw)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        import datetime
+
+        return datetime.datetime.fromisoformat(raw)
+    raise ValueError(
+        f"tablestream: unsupported partition-directory type {dt} "
+        f"for value {raw!r}"
+    )
+
+
+def _vset(doc: dict, rel: str) -> set[str]:
+    parts = doc.get("partitions", {})
+    vs = {parts[rel]} if rel in parts else set()
+    return vs | set((doc.get("extra_vrels") or {}).get(rel, []))
+
+
+def _dv_changed_vrels(a: dict, b: dict) -> set[str]:
+    fa = (a.get("dv") or {}).get("files", {})
+    fb = (b.get("dv") or {}).get("files", {})
+    return {
+        p.rsplit("/", 1)[0]
+        for p in set(fa) | set(fb)
+        if fa.get(p) != fb.get(p)
+    }
+
+
+def _commit_inserts(a: dict, b: dict, on_rewrite: str, root: str) -> list[str]:
+    """The vrels commit ``b`` introduced on top of ``a``, REQUIRING the
+    commit to be purely accretive per leaf (else fail/skip per policy).
+    This is the structural core of `read_changes`'s append fast path,
+    restated for a JVM-less reader: no data is touched here."""
+    dv_moved = _dv_changed_vrels(a, b)
+    pa, pb = a.get("partitions", {}), b.get("partitions", {})
+    inserts: list[str] = []
+    for rel in set(pa) | set(pb):
+        sa, sb = _vset(a, rel), _vset(b, rel)
+        if sa == sb and not (sa & dv_moved):
+            continue
+        accretive = (
+            rel in pb
+            and sa <= sb
+            and (rel not in pa or pa[rel] == pb[rel])
+            and not ((sa | sb) & dv_moved)
+        )
+        if accretive:
+            inserts.extend(sorted(sb - sa))
+            continue
+        if on_rewrite == "skip":
+            continue
+        raise ValueError(
+            f"tablestream: commit v{b['version']} of {root} rewrote leaf "
+            f"{rel!r} (compaction/update/delete/DV) — not representable as "
+            "inserts. Set on_rewrite=skip to tail through maintenance "
+            "commits (rewritten rows are not re-delivered)."
+        )
+    return inserts
+
+
+def _data_files(root: str, vrel: str) -> list[str]:
+    d = os.path.join(_strip_scheme(root.rstrip("/")), vrel)
+    try:
+        names = os.listdir(d)
+    except FileNotFoundError as e:
+        raise ValueError(
+            f"tablestream: data dir {vrel!r} of {root} is gone — the "
+            "checkpoint fell behind the table's retention window"
+        ) from e
+    return sorted(
+        os.path.join(d, n)
+        for n in names
+        if not n.startswith(("_", "."))
+        and (n.endswith(".parquet") or "." not in n)
+    )
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    file: str | None  # None = degenerate empty-range partition
+    leaf_rel: str
+    commit_version: int
+
+
+class TableStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self._root = options["path"]
+        self._on_rewrite = options.get("on_rewrite", "fail")
+        if self._on_rewrite not in ("fail", "skip"):
+            raise ValueError(
+                "tablestream: on_rewrite must be 'fail' or 'skip'"
+            )
+        m = _manifest()
+        versions = m._list_manifest_versions(None, None, self._root)
+        if not versions:
+            raise ValueError(
+                f"tablestream: {self._root} is not a manifested table"
+            )
+        self._head_doc = m._resolve_doc(None, None, self._root, versions[-1])
+        sv = options.get("starting_version", "1")
+        if sv == "latest":
+            self._start = versions[-1]
+        else:
+            self._start = int(sv) - 1
+            if self._start < 0:
+                raise ValueError("tablestream: starting_version must be >= 1")
+        schema_json = self._head_doc.get("schema")
+        if not schema_json:
+            raise ValueError(
+                f"tablestream: {self._root} has no stored schema"
+            )
+        import json as _json
+
+        self._schema = T.StructType.fromJson(_json.loads(schema_json))
+        self._mapping = self._head_doc.get("column_mapping") or {}
+
+    # -- offsets ----------------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"v": self._start}
+
+    def latestOffset(self) -> dict:
+        versions = _manifest()._list_manifest_versions(None, None, self._root)
+        return {"v": versions[-1] if versions else self._start}
+
+    # -- planning ---------------------------------------------------------
+    def _doc(self, version: int) -> dict:
+        if version <= 0:
+            return {"version": 0, "partitions": {}}
+        return _manifest()._resolve_doc(None, None, self._root, version)
+
+    def partitions(self, start: dict, end: dict) -> list[_FilePartition]:
+        s, e = int(start["v"]), int(end["v"])
+        if e < s:
+            raise ValueError(
+                f"tablestream: offset regression {s} -> {e}; the table's "
+                "manifest log is out of sync with this checkpoint"
+            )
+        parts: list[_FilePartition] = []
+        prev = self._doc(s)
+        for v in range(s + 1, e + 1):
+            cur = self._doc(v)
+            for vrel in _commit_inserts(prev, cur, self._on_rewrite, self._root):
+                leaf_rel = vrel.rsplit("/", 1)[0]
+                for f in _data_files(self._root, vrel):
+                    parts.append(_FilePartition(f, leaf_rel, v))
+            prev = cur
+        return parts or [_FilePartition(None, "", e)]
+
+    # -- executor-side read ------------------------------------------------
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        if partition.file is None:
+            return
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.file)
+        cols = set(tbl.schema.names)
+        dirv = _leaf_dir_values(partition.leaf_rel)
+        file_cols: list[tuple[int, str]] = []  # (field idx, physical name)
+        const_vals: list[Any] = [None] * len(self._schema.fields)
+        for i, field in enumerate(self._schema.fields):
+            phys = self._mapping.get(field.name, field.name)
+            if phys in cols:
+                file_cols.append((i, phys))
+            elif phys in dirv:
+                const_vals[i] = _coerce_dir_value(dirv[phys], field.dataType)
+        n_fields = len(self._schema.fields)
+        tail = ("insert", partition.commit_version)
+        arrays = {p: tbl.column(p).to_pylist() for _, p in file_cols}
+        # session-zoned TIMESTAMP columns may be stored tz-naive in the
+        # staged parquet; the engine pins spark.sql.session.timeZone=UTC
+        # (session.py), so a naive value IS the UTC instant — localize it
+        # (Spark's row converter rejects naive values for TimestampType)
+        from datetime import timezone
+
+        for i, p in file_cols:
+            if isinstance(self._schema.fields[i].dataType, T.TimestampType):
+                arrays[p] = [
+                    v.replace(tzinfo=timezone.utc)
+                    if v is not None and v.tzinfo is None
+                    else v
+                    for v in arrays[p]
+                ]
+        for r in range(tbl.num_rows):
+            row = list(const_vals)
+            for i, p in file_cols:
+                row[i] = arrays[p][r]
+            yield tuple(row[:n_fields]) + tail
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are manifest versions; nothing external to ack
+
+
+class TableStreamDataSource(DataSource):
+    """``spark.readStream.format("tablestream").option("path", root)``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tablestream"
+
+    def schema(self) -> T.StructType:
+        reader = TableStreamReader(dict(self.options))
+        return T.StructType(list(reader._schema.fields) + _META_COLS)
+
+    def streamReader(self, schema: T.StructType) -> TableStreamReader:
+        return TableStreamReader(dict(self.options))
+
+
+def register_table_stream_source(spark: Any) -> None:
+    """Idempotent registration of the ``tablestream`` streaming format.
+
+    Registered pickle-BY-VALUE (io/pyds.py) so the planning and executor
+    workers never need ``etl_demo_spark`` on their import path."""
+    from etl_demo_spark.io.pyds import register_data_source
+
+    register_data_source(spark, TableStreamDataSource)

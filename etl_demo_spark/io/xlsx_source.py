@@ -134,4 +134,6 @@ class XlsxDataSource(DataSource):
 
 def register_xlsx_source(spark: Any) -> None:
     """Idempotent registration of the ``xlsx`` format on a session."""
-    spark.dataSource.register(XlsxDataSource)
+    from etl_demo_spark.io.pyds import register_data_source
+
+    register_data_source(spark, XlsxDataSource)  # by-value: see io/pyds.py

@@ -1,0 +1,193 @@
+"""Change-feed streaming source over manifested tables (io/table_stream).
+
+Contract under test: `spark.readStream.format("tablestream")` delivers a
+manifested table's committed rows exactly once, attributed to the commit
+version that introduced them; append/metadata commits stream through,
+rewrites fail loudly (or are skipped under on_rewrite=skip); offsets are
+manifest versions so a checkpoint restart delivers only new commits."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_demo_spark.io.manifest import (
+    alter_manifested,
+    append_manifested,
+    delete_where_manifested,
+    read_manifested,
+    write_manifested,
+)
+from etl_demo_spark.io.table_stream import register_table_stream_source
+
+
+@pytest.fixture(scope="module")
+def ts_env(spark):
+    register_table_stream_source(spark)
+    root = tempfile.mkdtemp(prefix="tablestream_")
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _mk_rows(spark, ids, part="a"):
+    return spark.createDataFrame(
+        [(i, part, float(i) * 1.5) for i in ids],
+        "id BIGINT, part STRING, val DOUBLE",
+    )
+
+
+def _drain(spark, table, sink, ck, **opts):
+    reader = spark.readStream.format("tablestream").option("path", table)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(sink)
+
+
+def test_full_history_delivery_with_commit_attribution(spark, ts_env):
+    table, sink, ck = f"{ts_env}/t1", f"{ts_env}/t1_sink", f"{ts_env}/t1_ck"
+    write_manifested(_mk_rows(spark, range(0, 5)), table, "part")  # v1
+    append_manifested(spark, table, _mk_rows(spark, range(5, 8)))  # v2
+    append_manifested(spark, table, _mk_rows(spark, range(8, 12), "b"))  # v3
+
+    got = _drain(spark, table, sink, ck)
+    assert got.count() == 12
+    by_v = {
+        r["_commit_version"]: r["n"]
+        for r in got.groupBy("_commit_version")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by_v == {1: 5, 2: 3, 3: 4}
+    assert set(got.select("_change_type").distinct().toPandas()["_change_type"]) == {
+        "insert"
+    }
+    # value parity: the stream IS the table, typed partition dirs included
+    body = got.drop("_change_type", "_commit_version")
+    tbl = read_manifested(spark, table)
+    assert body.exceptAll(tbl).count() == 0
+    assert tbl.exceptAll(body).count() == 0
+    assert dict(body.dtypes)["part"] == "string"
+    assert dict(body.dtypes)["id"] == "bigint"
+
+
+def test_checkpoint_resume_delivers_only_new_commits(spark, ts_env):
+    table, sink, ck = f"{ts_env}/t2", f"{ts_env}/t2_sink", f"{ts_env}/t2_ck"
+    write_manifested(_mk_rows(spark, range(0, 4)), table, "part")
+    _drain(spark, table, sink, ck)
+    append_manifested(spark, table, _mk_rows(spark, range(100, 103)))  # v2
+    got = _drain(spark, table, sink, ck)
+    assert got.count() == 7
+    assert got.filter("_commit_version = 2").count() == 3
+    # a third drain with no new commit delivers nothing
+    got = _drain(spark, table, sink, ck)
+    assert got.count() == 7
+
+
+def test_metadata_only_commit_streams_through_silently(spark, ts_env):
+    table, sink, ck = f"{ts_env}/t3", f"{ts_env}/t3_sink", f"{ts_env}/t3_ck"
+    write_manifested(_mk_rows(spark, range(0, 3)), table, "part")
+    _drain(spark, table, sink, ck)
+    alter_manifested(spark, table, add_columns={"extra": "int"})  # v2: no data
+    append_manifested(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(50, "a", 9.0, 7)], "id BIGINT, part STRING, val DOUBLE, extra INT"
+        ),
+    )  # v3
+    got = _drain(spark, table, sink, ck)
+    assert got.filter("_commit_version = 2").count() == 0
+    assert got.filter("_commit_version = 3").count() == 1
+    # NOTE: the sink schema was fixed before the ALTER, so `extra` isn't
+    # in this parquet sink; schema pickup on restart is covered below.
+
+
+def test_evolved_schema_backfills_null_for_old_files(spark, ts_env):
+    table, sink, ck = f"{ts_env}/t4", f"{ts_env}/t4_sink", f"{ts_env}/t4_ck"
+    write_manifested(_mk_rows(spark, range(0, 3)), table, "part")  # v1
+    alter_manifested(spark, table, add_columns={"extra": "int"})  # v2
+    got = _drain(spark, table, sink, ck)  # fresh stream: schema has extra
+    assert "extra" in got.columns
+    assert got.filter("extra IS NULL").count() == 3
+
+
+def test_rename_column_mapping_streams_logical_names(spark, ts_env):
+    table, sink, ck = f"{ts_env}/t5", f"{ts_env}/t5_sink", f"{ts_env}/t5_ck"
+    write_manifested(_mk_rows(spark, range(0, 3)), table, "part")  # v1
+    alter_manifested(spark, table, rename_columns={"val": "amount"})  # v2
+    append_manifested(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(9, "a", 4.5)], "id BIGINT, part STRING, amount DOUBLE"
+        ),
+    )  # v3
+    got = _drain(spark, table, sink, ck)
+    assert "amount" in got.columns and "val" not in got.columns
+    # pre-rename files (physical name frozen) still surface values
+    assert got.filter("_commit_version = 1 AND amount IS NOT NULL").count() == 3
+
+
+def test_rewrite_fails_by_default_and_skips_on_request(spark, ts_env):
+    table, sink, ck = f"{ts_env}/t6", f"{ts_env}/t6_sink", f"{ts_env}/t6_ck"
+    write_manifested(_mk_rows(spark, range(0, 6)), table, "part")
+    _drain(spark, table, sink, ck)
+    delete_where_manifested(spark, table, F.col("id") >= 4, "part")  # rewrite
+    with pytest.raises(Exception, match="rewrote leaf|STREAM_FAILED"):
+        _drain(spark, table, sink, ck)
+    # a fresh checkpoint with on_rewrite=skip tails through the rewrite
+    append_manifested(spark, table, _mk_rows(spark, [77]))
+    got = _drain(
+        spark,
+        table,
+        f"{ts_env}/t6_sink2",
+        f"{ts_env}/t6_ck2",
+        on_rewrite="skip",
+        starting_version="2",
+    )
+    # v2 (the rewrite) skipped entirely; v3 append delivered
+    assert got.filter("_commit_version = 2").count() == 0
+    assert got.filter("_commit_version = 3").count() == 1
+
+
+def test_starting_version_latest_tails_only_future_commits(spark, ts_env):
+    table, sink, ck = f"{ts_env}/t7", f"{ts_env}/t7_sink", f"{ts_env}/t7_ck"
+    write_manifested(_mk_rows(spark, range(0, 5)), table, "part")
+    got = _drain(spark, table, sink, ck, starting_version="latest")
+    assert got.count() == 0
+    append_manifested(spark, table, _mk_rows(spark, [200, 201]))
+    got = _drain(spark, table, sink, ck, starting_version="latest")
+    assert got.count() == 2
+    assert got.filter("_commit_version = 2").count() == 2
+
+
+def test_not_a_table_and_bad_options_raise(spark, ts_env):
+    with pytest.raises(Exception, match="not a manifested table"):
+        spark.readStream.format("tablestream").option(
+            "path", f"{ts_env}/nope"
+        ).load().writeStream.format("noop").trigger(availableNow=True).start()
+    table = f"{ts_env}/t8"
+    write_manifested(_mk_rows(spark, range(0, 2)), table, "part")
+    with pytest.raises(Exception, match="on_rewrite"):
+        q = (
+            spark.readStream.format("tablestream")
+            .option("path", table)
+            .option("on_rewrite", "explode")
+            .load()
+            .writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
