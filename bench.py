@@ -478,6 +478,78 @@ def _bench_append_ingest(spark, sf_dir: str) -> dict:
     return out
 
 
+def _bench_table_stream(spark, sf_dir: str) -> dict:
+    """Change-feed streaming source throughput + the tail-cost signal.
+
+    full_drain: a fresh stream replays a 4-commit table end-to-end —
+    source rows/s through the whole readStream machinery. incremental:
+    one more append lands and the SAME checkpoint drains again — at any
+    table size this costs O(the append), never O(the table), because
+    offsets are manifest versions and partitions are exactly the new
+    commits' files. The ratio is the signal: tailing a 100 TB table
+    costs what the new data costs."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.io.manifest import append_manifested, write_manifested
+    from etl_demo_spark.io.table_stream import register_table_stream_source
+
+    register_table_stream_source(spark)
+    from etl_demo_spark.io.sources import read_events
+
+    ev = read_events(spark, os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="bench_tstream_")
+    table, ck = f"{root}/events", f"{root}/ck"
+    write_manifested(ev.filter(F.col("event_id") % 4 == 0), table, "event_type")
+    for i in (1, 2, 3):
+        append_manifested(spark, table, ev.filter(F.col("event_id") % 4 == i))
+    n_total = ev.count()
+
+    def drain() -> float:
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.format("tablestream")
+            .option("path", table)
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        return time.perf_counter() - t0
+
+    full = drain()
+    tail_rows = 5000
+    append_manifested(
+        spark,
+        table,
+        ev.orderBy("event_id")
+        .limit(tail_rows)
+        .withColumn("event_id", F.col("event_id") + F.lit(1_000_000_000)),
+    )
+    incr = drain()
+    return {
+        "full_drain": {
+            "rows": int(n_total),
+            "seconds": round(full, 3),
+            "rows_per_sec": int(n_total / full),
+        },
+        "incremental_tail": {
+            "rows": tail_rows,
+            "seconds": round(incr, 3),
+        },
+        "note": (
+            "readStream format=tablestream over a 4-commit manifested "
+            "table; incremental_tail drains ONE new append from the "
+            "same checkpoint - O(append), not O(table), at any scale"
+        ),
+    }
+
+
 def _bench_skew(spark, sf_dir: str) -> dict:
     """Skew-mitigation A/B on a zipf-ish fixture (90% of rows on one hot
     key, 16× exploded lineitem, high-cardinality values):
@@ -854,6 +926,7 @@ def main() -> None:
     payload["mv_refresh"] = _bench_mv_refresh(spark, sf_dir)
     payload["dv_delete"] = _bench_dv_delete(spark, sf_dir)
     payload["append_ingest"] = _bench_append_ingest(spark, sf_dir)
+    payload["table_stream"] = _bench_table_stream(spark, sf_dir)
     payload["bucketed_join"] = _bench_bucketed_join(spark, sf_dir)
     payload["ann_recall_at_10"] = ann_recall
     print(json.dumps(payload))

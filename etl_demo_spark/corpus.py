@@ -10487,3 +10487,65 @@ def stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_append2"),
     )
+
+
+@query(
+    "orders_tagged_release",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_tagged_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot TAGS as the dataset-release primitive (`tag_create` /
+    `read_manifested(tag=…)`): the finished-orders slice is committed and
+    tagged "release-1", then three later merges land new rows AND push
+    the tagged version out of the 2-commit retention window — GC keeps
+    the tagged snapshot alive (Iceberg's ref semantics), so the tag
+    still reads the EXACT release bytes. The oracle recomputes the
+    release state straight from the base data; in-query asserts pin that
+    the live table has moved on while the tag has not."""
+    import tempfile
+
+    from etl_demo_spark.io.manifest import (
+        merge_upsert_manifested,
+        read_manifested,
+        tag_create,
+        write_manifested,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    root = tempfile.mkdtemp(prefix="tagged_release_")
+    table = f"{root}/orders"
+    write_manifested(
+        orders.filter(F.col("o_orderstatus") == "F").select(*cols),
+        table, "o_orderpriority",
+    )  # v1: the release
+    tag_create(spark, table, "release-1")  # v2
+    live = orders.filter(F.col("o_orderstatus") == "O").select(*cols)
+    for lo, hi in ((300000.0, None), (250000.0, 300000.0), (200000.0, 250000.0)):
+        batch = live.filter(F.col("o_totalprice") > lo)
+        if hi is not None:
+            batch = batch.filter(F.col("o_totalprice") <= hi)
+        merge_upsert_manifested(
+            spark, table, batch, ["o_orderkey"], ["o_orderpriority"]
+        )  # v3..v5: v1 leaves the retention window, tag keeps it alive
+
+    release = read_manifested(spark, table, tag="release-1")
+    current = read_manifested(spark, table)
+    n_new = current.count() - release.count()
+    expect = live.filter(F.col("o_totalprice") > 200000.0).count()
+    assert n_new == expect, f"live table should have {expect} new rows, {n_new}"
+
+    return release.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )

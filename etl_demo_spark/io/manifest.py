@@ -1590,6 +1590,9 @@ def _resolve_doc(fs, jvm, root: str, version: int) -> dict:
     cons = raw.get("constraints", base.get("constraints"))
     if cons is not None:
         doc["constraints"] = cons
+    tags = raw.get("tags", base.get("tags"))
+    if tags is not None:
+        doc["tags"] = tags
     for key in _STATS_CONFIG_KEYS:
         val = raw.get(key, base.get(key))
         if val is not None:
@@ -1648,6 +1651,8 @@ def _encode_commit(prev_doc: dict, new_doc: dict) -> bytes:
         }
     if "txns" not in new_doc and prev_doc.get("txns") is not None:
         new_doc = {**new_doc, "txns": prev_doc["txns"]}
+    if "tags" not in new_doc and prev_doc.get("tags") is not None:
+        new_doc = {**new_doc, "tags": prev_doc["tags"]}
     if prev_doc.get("_chain", 0) + 1 >= _FULL_EVERY:
         # explicit-null keys (a dropped stats config) exist only to stop
         # delta-chain inheritance; a full snapshot simply omits them
@@ -1696,6 +1701,8 @@ def _encode_commit(prev_doc: dict, new_doc: dict) -> bytes:
         delta["partition_transforms"] = new_doc.get("partition_transforms")
     if new_doc.get("constraints") != prev_doc.get("constraints"):
         delta["constraints"] = new_doc.get("constraints")
+    if new_doc.get("tags") != prev_doc.get("tags"):
+        delta["tags"] = new_doc.get("tags")
     if any(k in new_doc for k in ("stats_cols", "bloom_cols")):
         for key in _STATS_CONFIG_KEYS:
             if key in new_doc and new_doc[key] != prev_doc.get(key):
@@ -1749,11 +1756,19 @@ def _load_doc(fs, jvm, root: str, version: int | None = None) -> dict:
     elif version in readable:
         v = version
     else:
+        # tag-protected snapshots stay readable outside the window: GC
+        # keeps their data/manifests for as long as the tag lives (the
+        # head manifest is the authority on live tags)
+        head_tags = _resolve_doc(fs, jvm, root, versions[-1]).get("tags") or {}
+        tagged = {t["version"] for t in head_tags.values()}
+        if version in tagged and version in versions:
+            return _resolve_doc(fs, jvm, root, version)
         # older manifests may survive on disk as delta-chain ancestors,
         # but only the retained window's DATA is guaranteed present
         raise FileNotFoundError(
-            f"manifest v{version} not retained for {root}; available: {readable} "
-            f"(retention keeps the last {_RETAIN} commits)"
+            f"manifest v{version} not retained for {root}; available: "
+            f"{sorted(set(readable) | tagged)} "
+            f"(retention keeps the last {_RETAIN} commits plus tags)"
         )
     return _resolve_doc(fs, jvm, root, v)
 
@@ -1782,6 +1797,7 @@ def read_manifested(
     leaf_filter: dict | None = None,
     prune_points: dict | None = None,
     prune_source: dict | None = None,
+    tag: str | None = None,
     _with_location: bool = False,
 ) -> DataFrame:
     """Snapshot read: resolve the current manifest once, scan exactly its
@@ -1845,6 +1861,18 @@ def read_manifested(
     ``_with_location`` (internal) appends ``__dv_file``/``__dv_pos`` —
     the row coordinates the DV committers key on."""
     fs, jvm = _hadoop_fs(spark, root)
+    if tag is not None:
+        # named-ref travel: tags pin snapshots against GC (tag_create),
+        # so a tag resolved from the CURRENT manifest is always readable
+        if version is not None:
+            raise ValueError("read_manifested: pass version= OR tag=")
+        tags = _load_doc(fs, jvm, root).get("tags") or {}
+        if tag not in tags:
+            raise ValueError(
+                f"read_manifested: no tag {tag!r} on {root} "
+                f"(have: {sorted(tags)})"
+            )
+        version = tags[tag]["version"]
     doc = _load_doc(fs, jvm, root, version)
     partitions = doc["partitions"]
     if not partitions:
@@ -2233,6 +2261,17 @@ def _gc(fs, jvm, root: str, keep_versions: list[int]) -> None:
     staging (its manifest publishes after the data lands); a crashed
     attempt's dirs are reclaimed once they age past the window."""
     listed = _list_manifest_versions(fs, jvm, root)
+    # TAGS protect their snapshots from reclamation (Iceberg's ref
+    # semantics): the newest retained manifest is the authority on live
+    # tags — a tagged version's data, DV, stats, and manifest chain are
+    # kept alongside the retention window until the tag is deleted.
+    keep_versions = list(keep_versions)
+    head_tags = (
+        _resolve_doc(fs, jvm, root, max(keep_versions)).get("tags") or {}
+    )
+    for t in head_tags.values():
+        if t["version"] not in keep_versions and t["version"] in listed:
+            keep_versions.append(t["version"])
     referenced: set[str] = set()
     referenced_dv: set[str] = set()
     referenced_stats: set[str] = set()
@@ -3479,6 +3518,8 @@ def manifest_properties(
     for key in _STATS_CONFIG_KEYS:
         if doc.get(key) is not None:
             rows.append((key, str(doc[key])))
+    for name, t in sorted((doc.get("tags") or {}).items()):
+        rows.append((f"tag.{name}", f"v{t['version']}"))
     return spark.createDataFrame(rows, "key STRING, value STRING")
 
 
@@ -4132,6 +4173,126 @@ def drop_constraint_manifested(
         return ok, [], new_version
 
     return _commit_retry(fs, jvm, root, _attempt)
+
+
+def tag_create(
+    spark: SparkSession,
+    target_path: str,
+    name: str,
+    version: int | None = None,
+    replace: bool = False,
+) -> int:
+    """Create a named TAG pinning a snapshot (Iceberg's tag refs — the
+    "dataset release" primitive): ``tag_create(…, "train-v1")`` freezes
+    the current (or a given retained) version under a stable name, and
+    GC/expiry keep the tagged snapshot's data, deletion vectors, stats
+    files, and manifest chain alive for as long as the tag exists — the
+    reproducibility contract a training pipeline needs ("the exact bytes
+    model X was trained on") without copying a single file.
+
+    Tags live in the manifest doc itself and travel through the delta
+    chain like constraints, so they are atomic, versioned, and race-safe
+    under the optimistic-commit loop. ``version`` must be retained or
+    already tag-protected (anything else may already be reclaimed).
+    ``replace=True`` moves an existing tag. Metadata-only commit; returns
+    the committed version."""
+    root = target_path.rstrip("/")
+    fs, jvm = _hadoop_fs(spark, root)
+
+    def _attempt(doc, new_version, token):
+        existing = doc.get("tags") or {}
+        if name in existing and not replace:
+            raise ValueError(
+                f"tag_create: tag {name!r} already exists "
+                f"(v{existing[name]['version']}); pass replace=True to move"
+            )
+        target_v = doc["version"] if version is None else int(version)
+        protected = _list_manifest_versions(fs, jvm, root)[-_RETAIN:]
+        protected += [t["version"] for t in existing.values()]
+        if target_v not in protected:
+            raise ValueError(
+                f"tag_create: v{target_v} of {root} is outside the "
+                f"retention window and not tag-protected (readable: "
+                f"{sorted(set(protected))}) — its data may be reclaimed"
+            )
+        new_doc = {
+            "version": new_version,
+            "partitions": dict(doc["partitions"]),
+            "tags": {
+                **existing,
+                name: {
+                    "version": target_v,
+                    "created_at_ms": int(time.time() * 1000),
+                },
+            },
+        }
+        if doc.get("schema") is not None:
+            new_doc["schema"] = doc["schema"]
+        _carry_mapping(doc, new_doc)
+        _carry_dv(doc, new_doc)
+        _carry_constraints(doc, new_doc)
+        if doc.get("stats_cols") or doc.get("bloom_cols"):
+            _carry_stats_config(doc, new_doc)
+            _carry_files(doc, new_doc)
+        _carry_extras(doc, new_doc)
+        new_doc["operation"] = "TAG"
+        ok = _publish_cas(
+            fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
+        )
+        return ok, [], new_version
+
+    return _commit_retry(fs, jvm, root, _attempt)
+
+
+def tag_delete(spark: SparkSession, target_path: str, name: str) -> int:
+    """Delete a tag — the pinned snapshot becomes reclaimable at the next
+    GC unless still inside the retention window. Metadata-only commit."""
+    root = target_path.rstrip("/")
+    fs, jvm = _hadoop_fs(spark, root)
+
+    def _attempt(doc, new_version, token):
+        existing = doc.get("tags") or {}
+        if name not in existing:
+            raise ValueError(
+                f"tag_delete: no tag {name!r} (have: {sorted(existing)})"
+            )
+        kept = {k: v for k, v in existing.items() if k != name}
+        new_doc = {
+            "version": new_version,
+            "partitions": dict(doc["partitions"]),
+            "tags": kept if kept else None,
+        }
+        if doc.get("schema") is not None:
+            new_doc["schema"] = doc["schema"]
+        _carry_mapping(doc, new_doc)
+        _carry_dv(doc, new_doc)
+        _carry_constraints(doc, new_doc)
+        if doc.get("stats_cols") or doc.get("bloom_cols"):
+            _carry_stats_config(doc, new_doc)
+            _carry_files(doc, new_doc)
+        _carry_extras(doc, new_doc)
+        new_doc["operation"] = "UNTAG"
+        ok = _publish_cas(
+            fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
+        )
+        return ok, [], new_version
+
+    return _commit_retry(fs, jvm, root, _attempt)
+
+
+def list_tags(spark: SparkSession, target_path: str) -> DataFrame:
+    """The table's live tags as a DataFrame (name, version,
+    created_at_ms) — metadata-only, one manifest resolution."""
+    root = target_path.rstrip("/")
+    fs, jvm = _hadoop_fs(spark, root)
+    tags = _load_doc(fs, jvm, root).get("tags") or {}
+    rows = [
+        (n, int(t["version"]), int(t["created_at_ms"]))
+        for n, t in sorted(tags.items())
+    ]
+    return spark.createDataFrame(
+        rows, "name STRING, version INT, created_at_ms LONG"
+    )
 
 
 def rollback_manifested(

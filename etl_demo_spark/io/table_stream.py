@@ -286,44 +286,60 @@ class TableStreamReader(DataSourceStreamReader):
         return parts or [_FilePartition(None, "", e)]
 
     # -- executor-side read ------------------------------------------------
-    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+    def read(self, partition: _FilePartition) -> Iterator[Any]:
+        """Yield pyarrow RecordBatches — the vectorized Python-DataSource
+        path (no per-row Python objects anywhere): the parquet columns
+        are cast/renamed to the logical schema, partition-directory
+        values become constant arrays, missing evolved columns become
+        null arrays, and the two meta columns ride along as constants."""
         if partition.file is None:
             return
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
 
         tbl = pq.read_table(partition.file)
-        cols = set(tbl.schema.names)
+        n = tbl.num_rows
+        have = set(tbl.schema.names)
         dirv = _leaf_dir_values(partition.leaf_rel)
-        file_cols: list[tuple[int, str]] = []  # (field idx, physical name)
-        const_vals: list[Any] = [None] * len(self._schema.fields)
-        for i, field in enumerate(self._schema.fields):
+        cols: list[Any] = []
+        names: list[str] = []
+        for field in self._schema.fields:
+            at = to_arrow_type(field.dataType)
             phys = self._mapping.get(field.name, field.name)
-            if phys in cols:
-                file_cols.append((i, phys))
+            if phys in have:
+                col = tbl.column(phys)
+                if (
+                    pa.types.is_timestamp(col.type)
+                    and col.type.tz is None
+                    and pa.types.is_timestamp(at)
+                    and at.tz is not None
+                ):
+                    # session-zoned TIMESTAMP stored tz-naive: the engine
+                    # pins spark.sql.session.timeZone=UTC (session.py),
+                    # so the naive value IS the UTC instant
+                    col = pc.assume_timezone(col, at.tz)
+                if col.type != at:
+                    col = col.cast(at)
             elif phys in dirv:
-                const_vals[i] = _coerce_dir_value(dirv[phys], field.dataType)
-        n_fields = len(self._schema.fields)
-        tail = ("insert", partition.commit_version)
-        arrays = {p: tbl.column(p).to_pylist() for _, p in file_cols}
-        # session-zoned TIMESTAMP columns may be stored tz-naive in the
-        # staged parquet; the engine pins spark.sql.session.timeZone=UTC
-        # (session.py), so a naive value IS the UTC instant — localize it
-        # (Spark's row converter rejects naive values for TimestampType)
-        from datetime import timezone
-
-        for i, p in file_cols:
-            if isinstance(self._schema.fields[i].dataType, T.TimestampType):
-                arrays[p] = [
-                    v.replace(tzinfo=timezone.utc)
-                    if v is not None and v.tzinfo is None
-                    else v
-                    for v in arrays[p]
-                ]
-        for r in range(tbl.num_rows):
-            row = list(const_vals)
-            for i, p in file_cols:
-                row[i] = arrays[p][r]
-            yield tuple(row[:n_fields]) + tail
+                col = pa.array(
+                    [_coerce_dir_value(dirv[phys], field.dataType)] * n,
+                    type=at,
+                )
+            else:  # evolved column older files never saw
+                col = pa.nulls(n, type=at)
+            cols.append(col)
+            names.append(field.name)
+        cols.append(pa.array(["insert"] * n, type=pa.string()))
+        names.append("_change_type")
+        cols.append(
+            pa.array([partition.commit_version] * n, type=pa.int64())
+        )
+        names.append("_commit_version")
+        yield from pa.table(cols, names=names).to_batches(
+            max_chunksize=65536
+        )
 
     def commit(self, end: dict) -> None:
         pass  # offsets are manifest versions; nothing external to ack

@@ -1,0 +1,130 @@
+"""Snapshot TAGS (Iceberg-style named refs) on the manifest layer.
+
+Contract under test: a tag pins a snapshot under a stable name; tagged
+snapshots survive retention GC (data, manifests, ancestors) until the
+tag is deleted; `read_manifested(tag=…)` reads the pinned bytes; tags
+travel atomically through the delta chain and full-snapshot boundaries
+alongside every other commit kind."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_demo_spark.io.manifest import (
+    list_tags,
+    merge_upsert_manifested,
+    read_manifested,
+    tag_create,
+    tag_delete,
+    write_manifested,
+)
+
+
+@pytest.fixture(scope="module")
+def tag_root():
+    root = tempfile.mkdtemp(prefix="manifest_tags_")
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _rows(spark, ids, part="a", val=1.0):
+    return spark.createDataFrame(
+        [(i, part, float(val)) for i in ids],
+        "id BIGINT, part STRING, val DOUBLE",
+    )
+
+
+def _merge(spark, table, df):
+    merge_upsert_manifested(spark, table, df, ["id"], ["part"])
+
+
+def test_tag_pins_snapshot_past_retention_and_through_checkpoint(
+    spark, tag_root
+):
+    table = f"{tag_root}/t1"
+    write_manifested(_rows(spark, range(0, 6)), table, "part")  # v1
+    tag_create(spark, table, "release-1")  # v2 pins v1
+    v1_content = sorted(
+        r["id"] for r in read_manifested(spark, table, tag="release-1").collect()
+    )
+    # 9 merge commits: evicts v1 from the 2-version retention window AND
+    # crosses the _FULL_EVERY=8 full-snapshot boundary, so the tag must
+    # survive both the delta chain and a checkpoint re-encode
+    for i in range(9):
+        _merge(spark, table, _rows(spark, [100 + i], val=2.0))
+    got = read_manifested(spark, table, tag="release-1")
+    assert sorted(r["id"] for r in got.collect()) == v1_content == list(range(6))
+    # the tag reads the OLD state: none of the merged rows are visible
+    assert got.filter("id >= 100").count() == 0
+    assert read_manifested(spark, table).filter("id >= 100").count() == 9
+    # by-version read of the tagged snapshot also works (manifests kept)
+    tags = {r["name"]: r["version"] for r in list_tags(spark, table).collect()}
+    assert tags == {"release-1": 1}
+    assert read_manifested(spark, table, version=1).count() == 6
+
+
+def test_untagged_old_version_is_reclaimed(spark, tag_root):
+    table = f"{tag_root}/t2"
+    write_manifested(_rows(spark, range(0, 4)), table, "part")  # v1
+    for i in range(4):
+        _merge(spark, table, _rows(spark, [50 + i]))
+    with pytest.raises(Exception):
+        read_manifested(spark, table, version=1).collect()
+
+
+def test_tag_delete_releases_protection(spark, tag_root):
+    table = f"{tag_root}/t3"
+    write_manifested(_rows(spark, range(0, 4)), table, "part")  # v1
+    tag_create(spark, table, "tmp")  # v2
+    for i in range(3):
+        _merge(spark, table, _rows(spark, [70 + i], val=3.0))
+    assert read_manifested(spark, table, tag="tmp").count() == 4
+    v1_dirs = glob.glob(f"{table}/part=a/__v0000000001*")
+    assert v1_dirs, "tagged v1 data must still exist"
+    tag_delete(spark, table, "tmp")
+    _merge(spark, table, _rows(spark, [99]))  # next GC reclaims v1
+    assert not glob.glob(f"{table}/part=a/__v0000000001*"), (
+        "untagged v1 data must be reclaimed by the next commit's GC"
+    )
+    with pytest.raises(Exception, match="no tag"):
+        read_manifested(spark, table, tag="tmp").collect()
+
+
+def test_tag_validation_and_replace(spark, tag_root):
+    table = f"{tag_root}/t4"
+    write_manifested(_rows(spark, range(0, 3)), table, "part")  # v1
+    tag_create(spark, table, "r1")  # v2
+    with pytest.raises(ValueError, match="already exists"):
+        tag_create(spark, table, "r1")
+    _merge(spark, table, _rows(spark, [10]))  # v3
+    tag_create(spark, table, "r1", replace=True)  # v4: moves r1 -> v3
+    tags = {r["name"]: r["version"] for r in list_tags(spark, table).collect()}
+    assert tags["r1"] == 3
+    assert read_manifested(spark, table, tag="r1").count() == 4
+    with pytest.raises(ValueError, match="outside the retention window"):
+        tag_create(spark, table, "bad", version=1)
+    with pytest.raises(ValueError, match="version= OR tag="):
+        read_manifested(spark, table, version=3, tag="r1")
+    with pytest.raises(ValueError, match="no tag"):
+        read_manifested(spark, table, tag="ghost")
+    with pytest.raises(ValueError, match="no tag"):
+        tag_delete(spark, table, "ghost")
+
+
+def test_retagging_a_tag_protected_version(spark, tag_root):
+    """A version outside retention but held by one tag can get a second
+    name (release aliases) — protection is the union of live tags."""
+    table = f"{tag_root}/t5"
+    write_manifested(_rows(spark, range(0, 3)), table, "part")  # v1
+    tag_create(spark, table, "first")  # v2
+    for i in range(3):
+        _merge(spark, table, _rows(spark, [30 + i]))
+    tag_create(spark, table, "alias", version=1)  # v1 held by "first"
+    tag_delete(spark, table, "first")
+    _merge(spark, table, _rows(spark, [40]))  # GC: v1 still held by alias
+    assert read_manifested(spark, table, tag="alias").count() == 3
