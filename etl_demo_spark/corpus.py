@@ -10549,3 +10549,61 @@ def orders_tagged_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@query(
+    "mv_stream_maintained",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def mv_stream_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS MATERIALIZED VIEW (`mv.run_mv_stream_refresh`): the
+    events table lands in three commits; a commit-log stream
+    (tablestream `mode=commits` — one metadata row per commit, zero data
+    files read by the stream) drives `mv_refresh` per batch, which folds
+    the actual row deltas through the manifest change feed into one
+    atomic MV commit each. The oracle recomputes the aggregate straight
+    from the source, so a hash match certifies the streamed maintenance
+    lost/duplicated nothing; in-query asserts pin the watermark at the
+    base head and that a fresh-checkpoint full replay is a no-op."""
+    import tempfile
+
+    from etl_demo_spark.io.manifest import (
+        append_manifested,
+        manifest_versions,
+        write_manifested,
+    )
+    from etl_demo_spark.mv import mv_create, mv_read, mv_watermark, run_mv_stream_refresh
+
+    (ev,) = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    root = tempfile.mkdtemp(prefix="mv_stream_q_")
+    base, mv, ck = f"{root}/events", f"{root}/mv", f"{root}/ck"
+    write_manifested(src.filter(F.col("event_id") % 3 == 0), base, "event_type")
+    mv_create(
+        spark, base, mv, ["event_type"],
+        {"n": ("count", None), "total": ("sum", "v")},
+    )
+    append_manifested(spark, base, src.filter(F.col("event_id") % 3 == 1))
+    append_manifested(spark, base, src.filter(F.col("event_id") % 3 == 2))
+
+    stats = run_mv_stream_refresh(spark, mv, ck)
+    assert len(stats) >= 1, "pending commits must trigger a refresh"
+    assert mv_watermark(spark, mv) == manifest_versions(spark, base)[-1]
+    replay = run_mv_stream_refresh(spark, mv, f"{root}/ck_fresh")
+    assert all(s["mode"] == "noop" for s in replay), replay
+
+    return mv_read(spark, mv).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast("double").alias("total_value"),
+    )

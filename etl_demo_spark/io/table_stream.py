@@ -221,9 +221,28 @@ class _FilePartition(InputPartition):
     commit_version: int
 
 
+@dataclass
+class _CommitPartition(InputPartition):
+    version: int  # <=0 = degenerate empty-range partition
+    operation: str | None
+    committed_at_ms: int | None
+
+
+_COMMITS_SCHEMA = T.StructType(
+    [
+        T.StructField("version", T.LongType()),
+        T.StructField("operation", T.StringType()),
+        T.StructField("committed_at_ms", T.LongType()),
+    ]
+)
+
+
 class TableStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self._root = options["path"]
+        self._mode = options.get("mode", "rows")
+        if self._mode not in ("rows", "commits"):
+            raise ValueError("tablestream: mode must be 'rows' or 'commits'")
         self._on_rewrite = options.get("on_rewrite", "fail")
         if self._on_rewrite not in ("fail", "skip"):
             raise ValueError(
@@ -243,6 +262,10 @@ class TableStreamReader(DataSourceStreamReader):
             self._start = int(sv) - 1
             if self._start < 0:
                 raise ValueError("tablestream: starting_version must be >= 1")
+        if self._mode == "commits":
+            self._schema = _COMMITS_SCHEMA
+            self._mapping = {}
+            return
         schema_json = self._head_doc.get("schema")
         if not schema_json:
             raise ValueError(
@@ -274,6 +297,22 @@ class TableStreamReader(DataSourceStreamReader):
                 f"tablestream: offset regression {s} -> {e}; the table's "
                 "manifest log is out of sync with this checkpoint"
             )
+        if self._mode == "commits":
+            # COMMIT-NOTIFICATION stream: one metadata row per commit,
+            # zero data files touched — the channel that drives
+            # continuous MV refresh (mv.run_mv_stream_refresh) and
+            # commit-audit consumers at any table size
+            out: list[_CommitPartition] = []
+            for v in range(s + 1, e + 1):
+                doc = self._doc(v)
+                out.append(
+                    _CommitPartition(
+                        v,
+                        doc.get("operation"),
+                        doc.get("committed_at_ms"),
+                    )
+                )
+            return out or [_CommitPartition(0, None, None)]
         parts: list[_FilePartition] = []
         prev = self._doc(s)
         for v in range(s + 1, e + 1):
@@ -292,6 +331,14 @@ class TableStreamReader(DataSourceStreamReader):
         are cast/renamed to the logical schema, partition-directory
         values become constant arrays, missing evolved columns become
         null arrays, and the two meta columns ride along as constants."""
+        if isinstance(partition, _CommitPartition):
+            if partition.version > 0:
+                yield (
+                    partition.version,
+                    partition.operation,
+                    partition.committed_at_ms,
+                )
+            return
         if partition.file is None:
             return
         import pyarrow as pa
@@ -354,6 +401,8 @@ class TableStreamDataSource(DataSource):
 
     def schema(self) -> T.StructType:
         reader = TableStreamReader(dict(self.options))
+        if reader._mode == "commits":
+            return reader._schema
         return T.StructType(list(reader._schema.fields) + _META_COLS)
 
     def streamReader(self, schema: T.StructType) -> TableStreamReader:

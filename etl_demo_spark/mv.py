@@ -752,3 +752,57 @@ def mv_vacuum(spark: SparkSession, mv_root: str) -> int:
         spark, mv_root, F.col("_n") == 0, "mv_bucket", spec["fmt"]
     )
     return len(affected)
+
+
+def run_mv_stream_refresh(
+    spark: SparkSession,
+    mv_root: str,
+    checkpoint_dir: str,
+    cost_based: bool = True,
+    trigger_seconds: float | None = None,
+) -> list[dict]:
+    """CONTINUOUS MATERIALIZED VIEW: keep the view fresh by tailing the
+    base table's COMMIT LOG — the Delta Live Tables shape, composed from
+    parts this repo already certifies.
+
+    The notification channel is the tablestream source in
+    ``mode=commits`` (`io/table_stream.py`): one metadata row per base
+    commit, ZERO data files read by the stream itself — at 100 TB the
+    stream costs directory listings. Each micro-batch that carries at
+    least one commit triggers `mv_refresh`, which consumes the actual
+    row deltas through the manifest change feed and lands them as one
+    atomic MV commit; its intent machinery makes a replayed notification
+    (restart, duplicate batch) a no-op, so the composition is
+    exactly-once without any new state.
+
+    ``trigger_seconds=None`` runs availableNow (drain pending commits,
+    stop — the scheduled-refresh shape); a value runs a processingTime
+    trigger until the caller stops the query (the live shape). Returns
+    the per-batch `mv_refresh` stats (availableNow mode)."""
+    from etl_demo_spark.io.table_stream import register_table_stream_source
+
+    fs, jvm = _hadoop_fs(spark, mv_root)
+    spec = _load_spec(fs, jvm, mv_root)
+    register_table_stream_source(spark)
+    stats: list[dict] = []
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stats.append(mv_refresh(batch_df.sparkSession, mv_root, cost_based))
+
+    stream = (
+        spark.readStream.format("tablestream")
+        .option("path", spec["base_root"])
+        .option("mode", "commits")
+        .load()
+    )
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is None:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(600)
+        return stats
+    writer.trigger(processingTime=f"{trigger_seconds} seconds").start()
+    return stats
