@@ -10607,3 +10607,89 @@ def mv_stream_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.col("total").cast("double").alias("total_value"),
     )
+
+
+@query(
+    "stream_cdc_out",
+    oracle="""
+    WITH merged AS (
+      SELECT event_id, event_type, user_id,
+             CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM merged
+    WHERE NOT (value > 195.0)
+    GROUP BY event_type
+    """,
+)
+def stream_cdc_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-OUT through the change-data feed (Delta CDF shape): a
+    change_feed table takes an append, an upsert MERGE (values doubled
+    for every tenth key), and a DELETE WHERE; the table stream delivers
+    inserts for the appends and the committers' recorded sidecar rows
+    for the rewrites (update = preimage-delete + postimage-insert). A
+    downstream REPLICA applies the feed as a multiset — inserts EXCEPT
+    ALL deletes — and must converge to the live table (asserted
+    in-query); the oracle recomputes the final state from the base data,
+    so a hash match certifies the whole CDC pipeline end-to-end."""
+    import tempfile
+
+    from etl_demo_spark.io.manifest import (
+        append_manifested,
+        delete_where_manifested,
+        merge_upsert_manifested,
+        read_manifested,
+        write_manifested,
+    )
+    from etl_demo_spark.io.table_stream import register_table_stream_source
+
+    register_table_stream_source(spark)
+    (ev,) = _t(spark, sf_dir, "events")
+    src = ev.select("event_id", "event_type", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="cdc_out_")
+    table, sink, ck = f"{root}/events", f"{root}/sink", f"{root}/ck"
+    write_manifested(
+        src.filter(F.col("event_id") % 2 == 0), table, "event_type",
+        change_feed=True,
+    )  # v1
+    append_manifested(spark, table, src.filter(F.col("event_id") % 2 == 1))
+    merge_upsert_manifested(  # v3: update every tenth key
+        spark,
+        table,
+        src.filter(F.col("event_id") % 10 == 0).withColumn(
+            "value", F.col("value") * 2
+        ),
+        ["event_id"],
+        ["event_type"],
+    )
+    delete_where_manifested(  # v4
+        spark, table, F.col("value") > 195.0, "event_type"
+    )
+
+    q = (
+        spark.readStream.format("tablestream")
+        .option("path", table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    feed = spark.read.parquet(sink).drop("_commit_version")
+    replica = feed.filter("_change_type = 'insert'").drop(
+        "_change_type"
+    ).exceptAll(feed.filter("_change_type = 'delete'").drop("_change_type"))
+    live = read_manifested(spark, table)
+    assert replica.exceptAll(live).count() == 0, "replica has phantom rows"
+    assert live.exceptAll(replica).count() == 0, "replica lost rows"
+
+    return replica.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

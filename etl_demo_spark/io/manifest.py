@@ -95,6 +95,14 @@ _ORPHAN_GRACE_MS = 5 * 60 * 1000
 # materializes the deletions and the pointer's entries for those files drop).
 _DV_DIR = "_dv"
 _DV_SCHEMA = "file_rel STRING, pos BIGINT"
+# Row-level CHANGE-DATA sidecars (Delta CDF's _change_data): rewrite
+# committers on change_feed=true tables record their commit's exact
+# delete/insert rows under <root>/_changes/__v{N}-{token}, referenced
+# per-commit as `change_data` in the manifest — the table stream then
+# delivers updates/deletes instead of refusing the commit, and a
+# compaction (row no-op) records an explicitly EMPTY change set so the
+# stream glides through maintenance. Same lifecycle as DV datasets.
+_CHANGES_DIR = "_changes"
 
 
 def _manifest_path(root: str, version: int) -> str:
@@ -1564,6 +1572,11 @@ def _resolve_doc(fs, jvm, root: str, version: int) -> dict:
         doc["committed_at_ms"] = raw["committed_at_ms"]
     if "operation" in raw:  # per-commit label, never inherited
         doc["operation"] = raw["operation"]
+    if "change_data" in raw:  # per-commit sidecar pointer, never inherited
+        doc["change_data"] = raw["change_data"]
+    cf = raw.get("change_feed", base.get("change_feed"))
+    if cf:
+        doc["change_feed"] = cf
     schema = raw.get("schema", base.get("schema"))
     if schema is not None:
         doc["schema"] = schema
@@ -1653,6 +1666,8 @@ def _encode_commit(prev_doc: dict, new_doc: dict) -> bytes:
         new_doc = {**new_doc, "txns": prev_doc["txns"]}
     if "tags" not in new_doc and prev_doc.get("tags") is not None:
         new_doc = {**new_doc, "tags": prev_doc["tags"]}
+    if "change_feed" not in new_doc and prev_doc.get("change_feed"):
+        new_doc = {**new_doc, "change_feed": prev_doc["change_feed"]}
     if prev_doc.get("_chain", 0) + 1 >= _FULL_EVERY:
         # explicit-null keys (a dropped stats config) exist only to stop
         # delta-chain inheritance; a full snapshot simply omits them
@@ -1703,6 +1718,10 @@ def _encode_commit(prev_doc: dict, new_doc: dict) -> bytes:
         delta["constraints"] = new_doc.get("constraints")
     if new_doc.get("tags") != prev_doc.get("tags"):
         delta["tags"] = new_doc.get("tags")
+    if "change_data" in new_doc:  # per-commit, never diffed vs parent
+        delta["change_data"] = new_doc["change_data"]
+    if new_doc.get("change_feed") != prev_doc.get("change_feed"):
+        delta["change_feed"] = new_doc.get("change_feed")
     if any(k in new_doc for k in ("stats_cols", "bloom_cols")):
         for key in _STATS_CONFIG_KEYS:
             if key in new_doc and new_doc[key] != prev_doc.get(key):
@@ -2065,6 +2084,34 @@ def read_manifested(
     return _apply_dv(spark, loaded, root, dv).select(*out_cols)
 
 
+def _stage_change_data(
+    fs,
+    jvm,
+    root: str,
+    fmt: str,
+    new_version: int,
+    token: str,
+    changes: DataFrame | None,
+    new_doc: dict,
+) -> list[str]:
+    """Stage a commit's row-level change set (columns = the staged
+    physical schema + ``_change_type``) under an attempt-token'd
+    ``_changes`` subdir and point ``new_doc`` at it. ``changes=None``
+    records an explicitly EMPTY change set (a row-no-op rewrite like
+    compaction). Invisible until the manifest referencing it publishes —
+    the same staging discipline as data vrels; the caller adds the
+    returned rels to its lost-race cleanup list."""
+    if changes is None:
+        new_doc["change_data"] = {"rel": None}
+        return []
+    rel = f"{_CHANGES_DIR}/{_vdir(new_version, token)}"
+    changes.write.mode("errorifexists").format(fmt).save(
+        f"{root.rstrip('/')}/{rel}"
+    )
+    new_doc["change_data"] = {"rel": rel}
+    return [rel]
+
+
 def manifest_init(
     spark: SparkSession,
     root: str,
@@ -2079,6 +2126,7 @@ def manifest_init(
     partition_transforms: dict[str, str] | None = None,
     stats_split: bool = False,
     precomputed_stats: dict | None = None,
+    change_feed: bool = False,
 ) -> int:
     """One-time migration of a plain Hive-layout table into manifest
     mode: move each leaf's files into ``<leaf>/__v0000000001`` (renames —
@@ -2160,6 +2208,11 @@ def manifest_init(
         for spec in partition_transforms.values():
             _parse_transform(spec)
         doc["partition_transforms"] = dict(partition_transforms)
+    if change_feed:
+        # CHANGE-DATA FEED: rewrite committers record their exact
+        # delete/insert rows per commit (Delta CDF); see the table
+        # stream's rows mode for the consumer
+        doc["change_feed"] = True
     if stats_cols or bloom_cols:
         if stats_cols:
             doc["stats_cols"] = list(stats_cols)
@@ -2317,6 +2370,36 @@ def _gc(fs, jvm, root: str, keep_versions: list[int]) -> None:
                 continue
             if name in superseded_stats or st.getModificationTime() < cutoff:
                 fs.delete(st.getPath(), False)
+
+    # change-data sidecars (root/_changes/__v…): referenced per-commit —
+    # a kept version's raw manifest is the pointer; anything else is
+    # reclaimable immediately (superseded commit) or past the grace
+    # window (crashed attempt)
+    referenced_ch: set[str] = set()
+    for v in keep_versions:
+        try:
+            ch = _load_raw(fs, jvm, root, v).get("change_data")
+        except Exception:
+            ch = None
+        if ch and ch.get("rel"):
+            referenced_ch.add(ch["rel"])
+    chp = jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/{_CHANGES_DIR}")
+    if fs.exists(chp):
+        superseded_ch: set[str] = set()
+        for v in listed:
+            if v not in keep_versions:
+                try:
+                    ch = _load_raw(fs, jvm, root, v).get("change_data")
+                except Exception:
+                    continue
+                if ch and ch.get("rel") and ch["rel"] not in referenced_ch:
+                    superseded_ch.add(ch["rel"])
+        for st in fs.listStatus(chp):
+            r = f"{_CHANGES_DIR}/{st.getPath().getName()}"
+            if r in referenced_ch:
+                continue
+            if r in superseded_ch or st.getModificationTime() < cutoff:
+                fs.delete(st.getPath(), True)
 
     # deletion-vector datasets (root/_dv/__v…): same lifecycle as version
     # subdirs — keep what retained manifests point at, reclaim superseded
@@ -2536,6 +2619,12 @@ def compact_manifested(
         _carry_extras(doc, new_doc)
         _attach_stats(spark, fmt, roots, doc, new_doc, staged_vrels, token)
         new_doc["operation"] = "OPTIMIZE"
+        if doc.get("change_feed"):
+            # a compaction changes no row: an explicit EMPTY change set
+            # lets the table stream glide through maintenance commits
+            _stage_change_data(
+                fs, jvm, roots, fmt, new_version, token, None, new_doc
+            )
         ok = _publish_cas(
             fs,
             jvm,
@@ -2648,6 +2737,10 @@ def repartition_manifested(
         _carry_extras(doc, new_doc)
         _attach_stats(spark, fmt, roots, doc, new_doc, staged_vrels, token)
         new_doc["operation"] = "REPARTITION"
+        if doc.get("change_feed"):
+            _stage_change_data(  # row no-op, like OPTIMIZE
+                fs, jvm, roots, fmt, new_version, token, None, new_doc
+            )
         ok = _publish_cas(
             fs, jvm, _manifest_path(roots, new_version), _encode_commit(doc, new_doc)
         )
@@ -3061,6 +3154,26 @@ def merge_upsert_manifested(
             col_mapping=cmap, precomputed=precomputed,
         )
         new_doc["operation"] = "MERGE"
+        change_rels: list[str] = []
+        if doc.get("change_feed"):
+            # CDF sidecar (Delta semantics): every TOUCHED key emits its
+            # preimage as a delete and its post-merge row as an insert;
+            # brand-new keys emit insert only. Two semi-joins on frames
+            # the merge already computed — no extra table scan.
+            skeys = source.select(*keys).distinct()
+            pre = scoped.join(skeys, keys, "semi").withColumn(
+                "_change_type", F.lit("delete")
+            )
+            post = merged.join(skeys, keys, "semi").withColumn(
+                "_change_type", F.lit("insert")
+            )
+            change_rels = _stage_change_data(
+                fs, jvm, root, fmt, new_version, token,
+                _to_physical(
+                    pre.unionByName(post, allowMissingColumns=True), cmap
+                ),
+                new_doc,
+            )
         ok = _publish_cas(  # the atomic commit point
             fs,
             jvm,
@@ -3068,7 +3181,7 @@ def merge_upsert_manifested(
             _encode_commit(doc, new_doc),
         )
         result = [values[0] for values in affected] if single else affected
-        return ok, staged_vrels, result
+        return ok, staged_vrels + change_rels, result
 
     return _commit_retry(fs, jvm, root, _attempt)
 
@@ -3087,6 +3200,7 @@ def write_manifested(
     partition_transforms: dict[str, str] | None = None,
     stats_split: bool = False,
     stats_inline: bool | None = None,
+    change_feed: bool = False,
 ) -> int:
     """Create a manifested table from a DataFrame in one call: write the
     partitioned layout, then `manifest_init` it (stats/bloom config
@@ -3175,6 +3289,7 @@ def write_manifested(
         partition_transforms=partition_transforms,
         stats_split=stats_split,
         precomputed_stats=precomputed,
+        change_feed=change_feed,
     )
 
 
@@ -3683,11 +3798,26 @@ def delete_where_manifested(
         _carry_extras(doc, new_doc)
         _attach_stats(spark, fmt, root, doc, new_doc, staged_vrels, token)
         new_doc["operation"] = "DELETE"
+        change_rels: list[str] = []
+        if doc.get("change_feed"):
+            doomed = target.filter(_partition_filter(cols, affected)).filter(
+                F.coalesce(predicate, F.lit(False))
+            )
+            for c in cols:
+                doomed = doomed.withColumn(c, F.col(c).cast("string"))
+            change_rels = _stage_change_data(
+                fs, jvm, root, fmt, new_version, token,
+                _to_physical(
+                    doomed.withColumn("_change_type", F.lit("delete")),
+                    doc.get("column_mapping"),
+                ),
+                new_doc,
+            )
         ok = _publish_cas(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
         )
         result = [values[0] for values in affected] if single else affected
-        return ok, staged_vrels, result
+        return ok, staged_vrels + change_rels, result
 
     return _commit_retry(fs, jvm, root, _attempt)
 
@@ -3790,11 +3920,25 @@ def update_where_manifested(
         _carry_extras(doc, new_doc)
         _attach_stats(spark, fmt, root, doc, new_doc, staged_vrels, token)
         new_doc["operation"] = "UPDATE"
+        change_rels: list[str] = []
+        if doc.get("change_feed"):
+            pre, post = matched, moved
+            for c in cols:
+                pre = pre.withColumn(c, F.col(c).cast("string"))
+                post = post.withColumn(c, F.col(c).cast("string"))
+            changes = pre.withColumn(
+                "_change_type", F.lit("delete")
+            ).unionByName(post.withColumn("_change_type", F.lit("insert")))
+            change_rels = _stage_change_data(
+                fs, jvm, root, fmt, new_version, token,
+                _to_physical(changes, doc.get("column_mapping")),
+                new_doc,
+            )
         ok = _publish_cas(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
         )
         result = [values[0] for values in affected] if single else affected
-        return ok, staged_vrels, result
+        return ok, staged_vrels + change_rels, result
 
     return _commit_retry(fs, jvm, root, _attempt)
 
@@ -4398,12 +4542,25 @@ def delete_keys_dv_manifested(
     right-to-erasure, follow with `compact_manifested` + `manifest_expire`.
     Returns the rows newly deleted."""
     key_set = keys_df.select(*keys).distinct()
+    # emit_changes=False: this is the ERASURE path — copying the doomed
+    # rows into a change sidecar would defeat right-to-erasure. A stream
+    # tailing the table treats the commit per its on_rewrite policy.
     return _delete_dv(
-        spark, target_path, fmt, lambda t: t.join(key_set, keys, "left_semi")
+        spark,
+        target_path,
+        fmt,
+        lambda t: t.join(key_set, keys, "left_semi"),
+        emit_changes=False,
     )
 
 
-def _delete_dv(spark: SparkSession, target_path: str, fmt: str, matcher) -> int:
+def _delete_dv(
+    spark: SparkSession,
+    target_path: str,
+    fmt: str,
+    matcher,
+    emit_changes: bool = True,
+) -> int:
     """Shared merge-on-read DELETE commit: ``matcher`` narrows the
     location-bearing snapshot read to the doomed rows; everything after
     is the DV union + counts + sidecar write + pointer CAS."""
@@ -4476,10 +4633,22 @@ def _delete_dv(spark: SparkSession, target_path: str, fmt: str, matcher) -> int:
             _carry_files(doc, new_doc)
         _carry_extras(doc, new_doc)
         new_doc["operation"] = "DELETE"
+        change_rels: list[str] = []
+        if emit_changes and doc.get("change_feed"):
+            doomed = (
+                matcher(target)
+                .drop("__dv_file", "__dv_pos")
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            change_rels = _stage_change_data(
+                fs, jvm, root, fmt, new_version, token,
+                _to_physical(doomed, doc.get("column_mapping")),
+                new_doc,
+            )
         ok = _publish_cas(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
         )
-        return ok, [dv_rel], n_new
+        return ok, [dv_rel] + change_rels, n_new
 
     return _commit_retry(fs, jvm, root, _attempt)
 

@@ -26,13 +26,22 @@ Design (and why it scales):
   each commit ARE the batch, one input partition per data file,
   executor-parallel pyarrow reads. Nothing is recomputed, diffed, or
   copied — delivering a 1 GB append costs reading 1 GB, once.
-* APPEND-ONLY BY CONTRACT, LIKE DELTA'S SOURCE. A commit that rewrites
-  or drops a leaf (compaction, UPDATE/DELETE, merge into an existing
-  leaf, a DV delete) is not representable as pure inserts; the source
-  FAILS LOUDLY by default (Delta's behavior without ``ignoreChanges``).
-  ``on_rewrite=skip`` opts into skipping such leaves (the stream stays
-  alive through maintenance windows; rewritten rows are NOT
-  re-delivered — document your consumer accordingly).
+* REWRITES STREAM THROUGH THE CHANGE-DATA FEED. On a table created
+  with ``change_feed=True``, every rewrite committer (MERGE / DELETE
+  WHERE / UPDATE WHERE / DV delete) records its exact row changes in a
+  per-commit sidecar (Delta CDF's _change_data shape); the stream
+  delivers those rows — an update arrives as its preimage-delete plus
+  postimage-insert — and a compaction/repartition records an explicitly
+  EMPTY change set, so maintenance commits glide through. Without the
+  feed, a rewrite is not representable as inserts and the source FAILS
+  LOUDLY by default (Delta's behavior without ``ignoreChanges``);
+  ``on_rewrite=skip`` opts into skipping such leaves. The GDPR erasure
+  path (`delete_keys_dv_manifested`) deliberately writes NO sidecar —
+  copying erased rows into a change file would defeat right-to-erasure.
+* ``mode=commits`` streams the COMMIT LOG itself — one metadata row per
+  commit (version, operation, committed_at_ms), zero data files read:
+  the notification channel behind `mv.run_mv_stream_refresh` and any
+  audit consumer.
 * the reader resolves manifests with plain-posix IO (``fs=None`` fast
   path in the manifest layer) because Python DataSource readers run
   outside the JVM. Data files are read with pyarrow. Local/posix
@@ -219,6 +228,7 @@ class _FilePartition(InputPartition):
     file: str | None  # None = degenerate empty-range partition
     leaf_rel: str
     commit_version: int
+    change_file: bool = False  # file carries its own _change_type column
 
 
 @dataclass
@@ -317,6 +327,20 @@ class TableStreamReader(DataSourceStreamReader):
         prev = self._doc(s)
         for v in range(s + 1, e + 1):
             cur = self._doc(v)
+            ch = cur.get("change_data")
+            if ch is not None:
+                # CHANGE-DATA commit (change_feed tables): the committer
+                # recorded its exact delete/insert rows — stream the
+                # sidecar INSTEAD of diffing structure. An explicit
+                # rel=None (compaction/repartition) is a row no-op: the
+                # stream glides through maintenance.
+                if ch.get("rel"):
+                    for f in _data_files(self._root, ch["rel"]):
+                        parts.append(
+                            _FilePartition(f, "", v, change_file=True)
+                        )
+                prev = cur
+                continue
             for vrel in _commit_inserts(prev, cur, self._on_rewrite, self._root):
                 leaf_rel = vrel.rsplit("/", 1)[0]
                 for f in _data_files(self._root, vrel):
@@ -378,7 +402,10 @@ class TableStreamReader(DataSourceStreamReader):
                 col = pa.nulls(n, type=at)
             cols.append(col)
             names.append(field.name)
-        cols.append(pa.array(["insert"] * n, type=pa.string()))
+        if partition.change_file:
+            cols.append(tbl.column("_change_type").cast(pa.string()))
+        else:
+            cols.append(pa.array(["insert"] * n, type=pa.string()))
         names.append("_change_type")
         cols.append(
             pa.array([partition.commit_version] * n, type=pa.int64())

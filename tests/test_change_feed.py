@@ -1,0 +1,149 @@
+"""Change-data feed (Delta CDF shape): rewrite committers on
+``change_feed=True`` tables record their exact delete/insert rows in a
+per-commit sidecar; the table stream delivers them instead of refusing
+the commit, maintenance rewrites stream as row no-ops, and a downstream
+replica applying the feed (multiset inserts EXCEPT ALL deletes)
+converges to the table."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_demo_spark.io.manifest import (
+    append_manifested,
+    compact_manifested,
+    delete_keys_dv_manifested,
+    delete_rows_manifested,
+    delete_where_manifested,
+    merge_upsert_manifested,
+    read_manifested,
+    update_where_manifested,
+    write_manifested,
+)
+from etl_demo_spark.io.table_stream import register_table_stream_source
+
+
+@pytest.fixture(scope="module")
+def cdf_root():
+    root = tempfile.mkdtemp(prefix="cdf_")
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _rows(spark, ids, part="a", val=1.0):
+    return spark.createDataFrame(
+        [(i, part, float(val)) for i in ids],
+        "id BIGINT, part STRING, val DOUBLE",
+    )
+
+
+def _drain(spark, table, sink, ck):
+    register_table_stream_source(spark)
+    q = (
+        spark.readStream.format("tablestream")
+        .option("path", table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(sink)
+
+
+def _replica(feed):
+    body = feed.drop("_commit_version")
+    ins = body.filter("_change_type = 'insert'").drop("_change_type")
+    dels = body.filter("_change_type = 'delete'").drop("_change_type")
+    return ins.exceptAll(dels)
+
+
+def _assert_converged(spark, feed, table):
+    rep = _replica(feed)
+    tbl = read_manifested(spark, table)
+    assert rep.exceptAll(tbl).count() == 0
+    assert tbl.exceptAll(rep).count() == 0
+
+
+def test_merge_streams_update_pairs_and_replica_converges(spark, cdf_root):
+    table = f"{cdf_root}/t1"
+    write_manifested(_rows(spark, range(0, 5)), table, "part", change_feed=True)
+    # update ids 1,2 (val 9.0) + insert 100 — one merge commit (v2)
+    merge_upsert_manifested(
+        spark, table, _rows(spark, [1, 2, 100], val=9.0), ["id"], ["part"]
+    )
+    feed = _drain(spark, table, f"{cdf_root}/t1_sink", f"{cdf_root}/t1_ck")
+    v2 = feed.filter("_commit_version = 2")
+    # touched keys 1,2: delete(preimage val=1.0) + insert(postimage 9.0);
+    # new key 100: insert only
+    assert v2.filter("_change_type = 'delete'").count() == 2
+    assert v2.filter("_change_type = 'delete' AND val = 1.0").count() == 2
+    assert v2.filter("_change_type = 'insert'").count() == 3
+    assert v2.filter("_change_type = 'insert' AND val = 9.0").count() == 3
+    _assert_converged(spark, feed, table)
+
+
+def test_delete_and_update_where_stream_their_rows(spark, cdf_root):
+    table = f"{cdf_root}/t2"
+    write_manifested(_rows(spark, range(0, 8)), table, "part", change_feed=True)
+    delete_where_manifested(spark, table, F.col("id") >= 6, "part")  # v2
+    update_where_manifested(
+        spark, table, {"val": F.lit(7.5)}, F.col("id") < 2, "part"
+    )  # v3
+    feed = _drain(spark, table, f"{cdf_root}/t2_sink", f"{cdf_root}/t2_ck")
+    v2 = feed.filter("_commit_version = 2")
+    assert v2.filter("_change_type = 'delete'").count() == 2
+    assert v2.filter("_change_type = 'insert'").count() == 0
+    v3 = feed.filter("_commit_version = 3")
+    assert v3.filter("_change_type = 'delete' AND val = 1.0").count() == 2
+    assert v3.filter("_change_type = 'insert' AND val = 7.5").count() == 2
+    _assert_converged(spark, feed, table)
+
+
+def test_compaction_streams_as_row_noop(spark, cdf_root):
+    table = f"{cdf_root}/t3"
+    write_manifested(_rows(spark, range(0, 3)), table, "part", change_feed=True)
+    append_manifested(spark, table, _rows(spark, [10, 11]))  # v2
+    compact_manifested(spark, table)  # v3: rewrite, zero row change
+    append_manifested(spark, table, _rows(spark, [20]))  # v4
+    feed = _drain(spark, table, f"{cdf_root}/t3_sink", f"{cdf_root}/t3_ck")
+    assert feed.filter("_commit_version = 3").count() == 0
+    assert feed.filter("_commit_version = 4").count() == 1
+    _assert_converged(spark, feed, table)
+
+
+def test_dv_delete_streams_deletes_but_erasure_path_does_not(spark, cdf_root):
+    table = f"{cdf_root}/t4"
+    write_manifested(_rows(spark, range(0, 6)), table, "part", change_feed=True)
+    delete_rows_manifested(spark, table, F.col("id") >= 4)  # v2: DV + CDF
+    feed = _drain(spark, table, f"{cdf_root}/t4_sink", f"{cdf_root}/t4_ck")
+    v2 = feed.filter("_commit_version = 2")
+    assert v2.filter("_change_type = 'delete'").count() == 2
+    _assert_converged(spark, feed, table)
+    # GDPR path: no sidecar, the stream refuses (on_rewrite default)
+    delete_keys_dv_manifested(
+        spark, table, spark.createDataFrame([(0,)], "id BIGINT"), ["id"]
+    )  # v3
+    with pytest.raises(Exception, match="rewrote leaf|STREAM_FAILED"):
+        _drain(spark, table, f"{cdf_root}/t4_sink", f"{cdf_root}/t4_ck")
+
+
+def test_change_sidecar_reclaimed_past_retention(spark, cdf_root):
+    table = f"{cdf_root}/t5"
+    write_manifested(_rows(spark, range(0, 4)), table, "part", change_feed=True)
+    merge_upsert_manifested(spark, table, _rows(spark, [1], val=5.0), ["id"], ["part"])  # v2
+    assert glob.glob(f"{table}/_changes/__v0000000002*")
+    for i in range(3):  # v3..v5 push v2 out of retention; GC runs per commit
+        merge_upsert_manifested(
+            spark, table, _rows(spark, [200 + i]), ["id"], ["part"]
+        )
+    assert not glob.glob(f"{table}/_changes/__v0000000002*"), (
+        "expired commit's change sidecar must be reclaimed"
+    )
