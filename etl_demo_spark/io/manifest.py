@@ -2837,6 +2837,132 @@ def manifest_diff(
     return out
 
 
+def _events_plan(
+    fs, jvm, root: str, v_from: int, v_to: int
+) -> dict | None:
+    """Per-commit EVENT-SOURCE plan for the range (v_from, v_to]: which
+    change sidecars and appended vrels cover every commit, or ``None``
+    when any rewrite commit lacks a sidecar (callers then fall back to
+    the net-diff `read_changes`). Metadata-only; verifies the needed
+    dirs still exist (an expired intermediate's sidecar may be gone)."""
+    from etl_demo_spark.io.table_stream import _commit_inserts
+
+    sidecars: list[tuple[int, str]] = []
+    appends: list[tuple[int, str]] = []
+    prev = _resolve_doc(fs, jvm, root, v_from) if v_from > 0 else {
+        "version": 0, "partitions": {}
+    }
+    for v in range(v_from + 1, v_to + 1):
+        try:
+            cur = _resolve_doc(fs, jvm, root, v)
+        except Exception:
+            return None
+        ch = cur.get("change_data")
+        if ch is not None:
+            if ch.get("rel"):
+                if not fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{root.rstrip('/')}/{ch['rel']}"
+                    )
+                ):
+                    return None  # reclaimed intermediate sidecar
+                sidecars.append((v, ch["rel"]))
+            prev = cur
+            continue
+        try:
+            vrels = _commit_inserts(prev, cur, "fail", root)
+        except ValueError:
+            return None  # rewrite without a sidecar
+        appends.extend((v, r) for r in vrels)
+        prev = cur
+    return {"sidecars": sidecars, "appends": appends, "to_doc": prev}
+
+
+def read_change_events(
+    spark: SparkSession,
+    root: str,
+    v_from: int,
+    v_to: int,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """PER-COMMIT change events for (v_from, v_to] — the O(changes)
+    sibling of `read_changes`: appends feed their new vrels as inserts
+    and every rewrite commit feeds its recorded CHANGE SIDECAR
+    (``change_feed=True`` tables), so the cost is the bytes of what
+    actually changed — never a whole-leaf EXCEPT ALL. Row multiset =
+    the net diff PLUS intra-range churn (a row updated twice appears
+    twice), which folds identically through any linear aggregate — the
+    MV fold consumes this when available. Raises ValueError when a
+    rewrite commit has no sidecar (use `read_changes` there)."""
+    fs, jvm = _hadoop_fs(spark, root)
+    a = _load_doc(fs, jvm, root, v_from)
+    b = _load_doc(fs, jvm, root, v_to)
+    if b["version"] <= a["version"]:
+        raise ValueError(
+            f"read_change_events: v_to ({b['version']}) must be newer "
+            f"than v_from ({a['version']})"
+        )
+    plan = _events_plan(fs, jvm, root, a["version"], b["version"])
+    if plan is None:
+        raise ValueError(
+            f"read_change_events: range v{a['version']}..v{b['version']} of "
+            f"{root} contains a rewrite without a change sidecar; use "
+            "read_changes (net diff) instead"
+        )
+    schema_json = b.get("schema") or a.get("schema")
+    schema = (
+        T.StructType.fromJson(json.loads(schema_json)) if schema_json else None
+    )
+    cm = (b if b.get("schema") else a).get("column_mapping") or {}
+
+    def normalize(df: DataFrame, insert_only: bool) -> DataFrame:
+        cols = []
+        for f in schema.fields:
+            phys = cm.get(f.name, f.name)
+            cols.append(
+                (
+                    F.col(phys) if phys in df.columns else F.lit(None)
+                ).cast(f.dataType).alias(f.name)
+            )
+        if insert_only:
+            cols.append(F.lit("insert").alias("_change_type"))
+        else:
+            cols.append(F.col("_change_type"))
+        return df.select(*cols)
+
+    if schema is None:
+        raise ValueError(
+            f"read_change_events: {root} has no stored schema"
+        )
+    parts: list[DataFrame] = []
+    app_vrels = [r for _, r in plan["appends"]]
+    if app_vrels:
+        reader = spark.read.format(fmt).option("basePath", root)
+        df = reader.schema(_physical_schema(schema, cm)).load(
+            [f"{root.rstrip('/')}/{v}" for v in sorted(app_vrels)]
+        )
+        parts.append(normalize(df, insert_only=True))
+    for _, rel in plan["sidecars"]:
+        # per-dir inference read: sidecar physical types vary by
+        # committer (string-cast partition cols vs typed), the explicit
+        # casts in normalize() reconcile them
+        parts.append(
+            normalize(
+                spark.read.format(fmt).load(f"{root.rstrip('/')}/{rel}"),
+                insert_only=False,
+            )
+        )
+    if not parts:
+        empty = spark.createDataFrame([], schema)
+        return empty.withColumn("_change_type", F.lit("insert")).filter(
+            F.lit(False)
+        )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out
+
+
 def manifest_expire(spark: SparkSession, root: str, keep: int = 1) -> list[int]:
     """Expire old snapshots NOW: keep the newest ``keep`` manifests,
     delete every older manifest and every version subdir only they

@@ -266,10 +266,22 @@ def _fold_incremental(
     rows for every affected group. Returns (source, recompute_groups)."""
     keys = spec["keys"]
     aggs = {o: tuple(kc) for o, kc in spec["aggs"].items()}
-    ch = _derive(
-        read_changes(spark, spec["base_root"], v_from, v_to, spec["fmt"]),
-        spec["derived"],
-    )
+    # EVENTS when the range is fully covered by change sidecars +
+    # structural appends (change_feed tables): the fold then reads
+    # O(changed rows) instead of whole-leaf EXCEPT ALLs. Intra-range
+    # churn folds identically through the signed delta; the MIN/MAX
+    # delete-side repair below stays conservative under events (a value
+    # inserted and deleted inside the range still triggers repair when
+    # it ties-or-crosses the stored extremum).
+    from etl_demo_spark.io.manifest import read_change_events
+
+    try:
+        feed = read_change_events(
+            spark, spec["base_root"], v_from, v_to, spec["fmt"]
+        )
+    except ValueError:
+        feed = read_changes(spark, spec["base_root"], v_from, v_to, spec["fmt"])
+    ch = _derive(feed, spec["derived"])
     dtypes = dict(ch.dtypes)
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
 
@@ -463,6 +475,53 @@ def _refresh_cost_estimate(
     fs, jvm = _hadoop_fs(spark, root)
     a = _load_doc(fs, jvm, root, v_from)
     b = _load_doc(fs, jvm, root, v_to)
+
+    def vbytes_(vrel: str) -> int:
+        return int(
+            fs.getContentSummary(
+                jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/{vrel}")
+            ).getLength()
+        )
+
+    from etl_demo_spark.io.manifest import _events_plan
+
+    plan = _events_plan(fs, jvm, root, a["version"], b["version"])
+    if plan is not None and plan["sidecars"]:
+        # the fold will consume events: sidecar bytes + appended bytes,
+        # every byte read exactly once — no EXCEPT ALL weighting
+        fold_cost = float(
+            sum(vbytes_(r) for _, r in plan["sidecars"])
+            + sum(vbytes_(r) for _, r in plan["appends"])
+        )
+        all_b = set(b["partitions"].values()) | {
+            v for vs in (b.get("extra_vrels") or {}).values() for v in vs
+        }
+        stop_at = max(
+            float(floor_bytes),
+            fold_cost / crossover if crossover > 0 else float("inf"),
+        )
+        base_bytes, complete = 0, True
+        for v in all_b:
+            base_bytes += vbytes_(v)
+            if base_bytes > stop_at:
+                complete = False
+                break
+        return {
+            "changed_bytes": int(fold_cost),
+            "append_bytes": int(sum(vbytes_(r) for _, r in plan["appends"])),
+            "diff_bytes": 0,
+            "sidecar_bytes": int(
+                sum(vbytes_(r) for _, r in plan["sidecars"])
+            ),
+            "fold_cost_bytes": int(fold_cost),
+            "base_bytes_scanned": base_bytes,
+            "base_scan_complete": complete,
+            "full_cheaper": complete
+            and (
+                base_bytes <= floor_bytes
+                or fold_cost >= crossover * base_bytes
+            ),
+        }
     pa, pb = a["partitions"], b["partitions"]
     fa = (a.get("dv") or {}).get("files", {})
     fb = (b.get("dv") or {}).get("files", {})
