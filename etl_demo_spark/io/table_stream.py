@@ -60,10 +60,14 @@ streaming at all — this is north-star X-10 surface. The semantics
 follow Delta Lake's streaming source (startingVersion / ignoreChanges)
 as public prior art.
 
-Options: ``path`` (table root, required), ``starting_version``
-(int, default 1 = full history from the CREATE commit; ``latest`` =
-only commits after the stream starts), ``on_rewrite``
-(``fail`` default / ``skip``).
+Options: ``path`` (table root, required); ``starting_version`` —
+``earliest`` (default: the FULL SNAPSHOT at the oldest retained
+version as the first batch, each row attributed to the version that
+committed its file, then tail — robust however many rewrites preceded),
+an int N (exact commit-history replay from version N; fails loudly if
+N's data left retention), or ``latest`` (only commits after the stream
+starts); ``on_rewrite`` (``fail`` default / ``skip``);
+``mode`` (``rows`` default / ``commits``).
 """
 
 from __future__ import annotations
@@ -229,6 +233,16 @@ class _FilePartition(InputPartition):
     leaf_rel: str
     commit_version: int
     change_file: bool = False  # file carries its own _change_type column
+    dv_pos: tuple[int, ...] | None = None  # DV-deleted row indexes to drop
+
+
+def _vrel_version(vrel: str) -> int:
+    """The version that committed a vrel, parsed from its dir name
+    (``…/__v0000000007-ab12cd34``) — the initial snapshot's per-file
+    commit attribution."""
+    name = vrel.rsplit("/", 1)[-1]
+    core = name[len("__v"):].split("-", 1)[0]
+    return int(core)
 
 
 @dataclass
@@ -265,14 +279,26 @@ class TableStreamReader(DataSourceStreamReader):
                 f"tablestream: {self._root} is not a manifested table"
             )
         self._head_doc = m._resolve_doc(None, None, self._root, versions[-1])
-        sv = options.get("starting_version", "1")
+        sv = options.get("starting_version", "earliest")
+        self._snapshot = False
         if sv == "latest":
             self._start = versions[-1]
+        elif sv == "earliest":
+            # the robust default (Delta's): deliver the FULL snapshot at
+            # the oldest RETAINED version (its data is guaranteed
+            # present, whatever rewrites preceded it), then tail commits.
+            # Snapshot rows are attributed to the version that committed
+            # their file (parsed from the vrel name) — exact history for
+            # append-only tables, file-commit attribution after rewrites.
+            self._start = versions[-_manifest()._RETAIN:][0]
+            self._snapshot = self._mode == "rows"
         else:
             self._start = int(sv) - 1
             if self._start < 0:
                 raise ValueError("tablestream: starting_version must be >= 1")
         if self._mode == "commits":
+            if sv == "earliest":
+                self._start -= 1  # deliver the oldest retained commit too
             self._schema = _COMMITS_SCHEMA
             self._mapping = {}
             return
@@ -288,6 +314,8 @@ class TableStreamReader(DataSourceStreamReader):
 
     # -- offsets ----------------------------------------------------------
     def initialOffset(self) -> dict:
+        if self._snapshot:
+            return {"v": self._start, "snap": True}
         return {"v": self._start}
 
     def latestOffset(self) -> dict:
@@ -324,6 +352,38 @@ class TableStreamReader(DataSourceStreamReader):
                 )
             return out or [_CommitPartition(0, None, None)]
         parts: list[_FilePartition] = []
+        if start.get("snap"):
+            # INITIAL SNAPSHOT: every live vrel of the starting version,
+            # as inserts, attributed to the version that committed each
+            # file; DV-deleted row positions are dropped at read time
+            m = _manifest()
+            doc = self._doc(s)
+            dv_by_file: dict[str, list[int]] = {}
+            dv = doc.get("dv")
+            if dv and dv.get("files"):
+                import pyarrow.parquet as pq
+
+                d = os.path.join(
+                    _strip_scheme(self._root.rstrip("/")), dv["rel"]
+                )
+                tbl = pq.read_table(d)
+                for fr, pos in zip(
+                    tbl.column("file_rel").to_pylist(),
+                    tbl.column("pos").to_pylist(),
+                ):
+                    dv_by_file.setdefault(fr, []).append(int(pos))
+            for vrel in sorted(m._all_vrels(doc)):
+                leaf_rel = vrel.rsplit("/", 1)[0]
+                cv = _vrel_version(vrel)
+                for f in _data_files(self._root, vrel):
+                    frel = f"{vrel}/{os.path.basename(f)}"
+                    pos = dv_by_file.get(frel)
+                    parts.append(
+                        _FilePartition(
+                            f, leaf_rel, cv,
+                            dv_pos=tuple(pos) if pos else None,
+                        )
+                    )
         prev = self._doc(s)
         for v in range(s + 1, e + 1):
             cur = self._doc(v)
@@ -371,6 +431,14 @@ class TableStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_type
 
         tbl = pq.read_table(partition.file)
+        if partition.dv_pos:
+            # initial-snapshot read of a file with deletion-vector rows:
+            # drop the tombstoned positions (file row order == position)
+            import numpy as np
+
+            keep = np.ones(tbl.num_rows, dtype=bool)
+            keep[list(partition.dv_pos)] = False
+            tbl = tbl.filter(pa.array(keep))
         n = tbl.num_rows
         have = set(tbl.schema.names)
         dirv = _leaf_dir_values(partition.leaf_rel)

@@ -117,7 +117,7 @@ def main() -> None:
     side = str(root / "audit")
     write_manifested(
         orders.limit(20).select("o_orderkey", "o_orderpriority"),
-        side, "o_orderpriority",
+        side, "o_orderpriority", change_feed=True,
     )
     cat = str(root / "cat")
     catalog_init(spark, cat, {"orders": tbl, "audit": side})
@@ -137,6 +137,42 @@ def main() -> None:
         "SELECT COUNT(*) AS orders_rows, "
         "(SELECT COUNT(*) FROM lk_audit) AS audit_rows FROM lk_orders"
     ).show()
+    # 7. Round-8 surfaces: tags, the table stream, continuous MV
+    from etl_demo_spark.io.manifest import list_tags, tag_create
+    from etl_demo_spark.io.table_stream import register_table_stream_source
+    from etl_demo_spark.mv import run_mv_stream_refresh
+
+    tag_create(spark, side, "release-1")  # pin the audit table's state
+    merge_upsert_manifested(
+        spark, side,
+        orders.limit(60).select("o_orderkey", "o_orderpriority"),
+        ["o_orderkey"], ["o_orderpriority"],
+    )
+    pinned = read_manifested(spark, side, tag="release-1").count()
+    live = read_manifested(spark, side).count()
+    print(f"tag release-1 reads {pinned} rows while the live table has {live}")
+    list_tags(spark, side).show()
+
+    register_table_stream_source(spark)
+    sink, ck = str(root / "feed"), str(root / "feed_ck")
+    q = (
+        spark.readStream.format("tablestream")
+        .option("path", side)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    spark.read.parquet(sink).groupBy("_commit_version").count().orderBy(
+        "_commit_version"
+    ).show()
+
+    stats = run_mv_stream_refresh(spark, mv, str(root / "mv_ck"))
+    print(f"continuous MV: {len(stats)} stream-triggered refresh(es)")
+
     print("done — all surfaces exercised under", root)
 
 

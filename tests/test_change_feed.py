@@ -91,13 +91,20 @@ def test_merge_streams_update_pairs_and_replica_converges(spark, cdf_root):
 
 
 def test_delete_and_update_where_stream_their_rows(spark, cdf_root):
+    """Subscriber pattern: a persistent checkpoint drains after each
+    commit, so every rewrite's sidecar is delivered as it lands (an
+    after-the-fact earliest-snapshot stream would see only the final
+    state — that contract is covered by test_initial_snapshot below)."""
     table = f"{cdf_root}/t2"
+    sink, ck = f"{cdf_root}/t2_sink", f"{cdf_root}/t2_ck"
     write_manifested(_rows(spark, range(0, 8)), table, "part", change_feed=True)
+    _drain(spark, table, sink, ck)
     delete_where_manifested(spark, table, F.col("id") >= 6, "part")  # v2
+    _drain(spark, table, sink, ck)
     update_where_manifested(
         spark, table, {"val": F.lit(7.5)}, F.col("id") < 2, "part"
     )  # v3
-    feed = _drain(spark, table, f"{cdf_root}/t2_sink", f"{cdf_root}/t2_ck")
+    feed = _drain(spark, table, sink, ck)
     v2 = feed.filter("_commit_version = 2")
     assert v2.filter("_change_type = 'delete'").count() == 2
     assert v2.filter("_change_type = 'insert'").count() == 0
@@ -109,14 +116,44 @@ def test_delete_and_update_where_stream_their_rows(spark, cdf_root):
 
 def test_compaction_streams_as_row_noop(spark, cdf_root):
     table = f"{cdf_root}/t3"
+    sink, ck = f"{cdf_root}/t3_sink", f"{cdf_root}/t3_ck"
     write_manifested(_rows(spark, range(0, 3)), table, "part", change_feed=True)
     append_manifested(spark, table, _rows(spark, [10, 11]))  # v2
+    _drain(spark, table, sink, ck)
     compact_manifested(spark, table)  # v3: rewrite, zero row change
     append_manifested(spark, table, _rows(spark, [20]))  # v4
-    feed = _drain(spark, table, f"{cdf_root}/t3_sink", f"{cdf_root}/t3_ck")
+    feed = _drain(spark, table, sink, ck)
     assert feed.filter("_commit_version = 3").count() == 0
     assert feed.filter("_commit_version = 4").count() == 1
     _assert_converged(spark, feed, table)
+
+
+def test_initial_snapshot_after_rewrites_and_dv(spark, cdf_root):
+    """A LATE subscriber (fresh checkpoint, default earliest) gets the
+    full snapshot at the oldest retained version — post-rewrite state,
+    DV tombstones excluded — then tails. No replay of history it can't
+    have."""
+    from etl_demo_spark.io.manifest import manifest_versions
+
+    table = f"{cdf_root}/t8"
+    write_manifested(_rows(spark, range(0, 10)), table, "part", change_feed=True)
+    merge_upsert_manifested(
+        spark, table, _rows(spark, [0, 1], val=4.0), ["id"], ["part"]
+    )  # v2
+    delete_rows_manifested(spark, table, F.col("id") >= 8)  # v3 (DV)
+    feed = _drain(spark, table, f"{cdf_root}/t8_sink", f"{cdf_root}/t8_ck")
+    # snapshot at the oldest retained version (v2: post-merge, pre-DV)
+    # + the v3 delete events; the applied replica converges
+    _assert_converged(spark, feed, table)
+    assert _replica(feed).filter("id >= 8").count() == 0
+    assert feed.filter(
+        "_commit_version = 3 AND _change_type = 'delete'"
+    ).count() == 2
+    # snapshot rows attribute to the version that committed their FILE:
+    # the single leaf (part=a) was wholly rewritten by the v2 merge, so
+    # every snapshot row carries v2
+    assert feed.filter("_commit_version = 2").count() == 10
+    assert feed.filter("_commit_version = 2 AND val = 4.0").count() == 2
 
 
 def test_dv_delete_streams_deletes_but_erasure_path_does_not(spark, cdf_root):
