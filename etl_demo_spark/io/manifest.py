@@ -3196,6 +3196,10 @@ def merge_upsert_manifested(
         merged = merge_upsert(scoped, source, keys, schema_evolution=schema_evolution)
         for c in cols:
             merged = merged.withColumn(c, F.col(c).cast("string"))
+        if doc.get("change_feed"):
+            # the CDF sidecar below re-reads `merged`; persist so the
+            # merge join computes once, not once per consumer
+            merged = merged.persist()
         _validate_constraints(doc, merged, "merge_upsert_manifested")
         # under an active column mapping, columns a schema-evolving merge
         # introduces get their physical names frozen here, and the staged
@@ -3284,8 +3288,10 @@ def merge_upsert_manifested(
         if doc.get("change_feed"):
             # CDF sidecar (Delta semantics): every TOUCHED key emits its
             # preimage as a delete and its post-merge row as an insert;
-            # brand-new keys emit insert only. Two semi-joins on frames
-            # the merge already computed — no extra table scan.
+            # brand-new keys emit insert only. The preimage semi-join
+            # re-reads the affected leaves once; the postimage reuses
+            # the PERSISTED merge output, so the merge join itself never
+            # re-executes.
             skeys = source.select(*keys).distinct()
             pre = scoped.join(skeys, keys, "semi").withColumn(
                 "_change_type", F.lit("delete")
@@ -3300,6 +3306,7 @@ def merge_upsert_manifested(
                 ),
                 new_doc,
             )
+            merged.unpersist()
         ok = _publish_cas(  # the atomic commit point
             fs,
             jvm,
@@ -3992,9 +3999,18 @@ def update_where_manifested(
             )
         matched = target.filter(predicate)
         src_parts = matched.select(*cols).distinct()
-        moved = matched
-        for c, expr in assignments.items():
-            moved = moved.withColumn(c, expr)
+        # SIMULTANEOUS assignment semantics (SQL UPDATE): every
+        # expression sees the OLD row — one projection, never chained
+        # withColumn (which would let "SET a=a+1, b=a" read the new a).
+        # `updated` below uses the same semantics; `moved` feeds the
+        # destination-partition space and the CDF postimage, so the
+        # three must agree.
+        moved = matched.select(
+            *[
+                assignments[c].alias(c) if c in assignments else F.col(c)
+                for c in target.columns
+            ]
+        )
         if any(c in assignments for c in cols):
             for c in cols:
                 moved = moved.withColumn(c, F.col(c).cast("string"))
@@ -4579,7 +4595,12 @@ def rollback_manifested(
     Only RETAINED versions are restorable (their data is GC-guaranteed
     present); the incident-recovery window this affords is `_RETAIN`
     commits — size retention to the rollback horizon you want. Returns
-    the new version number."""
+    the new version number.
+
+    A restore is a REWRITE commit with no change sidecar (computing the
+    restore's row delta would cost a full diff): a table stream tailing
+    the table treats it per its ``on_rewrite`` policy; live TAGS are
+    preserved, not rewound."""
     root = target_path.rstrip("/")
     fs, jvm = _hadoop_fs(spark, root)
 
@@ -4588,9 +4609,22 @@ def rollback_manifested(
         new_doc = {
             k: v
             for k, v in old.items()
-            if not k.startswith("_") and k not in ("version", "committed_at_ms")
+            if not k.startswith("_")
+            # version/committed_at_ms are the new commit's own;
+            # change_data is PER-COMMIT (copying it would re-announce the
+            # restored version's change sidecar as THIS commit's CDC
+            # delta); operation is stamped below; tags are ref state, not
+            # snapshot state — the CURRENT tags survive a restore (else a
+            # rollback would silently delete tags created since the
+            # target and let GC reclaim what they pin)
+            and k not in (
+                "version", "committed_at_ms", "change_data", "operation",
+                "tags",
+            )
         }
         new_doc["version"] = new_version
+        if doc.get("tags") is not None:
+            new_doc["tags"] = doc["tags"]
         # explicit nulls stop delta-chain inheritance of state the old
         # snapshot did not have (e.g. rolling back across a DV delete)
         for key in (

@@ -219,12 +219,16 @@ def _data_files(root: str, vrel: str) -> list[str]:
             f"tablestream: data dir {vrel!r} of {root} is gone — the "
             "checkpoint fell behind the table's retention window"
         ) from e
-    return sorted(
-        os.path.join(d, n)
-        for n in names
-        if not n.startswith(("_", "."))
-        and (n.endswith(".parquet") or "." not in n)
-    )
+    data = [n for n in names if not n.startswith(("_", "."))]
+    out = [n for n in data if n.endswith(".parquet") or "." not in n]
+    if data and not out:
+        # a dir full of .orc/.csv files must fail loudly, not deliver
+        # zero rows (the reader is pyarrow-parquet only)
+        raise ValueError(
+            f"tablestream: {vrel!r} of {root} holds no parquet files "
+            f"(found e.g. {data[0]!r}) — only parquet tables stream"
+        )
+    return sorted(os.path.join(d, n) for n in out)
 
 
 @dataclass
@@ -494,14 +498,21 @@ class TableStreamDataSource(DataSource):
     def name(cls) -> str:
         return "tablestream"
 
+    def _reader(self) -> TableStreamReader:
+        # schema() and streamReader() both need a reader; resolving the
+        # head manifest chain once per stream start, not twice
+        if getattr(self, "_cached_reader", None) is None:
+            self._cached_reader = TableStreamReader(dict(self.options))
+        return self._cached_reader
+
     def schema(self) -> T.StructType:
-        reader = TableStreamReader(dict(self.options))
+        reader = self._reader()
         if reader._mode == "commits":
             return reader._schema
         return T.StructType(list(reader._schema.fields) + _META_COLS)
 
     def streamReader(self, schema: T.StructType) -> TableStreamReader:
-        return TableStreamReader(dict(self.options))
+        return self._reader()
 
 
 def register_table_stream_source(spark: Any) -> None:

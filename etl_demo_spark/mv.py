@@ -476,7 +476,7 @@ def _refresh_cost_estimate(
     a = _load_doc(fs, jvm, root, v_from)
     b = _load_doc(fs, jvm, root, v_to)
 
-    def vbytes_(vrel: str) -> int:
+    def vbytes(vrel: str) -> int:
         return int(
             fs.getContentSummary(
                 jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/{vrel}")
@@ -489,10 +489,9 @@ def _refresh_cost_estimate(
     if plan is not None and plan["sidecars"]:
         # the fold will consume events: sidecar bytes + appended bytes,
         # every byte read exactly once — no EXCEPT ALL weighting
-        fold_cost = float(
-            sum(vbytes_(r) for _, r in plan["sidecars"])
-            + sum(vbytes_(r) for _, r in plan["appends"])
-        )
+        sidecar_bytes = sum(vbytes(r) for _, r in plan["sidecars"])
+        append_bytes_ = sum(vbytes(r) for _, r in plan["appends"])
+        fold_cost = float(sidecar_bytes + append_bytes_)
         all_b = set(b["partitions"].values()) | {
             v for vs in (b.get("extra_vrels") or {}).values() for v in vs
         }
@@ -502,17 +501,15 @@ def _refresh_cost_estimate(
         )
         base_bytes, complete = 0, True
         for v in all_b:
-            base_bytes += vbytes_(v)
+            base_bytes += vbytes(v)
             if base_bytes > stop_at:
                 complete = False
                 break
         return {
             "changed_bytes": int(fold_cost),
-            "append_bytes": int(sum(vbytes_(r) for _, r in plan["appends"])),
+            "append_bytes": int(append_bytes_),
             "diff_bytes": 0,
-            "sidecar_bytes": int(
-                sum(vbytes_(r) for _, r in plan["sidecars"])
-            ),
+            "sidecar_bytes": int(sidecar_bytes),
             "fold_cost_bytes": int(fold_cost),
             "base_bytes_scanned": base_bytes,
             "base_scan_complete": complete,
@@ -558,13 +555,6 @@ def _refresh_cost_estimate(
         else:
             diff_vrels |= sa | sb  # read whole leaf, both sides
     diff_vrels |= dv_vrels & (all_vrels_a | all_vrels_b)
-
-    def vbytes(vrel: str) -> int:
-        return int(
-            fs.getContentSummary(
-                jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/{vrel}")
-            ).getLength()
-        )
 
     append_bytes = sum(vbytes(v) for v in append_vrels)
     diff_bytes = sum(vbytes(v) for v in diff_vrels)
@@ -819,7 +809,7 @@ def run_mv_stream_refresh(
     checkpoint_dir: str,
     cost_based: bool = True,
     trigger_seconds: float | None = None,
-) -> list[dict]:
+):
     """CONTINUOUS MATERIALIZED VIEW: keep the view fresh by tailing the
     base table's COMMIT LOG — the Delta Live Tables shape, composed from
     parts this repo already certifies.
@@ -835,9 +825,10 @@ def run_mv_stream_refresh(
     exactly-once without any new state.
 
     ``trigger_seconds=None`` runs availableNow (drain pending commits,
-    stop — the scheduled-refresh shape); a value runs a processingTime
-    trigger until the caller stops the query (the live shape). Returns
-    the per-batch `mv_refresh` stats (availableNow mode)."""
+    stop — the scheduled-refresh shape) and returns the per-batch
+    `mv_refresh` stats. A value runs a processingTime trigger and
+    returns the live StreamingQuery — the caller owns its lifecycle
+    (stop/awaitTermination/exception())."""
     from etl_demo_spark.io.table_stream import register_table_stream_source
 
     fs, jvm = _hadoop_fs(spark, mv_root)
@@ -863,5 +854,4 @@ def run_mv_stream_refresh(
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination(600)
         return stats
-    writer.trigger(processingTime=f"{trigger_seconds} seconds").start()
-    return stats
+    return writer.trigger(processingTime=f"{trigger_seconds} seconds").start()

@@ -269,3 +269,57 @@ def test_read_change_events_refuses_uncovered_rewrite(spark, cdf_root):
     merge_upsert_manifested(spark, base, _rows(spark, [1], val=2.0), ["id"], ["part"])
     with pytest.raises(ValueError, match="without a change sidecar"):
         read_change_events(spark, base, 1, manifest_versions(spark, base)[-1])
+
+
+def test_update_where_cross_referencing_assignments_agree(spark, cdf_root):
+    """SET val = val + 1, id = CAST(val AS BIGINT): SQL UPDATE semantics
+    mean every expression sees the OLD row. The committed table, the
+    destination-partition space, and the CDF postimage must all agree
+    (regression: the postimage used chained withColumn, letting the
+    second assignment read the first's result)."""
+    table = f"{cdf_root}/t9"
+    sink, ck = f"{cdf_root}/t9_sink", f"{cdf_root}/t9_ck"
+    write_manifested(
+        _rows(spark, [100, 200], val=7.0), table, "part", change_feed=True
+    )
+    _drain(spark, table, sink, ck)
+    update_where_manifested(
+        spark,
+        table,
+        {"val": F.col("val") + 1, "id": F.col("val").cast("bigint")},
+        F.col("id") == 100,
+        "part",
+    )  # old row (100, 7.0) -> (7, 8.0) under simultaneous semantics
+    feed = _drain(spark, table, sink, ck)
+    post = feed.filter("_commit_version = 2 AND _change_type = 'insert'")
+    assert [(r["id"], r["val"]) for r in post.collect()] == [(7, 8.0)]
+    _assert_converged(spark, feed, table)
+
+
+def test_rollback_does_not_reannounce_change_data(spark, cdf_root):
+    """RESTORE must not copy the restored version's per-commit sidecar
+    pointer — a stream would re-deliver the old commit's changes as the
+    restore's CDC delta."""
+    from etl_demo_spark.io.manifest import (
+        _hadoop_fs,
+        _load_doc,
+        rollback_manifested,
+    )
+
+    table = f"{cdf_root}/t10"
+    write_manifested(_rows(spark, range(0, 4)), table, "part", change_feed=True)
+    merge_upsert_manifested(
+        spark, table, _rows(spark, [1], val=3.0), ["id"], ["part"]
+    )  # v2 with sidecar
+    rollback_manifested(spark, table, 2)  # v3 = restore of v2
+    fs, jvm = _hadoop_fs(spark, table)
+    assert "change_data" not in _load_doc(fs, jvm, table), (
+        "RESTORE must not inherit the target commit's change_data"
+    )
+
+
+def test_non_parquet_table_fails_loudly(spark, cdf_root):
+    table = f"{cdf_root}/t11"
+    write_manifested(_rows(spark, range(0, 3)), table, "part", fmt="orc")
+    with pytest.raises(Exception, match="no parquet files|STREAM_FAILED"):
+        _drain(spark, table, f"{cdf_root}/t11_sink", f"{cdf_root}/t11_ck")

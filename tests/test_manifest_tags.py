@@ -128,3 +128,19 @@ def test_retagging_a_tag_protected_version(spark, tag_root):
     tag_delete(spark, table, "first")
     _merge(spark, table, _rows(spark, [40]))  # GC: v1 still held by alias
     assert read_manifested(spark, table, tag="alias").count() == 3
+
+
+def test_rollback_preserves_live_tags(spark, tag_root):
+    """Tags are ref state, not snapshot state: a RESTORE to a version
+    that predates a tag must not delete the tag (else the next GC
+    reclaims what it pins)."""
+    from etl_demo_spark.io.manifest import rollback_manifested
+
+    table = f"{tag_root}/t6"
+    write_manifested(_rows(spark, range(0, 3)), table, "part")  # v1
+    _merge(spark, table, _rows(spark, [10], val=2.0))  # v2
+    tag_create(spark, table, "post-merge")  # v3 pins v2
+    rollback_manifested(spark, table, 2)  # v4 = restore of v2 (pre-tag doc)
+    tags = {r["name"]: r["version"] for r in list_tags(spark, table).collect()}
+    assert tags == {"post-merge": 2}, tags
+    assert read_manifested(spark, table, tag="post-merge").count() == 4
