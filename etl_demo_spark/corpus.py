@@ -10693,3 +10693,94 @@ def stream_cdc_out(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@query(
+    "catalog_release_snapshot",
+    oracle="""
+    SELECT 'open' AS side, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'closed' AS side, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def catalog_release_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table RELEASE tag (`catalog_tag_create`): two member tables
+    are pinned under one release name, then churned far past the table
+    retention window with catalog pin flips after every merge — the
+    release's member tags keep BOTH tables' pinned snapshots alive
+    (Iceberg refs, lifted to the catalog). The oracle recomputes the
+    release state straight from the base data; in-query asserts pin that
+    the live catalog head has moved on while the release has not."""
+    import tempfile
+
+    from etl_demo_spark.io.catalog import (
+        catalog_commit,
+        catalog_init,
+        catalog_snapshot,
+        catalog_tag_create,
+    )
+    from etl_demo_spark.io.manifest import (
+        manifest_versions,
+        merge_upsert_manifested,
+        write_manifested,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    root = tempfile.mkdtemp(prefix="cat_release_")
+    a_root, b_root, cat = f"{root}/open", f"{root}/closed", f"{root}/cat"
+    write_manifested(
+        orders.filter(F.col("o_orderstatus") == "O").select(*cols),
+        a_root, "o_orderpriority",
+    )
+    write_manifested(
+        orders.filter(F.col("o_orderstatus") == "F").select(*cols),
+        b_root, "o_orderpriority",
+    )
+    catalog_init(spark, cat, {"open": a_root, "closed": b_root})
+    catalog_tag_create(spark, cat, "release-1")
+
+    churn = orders.filter(F.col("o_totalprice") > 300000.0).select(*cols)
+    for i in range(3):  # push the release out of both retention windows
+        batch = churn.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit((i + 1) * 100_000_000)
+        )
+        merge_upsert_manifested(
+            spark, a_root, batch, ["o_orderkey"], ["o_orderpriority"]
+        )
+        merge_upsert_manifested(
+            spark, b_root, batch, ["o_orderkey"], ["o_orderpriority"]
+        )
+        catalog_commit(
+            spark, cat,
+            {
+                "open": manifest_versions(spark, a_root)[-1],
+                "closed": manifest_versions(spark, b_root)[-1],
+            },
+        )
+
+    rel = catalog_snapshot(spark, cat, tag="release-1")
+    live = catalog_snapshot(spark, cat)
+    n_churn = churn.count()
+    for t in ("open", "closed"):
+        assert (
+            live.read(t).count() - rel.read(t).count() == 3 * n_churn
+        ), f"live {t} must have moved past the release"
+
+    def side(tname, label):
+        return rel.read(tname).groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        ).select(F.lit(label).alias("side"), "o_orderpriority", "n", "total")
+
+    return side("open", "open").unionByName(side("closed", "closed"))

@@ -166,6 +166,8 @@ def catalog_commit(
                 for name, entry in doc["tables"].items()
             },
         }
+        if doc.get("tags"):  # release tags survive every pin flip
+            new["tags"] = doc["tags"]
         if _publish_cas(
             fs,
             jvm,
@@ -199,12 +201,19 @@ class CatalogSnapshot:
         fs, jvm = _hadoop_fs(self._spark, entry["root"])
         retained = _list_manifest_versions(fs, jvm, entry["root"])[-_RETAIN:]
         if entry["version"] not in retained:
-            raise ValueError(
-                f"catalog snapshot v{self.version} pins {name!r} at table "
-                f"version {entry['version']}, which has left the table's "
-                f"retention window (retained: {retained}) — its data may be "
-                "GC'd; resolve a newer catalog version"
-            )
+            # release tags keep member snapshots readable past retention
+            from etl_demo_spark.io.manifest import _load_doc
+
+            table_tags = _load_doc(fs, jvm, entry["root"]).get("tags") or {}
+            protected = {t["version"] for t in table_tags.values()}
+            if entry["version"] not in protected:
+                raise ValueError(
+                    f"catalog snapshot v{self.version} pins {name!r} at "
+                    f"table version {entry['version']}, which has left the "
+                    f"table's retention window (retained: {retained}) and "
+                    "is not tag-protected — its data may be GC'd; resolve "
+                    "a newer catalog version or catalog_tag_create one"
+                )
         return read_manifested(
             self._spark, entry["root"], fmt, version=entry["version"]
         )
@@ -552,16 +561,28 @@ def catalog_snapshot(
     cat_root: str,
     version: int | None = None,
     as_of_ms: int | None = None,
+    tag: str | None = None,
 ) -> CatalogSnapshot:
-    """Resolve the catalog ONCE (head, an explicit version, or the
-    newest version committed at-or-before ``as_of_ms`` — cross-table
-    AS OF TIMESTAMP) and return the consistent read handle."""
-    if version is not None and as_of_ms is not None:
-        raise ValueError("catalog_snapshot: version and as_of_ms are exclusive")
+    """Resolve the catalog ONCE (head, an explicit version, the newest
+    version committed at-or-before ``as_of_ms`` — cross-table AS OF
+    TIMESTAMP — or a named RELEASE ``tag``) and return the consistent
+    read handle."""
+    if sum(x is not None for x in (version, as_of_ms, tag)) > 1:
+        raise ValueError(
+            "catalog_snapshot: version, as_of_ms, and tag are exclusive"
+        )
     fs, jvm = _hadoop_fs(spark, cat_root)
     vs = _cat_versions(fs, jvm, cat_root)
     if not vs:
         raise ValueError(f"{cat_root} is not a catalog (no versions)")
+    if tag is not None:
+        tags = _load_cat(fs, jvm, cat_root, vs[-1]).get("tags") or {}
+        if tag not in tags:
+            raise ValueError(
+                f"catalog_snapshot: no release tag {tag!r} at {cat_root} "
+                f"(have: {sorted(tags)})"
+            )
+        version = int(tags[tag]["version"])
     if as_of_ms is not None:
         hits = [
             v
@@ -583,3 +604,120 @@ def catalog_snapshot(
         )
     doc = _load_cat(fs, jvm, cat_root, v)
     return CatalogSnapshot(spark, v, doc["tables"])
+
+
+def catalog_tag_create(
+    spark: SparkSession,
+    cat_root: str,
+    name: str,
+    version: int | None = None,
+    replace: bool = False,
+) -> int:
+    """Cross-table RELEASE tag: pin a catalog version under a stable
+    name AND tag every member table at its pinned snapshot (table tag
+    ``catalog:<name>``), so GC keeps the whole release's data alive in
+    every table until the release is deleted — "the exact bytes of all
+    N tables model X trained on", one name, zero copies.
+
+    Member-table tags land first (each an atomic table commit; a crash
+    partway leaves extra protection, never a dangling release), then one
+    catalog CAS publishes the release name. A pinned member version that
+    already left its table's retention window un-protected fails loudly
+    here rather than lying. Returns the catalog version published."""
+    from etl_demo_spark.io.manifest import tag_create
+
+    fs, jvm = _hadoop_fs(spark, cat_root)
+    vs = _cat_versions(fs, jvm, cat_root)
+    if not vs:
+        raise ValueError(f"{cat_root} is not a catalog (no versions)")
+    target_v = vs[-1] if version is None else int(version)
+    if target_v not in vs:
+        raise ValueError(
+            f"catalog_tag_create: version {target_v} not available at "
+            f"{cat_root} (have {vs})"
+        )
+    target = _load_cat(fs, jvm, cat_root, target_v)
+    head_tags = _load_cat(fs, jvm, cat_root, vs[-1]).get("tags") or {}
+    if name in head_tags and not replace:
+        raise ValueError(
+            f"catalog_tag_create: release {name!r} already exists "
+            f"(catalog v{head_tags[name]['version']}); pass replace=True"
+        )
+    for tname, entry in sorted(target["tables"].items()):
+        tag_create(
+            spark,
+            entry["root"],
+            f"catalog:{name}",
+            version=int(entry["version"]),
+            replace=True,  # idempotent re-run / replace of the release
+        )
+    for _ in range(_MAX_RETRIES):
+        head = _cat_versions(fs, jvm, cat_root)[-1]
+        doc = _load_cat(fs, jvm, cat_root, head)
+        new = dict(doc)
+        new["version"] = head + 1
+        new["committed_at_ms"] = int(time.time() * 1000)
+        new["tags"] = {
+            **(doc.get("tags") or {}),
+            name: {
+                "version": target_v,
+                "created_at_ms": int(time.time() * 1000),
+            },
+        }
+        if _publish_cas(
+            fs,
+            jvm,
+            _cat_path(cat_root, head + 1),
+            json.dumps(new, indent=1).encode(),
+        ):
+            return head + 1
+    raise CatalogConflict(
+        f"catalog_tag_create: lost {_MAX_RETRIES} consecutive publish "
+        f"races on {cat_root}"
+    )
+
+
+def catalog_tag_delete(spark: SparkSession, cat_root: str, name: str) -> int:
+    """Delete a release: drop every member table's ``catalog:<name>``
+    tag (their snapshots become reclaimable at the next GC unless still
+    retained or otherwise tagged), then un-name the catalog version."""
+    from etl_demo_spark.io.manifest import tag_delete
+
+    fs, jvm = _hadoop_fs(spark, cat_root)
+    vs = _cat_versions(fs, jvm, cat_root)
+    head_tags = _load_cat(fs, jvm, cat_root, vs[-1]).get("tags") or {}
+    if name not in head_tags:
+        raise ValueError(
+            f"catalog_tag_delete: no release {name!r} (have: "
+            f"{sorted(head_tags)})"
+        )
+    release = _load_cat(fs, jvm, cat_root, int(head_tags[name]["version"]))
+    for tname, entry in sorted(release["tables"].items()):
+        try:
+            tag_delete(spark, entry["root"], f"catalog:{name}")
+        except ValueError:
+            pass  # already gone (partial prior delete) — idempotent
+    for _ in range(_MAX_RETRIES):
+        head = _cat_versions(fs, jvm, cat_root)[-1]
+        doc = _load_cat(fs, jvm, cat_root, head)
+        kept = {
+            k: v for k, v in (doc.get("tags") or {}).items() if k != name
+        }
+        new = dict(doc)
+        new["version"] = head + 1
+        new["committed_at_ms"] = int(time.time() * 1000)
+        if kept:
+            new["tags"] = kept
+        else:
+            new.pop("tags", None)
+        if _publish_cas(
+            fs,
+            jvm,
+            _cat_path(cat_root, head + 1),
+            json.dumps(new, indent=1).encode(),
+        ):
+            return head + 1
+    raise CatalogConflict(
+        f"catalog_tag_delete: lost {_MAX_RETRIES} consecutive publish "
+        f"races on {cat_root}"
+    )
