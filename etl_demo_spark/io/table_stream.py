@@ -67,7 +67,13 @@ committed its file, then tail — robust however many rewrites preceded),
 an int N (exact commit-history replay from version N; fails loudly if
 N's data left retention), or ``latest`` (only commits after the stream
 starts); ``on_rewrite`` (``fail`` default / ``skip``);
-``mode`` (``rows`` default / ``commits``).
+``mode`` (``rows`` default / ``commits``); ``max_files_per_batch`` +
+``pace_id`` — ADMISSION CONTROL for the initial snapshot (the
+maxFilesPerTrigger shape): each processingTime trigger admits at most
+that many snapshot files, with the pacing cursor persisted under the
+table keyed by ``pace_id`` so restarts resume the high-water mark (one
+paced consumer per id; don't pace availableNow — it snapshots one
+offset and would drain only the first slice).
 """
 
 from __future__ import annotations
@@ -276,6 +282,19 @@ class TableStreamReader(DataSourceStreamReader):
             raise ValueError(
                 "tablestream: on_rewrite must be 'fail' or 'skip'"
             )
+        self._max_files = int(options.get("max_files_per_batch", 0))
+        if self._max_files < 0:
+            raise ValueError(
+                "tablestream: max_files_per_batch must be >= 0"
+            )
+        self._pace_id = options.get("pace_id")
+        if self._max_files and not self._pace_id:
+            raise ValueError(
+                "tablestream: max_files_per_batch needs pace_id= (one "
+                "paced consumer per id; the pacing cursor persists under "
+                "the table keyed by it)"
+            )
+        self._snap_cache: tuple[int, list] | None = None
         m = _manifest()
         versions = m._list_manifest_versions(None, None, self._root)
         if not versions:
@@ -322,11 +341,94 @@ class TableStreamReader(DataSourceStreamReader):
             return {"v": self._start, "snap": True}
         return {"v": self._start}
 
+    def _pace_path(self) -> str:
+        return os.path.join(
+            _strip_scheme(self._root.rstrip("/")),
+            "_manifests",
+            f".pace-{self._pace_id}",
+        )
+
     def latestOffset(self) -> dict:
         versions = _manifest()._list_manifest_versions(None, None, self._root)
-        return {"v": versions[-1] if versions else self._start}
+        head = versions[-1] if versions else self._start
+        if not self._max_files:
+            return {"v": head}
+        # ADMISSION CONTROL (maxFilesPerTrigger shape): while the
+        # initial snapshot is draining, each poll exposes at most
+        # max_files_per_batch more snapshot files. The cursor PERSISTS
+        # in a sidecar keyed by pace_id (Spark hosts several reader
+        # instances per query, and a restart must resume the high-water
+        # mark — the replay source's pace-file pattern). Use with
+        # processingTime triggers; availableNow snapshots ONE offset at
+        # start, so pacing there would drain only the first slice.
+        import json as _json
+
+        path = self._pace_path()
+        try:
+            with open(path) as f:
+                cur = _json.loads(f.read())
+        except (OSError, ValueError):
+            cur = (
+                {"v": self._start, "snap": True, "si": 0}
+                if self._snapshot
+                else {"v": self._start}
+            )
+        if cur.get("snap"):
+            total = len(self._snap_parts(int(cur["v"])))
+            si = int(cur.get("si", 0)) + self._max_files
+            if si < total:
+                nxt = {"v": int(cur["v"]), "snap": True, "si": si}
+            else:
+                nxt = {"v": head}
+        else:
+            nxt = {"v": max(head, int(cur["v"]))}
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(_json.dumps(nxt))
+        os.replace(tmp, path)
+        return nxt
 
     # -- planning ---------------------------------------------------------
+    def _snap_parts(self, version: int) -> list:
+        """INITIAL-SNAPSHOT partition list at ``version`` (cached — the
+        pacing offsets index into it, so it must be deterministic within
+        a run): every live vrel's files as inserts, attributed to the
+        version that committed each file, DV-deleted positions attached
+        for read-time drop."""
+        if self._snap_cache is not None and self._snap_cache[0] == version:
+            return self._snap_cache[1]
+        m = _manifest()
+        doc = self._doc(version)
+        dv_by_file: dict[str, list[int]] = {}
+        dv = doc.get("dv")
+        if dv and dv.get("files"):
+            import pyarrow.parquet as pq
+
+            d = os.path.join(
+                _strip_scheme(self._root.rstrip("/")), dv["rel"]
+            )
+            tbl = pq.read_table(d)
+            for fr, pos in zip(
+                tbl.column("file_rel").to_pylist(),
+                tbl.column("pos").to_pylist(),
+            ):
+                dv_by_file.setdefault(fr, []).append(int(pos))
+        parts: list[_FilePartition] = []
+        for vrel in sorted(m._all_vrels(doc)):
+            leaf_rel = vrel.rsplit("/", 1)[0]
+            cv = _vrel_version(vrel)
+            for f in _data_files(self._root, vrel):
+                frel = f"{vrel}/{os.path.basename(f)}"
+                pos = dv_by_file.get(frel)
+                parts.append(
+                    _FilePartition(
+                        f, leaf_rel, cv,
+                        dv_pos=tuple(pos) if pos else None,
+                    )
+                )
+        self._snap_cache = (version, parts)
+        return parts
+
     def _doc(self, version: int) -> dict:
         if version <= 0:
             return {"version": 0, "partitions": {}}
@@ -334,7 +436,21 @@ class TableStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[_FilePartition]:
         s, e = int(start["v"]), int(end["v"])
-        if e < s:
+
+        def _key(off: dict) -> tuple:
+            # snap offsets order by slice index (absent si = NOTHING
+            # delivered yet, i.e. 0); a plain offset is past the whole
+            # snapshot phase of the same version
+            if off.get("snap"):
+                return (int(off["v"]), 0, int(off.get("si", 0)))
+            return (int(off["v"]), 1, 0)
+
+        if _key(end) < _key(start):
+            if self._max_files:
+                # a stale pace-file cursor (fresh checkpoint over an old
+                # pace_id) can lag the checkpoint: deliver nothing and
+                # let the cursor catch up — never re-deliver
+                return [_FilePartition(None, "", e)]
             raise ValueError(
                 f"tablestream: offset regression {s} -> {e}; the table's "
                 "manifest log is out of sync with this checkpoint"
@@ -357,37 +473,18 @@ class TableStreamReader(DataSourceStreamReader):
             return out or [_CommitPartition(0, None, None)]
         parts: list[_FilePartition] = []
         if start.get("snap"):
-            # INITIAL SNAPSHOT: every live vrel of the starting version,
-            # as inserts, attributed to the version that committed each
-            # file; DV-deleted row positions are dropped at read time
-            m = _manifest()
-            doc = self._doc(s)
-            dv_by_file: dict[str, list[int]] = {}
-            dv = doc.get("dv")
-            if dv and dv.get("files"):
-                import pyarrow.parquet as pq
-
-                d = os.path.join(
-                    _strip_scheme(self._root.rstrip("/")), dv["rel"]
-                )
-                tbl = pq.read_table(d)
-                for fr, pos in zip(
-                    tbl.column("file_rel").to_pylist(),
-                    tbl.column("pos").to_pylist(),
-                ):
-                    dv_by_file.setdefault(fr, []).append(int(pos))
-            for vrel in sorted(m._all_vrels(doc)):
-                leaf_rel = vrel.rsplit("/", 1)[0]
-                cv = _vrel_version(vrel)
-                for f in _data_files(self._root, vrel):
-                    frel = f"{vrel}/{os.path.basename(f)}"
-                    pos = dv_by_file.get(frel)
-                    parts.append(
-                        _FilePartition(
-                            f, leaf_rel, cv,
-                            dv_pos=tuple(pos) if pos else None,
-                        )
+            files = self._snap_parts(s)
+            lo = int(start.get("si", 0))
+            if end.get("snap"):
+                # paced mid-snapshot batch: this slice only, no tail yet
+                hi = int(end.get("si", len(files)))
+                if hi < lo:
+                    raise ValueError(
+                        f"tablestream: snapshot offset regression "
+                        f"{lo} -> {hi}"
                     )
+                return files[lo:hi] or [_FilePartition(None, "", s)]
+            parts.extend(files[lo:])
         prev = self._doc(s)
         for v in range(s + 1, e + 1):
             cur = self._doc(v)
