@@ -508,21 +508,27 @@ def _bench_table_stream(spark, sf_dir: str) -> dict:
         append_manifested(spark, table, ev.filter(F.col("event_id") % 4 == i))
     n_total = ev.count()
 
-    def drain() -> float:
+    def drain(ck_dir: str) -> float:
         t0 = time.perf_counter()
         q = (
             spark.readStream.format("tablestream")
             .option("path", table)
             .load()
             .writeStream.format("noop")
-            .option("checkpointLocation", ck)
+            .option("checkpointLocation", ck_dir)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(600)
         return time.perf_counter() - t0
 
-    full = drain()
+    # one throwaway drain first: the JVM's streaming-execution classes
+    # and the Python planner/worker pools initialize once per session
+    # (~3-4 s) — a deployment's session is long-lived, so the steady
+    # -state number is the honest one. The timed run still pays the
+    # full fresh-checkpoint planning + read of every committed file.
+    drain(f"{root}/ck_warm")
+    full = drain(ck)
     tail_rows = 5000
     append_manifested(
         spark,
@@ -531,7 +537,7 @@ def _bench_table_stream(spark, sf_dir: str) -> dict:
         .limit(tail_rows)
         .withColumn("event_id", F.col("event_id") + F.lit(1_000_000_000)),
     )
-    incr = drain()
+    incr = drain(ck)
     return {
         "full_drain": {
             "rows": int(n_total),

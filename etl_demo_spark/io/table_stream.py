@@ -72,8 +72,21 @@ starts); ``on_rewrite`` (``fail`` default / ``skip``);
 maxFilesPerTrigger shape): each processingTime trigger admits at most
 that many snapshot files, with the pacing cursor persisted under the
 table keyed by ``pace_id`` so restarts resume the high-water mark (one
-paced consumer per id; don't pace availableNow — it snapshots one
-offset and would drain only the first slice).
+paced consumer per id). The sidecar also records the last COMMITTED
+offset, and exactly-once is defended in three places: `latestOffset`
+never returns an offset ordered before the committed high-water, an
+offset regression in `partitions` fails loudly instead of ratifying
+the regressed end into the checkpoint (re-delivery), and a FRESH
+checkpoint meeting a pace cursor another checkpoint already committed
+past fails at `initialOffset` — before anything is written to the new
+checkpoint — instead of silently skipping pacing. ``availableNow``
+runs exactly one paced slice per invocation (Spark plans Python
+sources as one batch per availableNow run); loop it with
+`run_paced_drain` to drain a snapshot to completion in bounded
+batches. ``max_partition_bytes`` (default 64 MiB) packs small files
+into one input partition — per-task overhead of the Python data
+source path is ~fixed, so thousands-of-small-files tables drain at
+IO speed instead of task-overhead speed.
 """
 
 from __future__ import annotations
@@ -246,6 +259,63 @@ class _FilePartition(InputPartition):
     dv_pos: tuple[int, ...] | None = None  # DV-deleted row indexes to drop
 
 
+@dataclass
+class _PackedPartition(InputPartition):
+    """Several small files as ONE input partition: the Python-data-source
+    per-task cost (worker round-trip, Arrow channel setup) is ~fixed, so
+    a many-small-files batch is packed to ``max_partition_bytes`` bins —
+    same rows, same per-file metadata, a fraction of the tasks."""
+
+    items: tuple[_FilePartition, ...]
+
+
+def _pack_partitions(
+    parts: list[_FilePartition], target_bytes: int
+) -> list[InputPartition]:
+    """Greedy size-binned packing, order-preserving. Files at or above
+    the target stay alone; empty-range sentinels pass through."""
+    if target_bytes <= 0 or len(parts) <= 1:
+        return list(parts)
+    out: list[InputPartition] = []
+    bin_items: list[_FilePartition] = []
+    bin_bytes = 0
+
+    def flush():
+        nonlocal bin_items, bin_bytes
+        if len(bin_items) == 1:
+            out.append(bin_items[0])
+        elif bin_items:
+            out.append(_PackedPartition(tuple(bin_items)))
+        bin_items, bin_bytes = [], 0
+
+    for p in parts:
+        if p.file is None:
+            flush()
+            out.append(p)
+            continue
+        try:
+            sz = os.path.getsize(p.file)
+        except OSError:
+            sz = target_bytes  # let the read path raise the real error
+        if bin_bytes and bin_bytes + sz > target_bytes:
+            flush()
+        bin_items.append(p)
+        bin_bytes += sz
+        if bin_bytes >= target_bytes:
+            flush()
+    flush()
+    return out
+
+
+def _off_key(off: dict) -> tuple:
+    """Total order over stream offsets: snap offsets order by slice
+    index (absent si = NOTHING delivered yet, i.e. 0); a plain offset is
+    past the whole snapshot phase of the same version."""
+    if off.get("snap"):
+        return (int(off["v"]), 0, int(off.get("si", 0)))
+    return (int(off["v"]), 1, 0)
+
+
 def _vrel_version(vrel: str) -> int:
     """The version that committed a vrel, parsed from its dir name
     (``…/__v0000000007-ab12cd34``) — the initial snapshot's per-file
@@ -294,6 +364,9 @@ class TableStreamReader(DataSourceStreamReader):
                 "paced consumer per id; the pacing cursor persists under "
                 "the table keyed by it)"
             )
+        self._pack_bytes = int(
+            options.get("max_partition_bytes", 64 * 1024 * 1024)
+        )
         self._snap_cache: tuple[int, list] | None = None
         m = _manifest()
         versions = m._list_manifest_versions(None, None, self._root)
@@ -337,9 +410,32 @@ class TableStreamReader(DataSourceStreamReader):
 
     # -- offsets ----------------------------------------------------------
     def initialOffset(self) -> dict:
-        if self._snapshot:
-            return {"v": self._start, "snap": True}
-        return {"v": self._start}
+        init = (
+            {"v": self._start, "snap": True}
+            if self._snapshot
+            else {"v": self._start}
+        )
+        if self._max_files:
+            # initialOffset is only invoked on a FRESH checkpoint. A pace
+            # sidecar whose COMMITTED high-water is already past the
+            # initial offset belongs to another checkpoint (deleted, or a
+            # second stream sharing the pace_id): continuing would make
+            # latestOffset jump the snapshot and silently skip pacing.
+            # Fail here — before anything lands in the new checkpoint.
+            # (The committed mark, not the cursor: the first latestOffset
+            # poll of THIS run precedes initialOffset in Spark's call
+            # order and legitimately advances the cursor one slice.)
+            committed = self._pace_doc()[1]
+            if committed is not None and _off_key(committed) > _off_key(init):
+                raise ValueError(
+                    f"tablestream: fresh checkpoint, but pace_id="
+                    f"{self._pace_id!r} of {self._root} was already "
+                    f"committed past {committed} by another checkpoint. "
+                    "One paced consumer per pace_id: delete the stale "
+                    f"sidecar ({self._pace_path()}) to restart pacing "
+                    "from scratch, or choose a fresh pace_id."
+                )
+        return init
 
     def _pace_path(self) -> str:
         return os.path.join(
@@ -347,6 +443,33 @@ class TableStreamReader(DataSourceStreamReader):
             "_manifests",
             f".pace-{self._pace_id}",
         )
+
+    def _pace_doc(self) -> tuple[dict | None, dict | None]:
+        """(cursor, committed) from the pace sidecar. Legacy sidecars
+        hold the bare cursor offset; current ones ``{"cur":…,
+        "committed":…}``."""
+        import json as _json
+
+        try:
+            with open(self._pace_path()) as f:
+                doc = _json.loads(f.read())
+        except (OSError, ValueError):
+            return None, None
+        if "cur" in doc:
+            return doc.get("cur"), doc.get("committed")
+        return (doc if "v" in doc else None), None
+
+    def _pace_write(self, cur: dict, committed: dict | None) -> None:
+        import json as _json
+
+        path = self._pace_path()
+        doc: dict = {"cur": cur}
+        if committed is not None:
+            doc["committed"] = committed
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(_json.dumps(doc))
+        os.replace(tmp, path)
 
     def latestOffset(self) -> dict:
         versions = _manifest()._list_manifest_versions(None, None, self._root)
@@ -358,21 +481,21 @@ class TableStreamReader(DataSourceStreamReader):
         # max_files_per_batch more snapshot files. The cursor PERSISTS
         # in a sidecar keyed by pace_id (Spark hosts several reader
         # instances per query, and a restart must resume the high-water
-        # mark — the replay source's pace-file pattern). Use with
-        # processingTime triggers; availableNow snapshots ONE offset at
-        # start, so pacing there would drain only the first slice.
-        import json as _json
-
-        path = self._pace_path()
-        try:
-            with open(path) as f:
-                cur = _json.loads(f.read())
-        except (OSError, ValueError):
+        # mark — the replay source's pace-file pattern), and is clamped
+        # to the COMMITTED high-water `commit()` records there, so a
+        # lagging cursor can never regress the checkpoint into
+        # re-delivery. availableNow plans ONE batch per run for Python
+        # sources — each paced availableNow invocation drains one slice;
+        # `run_paced_drain` loops it to completion.
+        cur, committed = self._pace_doc()
+        if cur is None:
             cur = (
                 {"v": self._start, "snap": True, "si": 0}
                 if self._snapshot
                 else {"v": self._start}
             )
+        if committed is not None and _off_key(committed) > _off_key(cur):
+            cur = committed
         if cur.get("snap"):
             total = len(self._snap_parts(int(cur["v"])))
             si = int(cur.get("si", 0)) + self._max_files
@@ -382,10 +505,7 @@ class TableStreamReader(DataSourceStreamReader):
                 nxt = {"v": head}
         else:
             nxt = {"v": max(head, int(cur["v"]))}
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(_json.dumps(nxt))
-        os.replace(tmp, path)
+        self._pace_write(nxt, committed)
         return nxt
 
     # -- planning ---------------------------------------------------------
@@ -434,26 +554,26 @@ class TableStreamReader(DataSourceStreamReader):
             return {"version": 0, "partitions": {}}
         return _manifest()._resolve_doc(None, None, self._root, version)
 
-    def partitions(self, start: dict, end: dict) -> list[_FilePartition]:
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         s, e = int(start["v"]), int(end["v"])
-
-        def _key(off: dict) -> tuple:
-            # snap offsets order by slice index (absent si = NOTHING
-            # delivered yet, i.e. 0); a plain offset is past the whole
-            # snapshot phase of the same version
-            if off.get("snap"):
-                return (int(off["v"]), 0, int(off.get("si", 0)))
-            return (int(off["v"]), 1, 0)
-
-        if _key(end) < _key(start):
-            if self._max_files:
-                # a stale pace-file cursor (fresh checkpoint over an old
-                # pace_id) can lag the checkpoint: deliver nothing and
-                # let the cursor catch up — never re-deliver
-                return [_FilePartition(None, "", e)]
+        if _off_key(end) < _off_key(start):
+            # NEVER an empty batch here: Spark has already written `end`
+            # to the offset log, and ratifying it would restart the next
+            # batch before `start` — silent re-delivery. Loud is the only
+            # safe behavior for both the paced (lost/lagging pace
+            # sidecar) and unpaced (manifest log out of sync) cause.
             raise ValueError(
-                f"tablestream: offset regression {s} -> {e}; the table's "
-                "manifest log is out of sync with this checkpoint"
+                f"tablestream: offset regression {start} -> {end} on "
+                f"{self._root}"
+                + (
+                    f" — the pace sidecar for pace_id={self._pace_id!r} "
+                    "is missing or behind this checkpoint (deleted, or "
+                    "shared by a second stream). Restore it, use a fresh "
+                    "pace_id with a fresh checkpoint, or drop pacing."
+                    if self._max_files
+                    else " — the table's manifest log is out of sync "
+                    "with this checkpoint"
+                )
             )
         if self._mode == "commits":
             # COMMIT-NOTIFICATION stream: one metadata row per commit,
@@ -483,7 +603,9 @@ class TableStreamReader(DataSourceStreamReader):
                         f"tablestream: snapshot offset regression "
                         f"{lo} -> {hi}"
                     )
-                return files[lo:hi] or [_FilePartition(None, "", s)]
+                return _pack_partitions(
+                    files[lo:hi], self._pack_bytes
+                ) or [_FilePartition(None, "", s)]
             parts.extend(files[lo:])
         prev = self._doc(s)
         for v in range(s + 1, e + 1):
@@ -507,10 +629,12 @@ class TableStreamReader(DataSourceStreamReader):
                 for f in _data_files(self._root, vrel):
                     parts.append(_FilePartition(f, leaf_rel, v))
             prev = cur
-        return parts or [_FilePartition(None, "", e)]
+        return _pack_partitions(parts, self._pack_bytes) or [
+            _FilePartition(None, "", e)
+        ]
 
     # -- executor-side read ------------------------------------------------
-    def read(self, partition: _FilePartition) -> Iterator[Any]:
+    def read(self, partition: InputPartition) -> Iterator[Any]:
         """Yield pyarrow RecordBatches — the vectorized Python-DataSource
         path (no per-row Python objects anywhere): the parquet columns
         are cast/renamed to the logical schema, partition-directory
@@ -524,6 +648,13 @@ class TableStreamReader(DataSourceStreamReader):
                     partition.committed_at_ms,
                 )
             return
+        if isinstance(partition, _PackedPartition):
+            for item in partition.items:
+                yield from self._read_file(item)
+            return
+        yield from self._read_file(partition)
+
+    def _read_file(self, partition: _FilePartition) -> Iterator[Any]:
         if partition.file is None:
             return
         import pyarrow as pa
@@ -585,7 +716,18 @@ class TableStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are manifest versions; nothing external to ack
+        # offsets are manifest versions; nothing external to ack. Paced
+        # streams additionally record the committed high-water in the
+        # pace sidecar: latestOffset clamps to it, so a lagging cursor
+        # can never walk the checkpoint backwards into re-delivery.
+        if not self._max_files:
+            return
+        cur, committed = self._pace_doc()
+        if committed is None or _off_key(end) > _off_key(committed):
+            committed = end
+        if cur is None or _off_key(cur) < _off_key(committed):
+            cur = committed
+        self._pace_write(cur, committed)
 
 
 class TableStreamDataSource(DataSource):
@@ -620,3 +762,76 @@ def register_table_stream_source(spark: Any) -> None:
     from etl_demo_spark.io.pyds import register_data_source
 
     register_data_source(spark, TableStreamDataSource)
+
+
+def run_paced_drain(
+    spark: Any,
+    table_root: str,
+    build_writer,
+    max_files_per_batch: int,
+    pace_id: str,
+    run_timeout: int = 600,
+    max_runs: int = 10_000,
+    **reader_options: str,
+) -> dict:
+    """Drain a PACED tablestream to completion in bounded batches —
+    admission control under ``availableNow``.
+
+    Spark plans a Python streaming source as ONE batch per availableNow
+    run, so a single run of a paced stream delivers exactly one
+    ``max_files_per_batch`` slice. This helper loops fresh availableNow
+    runs against the SAME checkpoint until a run delivers zero rows: the
+    persisted pace cursor advances one slice per run, each run's batch
+    stays bounded however large the initial snapshot is, and
+    exactly-once holds because every run resumes from the shared
+    checkpoint. ``build_writer(df) -> DataStreamWriter`` attaches the
+    sink and MUST set ``checkpointLocation``.
+
+    Returns ``{"runs": n, "rows": total_input_rows}``."""
+    register_table_stream_source(spark)
+    runs = rows = 0
+    for _ in range(max_runs):
+        reader = (
+            spark.readStream.format("tablestream")
+            .option("path", table_root)
+            .option("max_files_per_batch", str(max_files_per_batch))
+            .option("pace_id", pace_id)
+        )
+        for k, v in reader_options.items():
+            reader = reader.option(k, str(v))
+        q = build_writer(reader.load()).trigger(availableNow=True).start()
+        if not q.awaitTermination(run_timeout):
+            q.stop()
+            raise TimeoutError(
+                f"run_paced_drain: availableNow run {runs + 1} on "
+                f"{table_root} exceeded {run_timeout}s"
+            )
+        got = sum(
+            int(p["numInputRows"]) for p in (q.recentProgress or [])
+        )
+        runs += 1
+        rows += got
+        if got == 0:
+            # zero rows ends the drain — unless the cursor is still
+            # mid-snapshot (a zero-row parquet file in the slice)
+            pace = os.path.join(
+                _strip_scheme(table_root.rstrip("/")),
+                "_manifests",
+                f".pace-{pace_id}",
+            )
+            import json as _json
+
+            try:
+                with open(pace) as f:
+                    doc = _json.loads(f.read())
+                cur = doc.get("cur", doc)
+            except (OSError, ValueError):
+                cur = {}
+            if not cur.get("snap"):
+                break
+    else:
+        raise RuntimeError(
+            f"run_paced_drain: {max_runs} runs without draining "
+            f"{table_root} — raise max_runs or max_files_per_batch"
+        )
+    return {"runs": runs, "rows": rows}

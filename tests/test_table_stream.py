@@ -234,3 +234,200 @@ def test_max_files_per_batch_paces_initial_snapshot(spark, ts_env):
     assert got.select("id").distinct().count() == total, "no duplicates"
     fed = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
     assert len(fed) >= 3, f"snapshot must drain across several batches: {fed}"
+
+
+def test_pack_partitions_bins_small_files():
+    """Small files pack into one input partition (per-task overhead of
+    the Python data source path is ~fixed); big files stay alone;
+    order and per-file metadata survive."""
+    import os as _os
+    import tempfile as _tf
+
+    from etl_demo_spark.io.table_stream import (
+        _FilePartition,
+        _PackedPartition,
+        _pack_partitions,
+    )
+
+    d = _tf.mkdtemp(prefix="pack_")
+    files = []
+    for i, size in enumerate([10, 10, 10, 100, 10, 10]):
+        p = _os.path.join(d, f"f{i}.parquet")
+        with open(p, "wb") as f:
+            f.write(b"x" * size)
+        files.append(_FilePartition(p, f"leaf{i}", i))
+    out = _pack_partitions(files, target_bytes=35)
+    # 10+10+10 -> one packed bin; 100 alone (>= target); 10+10 packed
+    flat = []
+    for part in out:
+        if isinstance(part, _PackedPartition):
+            assert len(part.items) > 1
+            flat.extend(part.items)
+        else:
+            flat.append(part)
+    assert flat == files, "order and metadata must survive packing"
+    assert len(out) < len(files)
+    # target 0 disables packing
+    assert _pack_partitions(files, target_bytes=0) == files
+
+
+def test_run_paced_drain_available_now_bounded_batches(spark, ts_env):
+    """Admission control under availableNow: each run delivers one
+    bounded slice; the loop drains the snapshot to completion with
+    exactly-once delivery."""
+    from etl_demo_spark.io.table_stream import run_paced_drain
+
+    table = f"{ts_env}/t10"
+    sink, ck = f"{ts_env}/t10_sink", f"{ts_env}/t10_ck"
+    write_manifested(
+        _mk_rows(spark, range(0, 8)).repartition(4), table, "part"
+    )
+    append_manifested(
+        spark, table, _mk_rows(spark, range(8, 16), "b").repartition(4)
+    )
+
+    def build_writer(df):
+        return (
+            df.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+        )
+
+    stats = run_paced_drain(
+        spark,
+        table,
+        build_writer,
+        max_files_per_batch=2,
+        pace_id="t10drain",
+        # tiny target: keep one task per file so batch sizes stay visible
+        max_partition_bytes="0",
+    )
+    got = spark.read.parquet(sink)
+    assert got.count() == 16
+    assert got.select("id").distinct().count() == 16, "exactly once"
+    assert stats["rows"] == 16
+    assert stats["runs"] >= 3, f"must take several bounded runs: {stats}"
+    # a second drain from the same checkpoint delivers nothing new
+    stats2 = run_paced_drain(
+        spark, table, build_writer, 2, "t10drain", max_partition_bytes="0"
+    )
+    assert stats2["rows"] == 0
+    assert spark.read.parquet(sink).count() == 16
+
+
+def test_paced_commit_highwater_persisted(spark, ts_env):
+    """commit() records the committed offset in the pace sidecar and
+    latestOffset never returns an offset ordered before it."""
+    import json as _json
+    import os as _os
+
+    from etl_demo_spark.io.table_stream import run_paced_drain
+
+    table = f"{ts_env}/t11"
+    sink, ck = f"{ts_env}/t11_sink", f"{ts_env}/t11_ck"
+    write_manifested(_mk_rows(spark, range(0, 6)).repartition(3), table, "part")
+
+    def build_writer(df):
+        return (
+            df.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+        )
+
+    run_paced_drain(spark, table, build_writer, 1, "t11pace")
+    pace = _os.path.join(table, "_manifests", ".pace-t11pace")
+    doc = _json.loads(open(pace).read())
+    assert "cur" in doc and "committed" in doc, doc
+    from etl_demo_spark.io.table_stream import _off_key
+
+    # committed progress was recorded (it may lag the final batch by one
+    # cycle: Spark acks batch N when batch N+1 starts); the cursor is
+    # past the snapshot and never below the committed mark
+    assert _off_key(doc["committed"]) > _off_key({"v": 1, "snap": True})
+    assert not doc["cur"].get("snap")
+    assert _off_key(doc["cur"]) >= _off_key(doc["committed"])
+
+
+def test_fresh_checkpoint_over_committed_pace_id_fails_loudly(spark, ts_env):
+    """A fresh checkpoint meeting a pace sidecar another checkpoint
+    already committed past must fail at stream start (silently skipping
+    pacing would deliver the whole snapshot in one batch)."""
+    from etl_demo_spark.io.table_stream import run_paced_drain
+
+    table = f"{ts_env}/t12"
+    sink, ck = f"{ts_env}/t12_sink", f"{ts_env}/t12_ck"
+    write_manifested(_mk_rows(spark, range(0, 6)).repartition(3), table, "part")
+
+    def build_writer(df):
+        return (
+            df.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+        )
+
+    run_paced_drain(spark, table, build_writer, 1, "t12pace")
+    # same pace_id, FRESH checkpoint: must refuse, not skip pacing
+    with pytest.raises(Exception, match="already\\s+committed past|pace_id"):
+        q = (
+            spark.readStream.format("tablestream")
+            .option("path", table)
+            .option("max_files_per_batch", "1")
+            .option("pace_id", "t12pace")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", f"{ts_env}/t12_sink2")
+            .option("checkpointLocation", f"{ts_env}/t12_ck2")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.exception():
+            raise q.exception()
+
+
+def test_lost_pace_sidecar_on_resumed_checkpoint_fails_loudly(spark, ts_env):
+    """Deleting the pace sidecar under a live checkpoint must surface as
+    a loud offset-regression error, never as silent re-delivery."""
+    import os as _os
+    import shutil as _shutil
+
+    from etl_demo_spark.io.table_stream import run_paced_drain
+
+    table = f"{ts_env}/t13"
+    sink, ck = f"{ts_env}/t13_sink", f"{ts_env}/t13_ck"
+    write_manifested(_mk_rows(spark, range(0, 6)).repartition(3), table, "part")
+
+    def build_writer(df):
+        return (
+            df.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+        )
+
+    run_paced_drain(spark, table, build_writer, 1, "t13pace")
+    _os.unlink(_os.path.join(table, "_manifests", ".pace-t13pace"))
+    append_manifested(spark, table, _mk_rows(spark, [99]))
+    before = spark.read.parquet(sink).count()
+    with pytest.raises(Exception, match="offset regression|pace"):
+        q = (
+            spark.readStream.format("tablestream")
+            .option("path", table)
+            .option("max_files_per_batch", "1")
+            .option("pace_id", "t13pace")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.exception():
+            raise q.exception()
+    # nothing re-delivered into the sink
+    try:
+        after = spark.read.parquet(sink).count()
+    except Exception:
+        after = before
+    assert after == before
+    _shutil.rmtree(f"{ts_env}/t13_ck", ignore_errors=True)
