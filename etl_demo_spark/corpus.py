@@ -10784,3 +10784,336 @@ def catalog_release_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(label).alias("side"), "o_orderpriority", "n", "total")
 
     return side("open", "open").unionByName(side("closed", "closed"))
+
+
+@query(
+    "occ_rebase_concurrent_writers",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0
+                  THEN o_totalprice + 500000.0
+                  ELSE o_totalprice END AS price
+      FROM orders
+      UNION ALL
+      SELECT o_orderpriority, o_totalprice + 1000000.0 AS price
+      FROM orders
+      WHERE o_orderpriority = '5-LOW' AND o_orderkey % 10 = 0
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def occ_rebase_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMIT-TIME CONFLICT DETECTION (`io/manifest.py:_rebase_publish`):
+    an APPEND and a disjoint-leaf MERGE race the same manifest CAS — the
+    loser must land by REPUBLISHING its already-staged files onto the
+    winner's snapshot, not by deleting and re-running the transaction.
+    This is Delta/Iceberg commit-conflict semantics, and the write-
+    throughput ceiling of the lakehouse story: a streaming append sink
+    racing periodic OPTIMIZE would otherwise re-write its batch every
+    lost race and hard-fail under sustained contention.
+
+    The race is injected deterministically: the append's first CAS is
+    intercepted and a merge into a DIFFERENT leaf commits first, so the
+    append genuinely loses. In-query asserts pin the contract — (1)
+    byte-identity (path+size+mtime) of every file the loser staged
+    before losing, (2) occ_stats records exactly one rebase and zero
+    re-runs, (3) the rebased commit is version winner+1 with its own
+    operation stamp. The returned aggregate covers base ∪ merge-update ∪
+    appended rows; the oracle derives the same state relationally, so a
+    hash match certifies both transactions landed exactly once.
+
+    Reference anchor: the reference engine (etl_weekly_trades.py) has no
+    concurrency at all — north-star lakehouse surface."""
+    import glob
+    import os
+    import tempfile
+
+    import etl_demo_spark.io.manifest as m
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    root = tempfile.mkdtemp(prefix="occ_rebase_") + "/orders"
+    m.write_manifested(base, root, "o_orderpriority")
+
+    def files_now() -> dict:
+        out = {}
+        for f in glob.glob(f"{root}/o_orderpriority=*/__v*/*.parquet"):
+            st = os.stat(f)
+            out[f] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    pre_append = files_now()
+    winner_src = base.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") % 7 == 0)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(500_000.0))
+    loser_src = base.filter(
+        (F.col("o_orderpriority") == "5-LOW") & (F.col("o_orderkey") % 10 == 0)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1_000_000.0))
+
+    real_cas = m._publish_cas
+    state: dict = {"fired": False}
+
+    def racing_cas(fs, jvm, p, data):
+        if not state["fired"]:
+            state["fired"] = True
+            state["staged"] = {
+                f: sig for f, sig in files_now().items() if f not in pre_append
+            }
+            m.merge_upsert_manifested(
+                spark, root, winner_src, ["o_orderkey"], ["o_orderpriority"]
+            )
+        return real_cas(fs, jvm, p, data)
+
+    occ_before = dict(m.occ_stats)
+    m._publish_cas = racing_cas
+    try:
+        m.append_manifested(spark, root, loser_src)
+    finally:
+        m._publish_cas = real_cas
+
+    assert state["fired"], "the race was never exercised"
+    assert state["staged"], "the loser staged nothing before losing"
+    after = files_now()
+    for f, sig in state["staged"].items():
+        assert after.get(f) == sig, f"staged file churned on rebase: {f}"
+    assert m.occ_stats["rebased"] == occ_before["rebased"] + 1, m.occ_stats
+    assert m.occ_stats["reran"] == occ_before["reran"], m.occ_stats
+    fs, jvm = m._hadoop_fs(spark, root)
+    head_v = m.manifest_versions(spark, root)[-1]
+    assert head_v == 3, head_v  # base v1, winner v2, rebased loser v3
+    assert m._resolve_doc(fs, jvm, root, 3).get("operation") == "APPEND"
+
+    return (
+        m.read_manifested(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@query(
+    "wap_branch_publish",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (
+      SELECT o_orderpriority, o_totalprice AS price FROM orders
+      UNION ALL
+      SELECT o_orderpriority, o_totalprice + 2000000.0 AS price
+      FROM orders
+      WHERE o_orderkey % 8 = 0
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def wap_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH (`io/manifest.py:branch_create` /
+    `use_branch` / `branch_fastforward`): the standard gate between "the
+    pipeline wrote it" and "training reads it". A daily load lands on a
+    BRANCH — its commits are staged under the table root but invisible
+    to every main reader, stream, and catalog pin — then an expectation
+    suite validates the branch head, and only a passing branch
+    fast-forwards into ONE atomic main commit with zero data movement.
+
+    The load is deliberately poisoned (a negative price slips in);
+    in-query asserts pin the gate: (1) the first publish attempt is
+    REFUSED naming the failing expectation and its violation count, (2)
+    main's row count and head version never move while the bad batch is
+    quarantined, (3) after the fix lands on the same branch the publish
+    succeeds and the published files are byte-identical to what the
+    branch staged (audit-then-point, never rewrite). The oracle derives
+    the final state from the base table + the clean slice alone — a
+    hash match certifies the bad row never leaked and the good rows
+    landed exactly once.
+
+    Reference anchor: the reference engine (etl_weekly_trades.py) has
+    no staging/validation gates — north-star lakehouse surface."""
+    import glob
+    import os
+    import tempfile
+
+    import etl_demo_spark.io.manifest as m
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    root = tempfile.mkdtemp(prefix="wap_") + "/orders"
+    m.write_manifested(base, root, "o_orderpriority")
+    n_base = base.count()
+
+    load = base.filter(F.col("o_orderkey") % 8 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(2_000_000.0)
+    )
+    poison = spark.createDataFrame(
+        [(999_999_999, -1.0, "1-URGENT")],
+        "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING",
+    ).withColumn(
+        "o_totalprice", F.col("o_totalprice").cast(load.schema["o_totalprice"].dataType)
+    ).withColumn(
+        "o_orderkey", F.col("o_orderkey").cast(load.schema["o_orderkey"].dataType)
+    )
+
+    m.branch_create(spark, root, "ingest")
+    with m.use_branch(spark, root, "ingest"):
+        m.append_manifested(
+            spark, root, load.unionByName(poison.select(*load.columns))
+        )
+
+    gate = {"price_positive": "o_totalprice >= 0"}
+    refused = False
+    try:
+        m.branch_fastforward(spark, root, "ingest", expectations=gate)
+    except ValueError as e:
+        refused = True
+        assert "price_positive" in str(e) and "1" in str(e), str(e)
+    assert refused, "the poisoned branch must not publish"
+    # quarantined: main never moved
+    assert m.read_manifested(spark, root).count() == n_base
+    assert m.manifest_versions(spark, root)[-1] == 1
+
+    with m.use_branch(spark, root, "ingest"):
+        m.delete_where_manifested(
+            spark, root, F.col("o_totalprice") < 0, "o_orderpriority"
+        )
+        staged = {
+            f: os.stat(f).st_mtime_ns
+            for f in glob.glob(f"{root}/o_orderpriority=*/__v*/*.parquet")
+        }
+    v = m.branch_fastforward(spark, root, "ingest", expectations=gate)
+    after = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{root}/o_orderpriority=*/__v*/*.parquet")
+    }
+    assert staged.items() <= after.items(), "publish must not rewrite data"
+    assert v == m.manifest_versions(spark, root)[-1]
+
+    return (
+        m.read_manifested(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@query(
+    "catalog_sql_txn_read_own_writes",
+    oracle="""
+    WITH open0 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderstatus = 'O'
+    ),
+    inserted AS (
+      SELECT o_orderkey + 50000000 AS o_orderkey, o_orderpriority,
+             CAST(price + 1000000.0 AS DECIMAL(18,2)) AS price
+      FROM open0 WHERE o_orderkey % 9 = 0
+    ),
+    open1 AS (
+      SELECT * FROM open0 UNION ALL SELECT * FROM inserted
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price) AS DOUBLE) AS total
+    FROM open1
+    GROUP BY o_orderpriority
+    """,
+)
+def catalog_sql_txn_read_own_writes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """READ-YOUR-OWN-WRITES inside `catalog_sql_txn` — the BEGIN…COMMIT
+    isolation a SQL user expects: statement 2's SELECT source AGGREGATES
+    statement 1's inserts (the touched table's view is re-pointed at
+    its new, not-yet-pinned head after every statement), while outside
+    readers resolve the old catalog pins until the single CAS flips the
+    whole batch.
+
+    The transaction inserts a derived slice into `open` (statement 1),
+    then materializes a per-priority rollup OF OPEN — including the
+    fresh inserts — into `rollup` (statement 2). In-query asserts pin
+    the contract from both sides: the rollup's row counts equal base ∪
+    inserted (statement 2 saw statement 1), AND a catalog snapshot
+    resolved before the transaction still reads the empty rollup and
+    the pre-insert open table (no dirty reads; all-or-nothing flip).
+    The oracle replays the same sequential semantics relationally, so a
+    hash match certifies view re-pointing, both committers, and the
+    single-flip publication."""
+    import tempfile
+
+    from etl_demo_spark.io.catalog import (
+        catalog_init,
+        catalog_snapshot,
+        catalog_sql_txn,
+        catalog_versions,
+    )
+    from etl_demo_spark.io.manifest import write_manifested
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="cat_ryow_")
+    a_root, r_root, cat = f"{root}/open", f"{root}/rollup", f"{root}/cat"
+    open0 = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    write_manifested(open0, a_root, "o_orderpriority")
+    # seed the rollup with one throwaway partition row per priority so
+    # the table (and its schema) exists; the txn's statement 2 inserts
+    # the real aggregate rows
+    seed = open0.groupBy("o_orderpriority").agg(
+        F.lit(-1).cast("bigint").alias("n"),
+        F.lit(0).cast("decimal(18,2)").alias("total"),
+    )
+    write_manifested(seed, r_root, "o_orderpriority")
+    catalog_init(spark, cat, {"open": a_root, "rollup": r_root})
+
+    pre = catalog_snapshot(spark, cat)
+    n_open0 = open0.count()
+    n_ins = open0.filter(F.col("o_orderkey") % 9 == 0).count()
+    v0 = catalog_versions(spark, cat)[-1]
+
+    cv = catalog_sql_txn(
+        spark,
+        cat,
+        [
+            "INSERT INTO open (o_orderkey, o_orderpriority, price) "
+            "SELECT o_orderkey + 50000000, o_orderpriority, "
+            "CAST(price + 1000000.0 AS DECIMAL(18,2)) FROM open "
+            "WHERE o_orderkey % 9 = 0",
+            "INSERT INTO rollup (o_orderpriority, n, total) "
+            "SELECT o_orderpriority, COUNT(*), "
+            "CAST(SUM(price) AS DECIMAL(18,2)) FROM open "
+            "GROUP BY o_orderpriority",
+        ],
+    )
+    assert cv == v0 + 1, "one flip for the whole transaction"
+    # statement 2 saw statement 1: the rollup's total row count equals
+    # base ∪ inserted
+    post = catalog_snapshot(spark, cat)
+    rolled = post.read("rollup").filter(F.col("n") >= 0)
+    total_n = rolled.agg(F.sum("n")).first()[0]
+    assert total_n == n_open0 + n_ins, (total_n, n_open0, n_ins)
+    # outside the txn nothing was visible until the flip
+    assert pre.read("rollup").filter(F.col("n") >= 0).count() == 0
+    assert pre.read("open").count() == n_open0
+
+    return (
+        post.read("open")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("price").cast("double").alias("total"),
+        )
+    )

@@ -131,6 +131,76 @@ def catalog_versions(spark: SparkSession, cat_root: str) -> list[int]:
     return _cat_versions(fs, jvm, cat_root)
 
 
+def catalog_alter(
+    spark: SparkSession,
+    cat_root: str,
+    add: dict[str, str] | None = None,
+    remove: list[str] | None = None,
+) -> int:
+    """Evolve catalog MEMBERSHIP in one atomic commit: ``add`` maps new
+    member names to table roots (pinned at their current manifest head),
+    ``remove`` drops names from the catalog. Removed tables keep their
+    data and any table-level tags (incl. ``catalog:<release>`` pins from
+    releases they were part of — those releases still resolve the old
+    catalog versions, which still name the table); they simply stop
+    participating in new catalog versions. Same CAS-retry semantics as
+    `catalog_commit`. Returns the catalog version published."""
+    add = dict(add or {})
+    remove = list(remove or [])
+    if not add and not remove:
+        raise ValueError("catalog_alter: nothing to add or remove")
+    dup = set(add) & set(remove)
+    if dup:
+        raise ValueError(f"catalog_alter: {sorted(dup)} in both add and remove")
+    fs, jvm = _hadoop_fs(spark, cat_root)
+    pinned = {
+        name: {"root": root.rstrip("/"), "version": _table_head(spark, root)}
+        for name, root in add.items()
+    }
+    for _ in range(_MAX_RETRIES):
+        vs = _cat_versions(fs, jvm, cat_root)
+        if not vs:
+            raise ValueError(f"{cat_root} is not a catalog (no versions)")
+        head = vs[-1]
+        doc = _load_cat(fs, jvm, cat_root, head)
+        clash = set(add) & set(doc["tables"])
+        if clash:
+            raise ValueError(
+                f"catalog_alter: {sorted(clash)} are already members"
+            )
+        missing = set(remove) - set(doc["tables"])
+        if missing:
+            raise ValueError(
+                f"catalog_alter: {sorted(missing)} are not members "
+                f"(have: {sorted(doc['tables'])})"
+            )
+        new = {
+            "version": head + 1,
+            "committed_at_ms": int(time.time() * 1000),
+            "tables": {
+                **{
+                    n: e
+                    for n, e in doc["tables"].items()
+                    if n not in remove
+                },
+                **pinned,
+            },
+        }
+        if doc.get("tags"):
+            new["tags"] = doc["tags"]
+        if _publish_cas(
+            fs,
+            jvm,
+            _cat_path(cat_root, head + 1),
+            json.dumps(new, indent=1).encode(),
+        ):
+            return head + 1
+    raise CatalogConflict(
+        f"catalog_alter: lost {_MAX_RETRIES} consecutive publish races "
+        f"on {cat_root}"
+    )
+
+
 def catalog_commit(
     spark: SparkSession, cat_root: str, pins: dict[str, int]
 ) -> int:
@@ -532,25 +602,34 @@ def catalog_sql_txn(
     on the old pins (the orphaned table versions age out through normal
     per-table retention), never a torn intermediate.
 
-    Isolation shape, stated honestly: SELECT sources and predicates
-    evaluate against the TRANSACTION-START snapshot views (repeatable
-    read — statement 3's subquery does not see statement 1's inserts
-    through the views), while each statement's own TARGET-table DML
-    composes sequentially at table head (a DELETE after an INSERT INTO
-    the same table removes the inserted rows). That is snapshot-read /
-    sequential-write — the same contract the per-table committers give,
-    lifted to statement batches. Statement grammar = `catalog_sql`'s.
+    Isolation: READ-YOUR-OWN-WRITES inside the transaction, invisible
+    outside until the flip — a real BEGIN…COMMIT's contract. After each
+    statement the touched table's view is re-registered at its new
+    (not-yet-pinned) head, so statement N's SELECT sources and
+    subqueries see statements 1..N-1's effects; tables the transaction
+    hasn't touched stay at their transaction-start snapshot (no dirty
+    reads of other writers). OUTSIDE readers resolve the catalog's old
+    pins until the single CAS publishes every touched table together.
+    Statement grammar = `catalog_sql`'s.
 
     Returns the catalog version that published the batch. Scale: N
     table commits + one tiny JSON CAS; no statement re-reads another's
     data beyond what its own DML needs."""
     if not statements:
         raise ValueError("catalog_sql_txn: empty statement list")
+    from etl_demo_spark.io.manifest import read_manifested
+
     snap = register_catalog(spark, cat_root, prefix=prefix)
     pins: dict[str, int] = {}
     for stmt in statements:
         name, root = _apply_dml(spark, snap, cat_root, stmt, fmt)
         pins[name] = manifest_versions(spark, root)[-1]
+        # read-your-own-writes: later statements' SELECT sources see
+        # this statement's effect through the re-pointed view (still
+        # invisible to outside readers — the catalog pin hasn't moved)
+        read_manifested(
+            spark, root, fmt, version=pins[name]
+        ).createOrReplaceTempView(f"{prefix}{name}")
     cv = catalog_commit(spark, cat_root, pins)
     register_catalog(spark, cat_root, prefix=prefix)
     return cv
@@ -643,6 +722,20 @@ def catalog_tag_create(
             f"catalog_tag_create: release {name!r} already exists "
             f"(catalog v{head_tags[name]['version']}); pass replace=True"
         )
+    if name in head_tags:
+        # REPLACE: tables that were members of the old release but are
+        # absent from the new target catalog version must lose their
+        # catalog:<name> tag now — nothing will reference it afterwards,
+        # and an orphaned tag pins their snapshots against GC forever.
+        from etl_demo_spark.io.manifest import tag_delete
+
+        old = _load_cat(fs, jvm, cat_root, int(head_tags[name]["version"]))
+        gone = set(old["tables"]) - set(target["tables"])
+        for tname in sorted(gone):
+            try:
+                tag_delete(spark, old["tables"][tname]["root"], f"catalog:{name}")
+            except ValueError:
+                pass  # tag already gone — idempotent
     for tname, entry in sorted(target["tables"].items()):
         tag_create(
             spark,

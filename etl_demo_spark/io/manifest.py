@@ -59,6 +59,8 @@ adopting a full table format.
 from __future__ import annotations
 
 import base64
+import contextvars as _contextvars
+from contextlib import contextmanager as _contextmanager
 import json
 import math
 import time
@@ -105,7 +107,40 @@ _DV_SCHEMA = "file_rel STRING, pos BIGINT"
 _CHANGES_DIR = "_changes"
 
 
+# --- branches (write-audit-publish) ----------------------------------------
+# A BRANCH is a writable named ref: its commits continue the version
+# numbering from the base but live in a sub-log
+# (`_manifests/branches/<name>/`), so the MAIN chain — what every
+# reader, stream, and catalog pin resolves — never sees them until
+# `branch_fastforward` publishes the branch head as one main commit
+# (zero data movement: branch commits staged their files under the
+# table root all along). The active branch is carried in a contextvar
+# keyed by table root (`use_branch`), consulted by the three path/
+# listing chokepoints below, so every committer and reader in this
+# module is branch-capable without signature changes.
+_BRANCH_SUBDIR = "branches"
+
+_BRANCH_CTX: _contextvars.ContextVar[dict | None] = _contextvars.ContextVar(
+    "manifest_branch_ctx", default=None
+)
+
+
+def _branch_of(root: str) -> tuple[str, int] | None:
+    """(branch name, base version) active for ``root``, or None."""
+    ctx = _BRANCH_CTX.get()
+    if not ctx:
+        return None
+    return ctx.get(root.rstrip("/"))
+
+
+def _branch_dir(root: str, name: str) -> str:
+    return f"{root.rstrip('/')}/{_MANIFEST_DIR}/{_BRANCH_SUBDIR}/{name}"
+
+
 def _manifest_path(root: str, version: int) -> str:
+    b = _branch_of(root)
+    if b is not None and version > b[1]:
+        return f"{_branch_dir(root, b[0])}/v{version:010d}.json"
     return f"{root.rstrip('/')}/{_MANIFEST_DIR}/v{version:010d}.json"
 
 
@@ -209,23 +244,46 @@ def _clean_stale_staging(fs, jvm, root: str) -> None:
 
 
 def _commit_retry(fs, jvm, root: str, attempt_fn):
-    """Optimistic-concurrency loop shared by every manifest committer.
+    """Optimistic-concurrency loop shared by every manifest committer,
+    with COMMIT-TIME CONFLICT DETECTION (the Delta/Iceberg shape).
 
     ``attempt_fn(doc, new_version, token)`` runs ONE full transaction
     attempt against the resolved snapshot ``doc`` — stage data under
     token'd version subdirs, build the new manifest, `_publish_cas` it —
-    and returns ``(published, staged_vrels, result)``. On a lost race the
-    staged dirs are dropped and the whole transaction re-runs against the
-    winner's snapshot (the merge/delete/compact semantics recompute, so
-    writers touching the same leaf serialize correctly, not just
-    disjoint ones)."""
+    and returns ``(published, staged_vrels, result)`` or, for
+    rebase-capable committers, ``(published, staged_vrels, result,
+    new_doc)`` where ``new_doc`` is the fully-materialized manifest the
+    attempt built.
+
+    On a lost race a rebase-capable transaction is first CLASSIFIED
+    against the winner's commit(s) (`_rebase_conflict`): two pure
+    appends never conflict, and rewrites conflict only when their
+    touched-leaf sets intersect the winner's. A non-conflicting loser
+    REPUBLISHES its already-staged files onto the new snapshot
+    (`_rebase_doc` three-way merge, one new CAS) — zero data bytes
+    rewritten. Only a true conflict (overlapping leaves, config/DV
+    changes) drops the staged dirs and re-runs the whole transaction
+    against the winner's snapshot, so writers touching the same leaf
+    still serialize correctly."""
     for _ in range(_COMMIT_RETRIES):
         doc = _load_doc(fs, jvm, root)
-        new_version = _next_version(fs, jvm, root)
+        # NOT a second listing: a commit landing between two listings
+        # would hand this attempt version head+2 with parent head,
+        # silently orphaning head+1. The resolved doc IS the head.
+        new_version = doc["version"] + 1
         token = uuid.uuid4().hex[:8]
-        published, staged, result = attempt_fn(doc, new_version, token)
+        out = attempt_fn(doc, new_version, token)
+        published, staged, result = out[:3]
+        new_doc = out[3] if len(out) > 3 else None
         if published:
             return result
+        occ_stats["cas_lost"] += 1
+        if new_doc is not None and _REBASE_ENABLED:
+            landed = _rebase_publish(fs, jvm, root, doc, new_doc)
+            if landed:
+                occ_stats["rebased"] += 1
+                return result
+        occ_stats["reran"] += 1
         for vrel in staged:
             fs.delete(
                 jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/{vrel}"), True
@@ -236,19 +294,16 @@ def _commit_retry(fs, jvm, root: str, attempt_fn):
     )
 
 
-def _list_manifest_versions(fs, jvm, root: str) -> list[int]:
+def _list_dir_versions(fs, jvm, mdir: str) -> list[int]:
     if fs is None:  # plain-posix listing for JVM-less readers (see _read_file)
         import os
 
-        mdir = _strip_scheme(f"{root.rstrip('/')}/{_MANIFEST_DIR}")
         try:
-            names = os.listdir(mdir)
+            names = os.listdir(_strip_scheme(mdir))
         except FileNotFoundError:
             return []
     else:
-        mdir_p = jvm.org.apache.hadoop.fs.Path(
-            f"{root.rstrip('/')}/{_MANIFEST_DIR}"
-        )
+        mdir_p = jvm.org.apache.hadoop.fs.Path(mdir)
         if not fs.exists(mdir_p):
             return []
         names = [st.getPath().getName() for st in fs.listStatus(mdir_p)]
@@ -260,6 +315,18 @@ def _list_manifest_versions(fs, jvm, root: str) -> list[int]:
             except ValueError:
                 continue
     return sorted(versions)
+
+
+def _list_manifest_versions(fs, jvm, root: str) -> list[int]:
+    main = _list_dir_versions(fs, jvm, f"{root.rstrip('/')}/{_MANIFEST_DIR}")
+    b = _branch_of(root)
+    if b is None:
+        return main
+    name, base = b
+    branch = _list_dir_versions(fs, jvm, _branch_dir(root, name))
+    # the branch view: main history up to the fork point, then the
+    # branch's own commits — main commits after the fork are invisible
+    return [v for v in main if v <= base] + branch
 
 
 def _stat_val(v):
@@ -730,6 +797,214 @@ def _carry_stats_config(doc: dict, new_doc: dict) -> None:
     for key in _STATS_CONFIG_KEYS:
         if key in doc:
             new_doc[key] = doc[key]
+
+
+# --- commit-time conflict detection (OCC rebase) ---------------------------
+# On a lost CAS race, a transaction whose effects cannot overlap the
+# winner's republishes its ALREADY-STAGED files onto the new snapshot
+# instead of deleting and re-running — Delta/Iceberg's commit-conflict
+# semantics. Leaf-scoped three-way merge: loser's touched leaves applied
+# onto the winner's head; conflicts = overlapping leaves, table-config
+# changes, or both sides moving the (single) DV sidecar.
+
+_REBASE_CONFIG_KEYS = (
+    "schema",
+    "column_mapping",
+    "dropped_physical",
+    "partition_transforms",
+    "constraints",
+    "change_feed",
+) + _STATS_CONFIG_KEYS
+
+# process-local OCC observability (tests and the contention bench read
+# this): lost CAS races, how many landed by zero-rewrite rebase vs had
+# to re-stage. Not synchronized beyond the GIL — counters, not truth.
+occ_stats = {"cas_lost": 0, "rebased": 0, "reran": 0, "last_conflict": None}
+
+# A/B switch for the contention bench: False forces every lost race
+# down the legacy delete-and-re-run path. Not a user knob.
+_REBASE_ENABLED = True
+
+
+def _leaf_changes(a: dict, b: dict) -> dict[str, str]:
+    """Per-leaf footprint of ``b`` relative to ``a``: ``"append"`` (the
+    primary vrel is unchanged and the extras SET only grew — pure
+    insert), else ``"rewrite"`` (primary replaced, leaf created/drained,
+    extras retired, or DV entries moved)."""
+    pa, pb = a.get("partitions", {}), b.get("partitions", {})
+    ea, eb = a.get("extra_vrels") or {}, b.get("extra_vrels") or {}
+    out: dict[str, str] = {}
+    for rel in set(pa) | set(pb):
+        if pa.get(rel) != pb.get(rel):
+            out[rel] = "rewrite"
+            continue
+        sa, sb = set(ea.get(rel, [])), set(eb.get(rel, []))
+        if sa != sb:
+            out[rel] = "append" if sa < sb else "rewrite"
+    fa = (a.get("dv") or {}).get("files", {})
+    fb = (b.get("dv") or {}).get("files", {})
+    for p in set(fa) | set(fb):
+        if fa.get(p) != fb.get(p):
+            out[p.rsplit("/", 2)[0]] = "rewrite"
+    return out
+
+
+def _structural_touched(a: dict, b: dict) -> set[str]:
+    """Leaves whose state differs between docs — a transaction's (or a
+    commit range's) leaf footprint."""
+    return set(_leaf_changes(a, b))
+
+
+def _rebase_conflict(base: dict, head: dict, new_doc: dict) -> str | None:
+    """Why the lost transaction (built as ``new_doc`` against ``base``)
+    cannot be republished onto ``head`` — or None if it can.
+
+    Two PURE APPENDS never conflict, even on the same leaf (extras are
+    a set union — unless the leaf carries split-layout stats files,
+    which are monolithic per leaf and would lose one side's entries).
+    Everything else conflicts exactly when leaf footprints intersect,
+    either side changed table config, or both moved the DV sidecar."""
+    for k in _REBASE_CONFIG_KEYS:
+        if base.get(k) != head.get(k):
+            return f"winner changed table config {k!r}"
+        if base.get(k) != new_doc.get(k):
+            return f"transaction changes table config {k!r}"
+    if new_doc.get("tags") is not None and new_doc.get("tags") != base.get(
+        "tags"
+    ):
+        return "transaction changes tags"
+    loser_dv = new_doc.get("dv") != base.get("dv")
+    winner_dv = head.get("dv") != base.get("dv")
+    if loser_dv and winner_dv:
+        return "both sides moved the deletion-vector sidecar"
+    t = _leaf_changes(base, new_doc)
+    w = _leaf_changes(base, head)
+    split_stats = (
+        head.get("files_manifests") is not None
+        or new_doc.get("files_manifests") is not None
+    )
+    for rel in set(t) & set(w):
+        if t[rel] == w[rel] == "append" and not split_stats:
+            continue  # concurrent inserts into one leaf: extras union
+        return f"touched leaves overlap: {rel!r} ({t[rel]} vs {w[rel]})"
+    base_txns = base.get("txns") or {}
+    new_txns = new_doc.get("txns") or {}
+    head_txns = head.get("txns") or {}
+    for app, ver in new_txns.items():
+        if base_txns.get(app) != ver and base_txns.get(app) != head_txns.get(
+            app
+        ):
+            return f"writer transaction {app!r} advanced concurrently"
+    return None
+
+
+def _rebase_doc(base: dict, head: dict, new_doc: dict) -> dict:
+    """Three-way merge: the loser's leaf-scoped mutations (diff
+    base→new_doc) applied onto the winner's ``head``. Preconditions
+    established by `_rebase_conflict`; the staged vrels/stats files/
+    change sidecars referenced by ``new_doc`` are reused byte-for-byte."""
+    out = {
+        k: v
+        for k, v in head.items()
+        if not k.startswith("_")
+        and k not in ("change_data", "operation", "committed_at_ms", "parent")
+    }
+    out["version"] = head["version"] + 1
+    parts = dict(head.get("partitions", {}))
+    extras = {r: list(v) for r, v in (head.get("extra_vrels") or {}).items()}
+    new_parts = new_doc.get("partitions", {})
+    new_extras = new_doc.get("extra_vrels") or {}
+    base_extras = base.get("extra_vrels") or {}
+    for rel, kind in _leaf_changes(base, new_doc).items():
+        if kind == "append" and rel in parts:
+            # pure insert: union the loser's NEW extras onto whatever
+            # the winner's head carries for this leaf (possibly its own
+            # concurrent appends)
+            base_set = set(base_extras.get(rel, []))
+            added = [v for v in new_extras.get(rel, []) if v not in base_set]
+            cur = extras.get(rel, [])
+            extras[rel] = cur + [v for v in added if v not in cur]
+            continue
+        if rel in new_parts:
+            parts[rel] = new_parts[rel]
+        else:
+            parts.pop(rel, None)
+        if rel in new_extras:
+            extras[rel] = list(new_extras[rel])
+        else:
+            extras.pop(rel, None)
+    out["partitions"] = parts
+    if extras:
+        out["extra_vrels"] = extras
+    else:
+        out.pop("extra_vrels", None)
+    if new_doc.get("dv") != base.get("dv"):
+        out["dv"] = new_doc.get("dv")  # loser moved it; winner didn't
+    if (new_doc.get("txns") or {}) != (base.get("txns") or {}):
+        merged = dict(head.get("txns") or {})
+        for app, ver in (new_doc.get("txns") or {}).items():
+            if (base.get("txns") or {}).get(app) != ver:
+                merged[app] = ver
+        out["txns"] = merged
+    # stats: carry the winner's inventory, attach the loser's staged
+    # entries for its touched leaves (embedded entries travel in the
+    # doc; split-layout pointers reference stats files already on disk)
+    t = _structural_touched(base, new_doc)
+    if new_doc.get("files") is not None or head.get("files") is not None:
+        live = set(parts.values())
+        for vs in extras.values():
+            live.update(vs)
+        files = {
+            p: st
+            for p, st in (head.get("files") or {}).items()
+            if p.rsplit("/", 1)[0] in live
+        }
+        for p, st in (new_doc.get("files") or {}).items():
+            if p.rsplit("/", 2)[0] in t and p.rsplit("/", 1)[0] in live:
+                files[p] = st
+        if files or (head.get("files") is not None):
+            out["files"] = files
+    if head.get("files_manifests") is not None or new_doc.get(
+        "files_manifests"
+    ) is not None:
+        fm = {
+            r: f
+            for r, f in (head.get("files_manifests") or {}).items()
+            if r in parts and r not in t
+        }
+        for r in t:
+            nf = (new_doc.get("files_manifests") or {}).get(r)
+            if nf is not None and r in parts:
+                fm[r] = nf
+        out["files_manifests"] = fm
+    if "operation" in new_doc:
+        out["operation"] = new_doc["operation"]
+    if "change_data" in new_doc:
+        out["change_data"] = new_doc["change_data"]
+    return out
+
+
+def _rebase_publish(fs, jvm, root: str, base: dict, new_doc: dict) -> bool:
+    """Try to land a lost transaction WITHOUT re-staging: classify vs
+    the current head; if conflict-free, three-way merge and CAS. Loops
+    while non-conflicting races keep landing. Returns True when the
+    rebased commit published (staged bytes reused as-is), False when a
+    true conflict demands the full re-run path."""
+    for _ in range(_COMMIT_RETRIES):
+        head = _load_doc(fs, jvm, root)
+        reason = _rebase_conflict(base, head, new_doc)
+        if reason is not None:
+            occ_stats["last_conflict"] = reason
+            return False
+        out = _rebase_doc(base, head, new_doc)
+        if _publish_cas(
+            fs,
+            jvm,
+            _manifest_path(root, out["version"]),
+            _encode_commit(head, out),
+        ):
+            return True
+    return False
 
 
 # ---------------------------------------------------------------------------
@@ -2312,7 +2587,14 @@ def _gc(fs, jvm, root: str, keep_versions: list[int]) -> None:
     crashed attempts. Unreferenced dirs YOUNGER than the orphan grace
     window are spared: they may be a concurrent committer's in-flight
     staging (its manifest publishes after the data lands); a crashed
-    attempt's dirs are reclaimed once they age past the window."""
+    attempt's dirs are reclaimed once they age past the window.
+
+    Branch commits SKIP GC entirely (a branch view hides main commits
+    after the fork — reclaiming against it would delete live main
+    data); main GC protects every live branch's referenced state via
+    `_branch_protected`."""
+    if _branch_of(root) is not None:
+        return
     listed = _list_manifest_versions(fs, jvm, root)
     # TAGS protect their snapshots from reclamation (Iceberg's ref
     # semantics): the newest retained manifest is the authority on live
@@ -2338,6 +2620,40 @@ def _gc(fs, jvm, root: str, keep_versions: list[int]) -> None:
             (kept_doc.get("files_manifests") or {}).values()
         )
         closure.update(_ancestors(fs, jvm, root, v))
+    # live BRANCHES: every branch commit's data/DV/stats is staged under
+    # this root and resolves through main-chain ancestors at-or-below
+    # the fork point — all of it stays protected until the branch is
+    # deleted or published
+    rs = root.rstrip("/")
+    for bname, bbase in _list_branch_refs(fs, jvm, root):
+        tok = _BRANCH_CTX.set(
+            {**(_BRANCH_CTX.get() or {}), rs: (bname, bbase)}
+        )
+        try:
+            for bv in _list_dir_versions(fs, jvm, _branch_dir(root, bname)):
+                try:
+                    bdoc = _resolve_doc(fs, jvm, root, bv)
+                except Exception:
+                    continue
+                referenced.update(_all_vrels(bdoc))
+                if bdoc.get("dv"):
+                    referenced_dv.add(bdoc["dv"]["rel"])
+                referenced_stats.update(
+                    (bdoc.get("files_manifests") or {}).values()
+                )
+                try:
+                    ch = _load_raw(fs, jvm, root, bv).get("change_data")
+                except Exception:
+                    ch = None
+                if ch and ch.get("rel"):
+                    referenced.add(ch["rel"])
+                closure.update(
+                    a
+                    for a in _ancestors(fs, jvm, root, bv)
+                    if a <= bbase
+                )
+        finally:
+            _BRANCH_CTX.reset(tok)
     # dirs referenced ONLY by expiring manifests are provably superseded
     # data — deletable immediately, no grace needed (they cannot be a
     # concurrent committer's staging: staging is never manifest-listed)
@@ -2396,7 +2712,9 @@ def _gc(fs, jvm, root: str, keep_versions: list[int]) -> None:
                     superseded_ch.add(ch["rel"])
         for st in fs.listStatus(chp):
             r = f"{_CHANGES_DIR}/{st.getPath().getName()}"
-            if r in referenced_ch:
+            # `referenced` additionally carries live BRANCH commits'
+            # change sidecars (collected above)
+            if r in referenced_ch or r in referenced:
                 continue
             if r in superseded_ch or st.getModificationTime() < cutoff:
                 fs.delete(st.getPath(), True)
@@ -2631,7 +2949,7 @@ def compact_manifested(
             _manifest_path(roots, new_version),
             _encode_commit(doc, new_doc),
         )
-        return ok, staged_vrels, sorted(to_compact)
+        return ok, staged_vrels, sorted(to_compact), new_doc
 
     return _commit_retry(fs, jvm, roots, _attempt)
 
@@ -2744,7 +3062,7 @@ def repartition_manifested(
         ok = _publish_cas(
             fs, jvm, _manifest_path(roots, new_version), _encode_commit(doc, new_doc)
         )
-        return ok, staged_vrels, sorted(new_mapping)
+        return ok, staged_vrels, sorted(new_mapping), new_doc
 
     return _commit_retry(fs, jvm, roots, _attempt)
 
@@ -2963,7 +3281,12 @@ def read_change_events(
     return out
 
 
-def manifest_expire(spark: SparkSession, root: str, keep: int = 1) -> list[int]:
+def manifest_expire(
+    spark: SparkSession,
+    root: str,
+    keep: int = 1,
+    drop_tags: bool = False,
+) -> list[int]:
     """Expire old snapshots NOW: keep the newest ``keep`` manifests,
     delete every older manifest and every version subdir only they
     reference. This is the snapshot-expiry maintenance op (VACUUM): run
@@ -2973,7 +3296,18 @@ def manifest_expire(spark: SparkSession, root: str, keep: int = 1) -> list[int]:
     gone when it returns. It also shrinks the time-travel window to the
     kept versions, and any reader still resolving an expired manifest
     mid-scan can fail — same in-flight-reader grace trade-off every
-    snapshot format's expire operation has. Returns the versions kept."""
+    snapshot format's expire operation has.
+
+    TAGS BLOCK PHYSICAL DELETION: GC keeps every tag-pinned snapshot
+    (including ``catalog:<release>`` tags), so a live tag on a version
+    outside the keep window would silently keep the very bytes an
+    erasure run must destroy. This op therefore REFUSES (raises
+    ``ValueError`` naming the tags) when live tags pin versions older
+    than the keep window, unless ``drop_tags=True`` — which deletes
+    those tags first (each an audited ``tag_delete`` commit; a release
+    tag dropped here leaves the catalog-level release dangling — delete
+    it with ``catalog_tag_delete`` for a clean audit trail). Returns
+    the versions kept."""
     if keep < 1:
         raise ValueError("manifest_expire: keep must be >= 1")
     fs, jvm = _hadoop_fs(spark, root)
@@ -2981,6 +3315,27 @@ def manifest_expire(spark: SparkSession, root: str, keep: int = 1) -> list[int]:
     if not versions:
         raise FileNotFoundError(f"no manifest under {root}/{_MANIFEST_DIR}")
     kept = versions[-keep:]
+    blocking = {
+        name: t["version"]
+        for name, t in (
+            _resolve_doc(fs, jvm, root, versions[-1]).get("tags") or {}
+        ).items()
+        if t["version"] not in kept and t["version"] in versions
+    }
+    if blocking and not drop_tags:
+        raise ValueError(
+            f"manifest_expire: live tags pin snapshots outside keep={keep} "
+            f"on {root}: {dict(sorted(blocking.items()))} — their bytes "
+            "would survive this expire. Delete the tags (tag_delete / "
+            "catalog_tag_delete for releases) or pass drop_tags=True to "
+            "drop them here; physical erasure cannot proceed under a "
+            "live pin."
+        )
+    if blocking:
+        for name in sorted(blocking):
+            tag_delete(spark, root, name)
+        versions = _list_manifest_versions(fs, jvm, root)
+        kept = versions[-keep:]
     # checkpoint every kept DELTA manifest as a FULL snapshot in place
     # (same version number, equivalent resolved content) so its ancestor
     # chain — and any data only those ancestors reference — can be
@@ -3112,7 +3467,7 @@ def delete_keys_manifested(
             _encode_commit(doc, new_doc),
         )
         result = [values[0] for values in affected] if single else affected
-        return ok, staged_vrels, result
+        return ok, staged_vrels, result, new_doc
 
     return _commit_retry(fs, jvm, root, _attempt)
 
@@ -3314,7 +3669,7 @@ def merge_upsert_manifested(
             _encode_commit(doc, new_doc),
         )
         result = [values[0] for values in affected] if single else affected
-        return ok, staged_vrels + change_rels, result
+        return ok, staged_vrels + change_rels, result, new_doc
 
     return _commit_retry(fs, jvm, root, _attempt)
 
@@ -3657,7 +4012,7 @@ def append_manifested(
         ok = _publish_cas(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
         )
-        return ok, staged_vrels, sorted(touched)
+        return ok, staged_vrels, sorted(touched), new_doc
 
     return _commit_retry(fs, jvm, root, _attempt)
 
@@ -3950,7 +4305,7 @@ def delete_where_manifested(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
         )
         result = [values[0] for values in affected] if single else affected
-        return ok, staged_vrels + change_rels, result
+        return ok, staged_vrels + change_rels, result, new_doc
 
     return _commit_retry(fs, jvm, root, _attempt)
 
@@ -4080,7 +4435,7 @@ def update_where_manifested(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
         )
         result = [values[0] for values in affected] if single else affected
-        return ok, staged_vrels + change_rels, result
+        return ok, staged_vrels + change_rels, result, new_doc
 
     return _commit_retry(fs, jvm, root, _attempt)
 
@@ -4461,6 +4816,234 @@ def drop_constraint_manifested(
     return _commit_retry(fs, jvm, root, _attempt)
 
 
+def _list_branch_refs(fs, jvm, root: str) -> list[tuple[str, int]]:
+    """[(name, base version)] of every live branch of ``root``."""
+    bdir = f"{root.rstrip('/')}/{_MANIFEST_DIR}/{_BRANCH_SUBDIR}"
+    if fs is None:
+        import os
+
+        try:
+            names = [
+                n
+                for n in os.listdir(_strip_scheme(bdir))
+                if not n.startswith(".")
+            ]
+        except FileNotFoundError:
+            return []
+    else:
+        p = jvm.org.apache.hadoop.fs.Path(bdir)
+        if not fs.exists(p):
+            return []
+        names = [
+            st.getPath().getName()
+            for st in fs.listStatus(p)
+            if st.isDirectory()
+        ]
+    out = []
+    for n in sorted(names):
+        try:
+            base = json.loads(
+                _read_file(fs, jvm, f"{_branch_dir(root, n)}/.base").decode()
+            )["version"]
+        except Exception:
+            continue  # half-created branch; ignored until its .base lands
+        out.append((n, int(base)))
+    return out
+
+
+def _branch_base(fs, jvm, root: str, name: str) -> int:
+    for n, base in _list_branch_refs(fs, jvm, root):
+        if n == name:
+            return base
+    raise ValueError(
+        f"no branch {name!r} on {root} (have: "
+        f"{[n for n, _ in _list_branch_refs(fs, jvm, root)]})"
+    )
+
+
+def branch_create(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    from_version: int | None = None,
+) -> int:
+    """Create a WRITABLE named ref forked from the current main head (or
+    ``from_version``): inside `use_branch`, every committer in this
+    module lands its commits on the branch's sub-log — staged under the
+    table root as usual, INVISIBLE to main readers, streams, and catalog
+    pins — until `branch_fastforward` publishes the branch head as one
+    atomic main commit. This is the write-audit-publish gate (Iceberg's
+    WAP): stage a pipeline's output on a branch, validate it, then
+    publish; a bad batch is audited and dropped without main ever
+    serving it. Returns the fork-point version."""
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"branch_create: invalid branch name {name!r}")
+    fs, jvm = _hadoop_fs(spark, root)
+    if any(n == name for n, _ in _list_branch_refs(fs, jvm, root)):
+        raise ValueError(f"branch_create: branch {name!r} already exists")
+    versions = _list_manifest_versions(fs, jvm, root)
+    if not versions:
+        raise FileNotFoundError(f"no manifest under {root}/{_MANIFEST_DIR}")
+    base = versions[-1] if from_version is None else int(from_version)
+    if base not in versions[-_RETAIN:]:
+        raise ValueError(
+            f"branch_create: fork point v{base} is outside the retained "
+            f"window {versions[-_RETAIN:]}"
+        )
+    path = f"{_branch_dir(root, name)}/.base"
+    _mkdirs_parent(fs, jvm, path)
+    stream = fs.create(jvm.org.apache.hadoop.fs.Path(path), False)
+    try:
+        stream.write(bytearray(json.dumps({"version": base}).encode()))
+    finally:
+        stream.close()
+    return base
+
+
+@_contextmanager
+def use_branch(spark: SparkSession, root: str, name: str):
+    """Scope every manifest operation on ``root`` to branch ``name``:
+    commits land on the branch sub-log, reads resolve the branch head,
+    main commits made after the fork stay invisible. Thread-safe and
+    reentrant (contextvar); other tables' operations are unaffected."""
+    fs, jvm = _hadoop_fs(spark, root)
+    base = _branch_base(fs, jvm, root, name)
+    rs = root.rstrip("/")
+    tok = _BRANCH_CTX.set({**(_BRANCH_CTX.get() or {}), rs: (name, base)})
+    try:
+        yield
+    finally:
+        _BRANCH_CTX.reset(tok)
+
+
+def list_branches(spark: SparkSession, root: str) -> DataFrame:
+    """Live branches as a DataFrame (name, base_version, head_version,
+    commits)."""
+    fs, jvm = _hadoop_fs(spark, root)
+    rows = []
+    for name, base in _list_branch_refs(fs, jvm, root):
+        bvs = _list_dir_versions(fs, jvm, _branch_dir(root, name))
+        rows.append((name, base, bvs[-1] if bvs else base, len(bvs)))
+    return spark.createDataFrame(
+        rows,
+        "name STRING, base_version BIGINT, head_version BIGINT, "
+        "commits BIGINT",
+    )
+
+
+def branch_delete(spark: SparkSession, root: str, name: str) -> None:
+    """Drop a branch: its sub-log is deleted now; data only its commits
+    referenced becomes reclaimable at the next main commit's GC (after
+    the orphan grace window)."""
+    fs, jvm = _hadoop_fs(spark, root)
+    _branch_base(fs, jvm, root, name)  # raises if absent
+    fs.delete(jvm.org.apache.hadoop.fs.Path(_branch_dir(root, name)), True)
+
+
+def branch_fastforward(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    expectations: dict[str, str] | None = None,
+    delete_branch: bool = True,
+) -> int:
+    """PUBLISH a branch: validate, then make the branch head the next
+    MAIN commit — one CAS, zero data movement (the branch's files were
+    staged under the table root all along; main simply starts
+    referencing them). The write-audit-publish gate:
+
+    * ``expectations`` — {name: SQL boolean predicate} evaluated over
+      the branch head; any row where a predicate is false or NULL
+      REFUSES the publish, naming the expectation and its violation
+      count. Main readers never saw the bad data; fix on the branch (or
+      `branch_delete`) and retry.
+    * If main advanced past the fork point, the branch is classified
+      with the same commit-conflict rules as racing writers
+      (`_rebase_conflict`): disjoint-leaf work fast-forwards through a
+      three-way merge; a true conflict refuses with the reason.
+    * CHANGE-FEED note: a single-commit branch publishes its change
+      sidecar as-is; a multi-commit branch publishes as one structural
+      commit (appends stream as inserts; rewrites hit the stream's
+      on_rewrite policy).
+
+    Returns the published main version."""
+    fs, jvm = _hadoop_fs(spark, root)
+    base_v = _branch_base(fs, jvm, root, name)
+    rs = root.rstrip("/")
+    tok = _BRANCH_CTX.set({**(_BRANCH_CTX.get() or {}), rs: (name, base_v)})
+    try:
+        bvs = _list_dir_versions(fs, jvm, _branch_dir(root, name))
+        if not bvs:
+            raise ValueError(
+                f"branch_fastforward: branch {name!r} has no commits"
+            )
+        bhead = bvs[-1]
+        H = _resolve_doc(fs, jvm, root, bhead)
+        B = _resolve_doc(fs, jvm, root, base_v)
+        if expectations:
+            df = read_manifested(spark, root)
+            failed = {}
+            for ename, pred in sorted(expectations.items()):
+                p = F.expr(pred)
+                bad = df.filter(~p | p.isNull()).count()
+                if bad:
+                    failed[ename] = bad
+            if failed:
+                raise ValueError(
+                    f"branch_fastforward: branch {name!r} of {root} failed "
+                    f"expectations {failed} — main was NOT advanced; fix "
+                    "the branch or branch_delete it"
+                )
+    finally:
+        _BRANCH_CTX.reset(tok)
+
+    for _ in range(_COMMIT_RETRIES):
+        M = _load_doc(fs, jvm, root)
+        if M["version"] != base_v:
+            reason = _rebase_conflict(B, M, H)
+            if reason is not None:
+                raise ValueError(
+                    f"branch_fastforward: branch {name!r} conflicts with "
+                    f"main commits since the fork ({reason}); re-stage on "
+                    "a fresh branch"
+                )
+            out = _rebase_doc(B, M, H)
+        else:
+            out = {
+                k: v
+                for k, v in H.items()
+                if not k.startswith("_")
+                and k not in ("committed_at_ms", "parent")
+            }
+            out["version"] = M["version"] + 1
+        if len(bvs) > 1:
+            out.pop("change_data", None)
+        out["operation"] = "PUBLISH"
+        # tags are MAIN ref state — never the branch's frozen copy
+        if M.get("tags") is not None:
+            out["tags"] = M["tags"]
+        else:
+            out.pop("tags", None)
+        if _publish_cas(
+            fs,
+            jvm,
+            _manifest_path(root, out["version"]),
+            _encode_commit(M, out),
+        ):
+            published = out["version"]
+            break
+    else:
+        raise RuntimeError(
+            f"branch_fastforward: lost {_COMMIT_RETRIES} consecutive "
+            f"publish races on {root}"
+        )
+    if delete_branch:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(_branch_dir(root, name)), True)
+    versions = _list_manifest_versions(fs, jvm, root)
+    _gc(fs, jvm, root, versions[-_RETAIN:])
+    return published
+
+
 def tag_create(
     spark: SparkSession,
     target_path: str,
@@ -4808,7 +5391,7 @@ def _delete_dv(
         ok = _publish_cas(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
         )
-        return ok, [dv_rel] + change_rels, n_new
+        return ok, [dv_rel] + change_rels, n_new, new_doc
 
     return _commit_retry(fs, jvm, root, _attempt)
 

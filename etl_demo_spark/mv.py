@@ -809,6 +809,7 @@ def run_mv_stream_refresh(
     checkpoint_dir: str,
     cost_based: bool = True,
     trigger_seconds: float | None = None,
+    drain_timeout: float = 600.0,
 ):
     """CONTINUOUS MATERIALIZED VIEW: keep the view fresh by tailing the
     base table's COMMIT LOG — the Delta Live Tables shape, composed from
@@ -826,8 +827,12 @@ def run_mv_stream_refresh(
 
     ``trigger_seconds=None`` runs availableNow (drain pending commits,
     stop — the scheduled-refresh shape) and returns the per-batch
-    `mv_refresh` stats. A value runs a processingTime trigger and
-    returns the live StreamingQuery — the caller owns its lifecycle
+    `mv_refresh` stats; if the drain exceeds ``drain_timeout`` seconds
+    the query is STOPPED and a TimeoutError raised — a scheduled
+    refresh must never return partial stats with the stream still
+    running (it would hold the checkpoint against the next run). A
+    value runs a processingTime trigger and returns the live
+    StreamingQuery — the caller owns its lifecycle
     (stop/awaitTermination/exception())."""
     from etl_demo_spark.io.table_stream import register_table_stream_source
 
@@ -852,6 +857,13 @@ def run_mv_stream_refresh(
     )
     if trigger_seconds is None:
         q = writer.trigger(availableNow=True).start()
-        q.awaitTermination(600)
+        if not q.awaitTermination(drain_timeout):
+            q.stop()
+            raise TimeoutError(
+                f"run_mv_stream_refresh: availableNow drain of {mv_root} "
+                f"exceeded {drain_timeout}s — query stopped; "
+                f"{len(stats)} batch(es) had applied (each an atomic, "
+                "idempotent mv_refresh commit; rerun to resume)"
+            )
         return stats
     return writer.trigger(processingTime=f"{trigger_seconds} seconds").start()

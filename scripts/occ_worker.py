@@ -93,6 +93,8 @@ def main() -> None:
         cv = catalog_commit(spark, args.catalog, {args.table_name: v})
         catalog_versions.append(cv)
 
+    from etl_demo_spark.io.manifest import occ_stats
+
     print(
         json.dumps(
             {
@@ -100,6 +102,7 @@ def main() -> None:
                 "commits": args.commits,
                 "table_versions_seen": table_versions,
                 "catalog_versions_published": catalog_versions,
+                "occ": dict(occ_stats),
             }
         )
     )

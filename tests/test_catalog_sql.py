@@ -175,11 +175,13 @@ def test_txn_same_table_statements_compose_sequentially(spark, cat):
     assert 701 in ids and 700 not in ids  # DELETE saw the first INSERT
 
 
-def test_txn_snapshot_read_isolation(spark, cat):
-    from etl_demo_spark.io.catalog import catalog_sql_txn
+def test_txn_read_your_own_writes(spark, cat):
+    from etl_demo_spark.io.catalog import catalog_snapshot, catalog_sql_txn
 
-    # statement 2 SELECTs from the orders VIEW — pinned at txn start, so
-    # it must NOT see statement 1's insert (no double-copy)
+    # BEGIN…COMMIT contract: statement 2's SELECT source sees statement
+    # 1's insert (read-your-own-writes) — exactly once — while outside
+    # readers see neither until the single pin flip
+    pre = catalog_snapshot(spark, cat)
     catalog_sql_txn(
         spark,
         cat,
@@ -190,7 +192,10 @@ def test_txn_snapshot_read_isolation(spark, cat):
         ],
     )
     assert spark.table("orders").where("ok = 900").count() == 1
-    assert spark.table("feed").where("ok >= 1900").count() == 0
+    assert spark.table("feed").where("ok = 1900").count() == 1
+    # the pre-txn snapshot saw neither side: all-or-nothing held
+    assert pre.read("orders").where("ok = 900").count() == 0
+    assert pre.read("feed").where("ok >= 1900").count() == 0
 
 
 def test_txn_empty_refused(spark, cat):

@@ -101,3 +101,51 @@ def test_release_validation_and_replace(spark, ct_root):
     assert rel.read("only").count() == 4
     with pytest.raises(ValueError, match="exclusive"):
         catalog_snapshot(spark, cat, version=cv, tag="r1")
+
+
+def test_replace_drops_stale_member_tags(spark, ct_root):
+    """catalog_tag_create(replace=True): members of the replaced release
+    that are no longer catalog members must lose their catalog:<name>
+    tag — an orphaned tag would pin their snapshots against GC forever
+    with no release referencing them."""
+    from etl_demo_spark.io.catalog import catalog_alter
+
+    a, b, cat = f"{ct_root}/e1", f"{ct_root}/e2", f"{ct_root}/cat4"
+    write_manifested(_rows(spark, range(0, 3)), a, "part")
+    write_manifested(_rows(spark, range(0, 2), "b"), b, "part")
+    catalog_init(spark, cat, {"ta": a, "tb": b})
+    catalog_tag_create(spark, cat, "rel")
+    assert list_tags(spark, b).filter("name = 'catalog:rel'").count() == 1
+    catalog_alter(spark, cat, remove=["tb"])
+    catalog_tag_create(spark, cat, "rel", replace=True)
+    assert list_tags(spark, a).filter("name = 'catalog:rel'").count() == 1
+    assert list_tags(spark, b).filter("name = 'catalog:rel'").count() == 0, (
+        "replaced release must untag departed members"
+    )
+
+
+def test_catalog_alter_membership(spark, ct_root):
+    """catalog_alter adds/removes members atomically; snapshots of old
+    versions still resolve the old member set."""
+    from etl_demo_spark.io.catalog import catalog_alter
+
+    a, b, cat = f"{ct_root}/f1", f"{ct_root}/f2", f"{ct_root}/cat5"
+    write_manifested(_rows(spark, range(0, 3)), a, "part")
+    write_manifested(_rows(spark, range(0, 5), "b"), b, "part")
+    v1 = catalog_init(spark, cat, {"ta": a})
+    v2 = catalog_alter(spark, cat, add={"tb": b})
+    snap = catalog_snapshot(spark, cat)
+    assert snap.read("tb").count() == 5
+    old = catalog_snapshot(spark, cat, version=v1)
+    with pytest.raises(Exception):
+        old.read("tb")
+    v3 = catalog_alter(spark, cat, remove=["ta"])
+    assert v3 == v2 + 1
+    with pytest.raises(Exception):
+        catalog_snapshot(spark, cat).read("ta")
+    with pytest.raises(ValueError, match="not members"):
+        catalog_alter(spark, cat, remove=["ta"])
+    with pytest.raises(ValueError, match="already members"):
+        catalog_alter(spark, cat, add={"tb": b})
+    with pytest.raises(ValueError, match="nothing to add"):
+        catalog_alter(spark, cat)

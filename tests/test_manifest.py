@@ -1599,3 +1599,204 @@ def test_manifest_diff_counts_dv_inside_append_extras(spark, tmp_path):
     assert d34 == {
         "part=p1": {"status": "rows_appended", "rows_before": 7, "rows_after": 8}
     }
+
+
+# ---------------------------------------------------------------------------
+# Commit-time conflict detection: lost races rebase instead of re-running
+# (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _stat_files(root):
+    """(path -> (size, mtime_ns)) for every data file under root,
+    excluding manifests/stats/sidecar metadata dirs."""
+    import os
+
+    out = {}
+    for dirpath, dirnames, filenames in os.walk(root):
+        if "_manifests" in dirpath or "_stats" in dirpath:
+            continue
+        for f in filenames:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[p] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_append_losing_race_rebases_without_restaging(
+    spark, tmp_path, monkeypatch
+):
+    """An APPEND that loses the CAS race to a MERGE on a DIFFERENT leaf
+    republishes its already-staged files onto the winner's snapshot:
+    zero data bytes rewritten (byte-identity of the staged files), one
+    extra manifest CAS, occ_stats records a rebase and no re-run."""
+    import etl_demo_spark.io.manifest as m
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    m.manifest_init(spark, path, ["dt", "seg"])  # v1
+
+    real_publish = m._publish_cas
+    state = {"injected": False, "staged": None}
+
+    def racing_publish(fs, jvm, p, data):
+        if not state["injected"]:
+            state["injected"] = True
+            # capture the loser's staged bytes BEFORE the winner runs
+            state["staged"] = _stat_files(path)
+            src_b = spark.createDataFrame(
+                [(2, "B-WINNER", "d1", "B")],
+                "id INT, name STRING, dt STRING, seg STRING",
+            )
+            m.merge_upsert_manifested(spark, path, src_b, ["id"], ["dt", "seg"])
+        return real_publish(fs, jvm, p, data)
+
+    monkeypatch.setattr(m, "_publish_cas", racing_publish)
+    base_stats = dict(m.occ_stats)
+    src_a = spark.createDataFrame(
+        [(50, "A-APPEND", "d2", "A")],
+        "id INT, name STRING, dt STRING, seg STRING",
+    )
+    touched = m.append_manifested(spark, path, src_a)
+    assert touched == ["dt=d2/seg=A"]
+    assert m.occ_stats["cas_lost"] == base_stats["cas_lost"] + 1
+    assert m.occ_stats["rebased"] == base_stats["rebased"] + 1
+    assert m.occ_stats["reran"] == base_stats["reran"]
+
+    # byte-identity: every file the loser staged before losing the race
+    # is still on disk, same size, same mtime — nothing was re-written
+    after = _stat_files(path)
+    for p, sig in state["staged"].items():
+        assert after.get(p) == sig, f"staged file churned: {p}"
+
+    version, _ = m.load_manifest(spark, path)
+    assert version == 3  # winner v2, rebased loser v3
+    fs, jvm = m._hadoop_fs(spark, path)
+    assert m._resolve_doc(fs, jvm, path, 3).get("operation") == "APPEND"
+    got = {r.id: r.name for r in m.read_manifested(spark, path).collect()}
+    assert got[50] == "A-APPEND" and got[2] == "B-WINNER"
+    assert len(got) == 5
+
+
+def test_merge_losing_race_to_disjoint_append_rebases(
+    spark, tmp_path, monkeypatch
+):
+    """The mirror race: a MERGE (leaf rewrite) loses to an APPEND on a
+    different leaf — the rewrite republishes staged files untouched."""
+    import etl_demo_spark.io.manifest as m
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    m.manifest_init(spark, path, ["dt", "seg"])
+
+    real_publish = m._publish_cas
+    state = {"injected": False, "staged": None}
+
+    def racing_publish(fs, jvm, p, data):
+        if not state["injected"]:
+            state["injected"] = True
+            state["staged"] = _stat_files(path)
+            src_b = spark.createDataFrame(
+                [(60, "B-APPEND", "d2", "B")],
+                "id INT, name STRING, dt STRING, seg STRING",
+            )
+            m.append_manifested(spark, path, src_b)
+        return real_publish(fs, jvm, p, data)
+
+    monkeypatch.setattr(m, "_publish_cas", racing_publish)
+    base_stats = dict(m.occ_stats)
+    src_a = spark.createDataFrame(
+        [(1, "A-MERGE", "d1", "A")], "id INT, name STRING, dt STRING, seg STRING"
+    )
+    m.merge_upsert_manifested(spark, path, src_a, ["id"], ["dt", "seg"])
+    assert m.occ_stats["rebased"] == base_stats["rebased"] + 1
+    assert m.occ_stats["reran"] == base_stats["reran"]
+    after = _stat_files(path)
+    for p, sig in state["staged"].items():
+        assert after.get(p) == sig, f"staged file churned: {p}"
+    got = {r.id: r.name for r in m.read_manifested(spark, path).collect()}
+    assert got[1] == "A-MERGE" and got[60] == "B-APPEND"
+    assert len(got) == 5
+    version, _ = m.load_manifest(spark, path)
+    assert version == 3
+
+
+def test_same_leaf_race_still_reruns_full_transaction(
+    spark, tmp_path, monkeypatch
+):
+    """True conflict (winner rewrote the SAME leaf the loser appends to)
+    must take the full re-run path — the rebase would otherwise attach
+    extras computed against a stale leaf state."""
+    import etl_demo_spark.io.manifest as m
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    m.manifest_init(spark, path, ["dt", "seg"])
+
+    real_publish = m._publish_cas
+    state = {"injected": False}
+
+    def racing_publish(fs, jvm, p, data):
+        if not state["injected"]:
+            state["injected"] = True
+            src_b = spark.createDataFrame(
+                [(1, "B-SAME-LEAF", "d1", "A")],
+                "id INT, name STRING, dt STRING, seg STRING",
+            )
+            m.merge_upsert_manifested(spark, path, src_b, ["id"], ["dt", "seg"])
+        return real_publish(fs, jvm, p, data)
+
+    monkeypatch.setattr(m, "_publish_cas", racing_publish)
+    base_stats = dict(m.occ_stats)
+    src_a = spark.createDataFrame(
+        [(70, "A-SAME-LEAF", "d1", "A")],
+        "id INT, name STRING, dt STRING, seg STRING",
+    )
+    m.append_manifested(spark, path, src_a)
+    assert m.occ_stats["reran"] == base_stats["reran"] + 1
+    assert m.occ_stats["rebased"] == base_stats["rebased"]
+    got = {r.id: r.name for r in m.read_manifested(spark, path).collect()}
+    assert got[1] == "B-SAME-LEAF" and got[70] == "A-SAME-LEAF"
+    assert len(got) == 5
+
+
+def test_rebase_conflict_classifier_units():
+    """Pure-dict classification table for `_rebase_conflict`."""
+    from etl_demo_spark.io.manifest import _rebase_conflict
+
+    base = {"version": 1, "partitions": {"a": "a/v1", "b": "b/v1"}}
+    # disjoint append vs append: no conflict
+    head = {**base, "version": 2, "extra_vrels": {"a": ["a/v2x"]}}
+    new = {**base, "version": 2, "extra_vrels": {"b": ["b/v2y"]}}
+    assert _rebase_conflict(base, head, new) is None
+    # same-leaf append-append: extras union — NO conflict
+    new2 = {**base, "version": 2, "extra_vrels": {"a": ["a/v2z"]}}
+    assert _rebase_conflict(base, head, new2) is None
+    # ... unless the leaf carries split-layout stats files (monolithic
+    # per leaf; merging would drop one side's entries)
+    head_fm = {**head, "files_manifests": {"a": "s1", "b": "s2"}}
+    base_fm = {**base, "files_manifests": {"a": "s0", "b": "s2"}}
+    assert "overlap" in _rebase_conflict(base_fm, head_fm, new2)
+    # same-leaf rewrite vs append: conflict
+    head_rw = {**base, "version": 2, "partitions": {"a": "a/v2", "b": "b/v1"}}
+    assert "overlap" in _rebase_conflict(base, head_rw, new2)
+    # winner changed schema: conflict
+    head2 = {**base, "version": 2, "schema": "{}"}
+    assert "config" in _rebase_conflict(base, head2, new)
+    # both moved the DV sidecar: conflict
+    head3 = {**base, "version": 2, "dv": {"rel": "_dv/1", "files": {}}}
+    new3 = {**base, "version": 2, "dv": {"rel": "_dv/2", "files": {}}}
+    assert "deletion-vector" in _rebase_conflict(base, head3, new3)
+    # dv entries name their leaves: a rewrite of that leaf conflicts
+    head4 = {
+        "version": 2,
+        "partitions": {"a": "a/v2", "b": "b/v1"},
+    }
+    new4 = {
+        **base,
+        "version": 2,
+        "dv": {"rel": "_dv/3", "files": {"a/v1/f0.parquet": 2}},
+    }
+    assert "overlap" in _rebase_conflict(base, head4, new4)

@@ -144,3 +144,34 @@ def test_rollback_preserves_live_tags(spark, tag_root):
     tags = {r["name"]: r["version"] for r in list_tags(spark, table).collect()}
     assert tags == {"post-merge": 2}, tags
     assert read_manifested(spark, table, tag="post-merge").count() == 4
+
+
+def test_expire_refuses_under_live_tag_then_drop_tags_erases(
+    spark, tag_root
+):
+    """manifest_expire's right-to-erasure contract vs tag pins: a live
+    tag outside the keep window BLOCKS physical expiry (loudly), and
+    drop_tags=True drops the pins and makes the bytes actually go."""
+    import glob as _glob
+    import os as _os
+
+    from etl_demo_spark.io.manifest import manifest_expire
+
+    table = f"{tag_root}/t_exp"
+    write_manifested(_rows(spark, range(0, 4)), table, "part")  # v1
+    tag_create(spark, table, "hold-v1")  # v2 pins v1
+    _merge(spark, table, _rows(spark, [10], val=2.0))  # v3
+    _merge(spark, table, _rows(spark, [11], val=2.0))  # v4
+    with pytest.raises(ValueError, match="live tags pin.*hold-v1"):
+        manifest_expire(spark, table, keep=1)
+    # v1's data still on disk (the pin did its job)
+    v1_dirs = _glob.glob(f"{table}/part=a/__v0000000001*")
+    assert v1_dirs, "tag-pinned v1 data must survive the refused expire"
+    kept = manifest_expire(spark, table, keep=1, drop_tags=True)
+    assert len(kept) == 1
+    assert not _glob.glob(f"{table}/part=a/__v0000000001*"), (
+        "after drop_tags expire, the pinned version's bytes are gone"
+    )
+    assert list_tags(spark, table).count() == 0
+    # newest state still reads fine
+    assert read_manifested(spark, table).count() == 6

@@ -47,8 +47,12 @@ def test_two_processes_race_table_and_catalog(spark, tmp_path):
 
     root = str(tmp_path / "events")
     cat = str(tmp_path / "cat")
+    # seed BOTH leaves the workers append into: creating a brand-new
+    # leaf is a primary-vrel change (a structural conflict by design);
+    # with the leaves pre-existing, every racing append is a pure
+    # extras-union and must land by zero-rewrite rebase
     seed = spark.createDataFrame(
-        [("seed", -1, 0, "2026-01-01")],
+        [("seed", -1, 0, "2026-01-01"), ("seed", -1, 1, "2026-01-02")],
         "writer STRING, seq INT, payload INT, dt STRING",
     )
     write_manifested(seed, root, partition_cols=["dt"])
@@ -96,6 +100,14 @@ def test_two_processes_race_table_and_catalog(spark, tmp_path):
         reports.append(json.loads(out.strip().splitlines()[-1]))
     assert {r["writer"] for r in reports} == {"W1", "W2"}
     assert all(r["commits"] == COMMITS for r in reports)
+    # commit-time conflict detection: pure appends NEVER conflict, so a
+    # lost CAS must land by zero-rewrite rebase — the full re-run path
+    # (delete staged dirs, restage the data) must not fire at all
+    for r in reports:
+        assert r["occ"]["reran"] == 0, (
+            f"{r['writer']} re-staged a pure append on a lost race: {r['occ']}"
+        )
+        assert r["occ"]["rebased"] == r["occ"]["cas_lost"], r["occ"]
 
     # exactly one winner per version: the full commit trail (delta-chain
     # manifests outlive the _RETAIN read window) is contiguous with one
