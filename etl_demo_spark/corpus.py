@@ -11117,3 +11117,364 @@ def catalog_sql_txn_read_own_writes(
             F.sum("price").cast("double").alias("total"),
         )
     )
+
+
+@query(
+    "events_spec_evolution_prune",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM (
+      SELECT event_type, value, ts FROM events
+      UNION ALL
+      SELECT event_type, value, ts + INTERVAL 365 DAY AS ts FROM events
+      WHERE event_id % 5 = 0
+    )
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def events_spec_evolution_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY PARTITION-SPEC EVOLUTION (`alter_partition_spec`):
+    re-key a grown table's layout without rewriting a byte — Iceberg's
+    spec evolution, the recovery for "daily partitions were right at
+    1 TB and wrong at 100 TB". The events table lands under a DAILY
+    spec, evolves to MONTHLY + user-bucket as pure metadata, and a
+    second slice (shifted a year out) appends under the NEW layout;
+    one timestamp-range query then prunes leaves across BOTH
+    generations — old leaves under days(ts), new leaves under
+    months(ts) — with the reader knowing nothing about either layout.
+
+    In-query asserts pin the contract: (1) byte-identity (mtime) of
+    every pre-evolution data file — the evolution and the later append
+    rewrote nothing; (2) the pruned scan opens a strict subset of
+    leaves while returning exactly the full-scan answer over the same
+    predicate (pruning drops only provably-out-of-range leaves, never
+    rows); (3) a leaf-rewriting MERGE is refused on the mixed-layout
+    table (the honest limitation, lifted by repartition_manifested).
+    The oracle derives the same aggregate from the base parquet, so a
+    hash match certifies both write paths and the dual-spec planning.
+
+    Reference anchor: the reference engine has one fixed CSV layout —
+    north-star lakehouse surface."""
+    import datetime
+    import glob
+    import os
+    import tempfile
+
+    import etl_demo_spark.io.manifest as m
+
+    (ev,) = _t(spark, sf_dir, "events")
+    src = ev.select("event_id", "ts", "user_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="spec_ev_") + "/events"
+    m.write_manifested(src, root, partition_transforms={"p_day": "days(ts)"})
+    pre = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{root}/p_day=*/__v*/*.parquet")
+    }
+    m.alter_partition_spec(
+        spark, root, {"p_month": "months(ts)", "p_b": "bucket(8, user_id)"}
+    )
+    late = src.filter(F.col("event_id") % 5 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 365 DAYS")
+    )
+    m.append_manifested(spark, root, late)
+    after = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{root}/p_day=*/__v*/*.parquet")
+    }
+    assert after == pre, "evolution/append must not rewrite old-spec bytes"
+    assert glob.glob(f"{root}/p_month=*/p_b=*/__v*/*.parquet"), (
+        "appends must land under the evolved layout"
+    )
+
+    lo = datetime.datetime(2024, 1, 8)
+    hi = datetime.datetime(2024, 1, 11, 23, 59, 59)
+    full = m.read_manifested(spark, root)
+    pruned = m.read_manifested(spark, root, prune_source={"ts": (lo, hi)})
+    leaves = lambda df: {p.rsplit("/", 2)[0] for p in df.inputFiles()}  # noqa: E731
+    assert 0 < len(leaves(pruned)) < len(leaves(full)), (
+        len(leaves(pruned)),
+        len(leaves(full)),
+    )
+    pred = (F.col("ts") >= F.lit(lo)) & (
+        F.col("ts") < F.lit(datetime.datetime(2024, 1, 12))
+    )
+    assert pruned.filter(pred).count() == full.filter(pred).count()
+
+    refused = False
+    try:
+        m.merge_upsert_manifested(
+            spark, root, late.limit(1), ["event_id"], ["p_day"]
+        )
+    except ValueError as e:
+        refused = "spec was evolved" in str(e)
+    assert refused, "leaf rewrites must refuse on a mixed-layout table"
+
+    return (
+        pruned.filter(pred)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "stream_cdc_restore",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_cdc_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMS RIDE THROUGH RESTORE (`rollback_manifested` change
+    sidecar): on a change_feed table, a rollback stages its exact
+    row-level delta — the inverse of the net change feed from the
+    restore target to the head — so a CDC subscriber applies the
+    rollback like any other commit instead of refusing a rewrite.
+
+    The table takes an append and a value-doubling MERGE, a replica
+    drains the feed, then the table is RESTORED to the pre-merge
+    version; the SAME checkpoint drains again and the replica must
+    converge to the live (restored) table — asserted in-query as
+    multiset equality both ways, plus the restore commit's sidecar
+    presence (`change_data` non-null on the RESTORE commit). The oracle
+    recomputes the restored state from the base parquet (append ∪ seed
+    = the full events table, merge undone), so a hash match certifies
+    the inverse-delta computation end-to-end."""
+    import tempfile
+
+    import etl_demo_spark.io.manifest as m
+    from etl_demo_spark.io.table_stream import register_table_stream_source
+
+    register_table_stream_source(spark)
+    (ev,) = _t(spark, sf_dir, "events")
+    src = ev.select("event_id", "event_type", "user_id", "value")
+    root = tempfile.mkdtemp(prefix="cdc_restore_")
+    table, sink, ck = f"{root}/events", f"{root}/sink", f"{root}/ck"
+    m.write_manifested(
+        src.filter(F.col("event_id") % 2 == 0), table, "event_type",
+        change_feed=True,
+    )  # v1
+    m.append_manifested(spark, table, src.filter(F.col("event_id") % 2 == 1))
+    m.merge_upsert_manifested(  # v3: the bad deploy doubles every 5th key
+        spark,
+        table,
+        src.filter(F.col("event_id") % 5 == 0).withColumn(
+            "value", F.col("value") * 2
+        ),
+        ["event_id"],
+        ["event_type"],
+    )
+
+    def drain():
+        q = (
+            spark.readStream.format("tablestream")
+            .option("path", table)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()  # replica is at v3 (bad values included)
+    rb = m.rollback_manifested(spark, table, 2)  # v4 RESTORE, sidecar'd
+    fs, jvm = m._hadoop_fs(spark, table)
+    ch = m._load_raw(fs, jvm, table, rb).get("change_data")
+    assert ch and ch.get("rel"), "restore on a change_feed table must sidecar"
+    drain()  # the SAME checkpoint rides through the restore
+
+    feed = spark.read.parquet(sink).drop("_commit_version")
+    replica = feed.filter("_change_type = 'insert'").drop(
+        "_change_type"
+    ).exceptAll(feed.filter("_change_type = 'delete'").drop("_change_type"))
+    live = m.read_manifested(spark, table)
+    assert replica.exceptAll(live).count() == 0, "replica has phantom rows"
+    assert live.exceptAll(replica).count() == 0, "replica lost rows"
+
+    return replica.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "catalog_stream_consistent_mv",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100 * 4)
+                AS BIGINT) AS total_cents_x_rate
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def catalog_stream_consistent_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATALOG-LEVEL CONSISTENT MULTI-TABLE STREAM
+    (`io/catalog_stream.py`): one metadata row per catalog version with
+    its full PIN MAP — the cross-table analogue of the tablestream's
+    commits mode, and the only channel that lets a two-table consumer
+    refresh WITHOUT torn pins (member tables individually tailed can
+    interleave versions that were never published together).
+
+    The fixture maintains a cross-table INVARIANT that any torn read
+    breaks: every catalog flip doubles table A's prices in the SAME
+    atomic pin flip that halves table B's rates, so
+    Σ price×rate is constant per published state — a refresh mixing
+    new-A with old-B reads double. The stream drains every catalog
+    version; a refresh per row reads BOTH tables AT the row's pins and
+    recomputes the join. In-query asserts: (1) every refresh observes
+    the invariant (never torn), (2) refresh count == catalog flips —
+    a table-level commit without a pin flip triggers nothing, (3)
+    exactly-once across a second drain of the same checkpoint. The
+    oracle recomputes the final state from base parquet (prices ×4,
+    rates ×¼ cancel), certifying the pinned-version reads end-to-end."""
+    import tempfile
+
+    from etl_demo_spark.io.catalog import catalog_commit, catalog_init
+    from etl_demo_spark.io.catalog_stream import (
+        register_catalog_stream_source,
+    )
+    from etl_demo_spark.io.manifest import (
+        append_manifested,
+        manifest_versions,
+        merge_upsert_manifested,
+        read_manifested,
+        write_manifested,
+    )
+
+    register_catalog_stream_source(spark)
+    (orders,) = _t(spark, sf_dir, "orders")
+    a0 = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="cat_stream_")
+    a_root, b_root, cat = f"{root}/prices", f"{root}/rates", f"{root}/cat"
+    sink, ck = f"{root}/sink", f"{root}/ck"
+    write_manifested(a0, a_root, "o_orderpriority")
+    rates0 = a0.select("o_orderpriority").distinct().withColumn(
+        "rate", F.lit(4).cast("bigint")
+    )
+    write_manifested(rates0, b_root, "o_orderpriority")
+    catalog_init(spark, cat, {"prices": a_root, "rates": b_root})  # cv1
+
+    def flip(mult: int, rate: int) -> None:
+        merge_upsert_manifested(
+            spark,
+            a_root,
+            read_manifested(spark, a_root).withColumn(
+                "cents", F.col("cents") * mult
+            ),
+            ["o_orderkey"],
+            ["o_orderpriority"],
+        )
+        merge_upsert_manifested(
+            spark,
+            b_root,
+            read_manifested(spark, b_root).withColumn(
+                "rate", F.lit(rate).cast("bigint")
+            ),
+            ["o_orderpriority"],
+            ["o_orderpriority"],
+        )
+        catalog_commit(
+            spark,
+            cat,
+            {
+                "prices": manifest_versions(spark, a_root)[-1],
+                "rates": manifest_versions(spark, b_root)[-1],
+            },
+        )
+
+    def drain():
+        q = (
+            spark.readStream.format("catalogstream")
+            .option("path", cat)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # the CONTINUOUS pattern: refresh as each flip arrives (each refresh
+    # reads pins that are by construction inside the member tables'
+    # retention windows — historical catalog versions need release tags,
+    # which catalog_release_snapshot covers)
+    totals: list[int] = []
+    seen: set[int] = set()
+    last_pins: dict = {}
+
+    def refresh_new_flips() -> int:
+        drain()
+        fresh = 0
+        for r in sorted(
+            spark.read.parquet(sink).collect(), key=lambda r: r["version"]
+        ):
+            if r["version"] in seen:
+                continue
+            seen.add(r["version"])
+            fresh += 1
+            pins = r["pins"]
+            last_pins.clear()
+            last_pins.update(pins)
+            a = read_manifested(spark, a_root, version=int(pins["prices"]))
+            b = read_manifested(spark, b_root, version=int(pins["rates"]))
+            t = (
+                a.join(b, "o_orderpriority")
+                .agg(F.sum(F.col("cents") * F.col("rate")))
+                .first()[0]
+            )
+            totals.append(int(t))
+        return fresh
+
+    assert refresh_new_flips() == 1  # cv1
+    flip(2, 2)  # cv2: prices x2, rates 4->2
+    assert refresh_new_flips() == 1
+    flip(2, 1)  # cv3: prices x4 total, rates ->1
+    assert refresh_new_flips() == 1
+    assert len(set(totals)) == 1, f"torn multi-table read observed: {totals}"
+
+    # a table-level commit WITHOUT a pin flip: invisible to the stream
+    append_manifested(
+        spark,
+        a_root,
+        spark.createDataFrame(
+            [(999_999_999, "1-URGENT", 1)],
+            "o_orderkey BIGINT, o_orderpriority STRING, cents BIGINT",
+        ),
+    )
+    assert refresh_new_flips() == 0, "no refresh without a pin flip"
+    assert len(totals) == 3
+    # the un-flipped append never surfaced in any pinned refresh
+    assert read_manifested(
+        spark, a_root, version=int(last_pins["prices"])
+    ).count() < read_manifested(spark, a_root).count()
+
+    a = read_manifested(spark, a_root, version=int(last_pins["prices"]))
+    b = read_manifested(spark, b_root, version=int(last_pins["rates"]))
+    return (
+        a.join(b, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("cents") * F.col("rate")).alias("total_cents_x_rate"),
+        )
+    )

@@ -161,7 +161,15 @@ def _read_file(fs, jvm, path: str) -> bytes:
     ``fs=None`` falls back to plain-posix IO: the table-stream source's
     reader runs in a driver-side Python process with no JVM handle (the
     Python DataSource API), and manifest resolution there only ever
-    READS small JSON files."""
+    READS small JSON files. A STRING ``fs`` is a `io.pyfs` factory spec
+    — the object-store seam for those JVM-less readers: the same reads
+    route through a ``pyarrow.fs.FileSystem`` reconstructed from the
+    spec (SubTreeFileSystem / latency wrapper in the rehearsal; S3/GCS
+    at scale)."""
+    if isinstance(fs, str):
+        from etl_demo_spark.io.pyfs import read_bytes
+
+        return read_bytes(path, fs)
     if fs is None:
         with open(_strip_scheme(path), "rb") as f:
             return f.read()
@@ -295,7 +303,11 @@ def _commit_retry(fs, jvm, root: str, attempt_fn):
 
 
 def _list_dir_versions(fs, jvm, mdir: str) -> list[int]:
-    if fs is None:  # plain-posix listing for JVM-less readers (see _read_file)
+    if isinstance(fs, str):  # pyfs factory spec (see _read_file)
+        from etl_demo_spark.io.pyfs import listdir
+
+        names = listdir(mdir, fs)
+    elif fs is None:  # plain-posix listing for JVM-less readers
         import os
 
         try:
@@ -812,6 +824,8 @@ _REBASE_CONFIG_KEYS = (
     "column_mapping",
     "dropped_physical",
     "partition_transforms",
+    "partition_specs",
+    "leaf_spec",
     "constraints",
     "change_feed",
 ) + _STATS_CONFIG_KEYS
@@ -1869,6 +1883,12 @@ def _resolve_doc(fs, jvm, root: str, version: int) -> dict:
     pt = raw.get("partition_transforms", base.get("partition_transforms"))
     if pt is not None:
         doc["partition_transforms"] = pt
+    ps = raw.get("partition_specs", base.get("partition_specs"))
+    if ps is not None:
+        doc["partition_specs"] = ps
+    ls = raw.get("leaf_spec", base.get("leaf_spec"))
+    if ls is not None:
+        doc["leaf_spec"] = ls
     ev = raw.get("extra_vrels", base.get("extra_vrels"))
     if ev is not None:
         doc["extra_vrels"] = ev
@@ -1929,14 +1949,9 @@ def _encode_commit(prev_doc: dict, new_doc: dict) -> bytes:
     stamp = int(time.time() * 1000)
     # immutable table config carried centrally so no committer can drop
     # it from a full-snapshot encode
-    if (
-        "partition_transforms" not in new_doc
-        and prev_doc.get("partition_transforms") is not None
-    ):
-        new_doc = {
-            **new_doc,
-            "partition_transforms": prev_doc["partition_transforms"],
-        }
+    for _k in ("partition_transforms", "partition_specs", "leaf_spec"):
+        if _k not in new_doc and prev_doc.get(_k) is not None:
+            new_doc = {**new_doc, _k: prev_doc[_k]}
     if "txns" not in new_doc and prev_doc.get("txns") is not None:
         new_doc = {**new_doc, "txns": prev_doc["txns"]}
     if "tags" not in new_doc and prev_doc.get("tags") is not None:
@@ -1989,6 +2004,10 @@ def _encode_commit(prev_doc: dict, new_doc: dict) -> bytes:
         "partition_transforms"
     ):
         delta["partition_transforms"] = new_doc.get("partition_transforms")
+    if new_doc.get("partition_specs") != prev_doc.get("partition_specs"):
+        delta["partition_specs"] = new_doc.get("partition_specs")
+    if new_doc.get("leaf_spec") != prev_doc.get("leaf_spec"):
+        delta["leaf_spec"] = new_doc.get("leaf_spec")
     if new_doc.get("constraints") != prev_doc.get("constraints"):
         delta["constraints"] = new_doc.get("constraints")
     if new_doc.get("tags") != prev_doc.get("tags"):
@@ -2078,6 +2097,30 @@ def load_manifest(
     fs, jvm = _hadoop_fs(spark, root)
     doc = _load_doc(fs, jvm, root, version)
     return doc["version"], doc["partitions"]
+
+
+def _restrict_doc_to_leaves(doc: dict, partitions: dict) -> dict:
+    """A doc narrowed to the surviving leaves (files stats, split-stats
+    pointers, and extras restricted alongside the partitions map)."""
+    doc = {**doc, "partitions": partitions}
+    if doc.get("files"):
+        live = set(partitions.values())
+        for r in partitions:
+            live.update((doc.get("extra_vrels") or {}).get(r, []))
+        doc["files"] = {
+            p: st
+            for p, st in doc["files"].items()
+            if p.rsplit("/", 1)[0] in live
+        }
+    if doc.get("files_manifests"):
+        doc["files_manifests"] = {
+            r: f for r, f in doc["files_manifests"].items() if r in partitions
+        }
+    if doc.get("extra_vrels"):
+        doc["extra_vrels"] = {
+            r: vs for r, vs in doc["extra_vrels"].items() if r in partitions
+        }
+    return doc
 
 
 def read_manifested(
@@ -2184,30 +2227,79 @@ def read_manifested(
         # (bucket range, over-wide enumeration) silently serves every
         # leaf. A source column no transform covers is an error (the
         # caller expected pruning that can never happen).
-        transforms = doc.get("partition_transforms") or {}
-        by_source: dict[str, list[tuple[str, str]]] = {}
-        for dcol, spec in transforms.items():
-            by_source.setdefault(_parse_transform(spec)[2], []).append(
-                (dcol, spec)
-            )
-        unknown_src = set(prune_source) - set(by_source)
-        if unknown_src:
-            raise ValueError(
-                f"prune_source columns {sorted(unknown_src)} have no "
-                f"partition transform on {root} "
-                f"(transformed sources: {sorted(by_source)})"
-            )
-        extra: dict = {}
-        for src, pred in prune_source.items():
-            for dcol, spec in by_source[src]:
-                if isinstance(pred, tuple) and len(pred) == 2:
-                    vals = _transform_range(spec, pred[0], pred[1])
-                else:
-                    vals = _transform_points(spark, spec, pred)
-                if vals is not None:
-                    extra[dcol] = vals
-        if extra:
-            leaf_filter = {**(leaf_filter or {}), **extra}
+        def _spec_filter(transforms: dict) -> tuple[set, dict]:
+            by_source: dict[str, list[tuple[str, str]]] = {}
+            for dcol, spec in transforms.items():
+                by_source.setdefault(_parse_transform(spec)[2], []).append(
+                    (dcol, spec)
+                )
+            extra: dict = {}
+            for src, pred in prune_source.items():
+                for dcol, spec in by_source.get(src, []):
+                    if isinstance(pred, tuple) and len(pred) == 2:
+                        vals = _transform_range(spec, pred[0], pred[1])
+                    else:
+                        vals = _transform_points(spark, spec, pred)
+                    if vals is not None:
+                        extra[dcol] = {str(x) for x in vals}
+            return set(by_source), extra
+
+        hist = doc.get("partition_specs")
+        if hist:
+            # SPEC-EVOLVED table: each leaf prunes under ITS OWN
+            # generation's transforms — a source the generation doesn't
+            # transform simply can't prune that generation's leaves
+            # (completeness over economy); a source NO generation
+            # covers is still an error.
+            leaf_spec = doc.get("leaf_spec") or {}
+            cur_id = len(hist) - 1
+            filters = [_spec_filter(h) for h in hist]
+            covered = set().union(*(c for c, _ in filters))
+            unknown_src = set(prune_source) - covered
+            if unknown_src:
+                raise ValueError(
+                    f"prune_source columns {sorted(unknown_src)} have no "
+                    f"partition transform in any spec generation of {root}"
+                )
+
+            def _leaf_passes(rel: str) -> bool:
+                want = filters[int(leaf_spec.get(rel, cur_id))][1]
+                if not want:
+                    return True
+                kv = dict(seg.split("=", 1) for seg in rel.split("/"))
+                return all(
+                    kv.get(c) in vals for c, vals in want.items() if c in kv
+                )
+
+            partitions = {
+                rel: vrel
+                for rel, vrel in partitions.items()
+                if _leaf_passes(rel)
+            }
+            doc = _restrict_doc_to_leaves(doc, partitions)
+            if not partitions:
+                schema_json = doc.get("schema")
+                if schema_json is None:
+                    raise ValueError(
+                        f"prune_source eliminated every leaf of {root} and "
+                        "the manifest stores no schema to shape an empty "
+                        "result"
+                    )
+                return spark.createDataFrame(
+                    [], T.StructType.fromJson(json.loads(schema_json))
+                )
+        else:
+            transforms = doc.get("partition_transforms") or {}
+            by_source, extra = _spec_filter(transforms)
+            unknown_src = set(prune_source) - by_source
+            if unknown_src:
+                raise ValueError(
+                    f"prune_source columns {sorted(unknown_src)} have no "
+                    f"partition transform on {root} "
+                    f"(transformed sources: {sorted(by_source)})"
+                )
+            if extra:
+                leaf_filter = {**(leaf_filter or {}), **extra}
 
     if leaf_filter:
         def leaf_kv(rel: str) -> dict:
@@ -2313,7 +2405,12 @@ def read_manifested(
         for r in partitions:
             scan_vrels.update((doc.get("extra_vrels") or {}).get(r, []))
         paths = [f"{root.rstrip('/')}/{rel}" for rel in sorted(scan_vrels)]
-    reader = spark.read.format(fmt).option("basePath", root)
+    reader = spark.read.format(fmt)
+    if not doc.get("partition_specs"):
+        reader = reader.option("basePath", root)
+    # (spec-EVOLVED tables scan without basePath: their leaves mix
+    # directory shapes — all transform-derived, every data column lives
+    # in the files, so nothing needs partition-directory parsing)
     schema_json = doc.get("schema")
     if schema_json is None and not pin_partition_strings:
         # pre-schema manifests can't carry a column mapping (ALTER
@@ -2339,24 +2436,52 @@ def read_manifested(
     # (identity when no column mapping); renamed columns read their
     # frozen on-disk name and surface under the logical one below
     cmap = doc.get("column_mapping")
-    loaded = (
-        spark.read.format(fmt)
-        .schema(_physical_schema(schema, cmap))
-        .option("basePath", root)
-        .load(paths)
-    )
+    spec_hist = doc.get("partition_specs")
+    all_specs: dict[str, str] = {}
+    for h in spec_hist or []:
+        all_specs.update(h)
+    data_fields = [f for f in schema.fields if f.name not in all_specs]
+    if spec_hist:
+        # spec-EVOLVED table: leaves mix directory shapes, so the scan
+        # takes no basePath (no partition-directory parsing); every
+        # generation's derived columns are RE-DERIVED below from their
+        # source columns — the same expressions the writers used, so
+        # values are exact and uniform across generations
+        loaded = (
+            spark.read.format(fmt)
+            .schema(_physical_schema(T.StructType(data_fields), cmap))
+            .load(paths)
+        )
+    else:
+        loaded = (
+            spark.read.format(fmt)
+            .schema(_physical_schema(schema, cmap))
+            .option("basePath", root)
+            .load(paths)
+        )
     # a partitioned read under a user schema surfaces the partition
     # columns LAST regardless of schema order; restore the stored order
     # so evolved tables present a stable column layout
     out_cols = [
         F.col((cmap or {}).get(f.name, f.name)).alias(f.name)
-        for f in schema.fields
+        for f in data_fields
     ]
+    loc_cols = ["__dv_file", "__dv_pos"] if _with_location else []
     if _with_location:
-        return _apply_dv(spark, loaded, root, dv, keep_location=True).select(
-            *out_cols, "__dv_file", "__dv_pos"
+        sel = _apply_dv(spark, loaded, root, dv, keep_location=True).select(
+            *out_cols, *loc_cols
         )
-    return _apply_dv(spark, loaded, root, dv).select(*out_cols)
+    else:
+        sel = _apply_dv(spark, loaded, root, dv).select(*out_cols)
+    if not spec_hist:
+        return sel
+    for f in schema.fields:
+        if f.name in all_specs:
+            sel = sel.withColumn(
+                f.name,
+                _transform_expr(all_specs[f.name], sel).cast(f.dataType),
+            )
+    return sel.select(*[f.name for f in schema.fields], *loc_cols)
 
 
 def _stage_change_data(
@@ -2819,6 +2944,7 @@ def compact_manifested(
     _clean_stale_staging(fs, jvm, roots)
 
     def _attempt(doc, new_version, token):
+        _require_single_spec(doc, "compact_manifested")
         mapping = doc["partitions"]
         if not mapping:
             return True, [], []
@@ -3053,6 +3179,12 @@ def repartition_manifested(
         _carry_constraints(doc, new_doc)
         # DVs were materialized by the DV-applying read; drop the pointer
         _carry_extras(doc, new_doc)
+        # the rewrite consolidated every leaf under the new classic
+        # layout: explicit nulls STOP delta-chain inheritance of the
+        # transform spec and any evolution history
+        new_doc["partition_transforms"] = None
+        new_doc["partition_specs"] = None
+        new_doc["leaf_spec"] = None
         _attach_stats(spark, fmt, roots, doc, new_doc, staged_vrels, token)
         new_doc["operation"] = "REPARTITION"
         if doc.get("change_feed"):
@@ -3405,6 +3537,7 @@ def delete_keys_manifested(
     _clean_stale_staging(fs, jvm, root)
 
     def _attempt(doc, new_version, token):
+        _require_single_spec(doc, "delete_keys_manifested")
         mapping = doc["partitions"]
         keep = [v for v in _list_manifest_versions(fs, jvm, root)][-_RETAIN:]
         _gc(fs, jvm, root, keep)
@@ -3520,6 +3653,7 @@ def merge_upsert_manifested(
     _clean_stale_staging(fs, jvm, root)
 
     def _attempt(doc, new_version, token):
+        _require_single_spec(doc, "merge_upsert_manifested")
         nonlocal source
         mapping = doc["partitions"]
         prev_schema_json = doc.get("schema")
@@ -3880,7 +4014,14 @@ def append_manifested(
                 f"append_manifested: {root} has no partitions — create the "
                 "table with write_manifested first"
             )
-        cols = [seg.split("=", 1)[0] for seg in next(iter(mapping)).split("/")]
+        if doc.get("partition_specs"):
+            # mixed leaf shapes: the CURRENT spec defines new appends
+            cols = list((doc.get("partition_transforms") or {}).keys())
+        else:
+            cols = [
+                seg.split("=", 1)[0]
+                for seg in next(iter(mapping)).split("/")
+            ]
         src = source
         for dcol, spec in (doc.get("partition_transforms") or {}).items():
             if dcol in cols and dcol not in src.columns:
@@ -3894,7 +4035,12 @@ def append_manifested(
             table_schema = T.StructType.fromJson(json.loads(doc["schema"]))
             want = {f.name: f.dataType.simpleString() for f in table_schema}
             have = {f.name: f.dataType.simpleString() for f in src.schema}
-            missing = sorted(set(want) - set(have))
+            # spec-evolved tables: derived columns of ANY generation are
+            # re-derived at read time — the source never carries them
+            derived_any: set[str] = set()
+            for h in doc.get("partition_specs") or []:
+                derived_any.update(h)
+            missing = sorted(set(want) - set(have) - derived_any)
             extra = sorted(set(have) - set(want))
             # partition columns are string-cast at write time (and may be
             # transform-DERIVED above) — presence is checked, type is not
@@ -4236,6 +4382,7 @@ def delete_where_manifested(
     _clean_stale_staging(fs, jvm, root)
 
     def _attempt(doc, new_version, token):
+        _require_single_spec(doc, "delete_where_manifested")
         mapping = doc["partitions"]
         keep = [v for v in _list_manifest_versions(fs, jvm, root)][-_RETAIN:]
         _gc(fs, jvm, root, keep)
@@ -4336,6 +4483,7 @@ def update_where_manifested(
     _clean_stale_staging(fs, jvm, root)
 
     def _attempt(doc, new_version, token):
+        _require_single_spec(doc, "update_where_manifested")
         mapping = doc["partitions"]
         keep = [v for v in _list_manifest_versions(fs, jvm, root)][-_RETAIN:]
         _gc(fs, jvm, root, keep)
@@ -4452,6 +4600,132 @@ _WIDEN_OK = {
     ("int", "bigint"),
     ("float", "double"),
 }
+
+
+def _require_single_spec(doc: dict, op: str) -> None:
+    """Leaf-rewriting committers refuse spec-EVOLVED tables: their leaf
+    handling parses partition columns from one leaf's path and assumes
+    every leaf shares that shape. Appends and reads handle mixed
+    generations; rewrites of old-generation leaves need a
+    `repartition_manifested` to the current spec first."""
+    if doc.get("partition_specs"):
+        raise ValueError(
+            f"{op}: {len(doc['partition_specs'])}-spec table (partition "
+            "spec was evolved) — leaf rewrites across mixed layouts are "
+            "not supported; repartition_manifested to the current spec "
+            "first, or operate before evolving"
+        )
+
+
+def alter_partition_spec(
+    spark: SparkSession,
+    root: str,
+    new_transforms: dict[str, str],
+) -> int:
+    """METADATA-ONLY partition-spec evolution (Iceberg's
+    ``ALTER TABLE … REPLACE PARTITION FIELD``): re-key how FUTURE
+    writes are laid out without touching a single existing byte. The
+    commit records each existing leaf's generation (``leaf_spec``) and
+    appends the new spec to ``partition_specs``; appends after this
+    land under the new layout, reads scan both generations
+    transparently, and ``prune_source`` translates a source-column
+    predicate through EACH generation's own transform — old leaves
+    prune under the old spec, new leaves under the new. Time travel to
+    pre-evolution versions resolves the old single-spec doc unchanged.
+
+    Only PURE-TRANSFORM tables evolve (every partition directory column
+    is transform-derived; source columns live in the files — nothing is
+    lost when the directory shape changes). Leaf-REWRITING DML on a
+    mixed-generation table is refused until a `repartition_manifested`
+    consolidates to the current spec (which also clears the history).
+    Returns the committed version."""
+    for dcol, spec in new_transforms.items():
+        _parse_transform(spec)
+        if not dcol or "=" in dcol or "/" in dcol:
+            raise ValueError(f"alter_partition_spec: bad derived column {dcol!r}")
+    fs, jvm = _hadoop_fs(spark, root)
+
+    def _attempt(doc, new_version, token):
+        cur = doc.get("partition_transforms")
+        if not cur:
+            raise ValueError(
+                "alter_partition_spec: table has no partition transforms "
+                "(classic partition_cols layouts carry data in the "
+                "directory names and cannot re-key as metadata)"
+            )
+        leaf_cols = {
+            seg.split("=", 1)[0]
+            for rel in doc.get("partitions", {})
+            for seg in rel.split("/")
+        }
+        if not leaf_cols <= set(cur) | {
+            c for h in (doc.get("partition_specs") or []) for c in h
+        }:
+            raise ValueError(
+                "alter_partition_spec: table mixes classic partition "
+                f"columns into its leaves ({sorted(leaf_cols - set(cur))}) "
+                "— only pure-transform tables evolve as metadata"
+            )
+        if new_transforms == cur:
+            return True, [], doc["version"]  # no-op
+        hist = list(doc.get("partition_specs") or [cur])
+        spec_id = len(hist) - 1  # id of the CURRENT (soon old) spec
+        leaf_spec = dict(doc.get("leaf_spec") or {})
+        for rel in doc.get("partitions", {}):
+            leaf_spec.setdefault(rel, spec_id)
+        hist.append(dict(new_transforms))
+        new_doc = {
+            "version": new_version,
+            "partitions": dict(doc.get("partitions", {})),
+            "partition_transforms": dict(new_transforms),
+            "partition_specs": hist,
+            "leaf_spec": leaf_spec,
+            "operation": "ALTER SPEC",
+        }
+        if doc.get("schema") is not None:
+            # the new spec's derived columns join the stored schema
+            # (typed by probing the transform expression); reads
+            # re-derive them from source columns for every generation
+            table_schema = T.StructType.fromJson(json.loads(doc["schema"]))
+            have = {f.name for f in table_schema}
+            fields = list(table_schema.fields)
+            probe = spark.createDataFrame([], table_schema)
+            for dcol, spec in new_transforms.items():
+                src_col = _parse_transform(spec)[2]
+                if src_col not in have:
+                    raise ValueError(
+                        f"alter_partition_spec: transform source "
+                        f"{src_col!r} is not a table column"
+                    )
+                if dcol in have:
+                    old_spec = next(
+                        (h[dcol] for h in hist[:-1] if dcol in h), None
+                    )
+                    if old_spec != spec:
+                        raise ValueError(
+                            f"alter_partition_spec: derived column "
+                            f"{dcol!r} collides with an existing column"
+                        )
+                    continue  # same name, same transform: reuse
+                dt = probe.select(
+                    _transform_expr(spec, probe).alias(dcol)
+                ).schema[0].dataType
+                fields.append(T.StructField(dcol, dt, True))
+            new_doc["schema"] = json.dumps(T.StructType(fields).jsonValue())
+        _carry_mapping(doc, new_doc)
+        _carry_constraints(doc, new_doc)
+        _carry_dv(doc, new_doc)
+        _carry_extras(doc, new_doc)
+        _carry_stats_config(doc, new_doc)
+        for k in ("files", "files_manifests"):
+            if doc.get(k) is not None:
+                new_doc[k] = doc[k]
+        ok = _publish_cas(
+            fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
+        )
+        return ok, [], new_version
+
+    return _commit_retry(fs, jvm, root, _attempt)
 
 
 def alter_manifested(
@@ -5165,7 +5439,11 @@ def list_tags(spark: SparkSession, target_path: str) -> DataFrame:
 
 
 def rollback_manifested(
-    spark: SparkSession, target_path: str, version: int
+    spark: SparkSession,
+    target_path: str,
+    version: int,
+    fmt: str = "parquet",
+    with_changes: bool | None = None,
 ) -> int:
     """RESTORE the table to a retained snapshot — as a NEW commit, never
     by rewinding the pointer (Delta's RESTORE semantics): the bad commits
@@ -5180,10 +5458,17 @@ def rollback_manifested(
     commits — size retention to the rollback horizon you want. Returns
     the new version number.
 
-    A restore is a REWRITE commit with no change sidecar (computing the
-    restore's row delta would cost a full diff): a table stream tailing
-    the table treats it per its ``on_rewrite`` policy; live TAGS are
-    preserved, not rewound."""
+    CHANGE SIDECAR: on a ``change_feed`` table (or ``with_changes=True``)
+    the restore stages its exact row-level delta — the INVERSE of the
+    net change feed from the target version to the current head, which
+    `read_changes` already computes from manifests + sidecars — so
+    streams and CDC consumers RIDE THROUGH the rollback instead of
+    refusing it. When the delta is not computable (a rewrite without a
+    sidecar in the range, or a schema change across the boundary) the
+    restore falls back to a plain rewrite commit — streams then apply
+    their ``on_rewrite`` policy — unless ``with_changes=True`` demanded
+    it, which raises. ``with_changes=False`` skips the delta outright.
+    Live TAGS are preserved, not rewound."""
     root = target_path.rstrip("/")
     fs, jvm = _hadoop_fs(spark, root)
 
@@ -5223,11 +5508,38 @@ def rollback_manifested(
         ):
             if key in doc and key not in new_doc:
                 new_doc[key] = None
+        change_rels: list[str] = []
+        want = doc.get("change_feed") if with_changes is None else with_changes
+        if want and doc["version"] != version:
+            try:
+                if old.get("schema") != doc.get("schema"):
+                    raise ValueError(
+                        "the restore crosses a schema change"
+                    )
+                fwd = read_changes(spark, root, version, doc["version"])
+                inv = fwd.withColumn(
+                    "_change_type",
+                    F.when(
+                        F.col("_change_type") == "insert", "delete"
+                    ).otherwise("insert"),
+                )
+                change_rels = _stage_change_data(
+                    fs, jvm, root, fmt, new_version, token,
+                    _to_physical(inv, old.get("column_mapping")),
+                    new_doc,
+                )
+            except ValueError as e:
+                if with_changes:
+                    raise ValueError(
+                        "rollback_manifested: cannot compute the "
+                        f"restore's change delta: {e}"
+                    ) from e
+                # fall back: plain rewrite commit, stream policy applies
         new_doc["operation"] = "RESTORE"
         ok = _publish_cas(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
         )
-        return ok, [], new_version
+        return ok, change_rels, new_version
 
     return _commit_retry(fs, jvm, root, _attempt)
 
@@ -5312,6 +5624,7 @@ def _delete_dv(
     _clean_stale_staging(fs, jvm, root)
 
     def _attempt(doc, new_version, token):
+        _require_single_spec(doc, "dv delete")
         mapping = doc["partitions"]
         keep = [v for v in _list_manifest_versions(fs, jvm, root)][-_RETAIN:]
         _gc(fs, jvm, root, keep)

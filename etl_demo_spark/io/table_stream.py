@@ -42,11 +42,16 @@ Design (and why it scales):
   commit (version, operation, committed_at_ms), zero data files read:
   the notification channel behind `mv.run_mv_stream_refresh` and any
   audit consumer.
-* the reader resolves manifests with plain-posix IO (``fs=None`` fast
-  path in the manifest layer) because Python DataSource readers run
-  outside the JVM. Data files are read with pyarrow. Local/posix
-  paths; at scale the same reader routes through ``pyarrow.fs`` —
-  the manifest JSON and parquet bytes are filesystem-agnostic.
+* the reader runs outside the JVM (Python DataSource API); by default
+  it resolves manifests with plain-posix IO and reads parquet with
+  pyarrow on local paths. The ``fs`` option is the OBJECT-STORE SEAM:
+  a `io.pyfs` factory spec (``subtree:<base>``, ``latency:<ms>:…``,
+  and at scale S3/GCS) routes EVERY read — manifest JSON, data files,
+  DV sidecars, file sizes for packing, the pace sidecar — through a
+  ``pyarrow.fs.FileSystem`` reconstructed from the spec in whichever
+  worker process needs it. Rehearsed in tests against
+  SubTreeFileSystem and a latency-injecting wrapper, so no posix
+  assumption can hide in the read path.
 * SCHEMA comes from the newest snapshot (logical names under column
   mapping; physical file columns are mapped back on read). Files
   written before a column was added surface NULLs for it — the same
@@ -229,10 +234,15 @@ def _commit_inserts(a: dict, b: dict, on_rewrite: str, root: str) -> list[str]:
     return inserts
 
 
-def _data_files(root: str, vrel: str) -> list[str]:
+def _data_files(root: str, vrel: str, fs_spec: str | None = None) -> list[str]:
     d = os.path.join(_strip_scheme(root.rstrip("/")), vrel)
     try:
-        names = os.listdir(d)
+        if fs_spec is not None:
+            from etl_demo_spark.io.pyfs import listdir_or_raise
+
+            names = listdir_or_raise(d, fs_spec)
+        else:
+            names = os.listdir(d)
     except FileNotFoundError as e:
         raise ValueError(
             f"tablestream: data dir {vrel!r} of {root} is gone — the "
@@ -270,7 +280,9 @@ class _PackedPartition(InputPartition):
 
 
 def _pack_partitions(
-    parts: list[_FilePartition], target_bytes: int
+    parts: list[_FilePartition],
+    target_bytes: int,
+    fs_spec: str | None = None,
 ) -> list[InputPartition]:
     """Greedy size-binned packing, order-preserving. Files at or above
     the target stay alone; empty-range sentinels pass through."""
@@ -294,8 +306,13 @@ def _pack_partitions(
             out.append(p)
             continue
         try:
-            sz = os.path.getsize(p.file)
-        except OSError:
+            if fs_spec is not None:
+                from etl_demo_spark.io.pyfs import file_size
+
+                sz = file_size(p.file, fs_spec)
+            else:
+                sz = os.path.getsize(p.file)
+        except (OSError, FileNotFoundError):
             sz = target_bytes  # let the read path raise the real error
         if bin_bytes and bin_bytes + sz > target_bytes:
             flush()
@@ -367,14 +384,23 @@ class TableStreamReader(DataSourceStreamReader):
         self._pack_bytes = int(
             options.get("max_partition_bytes", 64 * 1024 * 1024)
         )
+        self._fs_spec = options.get("fs")
+        if self._fs_spec is not None:
+            from etl_demo_spark.io.pyfs import resolve
+
+            resolve(self._root, self._fs_spec)  # fail fast on a bad spec
         self._snap_cache: tuple[int, list] | None = None
         m = _manifest()
-        versions = m._list_manifest_versions(None, None, self._root)
+        versions = m._list_manifest_versions(
+            self._fs_spec, None, self._root
+        )
         if not versions:
             raise ValueError(
                 f"tablestream: {self._root} is not a manifested table"
             )
-        self._head_doc = m._resolve_doc(None, None, self._root, versions[-1])
+        self._head_doc = m._resolve_doc(
+            self._fs_spec, None, self._root, versions[-1]
+        )
         sv = options.get("starting_version", "earliest")
         self._snapshot = False
         if sv == "latest":
@@ -451,9 +477,14 @@ class TableStreamReader(DataSourceStreamReader):
         import json as _json
 
         try:
-            with open(self._pace_path()) as f:
-                doc = _json.loads(f.read())
-        except (OSError, ValueError):
+            if self._fs_spec is not None:
+                from etl_demo_spark.io.pyfs import read_bytes
+
+                doc = _json.loads(read_bytes(self._pace_path(), self._fs_spec))
+            else:
+                with open(self._pace_path()) as f:
+                    doc = _json.loads(f.read())
+        except (OSError, ValueError, FileNotFoundError):
             return None, None
         if "cur" in doc:
             return doc.get("cur"), doc.get("committed")
@@ -466,13 +497,20 @@ class TableStreamReader(DataSourceStreamReader):
         doc: dict = {"cur": cur}
         if committed is not None:
             doc["committed"] = committed
+        if self._fs_spec is not None:
+            from etl_demo_spark.io.pyfs import write_bytes
+
+            write_bytes(path, _json.dumps(doc).encode(), self._fs_spec)
+            return
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             f.write(_json.dumps(doc))
         os.replace(tmp, path)
 
     def latestOffset(self) -> dict:
-        versions = _manifest()._list_manifest_versions(None, None, self._root)
+        versions = _manifest()._list_manifest_versions(
+            self._fs_spec, None, self._root
+        )
         head = versions[-1] if versions else self._start
         if not self._max_files:
             return {"v": head}
@@ -522,12 +560,17 @@ class TableStreamReader(DataSourceStreamReader):
         dv_by_file: dict[str, list[int]] = {}
         dv = doc.get("dv")
         if dv and dv.get("files"):
-            import pyarrow.parquet as pq
-
             d = os.path.join(
                 _strip_scheme(self._root.rstrip("/")), dv["rel"]
             )
-            tbl = pq.read_table(d)
+            if self._fs_spec is not None:
+                from etl_demo_spark.io.pyfs import read_parquet
+
+                tbl = read_parquet(d, self._fs_spec)
+            else:
+                import pyarrow.parquet as pq
+
+                tbl = pq.read_table(d)
             for fr, pos in zip(
                 tbl.column("file_rel").to_pylist(),
                 tbl.column("pos").to_pylist(),
@@ -537,7 +580,7 @@ class TableStreamReader(DataSourceStreamReader):
         for vrel in sorted(m._all_vrels(doc)):
             leaf_rel = vrel.rsplit("/", 1)[0]
             cv = _vrel_version(vrel)
-            for f in _data_files(self._root, vrel):
+            for f in _data_files(self._root, vrel, self._fs_spec):
                 frel = f"{vrel}/{os.path.basename(f)}"
                 pos = dv_by_file.get(frel)
                 parts.append(
@@ -552,7 +595,9 @@ class TableStreamReader(DataSourceStreamReader):
     def _doc(self, version: int) -> dict:
         if version <= 0:
             return {"version": 0, "partitions": {}}
-        return _manifest()._resolve_doc(None, None, self._root, version)
+        return _manifest()._resolve_doc(
+            self._fs_spec, None, self._root, version
+        )
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         s, e = int(start["v"]), int(end["v"])
@@ -604,7 +649,7 @@ class TableStreamReader(DataSourceStreamReader):
                         f"{lo} -> {hi}"
                     )
                 return _pack_partitions(
-                    files[lo:hi], self._pack_bytes
+                    files[lo:hi], self._pack_bytes, self._fs_spec
                 ) or [_FilePartition(None, "", s)]
             parts.extend(files[lo:])
         prev = self._doc(s)
@@ -618,7 +663,7 @@ class TableStreamReader(DataSourceStreamReader):
                 # rel=None (compaction/repartition) is a row no-op: the
                 # stream glides through maintenance.
                 if ch.get("rel"):
-                    for f in _data_files(self._root, ch["rel"]):
+                    for f in _data_files(self._root, ch["rel"], self._fs_spec):
                         parts.append(
                             _FilePartition(f, "", v, change_file=True)
                         )
@@ -626,10 +671,10 @@ class TableStreamReader(DataSourceStreamReader):
                 continue
             for vrel in _commit_inserts(prev, cur, self._on_rewrite, self._root):
                 leaf_rel = vrel.rsplit("/", 1)[0]
-                for f in _data_files(self._root, vrel):
+                for f in _data_files(self._root, vrel, self._fs_spec):
                     parts.append(_FilePartition(f, leaf_rel, v))
             prev = cur
-        return _pack_partitions(parts, self._pack_bytes) or [
+        return _pack_partitions(parts, self._pack_bytes, self._fs_spec) or [
             _FilePartition(None, "", e)
         ]
 
@@ -662,7 +707,12 @@ class TableStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_type
 
-        tbl = pq.read_table(partition.file)
+        if self._fs_spec is not None:
+            from etl_demo_spark.io.pyfs import read_parquet
+
+            tbl = read_parquet(partition.file, self._fs_spec)
+        else:
+            tbl = pq.read_table(partition.file)
         if partition.dv_pos:
             # initial-snapshot read of a file with deletion-vector rows:
             # drop the tombstoned positions (file row order == position)
@@ -822,10 +872,16 @@ def run_paced_drain(
             import json as _json
 
             try:
-                with open(pace) as f:
-                    doc = _json.loads(f.read())
+                spec = reader_options.get("fs")
+                if spec:
+                    from etl_demo_spark.io.pyfs import read_bytes
+
+                    doc = _json.loads(read_bytes(pace, str(spec)))
+                else:
+                    with open(pace) as f:
+                        doc = _json.loads(f.read())
                 cur = doc.get("cur", doc)
-            except (OSError, ValueError):
+            except (OSError, ValueError, FileNotFoundError):
                 cur = {}
             if not cur.get("snap"):
                 break

@@ -323,3 +323,98 @@ def test_non_parquet_table_fails_loudly(spark, cdf_root):
     write_manifested(_rows(spark, range(0, 3)), table, "part", fmt="orc")
     with pytest.raises(Exception, match="no parquet files|STREAM_FAILED"):
         _drain(spark, table, f"{cdf_root}/t11_sink", f"{cdf_root}/t11_ck")
+
+
+def test_restore_stages_inverse_delta_on_change_feed_tables(spark, tmp_path):
+    """RESTORE on a change_feed table sidecars its exact inverse delta
+    (streams ride through); plain tables keep the rewrite-commit shape;
+    with_changes=True on an uncomputable delta raises."""
+    import etl_demo_spark.io.manifest as m
+
+    def rows(ids, val=1.0):
+        return spark.createDataFrame(
+            [(i, "a", float(val)) for i in ids],
+            "id BIGINT, part STRING, val DOUBLE",
+        )
+
+    root = str(tmp_path / "cf")
+    m.write_manifested(rows(range(4)), root, "part", change_feed=True)  # v1
+    m.merge_upsert_manifested(spark, root, rows([0, 1], 9.0), ["id"], ["part"])
+    rb = m.rollback_manifested(spark, root, 1)  # v3
+    fs, jvm = m._hadoop_fs(spark, root)
+    ch = m._load_raw(fs, jvm, root, rb).get("change_data")
+    assert ch and ch.get("rel"), "change_feed restore must carry a sidecar"
+    # the sidecar IS the inverse delta: applying it to the pre-restore
+    # state reproduces the restored table
+    ev = m.read_change_events(spark, root, rb - 1, rb)
+    pre = m.read_manifested(spark, root, version=rb - 1)
+    applied = pre.unionByName(
+        ev.filter("_change_type = 'insert'").drop("_change_type")
+    ).exceptAll(ev.filter("_change_type = 'delete'").drop("_change_type"))
+    restored = m.read_manifested(spark, root)
+    assert applied.exceptAll(restored).count() == 0
+    assert restored.exceptAll(applied).count() == 0
+
+    # plain table: no sidecar (rewrite-commit shape preserved)
+    root2 = str(tmp_path / "plain")
+    m.write_manifested(rows(range(3)), root2, "part")
+    m.merge_upsert_manifested(spark, root2, rows([0], 5.0), ["id"], ["part"])
+    rb2 = m.rollback_manifested(spark, root2, 1)
+    fs2, jvm2 = m._hadoop_fs(spark, root2)
+    assert m._load_raw(fs2, jvm2, root2, rb2).get("change_data") is None
+    # ... unless demanded — then the computable delta stages anyway
+    rb3 = m.rollback_manifested(spark, root2, 2, with_changes=True)
+    assert m._load_raw(fs2, jvm2, root2, rb3).get("change_data")
+
+
+def test_catalog_stream_delivers_pin_maps(spark, tmp_path):
+    """catalogstream: one row per catalog version with the atomic pin
+    map; offsets are catalog versions (checkpoint resume delivers only
+    new flips); starting_version=latest tails."""
+    from etl_demo_spark.io.catalog import catalog_commit, catalog_init
+    from etl_demo_spark.io.catalog_stream import (
+        register_catalog_stream_source,
+    )
+    from etl_demo_spark.io.manifest import (
+        append_manifested,
+        manifest_versions,
+        write_manifested,
+    )
+
+    register_catalog_stream_source(spark)
+    a = str(tmp_path / "ta")
+    cat = str(tmp_path / "cat")
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    df = spark.createDataFrame([(1, "x", 1.0)], "id BIGINT, part STRING, v DOUBLE")
+    write_manifested(df, a, "part")
+    catalog_init(spark, cat, {"ta": a})  # cv1
+
+    def drain():
+        q = (
+            spark.readStream.format("catalogstream")
+            .option("path", cat)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink)
+
+    got = drain()
+    assert got.count() == 1
+    row = got.first()
+    assert row["version"] == 1 and row["pins"] == {"ta": 1}
+    assert row["roots"]["ta"].endswith("/ta")
+    append_manifested(spark, a, df.withColumn("id", F.lit(2).cast("bigint")))
+    got = drain()  # no flip yet: nothing new
+    assert got.count() == 1
+    catalog_commit(spark, cat, {"ta": manifest_versions(spark, a)[-1]})
+    got = drain()
+    assert got.count() == 2
+    assert {r["version"]: dict(r["pins"]) for r in got.collect()} == {
+        1: {"ta": 1},
+        2: {"ta": 2},
+    }

@@ -1,0 +1,168 @@
+"""Metadata-only partition-spec evolution (io/manifest.py
+alter_partition_spec).
+
+Contract under test: evolving a pure-transform table's spec touches no
+data byte; appends after the evolution land under the new layout; reads
+scan both generations transparently; prune_source prunes each leaf
+under ITS OWN generation's transforms; time travel to pre-evolution
+versions resolves the old single-spec doc; leaf rewrites on a mixed
+table are refused until a repartition consolidates (which clears the
+history)."""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import etl_demo_spark.io.manifest as m
+
+
+def _events(spark, lo, hi, n_users=8):
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=6 * i),
+            i % n_users,
+            float(i),
+        )
+        for i in range(lo, hi)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+    )
+
+
+@pytest.fixture()
+def evolved(spark, tmp_path):
+    root = str(tmp_path / "ev")
+    m.write_manifested(
+        _events(spark, 0, 40), root, partition_transforms={"p_day": "days(ts)"}
+    )  # v1: daily spec
+    pre_files = {
+        f: os.stat(f).st_mtime_ns for f in glob.glob(f"{root}/p_day=*/__v*/*")
+    }
+    assert pre_files
+    v = m.alter_partition_spec(
+        spark,
+        root,
+        {"p_month": "months(ts)", "p_b": "bucket(4, user_id)"},
+    )  # v2: metadata only
+    m.append_manifested(spark, root, _events(spark, 40, 80))  # v3: new layout
+    return root, pre_files, v
+
+
+def test_evolution_is_metadata_only_and_reads_both_generations(
+    spark, evolved
+):
+    root, pre_files, v = evolved
+    # rewrite-free: every pre-evolution byte untouched
+    after = {
+        f: os.stat(f).st_mtime_ns for f in glob.glob(f"{root}/p_day=*/__v*/*")
+    }
+    assert after == pre_files, "evolution must not touch existing data"
+    # new appends landed under the NEW layout
+    assert glob.glob(f"{root}/p_month=*/p_b=*/__v*/*.parquet")
+    # one read spans both generations, values intact
+    got = m.read_manifested(spark, root)
+    assert got.count() == 80
+    assert got.agg(F.sum("event_id")).first()[0] == sum(range(80))
+    # every generation's derived columns surface, RE-DERIVED from the
+    # source columns — exact for old and new rows alike
+    assert {"p_day", "p_month", "p_b"} <= set(got.columns)
+    assert (
+        got.filter(
+            (F.col("p_day") != F.date_format("ts", "yyyy-MM-dd"))
+            | (F.col("p_month") != F.date_format("ts", "yyyy-MM"))
+            | F.col("p_day").isNull()
+        ).count()
+        == 0
+    )
+
+
+def test_prune_source_prunes_each_generation_under_its_own_spec(
+    spark, evolved
+):
+    root, _, _ = evolved
+    full = m.read_manifested(spark, root)
+    n_leaves_full = len(
+        {p.rsplit("/", 2)[0] for p in full.inputFiles()}
+    )
+    lo = datetime.datetime(2024, 1, 3)
+    hi = datetime.datetime(2024, 1, 5, 23, 0, 0)
+    pruned = m.read_manifested(spark, root, prune_source={"ts": (lo, hi)})
+    n_leaves_pruned = len(
+        {p.rsplit("/", 2)[0] for p in pruned.inputFiles()}
+    )
+    assert 0 < n_leaves_pruned < n_leaves_full
+    # completeness: the pruned scan + real predicate == the full answer
+    pred = (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+    assert (
+        pruned.filter(pred).count() == full.filter(pred).count() > 0
+    )
+    # a source only the NEW spec transforms prunes new-generation
+    # leaves and keeps every old-generation leaf (completeness)
+    by_user = m.read_manifested(spark, root, prune_source={"user_id": 3})
+    assert (
+        by_user.filter(F.col("user_id") == 3).count()
+        == full.filter(F.col("user_id") == 3).count()
+    )
+    with pytest.raises(ValueError, match="no partition transform"):
+        m.read_manifested(spark, root, prune_source={"value": (0, 1)})
+
+
+def test_time_travel_across_the_evolution_boundary(spark, tmp_path):
+    root = str(tmp_path / "tt")
+    m.write_manifested(
+        _events(spark, 0, 40), root, partition_transforms={"p_day": "days(ts)"}
+    )  # v1
+    m.alter_partition_spec(spark, root, {"p_month": "months(ts)"})  # v2
+    # pre-evolution version still reads through the OLD single-spec doc
+    old = m.read_manifested(spark, root, version=1)
+    assert old.count() == 40
+    assert "p_month" not in old.columns
+    mid = m.read_manifested(spark, root, version=2)
+    assert mid.count() == 40  # ALTER SPEC moved no rows
+    assert "p_month" in mid.columns
+    fs, jvm = m._hadoop_fs(spark, root)
+    assert m._resolve_doc(fs, jvm, root, 2).get("operation") == "ALTER SPEC"
+    m.append_manifested(spark, root, _events(spark, 40, 80))  # v3
+    assert m.read_manifested(spark, root, version=2).count() == 40
+    assert m.read_manifested(spark, root).count() == 80
+
+
+def test_rewrites_refused_until_repartition_consolidates(spark, evolved):
+    root, _, _ = evolved
+    with pytest.raises(ValueError, match="spec was evolved"):
+        m.delete_where_manifested(spark, root, F.col("event_id") < 5, ["p_day"])
+    with pytest.raises(ValueError, match="spec was evolved"):
+        m.merge_upsert_manifested(
+            spark,
+            root,
+            _events(spark, 0, 1),
+            ["event_id"],
+            ["p_day"],
+        )
+    # consolidation escape hatch: rewrite to a classic layout clears
+    # the evolution history and re-enables every committer
+    m.repartition_manifested(spark, root, ["user_id"])
+    fs, jvm = m._hadoop_fs(spark, root)
+    doc = m._load_doc(fs, jvm, root)
+    assert doc.get("partition_specs") is None
+    assert doc.get("partition_transforms") is None
+    assert m.read_manifested(spark, root).count() == 80
+    m.delete_where_manifested(spark, root, F.col("event_id") < 5, ["user_id"])
+    assert m.read_manifested(spark, root).count() == 75
+
+
+def test_alter_spec_validation(spark, tmp_path):
+    root = str(tmp_path / "classic")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0)], "id BIGINT, part STRING, val DOUBLE"
+    )
+    m.write_manifested(df, root, "part")
+    with pytest.raises(ValueError, match="classic partition"):
+        m.alter_partition_spec(spark, root, {"p_b": "bucket(4, id)"})

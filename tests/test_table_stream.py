@@ -431,3 +431,102 @@ def test_lost_pace_sidecar_on_resumed_checkpoint_fails_loudly(spark, ts_env):
         after = before
     assert after == before
     _shutil.rmtree(f"{ts_env}/t13_ck", ignore_errors=True)
+
+
+def test_pyfs_unit_specs(tmp_path):
+    """The pyfs seam's factory specs: local, subtree (relative paths,
+    posix escapes fail loudly), latency wrapper (measurably slower,
+    byte-identical results)."""
+    import time as _time
+
+    from etl_demo_spark.io import pyfs
+
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "a.txt").write_bytes(b"hello")
+    (d / "b.txt").write_bytes(b"world!")
+
+    assert pyfs.read_bytes(str(d / "a.txt"), None) == b"hello"
+    sub = f"subtree:{tmp_path}"
+    assert pyfs.read_bytes(str(d / "a.txt"), sub) == b"hello"
+    assert sorted(pyfs.listdir(str(d), sub)) == ["a.txt", "b.txt"]
+    assert pyfs.listdir(str(d / "nope"), sub) == []
+    with pytest.raises(FileNotFoundError):
+        pyfs.listdir_or_raise(str(d / "nope"), sub)
+    assert pyfs.file_size(str(d / "b.txt"), sub) == 6
+    with pytest.raises(ValueError, match="outside the subtree"):
+        pyfs.read_bytes("/etc/hostname", sub)
+    pyfs.write_bytes(str(d / "c.txt"), b"xyz", sub)
+    assert (d / "c.txt").read_bytes() == b"xyz"
+
+    lat = f"latency:40:{sub}"
+    t0 = _time.perf_counter()
+    assert pyfs.read_bytes(str(d / "a.txt"), lat) == b"hello"
+    assert _time.perf_counter() - t0 >= 0.04, "latency wrapper must bite"
+    with pytest.raises(ValueError, match="unknown filesystem spec"):
+        pyfs.resolve("/x", "s3-nope:bucket")
+
+
+def test_stream_routes_through_non_posix_filesystem(spark, ts_env):
+    """Object-store seam rehearsal: the SAME tablestream drain, routed
+    through SubTreeFileSystem and through a latency-injecting wrapper,
+    delivers byte-identical results to the posix path — manifest
+    resolution, data reads, DV handling, packing sizes, and the pace
+    sidecar all go through pyarrow.fs, no posix assumption left."""
+    table = f"{ts_env}/t14"
+    write_manifested(
+        _mk_rows(spark, range(0, 9)).repartition(3), table, "part"
+    )
+    append_manifested(spark, table, _mk_rows(spark, range(9, 12), "b"))
+
+    def drain_with(tag, **opts):
+        sink, ck = f"{ts_env}/t14_sink_{tag}", f"{ts_env}/t14_ck_{tag}"
+        got = _drain(spark, table, sink, ck, **opts)
+        return sorted(
+            (r["id"], r["part"], r["val"], r["_commit_version"])
+            for r in got.collect()
+        )
+
+    base = drain_with("posix")
+    sub = drain_with("subtree", fs=f"subtree:{ts_env}")
+    lat = drain_with("lat", fs=f"latency:25:subtree:{ts_env}")
+    assert base == sub == lat
+    assert len(base) == 12
+
+    # paced drain (pace sidecar lives behind the seam too)
+    from etl_demo_spark.io.table_stream import run_paced_drain
+
+    sink, ck = f"{ts_env}/t14_sink_paced", f"{ts_env}/t14_ck_paced"
+
+    def build_writer(df):
+        return (
+            df.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+        )
+
+    stats = run_paced_drain(
+        spark,
+        table,
+        build_writer,
+        max_files_per_batch=2,
+        pace_id="t14pace",
+        fs=f"subtree:{ts_env}",
+        max_partition_bytes="0",
+    )
+    assert stats["rows"] == 12
+    got = spark.read.parquet(sink)
+    assert got.select("id").distinct().count() == 12
+
+    with pytest.raises(Exception, match="unknown filesystem spec"):
+        q = (
+            spark.readStream.format("tablestream")
+            .option("path", table)
+            .option("fs", "bogus:zzz")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", f"{ts_env}/t14_ck_bad")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
