@@ -720,7 +720,10 @@ def _bench_occ_contention(spark, sf_dir: str) -> dict:
             t.join(timeout=600)
         wall = time.perf_counter() - t0
         m._REBASE_ENABLED = old_flag
-        stats = {k: m.occ_stats[k] - base[k] for k in base}
+        stats = {
+            k: m.occ_stats[k] - base[k]
+            for k in ("cas_lost", "rebased", "reran")
+        }
         landed = done[1] + done[2]
         return {
             "commits_attempted": 2 * n_per_writer,
