@@ -73,11 +73,14 @@ an int N (exact commit-history replay from version N; fails loudly if
 N's data left retention), or ``latest`` (only commits after the stream
 starts); ``on_rewrite`` (``fail`` default / ``skip``);
 ``mode`` (``rows`` default / ``commits``); ``max_files_per_batch`` +
-``pace_id`` — ADMISSION CONTROL for the initial snapshot (the
-maxFilesPerTrigger shape): each processingTime trigger admits at most
-that many snapshot files, with the pacing cursor persisted under the
-table keyed by ``pace_id`` so restarts resume the high-water mark (one
-paced consumer per id). The sidecar also records the last COMMITTED
+``pace_id`` — ADMISSION CONTROL (the maxFilesPerTrigger shape): each
+trigger admits at most that many files of the initial snapshot AND,
+once tailing, at most that many files' worth of commit BACKLOG
+(versions are the tail's pacing granularity — one oversized commit
+still ships whole, it is an atomic change set; sizing reads only the
+candidate batch's manifests, O(batch) not O(backlog)); the pacing
+cursor persists under the table keyed by ``pace_id`` so restarts
+resume the high-water mark (one paced consumer per id). The sidecar also records the last COMMITTED
 offset, and exactly-once is defended in three places: `latestOffset`
 never returns an offset ordered before the committed high-water, an
 offset regression in `partitions` fails loudly instead of ratifying
@@ -540,10 +543,62 @@ class TableStreamReader(DataSourceStreamReader):
             if si < total:
                 nxt = {"v": int(cur["v"]), "snap": True, "si": si}
             else:
-                nxt = {"v": head}
+                # snapshot done: the same poll may start the tail, paced
+                # by commits (≤ one pacing quantum over, since the last
+                # snapshot slice rides along)
+                nxt = {"v": self._tail_next(int(cur["v"]), head)}
         else:
-            nxt = {"v": max(head, int(cur["v"]))}
+            base_v = int(cur["v"])
+            nxt = {"v": self._tail_next(base_v, max(head, base_v))}
         self._pace_write(nxt, committed)
+        return nxt
+
+    def _tail_next(self, from_v: int, head: int) -> int:
+        """TAIL admission control: the furthest version ≤ ``head`` such
+        that delivering commits (from_v, nxt] stays within
+        max_files_per_batch — so a stream catching up after downtime
+        drains its commit BACKLOG in bounded batches instead of one
+        giant one. Versions are the pacing granularity: a single commit
+        larger than the budget still ships whole (its files are one
+        atomic change set). Cost: resolves only the candidate batch's
+        manifests and lists only its new vrel dirs — O(delivered batch)
+        metadata per poll, never O(backlog)."""
+        if head <= from_v:
+            return head
+        budget = self._max_files
+        prev = self._doc(from_v)
+        nxt = from_v
+        for v in range(from_v + 1, head + 1):
+            cur = self._doc(v)
+            ch = cur.get("change_data")
+            try:
+                if self._mode == "commits":
+                    files = 1  # metadata rows: pace by commit count
+                elif ch is not None:
+                    files = (
+                        len(_data_files(self._root, ch["rel"], self._fs_spec))
+                        if ch.get("rel")
+                        else 0
+                    )
+                else:
+                    files = sum(
+                        len(_data_files(self._root, r, self._fs_spec))
+                        for r in _commit_inserts(
+                            prev, cur, self._on_rewrite, self._root
+                        )
+                    )
+            except ValueError:
+                # not representable as inserts / data gone: include this
+                # version and stop — planning it raises the loud,
+                # accurate error (or skips it under on_rewrite=skip)
+                return v
+            if nxt > from_v and files > budget:
+                break
+            budget -= files
+            nxt = v
+            prev = cur
+            if budget <= 0:
+                break
         return nxt
 
     # -- planning ---------------------------------------------------------
@@ -884,7 +939,18 @@ def run_paced_drain(
             except (OSError, ValueError, FileNotFoundError):
                 cur = {}
             if not cur.get("snap"):
-                break
+                # drained only once the cursor reached the table head (a
+                # paced TAIL slice of empty/metadata commits can deliver
+                # zero rows mid-backlog)
+                vs = _manifest()._list_manifest_versions(
+                    str(reader_options.get("fs"))
+                    if reader_options.get("fs")
+                    else None,
+                    None,
+                    table_root,
+                )
+                if not vs or int(cur.get("v", -1)) >= vs[-1]:
+                    break
     else:
         raise RuntimeError(
             f"run_paced_drain: {max_runs} runs without draining "

@@ -530,3 +530,44 @@ def test_stream_routes_through_non_posix_filesystem(spark, ts_env):
             .start()
         )
         q.awaitTermination(60)
+
+
+def test_tail_pacing_bounds_commit_backlog_batches(spark, ts_env):
+    """TAIL admission control: a paced stream catching up after downtime
+    drains its commit BACKLOG in bounded batches (versions are the
+    pacing granularity), instead of one giant batch — and still delivers
+    every row exactly once."""
+    from etl_demo_spark.io.table_stream import run_paced_drain
+
+    table = f"{ts_env}/t15"
+    sink, ck = f"{ts_env}/t15_sink", f"{ts_env}/t15_ck"
+    write_manifested(_mk_rows(spark, range(0, 2)), table, "part")  # v1
+    # drain the snapshot first so the backlog test isolates the tail
+    def build_writer(df):
+        return (
+            df.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+        )
+
+    run_paced_drain(spark, table, build_writer, 2, "t15pace")
+    # downtime: six commits accrue, ~2 files each
+    for i in range(6):
+        append_manifested(
+            spark, table, _mk_rows(spark, [100 + 2 * i, 101 + 2 * i], "b")
+        )
+    stats = run_paced_drain(
+        spark, table, build_writer, max_files_per_batch=2, pace_id="t15pace"
+    )
+    assert stats["rows"] == 12
+    assert stats["runs"] >= 3, f"backlog must drain in bounded runs: {stats}"
+    got = spark.read.parquet(sink)
+    assert got.count() == 14
+    assert got.select("id").distinct().count() == 14, "exactly once"
+    # oversized single commit still ships whole (atomic change set)
+    append_manifested(
+        spark, table, _mk_rows(spark, range(300, 310), "c").repartition(5)
+    )
+    stats2 = run_paced_drain(spark, table, build_writer, 2, "t15pace")
+    assert stats2["rows"] == 10
+    assert spark.read.parquet(sink).select("id").distinct().count() == 24
