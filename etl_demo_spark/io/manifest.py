@@ -2068,6 +2068,11 @@ def _load_doc(fs, jvm, root: str, version: int | None = None) -> dict:
         v = versions[-1]
     elif version in readable:
         v = version
+    elif _branch_of(root) is not None and version in versions:
+        # a BRANCH view retains everything it can see: branch commits
+        # never GC, and main GC protects the fork point's data and
+        # manifest closure for as long as the branch lives
+        v = version
     else:
         # tag-protected snapshots stay readable outside the window: GC
         # keeps their data/manifests for as long as the tag lives (the
@@ -5220,6 +5225,7 @@ def branch_fastforward(
     name: str,
     expectations: dict[str, str] | None = None,
     delete_branch: bool = True,
+    fmt: str = "parquet",
 ) -> int:
     """PUBLISH a branch: validate, then make the branch head the next
     MAIN commit — one CAS, zero data movement (the branch's files were
@@ -5235,10 +5241,13 @@ def branch_fastforward(
       with the same commit-conflict rules as racing writers
       (`_rebase_conflict`): disjoint-leaf work fast-forwards through a
       three-way merge; a true conflict refuses with the reason.
-    * CHANGE-FEED note: a single-commit branch publishes its change
-      sidecar as-is; a multi-commit branch publishes as one structural
-      commit (appends stream as inserts; rewrites hit the stream's
-      on_rewrite policy).
+    * CHANGE-FEED: on a ``change_feed`` table the publish stages the
+      branch's NET row delta (base → branch head, computed by
+      `read_changes` over the branch view) as its own change sidecar,
+      so streams and CDC consumers ride through the publish whatever
+      mix of commits the branch carried. When the net delta is not
+      computable (a sidecar-less rewrite on the branch) the publish is
+      structural and the stream's ``on_rewrite`` policy applies.
 
     Returns the published main version."""
     fs, jvm = _hadoop_fs(spark, root)
@@ -5268,6 +5277,21 @@ def branch_fastforward(
                     f"expectations {failed} — main was NOT advanced; fix "
                     "the branch or branch_delete it"
                 )
+        change_rels: list[str] = []
+        change_ptr = None
+        if H.get("change_feed") and bhead != base_v:
+            # the publish's CDC delta = the branch's net change feed,
+            # staged once (the pointer is version-agnostic)
+            try:
+                fwd = read_changes(spark, root, base_v, bhead)
+                holder: dict = {}
+                change_rels = _stage_change_data(
+                    fs, jvm, root, fmt, bhead, uuid.uuid4().hex[:8],
+                    _to_physical(fwd, H.get("column_mapping")), holder,
+                )
+                change_ptr = holder.get("change_data")
+            except (ValueError, FileNotFoundError):
+                pass  # structural publish; stream policy applies
     finally:
         _BRANCH_CTX.reset(tok)
 
@@ -5276,6 +5300,13 @@ def branch_fastforward(
         if M["version"] != base_v:
             reason = _rebase_conflict(B, M, H)
             if reason is not None:
+                for rel in change_rels:
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(
+                            f"{root.rstrip('/')}/{rel}"
+                        ),
+                        True,
+                    )
                 raise ValueError(
                     f"branch_fastforward: branch {name!r} conflicts with "
                     f"main commits since the fork ({reason}); re-stage on "
@@ -5290,8 +5321,9 @@ def branch_fastforward(
                 and k not in ("committed_at_ms", "parent")
             }
             out["version"] = M["version"] + 1
-        if len(bvs) > 1:
-            out.pop("change_data", None)
+        out.pop("change_data", None)  # per-commit; never the head's own
+        if change_ptr is not None:
+            out["change_data"] = change_ptr
         out["operation"] = "PUBLISH"
         # tags are MAIN ref state — never the branch's frozen copy
         if M.get("tags") is not None:
@@ -5307,6 +5339,11 @@ def branch_fastforward(
             published = out["version"]
             break
     else:
+        for rel in change_rels:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/{rel}"),
+                True,
+            )
         raise RuntimeError(
             f"branch_fastforward: lost {_COMMIT_RETRIES} consecutive "
             f"publish races on {root}"

@@ -173,3 +173,56 @@ def test_branch_validation_errors(spark, tmp_path):
         m.branch_fastforward(spark, root, "b1")
     with pytest.raises(ValueError, match="no branch"):
         m.use_branch(spark, root, "nope").__enter__()
+
+
+def test_publish_stages_net_delta_for_change_feed_streams(spark, tmp_path):
+    """On a change_feed table, a multi-commit branch PUBLISH stages the
+    branch's net row delta as its change sidecar — a CDC subscriber
+    rides through the publish and converges to the published table."""
+    root = str(tmp_path / "cf")
+    m.write_manifested(
+        _rows(spark, [(1, "a", 1.0), (2, "b", 2.0)]), root, "part",
+        change_feed=True,
+    )  # v1
+    from etl_demo_spark.io.table_stream import register_table_stream_source
+
+    register_table_stream_source(spark)
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            spark.readStream.format("tablestream")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()  # subscriber at v1
+    m.branch_create(spark, root, "wap")
+    with m.use_branch(spark, root, "wap"):
+        m.append_manifested(spark, root, _rows(spark, [(10, "a", 5.0)]))
+        m.merge_upsert_manifested(
+            spark, root, _rows(spark, [(2, "b", 99.0)]), ["id"], ["part"]
+        )
+        m.append_manifested(spark, root, _rows(spark, [(11, "b", 7.0)]))
+    v = m.branch_fastforward(spark, root, "wap")
+    fs, jvm = m._hadoop_fs(spark, root)
+    assert m._load_raw(fs, jvm, root, v).get("change_data", {}).get("rel"), (
+        "publish on a change_feed table must stage its net delta"
+    )
+    drain()  # the SAME checkpoint rides through the publish
+    feed = spark.read.parquet(sink).drop("_commit_version")
+    replica = feed.filter("_change_type = 'insert'").drop(
+        "_change_type"
+    ).exceptAll(feed.filter("_change_type = 'delete'").drop("_change_type"))
+    live = m.read_manifested(spark, root)
+    assert replica.exceptAll(live).count() == 0
+    assert live.exceptAll(replica).count() == 0
+    assert {r.id: r.val for r in live.collect()} == {
+        1: 1.0, 2: 99.0, 10: 5.0, 11: 7.0
+    }
