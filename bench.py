@@ -687,39 +687,41 @@ def _bench_occ_contention(spark, sf_dir: str) -> dict:
         base = dict(m.occ_stats)
         old_flag = m._REBASE_ENABLED
         m._REBASE_ENABLED = rebase_on
-        barrier = threading.Barrier(2)
-        errors: list[Exception] = []
+        try:
+            barrier = threading.Barrier(2)
+            errors: list[Exception] = []
 
-        done = {1: 0, 2: 0}
+            done = {1: 0, 2: 0}
 
-        def writer(wid: int) -> None:
-            barrier.wait(timeout=120)
-            for seq in range(n_per_writer):
-                src = spark.createDataFrame(
-                    [
-                        (100 * wid + seq, "a", 1.0),
-                        (100 * wid + seq, "b", 1.0),
-                    ],
-                    "id BIGINT, part STRING, v DOUBLE",
-                )
-                try:
-                    m.append_manifested(spark, root, src)
-                    done[wid] += 1
-                except RuntimeError as e:
-                    # retry exhaustion under contention — THE pre-rebase
-                    # failure mode; count it, keep racing
-                    errors.append(e)
+            def writer(wid: int) -> None:
+                barrier.wait(timeout=120)
+                for seq in range(n_per_writer):
+                    src = spark.createDataFrame(
+                        [
+                            (100 * wid + seq, "a", 1.0),
+                            (100 * wid + seq, "b", 1.0),
+                        ],
+                        "id BIGINT, part STRING, v DOUBLE",
+                    )
+                    try:
+                        m.append_manifested(spark, root, src)
+                        done[wid] += 1
+                    except RuntimeError as e:
+                        # retry exhaustion under contention — THE
+                        # pre-rebase failure mode; count it, keep racing
+                        errors.append(e)
 
-        threads = [
-            threading.Thread(target=writer, args=(w,)) for w in (1, 2)
-        ]
-        t0 = time.perf_counter()
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join(timeout=600)
-        wall = time.perf_counter() - t0
-        m._REBASE_ENABLED = old_flag
+            threads = [
+                threading.Thread(target=writer, args=(w,)) for w in (1, 2)
+            ]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=600)
+            wall = time.perf_counter() - t0
+        finally:
+            m._REBASE_ENABLED = old_flag
         stats = {
             k: m.occ_stats[k] - base[k]
             for k in ("cas_lost", "rebased", "reran")

@@ -125,12 +125,20 @@ _BRANCH_CTX: _contextvars.ContextVar[dict | None] = _contextvars.ContextVar(
 )
 
 
+def _branch_key(root: str) -> str:
+    """Context key for a table root — scheme-normalized so
+    ``use_branch('file:/x/t')`` and a committer called with ``/x/t``
+    (or vice versa) resolve the SAME branch; a miss here would silently
+    publish a 'branch' commit straight to main."""
+    return _strip_scheme(root).rstrip("/")
+
+
 def _branch_of(root: str) -> tuple[str, int] | None:
     """(branch name, base version) active for ``root``, or None."""
     ctx = _BRANCH_CTX.get()
     if not ctx:
         return None
-    return ctx.get(root.rstrip("/"))
+    return ctx.get(_branch_key(root))
 
 
 def _branch_dir(root: str, name: str) -> str:
@@ -2754,7 +2762,7 @@ def _gc(fs, jvm, root: str, keep_versions: list[int]) -> None:
     # this root and resolves through main-chain ancestors at-or-below
     # the fork point — all of it stays protected until the branch is
     # deleted or published
-    rs = root.rstrip("/")
+    rs = _branch_key(root)
     for bname, bbase in _list_branch_refs(fs, jvm, root):
         tok = _BRANCH_CTX.set(
             {**(_BRANCH_CTX.get() or {}), rs: (bname, bbase)}
@@ -3469,10 +3477,16 @@ def manifest_expire(
             "live pin."
         )
     if blocking:
+        # Each tag_delete appends an UNTAG commit; re-deriving kept as
+        # versions[-keep:] would let those metadata commits displace up
+        # to len(blocking) REAL historical snapshots out of the keep
+        # window. Keep the originally promised data versions AND the
+        # new UNTAG head chain (the head must survive regardless).
+        old_head = versions[-1]
         for name in sorted(blocking):
             tag_delete(spark, root, name)
         versions = _list_manifest_versions(fs, jvm, root)
-        kept = versions[-keep:]
+        kept = sorted(set(kept) | {v for v in versions if v > old_head})
     # checkpoint every kept DELTA manifest as a FULL snapshot in place
     # (same version number, equivalent resolved content) so its ancestor
     # chain — and any data only those ancestors reference — can be
@@ -5187,7 +5201,7 @@ def use_branch(spark: SparkSession, root: str, name: str):
     reentrant (contextvar); other tables' operations are unaffected."""
     fs, jvm = _hadoop_fs(spark, root)
     base = _branch_base(fs, jvm, root, name)
-    rs = root.rstrip("/")
+    rs = _branch_key(root)
     tok = _BRANCH_CTX.set({**(_BRANCH_CTX.get() or {}), rs: (name, base)})
     try:
         yield
@@ -5252,7 +5266,7 @@ def branch_fastforward(
     Returns the published main version."""
     fs, jvm = _hadoop_fs(spark, root)
     base_v = _branch_base(fs, jvm, root, name)
-    rs = root.rstrip("/")
+    rs = _branch_key(root)
     tok = _BRANCH_CTX.set({**(_BRANCH_CTX.get() or {}), rs: (name, base_v)})
     try:
         bvs = _list_dir_versions(fs, jvm, _branch_dir(root, name))
@@ -5565,7 +5579,9 @@ def rollback_manifested(
                     _to_physical(inv, old.get("column_mapping")),
                     new_doc,
                 )
-            except ValueError as e:
+            except (ValueError, FileNotFoundError) as e:
+                # read_changes/_stage_change_data surface either — match
+                # branch_fastforward's fallback contract
                 if with_changes:
                     raise ValueError(
                         "rollback_manifested: cannot compute the "

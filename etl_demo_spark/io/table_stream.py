@@ -339,7 +339,14 @@ def _off_key(off: dict) -> tuple:
 def _vrel_version(vrel: str) -> int:
     """The version that committed a vrel, parsed from its dir name
     (``…/__v0000000007-ab12cd34``) — the initial snapshot's per-file
-    commit attribution."""
+    commit attribution.
+
+    CAVEAT: this is the STAGING ATTEMPT's version. After an OCC rebase
+    or a branch publish, staged dirs keep their pre-race ``__v{N}``
+    names while the manifest lands at a LATER version, so the
+    attribution can under-report the committing version. Metadata
+    accuracy only — delivery and exactly-once are keyed off manifest
+    versions, never off this parse."""
     name = vrel.rsplit("/", 1)[-1]
     core = name[len("__v"):].split("-", 1)[0]
     return int(core)

@@ -226,3 +226,25 @@ def test_publish_stages_net_delta_for_change_feed_streams(spark, tmp_path):
     assert {r.id: r.val for r in live.collect()} == {
         1: 1.0, 2: 99.0, 10: 5.0, 11: 7.0
     }
+
+
+def test_branch_context_key_is_scheme_normalized(spark, tmp_path):
+    """use_branch('file:/x/t') + a committer called with '/x/t' (and the
+    reverse) must hit the SAME branch context — a key miss here silently
+    publishes the 'branch' commit straight to main, bypassing the WAP
+    gate (regression: the context was keyed by the raw root string)."""
+    root = _mk(spark, tmp_path, "t_scheme")
+    m.branch_create(spark, root, "wap")
+    with m.use_branch(spark, f"file:{root}", "wap"):
+        m.append_manifested(spark, root, _rows(spark, [(10, "a", 5.0)]))
+    with m.use_branch(spark, root, "wap"):
+        m.append_manifested(
+            spark, f"file:{root}", _rows(spark, [(11, "b", 6.0)])
+        )
+    # main untouched: both commits landed on the branch sub-log
+    assert m.manifest_versions(spark, root)[-1] == 1
+    assert m.read_manifested(spark, root).count() == 2
+    b = {r["name"]: r for r in m.list_branches(spark, root).collect()}
+    assert b["wap"]["commits"] == 2
+    m.branch_fastforward(spark, root, "wap")
+    assert m.read_manifested(spark, root).count() == 4

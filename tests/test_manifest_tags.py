@@ -168,10 +168,48 @@ def test_expire_refuses_under_live_tag_then_drop_tags_erases(
     v1_dirs = _glob.glob(f"{table}/part=a/__v0000000001*")
     assert v1_dirs, "tag-pinned v1 data must survive the refused expire"
     kept = manifest_expire(spark, table, keep=1, drop_tags=True)
-    assert len(kept) == 1
+    # keep=1 promised the at-call head (v4) survives; the UNTAG commit
+    # (v5) is the new head chain and is kept in addition
+    assert 4 in kept
     assert not _glob.glob(f"{table}/part=a/__v0000000001*"), (
         "after drop_tags expire, the pinned version's bytes are gone"
     )
     assert list_tags(spark, table).count() == 0
     # newest state still reads fine
+    assert read_manifested(spark, table).count() == 6
+
+
+def test_expire_drop_tags_does_not_displace_kept_history(spark, tag_root):
+    """drop_tags=True appends one UNTAG commit per dropped tag; those
+    metadata commits must not displace the promised keep=K REAL data
+    versions out of the keep window (regression: kept was recomputed as
+    versions[-keep:] after the drops)."""
+    from etl_demo_spark.io.manifest import manifest_expire, manifest_versions
+
+    table = f"{tag_root}/t_exp_keep"
+    write_manifested(_rows(spark, range(0, 3)), table, "part")  # v1
+    tag_create(spark, table, "pin-a")  # v2 pins v1
+    tag_create(spark, table, "pin-b", version=1)  # v3 pins v1
+    _merge(spark, table, _rows(spark, [10], val=2.0))  # v4
+    _merge(spark, table, _rows(spark, [11], val=2.0))  # v5
+    _merge(spark, table, _rows(spark, [12], val=2.0))  # v6
+    # keep=3 promises v4/v5/v6 survive; the two UNTAG commits (v7, v8)
+    # must be kept IN ADDITION, not instead
+    kept = manifest_expire(spark, table, keep=3, drop_tags=True)
+    assert {4, 5, 6} <= set(kept), kept
+    # the promised versions' manifest files survived on disk (rollback/
+    # audit horizon); the pre-keep ones are physically gone
+    import glob as _glob
+
+    on_disk = {
+        int(p.rsplit("/v", 1)[1][:10])
+        for p in _glob.glob(f"{table}/_manifests/v*.json")
+    }
+    assert {4, 5, 6} <= on_disk, on_disk
+    assert on_disk.isdisjoint({1, 2, 3}), on_disk
+    # v4's merge leaf (referenced by kept v4/v5 docs) survived too
+    assert _glob.glob(f"{table}/part=a/__v0000000004*"), (
+        "kept v4's data must survive the drop_tags expire"
+    )
+    assert list_tags(spark, table).count() == 0
     assert read_manifested(spark, table).count() == 6
