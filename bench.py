@@ -678,12 +678,19 @@ def _bench_occ_contention(spark, sf_dir: str) -> dict:
 
     n_per_writer = 6
 
-    def run(rebase_on: bool) -> dict:
+    def run(rebase_on: bool, split_stats: bool = False) -> dict:
         root = tempfile.mkdtemp(prefix="bench_occ_") + "/t"
         seed = spark.createDataFrame(
             [(0, "a", 0.0), (1, "b", 0.0)], "id BIGINT, part STRING, v DOUBLE"
         )
-        m.write_manifested(seed, root, "part")
+        if split_stats:
+            # the at-scale layout (per-leaf stats files): round 10 made
+            # same-leaf append races mergeable here too
+            m.write_manifested(
+                seed, root, "part", stats_cols=["id"], stats_split=True
+            )
+        else:
+            m.write_manifested(seed, root, "part")
         base = dict(m.occ_stats)
         old_flag = m._REBASE_ENABLED
         m._REBASE_ENABLED = rebase_on
@@ -740,14 +747,18 @@ def _bench_occ_contention(spark, sf_dir: str) -> dict:
 
     on = run(True)
     off = run(False)
+    on_split = run(True, split_stats=True)
     return {
         "rebase_on": on,
         "rebase_off": off,
+        "rebase_on_split_stats": on_split,
         "note": (
             "2 threads x 6 appends on one 2-leaf table; rebase_on lands "
             "lost races by republishing staged files (restaged==0), "
             "rebase_off re-runs the whole transaction per lost race — "
-            "the pre-conflict-detection write-throughput ceiling"
+            "the pre-conflict-detection write-throughput ceiling; "
+            "rebase_on_split_stats runs the same race on the at-scale "
+            "per-leaf stats layout (rebase merges the leaf stats files)"
         ),
     }
 

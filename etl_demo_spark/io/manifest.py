@@ -881,11 +881,15 @@ def _rebase_conflict(base: dict, head: dict, new_doc: dict) -> str | None:
     """Why the lost transaction (built as ``new_doc`` against ``base``)
     cannot be republished onto ``head`` — or None if it can.
 
-    Two PURE APPENDS never conflict, even on the same leaf (extras are
-    a set union — unless the leaf carries split-layout stats files,
-    which are monolithic per leaf and would lose one side's entries).
+    Two PURE APPENDS never conflict, even on the same leaf: extras are
+    a set union, and under the split stats layout the rebase publish
+    merges the two sides' per-leaf stats files (`_merge_split_stats`) —
+    the pointer map stays one fname per leaf, pointing at the union.
     Everything else conflicts exactly when leaf footprints intersect,
-    either side changed table config, or both moved the DV sidecar."""
+    either side changed table config, both moved the DV sidecar, or the
+    stats LAYOUT itself flipped concurrently (embedded↔split convert
+    racing a data commit — the three-way doc merge has no meaning
+    across a layout change)."""
     for k in _REBASE_CONFIG_KEYS:
         if base.get(k) != head.get(k):
             return f"winner changed table config {k!r}"
@@ -899,14 +903,15 @@ def _rebase_conflict(base: dict, head: dict, new_doc: dict) -> str | None:
     winner_dv = head.get("dv") != base.get("dv")
     if loser_dv and winner_dv:
         return "both sides moved the deletion-vector sidecar"
+    lay_b = base.get("files_manifests") is not None
+    if (head.get("files_manifests") is not None) != lay_b or (
+        new_doc.get("files_manifests") is not None
+    ) != lay_b:
+        return "stats layout changed concurrently"
     t = _leaf_changes(base, new_doc)
     w = _leaf_changes(base, head)
-    split_stats = (
-        head.get("files_manifests") is not None
-        or new_doc.get("files_manifests") is not None
-    )
     for rel in set(t) & set(w):
-        if t[rel] == w[rel] == "append" and not split_stats:
+        if t[rel] == w[rel] == "append":
             continue  # concurrent inserts into one leaf: extras union
         return f"touched leaves overlap: {rel!r} ({t[rel]} vs {w[rel]})"
     base_txns = base.get("txns") or {}
@@ -1006,6 +1011,50 @@ def _rebase_doc(base: dict, head: dict, new_doc: dict) -> dict:
     return out
 
 
+def _merge_split_stats(
+    fs, jvm, root: str, base: dict, head: dict, new_doc: dict, out: dict
+) -> None:
+    """Split-layout stats merge for same-leaf concurrent APPENDS: both
+    sides rewrote the leaf's (monolithic) stats file — the winner's
+    holds base∪winner entries, the loser's staged one holds base∪loser.
+    For each overlap leaf, union the two files, filter to the merged
+    doc's live vrels, and publish a NEW stats file the rebased commit
+    points at — so the zero-restage OCC win holds on the 100k-file
+    split layout a 100 TB table actually runs. O(overlap leaves), never
+    O(table); failed CAS attempts leave only orphan stats JSONs for the
+    regular orphan GC."""
+    if out.get("files_manifests") is None:
+        return
+    t = _leaf_changes(base, new_doc)
+    w = _leaf_changes(base, head)
+    overlap = {
+        rel
+        for rel in set(t) & set(w)
+        if t[rel] == w[rel] == "append" and rel in out.get("partitions", {})
+    }
+    if not overlap:
+        return
+    live = set(out["partitions"].values())
+    for vs in (out.get("extra_vrels") or {}).values():
+        live.update(vs)
+    head_fm = head.get("files_manifests") or {}
+    new_fm = new_doc.get("files_manifests") or {}
+    fm = dict(out["files_manifests"])
+    token = uuid.uuid4().hex[:8]
+    for leaf in sorted(overlap):
+        entries: dict = {}
+        for src in (new_fm.get(leaf), head_fm.get(leaf)):
+            if src is not None:
+                entries.update(_read_leaf_stats(fs, jvm, root, src))
+        entries = {
+            p: st for p, st in entries.items() if p.rsplit("/", 1)[0] in live
+        }
+        fname = _split_leaf_fname(out["version"], token, leaf)
+        _write_leaf_stats(fs, jvm, root, fname, entries)
+        fm[leaf] = fname
+    out["files_manifests"] = fm
+
+
 def _rebase_publish(fs, jvm, root: str, base: dict, new_doc: dict) -> bool:
     """Try to land a lost transaction WITHOUT re-staging: classify vs
     the current head; if conflict-free, three-way merge and CAS. Loops
@@ -1019,6 +1068,7 @@ def _rebase_publish(fs, jvm, root: str, base: dict, new_doc: dict) -> bool:
             occ_stats["last_conflict"] = reason
             return False
         out = _rebase_doc(base, head, new_doc)
+        _merge_split_stats(fs, jvm, root, base, head, new_doc, out)
         if _publish_cas(
             fs,
             jvm,

@@ -1774,11 +1774,16 @@ def test_rebase_conflict_classifier_units():
     # same-leaf append-append: extras union — NO conflict
     new2 = {**base, "version": 2, "extra_vrels": {"a": ["a/v2z"]}}
     assert _rebase_conflict(base, head, new2) is None
-    # ... unless the leaf carries split-layout stats files (monolithic
-    # per leaf; merging would drop one side's entries)
+    # same-leaf append-append under the SPLIT stats layout is mergeable
+    # too (the rebase publish unions the per-leaf stats files)
     head_fm = {**head, "files_manifests": {"a": "s1", "b": "s2"}}
     base_fm = {**base, "files_manifests": {"a": "s0", "b": "s2"}}
-    assert "overlap" in _rebase_conflict(base_fm, head_fm, new2)
+    new2_fm = {**new2, "files_manifests": {"a": "s3", "b": "s2"}}
+    assert _rebase_conflict(base_fm, head_fm, new2_fm) is None
+    # ... but a stats-LAYOUT flip racing a data commit conflicts: the
+    # three-way doc merge has no meaning across a layout change
+    assert "layout" in _rebase_conflict(base_fm, head_fm, new2)
+    assert "layout" in _rebase_conflict(base, head_fm, new2)
     # same-leaf rewrite vs append: conflict
     head_rw = {**base, "version": 2, "partitions": {"a": "a/v2", "b": "b/v1"}}
     assert "overlap" in _rebase_conflict(base, head_rw, new2)

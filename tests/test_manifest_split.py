@@ -334,3 +334,87 @@ def test_split_two_writers_threaded_both_commit(spark, tmp_path):
         assert read_manifested(
             spark, path, prune_points={"id": key}
         ).filter(f"id = {key}").count() == 1
+
+
+def test_split_same_leaf_append_race_rebases_and_merges_stats(
+    spark, tmp_path, monkeypatch
+):
+    """Round-10 contract: same-leaf concurrent APPENDS on a SPLIT-stats
+    table rebase with ZERO restaging — the rebase publish unions the two
+    sides' per-leaf stats files. The merged stats file must be
+    EQUIVALENT to a from-scratch recompute over the leaf's live files
+    (min/max/rows exact), and cover every live file."""
+    import etl_demo_spark.io.manifest as m
+
+    path = str(tmp_path / "t")
+    _mk(spark, path)  # v1, leaves dt=0..3, stats+bloom on id
+
+    real_publish = m._publish_cas
+    state = {"injected": False, "staged": None}
+
+    def _stat_files():
+        out = {}
+        for f in glob.glob(f"{path}/dt=*/__v*/*"):
+            st = os.stat(f)
+            out[f] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    def racing_publish(fs, jvm, p, data):
+        if not state["injected"]:
+            state["injected"] = True
+            state["staged"] = _stat_files()
+            m.append_manifested(
+                spark, path,
+                spark.createDataFrame(
+                    [(700001, "1", 7)], "id BIGINT, dt STRING, v BIGINT"
+                ),
+            )
+        return real_publish(fs, jvm, p, data)
+
+    monkeypatch.setattr(m, "_publish_cas", racing_publish)
+    base_stats = dict(m.occ_stats)
+    m.append_manifested(
+        spark, path,
+        spark.createDataFrame(
+            [(700002, "1", 8)], "id BIGINT, dt STRING, v BIGINT"
+        ),
+    )
+    monkeypatch.setattr(m, "_publish_cas", real_publish)
+    assert m.occ_stats["cas_lost"] == base_stats["cas_lost"] + 1
+    assert m.occ_stats["rebased"] == base_stats["rebased"] + 1
+    assert m.occ_stats["reran"] == base_stats["reran"], (
+        "same-leaf append race on a split-stats table must NOT restage"
+    )
+    # zero bytes rewritten: the loser's staged files survive untouched
+    after = _stat_files()
+    for p, sig in state["staged"].items():
+        assert after.get(p) == sig, f"staged file churned: {p}"
+
+    # both rows visible, both prunable via the merged stats file
+    fs, jvm = m._hadoop_fs(spark, path)
+    doc = m._load_doc(fs, jvm, path)
+    assert doc["version"] == 3  # winner v2, rebased loser v3
+    for key in (700001, 700002):
+        assert m.read_manifested(
+            spark, path, prune_points={"id": key}
+        ).filter(f"id = {key}").count() == 1
+
+    # the merged leaf stats file covers EVERY live file of the leaf and
+    # matches a from-scratch recompute on min/max/rows exactly
+    leaf_vrels = [doc["partitions"]["dt=1"]] + list(
+        (doc.get("extra_vrels") or {}).get("dt=1", [])
+    )
+    entries = m._read_leaf_stats(fs, jvm, path, doc["files_manifests"]["dt=1"])
+    live_files = {
+        f"dt=1/{os.path.basename(os.path.dirname(f))}/{os.path.basename(f)}"
+        for vrel in leaf_vrels
+        for f in glob.glob(f"{path}/{vrel}/*")
+        if not os.path.basename(f).startswith(("_", "."))
+    }
+    assert set(entries) == live_files, (set(entries), live_files)
+    recomputed = m._collect_file_stats(
+        spark, "parquet", path, leaf_vrels, ["id"], None, None, 4
+    )
+    for p, st in recomputed.items():
+        got = {k: v for k, v in entries[p].items() if not k.startswith("__bloom")}
+        assert got == st, (p, got, st)

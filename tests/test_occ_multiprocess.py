@@ -32,7 +32,8 @@ REPO = Path(__file__).resolve().parent.parent
 COMMITS = 3
 
 
-def test_two_processes_race_table_and_catalog(spark, tmp_path):
+@pytest.mark.parametrize("split_stats", [False, True], ids=["plain", "split"])
+def test_two_processes_race_table_and_catalog(spark, tmp_path, split_stats):
     from etl_demo_spark.io.catalog import (
         catalog_init,
         catalog_snapshot,
@@ -50,12 +51,20 @@ def test_two_processes_race_table_and_catalog(spark, tmp_path):
     # seed BOTH leaves the workers append into: creating a brand-new
     # leaf is a primary-vrel change (a structural conflict by design);
     # with the leaves pre-existing, every racing append is a pure
-    # extras-union and must land by zero-rewrite rebase
+    # extras-union and must land by zero-rewrite rebase — under the
+    # SPLIT stats layout too (round 10: the rebase publish merges the
+    # racing appends' per-leaf stats files)
     seed = spark.createDataFrame(
         [("seed", -1, 0, "2026-01-01"), ("seed", -1, 1, "2026-01-02")],
         "writer STRING, seq INT, payload INT, dt STRING",
     )
-    write_manifested(seed, root, partition_cols=["dt"])
+    if split_stats:
+        write_manifested(
+            seed, root, partition_cols=["dt"],
+            stats_cols=["payload"], stats_split=True,
+        )
+    else:
+        write_manifested(seed, root, partition_cols=["dt"])
     assert catalog_init(spark, cat, {"events": root}) == 1
 
     env = dict(os.environ)
@@ -132,6 +141,26 @@ def test_two_processes_race_table_and_catalog(spark, tmp_path):
     got = {(r["writer"], r["seq"]): r["count"] for r in rows}
     want = {(w, s): 2 for w in ("W1", "W2") for s in range(COMMITS)}
     assert got == want
+
+    if split_stats:
+        # the rebase stats merges lost no entries: the head snapshot's
+        # per-leaf stats files cover EVERY live data file
+        from etl_demo_spark.io.manifest import (
+            _all_vrels,
+            _hadoop_fs,
+            _load_doc,
+            _materialized_files,
+        )
+
+        fs, jvm = _hadoop_fs(spark, root)
+        doc = _load_doc(fs, jvm, root)
+        entries = _materialized_files(fs, jvm, root, doc)
+        covered = {p.rsplit("/", 1)[0] for p in entries}
+        assert set(_all_vrels(doc)) <= covered, (
+            sorted(set(_all_vrels(doc)) - covered)
+        )
+        total = sum(st.get("__rows", 0) for st in entries.values())
+        assert total == read_manifested(spark, root).count()
 
     # no torn catalog: contiguous versions, every pin a real manifest
     # version, every snapshot resolvable at its pins
