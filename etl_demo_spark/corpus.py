@@ -11152,8 +11152,8 @@ def events_spec_evolution_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrote nothing; (2) the pruned scan opens a strict subset of
     leaves while returning exactly the full-scan answer over the same
     predicate (pruning drops only provably-out-of-range leaves, never
-    rows); (3) a leaf-rewriting MERGE is refused on the mixed-layout
-    table (the honest limitation, lifted by repartition_manifested).
+    rows); (3) DML addressed in an OLD generation's columns is refused
+    (current-spec DML is leaf-scoped — see events_spec_evolution_dml).
     The oracle derives the same aggregate from the base parquet, so a
     hash match certifies both write paths and the dual-spec planning.
 
@@ -11210,8 +11210,10 @@ def events_spec_evolution_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, root, late.limit(1), ["event_id"], ["p_day"]
         )
     except ValueError as e:
-        refused = "spec was evolved" in str(e)
-    assert refused, "leaf rewrites must refuse on a mixed-layout table"
+        refused = "CURRENT spec" in str(e)
+    assert refused, (
+        "DML in an old generation's columns must refuse on a mixed table"
+    )
 
     return (
         pruned.filter(pred)
@@ -11220,6 +11222,137 @@ def events_spec_evolution_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
+    )
+
+
+@query(
+    "events_spec_evolution_dml",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT event_type,
+             CASE WHEN ts >= TIMESTAMP '2024-01-03 00:00:00'
+                   AND ts <  TIMESTAMP '2024-01-05 00:00:00'
+                  THEN value + 1000.0 ELSE value END AS value
+      FROM (
+        SELECT event_type, value, ts FROM events
+        UNION ALL
+        SELECT event_type, value, ts + INTERVAL 365 DAY AS ts FROM events
+        WHERE event_id % 5 = 0
+      )
+      UNION ALL
+      SELECT event_type, value + 0.5 AS value FROM events
+      WHERE event_id % 11 = 0
+    )
+    GROUP BY event_type
+    """,
+)
+def events_spec_evolution_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAF-SCOPED DML ON A MIXED-GENERATION TABLE (round 10): after a
+    metadata-only spec evolution, MERGE no longer demands a full-table
+    consolidation — it rewrites exactly the touched leaves, re-keying
+    each touched OLD-generation leaf whole into the CURRENT spec while
+    every untouched old-generation leaf stays byte-identical (Iceberg's
+    behavior: rewrites land in the current spec; history survives).
+
+    The events table lands under a DAILY spec, evolves to MONTHLY +
+    user-bucket, appends a year-shifted slice under the new layout,
+    then one MERGE (a) updates a two-day window of OLD-generation rows
+    (value + 1000) and (b) inserts fresh rows landing in NEW-generation
+    leaves. In-query asserts pin: untouched old leaves byte-identical
+    (mtime), the touched old leaves dropped from the snapshot (their
+    rows re-keyed), row-count integrity, and both generations still
+    pruning after the DML. The oracle replays the same logical
+    update+insert over the base parquet — a hash match certifies the
+    merge applied exactly once across generations with no row lost,
+    duplicated, or left stale.
+
+    Reference anchor: the reference engine rewrites its whole output
+    per run (etl_weekly_trades.py:134-156) — north-star lakehouse
+    surface."""
+    import datetime
+    import glob
+    import os
+    import tempfile
+
+    import etl_demo_spark.io.manifest as m
+
+    (ev,) = _t(spark, sf_dir, "events")
+    src = ev.select("event_id", "ts", "user_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="spec_dml_") + "/events"
+    m.write_manifested(src, root, partition_transforms={"p_day": "days(ts)"})
+    m.alter_partition_spec(
+        spark, root, {"p_month": "months(ts)", "p_b": "bucket(8, user_id)"}
+    )
+    late = src.filter(F.col("event_id") % 5 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 365 DAYS")
+    )
+    m.append_manifested(spark, root, late)
+    pre_files = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{root}/p_day=*/__v*/*.parquet")
+    }
+
+    lo = datetime.datetime(2024, 1, 3)
+    hi = datetime.datetime(2024, 1, 5)
+    updates = src.filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
+    ).withColumn("value", F.col("value") + F.lit(1000.0))
+    inserts = src.filter(F.col("event_id") % 11 == 0).select(
+        (F.col("event_id") + F.lit(90000000)).alias("event_id"),
+        "ts",
+        "user_id",
+        "event_type",
+        (F.col("value") + F.lit(0.5)).alias("value"),
+    )
+    n_base = src.count()
+    n_late = late.count()
+    n_ins = inserts.count()
+    m.merge_upsert_manifested(
+        spark,
+        root,
+        updates.unionByName(inserts),
+        ["event_id", "ts"],
+        ["p_month", "p_b"],
+    )
+
+    # untouched OLD-generation leaves: byte-identical after the merge
+    touched_days = {f"{root}/p_day=2024-01-03", f"{root}/p_day=2024-01-04"}
+    after = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{root}/p_day=*/__v*/*.parquet")
+    }
+    for f, sig in pre_files.items():
+        if not any(f.startswith(d + "/") for d in touched_days):
+            assert after.get(f) == sig, f"untouched old leaf churned: {f}"
+    fs, jvm = m._hadoop_fs(spark, root)
+    doc = m._load_doc(fs, jvm, root)
+    assert "p_day=2024-01-03" not in doc["partitions"], (
+        "touched old leaf must be re-keyed out of the snapshot"
+    )
+    assert doc.get("partition_specs"), "spec history survives the DML"
+
+    got = m.read_manifested(spark, root)
+    assert got.count() == n_base + n_late + n_ins
+    # both generations still prune after the rewrite
+    full_leaves = {p.rsplit("/", 2)[0] for p in got.inputFiles()}
+    pruned = m.read_manifested(
+        spark, root, prune_source={"ts": (lo, datetime.datetime(2024, 1, 6))}
+    )
+    pruned_leaves = {p.rsplit("/", 2)[0] for p in pruned.inputFiles()}
+    assert 0 < len(pruned_leaves) < len(full_leaves)
+    pred = (F.col("ts") >= F.lit(lo)) & (
+        F.col("ts") < F.lit(datetime.datetime(2024, 1, 6))
+    )
+    assert pruned.filter(pred).count() == got.filter(pred).count()
+
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
     )
 
 

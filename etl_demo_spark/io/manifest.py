@@ -3722,7 +3722,7 @@ def merge_upsert_manifested(
     _clean_stale_staging(fs, jvm, root)
 
     def _attempt(doc, new_version, token):
-        _require_single_spec(doc, "merge_upsert_manifested")
+        mixed = _mixed_spec_guard(doc, cols, "merge_upsert_manifested")
         nonlocal source
         mapping = doc["partitions"]
         prev_schema_json = doc.get("schema")
@@ -3731,17 +3731,42 @@ def merge_upsert_manifested(
 
         # hidden partitioning: derive any transform-defined partition
         # column the source doesn't carry — writers merge on SOURCE
-        # columns and never hand-maintain the layout
-        for dcol, spec in (doc.get("partition_transforms") or {}).items():
-            if dcol in cols and dcol not in source.columns:
-                source = source.withColumn(
-                    dcol, _transform_expr(spec, source)
-                )
+        # columns and never hand-maintain the layout. On a mixed-
+        # generation table, OLD generations' derived columns are table
+        # columns too (the unified read re-derives them); derive them on
+        # the source so the merge's row shapes align.
+        all_specs_src = dict(doc.get("partition_transforms") or {})
+        stored_types: dict = {}
+        if mixed:
+            for h in doc.get("partition_specs") or []:
+                for dcol, spec in h.items():
+                    all_specs_src.setdefault(dcol, spec)
+            if prev_schema_json is not None:
+                for f in T.StructType.fromJson(
+                    json.loads(prev_schema_json)
+                ).fields:
+                    stored_types[f.name] = f.dataType
+        for dcol, spec in all_specs_src.items():
+            if (dcol in cols or mixed) and dcol not in source.columns:
+                e = _transform_expr(spec, source)
+                if dcol not in cols and dcol in stored_types:
+                    # old-generation derived columns are DATA columns in
+                    # the merged rows — keep the STORED type (a transform
+                    # renders directory strings; the table may store e.g.
+                    # DATE) or the union coerces the whole column
+                    e = e.cast(stored_types[dcol])
+                source = source.withColumn(dcol, e)
 
+        tloc = None
         if mapping:
-            target = read_manifested(
-                spark, root, fmt, pin_partition_strings=True, partition_cols=cols
-            )
+            if mixed:
+                tloc = _located_with_leaf(spark, root, fmt, cols)
+                target = tloc.drop("__leaf")
+            else:
+                target = read_manifested(
+                    spark, root, fmt, pin_partition_strings=True,
+                    partition_cols=cols,
+                )
         else:  # fully-drained table: every source row is an insert
             target = source.filter(F.lit(False))
             for c in cols:
@@ -3750,7 +3775,16 @@ def merge_upsert_manifested(
         if not affected:
             return True, [], []
 
-        scoped = target.filter(_partition_filter(cols, affected))
+        old_scope: list[str] = []
+        if mixed and tloc is not None:
+            touched = tloc.join(
+                source.select(*keys).distinct(), keys, "left_semi"
+            )
+            affected, old_scope, scoped = _mixed_dml_scope(
+                doc, cols, tloc, affected, touched
+            )
+        else:
+            scoped = target.filter(_partition_filter(cols, affected))
         merged = merge_upsert(scoped, source, keys, schema_evolution=schema_evolution)
         for c in cols:
             merged = merged.withColumn(c, F.col(c).cast("string"))
@@ -3810,6 +3844,8 @@ def merge_upsert_manifested(
                 staged_vrels.append(vrel)
             else:  # merge drained this leaf — drop it from the snapshot
                 new_mapping.pop(rel, None)
+        for rel in old_scope:  # re-keyed into the current spec above
+            new_mapping.pop(rel, None)
         fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
         # evolve the stored schema: existing columns keep their recorded
@@ -3818,6 +3854,8 @@ def merge_upsert_manifested(
         # append with the merge output's type. Legacy manifests without a
         # schema stay schema-less (inference fallback) rather than guessing.
         new_doc = {"version": new_version, "partitions": new_mapping}
+        if mixed:
+            _prune_leaf_spec(doc, new_doc)
         if prev_schema_json is not None:
             prev_schema = T.StructType.fromJson(json.loads(prev_schema_json))
             prev_names = {f.name for f in prev_schema.fields}
@@ -4451,26 +4489,37 @@ def delete_where_manifested(
     _clean_stale_staging(fs, jvm, root)
 
     def _attempt(doc, new_version, token):
-        _require_single_spec(doc, "delete_where_manifested")
+        mixed = _mixed_spec_guard(doc, cols, "delete_where_manifested")
         mapping = doc["partitions"]
         keep = [v for v in _list_manifest_versions(fs, jvm, root)][-_RETAIN:]
         _gc(fs, jvm, root, keep)
         if not mapping:
             return True, [], []
 
-        target = read_manifested(
-            spark, root, fmt, pin_partition_strings=True, partition_cols=cols
-        )
+        if mixed:
+            tloc = _located_with_leaf(spark, root, fmt, cols)
+            target = tloc.drop("__leaf")
+        else:
+            tloc = None
+            target = read_manifested(
+                spark, root, fmt, pin_partition_strings=True,
+                partition_cols=cols,
+            )
+        touched = (tloc if mixed else target).filter(predicate)
         affected = [
-            tuple(r)
-            for r in target.filter(predicate).select(*cols).distinct().collect()
+            tuple(r) for r in touched.select(*cols).distinct().collect()
         ]
         if not affected:
             return True, [], []
 
-        remaining = target.filter(_partition_filter(cols, affected)).filter(
-            ~F.coalesce(predicate, F.lit(False))
-        )
+        old_scope: list[str] = []
+        if mixed:
+            affected, old_scope, scoped = _mixed_dml_scope(
+                doc, cols, tloc, affected, touched
+            )
+        else:
+            scoped = target.filter(_partition_filter(cols, affected))
+        remaining = scoped.filter(~F.coalesce(predicate, F.lit(False)))
         for c in cols:
             remaining = remaining.withColumn(c, F.col(c).cast("string"))
         staging = f"{root}.__manifest_staging__{token}"
@@ -4491,9 +4540,13 @@ def delete_where_manifested(
                 staged_vrels.append(vrel)
             else:  # every row deleted — the leaf leaves the snapshot
                 new_mapping.pop(rel, None)
+        for rel in old_scope:  # re-keyed into the current spec above
+            new_mapping.pop(rel, None)
         fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
         new_doc = {"version": new_version, "partitions": new_mapping}
+        if mixed:
+            _prune_leaf_spec(doc, new_doc)
         if doc.get("schema") is not None:
             new_doc["schema"] = doc["schema"]
         _carry_mapping(doc, new_doc)
@@ -4504,9 +4557,7 @@ def delete_where_manifested(
         new_doc["operation"] = "DELETE"
         change_rels: list[str] = []
         if doc.get("change_feed"):
-            doomed = target.filter(_partition_filter(cols, affected)).filter(
-                F.coalesce(predicate, F.lit(False))
-            )
+            doomed = scoped.filter(F.coalesce(predicate, F.lit(False)))
             for c in cols:
                 doomed = doomed.withColumn(c, F.col(c).cast("string"))
             change_rels = _stage_change_data(
@@ -4552,16 +4603,22 @@ def update_where_manifested(
     _clean_stale_staging(fs, jvm, root)
 
     def _attempt(doc, new_version, token):
-        _require_single_spec(doc, "update_where_manifested")
+        mixed = _mixed_spec_guard(doc, cols, "update_where_manifested")
         mapping = doc["partitions"]
         keep = [v for v in _list_manifest_versions(fs, jvm, root)][-_RETAIN:]
         _gc(fs, jvm, root, keep)
         if not mapping:
             return True, [], []
 
-        target = read_manifested(
-            spark, root, fmt, pin_partition_strings=True, partition_cols=cols
-        )
+        if mixed:
+            tloc = _located_with_leaf(spark, root, fmt, cols)
+            target = tloc.drop("__leaf")
+        else:
+            tloc = None
+            target = read_manifested(
+                spark, root, fmt, pin_partition_strings=True,
+                partition_cols=cols,
+            )
         unknown = [c for c in assignments if c not in target.columns]
         if unknown:
             raise ValueError(
@@ -4569,7 +4626,7 @@ def update_where_manifested(
                 f"table schema {target.columns} (UPDATE cannot add columns — "
                 "use a schema-evolving MERGE for that)"
             )
-        matched = target.filter(predicate)
+        matched = (tloc if mixed else target).filter(predicate)
         src_parts = matched.select(*cols).distinct()
         # SIMULTANEOUS assignment semantics (SQL UPDATE): every
         # expression sees the OLD row — one projection, never chained
@@ -4593,7 +4650,13 @@ def update_where_manifested(
         if not affected:
             return True, [], []
 
-        scoped = target.filter(_partition_filter(cols, affected))
+        old_scope: list[str] = []
+        if mixed:
+            affected, old_scope, scoped = _mixed_dml_scope(
+                doc, cols, tloc, affected, matched
+            )
+        else:
+            scoped = target.filter(_partition_filter(cols, affected))
         updated = scoped.select(
             *[
                 F.when(predicate, assignments[c]).otherwise(F.col(c)).alias(c)
@@ -4623,9 +4686,13 @@ def update_where_manifested(
                 staged_vrels.append(vrel)
             else:  # drained source leaf
                 new_mapping.pop(rel, None)
+        for rel in old_scope:  # re-keyed into the current spec above
+            new_mapping.pop(rel, None)
         fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
         new_doc = {"version": new_version, "partitions": new_mapping}
+        if mixed:
+            _prune_leaf_spec(doc, new_doc)
         if doc.get("schema") is not None:
             new_doc["schema"] = doc["schema"]
         _carry_mapping(doc, new_doc)
@@ -4636,7 +4703,7 @@ def update_where_manifested(
         new_doc["operation"] = "UPDATE"
         change_rels: list[str] = []
         if doc.get("change_feed"):
-            pre, post = matched, moved
+            pre, post = matched.drop("__leaf"), moved
             for c in cols:
                 pre = pre.withColumn(c, F.col(c).cast("string"))
                 post = post.withColumn(c, F.col(c).cast("string"))
@@ -4672,18 +4739,120 @@ _WIDEN_OK = {
 
 
 def _require_single_spec(doc: dict, op: str) -> None:
-    """Leaf-rewriting committers refuse spec-EVOLVED tables: their leaf
-    handling parses partition columns from one leaf's path and assumes
-    every leaf shares that shape. Appends and reads handle mixed
-    generations; rewrites of old-generation leaves need a
-    `repartition_manifested` to the current spec first."""
+    """Whole-leaf maintenance committers (compact, repartition-adjacent
+    paths, key erasure, DV delete) refuse spec-EVOLVED tables: their
+    leaf handling parses partition columns from one leaf's path and
+    assumes every leaf shares that shape. The DML trio (MERGE / DELETE
+    WHERE / UPDATE WHERE) handles mixed generations leaf-scoped — see
+    `_mixed_spec_guard` — as do appends and reads."""
     if doc.get("partition_specs"):
         raise ValueError(
             f"{op}: {len(doc['partition_specs'])}-spec table (partition "
             "spec was evolved) — leaf rewrites across mixed layouts are "
-            "not supported; repartition_manifested to the current spec "
-            "first, or operate before evolving"
+            "not supported here; repartition_manifested to the current "
+            "spec first, or operate before evolving"
         )
+
+
+def _mixed_spec_guard(doc: dict, cols: list[str], op: str) -> bool:
+    """True when ``doc`` is a spec-EVOLVED (mixed-generation) table and
+    the DML may proceed leaf-scoped. The caller must operate in the
+    CURRENT spec's derived columns — the rewrite re-keys every touched
+    old-generation leaf into the current layout, so any other column
+    set has no leaf mapping to stage into."""
+    if not doc.get("partition_specs"):
+        return False
+    cur = doc.get("partition_transforms") or {}
+    if set(cols) != set(cur):
+        raise ValueError(
+            f"{op}: spec-evolved table — partition_cols {sorted(cols)} "
+            "must be the CURRENT spec's derived columns "
+            f"{sorted(cur)} (touched old-generation leaves are re-keyed "
+            "into the current layout)"
+        )
+    return True
+
+
+def _located_with_leaf(spark, root: str, fmt: str, cols: list[str]):
+    """The unified logical frame plus ``__leaf`` — each row's PHYSICAL
+    leaf rel, derived from the scan's file path. On a mixed-generation
+    table the derived partition columns alone cannot attribute a row to
+    a generation (every generation's transforms re-derive on all rows);
+    the file path can."""
+    t = read_manifested(
+        spark, root, fmt, pin_partition_strings=True, partition_cols=cols,
+        _with_location=True,
+    )
+    return t.withColumn(
+        "__leaf", F.regexp_replace(F.col("__dv_file"), "/[^/]+/[^/]+$", "")
+    ).drop("__dv_file", "__dv_pos")
+
+
+def _mixed_dml_scope(
+    doc: dict, cols: list[str], tloc, affected0: list, touched
+):
+    """Leaf-accurate scope for a DML on a spec-EVOLVED table.
+
+    ``touched`` = the target rows the operation modifies (key-matched /
+    predicate-matched), as a subset of ``tloc`` (so it carries
+    ``__leaf``). Old-generation leaves holding ANY touched row are
+    rewritten WHOLE, every row re-keyed into the current spec; that
+    pulls in (closure) the existing current-generation leaves those
+    re-keyed rows land in, since staging REPLACES a leaf's content.
+    Untouched leaves of every generation stay byte-identical.
+
+    Returns (affected, old_scope, scoped): the current-spec value
+    tuples to swap, the old-generation leaf rels to drop from the
+    snapshot, and the logical rows feeding the rewrite."""
+    hist = doc["partition_specs"]
+    cur_id = len(hist) - 1
+    leaf_spec = doc.get("leaf_spec") or {}
+    old_leaves = {
+        r
+        for r in doc.get("partitions", {})
+        if int(leaf_spec.get(r, cur_id)) != cur_id
+    }
+    old_scope = sorted(
+        {r[0] for r in touched.select("__leaf").distinct().collect()}
+        & old_leaves
+    )
+    extra: set = set()
+    if old_scope:
+        extra = {
+            tuple(r)
+            for r in tloc.filter(F.col("__leaf").isin(old_scope))
+            .select(*cols)
+            .distinct()
+            .collect()
+        }
+    affected = list({*(tuple(v) for v in affected0), *extra})
+    cond = _partition_filter(cols, affected)
+    if old_leaves:
+        # value-filter alone would pull rows out of UNTOUCHED old-gen
+        # leaves (duplicating them into the staged current leaves while
+        # their old leaf stays live) — restrict it to current-gen rows
+        cond = cond & ~F.col("__leaf").isin(sorted(old_leaves))
+    if old_scope:
+        cond = cond | F.col("__leaf").isin(old_scope)
+    scoped = tloc.filter(cond).drop("__leaf")
+    return affected, old_scope, scoped
+
+
+def _prune_leaf_spec(doc: dict, new_doc: dict) -> None:
+    """After a mixed-generation DML: drop ``leaf_spec`` entries for
+    departed leaves and for leaves now on the current generation. The
+    spec HISTORY itself is kept even when no old-generation leaf
+    remains — the stored schema still carries old derived columns that
+    only the spec-evolved read path re-derives."""
+    hist = doc.get("partition_specs")
+    if not hist:
+        return
+    cur_id = len(hist) - 1
+    new_doc["leaf_spec"] = {
+        r: s
+        for r, s in (doc.get("leaf_spec") or {}).items()
+        if r in new_doc["partitions"] and int(s) != cur_id
+    }
 
 
 def alter_partition_spec(
@@ -5925,6 +6094,42 @@ def read_changes(
         if not vrels:
             return None
         paths = [f"{root.rstrip('/')}/{v}" for v in sorted(vrels)]
+        spec_hist = doc.get("partition_specs")
+        if schema is not None and spec_hist:
+            # spec-EVOLVED snapshot: leaves mix directory shapes, so no
+            # basePath parsing — scan data columns only and RE-DERIVE
+            # every generation's partition columns (read_manifested's
+            # rule). A pure physical re-key (mixed-generation DML moving
+            # rows between leaves) then yields IDENTICAL rows on both
+            # sides and cancels in the EXCEPT ALL — only logical changes
+            # surface.
+            all_specs: dict[str, str] = {}
+            for h in spec_hist:
+                all_specs.update(h)
+            data_fields = [
+                f for f in schema.fields if f.name not in all_specs
+            ]
+            df = (
+                spark.read.format(fmt)
+                .schema(_physical_schema(T.StructType(data_fields), cm))
+                .load(paths)
+            )
+            df = _apply_dv(spark, df, root, doc.get("dv"))
+            df = df.select(
+                *[
+                    F.col((cm or {}).get(f.name, f.name)).alias(f.name)
+                    for f in data_fields
+                ]
+            )
+            for f in schema.fields:
+                if f.name in all_specs:
+                    df = df.withColumn(
+                        f.name,
+                        _transform_expr(all_specs[f.name], df).cast(
+                            f.dataType
+                        ),
+                    )
+            return df.select(*[f.name for f in schema.fields])
         reader = spark.read.format(fmt).option("basePath", root)
         if schema is not None:
             df = reader.schema(_physical_schema(schema, cm)).load(paths)

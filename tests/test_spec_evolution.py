@@ -136,9 +136,12 @@ def test_time_travel_across_the_evolution_boundary(spark, tmp_path):
 
 def test_rewrites_refused_until_repartition_consolidates(spark, evolved):
     root, _, _ = evolved
-    with pytest.raises(ValueError, match="spec was evolved"):
+    # DML in an OLD generation's columns has no current leaf layout to
+    # stage into — refused loudly (current-spec DML is leaf-scoped, see
+    # test_mixed_generation_* below)
+    with pytest.raises(ValueError, match="CURRENT spec"):
         m.delete_where_manifested(spark, root, F.col("event_id") < 5, ["p_day"])
-    with pytest.raises(ValueError, match="spec was evolved"):
+    with pytest.raises(ValueError, match="CURRENT spec"):
         m.merge_upsert_manifested(
             spark,
             root,
@@ -146,6 +149,9 @@ def test_rewrites_refused_until_repartition_consolidates(spark, evolved):
             ["event_id"],
             ["p_day"],
         )
+    # whole-leaf maintenance ops still require consolidation
+    with pytest.raises(ValueError, match="spec was evolved"):
+        m.compact_manifested(spark, root)
     # consolidation escape hatch: rewrite to a classic layout clears
     # the evolution history and re-enables every committer
     m.repartition_manifested(spark, root, ["user_id"])
@@ -166,3 +172,136 @@ def test_alter_spec_validation(spark, tmp_path):
     m.write_manifested(df, root, "part")
     with pytest.raises(ValueError, match="classic partition"):
         m.alter_partition_spec(spark, root, {"p_b": "bucket(4, id)"})
+
+
+def _old_leaf_files(root):
+    return {
+        f: os.stat(f).st_mtime_ns for f in glob.glob(f"{root}/p_day=*/__v*/*")
+    }
+
+
+def test_mixed_generation_merge_is_leaf_scoped(spark, evolved):
+    """Round-10 contract: MERGE on a mixed-generation table rewrites
+    only the TOUCHED leaves — the touched old-generation leaf is
+    re-keyed whole into the current spec, untouched old-generation
+    leaves stay byte-identical, and both generations keep pruning."""
+    root, _, _ = evolved
+    pre = _old_leaf_files(root)
+    # events 4..7 live in old leaf p_day=2024-01-02 (hours 24..42);
+    # event 50 lives in a new-generation leaf; 200 is a brand-new insert
+    src = spark.createDataFrame(
+        [
+            (5, datetime.datetime(2024, 1, 2, 6), 5, 999.0),
+            (50, datetime.datetime(2024, 1, 13, 12), 2, 888.0),
+            (200, datetime.datetime(2024, 2, 1), 1, 777.0),
+        ],
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE",
+    )
+    m.merge_upsert_manifested(
+        spark, root, src, ["event_id"], ["p_month", "p_b"]
+    )
+    got = m.read_manifested(spark, root)
+    assert got.count() == 81
+    vals = {
+        r["event_id"]: r["value"]
+        for r in got.filter(F.col("event_id").isin(5, 50, 200)).collect()
+    }
+    assert vals == {5: 999.0, 50: 888.0, 200: 777.0}
+    # full-table integrity: no row lost or duplicated by the re-key
+    assert got.agg(F.sum("event_id")).first()[0] == sum(range(80)) + 200
+    assert got.select("event_id").distinct().count() == 81
+
+    # the touched old leaf dropped from the snapshot (its rows re-keyed
+    # into the current layout); every OTHER old-generation leaf is
+    # byte-identical
+    after = _old_leaf_files(root)
+    touched_leaf = f"{root}/p_day=2024-01-02"
+    for f, sig in pre.items():
+        if not f.startswith(touched_leaf):
+            assert after.get(f) == sig, f"untouched old leaf churned: {f}"
+    fs, jvm = m._hadoop_fs(spark, root)
+    doc = m._load_doc(fs, jvm, root)
+    assert "p_day=2024-01-02" not in doc["partitions"]
+    assert "p_day=2024-01-02" not in (doc.get("leaf_spec") or {})
+    assert doc.get("partition_specs"), "spec history survives the DML"
+    # re-keyed rows (events 4,6,7) still read back exactly, with their
+    # old derived column re-derived
+    rekeyed = got.filter(F.col("event_id").isin(4, 6, 7)).collect()
+    assert {r["event_id"] for r in rekeyed} == {4, 6, 7}
+    assert all(str(r["p_day"]) == "2024-01-02" for r in rekeyed)
+
+    # both generations still prune under their own spec
+    full = m.read_manifested(spark, root)
+    lo, hi = datetime.datetime(2024, 1, 5), datetime.datetime(2024, 1, 6, 23)
+    pruned = m.read_manifested(spark, root, prune_source={"ts": (lo, hi)})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    pred = (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+    assert pruned.filter(pred).count() == full.filter(pred).count() > 0
+
+
+def test_mixed_generation_delete_where(spark, evolved):
+    root, _, _ = evolved
+    pre = _old_leaf_files(root)
+    # event 10 (hour 60 -> Jan 3) in an old leaf; event 60 in a new one
+    m.delete_where_manifested(
+        spark, root, F.col("event_id").isin(10, 60), ["p_month", "p_b"]
+    )
+    got = m.read_manifested(spark, root)
+    assert got.count() == 78
+    assert got.filter(F.col("event_id").isin(10, 60)).count() == 0
+    # the old leaf's surviving rows (8, 9, 11) were re-keyed, not lost
+    assert got.filter(F.col("event_id").isin(8, 9, 11)).count() == 3
+    after = _old_leaf_files(root)
+    touched_leaf = f"{root}/p_day=2024-01-03"
+    for f, sig in pre.items():
+        if not f.startswith(touched_leaf):
+            assert after.get(f) == sig, f"untouched old leaf churned: {f}"
+    fs, jvm = m._hadoop_fs(spark, root)
+    assert "p_day=2024-01-03" not in m._load_doc(fs, jvm, root)["partitions"]
+
+
+def test_mixed_generation_update_where(spark, evolved):
+    root, _, _ = evolved
+    pre = _old_leaf_files(root)
+    # predicate spans generations: one old-gen row (20 -> Jan 6) and
+    # one new-gen row (70)
+    m.update_where_manifested(
+        spark, root,
+        {"value": F.col("value") + 1000.0},
+        F.col("event_id").isin(20, 70),
+        ["p_month", "p_b"],
+    )
+    got = m.read_manifested(spark, root)
+    assert got.count() == 80
+    vals = {
+        r["event_id"]: r["value"]
+        for r in got.filter(F.col("event_id").isin(20, 70)).collect()
+    }
+    assert vals == {20: 1020.0, 70: 1070.0}
+    after = _old_leaf_files(root)
+    touched_leaf = f"{root}/p_day=2024-01-06"
+    for f, sig in pre.items():
+        if not f.startswith(touched_leaf):
+            assert after.get(f) == sig, f"untouched old leaf churned: {f}"
+
+
+def test_mixed_generation_merge_emits_cdf(spark, tmp_path):
+    """CDF on a mixed-generation MERGE: preimage deletes come from the
+    old-generation leaf, postimage inserts carry the merged rows."""
+    root = str(tmp_path / "cdf")
+    m.write_manifested(
+        _events(spark, 0, 8), root,
+        partition_transforms={"p_day": "days(ts)"}, change_feed=True,
+    )  # v1
+    m.alter_partition_spec(spark, root, {"p_month": "months(ts)"})  # v2
+    src = spark.createDataFrame(
+        [(5, datetime.datetime(2024, 1, 2, 6), 5, 999.0)],
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE",
+    )
+    m.merge_upsert_manifested(spark, root, src, ["event_id"], ["p_month"])  # v3
+    ch = m.read_changes(spark, root, 2, 3)
+    by_type = {
+        (r["_change_type"], r["event_id"]): r["value"] for r in ch.collect()
+    }
+    assert by_type == {("delete", 5): 5.0, ("insert", 5): 999.0}, by_type
+    assert m.read_manifested(spark, root).count() == 8
