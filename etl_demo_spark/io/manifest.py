@@ -192,6 +192,40 @@ def _strip_scheme(p: str) -> str:
     return p[len("file:"):] if p.startswith("file:") else p
 
 
+# --- pluggable commit backends ---------------------------------------------
+# The publish primitive is the commit path's ONE atomicity requirement;
+# a registered backend (io/commit_backend.py) replaces the POSIX
+# link/rename CAS with e.g. the conditional-PUT shape object stores
+# expose. Keyed by table root, longest-prefix matched so branch
+# sub-logs and stats files under the root route through the same
+# backend.
+_COMMIT_BACKENDS: dict[str, object] = {}
+
+
+def set_commit_backend(root: str, backend) -> None:
+    """Route every manifest publish under ``root`` through ``backend``
+    (an object with ``publish(path, data) -> bool``); ``None`` restores
+    the default link/rename CAS."""
+    key = _strip_scheme(root).rstrip("/")
+    if backend is None:
+        _COMMIT_BACKENDS.pop(key, None)
+    else:
+        _COMMIT_BACKENDS[key] = backend
+
+
+def _backend_for(path: str):
+    if not _COMMIT_BACKENDS:
+        return None
+    p = _strip_scheme(path)
+    best = None
+    for key, b in _COMMIT_BACKENDS.items():
+        if (p == key or p.startswith(key + "/")) and (
+            best is None or len(key) > len(best[0])
+        ):
+            best = (key, b)
+    return best[1] if best else None
+
+
 def _publish_cas(fs, jvm, path: str, data: bytes) -> bool:
     """Atomic compare-and-swap publish of a manifest: the FULL content is
     written to an attempt-unique temp file first, then moved to the final
@@ -203,9 +237,13 @@ def _publish_cas(fs, jvm, path: str, data: bytes) -> bool:
     Local filesystems publish via a POSIX hard link (atomic; fails with
     FileAlreadyExistsException if the target exists). HDFS publishes via
     rename-without-overwrite (returns false when the destination exists
-    — the FileSystem contract). Object stores without an atomic
-    exclusive publish (S3 before conditional PUTs) need a real
-    table-format catalog for the pointer — documented, not hidden."""
+    — the FileSystem contract). Rename-less object stores register a
+    `ConditionalPutBackend` (io/commit_backend.py) via
+    `set_commit_backend` — the CAS decision becomes an If-None-Match
+    conditional PUT; everything above this primitive is unchanged."""
+    backend = _backend_for(path)
+    if backend is not None:
+        return bool(backend.publish(path, data))
     tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
     p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
     _mkdirs_parent(fs, jvm, path)

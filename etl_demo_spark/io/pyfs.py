@@ -25,11 +25,11 @@ Specs:
 
 At 100 TB the same seam takes ``pyarrow.fs.S3FileSystem``/``GcsFileSystem``
 specs; nothing in the reader distinguishes them from the rehearsal
-filesystems. HONESTY NOTE on writes: the manifest layer's commit CAS
-(create-exclusive link/rename) needs an atomic exclusive publish, which
-plain S3 lacks (conditional PUTs / DynamoDB locking required) — the
-read path here is filesystem-agnostic; the COMMIT path's requirements
-are documented in docs/SCALE_LAYOUT.md, not hidden behind this seam.
+filesystems. WRITES: the manifest layer's commit CAS is itself
+pluggable (``io/commit_backend.py`` — a ConditionalPutBackend replaces
+the create-exclusive link/rename with the If-None-Match conditional-PUT
+shape rename-less stores expose); see docs/SCALE_LAYOUT.md for the
+contract.
 """
 
 from __future__ import annotations
