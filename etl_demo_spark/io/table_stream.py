@@ -480,10 +480,13 @@ class TableStreamReader(DataSourceStreamReader):
             f".pace-{self._pace_id}",
         )
 
-    def _pace_doc(self) -> tuple[dict | None, dict | None]:
-        """(cursor, committed) from the pace sidecar. Legacy sidecars
-        hold the bare cursor offset; current ones ``{"cur":…,
-        "committed":…}``."""
+    def _pace_doc(self) -> tuple[dict | None, dict | None, dict | None]:
+        """(cursor, committed, planned) from the pace sidecar. Legacy
+        sidecars hold the bare cursor offset; current ones ``{"cur":…,
+        "committed":…, "planned":…}``. ``planned`` is the newest grant
+        that ``partitions()`` has turned into an actual batch — a
+        legacy doc without it is treated as fully planned (planned =
+        cur) so old sidecars keep advancing."""
         import json as _json
 
         try:
@@ -495,16 +498,28 @@ class TableStreamReader(DataSourceStreamReader):
                 with open(self._pace_path()) as f:
                     doc = _json.loads(f.read())
         except (OSError, ValueError, FileNotFoundError):
-            return None, None
+            return None, None, None
         if "cur" in doc:
-            return doc.get("cur"), doc.get("committed")
-        return (doc if "v" in doc else None), None
+            return (
+                doc.get("cur"),
+                doc.get("committed"),
+                doc.get("planned", doc.get("cur")),
+            )
+        return (doc if "v" in doc else None), None, (doc if "v" in doc else None)
 
-    def _pace_write(self, cur: dict, committed: dict | None) -> None:
+    def _pace_write(
+        self,
+        cur: dict,
+        committed: dict | None,
+        planned: dict | None = None,
+    ) -> None:
         import json as _json
 
         path = self._pace_path()
-        doc: dict = {"cur": cur}
+        # "planned" is ALWAYS present (null until the first batch plans)
+        # so a missing key still identifies a legacy sidecar, which
+        # _pace_doc treats as fully planned.
+        doc: dict = {"cur": cur, "planned": planned}
         if committed is not None:
             doc["committed"] = committed
         if self._fs_spec is not None:
@@ -535,15 +550,36 @@ class TableStreamReader(DataSourceStreamReader):
         # re-delivery. availableNow plans ONE batch per run for Python
         # sources — each paced availableNow invocation drains one slice;
         # `run_paced_drain` loops it to completion.
-        cur, committed = self._pace_doc()
+        cur, committed, planned = self._pace_doc()
         if cur is None:
             cur = (
                 {"v": self._start, "snap": True, "si": 0}
                 if self._snapshot
                 else {"v": self._start}
             )
-        if committed is not None and _off_key(committed) > _off_key(cur):
-            cur = committed
+        else:
+            released = planned
+            if committed is not None and (
+                released is None or _off_key(committed) > _off_key(released)
+            ):
+                released = committed
+            if committed is not None and _off_key(committed) > _off_key(cur):
+                cur = committed
+            elif released is None or _off_key(cur) > _off_key(released):
+                # GRANT-ONCE: the previous grant hasn't been PLANNED
+                # into a batch yet — re-serve the same offset instead
+                # of advancing. The engine probes latestOffset more
+                # than once per planned batch (a startup probe, plus
+                # every processingTime trigger), and each extra probe
+                # used to widen the in-flight batch by another slice;
+                # clamping to one OUTSTANDING grant makes every planned
+                # batch exactly one pace slice. partitions() records
+                # the grant as planned, which releases the next one —
+                # NOT commit(): Spark only calls source.commit() while
+                # constructing a later batch, so gating on committed
+                # would deadlock a processingTime stream after its
+                # first micro-batch.
+                return cur
         if cur.get("snap"):
             total = len(self._snap_parts(int(cur["v"])))
             si = int(cur.get("si", 0)) + self._max_files
@@ -557,8 +593,28 @@ class TableStreamReader(DataSourceStreamReader):
         else:
             base_v = int(cur["v"])
             nxt = {"v": self._tail_next(base_v, max(head, base_v))}
-        self._pace_write(nxt, committed)
+        self._pace_write(nxt, committed, planned)
         return nxt
+
+    def _pace_mark_planned(self, end: dict) -> None:
+        """Record that ``partitions()`` planned a batch ending at
+        ``end`` — releases the next pace grant (see latestOffset).
+
+        Side benefit: a LOST sidecar self-heals. On restart Spark
+        replays the WAL's uncommitted last batch through partitions()
+        before any latestOffset call, and the replayed ``end`` is the
+        checkpoint's own authoritative position — rebuilding the
+        cursor there continues the stream exactly-once. (Without a
+        replay, a fresh cursor behind the checkpoint still fails loudly
+        in partitions() as an offset regression.)"""
+        if not self._max_files:
+            return
+        cur, committed, planned = self._pace_doc()
+        if planned is None or _off_key(end) > _off_key(planned):
+            planned = end
+        if cur is None or _off_key(cur) < _off_key(planned):
+            cur = planned
+        self._pace_write(cur, committed, planned)
 
     def _tail_next(self, from_v: int, head: int) -> int:
         """TAIL admission control: the furthest version ≤ ``head`` such
@@ -663,6 +719,8 @@ class TableStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         s, e = int(start["v"]), int(end["v"])
+        if _off_key(end) >= _off_key(start):
+            self._pace_mark_planned(end)
         if _off_key(end) < _off_key(start):
             # NEVER an empty batch here: Spark has already written `end`
             # to the offset log, and ratifying it would restart the next
@@ -834,12 +892,14 @@ class TableStreamReader(DataSourceStreamReader):
         # can never walk the checkpoint backwards into re-delivery.
         if not self._max_files:
             return
-        cur, committed = self._pace_doc()
+        cur, committed, planned = self._pace_doc()
         if committed is None or _off_key(end) > _off_key(committed):
             committed = end
         if cur is None or _off_key(cur) < _off_key(committed):
             cur = committed
-        self._pace_write(cur, committed)
+        if planned is None or _off_key(planned) < _off_key(committed):
+            planned = committed
+        self._pace_write(cur, committed, planned)
 
 
 class TableStreamDataSource(DataSource):
@@ -876,6 +936,121 @@ def register_table_stream_source(spark: Any) -> None:
     register_data_source(spark, TableStreamDataSource)
 
 
+def _pace_cursor(table_root: str, reader_options: dict) -> dict:
+    """The persisted pace cursor's ``cur`` doc ({} when absent)."""
+    import json as _json
+
+    pace = os.path.join(
+        _strip_scheme(table_root.rstrip("/")),
+        "_manifests",
+        f".pace-{reader_options['pace_id']}",
+    )
+    try:
+        spec = reader_options.get("fs")
+        if spec:
+            from etl_demo_spark.io.pyfs import read_bytes
+
+            doc = _json.loads(read_bytes(pace, str(spec)))
+        else:
+            with open(pace) as f:
+                doc = _json.loads(f.read())
+        return doc.get("cur", doc)
+    except (OSError, ValueError, FileNotFoundError):
+        return {}
+
+
+def _drained(cur: dict, table_root: str, reader_options: dict) -> bool:
+    """True once the pace cursor sits at the table head with no
+    snapshot remainder."""
+    if not cur or cur.get("snap"):
+        return False
+    vs = _manifest()._list_manifest_versions(
+        str(reader_options.get("fs")) if reader_options.get("fs") else None,
+        None,
+        table_root,
+    )
+    return bool(vs) and int(cur.get("v", -1)) >= vs[-1]
+
+
+def run_paced_drain_continuous(
+    spark: Any,
+    table_root: str,
+    build_writer,
+    max_files_per_batch: int,
+    pace_id: str,
+    timeout: int = 600,
+    trigger: str = "500 milliseconds",
+    **reader_options: str,
+) -> dict:
+    """Drain a PACED tablestream through ONE long-lived processingTime
+    query instead of looped availableNow runs.
+
+    The pace is enforced by ``latestOffset`` per micro-batch, so a
+    running query advances one bounded slice per TRIGGER — same
+    admission control, but the streaming-query start cost (checkpoint
+    resolution + the Python planner-worker spawn, ~1.5-2 s measured on
+    this host) is paid ONCE for the whole backlog rather than once per
+    slice. A 50-slice backlog drain drops from ~50 query starts to 1;
+    per-trigger overhead inside the running query measures ~2 ms idle
+    (see docs/PLANS.md round-10 addendum). Exactly-once holds the same
+    way: the shared checkpoint + the committed pace high-water.
+
+    The query stops once the persisted pace cursor reaches the table
+    head AND a subsequent trigger delivered zero rows (so the final
+    slice's sink commit is already durable).
+
+    Bound note: grant-once pacing (see ``latestOffset``) re-serves the
+    outstanding grant until ``partitions()`` plans it into a batch, so
+    EVERY planned batch — including the first, despite the engine's
+    extra startup probe — is exactly one pace grant. A grant is at most
+    two pace quanta (the final snapshot slice rides along with the
+    first tail quantum), and a single commit larger than the budget
+    still ships whole — its files are one atomic change set.
+
+    Returns ``{"batches": n, "rows": total, "max_batch_rows": m}``."""
+    import json as _json
+    import time as _time
+
+    register_table_stream_source(spark)
+    ropts = {**reader_options, "pace_id": pace_id}
+    reader = (
+        spark.readStream.format("tablestream")
+        .option("path", table_root)
+        .option("max_files_per_batch", str(max_files_per_batch))
+        .option("pace_id", pace_id)
+    )
+    for k, v in reader_options.items():
+        reader = reader.option(k, str(v))
+    q = build_writer(reader.load()).trigger(processingTime=trigger).start()
+    seen: dict[int, int] = {}
+    deadline = _time.time() + timeout
+    try:
+        while True:
+            if q.exception() is not None:
+                raise q.exception()
+            for p in q.recentProgress or []:
+                d = _json.loads(p.json) if hasattr(p, "json") else p
+                seen[int(d["batchId"])] = int(d["numInputRows"])
+            if seen and seen[max(seen)] == 0 and _drained(
+                _pace_cursor(table_root, ropts), table_root, ropts
+            ):
+                break
+            if _time.time() > deadline:
+                raise TimeoutError(
+                    f"run_paced_drain_continuous: {table_root} not "
+                    f"drained within {timeout}s (cursor "
+                    f"{_pace_cursor(table_root, ropts)})"
+                )
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    return {
+        "batches": sum(1 for r in seen.values() if r > 0),
+        "rows": sum(seen.values()),
+        "max_batch_rows": max(seen.values(), default=0),
+    }
+
+
 def run_paced_drain(
     spark: Any,
     table_root: str,
@@ -898,6 +1073,10 @@ def run_paced_drain(
     exactly-once holds because every run resumes from the shared
     checkpoint. ``build_writer(df) -> DataStreamWriter`` attaches the
     sink and MUST set ``checkpointLocation``.
+
+    Each availableNow run pays the streaming-query start cost (~1.5-2 s:
+    checkpoint resolution + Python planner-worker spawn) — for a long
+    backlog prefer `run_paced_drain_continuous`, which pays it once.
 
     Returns ``{"runs": n, "rows": total_input_rows}``."""
     register_table_stream_source(spark)

@@ -385,13 +385,26 @@ def test_fresh_checkpoint_over_committed_pace_id_fails_loudly(spark, ts_env):
             raise q.exception()
 
 
-def test_lost_pace_sidecar_on_resumed_checkpoint_fails_loudly(spark, ts_env):
-    """Deleting the pace sidecar under a live checkpoint must surface as
-    a loud offset-regression error, never as silent re-delivery."""
+def test_lost_pace_sidecar_never_redelivers(spark, ts_env):
+    """Deleting the pace sidecar under a live checkpoint must NEVER
+    cause silent re-delivery. Two sanctioned outcomes, both covered:
+
+    1. SELF-HEAL — on resume, Spark replays the WAL's uncommitted last
+       batch through ``partitions()`` before any ``latestOffset`` call,
+       and ``_pace_mark_planned`` rebuilds the sidecar at that batch's
+       end offset — the checkpoint's own authoritative position. The
+       stream continues exactly-once from where it left off.
+    2. LOUD FAILURE — when no WAL replay precedes planning (fully
+       committed checkpoint), ``latestOffset`` starts a fresh cursor
+       behind the checkpoint and ``partitions()`` raises the
+       offset-regression error instead of re-delivering."""
     import os as _os
     import shutil as _shutil
 
-    from etl_demo_spark.io.table_stream import run_paced_drain
+    from etl_demo_spark.io.table_stream import (
+        TableStreamReader,
+        run_paced_drain,
+    )
 
     table = f"{ts_env}/t13"
     sink, ck = f"{ts_env}/t13_sink", f"{ts_env}/t13_ck"
@@ -408,28 +421,33 @@ def test_lost_pace_sidecar_on_resumed_checkpoint_fails_loudly(spark, ts_env):
     _os.unlink(_os.path.join(table, "_manifests", ".pace-t13pace"))
     append_manifested(spark, table, _mk_rows(spark, [99]))
     before = spark.read.parquet(sink).count()
-    with pytest.raises(Exception, match="offset regression|pace"):
-        q = (
-            spark.readStream.format("tablestream")
-            .option("path", table)
-            .option("max_files_per_batch", "1")
-            .option("pace_id", "t13pace")
-            .load()
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-        if q.exception():
-            raise q.exception()
-    # nothing re-delivered into the sink
-    try:
-        after = spark.read.parquet(sink).count()
-    except Exception:
-        after = before
-    assert after == before
+    q = (
+        spark.readStream.format("tablestream")
+        .option("path", table)
+        .option("max_files_per_batch", "1")
+        .option("pace_id", "t13pace")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.exception():
+        raise q.exception()
+    got = spark.read.parquet(sink)
+    # self-healed: the appended row flowed, NOTHING was re-delivered
+    assert got.count() == before + 1
+    assert got.select("id").distinct().count() == before + 1
+    # loud-failure path: a fresh cursor (no sidecar, no WAL replay)
+    # planning behind the checkpoint refuses instead of re-delivering
+    _os.unlink(_os.path.join(table, "_manifests", ".pace-t13pace"))
+    reader = TableStreamReader(
+        {"path": table, "max_files_per_batch": "1", "pace_id": "t13pace"}
+    )
+    with pytest.raises(ValueError, match="offset regression"):
+        reader.partitions({"v": 2}, {"v": 1, "snap": True, "si": 1})
     _shutil.rmtree(f"{ts_env}/t13_ck", ignore_errors=True)
 
 
@@ -571,3 +589,64 @@ def test_tail_pacing_bounds_commit_backlog_batches(spark, ts_env):
     stats2 = run_paced_drain(spark, table, build_writer, 2, "t15pace")
     assert stats2["rows"] == 10
     assert spark.read.parquet(sink).select("id").distinct().count() == 24
+
+
+def test_run_paced_drain_continuous_one_query(spark, ts_env):
+    """Round-10: the continuous paced drain — ONE processingTime query
+    advances one bounded slice per TRIGGER (same admission control as
+    the availableNow loop) and stops itself once the pace cursor sits
+    at the table head. Exactly-once, same rows as the loop variant,
+    query-start cost paid once."""
+    from etl_demo_spark.io.table_stream import run_paced_drain_continuous
+
+    table = f"{ts_env}/t16"
+    sink, ck = f"{ts_env}/t16_sink", f"{ts_env}/t16_ck"
+    write_manifested(
+        _mk_rows(spark, range(0, 8)).repartition(4), table, "part"
+    )
+    append_manifested(
+        spark, table, _mk_rows(spark, range(8, 12), "b").repartition(2)
+    )
+    append_manifested(
+        spark, table, _mk_rows(spark, range(12, 16), "c").repartition(2)
+    )
+
+    def build_writer(df):
+        return (
+            df.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+        )
+
+    stats = run_paced_drain_continuous(
+        spark,
+        table,
+        build_writer,
+        max_files_per_batch=2,
+        pace_id="t16drain",
+        trigger="200 milliseconds",
+        max_partition_bytes="0",
+    )
+    got = spark.read.parquet(sink)
+    assert got.count() == 16
+    assert got.select("id").distinct().count() == 16, "exactly once"
+    assert stats["rows"] == 16
+    # grant-once pacing: every planned batch is exactly one GRANT,
+    # however often the engine probes latestOffset. A grant is <= 2
+    # pace quanta (the final snapshot slice rides along with the first
+    # tail quantum): b1 = snap files[0:2] (4 rows), b2 = snap files[2:4]
+    # + v2 (8 rows), b3 = v3 (4 rows).
+    assert stats["batches"] >= 3, f"pace must bound every trigger: {stats}"
+    assert stats["max_batch_rows"] <= 8, stats
+    # a later append drains from the same checkpoint + pace cursor —
+    # and the two drain flavors interoperate on one checkpoint
+    from etl_demo_spark.io.table_stream import run_paced_drain
+
+    append_manifested(
+        spark, table, _mk_rows(spark, range(16, 20), "c").repartition(2)
+    )
+    stats2 = run_paced_drain(
+        spark, table, build_writer, 2, "t16drain", max_partition_bytes="0"
+    )
+    assert stats2["rows"] == 4
+    assert spark.read.parquet(sink).select("id").distinct().count() == 20
