@@ -11008,6 +11008,176 @@ def wap_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "catalog_wap_two_table",
+    oracle="""
+    WITH base_docs AS (
+      SELECT doc_id, lang FROM documents
+      WHERE doc_id IN (SELECT vec_id FROM embeddings)
+    ),
+    docs_final AS (
+      SELECT doc_id, lang FROM base_docs
+      UNION ALL
+      SELECT doc_id + 10000000, lang FROM base_docs WHERE doc_id % 7 = 0
+    ),
+    embs_final AS (
+      SELECT vec_id, label FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000000, label FROM embeddings
+      WHERE vec_id % 14 = 0 AND vec_id IN (SELECT doc_id FROM base_docs)
+      UNION ALL
+      SELECT vec_id + 10000000, -1 FROM embeddings
+      WHERE vec_id % 7 = 0 AND vec_id % 14 <> 0
+        AND vec_id IN (SELECT doc_id FROM base_docs)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN label < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_backfilled
+    FROM docs_final d JOIN embs_final e ON d.doc_id = e.vec_id
+    GROUP BY lang
+    """,
+)
+def catalog_wap_two_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATALOG-LEVEL WRITE-AUDIT-PUBLISH (`io/catalog.py:
+    catalog_wap_begin` / `use_catalog_wap` / `catalog_wap_publish`): the
+    multi-table gate per-table WAP cannot express. A training-data load
+    is two tables that must move TOGETHER — documents and their
+    embeddings — and the audit is a CROSS-table invariant ("every doc
+    has an embedding row"), not a per-table predicate.
+
+    The load is deliberately torn: all the new docs stage onto the docs
+    branch but only HALF their embeddings stage onto the embeddings
+    branch. In-query asserts pin the gate: (1) while staged, main
+    tables, catalog pins, and the catalog version are untouched; (2)
+    the first publish is REFUSED naming the cross-table expectation and
+    the exact violation count — including the docs table whose OWN
+    branch was internally fine; (3) after the missing embeddings are
+    backfilled on the same WAP (label -1), the publish lands ALL pins
+    in ONE catalog commit; (4) a snapshot resolved before the publish
+    still reads the pre-load state of both tables afterwards. The
+    oracle derives the final joined state from the base data alone — a
+    hash match certifies the torn load never leaked and the fixed load
+    landed exactly once in both tables.
+
+    Reference anchor: the reference engine (etl_weekly_trades.py) is a
+    single-frame pipeline with no multi-table atomicity — north-star
+    lakehouse surface. Scale: validation reads branch heads (normal
+    pruned scans); the publish itself is metadata-only (per-table
+    fast-forwards + one O(tables) catalog CAS)."""
+    import tempfile
+
+    from etl_demo_spark.io.catalog import (
+        catalog_init,
+        catalog_snapshot,
+        catalog_versions,
+        catalog_wap_begin,
+        catalog_wap_publish,
+        use_catalog_wap,
+    )
+    from etl_demo_spark.io.manifest import (
+        append_manifested,
+        manifest_versions,
+        read_manifested,
+        write_manifested,
+    )
+
+    docs_src, embs_src = _t(spark, sf_dir, "documents", "embeddings")
+    base_docs = docs_src.select("doc_id", "lang").join(
+        embs_src.select(F.col("vec_id").alias("doc_id")), "doc_id", "semi"
+    )
+    base_embs = embs_src.select(
+        "vec_id", "label", F.pmod(F.col("vec_id"), F.lit(4)).alias("pb")
+    )
+    root = tempfile.mkdtemp(prefix="cat_wap_")
+    d_root, e_root, cat = f"{root}/docs", f"{root}/embs", f"{root}/cat"
+    write_manifested(base_docs, d_root, "lang")
+    write_manifested(base_embs, e_root, "pb")
+    catalog_init(spark, cat, {"docs": d_root, "embs": e_root})
+    pre = catalog_snapshot(spark, cat)
+    n_docs0 = pre.read("docs").count()
+    n_embs0 = pre.read("embs").count()
+
+    new_docs = base_docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    # only HALF the embeddings stage — the torn multi-table load
+    half_embs = (
+        base_embs.join(
+            base_docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "semi"
+        )
+        .filter(F.col("vec_id") % 14 == 0)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000))
+        .withColumn("pb", F.pmod(F.col("vec_id"), F.lit(4)))
+    )
+    n_new_docs = new_docs.count()
+    n_half = half_embs.count()
+
+    gate = {
+        "every_doc_embedded": (
+            "SELECT d.doc_id FROM docs d LEFT ANTI JOIN embs e "
+            "ON d.doc_id = e.vec_id"
+        )
+    }
+    catalog_wap_begin(spark, cat, "load")
+    with use_catalog_wap(spark, cat, "load"):
+        append_manifested(spark, d_root, new_docs)
+        append_manifested(spark, e_root, half_embs)
+    # staged, not visible: main tables, pins, catalog version untouched
+    assert read_manifested(spark, d_root).count() == n_docs0
+    assert read_manifested(spark, e_root).count() == n_embs0
+    assert catalog_versions(spark, cat)[-1] == 1
+
+    refused = False
+    try:
+        catalog_wap_publish(spark, cat, "load", sql_expectations=gate)
+    except ValueError as e:
+        refused = True
+        missing = n_new_docs - n_half
+        assert "every_doc_embedded" in str(e) and str(missing) in str(e), (
+            str(e)
+        )
+    assert refused, "the torn load must not publish"
+    assert manifest_versions(spark, d_root)[-1] == 1, "docs main moved"
+    assert manifest_versions(spark, e_root)[-1] == 1, "embs main moved"
+    assert catalog_versions(spark, cat)[-1] == 1
+
+    # backfill the missing embeddings ON THE SAME WAP, then publish
+    with use_catalog_wap(spark, cat, "load"):
+        fix = (
+            read_manifested(spark, d_root)
+            .select(F.col("doc_id").alias("vec_id"))
+            .join(
+                read_manifested(spark, e_root).select("vec_id"),
+                "vec_id",
+                "anti",
+            )
+            .withColumn("label", F.lit(-1).cast("int"))
+            .withColumn("pb", F.pmod(F.col("vec_id"), F.lit(4)))
+        )
+        append_manifested(spark, e_root, fix)
+    v = catalog_wap_publish(spark, cat, "load", sql_expectations=gate)
+    assert catalog_versions(spark, cat)[-1] == v
+    post = catalog_snapshot(spark, cat)
+    assert post.read("docs").count() == n_docs0 + n_new_docs
+    # pre-publish snapshot keeps serving the pre-load state
+    assert pre.read("docs").count() == n_docs0
+    assert pre.read("embs").count() == n_embs0
+
+    fd = post.read("docs")
+    fe = post.read("embs")
+    return (
+        fd.join(fe, fd["doc_id"] == fe["vec_id"])
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("label") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_backfilled"),
+        )
+    )
+
+
+@query(
     "catalog_sql_txn_read_own_writes",
     oracle="""
     WITH open0 AS (

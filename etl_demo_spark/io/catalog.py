@@ -814,3 +814,253 @@ def catalog_tag_delete(spark: SparkSession, cat_root: str, name: str) -> int:
         f"catalog_tag_delete: lost {_MAX_RETRIES} consecutive publish "
         f"races on {cat_root}"
     )
+
+
+# ---------------------------------------------------------------------------
+# CATALOG-LEVEL WRITE-AUDIT-PUBLISH: atomic multi-table stage -> validate ->
+# publish. Per-table WAP (manifest.branch_create / branch_fastforward) can
+# still publish table A while table B's audit fails; the training-data shape
+# is multi-table (documents + embeddings + labels), so the gate must be too.
+#
+# Mechanics: catalog_wap_begin forks a same-named branch on EVERY selected
+# member table and records a WAP ref under _catalog/_wap/ (create-exclusive,
+# so a name begins once). Writers stage through use_catalog_wap — every
+# manifest commit inside lands on the tables' branches, invisible to main
+# readers, streams, and catalog pins. catalog_wap_publish validates ALL
+# expectations (per-table predicates and cross-table SQL over the branch
+# heads) BEFORE anything moves, pre-classifies every branch against main
+# commits landed since the fork, fast-forwards each touched table (main
+# heads advance, but catalog pins still serve the old consistent state),
+# and finally flips ALL pins in ONE catalog CAS commit — the only moment
+# catalog readers and `catalogstream` consumers see the load, whole or not
+# at all. A refused publish leaves main, pins, and the stream untouched.
+# ---------------------------------------------------------------------------
+
+from contextlib import ExitStack as _ExitStack
+from contextlib import contextmanager as _contextmanager
+
+
+def _wap_path(cat_root: str, name: str) -> str:
+    return f"{cat_root.rstrip('/')}/{_CAT_DIR}/_wap/{name}.json"
+
+
+def _wap_load(fs, jvm, cat_root: str, name: str) -> dict:
+    try:
+        return json.loads(
+            _read_file(fs, jvm, _wap_path(cat_root, name)).decode()
+        )
+    except Exception:
+        raise ValueError(
+            f"no catalog WAP {name!r} at {cat_root} — catalog_wap_begin it"
+        )
+
+
+def catalog_wap_begin(
+    spark: SparkSession,
+    cat_root: str,
+    name: str,
+    tables: list[str] | None = None,
+) -> dict:
+    """Open a catalog-level WAP: fork branch ``wap-<name>`` on every
+    selected member table (default: all members) and record the WAP ref
+    in the catalog sub-log. The ref file is create-exclusive — a second
+    begin under the same name refuses. Returns the ref doc
+    (``{"name", "catalog_version", "tables": {member: fork_version}}``)."""
+    from etl_demo_spark.io.manifest import _mkdirs_parent, branch_create
+
+    if not name or "/" in name or name.startswith("."):
+        raise ValueError(f"catalog_wap_begin: invalid WAP name {name!r}")
+    fs, jvm = _hadoop_fs(spark, cat_root)
+    vs = _cat_versions(fs, jvm, cat_root)
+    if not vs:
+        raise ValueError(f"{cat_root} is not a catalog (no versions)")
+    doc = _load_cat(fs, jvm, cat_root, vs[-1])
+    members = dict(doc["tables"])
+    chosen = sorted(members) if tables is None else list(tables)
+    unknown = set(chosen) - set(members)
+    if unknown:
+        raise ValueError(
+            f"catalog_wap_begin: {sorted(unknown)} are not catalog members "
+            f"(have: {sorted(members)})"
+        )
+    branch = f"wap-{name}"
+    forked: dict[str, int] = {}
+    try:
+        for tname in chosen:
+            forked[tname] = branch_create(spark, members[tname]["root"], branch)
+    except Exception:
+        # roll back the partial fork — begin is all-or-nothing
+        from etl_demo_spark.io.manifest import branch_delete
+
+        for tname in forked:
+            try:
+                branch_delete(spark, members[tname]["root"], branch)
+            except ValueError:
+                pass
+        raise
+    ref = {
+        "name": name,
+        "branch": branch,
+        "catalog_version": vs[-1],
+        "tables": {t: {"root": members[t]["root"], "fork": forked[t]}
+                   for t in chosen},
+    }
+    path = _wap_path(cat_root, name)
+    _mkdirs_parent(fs, jvm, path)
+    if not _publish_cas(fs, jvm, path, json.dumps(ref, indent=1).encode()):
+        from etl_demo_spark.io.manifest import branch_delete
+
+        for tname in forked:
+            try:
+                branch_delete(spark, members[tname]["root"], branch)
+            except ValueError:
+                pass
+        raise ValueError(
+            f"catalog_wap_begin: WAP {name!r} already open at {cat_root}"
+        )
+    return ref
+
+
+@_contextmanager
+def use_catalog_wap(spark: SparkSession, cat_root: str, name: str):
+    """Scope manifest operations on EVERY table of WAP ``name`` to its
+    branch: commits land on the per-table branch sub-logs, reads resolve
+    the branch heads. Yields the WAP ref doc."""
+    from etl_demo_spark.io.manifest import use_branch
+
+    fs, jvm = _hadoop_fs(spark, cat_root)
+    ref = _wap_load(fs, jvm, cat_root, name)
+    with _ExitStack() as stack:
+        for tname in sorted(ref["tables"]):
+            stack.enter_context(
+                use_branch(spark, ref["tables"][tname]["root"], ref["branch"])
+            )
+        yield ref
+
+
+def catalog_wap_abort(spark: SparkSession, cat_root: str, name: str) -> None:
+    """Drop an open WAP: delete every per-table branch and the ref.
+    Main, catalog pins, and streams were never touched."""
+    from etl_demo_spark.io.manifest import branch_delete
+
+    fs, jvm = _hadoop_fs(spark, cat_root)
+    ref = _wap_load(fs, jvm, cat_root, name)
+    for tname, entry in sorted(ref["tables"].items()):
+        try:
+            branch_delete(spark, entry["root"], ref["branch"])
+        except ValueError:
+            pass  # half-aborted earlier — idempotent
+    fs.delete(jvm.org.apache.hadoop.fs.Path(_wap_path(cat_root, name)), False)
+
+
+def catalog_wap_publish(
+    spark: SparkSession,
+    cat_root: str,
+    name: str,
+    expectations: dict[str, dict[str, str]] | None = None,
+    sql_expectations: dict[str, str] | None = None,
+    fmt: str = "parquet",
+) -> int:
+    """Validate, then publish a catalog WAP atomically.
+
+    * ``expectations`` — ``{member_table: {check_name: SQL boolean
+      predicate}}`` evaluated over that table's BRANCH head; any row
+      where a predicate is false or NULL refuses the whole publish.
+    * ``sql_expectations`` — ``{check_name: SQL query}`` run with every
+      WAP member's branch head registered as a temp view under its
+      member name; any ROW the query returns is a violation and refuses
+      the publish (write them as "select the offending rows" queries —
+      e.g. documents lacking an embedding row). This is the CROSS-TABLE
+      gate per-table WAP cannot express.
+
+    Ordering guarantees: ALL validation runs before anything moves, and
+    every touched branch is pre-classified against main commits landed
+    since its fork — a conflict refuses the publish before any table
+    fast-forwards. Then each touched table fast-forwards (main heads
+    advance one by one, but catalog pins still serve the old state —
+    direct-table readers keep per-table atomicity, catalog readers see
+    NOTHING yet), and one `catalog_commit` flips all pins together: the
+    single moment the load becomes visible through the catalog and
+    `catalogstream`. Branches and the ref are cleaned up on success.
+    Returns the published catalog version."""
+    import etl_demo_spark.io.manifest as m
+
+    fs, jvm = _hadoop_fs(spark, cat_root)
+    ref = _wap_load(fs, jvm, cat_root, name)
+    branch = ref["branch"]
+    bad_tables = set(expectations or {}) - set(ref["tables"])
+    if bad_tables:
+        raise ValueError(
+            f"catalog_wap_publish: expectations name non-WAP tables "
+            f"{sorted(bad_tables)} (WAP covers: {sorted(ref['tables'])})"
+        )
+
+    # ---- VALIDATE (everything, before anything moves) ----------------
+    failed: dict[str, int] = {}
+    with use_catalog_wap(spark, cat_root, name):
+        heads = {
+            t: read_manifested(spark, e["root"], fmt)
+            for t, e in ref["tables"].items()
+        }
+        for tname, checks in sorted((expectations or {}).items()):
+            for cname, pred in sorted(checks.items()):
+                p = F.expr(pred)
+                bad = heads[tname].filter(~p | p.isNull()).count()
+                if bad:
+                    failed[f"{tname}.{cname}"] = bad
+        if sql_expectations:
+            for tname, df in heads.items():
+                df.createOrReplaceTempView(tname)
+            try:
+                for cname, sql in sorted(sql_expectations.items()):
+                    bad = spark.sql(sql).count()
+                    if bad:
+                        failed[cname] = bad
+            finally:
+                for tname in heads:
+                    spark.catalog.dropTempView(tname)
+    if failed:
+        raise ValueError(
+            f"catalog_wap_publish: WAP {name!r} failed expectations "
+            f"{failed} — nothing was published; fix the branches or "
+            "catalog_wap_abort"
+        )
+
+    # ---- PRE-CLASSIFY vs main (refuse conflicts before any publish) --
+    touched: list[str] = []
+    for tname in sorted(ref["tables"]):
+        root = ref["tables"][tname]["root"]
+        tfs, tjvm = _hadoop_fs(spark, root)
+        fork = m._branch_base(tfs, tjvm, root, branch)
+        bvs = m._list_dir_versions(tfs, tjvm, m._branch_dir(root, branch))
+        if not bvs:
+            continue  # untouched member: branch dropped, pin unchanged
+        touched.append(tname)
+        M = m._load_doc(tfs, tjvm, root)
+        if M["version"] != fork:
+            B = m._resolve_doc(tfs, tjvm, root, fork)
+            H = m._resolve_doc(tfs, tjvm, root, bvs[-1])
+            reason = m._rebase_conflict(B, M, H)
+            if reason is not None:
+                raise ValueError(
+                    f"catalog_wap_publish: {tname!r} branch conflicts with "
+                    f"main commits since the fork ({reason}) — nothing was "
+                    "published; re-stage on a fresh WAP"
+                )
+
+    # ---- PUBLISH: per-table fast-forwards, then ONE pin flip ---------
+    pins: dict[str, int] = {}
+    for tname in touched:
+        pins[tname] = m.branch_fastforward(
+            spark, ref["tables"][tname]["root"], branch, fmt=fmt
+        )
+    for tname in sorted(set(ref["tables"]) - set(touched)):
+        try:
+            m.branch_delete(spark, ref["tables"][tname]["root"], branch)
+        except ValueError:
+            pass
+    out = catalog_commit(spark, cat_root, pins) if pins else ref[
+        "catalog_version"
+    ]
+    fs.delete(jvm.org.apache.hadoop.fs.Path(_wap_path(cat_root, name)), False)
+    return out
