@@ -1985,6 +1985,9 @@ def _resolve_doc(fs, jvm, root: str, version: int) -> dict:
     ls = raw.get("leaf_spec", base.get("leaf_spec"))
     if ls is not None:
         doc["leaf_spec"] = ls
+    dfmt = raw.get("data_format", base.get("data_format"))
+    if dfmt is not None:
+        doc["data_format"] = dfmt
     ev = raw.get("extra_vrels", base.get("extra_vrels"))
     if ev is not None:
         doc["extra_vrels"] = ev
@@ -2045,7 +2048,12 @@ def _encode_commit(prev_doc: dict, new_doc: dict) -> bytes:
     stamp = int(time.time() * 1000)
     # immutable table config carried centrally so no committer can drop
     # it from a full-snapshot encode
-    for _k in ("partition_transforms", "partition_specs", "leaf_spec"):
+    for _k in (
+        "partition_transforms",
+        "partition_specs",
+        "leaf_spec",
+        "data_format",
+    ):
         if _k not in new_doc and prev_doc.get(_k) is not None:
             new_doc = {**new_doc, _k: prev_doc[_k]}
     if "txns" not in new_doc and prev_doc.get("txns") is not None:
@@ -2104,6 +2112,8 @@ def _encode_commit(prev_doc: dict, new_doc: dict) -> bytes:
         delta["partition_specs"] = new_doc.get("partition_specs")
     if new_doc.get("leaf_spec") != prev_doc.get("leaf_spec"):
         delta["leaf_spec"] = new_doc.get("leaf_spec")
+    if new_doc.get("data_format") != prev_doc.get("data_format"):
+        delta["data_format"] = new_doc.get("data_format")
     if new_doc.get("constraints") != prev_doc.get("constraints"):
         delta["constraints"] = new_doc.get("constraints")
     if new_doc.get("tags") != prev_doc.get("tags"):
@@ -2628,6 +2638,7 @@ def manifest_init(
     stats_split: bool = False,
     precomputed_stats: dict | None = None,
     change_feed: bool = False,
+    source_schema_json: str | None = None,
 ) -> int:
     """One-time migration of a plain Hive-layout table into manifest
     mode: move each leaf's files into ``<leaf>/__v0000000001`` (renames —
@@ -2665,8 +2676,15 @@ def manifest_init(
     if _list_manifest_versions(fs, jvm, root):
         return load_manifest(spark, root)[0]
     # record the schema (partition types included) before the layout
-    # migration — it becomes the table's read authority from v1 on
-    schema_json = spark.read.format(fmt).load(root).schema.json()
+    # migration — it becomes the table's read authority from v1 on.
+    # Formats whose files don't self-describe (csv: no header, so
+    # inference yields _c0/_c1; json: typed inference lossy) take the
+    # WRITER's schema, handed down by write_manifested.
+    schema_json = (
+        source_schema_json
+        if source_schema_json is not None
+        else spark.read.format(fmt).load(root).schema.json()
+    )
 
     # discover leaves: depth-len(cols) dirs of k=v segments
     leaves: list[str] = []
@@ -2709,6 +2727,11 @@ def manifest_init(
         for spec in partition_transforms.values():
             _parse_transform(spec)
         doc["partition_transforms"] = dict(partition_transforms)
+    if fmt != "parquet":
+        # table config: the stream reader (io/table_stream.py) routes
+        # its pyarrow file reads by this; parquet stays implicit so
+        # existing tables' docs are unchanged
+        doc["data_format"] = fmt
     if change_feed:
         # CHANGE-DATA FEED: rewrite committers record their exact
         # delete/insert rows per commit (Delta CDF); see the table
@@ -4057,6 +4080,9 @@ def write_manifested(
         stats_split=stats_split,
         precomputed_stats=precomputed,
         change_feed=change_feed,
+        source_schema_json=(
+            df.schema.json() if fmt in ("csv", "json") else None
+        ),
     )
 
 
@@ -4201,6 +4227,13 @@ def append_manifested(
                     f"type_mismatch={wrong}. Appends never evolve schema; "
                     "route schema changes through merge_upsert_manifested."
                 )
+            # normalize to the table's column ORDER: positional formats
+            # (csv has no header, no per-file schema) would otherwise
+            # silently swap columns when a caller appends in a
+            # different order
+            src = src.select(
+                *[f.name for f in table_schema.fields if f.name in src.columns]
+            )
         _validate_constraints(doc, src, "append_manifested")
         for c in cols:
             src = src.withColumn(c, F.col(c).cast("string"))

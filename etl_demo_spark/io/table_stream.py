@@ -237,7 +237,15 @@ def _commit_inserts(a: dict, b: dict, on_rewrite: str, root: str) -> list[str]:
     return inserts
 
 
-def _data_files(root: str, vrel: str, fs_spec: str | None = None) -> list[str]:
+_STREAM_FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def _data_files(
+    root: str,
+    vrel: str,
+    fs_spec: str | None = None,
+    fmt: str = "parquet",
+) -> list[str]:
     d = os.path.join(_strip_scheme(root.rstrip("/")), vrel)
     try:
         if fs_spec is not None:
@@ -252,13 +260,15 @@ def _data_files(root: str, vrel: str, fs_spec: str | None = None) -> list[str]:
             "checkpoint fell behind the table's retention window"
         ) from e
     data = [n for n in names if not n.startswith(("_", "."))]
-    out = [n for n in data if n.endswith(".parquet") or "." not in n]
+    ext = f".{fmt}"
+    out = [n for n in data if n.endswith(ext) or "." not in n]
     if data and not out:
-        # a dir full of .orc/.csv files must fail loudly, not deliver
-        # zero rows (the reader is pyarrow-parquet only)
+        # a dir whose files don't match the table's declared format must
+        # fail loudly, not deliver zero rows
         raise ValueError(
-            f"tablestream: {vrel!r} of {root} holds no parquet files "
-            f"(found e.g. {data[0]!r}) — only parquet tables stream"
+            f"tablestream: {vrel!r} of {root} holds no {fmt} files "
+            f"(found e.g. {data[0]!r}) — the table's data_format and its "
+            "files disagree"
         )
     return sorted(os.path.join(d, n) for n in out)
 
@@ -325,6 +335,24 @@ def _pack_partitions(
             flush()
     flush()
     return out
+
+
+def _physical_shape(doc: dict) -> list[tuple[str, str]]:
+    """A schema's PHYSICAL reading shape: sorted (on-disk column name,
+    type) pairs. Two docs with equal shapes are readable by the same
+    pinned reader — renames (column mapping keeps physical names
+    frozen) change the logical schema but not the shape."""
+    import json as _json
+
+    schema_json = doc.get("schema")
+    if not schema_json:
+        return []
+    mapping = doc.get("column_mapping") or {}
+    sch = T.StructType.fromJson(_json.loads(schema_json))
+    return sorted(
+        (mapping.get(f.name, f.name), f.dataType.simpleString())
+        for f in sch.fields
+    )
 
 
 def _off_key(off: dict) -> tuple:
@@ -411,6 +439,32 @@ class TableStreamReader(DataSourceStreamReader):
         self._head_doc = m._resolve_doc(
             self._fs_spec, None, self._root, versions[-1]
         )
+        # non-parquet tables stream through the matching pyarrow reader;
+        # the format is table config recorded at write_manifested (or an
+        # explicit option for tables initialized before round 10)
+        self._fmt = (
+            options.get("format")
+            or self._head_doc.get("data_format")
+            or "parquet"
+        )
+        if self._fmt not in _STREAM_FORMATS:
+            raise ValueError(
+                f"tablestream: unsupported data format {self._fmt!r} "
+                f"(streamable: {_STREAM_FORMATS})"
+            )
+        # SCHEMA-EVOLUTION POLICY under a live checkpoint: the output
+        # schema pins at query start (this head). Commits LANDING LATER
+        # whose physical reading shape differs (add/drop/widen) FAIL
+        # LOUDLY in partitions() — silently delivering rows without the
+        # new column would be data loss for CDC consumers. A restart
+        # picks up the evolved schema and the checkpoint resumes exactly
+        # where it left off (old files NULL-fill / upcast, same as the
+        # batch reader). RENAMES alone are transparent mid-run: column
+        # mapping freezes physical names, so the pinned reader keeps
+        # reading the same bytes under the old logical name until a
+        # restart surfaces the new one.
+        self._pinned_v = versions[-1]
+        self._pinned_shape = _physical_shape(self._head_doc)
         sv = options.get("starting_version", "earliest")
         self._snapshot = False
         if sv == "latest":
@@ -639,13 +693,13 @@ class TableStreamReader(DataSourceStreamReader):
                     files = 1  # metadata rows: pace by commit count
                 elif ch is not None:
                     files = (
-                        len(_data_files(self._root, ch["rel"], self._fs_spec))
+                        len(_data_files(self._root, ch["rel"], self._fs_spec, self._fmt))
                         if ch.get("rel")
                         else 0
                     )
                 else:
                     files = sum(
-                        len(_data_files(self._root, r, self._fs_spec))
+                        len(_data_files(self._root, r, self._fs_spec, self._fmt))
                         for r in _commit_inserts(
                             prev, cur, self._on_rewrite, self._root
                         )
@@ -698,7 +752,7 @@ class TableStreamReader(DataSourceStreamReader):
         for vrel in sorted(m._all_vrels(doc)):
             leaf_rel = vrel.rsplit("/", 1)[0]
             cv = _vrel_version(vrel)
-            for f in _data_files(self._root, vrel, self._fs_spec):
+            for f in _data_files(self._root, vrel, self._fs_spec, self._fmt):
                 frel = f"{vrel}/{os.path.basename(f)}"
                 pos = dv_by_file.get(frel)
                 parts.append(
@@ -775,6 +829,25 @@ class TableStreamReader(DataSourceStreamReader):
         prev = self._doc(s)
         for v in range(s + 1, e + 1):
             cur = self._doc(v)
+            if v > self._pinned_v:
+                shape = _physical_shape(cur)
+                if shape != self._pinned_shape:
+                    pinned = dict(self._pinned_shape)
+                    now = dict(shape)
+                    changed = sorted(
+                        set(pinned.items()) ^ set(now.items())
+                    )
+                    raise ValueError(
+                        f"tablestream: the table's schema evolved at "
+                        f"v{v} of {self._root} (changed physical "
+                        f"columns: {changed}) after this stream pinned "
+                        f"its output schema at v{self._pinned_v}. "
+                        "Restart the stream: the checkpoint resumes "
+                        "exactly here and the evolved schema applies "
+                        "(older files NULL-fill added columns / upcast "
+                        "widened ones). Renames alone stream through "
+                        "transparently."
+                    )
             ch = cur.get("change_data")
             if ch is not None:
                 # CHANGE-DATA commit (change_feed tables): the committer
@@ -783,7 +856,7 @@ class TableStreamReader(DataSourceStreamReader):
                 # rel=None (compaction/repartition) is a row no-op: the
                 # stream glides through maintenance.
                 if ch.get("rel"):
-                    for f in _data_files(self._root, ch["rel"], self._fs_spec):
+                    for f in _data_files(self._root, ch["rel"], self._fs_spec, self._fmt):
                         parts.append(
                             _FilePartition(f, "", v, change_file=True)
                         )
@@ -791,7 +864,7 @@ class TableStreamReader(DataSourceStreamReader):
                 continue
             for vrel in _commit_inserts(prev, cur, self._on_rewrite, self._root):
                 leaf_rel = vrel.rsplit("/", 1)[0]
-                for f in _data_files(self._root, vrel, self._fs_spec):
+                for f in _data_files(self._root, vrel, self._fs_spec, self._fmt):
                     parts.append(_FilePartition(f, leaf_rel, v))
             prev = cur
         return _pack_partitions(parts, self._pack_bytes, self._fs_spec) or [
@@ -819,20 +892,101 @@ class TableStreamReader(DataSourceStreamReader):
             return
         yield from self._read_file(partition)
 
+    def _load_table(self, partition: _FilePartition):
+        """One data file as a pyarrow Table, routed by the table's
+        format. parquet/orc are self-describing; csv/json apply the
+        stored schema the same way the batch reader hands it to
+        ``spark.read.schema(...)`` — csv positionally (Spark writes no
+        header), json by key."""
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        path, fmt = partition.file, self._fmt
+        if self._fs_spec is not None:
+            if fmt == "parquet":
+                from etl_demo_spark.io.pyfs import read_parquet
+
+                return read_parquet(path, self._fs_spec)
+            import pyarrow as pa
+
+            from etl_demo_spark.io.pyfs import read_bytes
+
+            src = pa.BufferReader(read_bytes(path, self._fs_spec))
+        else:
+            src = path
+        if fmt == "parquet":
+            import pyarrow.parquet as pq
+
+            return pq.read_table(src)
+        if fmt == "orc":
+            from pyarrow import orc
+
+            return orc.read_table(src)
+        # csv/json data files hold the schema's DATA columns (partition
+        # values live in the directory path): physical names, stored
+        # order — exactly what the writer serialized
+        import pyarrow as pa
+
+        dirv = _leaf_dir_values(partition.leaf_rel)
+        fields = []
+        for f in self._schema.fields:
+            phys = self._mapping.get(f.name, f.name)
+            if phys not in dirv:
+                fields.append((phys, to_arrow_type(f.dataType)))
+        empty = (
+            src.size() == 0
+            if isinstance(src, pa.BufferReader)
+            else os.path.getsize(src) == 0
+        )
+        if empty:
+            # Spark serializes empty partitions as ZERO-BYTE csv/json
+            # part files (no footer to carry "0 rows"); pyarrow's
+            # readers refuse them, so shape the empty table here
+            schema = pa.schema(fields)
+            if partition.change_file:
+                schema = schema.append(pa.field("_change_type", pa.string()))
+            return schema.empty_table()
+        if fmt == "json":
+            import pyarrow as pa
+            import pyarrow.json as pajson
+
+            schema = pa.schema(fields)
+            if partition.change_file:
+                schema = schema.append(pa.field("_change_type", pa.string()))
+            return pajson.read_json(
+                src,
+                parse_options=pajson.ParseOptions(
+                    explicit_schema=schema,
+                    unexpected_field_behavior="ignore",
+                ),
+            )
+        if partition.change_file:
+            # a csv change sidecar has no header and no per-file schema,
+            # so its column ORDER is not recoverable — refuse instead of
+            # guessing rows into the wrong columns
+            raise ValueError(
+                "tablestream: change-data sidecars on csv tables are not "
+                "streamable (csv files carry no schema); create the "
+                "change_feed table as parquet/orc/json, or stream "
+                "without the feed"
+            )
+        import pyarrow.csv as pacsv
+
+        return pacsv.read_csv(
+            src,
+            read_options=pacsv.ReadOptions(
+                column_names=[n for n, _ in fields]
+            ),
+            convert_options=pacsv.ConvertOptions(column_types=dict(fields)),
+        )
+
     def _read_file(self, partition: _FilePartition) -> Iterator[Any]:
         if partition.file is None:
             return
         import pyarrow as pa
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_type
 
-        if self._fs_spec is not None:
-            from etl_demo_spark.io.pyfs import read_parquet
-
-            tbl = read_parquet(partition.file, self._fs_spec)
-        else:
-            tbl = pq.read_table(partition.file)
+        tbl = self._load_table(partition)
         if partition.dv_pos:
             # initial-snapshot read of a file with deletion-vector rows:
             # drop the tombstoned positions (file row order == position)

@@ -318,11 +318,14 @@ def test_rollback_does_not_reannounce_change_data(spark, cdf_root):
     )
 
 
-def test_non_parquet_table_fails_loudly(spark, cdf_root):
+def test_orc_table_streams(spark, cdf_root):
+    """Round-10: non-parquet manifested tables stream — the reader
+    routes file reads by the data_format recorded in the manifest."""
     table = f"{cdf_root}/t11"
     write_manifested(_rows(spark, range(0, 3)), table, "part", fmt="orc")
-    with pytest.raises(Exception, match="no parquet files|STREAM_FAILED"):
-        _drain(spark, table, f"{cdf_root}/t11_sink", f"{cdf_root}/t11_ck")
+    got = _drain(spark, table, f"{cdf_root}/t11_sink", f"{cdf_root}/t11_ck")
+    assert got.count() == 3
+    assert set(got.select("id").toPandas()["id"]) == {0, 1, 2}
 
 
 def test_restore_stages_inverse_delta_on_change_feed_tables(spark, tmp_path):

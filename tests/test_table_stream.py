@@ -650,3 +650,244 @@ def test_run_paced_drain_continuous_one_query(spark, ts_env):
     )
     assert stats2["rows"] == 4
     assert spark.read.parquet(sink).select("id").distinct().count() == 20
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
+def test_non_parquet_tables_stream_with_value_parity(spark, ts_env, fmt):
+    """Round-10: manifested CSV/JSON/ORC tables stream through the same
+    reader — the manifest records data_format, the reader routes each
+    file through the matching pyarrow reader applying the STORED schema
+    (csv positionally, json by key), and delivers value-parity with the
+    batch read: typed ids, doubles, partition-dir values, commit
+    attribution, checkpoint resume."""
+    table = f"{ts_env}/t17_{fmt}"
+    sink, ck = f"{ts_env}/t17_{fmt}_sink", f"{ts_env}/t17_{fmt}_ck"
+    write_manifested(_mk_rows(spark, range(0, 5)), table, "part", fmt=fmt)
+    append_manifested(
+        spark, table, _mk_rows(spark, range(5, 8), "b"), fmt=fmt
+    )
+
+    got = _drain(spark, table, sink, ck)
+    assert got.count() == 8
+    by_v = {
+        r["_commit_version"]: r["n"]
+        for r in got.groupBy("_commit_version")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert by_v == {1: 5, 2: 3}
+    body = got.drop("_change_type", "_commit_version")
+    tbl = read_manifested(spark, table, fmt)
+    assert body.exceptAll(tbl).count() == 0
+    assert tbl.exceptAll(body).count() == 0
+    assert dict(body.dtypes)["id"] == "bigint"
+    assert dict(body.dtypes)["val"] == "double"
+    # checkpoint resume delivers only the new commit
+    append_manifested(spark, table, _mk_rows(spark, [99], "c"), fmt=fmt)
+    got = _drain(spark, table, sink, ck)
+    assert got.count() == 9
+    assert got.filter("_commit_version = 3").count() == 1
+
+
+def test_csv_change_feed_sidecar_refuses_loudly(spark, ts_env):
+    """CSV carries no per-file schema, so a change sidecar's column
+    order is unrecoverable — the stream must refuse, never guess."""
+    table = f"{ts_env}/t18"
+    sink, ck = f"{ts_env}/t18_sink", f"{ts_env}/t18_ck"
+    write_manifested(
+        _mk_rows(spark, range(0, 4)), table, "part",
+        fmt="csv", change_feed=True,
+    )
+    _drain(spark, table, sink, ck)
+    delete_where_manifested(
+        spark, table, F.col("id") >= 2, "part", fmt="csv"
+    )
+    with pytest.raises(Exception, match="csv|STREAM_FAILED"):
+        _drain(spark, table, sink, ck)
+
+
+def test_json_change_feed_streams_rewrites(spark, ts_env):
+    """JSON is self-describing per line: change sidecars stream, so a
+    DELETE on a json change_feed table rides through as CDC rows."""
+    table = f"{ts_env}/t19"
+    sink, ck = f"{ts_env}/t19_sink", f"{ts_env}/t19_ck"
+    write_manifested(
+        _mk_rows(spark, range(0, 4)), table, "part",
+        fmt="json", change_feed=True,
+    )
+    _drain(spark, table, sink, ck)
+    delete_where_manifested(
+        spark, table, F.col("id") >= 2, "part", fmt="json"
+    )
+    got = _drain(spark, table, sink, ck)
+    dels = got.filter("_change_type = 'delete'")
+    assert dels.count() == 2
+    assert set(dels.select("id").toPandas()["id"]) == {2, 3}
+
+
+def _start_live(spark, table, sink, ck, trigger="300 milliseconds"):
+    return (
+        spark.readStream.format("tablestream")
+        .option("path", table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime=trigger)
+        .start()
+    )
+
+
+def _wait_rows(spark, q, sink, n, timeout=60):
+    import time as _time
+
+    deadline = _time.time() + timeout
+    while _time.time() < deadline:
+        if q.exception() is not None:
+            raise q.exception()
+        try:
+            if spark.read.parquet(sink).count() >= n:
+                return
+        except Exception:
+            pass
+        _time.sleep(0.3)
+    raise TimeoutError(f"sink never reached {n} rows")
+
+
+def test_add_column_under_live_checkpoint_fails_then_resumes(spark, ts_env):
+    """Round-10 schema-evolution policy: a running stream pins its
+    output schema at start; an ALTER add landing mid-run FAILS LOUDLY
+    (silently dropping the new column would be CDC data loss), and a
+    restart resumes the same checkpoint exactly-once under the evolved
+    schema — older files NULL-filled."""
+    import time as _time
+
+    table = f"{ts_env}/t20"
+    sink, ck = f"{ts_env}/t20_sink", f"{ts_env}/t20_ck"
+    write_manifested(_mk_rows(spark, range(0, 4)), table, "part")
+    q = _start_live(spark, table, sink, ck)
+    try:
+        _wait_rows(spark, q, sink, 4)
+        alter_manifested(spark, table, add_columns={"extra": "int"})  # v2
+        append_manifested(
+            spark,
+            table,
+            spark.createDataFrame(
+                [(50, "a", 9.0, 7)],
+                "id BIGINT, part STRING, val DOUBLE, extra INT",
+            ),
+        )  # v3
+        deadline = _time.time() + 90
+        while q.exception() is None and _time.time() < deadline:
+            _time.sleep(0.3)
+        exc = q.exception()
+        assert exc is not None, "live stream must refuse the evolved schema"
+        assert "schema evolved" in str(exc) and "Restart" in str(exc)
+    finally:
+        q.stop()
+    # restart: same checkpoint, evolved schema, exactly-once
+    q = _start_live(spark, table, sink, ck)
+    try:
+        _wait_rows(spark, q, sink, 5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    got = spark.read.option("mergeSchema", "true").parquet(sink)
+    assert got.count() == 5
+    assert got.select("id").distinct().count() == 5, "exactly once"
+    assert got.filter("extra = 7").count() == 1
+
+
+def test_rename_under_live_checkpoint_streams_transparently(spark, ts_env):
+    """Renames alone stream through a live checkpoint: column mapping
+    freezes physical names, so the pinned reader keeps serving values
+    under the OLD logical name; a restart surfaces the new one."""
+    table = f"{ts_env}/t21"
+    sink, ck = f"{ts_env}/t21_sink", f"{ts_env}/t21_ck"
+    write_manifested(_mk_rows(spark, range(0, 3)), table, "part")
+    q = _start_live(spark, table, sink, ck)
+    try:
+        _wait_rows(spark, q, sink, 3)
+        alter_manifested(spark, table, rename_columns={"val": "amount"})
+        append_manifested(
+            spark,
+            table,
+            spark.createDataFrame(
+                [(9, "a", 4.5)], "id BIGINT, part STRING, amount DOUBLE"
+            ),
+        )  # v3, physical name frozen
+        _wait_rows(spark, q, sink, 4)  # raises if the stream died
+        assert q.exception() is None, "rename must be transparent mid-run"
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    got = spark.read.parquet(sink)  # old logical name throughout the run
+    assert got.filter("id = 9 AND val = 4.5").count() == 1
+    # a restart surfaces the new logical name (same sink — the file
+    # sink's _spark_metadata is keyed to the checkpoint's batch ids)
+    append_manifested(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(10, "a", 5.5)], "id BIGINT, part STRING, amount DOUBLE"
+        ),
+    )
+    q = _start_live(spark, table, sink, ck)
+    try:
+        _wait_rows(spark, q, sink, 5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    got2 = spark.read.option("mergeSchema", "true").parquet(sink)
+    assert "amount" in got2.columns
+    assert got2.filter("id = 10 AND amount = 5.5").count() == 1
+    assert got2.select("id").distinct().count() == 5, "exactly once"
+
+
+def test_widen_under_live_checkpoint_fails_then_resumes(spark, ts_env):
+    """A type widen mid-run fails loudly (the pinned reader would
+    downcast new files); the restarted stream serves the widened type
+    for old and new files alike."""
+    import time as _time
+
+    table = f"{ts_env}/t22"
+    sink, ck = f"{ts_env}/t22_sink", f"{ts_env}/t22_ck"
+    write_manifested(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20)], "id BIGINT, part STRING, qty INT"
+        ),
+        table,
+        "part",
+    )
+    q = _start_live(spark, table, sink, ck)
+    try:
+        _wait_rows(spark, q, sink, 2)
+        alter_manifested(spark, table, widen_types={"qty": "bigint"})
+        append_manifested(
+            spark,
+            table,
+            spark.createDataFrame(
+                [(3, "a", 5_000_000_000)], "id BIGINT, part STRING, qty BIGINT"
+            ),
+        )
+        deadline = _time.time() + 90
+        while q.exception() is None and _time.time() < deadline:
+            _time.sleep(0.3)
+        exc = q.exception()
+        assert exc is not None and "schema evolved" in str(exc)
+    finally:
+        q.stop()
+    q = _start_live(spark, table, sink, ck)
+    try:
+        _wait_rows(spark, q, sink, 3)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    # (mergeSchema refuses INT vs BIGINT; the explicit widened schema
+    # upcasts the pre-widen files, same as the table reader does)
+    got = spark.read.schema(
+        "id BIGINT, qty BIGINT, part STRING, "
+        "_change_type STRING, _commit_version BIGINT"
+    ).parquet(sink)
+    assert got.filter("qty = 5000000000").count() == 1, "widened value intact"
+    assert got.select("id").distinct().count() == 3
