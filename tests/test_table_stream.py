@@ -891,3 +891,67 @@ def test_widen_under_live_checkpoint_fails_then_resumes(spark, ts_env):
     ).parquet(sink)
     assert got.filter("qty = 5000000000").count() == 1, "widened value intact"
     assert got.select("id").distinct().count() == 3
+
+
+def test_two_paced_consumers_have_isolated_cursors(spark, ts_env):
+    """Round-10 (consumer groups): N pace_ids = N independent
+    consumers. Each (checkpoint, pace_id) pair drains the whole table
+    exactly-once at its own rate; neither's cursor, committed
+    high-water, nor planned grant ever touches the other's sidecar."""
+    import json as _json
+    import os as _os
+
+    from etl_demo_spark.io.table_stream import run_paced_drain
+
+    table = f"{ts_env}/t23"
+    write_manifested(
+        _mk_rows(spark, range(0, 8)).repartition(4), table, "part"
+    )
+    append_manifested(
+        spark, table, _mk_rows(spark, range(8, 12), "b").repartition(2)
+    )
+
+    def build_writer(sink, ck):
+        def b(df):
+            return (
+                df.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ck)
+            )
+
+        return b
+
+    # consumer A drains fully at 2 files/slice
+    sa, ca = f"{ts_env}/t23_sa", f"{ts_env}/t23_ca"
+    stats_a = run_paced_drain(
+        spark, table, build_writer(sa, ca), 2, "groupA",
+        max_partition_bytes="0",
+    )
+    # consumer B starts AFTER A finished, slower (1 file/slice)
+    sb, cb = f"{ts_env}/t23_sb", f"{ts_env}/t23_cb"
+    stats_b = run_paced_drain(
+        spark, table, build_writer(sb, cb), 1, "groupB",
+        max_partition_bytes="0",
+    )
+    for sink, stats in ((sa, stats_a), (sb, stats_b)):
+        got = spark.read.parquet(sink)
+        assert got.count() == 12
+        assert got.select("id").distinct().count() == 12, "exactly once"
+        assert stats["rows"] == 12
+    assert stats_b["runs"] > stats_a["runs"], "B must pace slower"
+    # the sidecars are separate files with independent cursors
+    pace = lambda pid: _os.path.join(table, "_manifests", f".pace-{pid}")
+    da = _json.loads(open(pace("groupA")).read())
+    db = _json.loads(open(pace("groupB")).read())
+    assert da["cur"] == db["cur"] == {"v": 2}, (da, db)
+    # a new append: A drains it without disturbing B's cursor
+    append_manifested(spark, table, _mk_rows(spark, [99], "c"))
+    run_paced_drain(
+        spark, table, build_writer(sa, ca), 2, "groupA",
+        max_partition_bytes="0",
+    )
+    assert spark.read.parquet(sa).count() == 13
+    assert _json.loads(open(pace("groupB")).read())["cur"] == {"v": 2}, (
+        "A's drain moved B's cursor"
+    )
+    assert spark.read.parquet(sb).count() == 12
