@@ -10547,6 +10547,91 @@ def stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_csv_table",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value,
+           CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_create,
+           CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_append
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_csv_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-PARQUET table streaming (round 10, `io/table_stream`): the
+    same commit-log stream over a manifested CSV table. The manifest
+    records ``data_format``; the reader routes each file through
+    pyarrow's csv reader applying the STORED schema positionally —
+    headerless Spark csv files carry no names or types, so the schema
+    authority the manifest already holds for evolution is what makes
+    csv streamable at all. Typed parity is the point the oracle
+    certifies: event_id arrives BIGINT, value DOUBLE (shortest-
+    round-trip decimal text parses back bit-exact), partition-directory
+    values typed from the path, commit attribution intact. In-query
+    asserts pin exactly-once on restart and stream-vs-batch parity.
+
+    Reference anchor: the reference engine (etl_weekly_trades.py) reads
+    one CSV batch-only — north-star X-10 surface. Scale: identical plan
+    shape to the parquet stream (per-file pyarrow partitions, packed);
+    csv costs the text parse, which is the tradeoff the format chose."""
+    import tempfile
+
+    from etl_demo_spark.io.manifest import (
+        append_manifested,
+        read_manifested,
+        write_manifested,
+    )
+    from etl_demo_spark.io.table_stream import register_table_stream_source
+
+    register_table_stream_source(spark)
+    (ev,) = _t(spark, sf_dir, "events")
+    src = ev.select("event_id", "user_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="stream_csv_")
+    table, sink, ck = f"{root}/events_csv", f"{root}/sink", f"{root}/ck"
+    write_manifested(
+        src.filter(F.col("event_id") % 2 == 0), table, "event_type", fmt="csv"
+    )  # v1
+    append_manifested(
+        spark, table, src.filter(F.col("event_id") % 2 == 1), fmt="csv"
+    )  # v2
+
+    def drain() -> int:
+        q = (
+            spark.readStream.format("tablestream")
+            .option("path", table)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(sink).count()
+
+    n1 = drain()
+    assert n1 == drain(), "restart re-delivered rows"
+    feed = spark.read.parquet(sink)
+    body = feed.drop("_change_type", "_commit_version")
+    batch = read_manifested(spark, table, "csv").select(*body.columns)
+    assert body.exceptAll(batch).count() == 0
+    assert batch.exceptAll(body).count() == 0, "stream/batch parity"
+    return feed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.sum(F.when(F.col("_commit_version") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_create"),
+        F.sum(F.when(F.col("_commit_version") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_append"),
+    )
+
+
+@query(
     "orders_tagged_release",
     oracle="""
     SELECT o_orderpriority,
