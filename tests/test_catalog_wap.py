@@ -261,3 +261,52 @@ def test_catalogstream_sees_one_atomic_pin_flip(spark, tmp_path):
     assert rows[1] == {"docs": 1, "embs": 1}, rows
     assert rows[2] == {"docs": 2, "embs": 2}, rows
     assert sorted(rows) == [1, 2], rows
+
+
+def test_catalog_wap_through_conditional_put_backend(spark, tmp_path):
+    """Round-10 composition: the WHOLE catalog WAP — per-table branch
+    commits, the WAP ref, the fast-forwards, and the catalog pin flip —
+    routes through the rename-less conditional-PUT commit backend. On
+    an object store the PUT is the commit; nothing above the primitive
+    changes."""
+    import etl_demo_spark.io.manifest as m
+    from etl_demo_spark.io.commit_backend import (
+        ConditionalPutBackend,
+        InMemoryKeyStore,
+    )
+
+    store = InMemoryKeyStore()
+    m.set_commit_backend(str(tmp_path), ConditionalPutBackend(store))
+    try:
+        docs, embs, cat = _mk(spark, tmp_path)
+        catalog_wap_begin(spark, cat, "putload")
+        with use_catalog_wap(spark, cat, "putload"):
+            append_manifested(
+                spark,
+                docs,
+                spark.createDataFrame(
+                    [(7, "eta", "p")], "doc_id INT, body STRING, part STRING"
+                ),
+            )
+            append_manifested(
+                spark,
+                embs,
+                spark.createDataFrame(
+                    [(7, 0.7, "p")], "doc_id INT, vec DOUBLE, part STRING"
+                ),
+            )
+        v = catalog_wap_publish(spark, cat, "putload", sql_expectations=CROSS)
+        snap = catalog_snapshot(spark, cat, version=v)
+        assert snap.read("docs").count() == 3
+        assert snap.read("embs").count() == 3
+        keys = store.keys()
+        # the catalog versions AND both tables' published manifests are
+        # PUT objects; the WAP ref was arbitrated by conditional PUT too
+        assert any("_catalog/v0000000002.json" in k for k in keys), keys
+        assert any("_wap/putload.json" in k for k in keys), keys
+        for t in ("docs", "embs"):
+            assert any(
+                f"/{t}/" in k and k.endswith("v0000000002.json") for k in keys
+            ), (t, keys)
+    finally:
+        m.set_commit_backend(str(tmp_path), None)
