@@ -103,12 +103,36 @@ def build_index(
         assigned, centroids = ivf_assign(df, n_cells, id_col, vec_col)
         metric = "cosine"  # ivf_assign assigns by best cosine
     assigned.write.mode("overwrite").partitionBy("cell").parquet(dest)
+    # per-cell ANGULAR RADII (min cosine of a member to its centroid):
+    # the cell metadata `query_index_adaptive` needs to CERTIFY that an
+    # unprobed cell cannot hold a better neighbor — one tiny agg over
+    # the assignment the build already computed, O(cells) floats stored
+    min_cos: dict[str, float] = {}
+    if metric == "cosine":
+        cent_df = spark.createDataFrame(
+            [(i + 1, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell INT, __centroid ARRAY<DOUBLE>",
+        )
+        min_cos = {
+            str(int(r["cell"])): float(r["mc"])
+            for r in assigned.join(F.broadcast(cent_df), "cell")
+            .groupBy("cell")
+            .agg(
+                F.min(
+                    cosine(
+                        F.col(vec_col).cast("array<double>"),
+                        F.col("__centroid"),
+                    )
+                ).alias("mc")
+            )
+            .collect()
+        }
     _sidecar_write(
         spark,
         dest,
         json.dumps(
             {"centroids": centroids, "id_col": id_col, "vec_col": vec_col,
-             "metric": metric}
+             "metric": metric, "min_cos": min_cos}
         ),
     )
     return len(centroids)
@@ -157,6 +181,83 @@ def query_index(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def query_index_adaptive(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    min_probe: int = 2,
+    slack: float = 1e-6,
+) -> DataFrame:
+    """CERTIFIED-exact top-k from a built index with a data-dependent
+    probe count — every read still partition-pruned.
+
+    Probes the best ``min_probe`` cells, then expands ONLY into cells
+    whose angular-radius bound could beat the running k-th score (for
+    any member x of cell c, cos(q, x) <= cos(max(0, angle(q, c) -
+    theta_c)) — angular distance is a metric on unit vectors, and
+    theta_c came from the build's cell metadata). Cells failing the
+    bound provably hold no better neighbor, so the result equals the
+    exact brute-force top-k in at most two pruned scans. Tight
+    (k-means) cells probe few; an isotropic corpus degrades toward a
+    full scan but never a wrong answer — the tier `query_index`'s fixed
+    nprobe cannot offer. Cosine-metric indexes only (the bound lives in
+    the ranking metric); requires a round-10 sidecar with ``min_cos``."""
+    meta = json.loads(_sidecar_read(spark, index_dir))
+    if meta.get("metric", "cosine") != "cosine":
+        raise ValueError(
+            "query_index_adaptive: certified probing needs a cosine-"
+            "assigned index (the bound lives in the ranking metric); "
+            "this index was built with metric="
+            f"{meta.get('metric')!r} — use query_index(nprobe=…)"
+        )
+    min_cos = meta.get("min_cos")
+    if not min_cos:
+        raise ValueError(
+            "query_index_adaptive: this index predates per-cell radii — "
+            "rebuild it (build_index now stores min_cos in the codebook "
+            "sidecar)"
+        )
+    centroids = meta["centroids"]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+
+    def cos_py(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    def ang(c: float) -> float:
+        return math.acos(max(-1.0, min(1.0, c)))
+
+    qcos = {i + 1: cos_py(query_vec, centroids[i]) for i in range(len(centroids))}
+    live = {int(c) for c in min_cos}  # cells with members
+    bound = {
+        c: math.cos(max(0.0, ang(qcos[c]) - ang(float(min_cos[str(c)]))))
+        for c in live
+    }
+    ranked = sorted(live, key=lambda c: (-qcos[c], c))
+    probes = ranked[: max(1, min_probe)]
+
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+
+    def topk_over(cells: list[int]) -> DataFrame:
+        cands = spark.read.parquet(index_dir).filter(F.col("cell").isin(cells))
+        return (
+            cands.select(
+                F.col(id_col),
+                F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+            )
+            .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+            .limit(k)
+        )
+
+    rows = topk_over(probes).collect()
+    t = rows[k - 1]["cos_sim"] if len(rows) >= k else -2.0
+    expand = [c for c in ranked if c not in probes and bound[c] >= t - slack]
+    return topk_over(probes + expand)
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -1650,3 +1650,46 @@ def test_ivf_topk_adaptive_is_exact_and_int8_rerank_lifts_floor(spark):
             ).collect()
         ]
         assert rerank == exact, f"qid {qid}: sq8 re-rank missed"
+
+
+def test_query_index_adaptive_certified_exact(spark, tmp_path):
+    """Round-10: the built index's per-cell angular radii (codebook
+    sidecar `min_cos`) certify adaptive probing — results equal the
+    exact brute-force top-k, reads stay partition-pruned, and non-cosine
+    or pre-radii indexes refuse loudly."""
+    from etl_demo_spark.pipelines.embedding_index import (
+        _sidecar_read,
+        _sidecar_write,
+        build_index,
+        query_index_adaptive,
+    )
+    from etl_demo_spark.vec import brute_force_topk
+
+    src = f"{SF0001}/embeddings.parquet"
+    dest = str(tmp_path / "idx")
+    build_index(spark, src, dest, n_cells=8)
+    emb = spark.read.parquet(src)
+    for qid in (0, 11, 29):
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        exact = [tuple(r) for r in brute_force_topk(emb, qvec, k=5).collect()]
+        got = [
+            tuple(r)
+            for r in query_index_adaptive(spark, dest, qvec, k=5).collect()
+        ]
+        assert got == exact, f"qid {qid}: certified index query diverged"
+    # a pre-round-10 sidecar (no radii) refuses with rebuild guidance
+    import json as _json
+
+    meta = _json.loads(_sidecar_read(spark, dest))
+    meta.pop("min_cos")
+    _sidecar_write(spark, dest, _json.dumps(meta))
+    with pytest.raises(ValueError, match="rebuild"):
+        query_index_adaptive(spark, dest, qvec, k=5)
+    # a k-means (l2-assigned) index refuses: the bound lives in cosine
+    dest2 = str(tmp_path / "idx2")
+    build_index(spark, src, dest2, n_cells=4, kmeans_iters=1)
+    with pytest.raises(ValueError, match="cosine"):
+        query_index_adaptive(spark, dest2, qvec, k=5)
