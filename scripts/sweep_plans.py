@@ -63,6 +63,10 @@ CARTESIAN_ALLOWLIST = {
     # int8 quantization: the global scale and the query row's codes are
     # both 1-row broadcasts (N×1 BNLJ), the same scalar-broadcast class
     "ann_topk_int8",
+    # the SQ8 shortlist->exact-re-rank hybrid composes the int8 tier's
+    # scalar broadcasts (scale + query codes) with a 1-row query-vector
+    # broadcast for the exact re-rank — all N×1 BNLJ scalar broadcasts
+    "ann_topk_sq8_rerank",
     # deliberate BRUTE-FORCE baselines, each with a bucketed scale path
     # elsewhere in the registry: exact all-pairs Jaccard (scale path:
     # jaccard_join_prefix_filter), exhaustive k-NN probe (scale path:
