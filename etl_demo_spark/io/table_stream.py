@@ -971,13 +971,38 @@ class TableStreamReader(DataSourceStreamReader):
             )
         import pyarrow.csv as pacsv
 
-        return pacsv.read_csv(
-            src,
-            read_options=pacsv.ReadOptions(
-                column_names=[n for n, _ in fields]
-            ),
-            convert_options=pacsv.ConvertOptions(column_types=dict(fields)),
-        )
+        def read_csv_cols(cols):
+            return pacsv.read_csv(
+                src,
+                read_options=pacsv.ReadOptions(
+                    column_names=[n for n, _ in cols]
+                ),
+                convert_options=pacsv.ConvertOptions(
+                    column_types=dict(cols)
+                ),
+            )
+
+        try:
+            return read_csv_cols(fields)
+        except pa.lib.ArrowInvalid as e:
+            if "columns" not in str(e):
+                raise
+            # SCHEMA-EVOLVED csv table: files written before an ALTER
+            # add hold fewer columns. Added fields append at the END of
+            # the stored schema, so an old file is a strict PREFIX of
+            # the column list — retry shorter prefixes (the downstream
+            # projection NULL-fills the absent fields, same as the
+            # batch reader's permissive csv read).
+            if isinstance(src, pa.BufferReader):
+                src.seek(0)
+            for cut in range(len(fields) - 1, 0, -1):
+                try:
+                    return read_csv_cols(fields[:cut])
+                except pa.lib.ArrowInvalid:
+                    if isinstance(src, pa.BufferReader):
+                        src.seek(0)
+                    continue
+            raise
 
     def _read_file(self, partition: _FilePartition) -> Iterator[Any]:
         if partition.file is None:

@@ -955,3 +955,35 @@ def test_two_paced_consumers_have_isolated_cursors(spark, ts_env):
         "A's drain moved B's cursor"
     )
     assert spark.read.parquet(sb).count() == 12
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json"])
+def test_nonparquet_schema_evolution_null_backfills(spark, ts_env, fmt):
+    """Round-10 (formats x evolution): an ALTER add on a csv/json table
+    leaves old files with fewer columns. csv files are a strict PREFIX
+    of the stored column list (adds append at the end), so the reader
+    retries shorter prefixes; json null-fills missing keys natively.
+    A fresh stream delivers old rows with NULL backfill and new rows
+    with values — same contract as the batch reader."""
+    table = f"{ts_env}/t24_{fmt}"
+    sink, ck = f"{ts_env}/t24_{fmt}_sink", f"{ts_env}/t24_{fmt}_ck"
+    write_manifested(_mk_rows(spark, range(0, 3)), table, "part", fmt=fmt)
+    alter_manifested(spark, table, add_columns={"extra": "int"}, fmt=fmt)
+    append_manifested(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(50, "a", 9.0, 7)],
+            "id BIGINT, part STRING, val DOUBLE, extra INT",
+        ),
+        fmt=fmt,
+    )
+    got = _drain(spark, table, sink, ck)
+    assert got.count() == 4
+    assert got.filter("extra IS NULL").count() == 3, "old files null-fill"
+    assert got.filter("extra = 7 AND id = 50").count() == 1
+    # value parity with the batch reader on the evolved table
+    body = got.drop("_change_type", "_commit_version")
+    batch = read_manifested(spark, table, fmt).select(*body.columns)
+    assert body.exceptAll(batch).count() == 0
+    assert batch.exceptAll(body).count() == 0
