@@ -310,3 +310,65 @@ def test_catalog_wap_through_conditional_put_backend(spark, tmp_path):
             ), (t, keys)
     finally:
         m.set_commit_backend(str(tmp_path), None)
+
+
+def test_wap_staged_data_survives_main_gc_churn(spark, tmp_path):
+    """GC protection: while a WAP is open, heavy MAIN churn on a member
+    (enough commits to cross retention AND a _FULL_EVERY checkpoint)
+    must never reclaim the branch's staged files — the publish after
+    the churn lands every staged row, merged over the advanced main."""
+    import glob
+    import os as _os
+
+    docs, embs, cat = _mk(spark, tmp_path)
+    catalog_wap_begin(spark, cat, "slowload")
+    with use_catalog_wap(spark, cat, "slowload"):
+        append_manifested(
+            spark,
+            docs,
+            spark.createDataFrame(
+                [(30, "stage", "p")], "doc_id INT, body STRING, part STRING"
+            ),
+        )
+        append_manifested(
+            spark,
+            embs,
+            spark.createDataFrame(
+                [(30, 3.0, "p")], "doc_id INT, vec DOUBLE, part STRING"
+            ),
+        )
+        staged = {
+            f: _os.stat(f).st_mtime_ns
+            for f in glob.glob(f"{docs}/part=*/__v*/*.parquet")
+        }
+    # main churn on BOTH members: 10 commits each — far past _RETAIN,
+    # across a _FULL_EVERY checkpoint re-encode, each commit running GC
+    for i in range(10):
+        append_manifested(
+            spark,
+            docs,
+            spark.createDataFrame(
+                [(100 + i, "main", "p")],
+                "doc_id INT, body STRING, part STRING",
+            ),
+        )
+        append_manifested(
+            spark,
+            embs,
+            spark.createDataFrame(
+                [(100 + i, float(i), "p")],
+                "doc_id INT, vec DOUBLE, part STRING",
+            ),
+        )
+    after = {
+        f: _os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{docs}/part=*/__v*/*.parquet")
+    }
+    assert staged.items() <= after.items(), "main GC reclaimed WAP files"
+    v = catalog_wap_publish(spark, cat, "slowload", sql_expectations=CROSS)
+    snap = catalog_snapshot(spark, cat, version=v)
+    # 2 base + 10 churn + 1 staged, on both members, exactly once
+    assert snap.read("docs").count() == 13
+    assert snap.read("embs").count() == 13
+    assert snap.read("docs").filter("doc_id = 30").count() == 1
+    assert snap.read("embs").filter("doc_id = 30").count() == 1
