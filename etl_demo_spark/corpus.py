@@ -11320,6 +11320,120 @@ def catalog_wap_two_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "catalog_sql_merge_full",
+    oracle="""
+    WITH open0 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderstatus = 'O'
+    ),
+    feed AS (
+      -- the sync source: keys %3=0 kept (price bumped), %3=1 absent
+      -- (NMBS-deleted), plus a new-key slice
+      SELECT o_orderkey, o_orderpriority,
+             CAST(price + 100.0 AS DECIMAL(18,2)) AS price
+      FROM open0 WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey + 70000000, o_orderpriority,
+             CAST(price AS DECIMAL(18,2)) AS price
+      FROM open0 WHERE o_orderkey % 5 = 0
+    ),
+    synced AS (
+      SELECT f.o_orderkey, f.o_orderpriority, f.price FROM feed f
+    ),
+    tombstoned AS (
+      -- second statement: WHEN MATCHED AND price > 200000 THEN DELETE
+      -- keyed by the big-ticket slice of the synced table
+      SELECT s.o_orderkey, s.o_orderpriority, s.price
+      FROM synced s
+      WHERE NOT (s.o_orderkey IN (SELECT o_orderkey FROM synced
+                                  WHERE o_orderkey % 2 = 0)
+                 AND s.price > 200000.0)
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(price) AS DOUBLE) AS total
+    FROM tombstoned
+    GROUP BY o_orderpriority
+    """,
+)
+def catalog_sql_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-shape SQL MERGE through catalog names (round 10,
+    `io/catalog.py:_parse_merge_clauses` -> `io/manifest.py:
+    merge_upsert_manifested(when_matched=…, nmbs_delete=…)` ->
+    `ops.merge_clauses`): the clause family the round-8 upsert-only
+    subset could not express.
+
+    Statement 1 is a snapshot SYNC — WHEN MATCHED THEN UPDATE SET * +
+    WHEN NOT MATCHED THEN INSERT * + WHEN NOT MATCHED BY SOURCE THEN
+    DELETE — after which the target IS the source (in-query assert).
+    Statement 2 is a conditional tombstone pass — WHEN MATCHED AND
+    price > 200000 THEN DELETE with a KEY-ONLY source (the CDC
+    tombstone shape; rows failing the condition survive). Each
+    statement is ordinary committer work + ONE catalog pin flip; the
+    oracle replays both statements relationally, so a hash match
+    certifies clause routing, condition scoping, and NMBS semantics
+    end-to-end. Scale: matched/unmatched splits are semi/anti joins on
+    the merge key (one co-keyed shuffle family); NMBS rewrites every
+    leaf by definition — that is what the clause means."""
+    import tempfile
+
+    from etl_demo_spark.io.catalog import catalog_init, catalog_sql
+    from etl_demo_spark.io.manifest import read_manifested, write_manifested
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    root = tempfile.mkdtemp(prefix="sql_merge_full_")
+    t_root, s_root, cat = f"{root}/open", f"{root}/feed", f"{root}/cat"
+    write_manifested(base, t_root, "o_orderpriority")
+    feed = base.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "price", (F.col("price") + F.lit(100.0)).cast("decimal(18,2)")
+    ).unionByName(
+        base.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(70_000_000)
+        )
+    )
+    write_manifested(feed, s_root, "o_orderpriority")
+    catalog_init(spark, cat, {"open": t_root, "feed": s_root})
+
+    catalog_sql(
+        spark, cat,
+        "MERGE INTO open t USING feed s ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    synced = read_manifested(spark, t_root)
+    n_feed = feed.count()
+    assert synced.count() == n_feed, "sync must make target == source"
+    assert synced.exceptAll(
+        feed.select(*synced.columns)
+    ).count() == 0, "sync drifted from the source"
+
+    tombs = synced.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey")
+    tombs.createOrReplaceTempView("sqlmf_tombs")
+    catalog_sql(
+        spark, cat,
+        "MERGE INTO open t USING sqlmf_tombs s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED AND t.price > 200000.0 THEN DELETE",
+    )
+    out = read_manifested(spark, t_root)
+    assert out.filter(
+        (F.col("o_orderkey") % 2 == 0) & (F.col("price") > 200000.0)
+    ).count() == 0, "conditional tombstones missed rows"
+
+    return out.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price").cast("double").alias("total"),
+    )
+
+
+@query(
     "catalog_sql_txn_read_own_writes",
     oracle="""
     WITH open0 AS (

@@ -409,10 +409,93 @@ _MERGE_RE = re.compile(
     r"USING\s+(?:\(\s*(?P<subq>.+?)\s*\)|(?P<srcname>\w+))(?:\s+AS)?"
     r"(?:\s+(?P<salias>\w+))?\s+"
     r"ON\s+(?P<cond>.+?)\s+"
-    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
-    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$",
+    r"(?P<clauses>WHEN\s+.+?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+# the MERGE clause family (ANSI/Delta shape): UPDATE SET * / DELETE on
+# match (DELETE takes an optional AND condition over target columns),
+# INSERT * on no-match, DELETE on NOT MATCHED BY SOURCE
+_M_UPDATE_RE = re.compile(
+    r"^MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s*$", re.IGNORECASE
+)
+_M_DELETE_RE = re.compile(
+    r"^MATCHED\s*(?:AND\s+(?P<cond>.+?))?\s*THEN\s+DELETE\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_NM_INSERT_RE = re.compile(
+    r"^NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?THEN\s+INSERT\s+\*\s*$",
+    re.IGNORECASE,
+)
+_NMBS_DELETE_RE = re.compile(
+    r"^NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(?P<cond>.+?))?\s*"
+    r"THEN\s+DELETE\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_merge_clauses(
+    clauses: str, talias: str, salias: str | None
+) -> dict:
+    """The WHEN-clause tail of a MERGE as merge_upsert_manifested
+    parameters. Conditions are SQL over TARGET columns (the target
+    alias prefix is stripped; source-alias references are refused —
+    the row being kept or deleted is a target row)."""
+
+    def _cond(c: str | None) -> str | None:
+        if c is None:
+            return None
+        if salias and re.search(rf"\b{re.escape(salias)}\.", c):
+            raise ValueError(
+                "catalog_sql: MERGE clause conditions may reference "
+                f"TARGET columns only, got source-qualified {c!r}"
+            )
+        return re.sub(rf"\b{re.escape(talias)}\.", "", c).strip()
+
+    out = {
+        "when_matched": None,
+        "matched_cond": None,
+        "insert": False,
+        "nmbs_delete": False,
+        "nmbs_cond": None,
+    }
+    parts = [p.strip() for p in re.split(r"\bWHEN\s+", clauses, flags=re.IGNORECASE) if p.strip()]
+    for part in parts:
+        if _M_UPDATE_RE.match(part):
+            if out["when_matched"] is not None:
+                raise ValueError("catalog_sql: duplicate MATCHED clause")
+            out["when_matched"] = "update"
+        elif (m := _NMBS_DELETE_RE.match(part)) is not None:
+            # before _M_DELETE_RE / _NM_INSERT_RE: their prefixes overlap
+            if out["nmbs_delete"]:
+                raise ValueError(
+                    "catalog_sql: duplicate NOT MATCHED BY SOURCE clause"
+                )
+            out["nmbs_delete"] = True
+            out["nmbs_cond"] = _cond(m.group("cond"))
+        elif (m := _M_DELETE_RE.match(part)) is not None:
+            if out["when_matched"] is not None:
+                raise ValueError("catalog_sql: duplicate MATCHED clause")
+            out["when_matched"] = "delete"
+            out["matched_cond"] = _cond(m.group("cond"))
+        elif _NM_INSERT_RE.match(part):
+            if out["insert"]:
+                raise ValueError("catalog_sql: duplicate INSERT clause")
+            out["insert"] = True
+        else:
+            raise ValueError(
+                "catalog_sql: unsupported MERGE clause 'WHEN "
+                + part[:80]
+                + "' (supported: MATCHED THEN UPDATE SET *; MATCHED "
+                "[AND cond] THEN DELETE; NOT MATCHED THEN INSERT *; "
+                "NOT MATCHED BY SOURCE [AND cond] THEN DELETE)"
+            )
+    if out["when_matched"] is None:
+        # insert-only / NMBS-only merges: matched rows pass through —
+        # a DELETE clause whose condition never fires
+        out["when_matched"] = "delete"
+        out["matched_cond"] = "false"
+    return out
 
 
 def catalog_sql(
@@ -549,9 +632,24 @@ def _apply_dml(
                     f"across target/source aliases, got {conj!r}"
                 )
             keys.append(a_col)
-        merge_upsert_manifested(
-            spark, root, src, keys, _table_partition_cols(spark, root), fmt=fmt
+        cl = _parse_merge_clauses(
+            m.group("clauses"), talias, salias
         )
+        if cl["when_matched"] == "update" and cl["insert"] and not cl["nmbs_delete"]:
+            merge_upsert_manifested(
+                spark, root, src, keys,
+                _table_partition_cols(spark, root), fmt=fmt,
+            )
+        else:
+            merge_upsert_manifested(
+                spark, root, src, keys,
+                _table_partition_cols(spark, root), fmt=fmt,
+                when_matched=cl["when_matched"],
+                matched_cond=cl["matched_cond"],
+                insert=cl["insert"],
+                nmbs_delete=cl["nmbs_delete"],
+                nmbs_cond=cl["nmbs_cond"],
+            )
     elif (m := _UPDATE_RE.match(statement)) is not None:
         name = m.group("table")
         root = _resolve(name)
@@ -578,9 +676,11 @@ def _apply_dml(
     else:
         raise ValueError(
             "catalog_sql: unsupported statement (supported: INSERT INTO "
-            "name <query>; MERGE INTO name USING … ON … WHEN MATCHED THEN "
-            "UPDATE SET * WHEN NOT MATCHED THEN INSERT *; UPDATE name SET "
-            "… [WHERE …]; DELETE FROM name WHERE …): "
+            "name <query>; MERGE INTO name USING … ON … with the clause "
+            "family WHEN MATCHED THEN UPDATE SET * | WHEN MATCHED [AND "
+            "cond] THEN DELETE | WHEN NOT MATCHED THEN INSERT * | WHEN "
+            "NOT MATCHED BY SOURCE [AND cond] THEN DELETE; UPDATE name "
+            "SET … [WHERE …]; DELETE FROM name WHERE …): "
             + statement.strip()[:120]
         )
     return name, root

@@ -3744,6 +3744,11 @@ def merge_upsert_manifested(
     fmt: str = "parquet",
     schema_evolution: bool = False,
     stats_inline: bool | None = None,
+    when_matched: str = "update",
+    matched_cond: str | None = None,
+    insert: bool = True,
+    nmbs_delete: bool = False,
+    nmbs_cond: str | None = None,
 ) -> list:
     """MERGE with snapshot-manifest publication: same semantics, scoping,
     and return contract as `tables.merge_upsert_partitioned`, but the
@@ -3774,7 +3779,26 @@ def merge_upsert_manifested(
     snapshot format pays. Driver-side resolution walks at most
     ``_FULL_EVERY`` small files; at 100k+ leaves with range-filtered
     reads, adopt a real table format's file-level manifest pruning."""
-    from etl_demo_spark.ops import merge_upsert
+    from etl_demo_spark.ops import merge_clauses, merge_upsert
+
+    # CLAUSE MODE (Delta/ANSI MERGE beyond the upsert subset): WHEN
+    # MATCHED [AND cond] THEN DELETE / WHEN NOT MATCHED THEN INSERT *
+    # opt-out / WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE —
+    # routed through ops.merge_clauses; the commit machinery (leaf
+    # scoping, staging, stats, OCC rebase) is identical. NMBS widens
+    # the rewrite scope to EVERY target leaf (rows absent from the
+    # source live anywhere — that is what the clause means).
+    clause_mode = (
+        when_matched != "update"
+        or matched_cond is not None
+        or not insert
+        or nmbs_delete
+    )
+    if clause_mode and schema_evolution:
+        raise ValueError(
+            "merge_upsert_manifested: clause merges (DELETE / NOT "
+            "MATCHED BY SOURCE / insert=False) never evolve schema"
+        )
 
     cols = _normalize_partition_cols(partition_cols)
     single = isinstance(partition_cols, str) or len(cols) == 1
@@ -3784,6 +3808,12 @@ def merge_upsert_manifested(
 
     def _attempt(doc, new_version, token):
         mixed = _mixed_spec_guard(doc, cols, "merge_upsert_manifested")
+        if clause_mode and mixed:
+            raise ValueError(
+                "merge_upsert_manifested: clause merges on a mixed-"
+                "generation spec table are not supported — consolidate "
+                "with repartition_manifested first"
+            )
         nonlocal source
         mapping = doc["partitions"]
         prev_schema_json = doc.get("schema")
@@ -3832,7 +3862,28 @@ def merge_upsert_manifested(
             target = source.filter(F.lit(False))
             for c in cols:
                 target = target.withColumn(c, F.col(c).cast("string"))
-        affected = affected_partitions(target, source, keys, cols)
+        delete_only = clause_mode and when_matched == "delete" and not insert
+        if delete_only:
+            # pure-DELETE merge: the source contributes only keys, so
+            # the rewrite scope is the target leaves HOLDING those keys
+            src_keys = source.select(*keys).distinct()
+            affected = [
+                tuple(r)
+                for r in target.join(src_keys, keys, "left_semi")
+                .select(*cols)
+                .distinct()
+                .collect()
+            ]
+        else:
+            affected = affected_partitions(target, source, keys, cols)
+        if nmbs_delete:
+            # NOT MATCHED BY SOURCE touches rows OUTSIDE the source's
+            # key set — every target leaf is in scope
+            every = {
+                tuple(r)
+                for r in target.select(*cols).distinct().collect()
+            }
+            affected = sorted(every | set(affected))
         if not affected:
             return True, [], []
 
@@ -3846,7 +3897,42 @@ def merge_upsert_manifested(
             )
         else:
             scoped = target.filter(_partition_filter(cols, affected))
-        merged = merge_upsert(scoped, source, keys, schema_evolution=schema_evolution)
+        if clause_mode:
+            if delete_only:
+                src_aligned = source.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in scoped.schema.fields
+                        if f.name in keys
+                    ]
+                )
+            else:
+                if set(source.columns) != set(scoped.columns):
+                    missing = sorted(
+                        set(scoped.columns) - set(source.columns)
+                    )
+                    raise ValueError(
+                        "merge_upsert_manifested: clause merges need the "
+                        f"source to carry every table column; missing "
+                        f"{missing}"
+                    )
+                # align types with the scoped read (partition cols were
+                # string-pinned there) so the unions are exact
+                src_aligned = source.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in scoped.schema.fields
+                    ]
+                )
+            merged = merge_clauses(
+                scoped, src_aligned, keys,
+                when_matched=when_matched, matched_cond=matched_cond,
+                insert=insert, nmbs_delete=nmbs_delete, nmbs_cond=nmbs_cond,
+            )
+        else:
+            merged = merge_upsert(
+                scoped, source, keys, schema_evolution=schema_evolution
+            )
         for c in cols:
             merged = merged.withColumn(c, F.col(c).cast("string"))
         if doc.get("change_feed"):
@@ -3949,13 +4035,24 @@ def merge_upsert_manifested(
             # re-reads the affected leaves once; the postimage reuses
             # the PERSISTED merge output, so the merge join itself never
             # re-executes.
-            skeys = source.select(*keys).distinct()
-            pre = scoped.join(skeys, keys, "semi").withColumn(
-                "_change_type", F.lit("delete")
-            )
-            post = merged.join(skeys, keys, "semi").withColumn(
-                "_change_type", F.lit("insert")
-            )
+            if clause_mode:
+                # clause merges can remove rows the source never keyed
+                # (NOT MATCHED BY SOURCE): the sidecar is the EXACT
+                # multiset delta of the affected leaves
+                pre = scoped.exceptAll(merged).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+                post = merged.exceptAll(scoped).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            else:
+                skeys = source.select(*keys).distinct()
+                pre = scoped.join(skeys, keys, "semi").withColumn(
+                    "_change_type", F.lit("delete")
+                )
+                post = merged.join(skeys, keys, "semi").withColumn(
+                    "_change_type", F.lit("insert")
+                )
             change_rels = _stage_change_data(
                 fs, jvm, root, fmt, new_version, token,
                 _to_physical(

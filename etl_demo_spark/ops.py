@@ -671,6 +671,99 @@ def merge_upsert(
     return target.join(renamed, cond, "full_outer").select(*[out(c) for c in carried])
 
 
+def merge_clauses(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    when_matched: str = "update",
+    matched_cond: str | None = None,
+    insert: bool = True,
+    nmbs_delete: bool = False,
+    nmbs_cond: str | None = None,
+) -> DataFrame:
+    """FULL-shape MERGE row combine — the clause family `merge_upsert`'s
+    upsert-only subset cannot express (Delta/ANSI MERGE):
+
+      WHEN MATCHED [AND cond] THEN DELETE       (when_matched="delete")
+      WHEN MATCHED THEN UPDATE SET *            (when_matched="update")
+      WHEN NOT MATCHED THEN INSERT *            (insert=True)
+      WHEN NOT MATCHED BY SOURCE [AND cond]
+        THEN DELETE                             (nmbs_delete=True)
+
+    Conditions are SQL boolean expressions over TARGET columns; a NULL
+    condition never deletes (coalesced to false). The combine is pure
+    key-join algebra: matched/unmatched splits are two semi/anti joins
+    per side, every branch unions back by name — one co-keyed shuffle
+    family, exchange-free when both sides are bucketed on the key.
+    Source schemas must match the target exactly (clause merges never
+    evolve schema) and duplicate source keys are refused — two clauses
+    claiming one target row is non-deterministic by definition."""
+    if when_matched not in ("update", "delete"):
+        raise ValueError(
+            f"merge_clauses: when_matched must be update|delete, got "
+            f"{when_matched!r}"
+        )
+    delete_only = when_matched == "delete" and not insert
+    if delete_only:
+        # a pure-DELETE merge consumes only the source's KEYS — the
+        # natural CDC-tombstone shape ("delete these ids")
+        missing = [k for k in keys if k not in source.columns]
+        if missing:
+            raise ValueError(
+                f"merge_clauses: source lacks key columns {missing}"
+            )
+        src = source.select(*keys)
+    elif set(target.columns) != set(source.columns):
+        raise ValueError(
+            "merge_clauses: source schema must match the target exactly "
+            f"(target {sorted(target.columns)}, source "
+            f"{sorted(source.columns)}) — clause merges never evolve schema"
+        )
+    else:
+        src = source.select(*target.columns)
+    if matched_cond is not None and when_matched != "delete":
+        raise ValueError(
+            "merge_clauses: a MATCHED condition is only supported on "
+            "DELETE (conditional UPDATE would need a keep-else branch "
+            "the SET * shape cannot express)"
+        )
+    if src.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count():
+        raise ValueError(
+            "merge_clauses: duplicate source keys — two source rows "
+            "claiming one target row is non-deterministic; dedupe the "
+            "source first"
+        )
+    skeys = src.select(*keys).distinct()
+    tkeys = target.select(*keys).distinct()
+    matched_t = target.join(skeys, keys, "semi")
+    unmatched_t = target.join(skeys, keys, "anti")
+    parts: list[DataFrame] = []
+    if when_matched == "delete":
+        mc = (
+            F.coalesce(F.expr(matched_cond), F.lit(False))
+            if matched_cond
+            else F.lit(True)
+        )
+        parts.append(matched_t.filter(~mc))
+    else:  # update set *: matched target rows replaced by source rows
+        parts.append(src.join(tkeys, keys, "semi"))
+    if nmbs_delete:
+        nc = (
+            F.coalesce(F.expr(nmbs_cond), F.lit(False))
+            if nmbs_cond
+            else F.lit(True)
+        )
+        parts.append(unmatched_t.filter(~nc))
+    else:
+        parts.append(unmatched_t)
+    if insert:
+        parts.append(src.join(tkeys, keys, "anti"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def scd2_apply(
     history: DataFrame,
     changes: DataFrame,

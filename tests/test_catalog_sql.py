@@ -106,12 +106,13 @@ def test_unsupported_and_unknown_raise(spark, cat):
         catalog_sql(spark, cat, "DELETE FROM nope WHERE 1=1")
     with pytest.raises(ValueError, match="every table column"):
         catalog_sql(spark, cat, "INSERT INTO orders (ok) SELECT 1")
-    # partial merge shapes are refused, not silently half-applied
-    with pytest.raises(ValueError, match="unsupported statement"):
+    # malformed merge clauses are refused, not silently half-applied
+    # (MATCHED THEN DELETE itself is supported since round 10)
+    with pytest.raises(ValueError, match="unsupported MERGE clause"):
         catalog_sql(
             spark, cat,
             "MERGE INTO orders t USING feed s ON t.ok = s.ok "
-            "WHEN MATCHED THEN DELETE",
+            "WHEN MATCHED THEN EXPLODE",
         )
 
 
@@ -203,3 +204,85 @@ def test_txn_empty_refused(spark, cat):
 
     with pytest.raises(ValueError, match="empty statement list"):
         catalog_sql_txn(spark, cat, [])
+
+
+def test_merge_when_matched_delete(spark, cat):
+    """Round-10 clause family: WHEN MATCHED THEN DELETE removes exactly
+    the source-keyed rows; WHEN NOT MATCHED THEN INSERT * still lands
+    the new keys — one atomic commit + pin flip."""
+    from etl_demo_spark.io.catalog import catalog_sql
+
+    catalog_sql(
+        spark, cat,
+        "MERGE INTO orders t USING feed s ON t.ok = s.ok "
+        "WHEN MATCHED THEN DELETE "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    got = _rows(spark)
+    assert (2, "B", 20.0, "2026-01") not in got, "matched key not deleted"
+    assert (4, "C", 40.0, "2026-02") in got, "unmatched source not inserted"
+    assert {(1, "A", 10.0, "2026-01"), (3, "A", 30.0, "2026-02")} <= got
+
+
+def test_merge_matched_delete_with_condition(spark, cat):
+    """WHEN MATCHED AND cond THEN DELETE: the condition scopes the
+    delete to target rows where it is TRUE; NULL/false survive."""
+    from etl_demo_spark.io.catalog import catalog_sql
+
+    catalog_sql(
+        spark, cat,
+        "MERGE INTO orders t USING (SELECT 1 AS ok UNION ALL SELECT 2) s "
+        "ON t.ok = s.ok "
+        "WHEN MATCHED AND t.price < 15 THEN DELETE",
+    )
+    got = _rows(spark)
+    assert (1, "A", 10.0, "2026-01") not in got, "cond-true row survived"
+    assert (2, "B", 20.0, "2026-01") in got, "cond-false row deleted"
+    assert (3, "A", 30.0, "2026-02") in got
+
+
+def test_merge_not_matched_by_source_delete_syncs(spark, cat):
+    """UPDATE SET * + INSERT * + NOT MATCHED BY SOURCE DELETE = full
+    snapshot sync: after the statement the target IS the source."""
+    from etl_demo_spark.io.catalog import catalog_sql, catalog_snapshot
+
+    catalog_sql(
+        spark, cat,
+        "MERGE INTO orders t USING feed s ON t.ok = s.ok "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    got = _rows(spark)
+    assert got == {
+        (4, "C", 40.0, "2026-02"),
+        (2, "B", 25.0, "2026-01"),
+    }, got
+    # time travel still serves the pre-sync state
+    pre = catalog_snapshot(spark, cat, version=1).read("orders")
+    assert pre.count() == 3
+
+
+def test_merge_insert_only_and_refusals(spark, cat):
+    from etl_demo_spark.io.catalog import catalog_sql
+
+    catalog_sql(
+        spark, cat,
+        "MERGE INTO orders t USING feed s ON t.ok = s.ok "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    got = _rows(spark)
+    assert (4, "C", 40.0, "2026-02") in got
+    assert (2, "B", 20.0, "2026-01") in got, "matched row must pass through"
+    with pytest.raises(ValueError, match="unsupported MERGE clause"):
+        catalog_sql(
+            spark, cat,
+            "MERGE INTO orders t USING feed s ON t.ok = s.ok "
+            "WHEN MATCHED THEN UPDATE SET price = 0",
+        )
+    with pytest.raises(ValueError, match="TARGET columns only"):
+        catalog_sql(
+            spark, cat,
+            "MERGE INTO orders t USING feed s ON t.ok = s.ok "
+            "WHEN MATCHED AND s.price > 0 THEN DELETE",
+        )

@@ -421,3 +421,50 @@ def test_catalog_stream_delivers_pin_maps(spark, tmp_path):
         1: {"ta": 1},
         2: {"ta": 2},
     }
+
+
+def test_clause_merge_cdf_is_exact_delta_incl_nmbs(spark, cdf_root):
+    """Round-10 clause merges on a change_feed table: the CDF sidecar is
+    the EXACT multiset delta — including rows removed by NOT MATCHED BY
+    SOURCE, which the per-source-key preimage of the upsert path could
+    never see. Applying the events to the pre-state reproduces the
+    post-state."""
+    import etl_demo_spark.io.manifest as m
+
+    table = f"{cdf_root}/t12"
+    write_manifested(
+        _rows(spark, range(0, 4)), table, "part", change_feed=True
+    )
+    # full sync to {1 (updated), 9 (new)}: update+insert+NMBS delete
+    src = spark.createDataFrame(
+        [(1, "a", 9.0), (9, "a", 5.0)], "id BIGINT, part STRING, val DOUBLE"
+    )
+    m.merge_upsert_manifested(
+        spark, table, src, ["id"], "part",
+        when_matched="update", insert=True, nmbs_delete=True,
+    )
+    live = {(r["id"], r["val"]) for r in m.read_manifested(spark, table).collect()}
+    assert live == {(1, 9.0), (9, 5.0)}, live
+    ev = m.read_change_events(spark, table, 1, 2)
+    pre = m.read_manifested(spark, table, version=1)
+    applied = pre.unionByName(
+        ev.filter("_change_type = 'insert'").drop("_change_type")
+    ).exceptAll(ev.filter("_change_type = 'delete'").drop("_change_type"))
+    post = m.read_manifested(spark, table)
+    assert applied.exceptAll(post).count() == 0
+    assert post.exceptAll(applied).count() == 0
+    # the NMBS deletes (ids 0,2,3) ARE in the sidecar
+    dels = {r["id"] for r in ev.filter("_change_type = 'delete'").collect()}
+    assert {0, 2, 3} <= dels, dels
+
+    # pure-DELETE merge with a key-only source (CDC tombstones)
+    m.merge_upsert_manifested(
+        spark, table,
+        spark.createDataFrame([(9,)], "id BIGINT"),
+        ["id"], "part", when_matched="delete", insert=False,
+    )
+    assert {r["id"] for r in m.read_manifested(spark, table).collect()} == {1}
+    ev2 = m.read_change_events(spark, table, 2, 3)
+    assert {(r["id"], r["_change_type"]) for r in ev2.collect()} == {
+        (9, "delete")
+    }

@@ -762,3 +762,43 @@ def test_gap_fill_interpolate_linear_and_locf(spark):
 
     with pytest.raises(ValueError, match="unknown method"):
         gap_fill_interpolate(df, ["k"], "bucket", "v", method="spline")
+
+
+def test_merge_clauses_edges(spark):
+    """ops.merge_clauses edge semantics: NULL conditions never delete,
+    duplicate source keys refuse, insert=False keeps matched rows under
+    update semantics replaced but adds nothing."""
+    import pytest as _pytest
+
+    from etl_demo_spark.ops import merge_clauses
+
+    t = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "k INT, v DOUBLE"
+    )
+    s = spark.createDataFrame([(2, 99.0), (4, 40.0)], "k INT, v DOUBLE")
+    # NULL cond (v > 20 over v=NULL) must NOT delete row 2
+    out = {
+        tuple(r)
+        for r in merge_clauses(
+            t, s, ["k"], when_matched="delete", matched_cond="v > 20",
+            insert=False,
+        ).collect()
+    }
+    assert out == {(1, 10.0), (2, None), (3, 30.0)}
+    # update without insert: matched replaced, nothing added
+    out = {
+        tuple(r)
+        for r in merge_clauses(t, s, ["k"], insert=False).collect()
+    }
+    assert out == {(1, 10.0), (2, 99.0), (3, 30.0)}
+    # NMBS with condition deletes only cond-true unmatched rows
+    out = {
+        tuple(r)
+        for r in merge_clauses(
+            t, s, ["k"], nmbs_delete=True, nmbs_cond="v >= 30",
+        ).collect()
+    }
+    assert out == {(1, 10.0), (2, 99.0), (4, 40.0)}
+    dup = spark.createDataFrame([(2, 1.0), (2, 2.0)], "k INT, v DOUBLE")
+    with _pytest.raises(ValueError, match="duplicate source keys"):
+        merge_clauses(t, dup, ["k"])
