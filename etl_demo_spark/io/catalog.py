@@ -523,11 +523,16 @@ def catalog_sql(
       list, when given, must name every table column — appends never
       evolve schema.
     * ``MERGE INTO t [AS a] USING (<subquery>)|view [AS b] ON a.k = b.k
-      [AND …] WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
-      INSERT *`` — the upsert shape, routed through
-      `merge_upsert_manifested` with the ON-clause equality columns as
-      keys. (Conditional WHEN clauses are not resolved here — use the
-      DataFrame API for bespoke merge logic.)
+      [AND …] <clauses>`` — the FULL clause family (round 10), routed
+      through `merge_upsert_manifested` with the ON-clause equality
+      columns as keys: ``WHEN MATCHED THEN UPDATE SET *``, ``WHEN
+      MATCHED [AND cond] THEN DELETE`` (conditions over TARGET columns;
+      pure-DELETE merges accept key-only sources — the CDC tombstone
+      shape), ``WHEN NOT MATCHED THEN INSERT *`` (optional), and ``WHEN
+      NOT MATCHED BY SOURCE [AND cond] THEN DELETE`` (snapshot-sync —
+      rewrites every target leaf, which is what the clause means).
+      Column-level ``UPDATE SET c = expr`` inside MERGE remains
+      unsupported — use the UPDATE statement or the DataFrame API.
     * ``UPDATE t SET c = expr[, …] [WHERE pred]`` →
       `update_where_manifested`.
     * ``DELETE FROM t WHERE pred`` → `delete_where_manifested`.
