@@ -10632,6 +10632,96 @@ def stream_csv_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_csv_cdc",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_insert,
+           CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_delete,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                - SUM(CASE WHEN event_id % 3 = 0
+                           THEN CAST(value AS DECIMAL(18,4))
+                           ELSE CAST(0 AS DECIMAL(18,4)) END)
+                AS DOUBLE) AS net_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_csv_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV CHANGE-DATA SIDECARS STREAM (round 10, closing the last csv
+    carve-out): headerless csv sidecar files carry no schema, so the
+    commit records the sidecar's exact column order
+    (``change_data.cols`` — `io/manifest.py _stage_change_data`) and
+    the stream reader re-types each recorded column from the stored
+    schema (`io/table_stream.py _load_table`). A DELETE on a csv
+    change_feed table then rides through as typed CDC delete rows —
+    value-parity certified by the oracle: the feed's insert multiset is
+    v1's full load, its delete multiset is exactly the predicate's
+    rows, and net_value (inserts − deletes) equals the live table. The
+    in-query assert pins feed-vs-batch convergence.
+
+    Reference anchor: none (the reference rewrites outputs whole,
+    etl_weekly_trades.py:134-156) — north-star X-10 CDC surface."""
+    import tempfile
+
+    from etl_demo_spark.io.manifest import (
+        delete_where_manifested,
+        read_manifested,
+        write_manifested,
+    )
+    from etl_demo_spark.io.table_stream import register_table_stream_source
+
+    register_table_stream_source(spark)
+    (ev,) = _t(spark, sf_dir, "events")
+    src = ev.select("event_id", "user_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="stream_csv_cdc_")
+    table, sink, ck = f"{root}/events_csv", f"{root}/sink", f"{root}/ck"
+    write_manifested(
+        src, table, "event_type", fmt="csv", change_feed=True
+    )  # v1
+    delete_where_manifested(
+        spark, table, F.col("event_id") % 3 == 0, "event_type", fmt="csv"
+    )  # v2: delete commit -> csv change sidecar
+
+    q = (
+        spark.readStream.format("tablestream")
+        .option("path", table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    feed = spark.read.parquet(sink)
+    body = feed.drop("_commit_version")
+    ins = body.filter("_change_type = 'insert'").drop("_change_type")
+    dels = body.filter("_change_type = 'delete'").drop("_change_type")
+    # applying the feed converges to the live table (typed, multiset)
+    batch = read_manifested(spark, table, "csv").select(*ins.columns)
+    net = ins.exceptAll(dels)
+    assert net.exceptAll(batch).count() == 0
+    assert batch.exceptAll(net).count() == 0, "feed/batch divergence"
+    return feed.groupBy("event_type").agg(
+        F.sum(F.when(F.col("_change_type") == "insert", 1).otherwise(0))
+        .cast("long")
+        .alias("n_insert"),
+        F.sum(F.when(F.col("_change_type") == "delete", 1).otherwise(0))
+        .cast("long")
+        .alias("n_delete"),
+        F.sum(
+            F.when(
+                F.col("_change_type") == "insert",
+                F.col("value").cast("decimal(18,4)"),
+            ).otherwise(-F.col("value").cast("decimal(18,4)"))
+        )
+        .cast("double")
+        .alias("net_value"),
+    )
+
+
+@query(
     "orders_tagged_release",
     oracle="""
     SELECT o_orderpriority,
@@ -11773,6 +11863,125 @@ def events_spec_evolution_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts") < F.lit(datetime.datetime(2024, 1, 6))
     )
     assert pruned.filter(pred).count() == got.filter(pred).count()
+
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+@query(
+    "events_spec_evolution_maintenance",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT event_id, event_type, value FROM events
+      UNION ALL
+      SELECT event_id, event_type, value FROM events WHERE event_id % 5 = 0
+    )
+    WHERE event_id % 7 <> 0 AND event_id % 13 <> 0
+    GROUP BY event_type
+    """,
+)
+def events_spec_evolution_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MAINTENANCE ON A MIXED-GENERATION TABLE (round 10, closing the
+    consolidation-first requirement): after a metadata-only spec
+    evolution, the whole-leaf maintenance trio no longer demands a
+    full-table `repartition_manifested` first —
+
+    * DV DELETE (`delete_rows_manifested`) is positional (file, pos):
+      zero bytes rewritten on EITHER generation;
+    * KEY ERASURE (`delete_keys_manifested`) is leaf-scoped like the
+      DML trio: old-generation leaves holding a matched key rewrite
+      whole into the CURRENT spec, untouched old leaves stay
+      byte-identical;
+    * OPTIMIZE (`compact_manifested`, min_files=1) doubles as
+      PROGRESSIVE MIGRATION: every compacted old-generation leaf is
+      re-keyed into the current spec (and the pass materializes the
+      DVs), so the table converges leaf by leaf — Iceberg's
+      rewrite_data_files posture.
+
+    The chain runs DV delete -> erasure -> full-migration compact on an
+    evolved events table carrying a year-shifted append; in-query
+    asserts pin zero-byte DV deletes, erased old leaves leaving the
+    snapshot, and the post-compact snapshot holding only current-spec
+    leaves with the spec history intact. The oracle replays the
+    surviving multiset from the base parquet — a hash match certifies
+    no row was lost, duplicated, or resurrected across the three
+    maintenance commits.
+
+    Reference anchor: the reference rewrites its whole output per run
+    (etl_weekly_trades.py:134-156) — north-star lakehouse surface."""
+    import glob
+    import os
+    import tempfile
+
+    import etl_demo_spark.io.manifest as m
+
+    (ev,) = _t(spark, sf_dir, "events")
+    src = ev.select("event_id", "ts", "user_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="spec_maint_") + "/events"
+    m.write_manifested(src, root, partition_transforms={"p_day": "days(ts)"})
+    m.alter_partition_spec(
+        spark, root, {"p_month": "months(ts)", "p_b": "bucket(8, user_id)"}
+    )
+    late = src.filter(F.col("event_id") % 5 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 365 DAYS")
+    )
+    m.append_manifested(spark, root, late)
+    n_total = src.count() + late.count()
+
+    # 1) DV delete spanning both generations: zero data bytes moved
+    pre_files = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{root}/p_*/**/*.parquet", recursive=True)
+    }
+    n_dv = m.delete_rows_manifested(spark, root, F.col("event_id") % 7 == 0)
+    assert n_dv > 0
+    after_dv = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{root}/p_*/**/*.parquet", recursive=True)
+    }
+    assert after_dv == pre_files, "DV delete must rewrite no data file"
+    assert m.read_manifested(spark, root).count() == n_total - n_dv
+
+    # 2) key erasure, leaf-scoped across generations
+    keys = (
+        src.filter(
+            (F.col("event_id") % 13 == 0) & (F.col("event_id") % 7 != 0)
+        )
+        .select("event_id")
+        .distinct()
+    )
+    m.delete_keys_manifested(
+        spark, root, keys, ["event_id"], ["p_month", "p_b"]
+    )
+    survivors = m.read_manifested(spark, root)
+    assert (
+        survivors.filter(
+            (F.col("event_id") % 7 == 0) | (F.col("event_id") % 13 == 0)
+        ).count()
+        == 0
+    )
+
+    # 3) OPTIMIZE as progressive migration: every old-generation leaf
+    # re-keys into the current spec; DVs materialize
+    m.compact_manifested(spark, root, min_files=1)
+    fs, jvm = m._hadoop_fs(spark, root)
+    doc = m._load_doc(fs, jvm, root)
+    assert not any(r.startswith("p_day=") for r in doc["partitions"]), (
+        "compact must migrate old-generation leaves to the current spec"
+    )
+    assert not doc.get("leaf_spec")
+    assert doc.get("partition_specs"), "spec history survives"
+    got = m.read_manifested(spark, root)
+    assert got.count() == survivors.count()
 
     return got.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

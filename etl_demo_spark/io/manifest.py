@@ -942,10 +942,17 @@ def _rebase_conflict(base: dict, head: dict, new_doc: dict) -> str | None:
     if loser_dv and winner_dv:
         return "both sides moved the deletion-vector sidecar"
     lay_b = base.get("files_manifests") is not None
-    if (head.get("files_manifests") is not None) != lay_b or (
-        new_doc.get("files_manifests") is not None
-    ) != lay_b:
-        return "stats layout changed concurrently"
+    if (new_doc.get("files_manifests") is not None) != lay_b:
+        # the TRANSACTION is (or carries) a layout convert — re-running
+        # it against the new head is metadata-only and cheap
+        return "transaction changes the stats layout"
+    if (head.get("files_manifests") is not None) != lay_b:
+        if lay_b:
+            return "stats layout changed concurrently (split → embedded)"
+        # the winner was `convert_to_split_stats` (embedded → split, no
+        # leaf footprint): the loser's staged EMBEDDED stats entries are
+        # translated into per-leaf stats files at publish
+        # (`_convert_stats_on_rebase`) — the data race stays zero-restage
     t = _leaf_changes(base, new_doc)
     w = _leaf_changes(base, head)
     for rel in set(t) & set(w):
@@ -1015,6 +1022,23 @@ def _rebase_doc(base: dict, head: dict, new_doc: dict) -> dict:
     # entries for its touched leaves (embedded entries travel in the
     # doc; split-layout pointers reference stats files already on disk)
     t = _structural_touched(base, new_doc)
+    if head.get("files_manifests") is not None and base.get(
+        "files_manifests"
+    ) is None:
+        # winner flipped embedded → split (CONVERT): follow the head's
+        # layout; the loser's embedded entries for its touched leaves
+        # become per-leaf stats files in `_convert_stats_on_rebase`
+        out.pop("files", None)
+        out["files_manifests"] = {
+            r: f
+            for r, f in (head.get("files_manifests") or {}).items()
+            if r in parts
+        }
+        if "operation" in new_doc:
+            out["operation"] = new_doc["operation"]
+        if "change_data" in new_doc:
+            out["change_data"] = new_doc["change_data"]
+        return out
     if new_doc.get("files") is not None or head.get("files") is not None:
         live = set(parts.values())
         for vs in extras.values():
@@ -1093,6 +1117,51 @@ def _merge_split_stats(
     out["files_manifests"] = fm
 
 
+def _convert_stats_on_rebase(
+    fs, jvm, root: str, base: dict, head: dict, new_doc: dict, out: dict
+) -> None:
+    """Cross-LAYOUT stats translation: the winner was a
+    `convert_to_split_stats` (embedded → split, zero leaf footprint)
+    and the loser staged a data commit whose stats are EMBEDDED entries
+    in its doc. For each leaf the loser touched, union the head's
+    converted stats file (base entries) with the loser's embedded
+    entries, filter to the merged snapshot's live vrels, and point the
+    rebased commit at a NEW stats file — the racing data commit lands
+    zero-restage and the table stays split. O(touched leaves)."""
+    if (
+        base.get("files_manifests") is not None
+        or head.get("files_manifests") is None
+        or new_doc.get("files") is None
+    ):
+        return
+    t = _leaf_changes(base, new_doc)
+    parts = out.get("partitions", {})
+    live = set(parts.values())
+    for vs in (out.get("extra_vrels") or {}).values():
+        live.update(vs)
+    head_fm = head.get("files_manifests") or {}
+    fm = dict(out.get("files_manifests") or {})
+    token = uuid.uuid4().hex[:8]
+    for leaf in sorted(set(t) & set(parts)):
+        entries: dict = {}
+        if head_fm.get(leaf) is not None:
+            entries.update(_read_leaf_stats(fs, jvm, root, head_fm[leaf]))
+        entries.update(
+            {
+                p: st
+                for p, st in new_doc["files"].items()
+                if p.rsplit("/", 2)[0] == leaf
+            }
+        )
+        entries = {
+            p: st for p, st in entries.items() if p.rsplit("/", 1)[0] in live
+        }
+        fname = _split_leaf_fname(out["version"], token, leaf)
+        _write_leaf_stats(fs, jvm, root, fname, entries)
+        fm[leaf] = fname
+    out["files_manifests"] = fm
+
+
 def _rebase_publish(fs, jvm, root: str, base: dict, new_doc: dict) -> bool:
     """Try to land a lost transaction WITHOUT re-staging: classify vs
     the current head; if conflict-free, three-way merge and CAS. Loops
@@ -1107,6 +1176,7 @@ def _rebase_publish(fs, jvm, root: str, base: dict, new_doc: dict) -> bool:
             return False
         out = _rebase_doc(base, head, new_doc)
         _merge_split_stats(fs, jvm, root, base, head, new_doc, out)
+        _convert_stats_on_rebase(fs, jvm, root, base, head, new_doc, out)
         if _publish_cas(
             fs,
             jvm,
@@ -2620,6 +2690,10 @@ def _stage_change_data(
         f"{root.rstrip('/')}/{rel}"
     )
     new_doc["change_data"] = {"rel": rel}
+    if fmt == "csv":
+        # csv files carry no header/schema: record the sidecar's exact
+        # column ORDER in the commit so readers can reconstruct it
+        new_doc["change_data"]["cols"] = list(changes.columns)
     return [rel]
 
 
@@ -3068,12 +3142,21 @@ def compact_manifested(
     _clean_stale_staging(fs, jvm, roots)
 
     def _attempt(doc, new_version, token):
-        _require_single_spec(doc, "compact_manifested")
+        mixed = bool(doc.get("partition_specs"))
         mapping = doc["partitions"]
         if not mapping:
             return True, [], []
-        # partition columns from any leaf rel: 'dt=d1/seg=A' → ['dt','seg']
-        cols = [seg.split("=", 1)[0] for seg in next(iter(mapping)).split("/")]
+        if mixed:
+            # spec-EVOLVED table: outputs land under the CURRENT spec —
+            # OPTIMIZE doubles as progressive migration (each compacted
+            # old-generation leaf is re-keyed whole; the table converges
+            # to the current layout leaf by leaf, no full-table rewrite)
+            cols = list(doc.get("partition_transforms") or {})
+        else:
+            # partition columns from any leaf rel: 'dt=d1/seg=A' → ['dt','seg']
+            cols = [
+                seg.split("=", 1)[0] for seg in next(iter(mapping)).split("/")
+            ]
 
         # per-leaf file inventory through the manifest (current versions
         # only, APPEND extras included — a leaf accreting append vrels
@@ -3101,12 +3184,56 @@ def compact_manifested(
         keep = [v for v in _list_manifest_versions(fs, jvm, roots)][-_RETAIN:]
         _gc(fs, jvm, roots, keep)
 
-        values = [tuple(rel_to) for rel_to in (
-            tuple(seg.split("=", 1)[1] for seg in rel.split("/")) for rel in to_compact
-        )]
-        scoped = read_manifested(
-            spark, roots, fmt, pin_partition_strings=True, partition_cols=cols
-        ).filter(_partition_filter(cols, values))
+        old_scope: list[str] = []
+        if mixed:
+            leaf_spec = doc.get("leaf_spec") or {}
+            cur_id = len(doc["partition_specs"]) - 1
+            old_tc = sorted(
+                r
+                for r in to_compact
+                if int(leaf_spec.get(r, cur_id)) != cur_id
+            )
+            cur_tc = [r for r in to_compact if r not in set(old_tc)]
+            tloc = _located_with_leaf(spark, roots, fmt, cols)
+            affected0 = [
+                tuple(seg.split("=", 1)[1] for seg in rel.split("/"))
+                for rel in cur_tc
+            ]
+            touched = tloc.filter(
+                F.col("__leaf").isin(old_tc) if old_tc else F.lit(False)
+            )
+            values, old_scope, scoped = _mixed_dml_scope(
+                doc, cols, tloc, affected0, touched
+            )
+            # a fully-DV-deleted old leaf contributes no rows but must
+            # still be materialized out of the snapshot
+            old_scope = sorted(set(old_scope) | set(old_tc))
+            # shard sizing: a compacted current leaf keeps its measured
+            # bytes; re-keyed rows from old-generation leaves spread
+            # across the affected current leaves — estimated uniformly
+            # (sizing only; correctness is unaffected)
+            extra = sum(stats[r][1] for r in old_tc) // max(1, len(values))
+            to_compact = {
+                _part_rel(cols, v): max(
+                    1,
+                    -(
+                        -(stats.get(_part_rel(cols, v), (0, 0))[1] + extra)
+                        // target_file_bytes
+                    ),
+                )
+                for v in values
+            }
+            values = [
+                tuple(seg.split("=", 1)[1] for seg in rel.split("/"))
+                for rel in to_compact
+            ]
+        else:
+            values = [tuple(rel_to) for rel_to in (
+                tuple(seg.split("=", 1)[1] for seg in rel.split("/")) for rel in to_compact
+            )]
+            scoped = read_manifested(
+                spark, roots, fmt, pin_partition_strings=True, partition_cols=cols
+            ).filter(_partition_filter(cols, values))
         shards = spark.createDataFrame(
             [tuple(v) + (n,) for v, n in zip(values, to_compact.values())],
             ", ".join(f"{c} STRING" for c in cols) + ", __n_shards INT",
@@ -3176,9 +3303,13 @@ def compact_manifested(
             fs.rename(staged, jvm.org.apache.hadoop.fs.Path(f"{roots}/{vrel}"))
             new_mapping[rel] = vrel
             staged_vrels.append(vrel)
+        for rel in old_scope:  # re-keyed into the current spec above
+            new_mapping.pop(rel, None)
         fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
         new_doc = {"version": new_version, "partitions": new_mapping}
+        if mixed:
+            _prune_leaf_spec(doc, new_doc)
         if doc.get("schema") is not None:
             new_doc["schema"] = doc["schema"]
         _carry_mapping(doc, new_doc)
@@ -3199,7 +3330,7 @@ def compact_manifested(
             _manifest_path(roots, new_version),
             _encode_commit(doc, new_doc),
         )
-        return ok, staged_vrels, sorted(to_compact), new_doc
+        return ok, staged_vrels, sorted(set(to_compact) | set(old_scope)), new_doc
 
     return _commit_retry(fs, jvm, roots, _attempt)
 
@@ -3657,6 +3788,10 @@ def delete_keys_manifested(
     deletion becomes visible in one atomic pointer commit — a racing
     reader sees the table entirely before or entirely after the erasure,
     which is exactly the auditability a right-to-erasure job wants.
+    On a spec-EVOLVED (mixed-generation) table the erasure is
+    leaf-scoped like the DML trio: old-generation leaves holding a
+    matched key are rewritten whole, re-keyed into the CURRENT spec;
+    untouched leaves of every generation stay byte-identical.
     Retention note: the superseded version subdirs (still holding the
     deleted rows) survive until a later commit's GC — run a follow-up
     commit (or trim retention) when erasure must become physical."""
@@ -3667,30 +3802,38 @@ def delete_keys_manifested(
     _clean_stale_staging(fs, jvm, root)
 
     def _attempt(doc, new_version, token):
-        _require_single_spec(doc, "delete_keys_manifested")
+        mixed = _mixed_spec_guard(doc, cols, "delete_keys_manifested")
         mapping = doc["partitions"]
         keep = [v for v in _list_manifest_versions(fs, jvm, root)][-_RETAIN:]
         _gc(fs, jvm, root, keep)
         if not mapping:
             return True, [], []
 
-        target = read_manifested(
-            spark, root, fmt, pin_partition_strings=True, partition_cols=cols
-        )
+        if mixed:
+            tloc = _located_with_leaf(spark, root, fmt, cols)
+            target = tloc.drop("__leaf")
+        else:
+            tloc = None
+            target = read_manifested(
+                spark, root, fmt, pin_partition_strings=True,
+                partition_cols=cols,
+            )
         key_set = keys_df.select(*keys).distinct()
+        touched = (tloc if mixed else target).join(key_set, keys, "left_semi")
         affected = [
-            tuple(r)
-            for r in target.join(key_set, keys, "left_semi")
-            .select(*cols)
-            .distinct()
-            .collect()
+            tuple(r) for r in touched.select(*cols).distinct().collect()
         ]
         if not affected:
             return True, [], []
 
-        remaining = target.filter(_partition_filter(cols, affected)).join(
-            key_set, keys, "left_anti"
-        )
+        old_scope: list[str] = []
+        if mixed:
+            affected, old_scope, scoped = _mixed_dml_scope(
+                doc, cols, tloc, affected, touched
+            )
+        else:
+            scoped = target.filter(_partition_filter(cols, affected))
+        remaining = scoped.join(key_set, keys, "left_anti")
         for c in cols:
             remaining = remaining.withColumn(c, F.col(c).cast("string"))
         staging = f"{root}.__manifest_staging__{token}"
@@ -3712,9 +3855,13 @@ def delete_keys_manifested(
                 staged_vrels.append(vrel)
             else:  # every row deleted — the leaf leaves the snapshot
                 new_mapping.pop(rel, None)
+        for rel in old_scope:  # re-keyed into the current spec above
+            new_mapping.pop(rel, None)
         fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
 
         new_doc = {"version": new_version, "partitions": new_mapping}
+        if mixed:
+            _prune_leaf_spec(doc, new_doc)
         if doc.get("schema") is not None:
             new_doc["schema"] = doc["schema"]  # deletion never changes schema
         _carry_mapping(doc, new_doc)
@@ -4906,22 +5053,6 @@ _WIDEN_OK = {
 }
 
 
-def _require_single_spec(doc: dict, op: str) -> None:
-    """Whole-leaf maintenance committers (compact, repartition-adjacent
-    paths, key erasure, DV delete) refuse spec-EVOLVED tables: their
-    leaf handling parses partition columns from one leaf's path and
-    assumes every leaf shares that shape. The DML trio (MERGE / DELETE
-    WHERE / UPDATE WHERE) handles mixed generations leaf-scoped — see
-    `_mixed_spec_guard` — as do appends and reads."""
-    if doc.get("partition_specs"):
-        raise ValueError(
-            f"{op}: {len(doc['partition_specs'])}-spec table (partition "
-            "spec was evolved) — leaf rewrites across mixed layouts are "
-            "not supported here; repartition_manifested to the current "
-            "spec first, or operate before evolving"
-        )
-
-
 def _mixed_spec_guard(doc: dict, cols: list[str], op: str) -> bool:
     """True when ``doc`` is a spec-EVOLVED (mixed-generation) table and
     the DML may proceed leaf-scoped. The caller must operate in the
@@ -5041,10 +5172,14 @@ def alter_partition_spec(
 
     Only PURE-TRANSFORM tables evolve (every partition directory column
     is transform-derived; source columns live in the files — nothing is
-    lost when the directory shape changes). Leaf-REWRITING DML on a
-    mixed-generation table is refused until a `repartition_manifested`
-    consolidates to the current spec (which also clears the history).
-    Returns the committed version."""
+    lost when the directory shape changes). On the mixed-generation
+    table that results, the DML trio (MERGE / DELETE WHERE / UPDATE
+    WHERE), key erasure, and OPTIMIZE are all LEAF-SCOPED: touched
+    old-generation leaves are rewritten whole into the CURRENT spec
+    (compaction thereby doubles as progressive migration), and DV
+    deletes are positional so they never cared; a
+    `repartition_manifested` still consolidates eagerly and clears the
+    history. Returns the committed version."""
     for dcol, spec in new_transforms.items():
         _parse_transform(spec)
         if not dcol or "=" in dcol or "/" in dcol:
@@ -6064,7 +6199,10 @@ def _delete_dv(
     _clean_stale_staging(fs, jvm, root)
 
     def _attempt(doc, new_version, token):
-        _require_single_spec(doc, "dv delete")
+        # no spec guard: deletion vectors are POSITIONAL (file_rel, pos)
+        # — no leaf is rewritten, so a mixed-generation table is fine;
+        # the location-bearing read re-derives every generation's
+        # columns, so matchers on derived columns work across specs
         mapping = doc["partitions"]
         keep = [v for v in _list_manifest_versions(fs, jvm, root)][-_RETAIN:]
         _gc(fs, jvm, root, keep)

@@ -280,6 +280,9 @@ class _FilePartition(InputPartition):
     commit_version: int
     change_file: bool = False  # file carries its own _change_type column
     dv_pos: tuple[int, ...] | None = None  # DV-deleted row indexes to drop
+    # csv sidecars only: the commit-recorded column order (csv files
+    # carry no schema of their own)
+    change_cols: tuple[str, ...] | None = None
 
 
 @dataclass
@@ -856,9 +859,13 @@ class TableStreamReader(DataSourceStreamReader):
                 # rel=None (compaction/repartition) is a row no-op: the
                 # stream glides through maintenance.
                 if ch.get("rel"):
+                    ccols = tuple(ch.get("cols") or ()) or None
                     for f in _data_files(self._root, ch["rel"], self._fs_spec, self._fmt):
                         parts.append(
-                            _FilePartition(f, "", v, change_file=True)
+                            _FilePartition(
+                                f, "", v, change_file=True,
+                                change_cols=ccols,
+                            )
                         )
                 prev = cur
                 continue
@@ -959,16 +966,6 @@ class TableStreamReader(DataSourceStreamReader):
                     unexpected_field_behavior="ignore",
                 ),
             )
-        if partition.change_file:
-            # a csv change sidecar has no header and no per-file schema,
-            # so its column ORDER is not recoverable — refuse instead of
-            # guessing rows into the wrong columns
-            raise ValueError(
-                "tablestream: change-data sidecars on csv tables are not "
-                "streamable (csv files carry no schema); create the "
-                "change_feed table as parquet/orc/json, or stream "
-                "without the feed"
-            )
         import pyarrow.csv as pacsv
 
         def read_csv_cols(cols):
@@ -980,6 +977,30 @@ class TableStreamReader(DataSourceStreamReader):
                 convert_options=pacsv.ConvertOptions(
                     column_types=dict(cols)
                 ),
+            )
+
+        if partition.change_file:
+            if not partition.change_cols:
+                # a pre-round-10 commit: no recorded column order, and a
+                # headerless csv's order is not recoverable — refuse
+                # instead of guessing rows into the wrong columns
+                raise ValueError(
+                    "tablestream: this csv change-data sidecar predates "
+                    "column-order recording (change_data.cols) — its "
+                    "column order is not recoverable; start the stream "
+                    "past this commit, or re-create the feed"
+                )
+            # the commit recorded the sidecar's exact column order;
+            # types come from the stored schema by physical name
+            # (partition values ride INLINE in sidecars, string-cast at
+            # write — the csv parser re-types them here)
+            types = {
+                self._mapping.get(f.name, f.name): to_arrow_type(f.dataType)
+                for f in self._schema.fields
+            }
+            types["_change_type"] = pa.string()
+            return read_csv_cols(
+                [(n, types.get(n, pa.string())) for n in partition.change_cols]
             )
 
         try:

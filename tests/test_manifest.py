@@ -1780,10 +1780,15 @@ def test_rebase_conflict_classifier_units():
     base_fm = {**base, "files_manifests": {"a": "s0", "b": "s2"}}
     new2_fm = {**new2, "files_manifests": {"a": "s3", "b": "s2"}}
     assert _rebase_conflict(base_fm, head_fm, new2_fm) is None
-    # ... but a stats-LAYOUT flip racing a data commit conflicts: the
-    # three-way doc merge has no meaning across a layout change
+    # a transaction that ITSELF flips the stats layout re-runs (cheap,
+    # metadata-only), and a split → embedded head flip has no merge —
+    # but an embedded-base data commit racing a CONVERT winner is
+    # mergeable: the publish translates its embedded entries into
+    # per-leaf stats files (`_convert_stats_on_rebase`)
     assert "layout" in _rebase_conflict(base_fm, head_fm, new2)
-    assert "layout" in _rebase_conflict(base, head_fm, new2)
+    assert _rebase_conflict(base, head_fm, new2) is None
+    # the loser IS the convert: its doc flips the layout -> re-run
+    assert "layout" in _rebase_conflict(base, head, new2_fm)
     # same-leaf rewrite vs append: conflict
     head_rw = {**base, "version": 2, "partitions": {"a": "a/v2", "b": "b/v1"}}
     assert "overlap" in _rebase_conflict(base, head_rw, new2)

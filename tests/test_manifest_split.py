@@ -418,3 +418,109 @@ def test_split_same_leaf_append_race_rebases_and_merges_stats(
     for p, st in recomputed.items():
         got = {k: v for k, v in entries[p].items() if not k.startswith("__bloom")}
         assert got == st, (p, got, st)
+
+
+def test_append_racing_convert_rebases_without_restage(
+    spark, tmp_path, monkeypatch
+):
+    """An embedded-stats data commit losing the CAS race to a
+    `convert_to_split_stats` winner lands by REBASE: its staged files
+    are reused byte-for-byte and its embedded stats entries are
+    translated into per-leaf stats files — the layout migration never
+    forces an ingest re-run."""
+    import etl_demo_spark.io.manifest as m
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, stats_split=False)  # v1: embedded stats
+    real_publish = m._publish_cas
+    state = {"injected": False, "staged": None}
+
+    def racing(fs, jvm, p, data):
+        if not state["injected"]:
+            state["injected"] = True
+            state["staged"] = {
+                f: (os.path.getsize(f), os.path.getmtime(f))
+                for f in glob.glob(f"{path}/dt=*/__v*/*.parquet")
+            }
+            assert m.convert_to_split_stats(spark, path) == 2
+        return real_publish(fs, jvm, p, data)
+
+    monkeypatch.setattr(m, "_publish_cas", racing)
+    base_stats = dict(m.occ_stats)
+    src = spark.createDataFrame(
+        [(100000, "1", 7), (100001, "7", 8)], "id BIGINT, dt STRING, v BIGINT"
+    )
+    m.append_manifested(spark, path, src)  # dt=1 exists, dt=7 brand new
+    assert m.occ_stats["cas_lost"] == base_stats["cas_lost"] + 1
+    assert m.occ_stats["rebased"] == base_stats["rebased"] + 1
+    assert m.occ_stats["reran"] == base_stats["reran"]
+
+    # zero restage: every staged byte survived the race untouched
+    after = {
+        f: (os.path.getsize(f), os.path.getmtime(f))
+        for f in glob.glob(f"{path}/dt=*/__v*/*.parquet")
+    }
+    for f, sig in state["staged"].items():
+        assert after.get(f) == sig, f"staged file churned: {f}"
+
+    fs, jvm = m._hadoop_fs(spark, path)
+    doc = m._load_doc(fs, jvm, path)
+    assert doc["version"] == 3
+    assert doc.get("operation") == "APPEND"
+    # the merged snapshot is SPLIT — embedded entries are gone, and the
+    # loser's touched leaves (incl. the brand-new dt=7) have pointers
+    assert "files" not in doc
+    fm = doc["files_manifests"]
+    assert set(fm) == set(doc["partitions"])
+    got = m.read_manifested(spark, path)
+    assert got.count() == 4002
+    assert got.filter("id = 100001").count() == 1
+    # the appended rows' stats (incl. bloom) survived the translation:
+    # a point probe prunes to exactly the appended file
+    pr = m.read_manifested(spark, path, prune_points={"id": 100000})
+    assert pr.filter("id = 100000").count() == 1
+    assert len(pr.inputFiles()) == 1
+    # untouched leaves keep the winner's converted stats files verbatim
+    conv = m._resolve_doc(fs, jvm, path, 2)["files_manifests"]
+    for rel in set(conv) - {"dt=1", "dt=7"}:
+        assert fm[rel] == conv[rel]
+
+
+def test_convert_losing_race_to_append_reruns_cheaply(
+    spark, tmp_path, monkeypatch
+):
+    """The mirror race: the CONVERT itself loses to a data commit. A
+    layout flip has no three-way merge, so it re-runs — acceptable
+    because a convert is metadata-only — and the converted table covers
+    the winner's rows."""
+    import etl_demo_spark.io.manifest as m
+
+    path = str(tmp_path / "t")
+    _mk(spark, path, stats_split=False)  # v1: embedded stats
+    real_publish = m._publish_cas
+    state = {"injected": False}
+
+    def racing(fs, jvm, p, data):
+        if not state["injected"]:
+            state["injected"] = True
+            m.append_manifested(
+                spark,
+                path,
+                spark.createDataFrame(
+                    [(200000, "2", 9)], "id BIGINT, dt STRING, v BIGINT"
+                ),
+            )
+        return real_publish(fs, jvm, p, data)
+
+    monkeypatch.setattr(m, "_publish_cas", racing)
+    base_stats = dict(m.occ_stats)
+    v = m.convert_to_split_stats(spark, path)
+    assert v == 3  # append won v2, convert re-ran and landed v3
+    assert m.occ_stats["reran"] == base_stats["reran"] + 1
+    fs, jvm = m._hadoop_fs(spark, path)
+    doc = m._load_doc(fs, jvm, path)
+    assert "files" not in doc and set(doc["files_manifests"]) == set(
+        doc["partitions"]
+    )
+    pr = m.read_manifested(spark, path, prune_points={"id": 200000})
+    assert pr.filter("id = 200000").count() == 1

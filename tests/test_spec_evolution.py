@@ -149,9 +149,6 @@ def test_rewrites_refused_until_repartition_consolidates(spark, evolved):
             ["event_id"],
             ["p_day"],
         )
-    # whole-leaf maintenance ops still require consolidation
-    with pytest.raises(ValueError, match="spec was evolved"):
-        m.compact_manifested(spark, root)
     # consolidation escape hatch: rewrite to a classic layout clears
     # the evolution history and re-enables every committer
     m.repartition_manifested(spark, root, ["user_id"])
@@ -305,3 +302,116 @@ def test_mixed_generation_merge_emits_cdf(spark, tmp_path):
     }
     assert by_type == {("delete", 5): 5.0, ("insert", 5): 999.0}, by_type
     assert m.read_manifested(spark, root).count() == 8
+
+def test_mixed_generation_compact_skips_old_leaves_without_duplication(
+    spark, tmp_path
+):
+    """OPTIMIZE on a mixed table compacts the qualifying CURRENT-spec
+    leaves without pulling rows out of old-generation leaves (a naive
+    value-filter would duplicate them: every generation's derived
+    columns re-derive on all rows)."""
+    root = str(tmp_path / "mixc")
+    # single-file old leaves (repartition(1) -> one task per write)
+    m.write_manifested(
+        _events(spark, 0, 40).repartition(1), root,
+        partition_transforms={"p_day": "days(ts)"},
+    )
+    m.alter_partition_spec(
+        spark, root, {"p_month": "months(ts)", "p_b": "bucket(4, user_id)"}
+    )
+    # two appends -> current-gen leaves accrete 2 files each
+    m.append_manifested(spark, root, _events(spark, 40, 80).repartition(1))
+    m.append_manifested(spark, root, _events(spark, 80, 88).repartition(1))
+    pre = _old_leaf_files(root)
+    compacted = m.compact_manifested(spark, root, min_files=2)
+    assert compacted and all(r.startswith("p_month=") for r in compacted)
+    got = m.read_manifested(spark, root)
+    assert got.count() == 88
+    assert got.select("event_id").distinct().count() == 88
+    assert got.agg(F.sum("event_id")).first()[0] == sum(range(88))
+    assert _old_leaf_files(root) == pre, "old-generation leaves churned"
+
+
+def test_mixed_generation_compact_migrates_old_leaves_to_current_spec(
+    spark, evolved
+):
+    """min_files=1 compacts every leaf: old-generation leaves are
+    re-keyed whole into the current spec — OPTIMIZE doubles as
+    progressive migration, converging the table without a dedicated
+    full-table rewrite."""
+    root, _, _ = evolved
+    compacted = m.compact_manifested(spark, root, min_files=1)
+    assert any(r.startswith("p_day=") for r in compacted)
+    fs, jvm = m._hadoop_fs(spark, root)
+    doc = m._load_doc(fs, jvm, root)
+    assert not any(r.startswith("p_day=") for r in doc["partitions"])
+    assert not doc.get("leaf_spec"), "all leaves on the current spec now"
+    assert doc.get("partition_specs"), "history survives (schema keeps p_day)"
+    got = m.read_manifested(spark, root)
+    assert got.count() == 80
+    assert got.agg(F.sum("event_id")).first()[0] == sum(range(80))
+    # the old generation's derived column still re-derives
+    assert got.filter(F.col("p_day").isNull()).count() == 0
+    # source-column pruning still works after full migration
+    pruned = m.read_manifested(
+        spark, root, prune_source={"user_id": 3}
+    )
+    assert (
+        pruned.filter(F.col("user_id") == 3).count()
+        == got.filter(F.col("user_id") == 3).count()
+        > 0
+    )
+
+
+def test_mixed_generation_delete_keys_erasure(spark, evolved):
+    """Right-to-erasure on a mixed table: old-generation leaves holding
+    a matched key are rewritten whole into the current spec; untouched
+    old leaves stay byte-identical."""
+    root, _, _ = evolved
+    pre = _old_leaf_files(root)
+    # event 14 (hour 84 -> Jan 4) in an old leaf; event 55 in a new one
+    keys = spark.createDataFrame([(14,), (55,)], "event_id BIGINT")
+    m.delete_keys_manifested(
+        spark, root, keys, ["event_id"], ["p_month", "p_b"]
+    )
+    got = m.read_manifested(spark, root)
+    assert got.count() == 78
+    assert got.filter(F.col("event_id").isin(14, 55)).count() == 0
+    # survivors of the touched old leaf (12, 13, 15) re-keyed, not lost
+    assert got.filter(F.col("event_id").isin(12, 13, 15)).count() == 3
+    after = _old_leaf_files(root)
+    touched_leaf = f"{root}/p_day=2024-01-04"
+    for f, sig in pre.items():
+        if not f.startswith(touched_leaf):
+            assert after.get(f) == sig, f"untouched old leaf churned: {f}"
+    fs, jvm = m._hadoop_fs(spark, root)
+    assert "p_day=2024-01-04" not in m._load_doc(fs, jvm, root)["partitions"]
+
+
+def test_mixed_generation_dv_delete_is_positional(spark, evolved):
+    """Deletion vectors never rewrite a leaf, so they work unchanged on
+    a mixed-generation table — including predicates on derived columns
+    of EITHER generation — and compaction later materializes them."""
+    root, pre_files, _ = evolved
+    n = m.delete_rows_manifested(
+        spark, root, F.col("event_id").isin(3, 44)
+    )
+    assert n == 2
+    got = m.read_manifested(spark, root)
+    assert got.count() == 78
+    assert got.filter(F.col("event_id").isin(3, 44)).count() == 0
+    # zero data bytes moved: every old-generation file untouched
+    assert _old_leaf_files(root) == pre_files
+    # a predicate on an OLD generation's derived column matches rows
+    # re-derived across the whole table
+    n2 = m.delete_rows_manifested(
+        spark, root, F.col("p_day") == "2024-01-08"
+    )
+    assert n2 == 4  # events 28..31
+    assert m.read_manifested(spark, root).count() == 74
+    # compaction (migration pass) materializes the DVs
+    m.compact_manifested(spark, root, min_files=1)
+    fs, jvm = m._hadoop_fs(spark, root)
+    doc = m._load_doc(fs, jvm, root)
+    assert m.read_manifested(spark, root).count() == 74
+    assert not any(r.startswith("p_day=") for r in doc["partitions"])

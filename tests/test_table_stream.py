@@ -689,9 +689,10 @@ def test_non_parquet_tables_stream_with_value_parity(spark, ts_env, fmt):
     assert got.filter("_commit_version = 3").count() == 1
 
 
-def test_csv_change_feed_sidecar_refuses_loudly(spark, ts_env):
-    """CSV carries no per-file schema, so a change sidecar's column
-    order is unrecoverable — the stream must refuse, never guess."""
+def test_csv_change_feed_sidecar_streams_with_recorded_cols(spark, ts_env):
+    """CSV carries no per-file schema, so the commit records the
+    sidecar's exact column order (change_data.cols) — csv change feeds
+    then stream with full typed parity, like json/parquet."""
     table = f"{ts_env}/t18"
     sink, ck = f"{ts_env}/t18_sink", f"{ts_env}/t18_ck"
     write_manifested(
@@ -702,7 +703,42 @@ def test_csv_change_feed_sidecar_refuses_loudly(spark, ts_env):
     delete_where_manifested(
         spark, table, F.col("id") >= 2, "part", fmt="csv"
     )
-    with pytest.raises(Exception, match="csv|STREAM_FAILED"):
+    got = _drain(spark, table, sink, ck)
+    dels = got.filter("_change_type = 'delete'")
+    assert dels.count() == 2
+    # typed parity through the headerless round-trip, partition value
+    # re-typed from the inline sidecar column
+    vals = {r["id"]: (r["val"], r["part"]) for r in dels.collect()}
+    assert vals == {2: (3.0, "a"), 3: (4.5, "a")}
+    assert dict(got.dtypes)["id"] == "bigint"
+    assert dict(got.dtypes)["val"] == "double"
+
+
+def test_csv_sidecar_without_recorded_cols_refuses_loudly(spark, ts_env):
+    """A pre-recording csv sidecar commit (no change_data.cols) has an
+    unrecoverable column order — the stream must refuse, never guess."""
+    import json as _json
+
+    import etl_demo_spark.io.manifest as m
+
+    table = f"{ts_env}/t18b"
+    sink, ck = f"{ts_env}/t18b_sink", f"{ts_env}/t18b_ck"
+    write_manifested(
+        _mk_rows(spark, range(0, 4)), table, "part",
+        fmt="csv", change_feed=True,
+    )
+    _drain(spark, table, sink, ck)
+    v = 2
+    delete_where_manifested(
+        spark, table, F.col("id") >= 2, "part", fmt="csv"
+    )
+    # simulate a legacy commit: strip the recorded column order
+    mp = m._manifest_path(table, v)
+    raw = _json.loads(open(mp, "rb").read())
+    assert raw["change_data"].pop("cols", None) is not None
+    with open(mp, "w") as fh:
+        _json.dump(raw, fh)
+    with pytest.raises(Exception, match="cols|STREAM_FAILED"):
         _drain(spark, table, sink, ck)
 
 
