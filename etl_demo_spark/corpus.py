@@ -10722,6 +10722,109 @@ def stream_csv_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "erasure_tombstone_cdc",
+    oracle="""
+    SELECT 'insert' AS _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+           CAST(COUNT(value) AS BIGINT) AS n_payload
+    FROM events
+    UNION ALL
+    SELECT 'delete' AS _change_type,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+           CAST(0 AS BIGINT) AS n_payload
+    FROM events WHERE event_id % 9 = 0
+    """,
+)
+def erasure_tombstone_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-ERASURE THAT CASCADES (round 10,
+    `delete_keys_dv_manifested(tombstones=True)`): the GDPR dilemma is
+    that an erasure must propagate to downstream replicas, but copying
+    the doomed rows into a change sidecar would itself replicate the
+    data being erased. The redacted-tombstone sidecar resolves it:
+    delete rows carry ONLY the key columns — every payload column NULL
+    — so a CDC consumer cascades the deletion BY KEY while the sidecar
+    contains nothing worth erasing (Debezium's tombstone-record shape).
+
+    The feed's delete rows are asserted payload-free in-query (both in
+    the delivered stream and in the raw sidecar files on disk), and the
+    replica that anti-joins the tombstone keys converges to the live
+    table. The oracle pins the exact multiset: inserts = the full v1
+    load with non-null payloads, deletes = one keys-only row per erased
+    key with zero non-null payloads — a hash match certifies redaction
+    AND cascade correctness together.
+
+    Reference anchor: none (the reference rewrites outputs whole,
+    etl_weekly_trades.py:134-156) — north-star X-10/GDPR surface."""
+    import tempfile
+
+    from etl_demo_spark.io.manifest import (
+        _hadoop_fs,
+        _load_raw,
+        delete_keys_dv_manifested,
+        read_manifested,
+        write_manifested,
+    )
+    from etl_demo_spark.io.table_stream import register_table_stream_source
+
+    register_table_stream_source(spark)
+    (ev,) = _t(spark, sf_dir, "events")
+    src = ev.select("event_id", "user_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="erasure_cdc_")
+    table, sink, ck = f"{root}/events", f"{root}/sink", f"{root}/ck"
+    write_manifested(src, table, "event_type", change_feed=True)  # v1
+    keys = (
+        src.filter(F.col("event_id") % 9 == 0).select("event_id").distinct()
+    )
+    delete_keys_dv_manifested(
+        spark, table, keys, ["event_id"], tombstones=True
+    )  # v2: DV erasure + redacted sidecar
+
+    q = (
+        spark.readStream.format("tablestream")
+        .option("path", table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    feed = spark.read.parquet(sink)
+    dels = feed.filter("_change_type = 'delete'")
+    # redaction: no payload byte in the delivered feed or the sidecar
+    assert (
+        dels.filter(
+            F.col("value").isNotNull()
+            | F.col("user_id").isNotNull()
+            | F.col("event_type").isNotNull()
+        ).count()
+        == 0
+    )
+    fs, jvm = _hadoop_fs(spark, table)
+    ch = _load_raw(fs, jvm, table, 2).get("change_data")
+    assert ch and ch.get("rel")
+    side = spark.read.parquet(f"{table}/{ch['rel']}")
+    assert side.filter(F.col("value").isNotNull()).count() == 0
+    # cascade: replica applying tombstone KEYS converges to the table
+    ins = feed.filter("_change_type = 'insert'").drop(
+        "_change_type", "_commit_version"
+    )
+    rep = ins.join(dels.select("event_id").distinct(), "event_id", "left_anti")
+    tbl = read_manifested(spark, table).select(*ins.columns)
+    assert rep.exceptAll(tbl).count() == 0
+    assert tbl.exceptAll(rep).count() == 0
+
+    return feed.groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.count("value").alias("n_payload"),
+    )
+
+
+@query(
     "orders_tagged_release",
     oracle="""
     SELECT o_orderpriority,

@@ -3780,6 +3780,7 @@ def delete_keys_manifested(
     keys: list[str],
     partition_cols,
     fmt: str = "parquet",
+    tombstones: bool = False,
 ) -> list:
     """DELETE-by-key with snapshot-manifest publication: the manifested
     twin of `tables.delete_keys_partitioned`. New version subdirs are
@@ -3792,6 +3793,10 @@ def delete_keys_manifested(
     leaf-scoped like the DML trio: old-generation leaves holding a
     matched key are rewritten whole, re-keyed into the CURRENT spec;
     untouched leaves of every generation stay byte-identical.
+    ``tombstones=True`` (change_feed tables): stage a REDACTED change
+    sidecar — keys-only delete rows, every other column NULL — so the
+    erasure cascades through CDC without replicating erased payload
+    (default False: no change data; streams apply on_rewrite).
     Retention note: the superseded version subdirs (still holding the
     deleted rows) survive until a later commit's GC — run a follow-up
     commit (or trim retention) when erasure must become physical."""
@@ -3870,6 +3875,14 @@ def delete_keys_manifested(
         _carry_extras(doc, new_doc)
         _attach_stats(spark, fmt, root, doc, new_doc, staged_vrels, token)
         new_doc["operation"] = "DELETE"
+        change_rels: list[str] = []
+        if tombstones and doc.get("change_feed"):
+            tomb = _redacted_tombstones(doc, touched, keys)
+            change_rels = _stage_change_data(
+                fs, jvm, root, fmt, new_version, token,
+                _to_physical(tomb, doc.get("column_mapping")),
+                new_doc,
+            )
         ok = _publish_cas(
             fs,
             jvm,
@@ -3877,7 +3890,7 @@ def delete_keys_manifested(
             _encode_commit(doc, new_doc),
         )
         result = [values[0] for values in affected] if single else affected
-        return ok, staged_vrels, result, new_doc
+        return ok, staged_vrels + change_rels, result, new_doc
 
     return _commit_retry(fs, jvm, root, _attempt)
 
@@ -6160,6 +6173,7 @@ def delete_keys_dv_manifested(
     keys_df: DataFrame,
     keys: list[str],
     fmt: str = "parquet",
+    tombstones: bool = False,
 ) -> int:
     """DELETE-by-key via deletion vectors — the merge-on-read twin of
     `delete_keys_manifested`: matched keys' row positions land in the DV
@@ -6170,18 +6184,53 @@ def delete_keys_dv_manifested(
     twin's: deleted bytes live in the data files until a compaction
     materializes the DVs (then normal retention GC applies) — for
     right-to-erasure, follow with `compact_manifested` + `manifest_expire`.
+
+    ``tombstones=True`` (change_feed tables): stage a REDACTED change
+    sidecar — delete rows carrying ONLY the key columns, every other
+    column NULL — so downstream CDC consumers cascade the erasure by
+    key without the sidecar replicating any erased payload byte. The
+    default (False) emits no change data at all; a stream then treats
+    the commit per its on_rewrite policy.
     Returns the rows newly deleted."""
     key_set = keys_df.select(*keys).distinct()
     # emit_changes=False: this is the ERASURE path — copying the doomed
-    # rows into a change sidecar would defeat right-to-erasure. A stream
-    # tailing the table treats the commit per its on_rewrite policy.
+    # rows into a change sidecar would defeat right-to-erasure. With
+    # tombstones=True a keys-only redacted sidecar is staged instead.
     return _delete_dv(
         spark,
         target_path,
         fmt,
         lambda t: t.join(key_set, keys, "left_semi"),
         emit_changes=False,
+        tombstone_cols=list(keys) if tombstones else None,
     )
+
+
+def _redacted_tombstones(doc: dict, matched, tombstone_cols: list[str]):
+    """Keys-only delete rows in the table's full schema: the matched
+    (still-live) rows' distinct key tuples, every non-key column NULL.
+    The erasure can then CASCADE through the change feed while the
+    sidecar itself contains nothing worth erasing."""
+    if doc.get("schema") is None:
+        raise ValueError(
+            "tombstones=True requires a stored schema (manifest_init/"
+            "write_manifested record one)"
+        )
+    schema = T.StructType.fromJson(json.loads(doc["schema"]))
+    missing = set(tombstone_cols) - {f.name for f in schema.fields}
+    if missing:
+        raise ValueError(f"tombstone key columns not in schema: {missing}")
+    keyd = matched.select(*tombstone_cols).distinct()
+    return keyd.select(
+        *[
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in tombstone_cols
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in schema.fields
+        ]
+    ).withColumn("_change_type", F.lit("delete"))
 
 
 def _delete_dv(
@@ -6190,6 +6239,7 @@ def _delete_dv(
     fmt: str,
     matcher,
     emit_changes: bool = True,
+    tombstone_cols: list[str] | None = None,
 ) -> int:
     """Shared merge-on-read DELETE commit: ``matcher`` narrows the
     location-bearing snapshot read to the doomed rows; everything after
@@ -6277,6 +6327,15 @@ def _delete_dv(
             change_rels = _stage_change_data(
                 fs, jvm, root, fmt, new_version, token,
                 _to_physical(doomed, doc.get("column_mapping")),
+                new_doc,
+            )
+        elif tombstone_cols and doc.get("change_feed"):
+            tomb = _redacted_tombstones(
+                doc, matcher(target), tombstone_cols
+            )
+            change_rels = _stage_change_data(
+                fs, jvm, root, fmt, new_version, token,
+                _to_physical(tomb, doc.get("column_mapping")),
                 new_doc,
             )
         ok = _publish_cas(

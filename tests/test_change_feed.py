@@ -468,3 +468,70 @@ def test_clause_merge_cdf_is_exact_delta_incl_nmbs(spark, cdf_root):
     assert {(r["id"], r["_change_type"]) for r in ev2.collect()} == {
         (9, "delete")
     }
+
+
+def test_erasure_tombstones_cascade_without_payload(spark, cdf_root):
+    """tombstones=True: the GDPR erasure stages a REDACTED change
+    sidecar — delete rows carry only the key columns, every other
+    column NULL — so a downstream replica cascades the deletion by key
+    while the sidecar replicates no erased payload byte."""
+    table = f"{cdf_root}/t10"
+    write_manifested(_rows(spark, range(0, 8)), table, "part", change_feed=True)
+    feed0 = _drain(spark, table, f"{cdf_root}/t10_sink", f"{cdf_root}/t10_ck")
+    assert feed0.count() == 8
+    from etl_demo_spark.io.manifest import delete_keys_manifested
+
+    delete_keys_dv_manifested(
+        spark, table,
+        spark.createDataFrame([(2,), (5,)], "id BIGINT"), ["id"],
+        tombstones=True,
+    )  # v2: DV erasure + redacted sidecar
+    delete_keys_manifested(
+        spark, table,
+        spark.createDataFrame([(7,)], "id BIGINT"), ["id"], "part",
+        tombstones=True,
+    )  # v3: COW erasure + redacted sidecar
+    feed = _drain(spark, table, f"{cdf_root}/t10_sink", f"{cdf_root}/t10_ck")
+    dels = feed.filter("_change_type = 'delete'")
+    assert {r["id"] for r in dels.collect()} == {2, 5, 7}
+    # REDACTION: every non-key column is NULL in the tombstones
+    assert dels.filter(
+        F.col("part").isNotNull() | F.col("val").isNotNull()
+    ).count() == 0
+    # and no erased value survives anywhere in the sidecar files
+    import json as _json
+
+    import etl_demo_spark.io.manifest as m
+
+    fs, jvm = m._hadoop_fs(spark, table)
+    for v in (2, 3):
+        ch = m._load_raw(fs, jvm, table, v).get("change_data")
+        assert ch and ch.get("rel"), "erasure must have staged a sidecar"
+        side = spark.read.parquet(f"{table}/{ch['rel']}")
+        assert side.filter(F.col("val").isNotNull()).count() == 0
+    # downstream cascade: delete-by-key applied to the replica converges
+    body = feed.drop("_commit_version")
+    ins = body.filter("_change_type = 'insert'").drop("_change_type")
+    del_keys = dels.select("id").distinct()
+    rep = ins.join(del_keys, "id", "left_anti")
+    tbl = read_manifested(spark, table)
+    assert rep.exceptAll(tbl).count() == 0
+    assert tbl.exceptAll(rep).count() == 0
+
+
+def test_erasure_tombstones_require_change_feed_silently_skip(spark, cdf_root):
+    """tombstones on a NON-change-feed table are a no-op (there is no
+    feed to cascade through) — the erasure itself still lands."""
+    table = f"{cdf_root}/t11"
+    write_manifested(_rows(spark, range(0, 4)), table, "part")
+    n = delete_keys_dv_manifested(
+        spark, table,
+        spark.createDataFrame([(1,)], "id BIGINT"), ["id"],
+        tombstones=True,
+    )
+    assert n == 1
+    import etl_demo_spark.io.manifest as m
+
+    fs, jvm = m._hadoop_fs(spark, table)
+    assert m._load_raw(fs, jvm, table, 2).get("change_data") is None
+    assert read_manifested(spark, table).count() == 3
