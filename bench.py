@@ -902,6 +902,80 @@ def _bench_dv_delete(spark, sf_dir: str) -> dict:
     return out
 
 
+def _bench_mor_update(spark, sf_dir: str) -> dict:
+    """Write-amplification A/B for UPDATE on the manifest layer: the
+    same ~1% assignment executed copy-on-write
+    (`update_where_manifested`, rewrites every affected leaf) vs
+    merge-on-read (`update_rows_manifested`, DV tombstones + postimage
+    append extras). BYTES WRITTEN is the cluster signal — at 100 TB the
+    CoW pass rewrites the touched partitions wholesale while the MoR
+    commit writes positions + the changed rows; identical read-back
+    sums pin value equivalence."""
+    import glob
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_demo_spark.io.manifest import (
+        manifest_init,
+        read_manifested,
+        update_rows_manifested,
+        update_where_manifested,
+    )
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    t = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("string").alias("dt"),
+    )
+    pred = (F.col("o_orderkey") % 100) == 7
+    assign = {"o_totalprice": F.col("o_totalprice") + 1.0}
+
+    def total_bytes(root: str) -> int:
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(f"{root}/**/*", recursive=True)
+            if os.path.isfile(f)
+        )
+
+    out: dict = {}
+    for mode, fn in (
+        ("cow", lambda p: update_where_manifested(spark, p, assign, pred, "dt")),
+        ("mor", lambda p: update_rows_manifested(spark, p, assign, pred)),
+    ):
+        base = tempfile.mkdtemp(prefix=f"bench_upd_{mode}_")
+        root = f"{base}/orders"
+        t.repartition(4).write.partitionBy("dt").parquet(root)
+        manifest_init(spark, root, "dt")
+        before = total_bytes(base)
+        t0 = time.perf_counter()
+        fn(root)
+        out[f"{mode}_seconds"] = round(time.perf_counter() - t0, 3)
+        out[f"{mode}_bytes_written"] = total_bytes(base) - before
+        got = read_manifested(spark, root)
+        out[f"{mode}_rows_after"] = got.count()
+        out[f"{mode}_sum_after"] = float(
+            got.agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            ).first()[0]
+        )
+        shutil.rmtree(base, ignore_errors=True)
+    assert out["cow_rows_after"] == out["mor_rows_after"]
+    assert out["cow_sum_after"] == out["mor_sum_after"]
+    out["write_amplification_cow_over_mor"] = round(
+        out["cow_bytes_written"] / max(1, out["mor_bytes_written"]), 1
+    )
+    out["note"] = (
+        "same ~1% UPDATE, copy-on-write leaf rewrite vs DV+append "
+        "merge-on-read; bytes_written is the cluster signal"
+    )
+    return out
+
+
 def _bench_bucketed_join(spark, sf_dir: str) -> dict:
     """Shuffle-elimination A/B: lineitem ⋈ orders on the order key as a
     plain shuffled sort-merge join vs pre-bucketed catalog tables
@@ -1103,6 +1177,7 @@ def main() -> None:
     payload["stats_skip"] = _bench_stats_skip(spark, sf_dir)
     payload["mv_refresh"] = _bench_mv_refresh(spark, sf_dir)
     payload["dv_delete"] = _bench_dv_delete(spark, sf_dir)
+    payload["mor_update"] = _bench_mor_update(spark, sf_dir)
     payload["append_ingest"] = _bench_append_ingest(spark, sf_dir)
     payload["occ_contention"] = _bench_occ_contention(spark, sf_dir)
     payload["table_stream"] = _bench_table_stream(spark, sf_dir)

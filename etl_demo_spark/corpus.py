@@ -12095,6 +12095,76 @@ def events_spec_evolution_maintenance(
 
 
 @query(
+    "events_update_mor",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_id % 7 = 0
+                         THEN CAST(value + 100.0 AS DECIMAL(18,4))
+                         ELSE CAST(value AS DECIMAL(18,4)) END)
+                AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ UPDATE (round 10, `update_rows_manifested`): the
+    write-amplification fix for point updates — matched rows' physical
+    positions tombstone into the deletion-vector sidecar and their
+    updated images land as APPEND extras, one atomic commit, cost
+    O(changed rows) written. A point update on a 1 GB leaf writes
+    kilobytes instead of rewriting the gigabyte (Delta's DV-powered
+    UPDATE); the next OPTIMIZE materializes and consolidates.
+
+    In-query asserts pin the contract: every pre-existing data file
+    byte-identical (size + mtime) after the update, the commit carries
+    both a DV pointer and append extras, and the read surfaces exactly
+    the updated values. The oracle replays the logical update over the
+    base parquet in exact decimal — a hash match certifies no row
+    lost, duplicated, or double-updated through the DV/extras overlay.
+
+    Reference anchor: the reference rewrites its whole output per run
+    (etl_weekly_trades.py:134-156) — north-star lakehouse surface."""
+    import glob
+    import os
+    import tempfile
+
+    import etl_demo_spark.io.manifest as m
+
+    (ev,) = _t(spark, sf_dir, "events")
+    src = ev.select("event_id", "user_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="mor_update_") + "/events"
+    m.write_manifested(src, root, "event_type", stats_cols=["event_id"])
+    pre = {
+        f: (os.path.getsize(f), os.stat(f).st_mtime_ns)
+        for f in glob.glob(f"{root}/event_type=*/__v*/*.parquet")
+    }
+    assert pre
+    n = m.update_rows_manifested(
+        spark, root, {"value": F.col("value") + 100.0},
+        F.col("event_id") % 7 == 0,
+    )
+    assert n > 0
+    after = {
+        f: (os.path.getsize(f), os.stat(f).st_mtime_ns)
+        for f in glob.glob(f"{root}/event_type=*/__v*/*.parquet")
+    }
+    for f, sig in pre.items():
+        assert after.get(f) == sig, f"MoR update rewrote a data file: {f}"
+    fs, jvm = m._hadoop_fs(spark, root)
+    doc = m._load_doc(fs, jvm, root)
+    assert doc.get("dv") and doc.get("extra_vrels")
+    got = m.read_manifested(spark, root)
+    assert got.count() == src.count()
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+@query(
     "stream_cdc_restore",
     oracle="""
     SELECT event_type,

@@ -6206,6 +6206,200 @@ def delete_keys_dv_manifested(
     )
 
 
+def update_rows_manifested(
+    spark: SparkSession,
+    target_path: str,
+    assignments: dict,
+    predicate,
+    fmt: str = "parquet",
+) -> int:
+    """UPDATE ... WHERE via DELETION VECTORS + APPEND — the
+    merge-on-read twin of `update_where_manifested` (which rewrites
+    every touched leaf copy-on-write). No data file is rewritten: the
+    matched rows' physical positions land in the DV sidecar and their
+    updated images land as APPEND extras of the leaves they (now)
+    belong to — one atomic commit, cost O(changed rows) written.
+    This is Delta's DV-powered UPDATE: a point update on a 1 GB leaf
+    writes kilobytes, not the gigabyte; the leaf's next OPTIMIZE
+    materializes the DVs and consolidates the extras.
+
+    Semantics match the copy-on-write twin: only predicate-TRUE rows
+    update (SQL NULL keeps the row); assignments may reference the old
+    row's columns; an assignment that changes a partition-defining
+    SOURCE column moves the row to its new leaf (possibly brand-new).
+    Works unchanged on spec-EVOLVED tables — deletion is positional on
+    either generation and postimages land under the CURRENT spec.
+    CHECK constraints validate the postimages; on change_feed tables
+    the commit stages the exact preimage-delete + postimage-insert
+    pairs. Returns the rows updated."""
+    root = target_path.rstrip("/")
+    fs, jvm = _hadoop_fs(spark, root)
+    _clean_stale_staging(fs, jvm, root)
+
+    def _attempt(doc, new_version, token):
+        mapping = doc["partitions"]
+        keep = [v for v in _list_manifest_versions(fs, jvm, root)][-_RETAIN:]
+        _gc(fs, jvm, root, keep)
+        if not mapping:
+            return True, [], 0
+
+        transforms = doc.get("partition_transforms") or {}
+        if transforms:
+            cols = list(transforms)
+        else:
+            cols = [
+                seg.split("=", 1)[0] for seg in next(iter(mapping)).split("/")
+            ]
+        target = read_manifested(
+            spark, root, fmt, version=doc["version"], _with_location=True
+        )
+        matched = target.filter(F.coalesce(predicate, F.lit(False)))
+
+        # postimages: assignments applied to the matched rows, derived
+        # partition columns RE-derived from the (possibly updated)
+        # source columns so a moved row lands in its new leaf
+        post = matched.drop("__dv_file", "__dv_pos")
+        for c, expr in assignments.items():
+            if c not in post.columns:
+                raise ValueError(f"update_rows_manifested: no column {c!r}")
+            post = post.withColumn(c, expr)
+        all_specs: dict[str, str] = {}
+        for h in doc.get("partition_specs") or [transforms]:
+            all_specs.update(h)
+        if transforms:
+            if set(assignments) & set(all_specs):
+                raise ValueError(
+                    "update_rows_manifested: assign to SOURCE columns — "
+                    "transform-derived partition columns re-derive"
+                )
+            post = post.drop(*[c for c in all_specs if c in post.columns])
+            for dcol, spec in transforms.items():
+                post = post.withColumn(dcol, _transform_expr(spec, post))
+        _validate_constraints(doc, post, "update_rows_manifested")
+        if doc.get("schema") is not None:
+            schema = T.StructType.fromJson(json.loads(doc["schema"]))
+            order = [f.name for f in schema.fields if f.name in post.columns]
+            post = post.select(*order)
+        for c in cols:
+            post = post.withColumn(c, F.col(c).cast("string"))
+        post = post.persist()
+        try:
+            n_updated = post.count()
+            if n_updated == 0:
+                return True, [], 0
+
+            # 1) tombstone the old positions (same union as _delete_dv)
+            dv_new = matched.select(
+                F.col("__dv_file").alias("file_rel"),
+                F.col("__dv_pos").alias("pos"),
+            )
+            old = doc.get("dv")
+            if old:
+                live_files = spark.createDataFrame(
+                    [(p,) for p in old["files"]], "file_rel STRING"
+                )
+                prev = _load_dv(spark, root, old).join(
+                    F.broadcast(live_files), "file_rel", "left_semi"
+                )
+                all_dv = prev.unionByName(dv_new)
+            else:
+                all_dv = dv_new
+            counts = {
+                r["file_rel"]: r["n"]
+                for r in all_dv.groupBy("file_rel")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            dv_rel = f"{_DV_DIR}/{_vdir(new_version, token)}"
+            nparts = max(1, sum(counts.values()) // 5_000_000)
+            all_dv.repartition(nparts).write.mode("errorifexists").parquet(
+                f"{root}/{dv_rel}"
+            )
+
+            # 2) stage the postimages as append extras
+            cmap = doc.get("column_mapping")
+            staging = f"{root}.__manifest_staging__{token}"
+            _to_physical(post, cmap).write.mode("overwrite").partitionBy(
+                *cols
+            ).format(fmt).save(staging)
+            extras = {
+                r: list(v) for r, v in (doc.get("extra_vrels") or {}).items()
+            }
+            new_mapping = dict(mapping)
+            staged_vrels: list[str] = []
+            stack = [(jvm.org.apache.hadoop.fs.Path(staging), "", 0)]
+            leaves: list[str] = []
+            while stack:
+                path, rel, d = stack.pop()
+                for st in fs.listStatus(path):
+                    name = st.getPath().getName()
+                    if not st.isDirectory() or "=" not in name:
+                        continue
+                    r = f"{rel}/{name}" if rel else name
+                    if d + 1 == len(cols):
+                        leaves.append(r)
+                    else:
+                        stack.append((st.getPath(), r, d + 1))
+            for rel in leaves:
+                vrel = f"{rel}/{_vdir(new_version, token)}"
+                _mkdirs_parent(fs, jvm, f"{root}/{vrel}")
+                fs.rename(
+                    jvm.org.apache.hadoop.fs.Path(f"{staging}/{rel}"),
+                    jvm.org.apache.hadoop.fs.Path(f"{root}/{vrel}"),
+                )
+                if rel in new_mapping:
+                    extras.setdefault(rel, []).append(vrel)
+                else:
+                    new_mapping[rel] = vrel  # row moved to a fresh leaf
+                staged_vrels.append(vrel)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+
+            new_doc = {
+                "version": new_version,
+                "partitions": new_mapping,
+                "dv": {"rel": dv_rel, "files": counts},
+            }
+            if extras:
+                new_doc["extra_vrels"] = extras
+            if doc.get("schema") is not None:
+                new_doc["schema"] = doc["schema"]
+            _carry_mapping(doc, new_doc)
+            _carry_constraints(doc, new_doc)
+            _attach_stats(
+                spark, fmt, root, doc, new_doc, staged_vrels, token,
+                col_mapping=cmap,
+            )
+            new_doc["operation"] = "UPDATE"
+            change_rels: list[str] = []
+            if doc.get("change_feed"):
+                # preimages aligned to the postimage column set (a
+                # spec-evolved read also carries old generations'
+                # derived columns, which the staged shape drops)
+                pre = matched.drop("__dv_file", "__dv_pos").select(
+                    *post.columns
+                )
+                for c in cols:
+                    pre = pre.withColumn(c, F.col(c).cast("string"))
+                changes = pre.withColumn(
+                    "_change_type", F.lit("delete")
+                ).unionByName(
+                    post.withColumn("_change_type", F.lit("insert"))
+                )
+                change_rels = _stage_change_data(
+                    fs, jvm, root, fmt, new_version, token,
+                    _to_physical(changes, cmap), new_doc,
+                )
+            ok = _publish_cas(
+                fs, jvm, _manifest_path(root, new_version),
+                _encode_commit(doc, new_doc),
+            )
+            return ok, [dv_rel] + staged_vrels + change_rels, n_updated, new_doc
+        finally:
+            post.unpersist()
+
+    return _commit_retry(fs, jvm, root, _attempt)
+
+
 def _redacted_tombstones(doc: dict, matched, tombstone_cols: list[str]):
     """Keys-only delete rows in the table's full schema: the matched
     (still-live) rows' distinct key tuples, every non-key column NULL.

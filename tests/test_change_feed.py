@@ -475,9 +475,9 @@ def test_erasure_tombstones_cascade_without_payload(spark, cdf_root):
     sidecar — delete rows carry only the key columns, every other
     column NULL — so a downstream replica cascades the deletion by key
     while the sidecar replicates no erased payload byte."""
-    table = f"{cdf_root}/t10"
+    table = f"{cdf_root}/t20"
     write_manifested(_rows(spark, range(0, 8)), table, "part", change_feed=True)
-    feed0 = _drain(spark, table, f"{cdf_root}/t10_sink", f"{cdf_root}/t10_ck")
+    feed0 = _drain(spark, table, f"{cdf_root}/t20_sink", f"{cdf_root}/t20_ck")
     assert feed0.count() == 8
     from etl_demo_spark.io.manifest import delete_keys_manifested
 
@@ -491,7 +491,7 @@ def test_erasure_tombstones_cascade_without_payload(spark, cdf_root):
         spark.createDataFrame([(7,)], "id BIGINT"), ["id"], "part",
         tombstones=True,
     )  # v3: COW erasure + redacted sidecar
-    feed = _drain(spark, table, f"{cdf_root}/t10_sink", f"{cdf_root}/t10_ck")
+    feed = _drain(spark, table, f"{cdf_root}/t20_sink", f"{cdf_root}/t20_ck")
     dels = feed.filter("_change_type = 'delete'")
     assert {r["id"] for r in dels.collect()} == {2, 5, 7}
     # REDACTION: every non-key column is NULL in the tombstones
@@ -522,7 +522,7 @@ def test_erasure_tombstones_cascade_without_payload(spark, cdf_root):
 def test_erasure_tombstones_require_change_feed_silently_skip(spark, cdf_root):
     """tombstones on a NON-change-feed table are a no-op (there is no
     feed to cascade through) — the erasure itself still lands."""
-    table = f"{cdf_root}/t11"
+    table = f"{cdf_root}/t21"
     write_manifested(_rows(spark, range(0, 4)), table, "part")
     n = delete_keys_dv_manifested(
         spark, table,

@@ -415,3 +415,33 @@ def test_mixed_generation_dv_delete_is_positional(spark, evolved):
     doc = m._load_doc(fs, jvm, root)
     assert m.read_manifested(spark, root).count() == 74
     assert not any(r.startswith("p_day=") for r in doc["partitions"])
+
+
+def test_mixed_generation_mor_update_is_positional(spark, evolved):
+    """Merge-on-read UPDATE on a mixed table: old-generation positions
+    tombstone into the DV, postimages append under the CURRENT spec —
+    zero pre-existing bytes move on either generation."""
+    root, pre_files, _ = evolved
+    n = m.update_rows_manifested(
+        spark, root, {"value": F.col("value") + 500.0},
+        F.col("event_id").isin(6, 66),  # one old-gen row, one new-gen
+    )
+    assert n == 2
+    assert _old_leaf_files(root) == pre_files, "old generation churned"
+    got = m.read_manifested(spark, root)
+    assert got.count() == 80
+    vals = {
+        r["event_id"]: r["value"]
+        for r in got.filter(F.col("event_id").isin(6, 66)).collect()
+    }
+    assert vals == {6: 506.0, 66: 566.0}
+    # the postimages landed under the CURRENT spec (month/bucket leaves)
+    fs, jvm = m._hadoop_fs(spark, root)
+    doc = m._load_doc(fs, jvm, root)
+    new_extras = {
+        r for r, vs in (doc.get("extra_vrels") or {}).items() if vs
+    }
+    assert new_extras and all(r.startswith("p_month=") for r in new_extras)
+    # derived columns of BOTH generations still re-derive on the moved rows
+    row6 = got.filter("event_id = 6").collect()[0]
+    assert str(row6["p_day"]) == "2024-01-02"
