@@ -12165,6 +12165,92 @@ def events_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_merge_mor",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 50 = 0
+                  THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS total
+      FROM orders
+      UNION ALL
+      SELECT o_orderpriority, o_totalprice + 7777.5 AS total
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ MERGE (round 10, `merge_upsert_mor_manifested`):
+    the upsert twin of the MoR UPDATE — matched target rows tombstone
+    positionally into the DV sidecar and EVERY source row (updates and
+    fresh inserts alike) lands as append extras, one atomic commit,
+    O(source rows) written. This is the write path a streaming CDC sink
+    wants per micro-batch (`run_stream_cdc_upsert(upsert_mode="mor")`):
+    the batch is written, never the touched partitions; with
+    delete_mode="dv" the whole feed is rewrite-free between OPTIMIZEs.
+
+    In-query asserts pin byte-identity of every pre-existing data file
+    plus the DV + extras commit shape; the oracle replays the logical
+    upsert (updates overlay, inserts union) in exact decimal — a hash
+    match certifies each key resolved exactly once through the
+    DV/extras overlay with no row lost, duplicated, or stale.
+
+    Reference anchor: the reference rewrites its whole output per run
+    (etl_weekly_trades.py:134-156) — north-star lakehouse surface."""
+    import glob
+    import os
+    import tempfile
+
+    import etl_demo_spark.io.manifest as m
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    root = tempfile.mkdtemp(prefix="mor_merge_") + "/orders"
+    m.write_manifested(src, root, "o_orderpriority", stats_cols=["o_orderkey"])
+    pre = {
+        f: (os.path.getsize(f), os.stat(f).st_mtime_ns)
+        for f in glob.glob(f"{root}/o_orderpriority=*/__v*/*.parquet")
+    }
+    assert pre
+    updates = src.filter(F.col("o_orderkey") % 50 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    inserts = src.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + F.lit(30000000)).alias("o_orderkey"),
+        "o_custkey",
+        (F.col("o_totalprice") + 7777.5).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    n = m.merge_upsert_mor_manifested(
+        spark, root, updates.unionByName(inserts), ["o_orderkey"]
+    )
+    assert n == updates.count() + inserts.count()
+    after = {
+        f: (os.path.getsize(f), os.stat(f).st_mtime_ns)
+        for f in glob.glob(f"{root}/o_orderpriority=*/__v*/*.parquet")
+    }
+    for f, sig in pre.items():
+        assert after.get(f) == sig, f"MoR merge rewrote a data file: {f}"
+    fs, jvm = m._hadoop_fs(spark, root)
+    doc = m._load_doc(fs, jvm, root)
+    assert doc.get("dv") and doc.get("extra_vrels")
+    got = m.read_manifested(spark, root)
+    assert got.count() == src.count() + inserts.count()
+    return got.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@query(
     "stream_cdc_restore",
     oracle="""
     SELECT event_type,

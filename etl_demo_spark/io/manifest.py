@@ -1763,13 +1763,89 @@ def _attach_stats(
     new_doc["files_manifests"] = fm
 
 
+def _dv_rels(dv: dict) -> list[str]:
+    """All chunk rels of a DV pointer. A DV is a CHAIN of position
+    datasets — each DV commit appends a chunk holding only ITS new
+    positions (O(new) written, not O(all deletions so far)); the chain
+    folds into one dataset when it exceeds `_DV_CHUNKS_MAX` (amortized
+    O(1) folds) and rewrites materialize it away. Legacy single-"rel"
+    docs read as a one-chunk chain."""
+    if dv.get("rels") is not None:
+        return list(dv["rels"])
+    return [dv["rel"]]
+
+
+_DV_CHUNKS_MAX = 8
+
+
 def _load_dv(spark: SparkSession, root: str, dv: dict) -> DataFrame:
     """The snapshot's deletion-vector dataset: (file_rel, pos) of every
-    logically deleted row. Explicit schema — the read must never sample
-    footers of a dataset whose shape is a contract."""
+    logically deleted row — the union of the pointer's chunk chain.
+    Explicit schema — the read must never sample footers of a dataset
+    whose shape is a contract. Chunks may carry STALE rows for files a
+    later rewrite dropped (rewrites prune COUNTS, not chunk bytes); the
+    read-side anti-join never matches them, and a fold drops them."""
     return spark.read.schema(_DV_SCHEMA).parquet(
-        f"{root.rstrip('/')}/{dv['rel']}"
+        *[f"{root.rstrip('/')}/{r}" for r in _dv_rels(dv)]
     )
+
+
+def _dv_commit(
+    spark: SparkSession, fs, jvm, root: str, doc: dict,
+    new_version: int, token: str, dv_new: DataFrame,
+) -> tuple[dict | None, list[str], int]:
+    """Shared DV-append step of every merge-on-read committer: write the
+    NEW deletion positions as ONE chunk chained onto the snapshot's
+    existing chain, folding the chain into a single dataset (filtered
+    to live counts' files — stale rows drop) when it exceeds
+    `_DV_CHUNKS_MAX`. Returns (dv_doc, staged_rels, n_new); n_new == 0
+    means nothing was written and the caller should no-op. Cost is
+    O(new positions) per commit + an amortized fold — a long-lived CDC
+    feed's per-batch DV cost no longer grows with deletions-so-far."""
+    new_counts = {
+        r["file_rel"]: r["n"]
+        for r in dv_new.groupBy("file_rel")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_new = sum(new_counts.values())
+    old = doc.get("dv")
+    if n_new == 0:
+        return old, [], 0
+    merged = dict(old["files"]) if old else {}
+    for p, n in new_counts.items():
+        merged[p] = merged.get(p, 0) + n
+    chunk = f"{_DV_DIR}/{_vdir(new_version, token)}"
+    nparts = max(1, n_new // 5_000_000)
+    dv_new.repartition(nparts).write.mode("errorifexists").parquet(
+        f"{root}/{chunk}"
+    )
+    rels = (_dv_rels(old) if old else []) + [chunk]
+    staged = [chunk]
+    if len(rels) > _DV_CHUNKS_MAX:
+        # fold: one read of the whole chain, restricted to the files the
+        # merged counts still track (stale rows from rewritten files
+        # drop here), one write — every chunk becomes GC-able
+        keep = spark.createDataFrame(
+            [(p,) for p in merged], "file_rel STRING"
+        )
+        folded = (
+            spark.read.schema(_DV_SCHEMA)
+            .parquet(*[f"{root}/{r}" for r in rels])
+            .join(F.broadcast(keep), "file_rel", "left_semi")
+        )
+        fold_rel = f"{_DV_DIR}/{_vdir(new_version, token + 'f')}"
+        folded.repartition(
+            max(1, sum(merged.values()) // 5_000_000)
+        ).write.mode("errorifexists").parquet(f"{root}/{fold_rel}")
+        rels = [fold_rel]
+        staged.append(fold_rel)
+    dv_doc = (
+        {"rel": rels[0], "files": merged}
+        if len(rels) == 1
+        else {"rels": rels, "files": merged}
+    )
+    return dv_doc, staged, n_new
 
 
 def _attach_location(spark: SparkSession, df: DataFrame, root: str) -> DataFrame:
@@ -1826,7 +1902,10 @@ def _carry_dv(doc: dict, new_doc: dict) -> None:
     live = _all_vrels(new_doc)
     kept = {p: n for p, n in dv["files"].items() if p.rsplit("/", 1)[0] in live}
     if kept:
-        new_doc["dv"] = {"rel": dv["rel"], "files": kept}
+        new_doc["dv"] = {
+            **{k: dv[k] for k in ("rel", "rels") if k in dv},
+            "files": kept,
+        }
 
 
 def _carry_mapping(doc: dict, new_doc: dict) -> None:
@@ -2938,7 +3017,7 @@ def _gc(fs, jvm, root: str, keep_versions: list[int]) -> None:
         kept_doc = _resolve_doc(fs, jvm, root, v)
         referenced.update(_all_vrels(kept_doc))
         if kept_doc.get("dv"):
-            referenced_dv.add(kept_doc["dv"]["rel"])
+            referenced_dv.update(_dv_rels(kept_doc["dv"]))
         referenced_stats.update(
             (kept_doc.get("files_manifests") or {}).values()
         )
@@ -2960,7 +3039,7 @@ def _gc(fs, jvm, root: str, keep_versions: list[int]) -> None:
                     continue
                 referenced.update(_all_vrels(bdoc))
                 if bdoc.get("dv"):
-                    referenced_dv.add(bdoc["dv"]["rel"])
+                    referenced_dv.update(_dv_rels(bdoc["dv"]))
                 referenced_stats.update(
                     (bdoc.get("files_manifests") or {}).values()
                 )
@@ -2990,8 +3069,10 @@ def _gc(fs, jvm, root: str, keep_versions: list[int]) -> None:
             except Exception:
                 continue
             superseded.update(_all_vrels(old) - referenced)
-            if old.get("dv") and old["dv"]["rel"] not in referenced_dv:
-                superseded_dv.add(old["dv"]["rel"])
+            if old.get("dv"):
+                superseded_dv.update(
+                    set(_dv_rels(old["dv"])) - referenced_dv
+                )
             superseded_stats.update(
                 set((old.get("files_manifests") or {}).values())
                 - referenced_stats
@@ -4698,7 +4779,7 @@ def manifest_properties(
     if dv:
         rows.append(("dv.files", str(len(dv["files"]))))
         rows.append(("dv.deleted_rows", str(sum(dv["files"].values()))))
-        rows.append(("dv.rel", dv["rel"]))
+        rows.append(("dv.rel", ",".join(_dv_rels(dv))))
     for key in _STATS_CONFIG_KEYS:
         if doc.get(key) is not None:
             rows.append((key, str(doc[key])))
@@ -6206,6 +6287,207 @@ def delete_keys_dv_manifested(
     )
 
 
+def _move_staged_leaves(
+    fs, jvm, root: str, staging: str, cols: list[str],
+    new_version: int, token: str, mapping: dict, old_extras: dict | None,
+) -> tuple[dict, dict, list[str]]:
+    """Move a partitionBy staging tree's leaf dirs into append-extra
+    (or fresh-primary) vrels. Returns (new_mapping, extras,
+    staged_vrels) — the shared tail of every DV+append committer."""
+    extras = {r: list(v) for r, v in (old_extras or {}).items()}
+    new_mapping = dict(mapping)
+    staged_vrels: list[str] = []
+    stack = [(jvm.org.apache.hadoop.fs.Path(staging), "", 0)]
+    leaves: list[str] = []
+    while stack:
+        path, rel, d = stack.pop()
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            if not st.isDirectory() or "=" not in name:
+                continue
+            r = f"{rel}/{name}" if rel else name
+            if d + 1 == len(cols):
+                leaves.append(r)
+            else:
+                stack.append((st.getPath(), r, d + 1))
+    for rel in leaves:
+        vrel = f"{rel}/{_vdir(new_version, token)}"
+        _mkdirs_parent(fs, jvm, f"{root}/{vrel}")
+        fs.rename(
+            jvm.org.apache.hadoop.fs.Path(f"{staging}/{rel}"),
+            jvm.org.apache.hadoop.fs.Path(f"{root}/{vrel}"),
+        )
+        if rel in new_mapping:
+            extras.setdefault(rel, []).append(vrel)
+        else:
+            new_mapping[rel] = vrel  # first data for this leaf
+        staged_vrels.append(vrel)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    return new_mapping, extras, staged_vrels
+
+
+def merge_upsert_mor_manifested(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    keys: list[str],
+    fmt: str = "parquet",
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+) -> int:
+    """MERGE (upsert) via DELETION VECTORS + APPEND — the merge-on-read
+    twin of `merge_upsert_manifested`: matched target rows' positions
+    tombstone into the DV sidecar and EVERY source row (updates and
+    fresh inserts alike) lands as append extras — one atomic commit,
+    cost O(source rows) written, no leaf rewritten. This is the write
+    path a long-lived streaming CDC feed wants: per micro-batch the
+    sink writes the batch, not the touched partitions
+    (`streaming.run_stream_cdc_upsert(upsert_mode="mor")`); the feed's
+    periodic OPTIMIZE materializes DVs and consolidates extras.
+
+    Source must be KEY-UNIQUE (collapse last-wins first — the CDC sink
+    does) and schema-matched: MoR merge never evolves schema (route
+    evolution through the copy-on-write `merge_upsert_manifested`).
+    Works unchanged on spec-EVOLVED tables (postimages land under the
+    CURRENT spec). CHECK constraints validate the source slice; on
+    change_feed tables the commit stages exact preimage-delete +
+    postimage-insert pairs. ``txn_app``/``txn_version`` give replayed
+    writers exactly-once, like `append_manifested`. Returns the source
+    rows applied (0 for a skipped replay)."""
+    if (txn_app is None) != (txn_version is None):
+        raise ValueError(
+            "merge_upsert_mor_manifested: txn_app and txn_version go together"
+        )
+    root = target_path.rstrip("/")
+    fs, jvm = _hadoop_fs(spark, root)
+    _clean_stale_staging(fs, jvm, root)
+
+    def _attempt(doc, new_version, token):
+        if txn_app is not None:
+            applied = (doc.get("txns") or {}).get(txn_app)
+            if applied is not None and int(txn_version) <= int(applied):
+                return True, [], 0  # replayed transaction: already in
+        mapping = doc["partitions"]
+        keep = [v for v in _list_manifest_versions(fs, jvm, root)][-_RETAIN:]
+        _gc(fs, jvm, root, keep)
+        if not mapping:
+            raise ValueError(
+                f"merge_upsert_mor_manifested: {root} has no partitions — "
+                "create the table with write_manifested first"
+            )
+        transforms = doc.get("partition_transforms") or {}
+        if transforms:
+            cols = list(transforms)
+        else:
+            cols = [
+                seg.split("=", 1)[0] for seg in next(iter(mapping)).split("/")
+            ]
+        src = source
+        for dcol, spec in transforms.items():
+            if dcol not in src.columns:
+                src = src.withColumn(dcol, _transform_expr(spec, src))
+        if doc.get("schema") is not None:
+            schema = T.StructType.fromJson(json.loads(doc["schema"]))
+            derived_any: set[str] = set()
+            for h in doc.get("partition_specs") or []:
+                derived_any.update(h)
+            want = {f.name for f in schema.fields}
+            have = set(src.columns)
+            missing = sorted(want - have - derived_any)
+            extra_cols = sorted(have - want)
+            if missing or extra_cols:
+                raise ValueError(
+                    "merge_upsert_mor_manifested: source schema does not "
+                    f"match the table at {root} — missing={missing} "
+                    f"extra={extra_cols}. MoR merge never evolves schema; "
+                    "route evolution through merge_upsert_manifested."
+                )
+            src = src.select(
+                *[f.name for f in schema.fields if f.name in src.columns]
+            )
+        _validate_constraints(doc, src, "merge_upsert_mor_manifested")
+        for c in cols:
+            src = src.withColumn(c, F.col(c).cast("string"))
+        src = src.persist()
+        try:
+            n_src = src.count()
+            if n_src == 0:
+                return True, [], 0
+            target = read_manifested(
+                spark, root, fmt, version=doc["version"], _with_location=True
+            )
+            key_set = src.select(*keys).distinct()
+            matched = target.join(F.broadcast(key_set), keys, "left_semi")
+
+            # 1) tombstone the matched target rows' positions (one
+            # chunk, O(matched) — the chain folds past _DV_CHUNKS_MAX)
+            dv_new = matched.select(
+                F.col("__dv_file").alias("file_rel"),
+                F.col("__dv_pos").alias("pos"),
+            )
+            dv_doc, dv_staged, _n_dv = _dv_commit(
+                spark, fs, jvm, root, doc, new_version, token, dv_new
+            )
+
+            # 2) stage EVERY source row as append extras
+            cmap = doc.get("column_mapping")
+            staging = f"{root}.__manifest_staging__{token}"
+            _to_physical(src, cmap).write.mode("overwrite").partitionBy(
+                *cols
+            ).format(fmt).save(staging)
+            new_mapping, extras, staged_vrels = _move_staged_leaves(
+                fs, jvm, root, staging, cols, new_version, token,
+                mapping, doc.get("extra_vrels"),
+            )
+
+            new_doc: dict = {"version": new_version, "partitions": new_mapping}
+            if dv_doc is not None:
+                new_doc["dv"] = dv_doc
+            else:
+                _carry_dv(doc, new_doc)
+            if extras:
+                new_doc["extra_vrels"] = extras
+            if txn_app is not None:
+                new_doc["txns"] = {
+                    **(doc.get("txns") or {}), txn_app: int(txn_version)
+                }
+            if doc.get("schema") is not None:
+                new_doc["schema"] = doc["schema"]
+            _carry_mapping(doc, new_doc)
+            _carry_constraints(doc, new_doc)
+            _attach_stats(
+                spark, fmt, root, doc, new_doc, staged_vrels, token,
+                col_mapping=cmap,
+            )
+            new_doc["operation"] = "MERGE"
+            change_rels: list[str] = []
+            if doc.get("change_feed"):
+                pre = matched.drop("__dv_file", "__dv_pos").select(
+                    *src.columns
+                )
+                for c in cols:
+                    pre = pre.withColumn(c, F.col(c).cast("string"))
+                changes = pre.withColumn(
+                    "_change_type", F.lit("delete")
+                ).unionByName(
+                    src.withColumn("_change_type", F.lit("insert"))
+                )
+                change_rels = _stage_change_data(
+                    fs, jvm, root, fmt, new_version, token,
+                    _to_physical(changes, cmap), new_doc,
+                )
+            ok = _publish_cas(
+                fs, jvm, _manifest_path(root, new_version),
+                _encode_commit(doc, new_doc),
+            )
+            cleanup = dv_staged + staged_vrels + change_rels
+            return ok, cleanup, n_src, new_doc
+        finally:
+            src.unpersist()
+
+    return _commit_retry(fs, jvm, root, _attempt)
+
+
 def update_rows_manifested(
     spark: SparkSession,
     target_path: str,
@@ -6288,32 +6570,14 @@ def update_rows_manifested(
             if n_updated == 0:
                 return True, [], 0
 
-            # 1) tombstone the old positions (same union as _delete_dv)
+            # 1) tombstone the old positions (one chunk, O(matched) —
+            # the chain folds past _DV_CHUNKS_MAX)
             dv_new = matched.select(
                 F.col("__dv_file").alias("file_rel"),
                 F.col("__dv_pos").alias("pos"),
             )
-            old = doc.get("dv")
-            if old:
-                live_files = spark.createDataFrame(
-                    [(p,) for p in old["files"]], "file_rel STRING"
-                )
-                prev = _load_dv(spark, root, old).join(
-                    F.broadcast(live_files), "file_rel", "left_semi"
-                )
-                all_dv = prev.unionByName(dv_new)
-            else:
-                all_dv = dv_new
-            counts = {
-                r["file_rel"]: r["n"]
-                for r in all_dv.groupBy("file_rel")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-            dv_rel = f"{_DV_DIR}/{_vdir(new_version, token)}"
-            nparts = max(1, sum(counts.values()) // 5_000_000)
-            all_dv.repartition(nparts).write.mode("errorifexists").parquet(
-                f"{root}/{dv_rel}"
+            dv_doc, dv_staged, _n_dv = _dv_commit(
+                spark, fs, jvm, root, doc, new_version, token, dv_new
             )
 
             # 2) stage the postimages as append extras
@@ -6322,42 +6586,15 @@ def update_rows_manifested(
             _to_physical(post, cmap).write.mode("overwrite").partitionBy(
                 *cols
             ).format(fmt).save(staging)
-            extras = {
-                r: list(v) for r, v in (doc.get("extra_vrels") or {}).items()
-            }
-            new_mapping = dict(mapping)
-            staged_vrels: list[str] = []
-            stack = [(jvm.org.apache.hadoop.fs.Path(staging), "", 0)]
-            leaves: list[str] = []
-            while stack:
-                path, rel, d = stack.pop()
-                for st in fs.listStatus(path):
-                    name = st.getPath().getName()
-                    if not st.isDirectory() or "=" not in name:
-                        continue
-                    r = f"{rel}/{name}" if rel else name
-                    if d + 1 == len(cols):
-                        leaves.append(r)
-                    else:
-                        stack.append((st.getPath(), r, d + 1))
-            for rel in leaves:
-                vrel = f"{rel}/{_vdir(new_version, token)}"
-                _mkdirs_parent(fs, jvm, f"{root}/{vrel}")
-                fs.rename(
-                    jvm.org.apache.hadoop.fs.Path(f"{staging}/{rel}"),
-                    jvm.org.apache.hadoop.fs.Path(f"{root}/{vrel}"),
-                )
-                if rel in new_mapping:
-                    extras.setdefault(rel, []).append(vrel)
-                else:
-                    new_mapping[rel] = vrel  # row moved to a fresh leaf
-                staged_vrels.append(vrel)
-            fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+            new_mapping, extras, staged_vrels = _move_staged_leaves(
+                fs, jvm, root, staging, cols, new_version, token,
+                mapping, doc.get("extra_vrels"),
+            )
 
             new_doc = {
                 "version": new_version,
                 "partitions": new_mapping,
-                "dv": {"rel": dv_rel, "files": counts},
+                "dv": dv_doc,
             }
             if extras:
                 new_doc["extra_vrels"] = extras
@@ -6393,7 +6630,7 @@ def update_rows_manifested(
                 fs, jvm, _manifest_path(root, new_version),
                 _encode_commit(doc, new_doc),
             )
-            return ok, [dv_rel] + staged_vrels + change_rels, n_updated, new_doc
+            return ok, dv_staged + staged_vrels + change_rels, n_updated, new_doc
         finally:
             post.unpersist()
 
@@ -6459,46 +6696,18 @@ def _delete_dv(
         matched = matcher(target).select(
             F.col("__dv_file").alias("file_rel"), F.col("__dv_pos").alias("pos")
         )
-        old = doc.get("dv")
-        if old:
-            # carry the live files' existing positions; rows for files a
-            # later rewrite dropped are stale — filter them out so the
-            # dataset converges instead of accreting forever
-            live_files = spark.createDataFrame(
-                [(p,) for p in old["files"]], "file_rel STRING"
-            )
-            prev = _load_dv(spark, root, old).join(
-                F.broadcast(live_files), "file_rel", "left_semi"
-            )
-            all_dv = prev.unionByName(matched)
-        else:
-            all_dv = matched
-        all_dv = all_dv.persist()
-        try:
-            counts = {
-                r["file_rel"]: r["n"]
-                for r in all_dv.groupBy("file_rel")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-            prev_total = sum(old["files"].values()) if old else 0
-            n_new = sum(counts.values()) - prev_total
-            if n_new == 0:
-                return True, [], 0
-            dv_rel = f"{_DV_DIR}/{_vdir(new_version, token)}"
-            # ~5M positions per output file: tiny tables get one file,
-            # a mass delete still writes in parallel
-            nparts = max(1, sum(counts.values()) // 5_000_000)
-            all_dv.repartition(nparts).write.mode("errorifexists").parquet(
-                f"{root}/{dv_rel}"
-            )
-        finally:
-            all_dv.unpersist()
+        # one CHUNK holding only this commit's positions — O(new), never
+        # O(all deletions so far); the chain folds past _DV_CHUNKS_MAX
+        dv_doc, dv_staged, n_new = _dv_commit(
+            spark, fs, jvm, root, doc, new_version, token, matched
+        )
+        if n_new == 0:
+            return True, [], 0
 
         new_doc = {
             "version": new_version,
             "partitions": dict(mapping),
-            "dv": {"rel": dv_rel, "files": counts},
+            "dv": dv_doc,
         }
         if doc.get("schema") is not None:
             new_doc["schema"] = doc["schema"]
@@ -6535,7 +6744,7 @@ def _delete_dv(
         ok = _publish_cas(
             fs, jvm, _manifest_path(root, new_version), _encode_commit(doc, new_doc)
         )
-        return ok, [dv_rel] + change_rels, n_new, new_doc
+        return ok, dv_staged + change_rels, n_new, new_doc
 
     return _commit_retry(fs, jvm, root, _attempt)
 

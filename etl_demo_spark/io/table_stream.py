@@ -735,22 +735,23 @@ class TableStreamReader(DataSourceStreamReader):
         dv_by_file: dict[str, list[int]] = {}
         dv = doc.get("dv")
         if dv and dv.get("files"):
-            d = os.path.join(
-                _strip_scheme(self._root.rstrip("/")), dv["rel"]
-            )
-            if self._fs_spec is not None:
-                from etl_demo_spark.io.pyfs import read_parquet
+            for rel in m._dv_rels(dv):
+                d = os.path.join(
+                    _strip_scheme(self._root.rstrip("/")), rel
+                )
+                if self._fs_spec is not None:
+                    from etl_demo_spark.io.pyfs import read_parquet
 
-                tbl = read_parquet(d, self._fs_spec)
-            else:
-                import pyarrow.parquet as pq
+                    tbl = read_parquet(d, self._fs_spec)
+                else:
+                    import pyarrow.parquet as pq
 
-                tbl = pq.read_table(d)
-            for fr, pos in zip(
-                tbl.column("file_rel").to_pylist(),
-                tbl.column("pos").to_pylist(),
-            ):
-                dv_by_file.setdefault(fr, []).append(int(pos))
+                    tbl = pq.read_table(d)
+                for fr, pos in zip(
+                    tbl.column("file_rel").to_pylist(),
+                    tbl.column("pos").to_pylist(),
+                ):
+                    dv_by_file.setdefault(fr, []).append(int(pos))
         parts: list[_FilePartition] = []
         for vrel in sorted(m._all_vrels(doc)):
             leaf_rel = vrel.rsplit("/", 1)[0]

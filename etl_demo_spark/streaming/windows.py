@@ -209,6 +209,7 @@ def run_stream_cdc_upsert(
     delete_op: str = "D",
     mode: str = "swap",
     delete_mode: str = "rewrite",
+    upsert_mode: str = "rewrite",
     catalog_root: str | None = None,
     catalog_table: str | None = None,
 ) -> None:
@@ -242,6 +243,13 @@ def run_stream_cdc_upsert(
     partitions continuously; the DV sidecar grows by the tombstone
     count, and the nightly OPTIMIZE the feed already needs for small
     files materializes the deletions in the same pass).
+
+    ``upsert_mode="mor"`` (manifest mode only) applies the upserts
+    merge-on-read too (`io.manifest.merge_upsert_mor_manifested`):
+    matched rows' positions tombstone into the DV sidecar and the
+    batch's rows land as append extras — per batch the sink writes
+    O(batch), never a partition rewrite; with ``delete_mode="dv"`` the
+    whole feed becomes rewrite-free between OPTIMIZE passes.
 
     ``catalog_root``/``catalog_table`` (manifest mode only) pin the
     table's post-batch version in a multi-table CATALOG
@@ -281,6 +289,7 @@ def run_stream_cdc_upsert(
         manifest_init,
         manifest_versions,
         merge_upsert_manifested,
+        merge_upsert_mor_manifested,
     )
 
     if catalog_root is not None and mode != "manifest":
@@ -307,6 +316,15 @@ def run_stream_cdc_upsert(
         raise ValueError(
             "run_stream_cdc_upsert: delete_mode='dv' needs mode='manifest' "
             "(deletion vectors live in the snapshot-manifest layer)"
+        )
+    if upsert_mode not in ("rewrite", "mor"):
+        raise ValueError(
+            f"run_stream_cdc_upsert: unknown upsert_mode {upsert_mode!r}"
+        )
+    if upsert_mode == "mor" and mode != "manifest":
+        raise ValueError(
+            "run_stream_cdc_upsert: upsert_mode='mor' needs mode='manifest' "
+            "(merge-on-read lives in the snapshot-manifest layer)"
         )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -339,9 +357,18 @@ def run_stream_cdc_upsert(
             # idempotent: migrates a pre-existing plain table once,
             # no-ops on every later batch
             manifest_init(spark, target_path, partition_col)
-            merge_upsert_manifested(
-                spark, target_path, last, keys, partition_col
-            )
+            if upsert_mode == "mor":
+                # per-batch cost = O(batch rows) written: matched
+                # positions tombstone, the batch appends as extras —
+                # the long-lived feed's write-amplification fix (its
+                # periodic OPTIMIZE materializes + consolidates)
+                merge_upsert_mor_manifested(
+                    spark, target_path, last, keys
+                )
+            else:
+                merge_upsert_manifested(
+                    spark, target_path, last, keys, partition_col
+                )
             if deletes is not None:
                 if delete_mode == "dv":
                     delete_keys_dv_manifested(

@@ -509,3 +509,131 @@ def test_update_rows_mor_emits_cdf_pairs(spark, tmp_path):
     side = spark.read.parquet(f"{path}/{ch['rel']}")
     rows = {(r["_change_type"], r["id"], r["v"]) for r in side.collect()}
     assert rows == {("delete", 4, 40), ("insert", 4, 47)}
+
+
+def test_merge_mor_upserts_without_rewrite(spark, tmp_path):
+    """Merge-on-read MERGE: matched keys tombstone positionally, every
+    source row appends as extras — no pre-existing file rewritten,
+    updates + inserts land in one atomic commit, replays with a txn
+    guard are exactly-once."""
+    import etl_demo_spark.io.manifest as m
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)  # ids 0..99, v = id*10
+    before = {
+        f: (os.path.getsize(f), os.path.getmtime(f))
+        for f in glob.glob(f"{path}/k=*/__v*/*.parquet")
+    }
+    src = spark.range(95, 105).select(
+        "id",
+        (F.col("id") % 4).cast("string").alias("k"),
+        F.lit(-1).alias("v"),
+    )
+    n = m.merge_upsert_mor_manifested(
+        spark, path, src, ["id"], txn_app="feed", txn_version=1
+    )
+    assert n == 10
+    after = {
+        f: (os.path.getsize(f), os.path.getmtime(f))
+        for f in glob.glob(f"{path}/k=*/__v*/*.parquet")
+    }
+    for f, sig in before.items():
+        assert after.get(f) == sig, f"MoR merge rewrote a data file: {f}"
+    got = m.read_manifested(spark, path)
+    assert got.count() == 105
+    vals = {r["id"]: r["v"] for r in got.collect()}
+    assert all(vals[i] == -1 for i in range(95, 105))
+    assert all(vals[i] == i * 10 for i in range(95))
+    fs, jvm = m._hadoop_fs(spark, path)
+    doc = m._load_doc(fs, jvm, path)
+    assert doc.get("operation") == "MERGE"
+    assert doc.get("dv") and sum(doc["dv"]["files"].values()) == 5
+    # replay with the same txn version: no-op
+    assert (
+        m.merge_upsert_mor_manifested(
+            spark, path, src, ["id"], txn_app="feed", txn_version=1
+        )
+        == 0
+    )
+    assert m.read_manifested(spark, path).count() == 105
+    # a second MoR merge re-tombstones the previous batch's extras
+    src2 = spark.range(100, 102).select(
+        "id", (F.col("id") % 4).cast("string").alias("k"),
+        F.lit(-2).alias("v"),
+    )
+    m.merge_upsert_mor_manifested(
+        spark, path, src2, ["id"], txn_app="feed", txn_version=2
+    )
+    got2 = {r["id"]: r["v"] for r in m.read_manifested(spark, path).collect()}
+    assert got2[100] == -2 and got2[101] == -2 and got2[104] == -1
+    assert len(got2) == 105
+    # OPTIMIZE materializes + consolidates; answers unchanged
+    m.compact_manifested(spark, path, min_files=1)
+    got3 = {r["id"]: r["v"] for r in m.read_manifested(spark, path).collect()}
+    assert got3 == got2
+
+
+def test_merge_mor_emits_cdf_and_refuses_schema_drift(spark, tmp_path):
+    import pytest
+
+    import etl_demo_spark.io.manifest as m
+
+    path = str(tmp_path / "t")
+    df = spark.range(4).select(
+        "id", (F.col("id") % 2).cast("string").alias("k"),
+        (F.col("id") * 10).alias("v"),
+    )
+    m.write_manifested(df, path, "k", change_feed=True)
+    src = spark.createDataFrame([(1, "1", 99), (9, "1", 90)],
+                                "id BIGINT, k STRING, v BIGINT")
+    m.merge_upsert_mor_manifested(spark, path, src, ["id"])
+    fs, jvm = m._hadoop_fs(spark, path)
+    ch = m._load_raw(fs, jvm, path, 2).get("change_data")
+    assert ch and ch.get("rel")
+    side = spark.read.parquet(f"{path}/{ch['rel']}")
+    rows = {(r["_change_type"], r["id"], r["v"]) for r in side.collect()}
+    assert rows == {("delete", 1, 10), ("insert", 1, 99), ("insert", 9, 90)}
+    with pytest.raises(ValueError, match="never evolves schema"):
+        m.merge_upsert_mor_manifested(
+            spark, path,
+            src.withColumn("extra_col", F.lit(1)), ["id"],
+        )
+
+
+def test_dv_chunks_accrete_and_fold(spark, tmp_path):
+    """DV commits are O(new positions): each DELETE writes one CHUNK
+    holding only its own positions (never a rewrite of all deletions so
+    far), and the chain folds into one dataset past _DV_CHUNKS_MAX —
+    the long-lived CDC feed's per-batch DV cost stays flat."""
+    import etl_demo_spark.io.manifest as m
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    fs, jvm = m._hadoop_fs(spark, path)
+    for i in range(m._DV_CHUNKS_MAX):  # 8 single-row deletes
+        assert m.delete_rows_manifested(spark, path, F.col("id") == i) == 1
+        dv = m._load_doc(fs, jvm, path)["dv"]
+        rels = m._dv_rels(dv)
+        assert len(rels) == i + 1, "each commit must add exactly one chunk"
+        # the newest chunk holds ONLY this commit's position
+        newest = spark.read.parquet(f"{path}/{rels[-1]}")
+        assert newest.count() == 1
+    # the 9th delete trips the fold: one dataset, counts intact
+    assert m.delete_rows_manifested(
+        spark, path, F.col("id") == m._DV_CHUNKS_MAX
+    ) == 1
+    dv = m._load_doc(fs, jvm, path)["dv"]
+    rels = m._dv_rels(dv)
+    assert len(rels) == 1, "chain must fold past _DV_CHUNKS_MAX"
+    assert sum(dv["files"].values()) == m._DV_CHUNKS_MAX + 1
+    folded = spark.read.parquet(f"{path}/{rels[0]}")
+    assert folded.count() == m._DV_CHUNKS_MAX + 1
+    got = sorted(r.id for r in m.read_manifested(spark, path).collect())
+    assert got == list(range(m._DV_CHUNKS_MAX + 1, 100))
+    # a rewrite still materializes everything away
+    m.compact_manifested(spark, path, min_files=1)
+    doc = m._load_doc(fs, jvm, path)
+    assert doc.get("dv") is None or not doc["dv"]["files"]
+    assert m.read_manifested(spark, path).count() == 100 - (
+        m._DV_CHUNKS_MAX + 1
+    )

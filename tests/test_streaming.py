@@ -980,3 +980,68 @@ def test_stream_append_exactly_once_under_replay(spark, tmp_path):
     assert read_manifested(spark, target).count() == 4 + 3  # dup by design
     doc = _load_doc(*_hadoop_fs(spark, target), target)
     assert set(doc["txns"]) == {"t1", "t2"}
+
+
+def test_stream_cdc_mor_upserts_rewrite_free(spark, tmp_path):
+    """upsert_mode="mor" + delete_mode="dv": after bootstrap, NO
+    micro-batch rewrites a data file — upserts tombstone + append,
+    tombstone ops land as deletion vectors; reads stay correct and a
+    fresh-checkpoint replay converges."""
+    import glob
+    import os
+
+    from etl_demo_spark.io.manifest import (
+        _hadoop_fs,
+        _load_doc,
+        read_manifested,
+    )
+    from etl_demo_spark.streaming.windows import run_stream_cdc_upsert
+
+    target = str(tmp_path / "dim")
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id INT, name STRING, seg STRING, op STRING"
+
+    def feed(batch_name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(inbox / batch_name)
+        )
+        stream = spark.readStream.schema(schema).parquet(str(inbox / "*"))
+        run_stream_cdc_upsert(
+            stream, target, ["id"], "seg", ckpt,
+            op_col="op", mode="manifest",
+            delete_mode="dv", upsert_mode="mor",
+        )
+
+    feed("b0", [(1, "alpha", "A", "U"), (2, "beta", "B", "U"),
+                (3, "gamma", "A", "U")])
+    inventory = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{target}/seg=*/__v*/*.parquet")
+    }
+    # update + insert + delete across two batches: zero rewrites
+    feed("b1", [(1, "ALPHA", "A", "U"), (4, "delta", "B", "U")])
+    feed("b2", [(3, "gamma", "A", "D")])
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{target}/seg=*/__v*/*.parquet")
+    }
+    for f, sig in inventory.items():
+        assert after.get(f) == sig, f"MoR CDC batch rewrote a file: {f}"
+    got = {r.id: r.name for r in read_manifested(spark, target).collect()}
+    assert got == {1: "ALPHA", 2: "beta", 4: "delta"}
+    fs, jvm = _hadoop_fs(spark, target)
+    doc = _load_doc(fs, jvm, target)
+    assert doc.get("dv") and doc.get("extra_vrels")
+
+    # fresh-checkpoint replay of the whole inbox converges (idempotent
+    # last-wins per key; MoR tombstones re-apply harmlessly)
+    stream = spark.readStream.schema(schema).parquet(str(inbox / "*"))
+    run_stream_cdc_upsert(
+        stream, target, ["id"], "seg", str(tmp_path / "ckpt2"),
+        op_col="op", mode="manifest",
+        delete_mode="dv", upsert_mode="mor",
+    )
+    got = {r.id: r.name for r in read_manifested(spark, target).collect()}
+    assert got == {1: "ALPHA", 2: "beta", 4: "delta"}
