@@ -158,6 +158,64 @@ def ssum(scaled: F.Column, frac_digits: int) -> F.Column:
 
 
 # ---------------------------------------------------------------------------
+# Round-10 optimization: chunked long-space money sums.
+#
+# A decimal(>18,0) SUM accumulator is stored as a byte array in the agg
+# hash map (only precision ≤ 18 rides the compact-long fast path), so every
+# per-row update boxes through BigDecimal — measured ~2.4× the cost of a
+# long update at sf0.1, and the dominant per-row cost of the low-cardinality
+# money aggregations once the multiplication already runs in scaled-long
+# space. The fix is a two-level aggregate (guide §2.3/§2.4 shape):
+#
+#   stage 1  groupBy(keys, spark_partition_id()) — pure LONG sums. Each
+#            (key, pid) group lives in exactly one scan task, so the
+#            map-side partial collapses it to one row; the exchange carries
+#            the same row count as the single-level plan's partial rows
+#            but with 8-byte longs instead of 16-byte decimals.
+#   stage 2  groupBy(keys) — the handful of per-task partials are combined
+#            in exact decimal, then rescaled/rounded/cast exactly as
+#            ssum/dsum would have.
+#
+# Overflow safety is structural, not statistical: a scaled product v is
+# split as hi = v div 1e8, lo = v % 1e8 (exact long identity
+# hi*1e8 + lo == v, negatives included). |lo| < 1e8 and |hi| ≤ |v|/1e8, so
+# with per-row |v| ≤ ~1.3e15 (price_c × bp × bp bounds) a per-task long sum
+# overflows only past ~9e10 rows — two orders of magnitude beyond any real
+# scan split (10^9 rows ≈ hundreds of GB in one task). Values already
+# ≤ 1e8 per row (cents, basis points) skip the split and use one long sum
+# (same ~9e10 rows/task bound). The recombined decimal total is
+# bit-identical to the direct decimal SUM: integer arithmetic throughout,
+# and the final divide/round/cast sequence is unchanged.
+# ---------------------------------------------------------------------------
+
+_HL = 100_000_000  # hi/lo split point (1e8)
+
+
+def hl_split(scaled: F.Column, name: str) -> list[F.Column]:
+    """Split a scaled-long product into exact (hi, lo) long parts."""
+    hi = F.call_function("div", scaled, F.lit(_HL))
+    return [hi.alias(f"__{name}_h"), (scaled % F.lit(_HL)).alias(f"__{name}_l")]
+
+
+def _dsum28(c: str) -> F.Column:
+    return F.sum(F.col(c).cast("decimal(28,0)")).cast("decimal(28,0)")
+
+
+def hl_total(name: str) -> F.Column:
+    """Exact decimal(38,0)-safe total of hl_split partial long sums."""
+    return (_dsum28(f"__{name}_h") * F.lit(_HL) + _dsum28(f"__{name}_l")).cast(
+        "decimal(32,0)"
+    )
+
+
+def ssum_total(total: F.Column, frac_digits: int) -> F.Column:
+    """ssum's exact rescale/round/cast, applied to an hl_total column."""
+    acc_p = 38 - max(6, frac_digits + 2)
+    q = total.cast(f"decimal({acc_p},0)") / F.lit(10**frac_digits)
+    return F.round(q, 2).cast("double")
+
+
+# ---------------------------------------------------------------------------
 # Flagship (SURVEY.md §7 step 1): weekly 4-key-ish aggregation on lineitem —
 # the reference's O-7 week bucket + O-8 notional + O-10 multi-key hash agg,
 # mapped onto the TPC-H-ish star schema.
@@ -185,16 +243,30 @@ def flagship_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     referenced columns (check ReadSchema)."""
     li = load_tables(spark, sf_dir, tables=("lineitem",))["lineitem"]
     notional_s = money_c("l_extendedprice") * (10000 - rate_bp("l_discount"))
-    return (
-        li.groupBy(
+    # round-10: chunked long accumulation (see hl_split) — the scan stage
+    # does only long hash-agg updates; the per-task partials combine in
+    # exact decimal in stage 2. Bit-identical to ssum/dsum on the same
+    # inputs; oracle unchanged.
+    part = (
+        li.select(
             week_start("l_shipdate").alias("week_start_date"),
             "l_returnflag",
+            F.spark_partition_id().alias("__c"),
+            money_c("l_quantity").alias("__q"),
+            *hl_split(notional_s, "rev"),
         )
+        .groupBy("week_start_date", "l_returnflag", "__c")
         .agg(
-            ssum(notional_s, 6).alias("revenue"),
-            dsum(dec("l_quantity")).alias("sum_qty"),
-            F.count(F.lit(1)).alias("trade_count"),
+            F.sum("__rev_h").alias("__rev_h"),
+            F.sum("__rev_l").alias("__rev_l"),
+            F.sum("__q").alias("__q"),
+            F.count(F.lit(1)).alias("__n"),
         )
+    )
+    return part.groupBy("week_start_date", "l_returnflag").agg(
+        ssum_total(hl_total("rev"), 6).alias("revenue"),
+        (_dsum28("__q") / F.lit(100)).cast("decimal(32,4)").cast("double").alias("sum_qty"),
+        F.sum("__n").alias("trade_count"),
     )
 
 
@@ -223,18 +295,50 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Averages are computed as exact-decimal sum / count so both engines do
     one identical double division at the end (a native AVG would float-
-    accumulate in engine-specific order)."""
+    accumulate in engine-specific order).
+
+    Round-10: the per-row money sums accumulate as chunked LONGS
+    (hl_split — see the helper's overflow proof) and only the per-task
+    partials are combined in decimal, removing every per-row BigDecimal
+    update from the scan stage. Values are bit-identical to the direct
+    decimal formulation; verified against the unchanged oracle."""
     (li,) = _t(spark, sf_dir, "lineitem")
     disc_price_s = money_c("l_extendedprice") * (10000 - rate_bp("l_discount"))
     charge_s = disc_price_s * (10000 + rate_bp("l_tax"))
-    cnt = F.count(F.lit(1))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        dsum(dec("l_quantity")).alias("sum_qty"),
-        dsum(dec("l_extendedprice")).alias("sum_base_price"),
-        ssum(disc_price_s, 6).alias("sum_disc_price"),
-        ssum(charge_s, 10).alias("sum_charge"),
-        (dsum(dec("l_quantity")) / cnt).alias("avg_qty"),
-        (dsum(rate("l_discount")) / cnt).alias("avg_disc"),
+    # stage 1: per-(group, task) LONG partials — q/p/d are ≤1e8 per row
+    # (cents / basis points) so a single long sum is overflow-safe; the
+    # two products split hi/lo
+    part = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.spark_partition_id().alias("__c"),
+        money_c("l_quantity").alias("__q"),
+        money_c("l_extendedprice").alias("__p"),
+        rate_bp("l_discount").alias("__d"),
+        *hl_split(disc_price_s, "ds"),
+        *hl_split(charge_s, "cs"),
+    ).groupBy("l_returnflag", "l_linestatus", "__c").agg(
+        F.sum("__q").alias("__q"),
+        F.sum("__p").alias("__p"),
+        F.sum("__d").alias("__d"),
+        F.sum("__ds_h").alias("__ds_h"),
+        F.sum("__ds_l").alias("__ds_l"),
+        F.sum("__cs_h").alias("__cs_h"),
+        F.sum("__cs_l").alias("__cs_l"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    # stage 2: exact decimal combine of the few per-task partials
+    cnt = F.sum("__n")
+    qty_dec = (_dsum28("__q") / F.lit(100)).cast("decimal(32,4)")
+    price_dec = (_dsum28("__p") / F.lit(100)).cast("decimal(32,4)")
+    disc_dec = (_dsum28("__d") / F.lit(10000)).cast("decimal(32,4)")
+    return part.groupBy("l_returnflag", "l_linestatus").agg(
+        qty_dec.cast("double").alias("sum_qty"),
+        price_dec.cast("double").alias("sum_base_price"),
+        ssum_total(hl_total("ds"), 6).alias("sum_disc_price"),
+        ssum_total(hl_total("cs"), 10).alias("sum_charge"),
+        (qty_dec.cast("double") / cnt).alias("avg_qty"),
+        (disc_dec.cast("double") / cnt).alias("avg_disc"),
         cnt.alias("count_order"),
     )
 
@@ -280,13 +384,20 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
     )
     revenue_s = money_c("l_extendedprice") * (10000 - rate_bp("l_discount"))
-    return (
+    # round-10: chunked long accumulation (hl_split) after the joins — the
+    # join stage's agg does long updates only; decimal combine on the tiny
+    # per-task partials. Bit-identical; oracle unchanged.
+    part = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .groupBy("r_name")
-        .agg(ssum(revenue_s, 6).alias("revenue"))
+        .select("r_name", F.spark_partition_id().alias("__c"), *hl_split(revenue_s, "rev"))
+        .groupBy("r_name", "__c")
+        .agg(F.sum("__rev_h").alias("__rev_h"), F.sum("__rev_l").alias("__rev_l"))
+    )
+    return part.groupBy("r_name").agg(
+        ssum_total(hl_total("rev"), 6).alias("revenue")
     )
 
 
@@ -1798,8 +1909,6 @@ def weekly_trades_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    is_buy = F.col("side") == "buy"
-    is_sell = F.col("side") == "sell"
     # fixed-point fast path: quantity and price are ≤2dp, so the notional
     # is exact in cents×cents space (long mul, ×10^4); only the SUM runs
     # in decimal. Same rational as quantity*price in decimal — the /10^4
@@ -1818,12 +1927,30 @@ def weekly_trades_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
         )
 
-    order_key = F.struct("ts", "l_orderkey", "l_linenumber")
-    agg = trades.groupBy(
+    # round-10: the group count is ~rows (weekly per-user-symbol keys), so
+    # map-side partial aggregation reduces ~nothing at ANY scale — it only
+    # builds a near-row-count hash map of decimal buffers in the scan
+    # tasks and then shuffles the same row count anyway (guide §2.3/§2.4).
+    # Repartition by the group keys FIRST: the exchange carries the raw
+    # narrow longs (8 B each, no decimal buffers), and the decimal
+    # accumulation runs once, parallel, after the shuffle. AQE picks the
+    # partition count (REPARTITION_BY_COL), so the shape is
+    # scale-adaptive, not tuned to local[32]. Results are identical —
+    # the same exact-decimal sums, grouped the same way.
+    keyed = trades.select(
         F.to_date(F.date_trunc("week", "ts")).alias("week_start_date"),
         "client_type",
         "user_id",
         "symbol",
+        (F.col("side") == "buy").alias("is_buy"),
+        "qty_c",
+        "price_c",
+        "ts",
+    ).repartition("week_start_date", "client_type", "user_id", "symbol")
+    is_buy = F.col("is_buy")
+    is_sell = ~F.col("is_buy")
+    agg = keyed.groupBy(
+        "week_start_date", "client_type", "user_id", "symbol"
     ).agg(
         fsum(F.col("qty_c"), is_buy, 2).alias("buy_qty"),
         fsum(F.col("qty_c"), is_sell, 2).alias("sell_qty"),
@@ -1838,26 +1965,30 @@ def weekly_trades_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # byte is shuffled ~once per input row — measurably slower than a
     # second scan that column-prunes to (symbol, price, order key) and
     # collapses map-side to one row per symbol per task.
+    order_key = F.struct("ts", "l_orderkey", "l_linenumber")
     marks = trades.groupBy("symbol").agg(
         (F.max_by("price_c", order_key).cast("decimal(28,0)") / F.lit(100)).alias(
             "mark_price"
         )
     )
+    # one post-join projection instead of a withColumn chain: each
+    # withColumn re-analyzes the whole plan (driver-side O(depth²));
+    # a single select produces the identical expressions once.
     avg_buy = F.when(F.col("buy_qty") != 0, F.col("buy_value") / F.col("buy_qty"))
-    out = (
-        agg.join(F.broadcast(marks), "symbol", "left")
-        .withColumn("avg_buy_price", avg_buy)
-        .withColumn("net_qty", F.col("buy_qty") - F.col("sell_qty"))
-        .withColumn("realized_pnl", F.col("sell_value") - F.col("avg_buy_price") * F.col("sell_qty"))
-        .withColumn("mark_price", F.col("mark_price").cast("double"))
-        .withColumn("unrealized_pnl", (F.col("mark_price") - F.col("avg_buy_price")) * F.col("net_qty"))
-        .withColumn("total_pnl", F.col("realized_pnl") + F.col("unrealized_pnl"))
-    )
-    return out.select(
+    mark_d = F.col("mark_price").cast("double")
+    net_qty = F.col("buy_qty") - F.col("sell_qty")
+    realized = F.col("sell_value") - avg_buy * F.col("sell_qty")
+    unrealized = (mark_d - avg_buy) * net_qty
+    return agg.join(F.broadcast(marks), "symbol", "left").select(
         "week_start_date", "client_type", "user_id", "symbol",
         "buy_qty", "sell_qty", "buy_value", "sell_value",
-        "total_volume", "trade_count", "avg_buy_price", "net_qty",
-        "realized_pnl", "mark_price", "unrealized_pnl", "total_pnl",
+        "total_volume", "trade_count",
+        avg_buy.alias("avg_buy_price"),
+        net_qty.alias("net_qty"),
+        realized.alias("realized_pnl"),
+        mark_d.alias("mark_price"),
+        unrealized.alias("unrealized_pnl"),
+        (realized + unrealized).alias("total_pnl"),
     )
 
 
@@ -4436,12 +4567,24 @@ def nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     profit_s = money_c("l_extendedprice") * (10000 - rate_bp("l_discount")) - money_c(
         "p_retailprice"
     ) * money_c("l_quantity") * 10
-    return (
+    # round-10: chunked long accumulation (hl_split; exact for negative
+    # profits too — div truncates toward zero and % matches its sign, so
+    # hi*1e8 + lo == v identically). Bit-identical; oracle unchanged.
+    partials = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("n_name", F.year("l_shipdate").cast("long").alias("yr"))
-        .agg(ssum(profit_s, 6).alias("profit"))
+        .select(
+            "n_name",
+            F.year("l_shipdate").cast("long").alias("yr"),
+            F.spark_partition_id().alias("__c"),
+            *hl_split(profit_s, "pf"),
+        )
+        .groupBy("n_name", "yr", "__c")
+        .agg(F.sum("__pf_h").alias("__pf_h"), F.sum("__pf_l").alias("__pf_l"))
+    )
+    return partials.groupBy("n_name", "yr").agg(
+        ssum_total(hl_total("pf"), 6).alias("profit")
     )
 
 
