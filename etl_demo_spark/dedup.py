@@ -111,18 +111,22 @@ def minhash_signature(hash_col: Column, num_hashes: int = 64) -> Column:
     The j-th hash function is the affine mix ``a_j * h + b_j`` over the
     long hashes — 64 minhashes cost one string-hash pass (hash_shingles)
     plus cheap integer ops, instead of 64 separate string-hash passes.
-    Wrapping long arithmetic is deterministic and fine for a hash family."""
-    def mix(a: Column, b: Column):
-        # closure, not default args: pyspark reads lambda arity and a
-        # 1-element higher-order function needs a 1-parameter lambda
-        return lambda h: a * h + b
+    Wrapping long arithmetic is deterministic and fine for a hash family.
 
-    sig = []
-    for j in range(num_hashes):
-        a = F.lit(((2 * j + 1) * _MIX_A) % (1 << 63)).cast("long")
-        b = F.lit(((j + 1) * _MIX_B) % (1 << 63)).cast("long")
-        sig.append(F.array_min(F.transform(hash_col, mix(a, b))))
-    return F.array(*sig)
+    Round-10: the per-j expressions are folded into ONE nested transform
+    over a literal (a, b) coefficient array instead of ``num_hashes``
+    separately constructed array_min(transform(...)) trees. Identical
+    values (same longs, same wrapping arithmetic, same order); the
+    expression tree shrinks ~num_hashes×, which cuts driver-side build +
+    analysis time (measured: the 32-hash signature build dominated the
+    corpus query's DataFrame construction)."""
+    a = [((2 * j + 1) * _MIX_A) % (1 << 63) for j in range(num_hashes)]
+    b = [((j + 1) * _MIX_B) % (1 << 63) for j in range(num_hashes)]
+    coeffs = F.arrays_zip(F.lit(a).alias("a"), F.lit(b).alias("b"))
+    return F.transform(
+        coeffs,
+        lambda c: F.array_min(F.transform(hash_col, lambda h: c["a"] * h + c["b"])),
+    )
 
 
 def lsh_band_keys(sig_col: Column, bands: int, rows_per_band: int) -> Column:
@@ -133,19 +137,22 @@ def lsh_band_keys(sig_col: Column, bands: int, rows_per_band: int) -> Column:
     def ser(x: Column) -> Column:
         return F.coalesce(x.cast("string"), F.lit("\u2205"))
 
-    return F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(sig_col, b * rows_per_band + 1, rows_per_band), ser
-                    ),
+    # one transform over the band-index sequence instead of `bands`
+    # separately built xxhash64 trees \u2014 identical values (the band index
+    # enters the hash as the same INT type sequence() produces), much
+    # smaller expression tree (driver build/analysis cost).
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            b,
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(sig_col, b * F.lit(rows_per_band) + F.lit(1), F.lit(rows_per_band)),
+                    ser,
                 ),
-            )
-            for b in range(bands)
-        ]
+            ),
+        ),
     )
 
 
