@@ -4790,26 +4790,47 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             li.l_orderkey == F.col("o_orderkey"),
         )
-        .withColumn(
-            "is_late",
-            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("is_late"),
         )
-        .select("l_orderkey", "l_suppkey", "is_late")
     )
-    profile = flagged.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    # round-10 reshape (same result, oracle unchanged): the original form
+    # scanned lineitem twice (per-order profile + late-row probe), shuffled
+    # the full probe side by l_orderkey for the semi join, and paid an
+    # Expand-based double COUNT DISTINCT. Now ONE linear plan: aggregate to
+    # the (order, supplier) level — n_supp is COUNT(*) over that level,
+    # a supplier is late iff it has any late row, and the late-row count
+    # rides the same rollup — then derive the per-order profile with
+    # windows over the SAME orderkey clustering (no second exchange, no
+    # self-join, no Expand) and keep the sole-late-supplier rows. One
+    # lineitem scan, one data-sized exchange.
+    from pyspark.sql.window import Window
+
+    lvl1 = (
+        flagged.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late_rows"),
+            F.max("is_late").alias("any_late"),
+        )
     )
+    per_order = Window.partitionBy("l_orderkey")
+    qualified = lvl1.select(
+        "l_suppkey",
+        "n_late_rows",
+        "any_late",
+        F.count(F.lit(1)).over(per_order).alias("n_supp"),
+        F.sum(F.col("any_late").cast("int")).over(per_order).alias("n_late"),
+    ).filter(F.col("any_late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
     return (
-        flagged.filter(F.col("is_late"))
-        .join(
-            profile.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
-            F.col("l_orderkey") == F.col("ok"),
-            "left_semi",
-        )
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        qualified.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_rows").alias("numwait"))
     )
 
 
