@@ -6313,15 +6313,19 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lineitem_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass declarative expectation suite over lineitem (quality.py):
-    five row-level constraints + a composite-key uniqueness check share a
-    single aggregation (one scan at any scale), and a referential
-    constraint against orders rides a broadcast anti-join; the union is
-    the full report. All counters are integers — exact across engines."""
+    """One-pass declarative expectation suite over lineitem (quality.py
+    run_suite): five row-level constraints, the composite-key uniqueness
+    check, AND the referential constraint against orders all share a
+    single scan of lineitem — the FK rides a row-preserving join against
+    the distinct order keys instead of a second-scan anti-join, and the
+    near-unique distinct count runs as repartition-by-key + two-level
+    aggregation rather than a row-count hash map inside the scan task
+    (round 10; guide §2.4/§3.1). All counters are integers — exact across
+    engines, and identical to the run_checks ∪ references formulation."""
     from etl_demo_spark import quality as Q
 
     lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
-    report = Q.run_checks(
+    return Q.run_suite(
         lineitem,
         [
             Q.not_null("l_orderkey"),
@@ -6331,9 +6335,8 @@ def lineitem_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             Q.satisfies("positive_price", F.col("l_extendedprice") > 0.0),
         ],
         unique_keys=[["l_orderkey", "l_linenumber"]],
+        references=[("l_orderkey", orders, "o_orderkey")],
     )
-    fk = Q.references(lineitem, "l_orderkey", orders, "o_orderkey")
-    return report.unionByName(fk)
 
 
 def interpolate_gaps(ev: DataFrame) -> DataFrame:

@@ -586,6 +586,9 @@ def pivot_wide(
     return df.groupBy(index).pivot(pivot_col).sum(value_col).na.fill(fill)
 
 
+_SPREAD_DECISIONS: dict[tuple[int, int], bool] = {}
+
+
 def spread_for_cpu(df: DataFrame) -> DataFrame:
     """Repartition a too-narrow input so a CPU-heavy narrow stage uses the
     whole cluster. Small parquet inputs arrive as 1-2 partitions, which
@@ -593,11 +596,25 @@ def spread_for_cpu(df: DataFrame) -> DataFrame:
     expansion, signature folds) on one core; the round-robin shuffle moves
     only the raw input — cheap relative to the per-row CPU it unlocks.
     Measured on top_bigrams at sf0.1: 4.8 s → 1.1 s from spreading alone.
-    No-op when the input is already parallel enough."""
+    No-op when the input is already parallel enough.
+
+    The partition-count probe (`df.rdd.getNumPartitions()`) forces a full
+    physical-planning py4j roundtrip, a measurable driver-side cost on
+    every query BUILD (round 10, guide §7). The decision is a pure
+    function of the analyzed plan and the cluster parallelism, so it is
+    memoized per (plan semanticHash, defaultParallelism): repeat builds
+    over the session-cached base tables skip planning entirely."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism // 2:
-        return df.repartition(sc.defaultParallelism)
-    return df
+    try:
+        key = (df._jdf.queryExecution().analyzed().semanticHash(), sc.defaultParallelism)
+        need = _SPREAD_DECISIONS.get(key)
+    except Exception:  # connect-mode / API drift: fall back to the probe
+        key, need = None, None
+    if need is None:
+        need = df.rdd.getNumPartitions() < sc.defaultParallelism // 2
+        if key is not None:
+            _SPREAD_DECISIONS[key] = need
+    return df.repartition(sc.defaultParallelism) if need else df
 
 
 def merge_upsert(

@@ -122,6 +122,130 @@ def run_checks(
     )
 
 
+def run_suite(
+    df: DataFrame,
+    checks: list[Check],
+    unique_keys: list[list[str]] | None = None,
+    references: list[tuple[str, DataFrame, str]] | None = None,
+) -> DataFrame:
+    """The whole expectation suite — row-level checks, unique keys, AND
+    referential checks — in ONE pass over ``df``.
+
+    ``references`` is a list of (fk_col, dim_df, pk_col). Instead of a
+    separate anti-join pass per FK (a second full scan of the fact table
+    each), every FK rides the single scan as a row-preserving LEFT join
+    against the deduplicated dim keys; "fk present but unmatched" becomes
+    one more violation flag in the shared aggregation. The join cannot
+    change the row count (the key side is distinct), so every other
+    counter is unaffected; the violation count is exactly the anti-join
+    count.
+
+    Aggregation shape: a unique-key expectation makes the distinct-count
+    keys near-unique, where map-side partial aggregation reduces nothing —
+    it only builds a ~row-count hash map of counters inside the scan tasks
+    and shuffles the same rows anyway. With exactly one unique key the
+    suite therefore repartitions the projected flag columns by that key
+    (AQE-managed count), aggregates per key AFTER the exchange, and folds
+    the per-key counts in a trivial final aggregate:
+    ``unique violations = SUM(per-key n) − COUNT(keys)`` — the identical
+    number ``COUNT(*) − COUNT(DISTINCT key)`` produces. With zero or
+    several unique keys it falls back to the one-row aggregate of
+    ``run_checks`` (still folding the FKs into the same scan).
+    """
+    unique_keys = unique_keys or []
+    references = references or []
+    work = df
+    check_flags: list[tuple[str, Column]] = []
+    for c in checks:
+        ok = F.coalesce(c.predicate, F.lit(False))
+        check_flags.append((c.name, F.when(ok, 0).otherwise(1)))
+    ref_flags: list[tuple[str, Column]] = []
+    for fk, dim, pk in references:
+        marker = f"__ref_{fk}"
+        keys = dim.select(F.col(pk).alias(marker)).distinct()
+        work = work.join(keys, work[fk] == F.col(marker), "left")
+        ref_flags.append(
+            (
+                f"references({fk})",
+                F.when(F.col(fk).isNotNull() & F.col(marker).isNull(), 1).otherwise(0),
+            )
+        )
+    # final report order: checks, unique keys, references (matches the
+    # run_checks + union(references) composition this replaces)
+    if len(unique_keys) == 1:
+        ukey = unique_keys[0]
+        flags = check_flags + ref_flags
+        proj = work.select(
+            *[F.col(k) for k in ukey],
+            *[f.cast("int").alias(f"_f{i}") for i, (_, f) in enumerate(flags)],
+        )
+        per_key = (
+            proj.repartition(*ukey)
+            .groupBy(*ukey)
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.sum(f"_f{i}").alias(f"_s{i}") for i in range(len(flags))],
+            )
+        )
+        wide = per_key.agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("_total"),
+            *[
+                F.coalesce(F.sum(f"_s{i}"), F.lit(0)).cast("long").alias(f"_v{i}")
+                for i in range(len(flags))
+            ],
+            F.coalesce(F.sum("_n") - F.count(F.lit(1)), F.lit(0))
+            .cast("long")
+            .alias("_vdup"),
+        )
+        entries = [(n, f"_v{i}") for i, (n, _) in enumerate(check_flags)]
+        entries.append((f"unique_key({','.join(ukey)})", "_vdup"))
+        entries.extend(
+            (n, f"_v{len(check_flags) + i}") for i, (n, _) in enumerate(ref_flags)
+        )
+    else:
+        aggs = [F.count(F.lit(1)).alias("_total")]
+        entries = []
+        for i, (n, f) in enumerate(check_flags):
+            entries.append((n, f"_v{i}"))
+            aggs.append(F.coalesce(F.sum(f), F.lit(0)).cast("long").alias(f"_v{i}"))
+        for keys in unique_keys:
+            idx = len(entries)
+            entries.append((f"unique_key({','.join(keys)})", f"_v{idx}"))
+            aggs.append(
+                (
+                    F.count(F.lit(1))
+                    - F.count_distinct(F.struct(*[F.col(k) for k in keys]))
+                )
+                .cast("long")
+                .alias(f"_v{idx}")
+            )
+        for n, f in ref_flags:
+            idx = len(entries)
+            entries.append((n, f"_v{idx}"))
+            aggs.append(F.coalesce(F.sum(f), F.lit(0)).cast("long").alias(f"_v{idx}"))
+        if not entries:
+            spark = df.sparkSession
+            return spark.createDataFrame(
+                [], "check string, violations long, total long, passed boolean"
+            )
+        wide = work.agg(*aggs)
+    report = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("check"),
+                F.col(v).alias("violations"),
+                F.col("_total").alias("total"),
+            )
+            for n, v in entries
+        ]
+    )
+    return (
+        wide.select(F.explode(report).alias("r"))
+        .select("r.check", "r.violations", "r.total")
+        .withColumn("passed", F.col("violations") == 0)
+    )
+
+
 def references(
     df: DataFrame, fk: str, dim: DataFrame, pk: str, total: int | None = None
 ) -> DataFrame:

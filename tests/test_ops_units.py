@@ -345,6 +345,65 @@ def test_quality_references_counts_orphans(spark):
     )
 
 
+def test_quality_run_suite_matches_run_checks_plus_references(spark):
+    """run_suite (one-scan suite: FK folded in via row-preserving join,
+    unique key via repartition + two-level agg) must report the IDENTICAL
+    rows as the run_checks ∪ references composition it optimizes — on a
+    fixture with planted violations of every kind, including a duplicated
+    FK value (a non-distinct join side would multiply rows and corrupt
+    every other counter)."""
+    from etl_demo_spark import quality as Q
+
+    fact = spark.createDataFrame(
+        [
+            (1, 1, 10.0, 1),
+            (1, 1, -5.0, 2),      # dup (k1,k2) + range violation
+            (2, 1, None, 9),      # null qty; orphan fk
+            (None, 2, 3.0, 2),    # null key; fk ok
+            (3, 2, 4.0, None),    # null fk (NOT an orphan)
+        ],
+        "k1 long, k2 long, qty double, fk long",
+    )
+    dim = spark.createDataFrame([(1,), (2,), (2,)], "pk long")  # dup pk
+    checks = [Q.not_null("k1"), Q.in_range("qty", 0.0, 100.0)]
+
+    legacy = Q.run_checks(fact, checks, unique_keys=[["k1", "k2"]]).unionByName(
+        Q.references(fact, "fk", dim, "pk")
+    )
+    suite = Q.run_suite(
+        fact, checks, unique_keys=[["k1", "k2"]], references=[("fk", dim, "pk")]
+    )
+    as_map = lambda df: {r.check: (r.violations, r.total, r.passed) for r in df.collect()}
+    got, want = as_map(suite), as_map(legacy)
+    assert got == want
+    assert got["unique_key(k1,k2)"] == (1, 5, False)
+    assert got["references(fk)"] == (1, 5, False)
+
+    # fallback branch (≠1 unique key) with a folded FK: same rows again
+    multi = Q.run_suite(
+        fact,
+        checks,
+        unique_keys=[["k1"], ["k1", "k2"]],
+        references=[("fk", dim, "pk")],
+    )
+    got_multi = as_map(multi)
+    assert got_multi["references(fk)"] == (1, 5, False)
+    assert got_multi["unique_key(k1,k2)"] == (1, 5, False)
+    # k1 values 1,1,2,NULL,3 -> 4 distinct (struct-wrapped: NULL counts) -> 1 surplus
+    assert got_multi["unique_key(k1)"] == (1, 5, False)
+
+    # empty table: all zeros / passed, both branches
+    empty = spark.createDataFrame([], "k1 long, k2 long, qty double, fk long")
+    for uk in ([["k1", "k2"]], [["k1"], ["k2"]]):
+        rep = {
+            r.check: (r.violations, r.total, r.passed)
+            for r in Q.run_suite(
+                empty, checks, unique_keys=uk, references=[("fk", dim, "pk")]
+            ).collect()
+        }
+        assert all(v == (0, 0, True) for v in rep.values()), rep
+
+
 def test_linear_interpolation_edges(spark):
     """Interior gaps interpolate by elapsed-time fraction; leading/trailing
     gaps (missing neighbor) stay NULL; non-gap rows pass through — run
