@@ -105,12 +105,14 @@ def test_funnel_is_two_exchange_plan(spark):
 
 
 def test_plan_digest_summarizes_flagship(spark):
-    """plan_digest must report the flagship's known shape: one shuffle,
-    no joins, pruned scan columns, codegen throughout, no Python."""
+    """plan_digest must report the flagship's known shape: the two-level
+    chunked-sum aggregate (round 10) — one shuffle of per-(group, task)
+    long partials plus the tiny per-group combine exchange — no joins,
+    pruned scan columns, codegen throughout, no Python."""
     from etl_demo_spark.plans import plan_digest
 
     d = plan_digest(entrymod.queries()["flagship_weekly_revenue"](spark, SF001))
-    assert d.exchanges == 1
+    assert d.exchanges == 2
     assert d.sort_merge_joins == 0 and d.broadcast_hash_joins == 0
     assert d.python_stages == 0
     assert set(d.read_columns) == {
