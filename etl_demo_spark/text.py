@@ -247,11 +247,22 @@ def bm25_scores(
         df.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
     )
     dl = toks.select("_id", F.size("_toks").cast("long").alias("dl"))
+    # dl is functionally dependent on _id, so it rides the (doc, term)
+    # aggregation as a first() aggregate (+8 B on the already-filtered
+    # rows) instead of a separate join of the per-doc length table back
+    # onto tf (round 10, guide §2.1 — the dl broadcast/shuffle join is
+    # gone at any scale; values identical). Deliberately an AGGREGATE and
+    # not an extra grouping key: the (_id, term) output partitioning is
+    # what lets the downstream pivot's first aggregation skip its own
+    # exchange — keyed-by-(_id, dl, term) was measured to re-shuffle the
+    # scored rows for the pivot, costing back the join it saved.
     tf = (
-        toks.select("_id", F.explode("_toks").alias("term"))
+        toks.select(
+            "_id", F.size("_toks").cast("long").alias("dl"), F.explode("_toks").alias("term")
+        )
         .where(F.col("term").isin(*query_terms))
         .groupBy("_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfq"))
     stats = dl.agg(
@@ -260,7 +271,6 @@ def bm25_scores(
     )
     contrib = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "_id",
