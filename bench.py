@@ -97,6 +97,150 @@ def _calibration(spark) -> dict:
     }
 
 
+def _qload_probe() -> float:
+    """One sample of the same fixed-work CPU loop the calibration block
+    uses (2M iterations, deterministic result). Deliberately a SINGLE
+    sample, not best-of-N: the point of the per-query probes is to catch
+    contention that landed near a specific query's timed samples, so the
+    probe must not absorb the very stalls it exists to flag."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i * i
+    dt = time.perf_counter() - t0
+    assert acc == 2666664666667000000
+    return dt
+
+
+def _load_entry_queries(root: str, spark) -> dict:
+    """Import a SECOND copy of this repo's __spark_entry__ from `root`
+    (a git worktree of another ref) without disturbing the already-imported
+    HEAD modules, and return its queries() dict. The ref's closures keep
+    references to their own module objects, so both versions coexist in
+    one process — which is the whole point of the interleaved A/B: both
+    sides run in the same JVM under the same instantaneous host load."""
+    import importlib
+
+    def _ours(k: str) -> bool:
+        return k == "__spark_entry__" or k == "etl_demo_spark" or k.startswith(
+            "etl_demo_spark."
+        )
+
+    saved = {k: sys.modules.pop(k) for k in list(sys.modules) if _ours(k)}
+    sys.path.insert(0, root)
+    importlib.invalidate_caches()
+    try:
+        entry = importlib.import_module("__spark_entry__")
+        # Skip the ref side's executor-zip shipping: its zip path is
+        # pid-unique but version-agnostic, and addPyFile of a same-named
+        # file with different contents is an error. Local-mode Python
+        # workers therefore run HEAD's package for both sides — the A/B
+        # measures driver/JVM plan+execution differences, which is where
+        # every optimization this harness verifies lives (PLANSHAPE pins
+        # 0 row-Python stages across the registry).
+        entry._SHIPPED_SESSIONS.add(id(spark))
+        return entry.queries()
+    finally:
+        while root in sys.path:
+            sys.path.remove(root)
+        for k in [k for k in sys.modules if _ours(k)]:
+            del sys.modules[k]
+        sys.modules.update(saved)
+        importlib.invalidate_caches()
+
+
+def _ab_compare(spark, sf_dir: str, head_queries: dict) -> dict:
+    """Interleaved A/B against another git ref, in ONE process: for each
+    query, alternate min-of-3 samples between HEAD and the ref across
+    SPARK_GRAFT_AB_ROUNDS rounds (side order flipped each round), and
+    report per-side medians of the round minima. Host stalls hit both
+    sides of a round equally, so the per-query speedup is attributable
+    to the code even when absolute times are not (this host shows
+    multi-second hypervisor stalls; see OPTIMIZATION_r10.md). Opt-in via
+    SPARK_GRAFT_AB_REF=<git-ref>; never active in driver runs."""
+    import math
+    import shutil
+    import statistics
+    import subprocess
+    import tempfile
+
+    ref = os.environ["SPARK_GRAFT_AB_REF"]
+    rounds = max(1, int(os.environ.get("SPARK_GRAFT_AB_ROUNDS", "3")))
+    subset = os.environ.get("SPARK_GRAFT_AB_QUERIES")
+    names = subset.split(",") if subset else list(HEADLINE)
+
+    wt = tempfile.mkdtemp(prefix="bench_ab_ref_")
+    subprocess.run(
+        ["git", "-C", str(REPO), "worktree", "add", "--detach", "--force", wt, ref],
+        check=True,
+        capture_output=True,
+    )
+    try:
+        ref_queries = _load_entry_queries(wt, spark)
+        names = [n for n in names if n in ref_queries and n in head_queries]
+
+        def min3(fn) -> float:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        per_query: dict = {}
+        for name in names:
+            h_fn, r_fn = head_queries[name], ref_queries[name]
+            # one discarded warm run per side (codegen/file-listing)
+            h_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            r_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            h: list[float] = []
+            r: list[float] = []
+            for rd in range(rounds):
+                order = [(h_fn, h), (r_fn, r)]
+                if rd % 2:
+                    order.reverse()
+                for fn, acc in order:
+                    acc.append(min3(fn))
+            hm, rm = statistics.median(h), statistics.median(r)
+            per_query[name] = {
+                "head_median": round(hm, 3),
+                "ref_median": round(rm, 3),
+                "speedup_ref_over_head": round(rm / hm, 3) if hm > 0 else None,
+                "head_samples": [round(x, 3) for x in h],
+                "ref_samples": [round(x, 3) for x in r],
+            }
+        sp = [
+            v["speedup_ref_over_head"]
+            for v in per_query.values()
+            if v["speedup_ref_over_head"]
+        ]
+        geo = (
+            round(math.exp(sum(math.log(s) for s in sp) / len(sp)), 3)
+            if sp
+            else None
+        )
+        return {
+            "ref": ref,
+            "rounds": rounds,
+            "per_query": per_query,
+            "geomean_speedup_ref_over_head": geo,
+            "note": (
+                "interleaved same-process A/B: per round, min-of-3 noop-sink "
+                "samples per side, side order alternating; medians of round "
+                "minima; speedup > 1 means HEAD is faster than the ref. "
+                "Local-mode Python workers run HEAD's package for both "
+                "sides (executor-zip collision), so worker-internal Python "
+                "changes need a process-level A/B instead"
+            ),
+        }
+    finally:
+        subprocess.run(
+            ["git", "-C", str(REPO), "worktree", "remove", "--force", wt],
+            capture_output=True,
+        )
+        shutil.rmtree(wt, ignore_errors=True)
+
+
 def _bench_stats_skip(spark, sf_dir: str) -> dict:
     """Measured benefit of manifest file-stats skipping: a narrow
     o_orderkey range lookup against a manifested orders table with
@@ -1068,6 +1212,8 @@ def main() -> None:
     ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    query_samples: dict[str, list[float]] = {}
+    probes: list[float] = [_qload_probe()]
     for name in HEADLINE:
         fn = queries[name]
         # steady-state measurement: first execution pays one-time codegen /
@@ -1077,12 +1223,24 @@ def main() -> None:
         # multi-second GC/noisy-neighbor pauses, observed up to 4x),
         # per BASELINE.md's startup-excluded convention.
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = float("inf")
+        vals: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            vals.append(time.perf_counter() - t0)
+        timings[name] = round(min(vals), 3)
+        query_samples[name] = [round(v, 3) for v in vals]
+        # per-QUERY load probe: one fixed-work sample between queries; a
+        # query's load factor is the worse of its two neighboring probes,
+        # so a stall that landed during (or right around) its samples is
+        # visible per query instead of hiding behind one per-run probe
+        probes.append(_qload_probe())
+    query_load = {
+        name: round(
+            max(probes[i], probes[i + 1]) / _CAL_REF["cpu_probe_sec"], 2
+        )
+        for i, name in enumerate(HEADLINE)
+    }
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -1105,12 +1263,16 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "calibration": _calibration(spark),
+        "query_load": query_load,
+        "query_samples": query_samples,
         "streaming": {
             "query": "stream_hourly_event_stats",
             "input_rows": ev_rows,
             "rows_per_sec": stream_rps,
         },
     }
+    if os.environ.get("SPARK_GRAFT_AB_REF"):
+        payload["ab"] = _ab_compare(spark, sf_dir, queries)
 
     # SPARK_GRAFT_HEADLINE_ONLY=1 gates out the heavy diagnostic blocks
     # (skew A/B, ANN recall report, stats-skip) so the bench CONTRACT —
@@ -1196,11 +1358,20 @@ def main() -> None:
         "queries": payload["queries"],
         "sf": payload["sf"],
         "calibration": payload["calibration"],
+        # per-query load factors, in the same order as the `queries` keys
+        "qload": [payload["query_load"][n] for n in payload["queries"]],
         "streaming_rows_per_sec": payload["streaming"]["rows_per_sec"],
         "note": "compact tail line; full detail in the preceding line",
     }
+    if "ab" in payload:
+        compact["ab_geomean_speedup"] = payload["ab"][
+            "geomean_speedup_ref_over_head"
+        ]
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1500:  # never let the tail line itself outgrow the tail
+        compact.pop("qload", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1500:
         compact.pop("calibration", None)
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
