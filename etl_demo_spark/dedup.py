@@ -22,7 +22,23 @@ from pyspark.sql import types as T
 
 from etl_demo_spark.cache import tracked_persist
 from etl_demo_spark.ops import spread_for_cpu
-from etl_demo_spark.text import fingerprint, tokens
+from etl_demo_spark.text import fingerprint, tokens, tokens_sql
+
+# Unique-per-call temp-view names for the one-shot SQL compositions:
+# spark.sql() analyzes EAGERLY (Dataset.ofRows asserts analysis), so the
+# view is resolved to the underlying plan before this function returns and
+# dropping it immediately is safe — no catalog leak, no collision between
+# builds (process-unique counter; sessions are per-process).
+import itertools as _itertools
+import os as _os
+
+_VIEW_SEQ = _itertools.count()
+
+
+def _uview(df: DataFrame, tag: str) -> str:
+    name = f"__{tag}_{_os.getpid()}_{next(_VIEW_SEQ)}"
+    df.createOrReplaceTempView(name)
+    return name
 
 
 # --------------------------------------------------------------------------
@@ -55,6 +71,20 @@ def exact_dedup_by_fingerprint(df: DataFrame, text_col: str = "text", id_col: st
 # --------------------------------------------------------------------------
 
 
+def _shingles_sql(toks: str, k: int) -> str:
+    """``shingles_from_tokens`` as a raw SQL fragment (spliced into the
+    one-shot SQL compositions below; semantics documented on the
+    function)."""
+    t = f"`{toks}`"
+    n_sql = f"(size({t}) - {k - 1})"
+    return (
+        f"array_distinct(transform("
+        f"CASE WHEN {n_sql} >= 1 THEN sequence(1, {n_sql}) "
+        f"ELSE CAST(array() AS array<int>) END, "
+        f"i -> concat_ws(' ', slice({t}, i, {k}))))"
+    )
+
+
 def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
     """k-token shingle strings from an ALREADY-PROJECTED tokens column.
 
@@ -70,8 +100,14 @@ def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
     MinHash signature becomes all-NULL): Spark's ``sequence(1, 0)``
     counts DOWN to [1, 0] (default step −1 when start > stop), which
     would feed ``slice`` an invalid start of 0 and crash the job — the
-    conditional makes the short-doc branch explicit instead."""
-    toks = F.col(toks) if isinstance(toks, str) else toks
+    conditional makes the short-doc branch explicit instead.
+
+    Named-column inputs take a single-``F.expr`` fast path (one py4j
+    roundtrip instead of ~40 for the composed higher-order-function
+    form); identical analyzed expression and values — pinned by
+    tests/test_expr_sql_parity.py."""
+    if isinstance(toks, str):
+        return F.expr(_shingles_sql(toks, k))
     n = F.size(toks) - F.lit(k - 1)
     positions = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
         F.array().cast("array<int>")
@@ -99,13 +135,35 @@ _MIX_A = 0x9E3779B97F4A7C15
 _MIX_B = 0xBF58476D1CE4E5B9
 
 
-def hash_shingles(shingle_col: Column) -> Column:
+def hash_shingles(shingle_col: Column | str) -> Column:
     """One xxhash64 per shingle — materialize this as its own projection so
-    the string hashing runs exactly once (it is the expensive part)."""
+    the string hashing runs exactly once (it is the expensive part).
+    Named-column inputs take the one-roundtrip F.expr path."""
+    if isinstance(shingle_col, str):
+        return F.expr(_hash_shingles_sql(shingle_col))
     return F.transform(shingle_col, lambda s: F.xxhash64(s))
 
 
-def minhash_signature(hash_col: Column, num_hashes: int = 64) -> Column:
+def _hash_shingles_sql(col: str) -> str:
+    return f"transform(`{col}`, s -> xxhash64(s))"
+
+
+def _minhash_sig_sql(col: str, num_hashes: int) -> str:
+    """``minhash_signature`` as a raw SQL fragment. arrays_zip over
+    unnamed array literals names its struct fields by position
+    ("0"/"1") — field names are type-internal only; the transform
+    output is the same array<bigint> as the Column form."""
+    a = [((2 * j + 1) * _MIX_A) % (1 << 63) for j in range(num_hashes)]
+    b = [((j + 1) * _MIX_B) % (1 << 63) for j in range(num_hashes)]
+    arr_a = ",".join(f"{v}L" for v in a)
+    arr_b = ",".join(f"{v}L" for v in b)
+    return (
+        f"transform(arrays_zip(array({arr_a}), array({arr_b})), "
+        f"c -> array_min(transform(`{col}`, h -> c.`0` * h + c.`1`)))"
+    )
+
+
+def minhash_signature(hash_col: Column | str, num_hashes: int = 64) -> Column:
     """MinHash signature over precomputed shingle hashes.
 
     The j-th hash function is the affine mix ``a_j * h + b_j`` over the
@@ -119,9 +177,16 @@ def minhash_signature(hash_col: Column, num_hashes: int = 64) -> Column:
     values (same longs, same wrapping arithmetic, same order); the
     expression tree shrinks ~num_hashes×, which cuts driver-side build +
     analysis time (measured: the 32-hash signature build dominated the
-    corpus query's DataFrame construction)."""
+    corpus query's DataFrame construction).
+
+    Round-11: named-column inputs emit the whole thing as ONE SQL string
+    (one py4j roundtrip vs ~100 — the literal coefficient arrays alone
+    were dozens of calls); same Catalyst tree after parsing, values
+    pinned by tests/test_expr_sql_parity.py."""
     a = [((2 * j + 1) * _MIX_A) % (1 << 63) for j in range(num_hashes)]
     b = [((j + 1) * _MIX_B) % (1 << 63) for j in range(num_hashes)]
+    if isinstance(hash_col, str):
+        return F.expr(_minhash_sig_sql(hash_col, num_hashes))
     coeffs = F.arrays_zip(F.lit(a).alias("a"), F.lit(b).alias("b"))
     return F.transform(
         coeffs,
@@ -129,11 +194,27 @@ def minhash_signature(hash_col: Column, num_hashes: int = 64) -> Column:
     )
 
 
-def lsh_band_keys(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+def _band_keys_sql(col: str, bands: int, rows_per_band: int) -> str:
+    """``lsh_band_keys`` as a raw SQL fragment (NULL marker identical to
+    the Column form's serializer)."""
+    return (
+        f"transform(sequence(0, {bands - 1}), b -> xxhash64(b, "
+        f"concat_ws(',', transform("
+        f"slice(`{col}`, b * {rows_per_band} + 1, {rows_per_band}), "
+        f"x -> coalesce(cast(x AS string), '∅')))))"
+    )
+
+
+def lsh_band_keys(sig_col: Column | str, bands: int, rows_per_band: int) -> Column:
     """Band keys: hash of each ``rows_per_band``-slice of the signature.
     Docs sharing any band key become candidates. NULL signature positions
     serialize as an explicit marker — ``concat_ws`` silently DROPS NULLs,
-    which would make [1, NULL, 2] and [1, 2, NULL] falsely collide."""
+    which would make [1, NULL, 2] and [1, 2, NULL] falsely collide.
+    Named-column inputs take the one-roundtrip F.expr path (values pinned
+    by tests/test_expr_sql_parity.py)."""
+    if isinstance(sig_col, str):
+        return F.expr(_band_keys_sql(sig_col, bands, rows_per_band))
+
     def ser(x: Column) -> Column:
         return F.coalesce(x.cast("string"), F.lit("\u2205"))
 
@@ -178,26 +259,44 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // bands
     # CPU-heavy per-row signature stage: spread a too-narrow input first
     df = spread_for_cpu(df)
-    sigs = (
-        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
-        # docs with no shingles (< k tokens) have no MinHash evidence and
-        # would all share identical all-NULL signatures — every pair of
-        # them becomes a candidate (O(n²) on boilerplate-stripped empties).
-        # They cannot be near-dup candidates by this family; exact dedup
-        # (fingerprint) owns identical short docs. The gate runs on TOKEN
-        # count, not size(shingles): shingles are empty iff tokens < k,
-        # and a size(sh)-shaped predicate would be pushed below the
-        # projection with the whole shingle expression substituted in —
-        # recomputing the shingling per row just to test emptiness
-        # (measured 0.3 s → 3.0 s on the 5k-doc bench corpus).
-        .filter(F.size("__toks") >= shingle_k)
-        .select("id", shingles_from_tokens("__toks", shingle_k).alias("sh"))
-        .select("id", hash_shingles(F.col("sh")).alias("shh"))
-        .select("id", minhash_signature(F.col("shh"), num_hashes).alias("sig"))
+    spark = df.sparkSession
+    # ONE-SHOT SQL COMPOSITION (round 11, guide §7): the signature chain
+    # is built as a single WITH-chain in one spark.sql() call instead of
+    # five chained Dataset ops. Each Dataset op over this pipeline's
+    # large analyzed tree cost 20–50 ms of JVM plan manipulation at
+    # build time (measured); the SQL form parses+analyzes once. The CTE
+    # chain lowers to the IDENTICAL Project-over-Project logical shape
+    # the select chain produced — in particular __toks stays a real
+    # projected column referenced by name, so CollapseProject keeps the
+    # tokenizer evaluated ONCE per row (the property the old select
+    # chain existed to protect; see shingles_from_tokens).
+    #
+    # gated CTE: docs with no shingles (< k tokens) have no MinHash
+    # evidence and would all share identical all-NULL signatures — every
+    # pair of them becomes a candidate (O(n²) on boilerplate-stripped
+    # empties). They cannot be near-dup candidates by this family; exact
+    # dedup (fingerprint) owns identical short docs. The gate runs on
+    # TOKEN count, not size(shingles) — a size(sh)-shaped predicate
+    # would be pushed below the projection with the whole shingle
+    # expression substituted in, recomputing the shingling per row just
+    # to test emptiness (measured 0.3 s → 3.0 s on the 5k-doc corpus).
+    docs_v = _uview(df, "mh_docs")
+    banded = spark.sql(
+        f"""
+        WITH base AS (
+          SELECT `{id_col}` AS id, {tokens_sql(text_col)} AS __toks
+          FROM {docs_v}
+        ),
+        gated AS (SELECT id, __toks FROM base WHERE size(__toks) >= {shingle_k}),
+        sh_t AS (SELECT id, {_shingles_sql("__toks", shingle_k)} AS sh FROM gated),
+        shh_t AS (SELECT id, {_hash_shingles_sql("sh")} AS shh FROM sh_t),
+        sig_t AS (SELECT id, {_minhash_sig_sql("shh", num_hashes)} AS sig FROM shh_t)
+        SELECT id, sig,
+               explode({_band_keys_sql("sig", bands, rows_per_band)}) AS band_key
+        FROM sig_t
+        """
     )
-    banded = sigs.select(
-        "id", "sig", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("band_key")
-    )
+    spark.catalog.dropTempView(docs_v)
     # Both sides of the self-join read `banded`. Plan-level exchange reuse
     # usually makes that one computation, but AQE can re-plan the two sides
     # independently and recompute the (CPU-dominant) signature stage twice —
@@ -209,19 +308,26 @@ def minhash_lsh_candidates(
     # it at the next unit-of-work boundary (corpus queries do this
     # automatically; iterative per-batch callers call it between batches).
     banded = tracked_persist(banded)
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(right, (F.col("l.band_key") == F.col("r.band_key")) & (F.col("l.id") < F.col("r.id")))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"))
-        .distinct()
+    band_v = _uview(banded, "mh_band")
+    # self-join + distinct + estimated jaccard (= fraction of equal
+    # signature positions) in one statement; CAST(n AS DOUBLE)/CAST(k AS
+    # DOUBLE) is the same double division as .cast("double")/lit(float(k))
+    pairs = spark.sql(
+        f"""
+        SELECT id_a, id_b,
+               CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y),
+                                z -> z)) AS DOUBLE)
+               / CAST({num_hashes} AS DOUBLE) AS est_jaccard
+        FROM (
+          SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+                          l.sig AS sig_a, r.sig AS sig_b
+          FROM {band_v} l JOIN {band_v} r
+            ON l.band_key = r.band_key AND l.id < r.id
+        )
+        """
     )
-    # estimated jaccard = fraction of equal signature positions
-    est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x)).cast("double")
-        / F.lit(float(num_hashes))
-    )
-    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+    spark.catalog.dropTempView(band_v)
+    return pairs
 
 
 def jaccard_verify(
@@ -235,6 +341,7 @@ def jaccard_verify(
     """Exact n-gram Jaccard on LSH candidates only (never all-pairs):
     |A∩B| / |A∪B| over distinct shingle sets."""
     df = spread_for_cpu(df)
+    spark = df.sparkSession
     # the verify stage must touch CANDIDATE docs only: semi-join the corpus
     # down to ids that appear in a candidate pair before shingling —
     # shingle hashing cost scales with candidates, not corpus size.
@@ -243,28 +350,44 @@ def jaccard_verify(
     # would execute twice. Tracked → released at the next unit-of-work
     # boundary (cache.release_persisted).
     candidates = tracked_persist(candidates)
-    cand_ids = candidates.select(F.col("id_a").alias("cid")).unionByName(
-        candidates.select(F.col("id_b").alias("cid"))
-    )
-    df = df.join(cand_ids.distinct(), df[id_col] == F.col("cid"), "left_semi")
-    sh = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks")).select(
-        "id", shingles_from_tokens("__toks", shingle_k).alias("sh")
-    )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    joined = (
-        candidates.join(a, candidates.id_a == F.col("a.id"))
-        .join(b, candidates.id_b == F.col("b.id"))
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
-                / F.size(F.array_union("a.sh", "b.sh")).cast("double")
-            ).alias("jaccard"),
+    # ONE-SHOT SQL COMPOSITION (round 11, guide §7) — replaces seven
+    # Dataset ops each paying 20–50 ms of JVM plan manipulation over the
+    # large candidate tree (measured; build time is pure driver overhead
+    # at any scale). Semantics preserved exactly:
+    #   * ids: DISTINCT explode(array(id_a, id_b)) = the old
+    #     select(id_a) ∪ select(id_b) |> distinct() multiset;
+    #   * the IN-subquery lowers to the same left-semi join the old
+    #     explicit join produced (NULL ids never match in either form);
+    #   * sh_t keeps __toks a real projected column (tokenizer runs once
+    #     per row — see minhash_lsh_candidates);
+    #   * jaccard and the threshold filter are the same expressions.
+    cand_v = _uview(candidates, "jv_cand")
+    docs_v = _uview(df, "jv_docs")
+    out = spark.sql(
+        f"""
+        WITH ids AS (
+          SELECT DISTINCT explode(array(id_a, id_b)) AS cid FROM {cand_v}
+        ),
+        base AS (
+          SELECT `{id_col}` AS id, {tokens_sql(text_col)} AS __toks
+          FROM {docs_v}
+          WHERE `{id_col}` IN (SELECT cid FROM ids)
+        ),
+        sh_t AS (SELECT id, {_shingles_sql("__toks", shingle_k)} AS sh FROM base)
+        SELECT * FROM (
+          SELECT id_a, id_b,
+                 CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 CAST(size(array_union(a.sh, b.sh)) AS DOUBLE) AS jaccard
+          FROM {cand_v} c
+          JOIN sh_t a ON c.id_a = a.id
+          JOIN sh_t b ON c.id_b = b.id
         )
+        WHERE jaccard >= CAST({threshold!r} AS DOUBLE)
+        """
     )
-    return joined.filter(F.col("jaccard") >= threshold)
+    spark.catalog.dropTempView(cand_v)
+    spark.catalog.dropTempView(docs_v)
+    return out
 
 
 def prefix_filter_jaccard_join(

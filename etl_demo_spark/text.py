@@ -25,9 +25,24 @@ TOKEN_RE = r"\s+"
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
 
+def tokens_sql(col: str) -> str:
+    """The tokenizer as a raw SQL fragment over a named column — the
+    building block the one-shot SQL compositions (dedup.py round 11)
+    splice into WITH-chains. Kept next to TOKEN_RE so the two can never
+    drift apart silently."""
+    return f"split(trim(`{col}`), '\\\\s+')"
+
+
 def tokens(text: Column | str) -> Column:
-    c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.trim(c), TOKEN_RE)
+    # Named-column fast path: ONE SQL string = one py4j roundtrip to the
+    # JVM, vs ~6 for the composed Column form. Identical analyzed
+    # expression (split(trim(col), '\s+', -1)); value equality is pinned
+    # by tests/test_expr_sql_parity.py. Build time is driver-side pure
+    # overhead at any scale (guide §7) — tokens() sits under every text
+    # operator, so the fold pays everywhere.
+    if isinstance(text, str):
+        return F.expr(tokens_sql(text))
+    return F.split(F.trim(text), TOKEN_RE)
 
 
 def token_count(text: Column | str) -> Column:

@@ -40,6 +40,36 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """``dot`` as a raw SQL fragment over two array-valued SQL fragments —
+    the same sequential left-fold in double (deterministic order)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _qarr_sql(query_vec: list[float]) -> str:
+    """A constant query vector as a SQL array<double> literal. Each float
+    goes through repr → CAST(string AS DOUBLE): repr is the shortest
+    round-trip decimal and the cast is correctly rounded, so the values
+    are bit-identical to F.lit(float)."""
+    return "array(" + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in query_vec) + ")"
+
+
+def cosine_const_expr(vec_col: str, query_vec: list[float], digits: int = 6) -> Column:
+    """``round(cosine(col, <const vector>), digits)`` as ONE F.expr —
+    one py4j roundtrip instead of the ~200 the composed higher-order
+    Column form costs for a 64-dim vector (three aggregate/zip_with
+    folds; driver-side build cost, guide §7). Identical analyzed
+    expression and values — pinned by tests/test_expr_sql_parity.py."""
+    a = f"`{vec_col}`"
+    q = _qarr_sql(query_vec)
+    cos = f"({_dot_sql(a, q)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(q, q)})))"
+    return F.expr(f"round({cos}, {digits})")
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -52,12 +82,12 @@ def brute_force_topk(
     The query vector is a literal array (broadcast with the plan itself);
     the scan is a single narrow stage; ``orderBy().limit(k)`` compiles to
     TakeOrderedAndProject — per-partition heaps, no global sort."""
-    # one array literal instead of len(query_vec) separate lit() calls:
-    # identical values, ~dim× fewer py4j roundtrips per build (round 10)
-    q = F.lit([float(v) for v in query_vec])
+    # round 11: the whole rounded-cosine expression is ONE F.expr (one
+    # py4j roundtrip; round 10 had already folded the query vector into
+    # one array literal) — identical values and plan, build-cost only
     scored = df.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        cosine_const_expr(vec_col, query_vec).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -146,7 +176,7 @@ def lsh_topk(
     )
     cands = bucketed.join(F.broadcast(probes), F.col("bucket") == F.col("probe"))
     scored = cands.select(
-        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim")
+        F.col(id_col), cosine_const_expr(vec_col, query_vec).alias("cos_sim")
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -354,10 +384,9 @@ def ivf_topk(
     )
     probes = [i + 1 for i in ranked[:nprobe]]  # cells are 1-based (array_position)
 
-    q = F.lit([float(v) for v in query_vec])
     cands = assigned.filter(F.col("cell").isin(probes))
     scored = cands.select(
-        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim")
+        F.col(id_col), cosine_const_expr(vec_col, query_vec).alias("cos_sim")
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -436,14 +465,13 @@ def ivf_topk_adaptive(
     )
     probed = ranked[: max(1, min_probe)]
 
-    q = F.lit([float(v) for v in query_vec])
 
     def topk_over(cells: list[int]):
         return (
             assigned.filter(F.col("cell").isin(cells))
             .select(
                 F.col(id_col),
-                F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+                cosine_const_expr(vec_col, query_vec).alias("cos_sim"),
             )
             .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
             .limit(k)
@@ -544,7 +572,6 @@ def lsh_topk_exact(
         for r in range(1, probe_radius + 1)
         for bits in combinations(range(planes), r)
     ]
-    q = F.lit([float(v) for v in query_vec])
     qb = df.limit(1).select(bucket_of(quantize_vec_expr_lit(query_vec, scale)).alias("qbucket"))
     probes = qb.select(
         F.explode(
@@ -553,7 +580,7 @@ def lsh_topk_exact(
     )
     cands = bucketed.join(F.broadcast(probes), F.col("bucket") == F.col("probe"))
     scored = cands.select(
-        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim")
+        F.col(id_col), cosine_const_expr(vec_col, query_vec).alias("cos_sim")
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -664,10 +691,9 @@ def ivf_topk_exact(
     ]
     probes = [c for _, c in sorted(d2)[:nprobe]]
 
-    qf = F.lit([float(v) for v in query_vec])
     cands = assigned.filter(F.col("cell").isin(probes))
     scored = cands.select(
-        F.col(id_col), F.round(cosine(F.col(vec_col), qf), 6).alias("cos_sim")
+        F.col(id_col), cosine_const_expr(vec_col, query_vec).alias("cos_sim")
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
