@@ -750,6 +750,34 @@ def _bench_table_stream(spark, sf_dir: str) -> dict:
         }
     finally:
         q.stop()
+    # PINNED FLOOR CONTROL (round 11): a 1-row null Python DataSource
+    # stream, availableNow, end-to-end — the least work the Python
+    # DataSource streaming API allows. Its wall time is Spark's own
+    # per-query-START cost (planning-worker spawn + handshake), which
+    # bounds from below what ANY Python-source stream (incl. tablestream)
+    # can pay on a fresh run. incremental_tail minus this floor is the
+    # part the repo owns. Best-of-2: the first null run in a session
+    # additionally pays one-time class-load costs the tablestream warm
+    # run above already absorbed for itself.
+    from etl_demo_spark.io.null_stream import register_null_stream_source
+
+    register_null_stream_source(spark)
+
+    def null_run(i: int) -> float:
+        t0 = time.perf_counter()
+        nq = (
+            spark.readStream.format("nullstream")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", f"{root}/ck_null_{i}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        nq.awaitTermination(600)
+        return time.perf_counter() - t0
+
+    null_floor = min(null_run(i) for i in range(2))
+
     return {
         "full_drain": {
             "rows": int(n_total),
@@ -760,12 +788,16 @@ def _bench_table_stream(spark, sf_dir: str) -> dict:
             "rows": tail_rows,
             "seconds": round(incr, 3),
         },
+        "python_source_start_floor_sec": round(null_floor, 3),
         "steady_tail": steady,
         "note": (
             "readStream format=tablestream over a 4-commit manifested "
             "table; incremental_tail drains ONE new append via a fresh "
             "availableNow run (per-query-start fixed cost included); "
-            "steady_tail is the same append inside a RUNNING "
+            "python_source_start_floor_sec = the same availableNow run "
+            "of a 1-row NULL Python DataSource (engine floor: no repo "
+            "code, no IO) - incremental_tail minus it is the repo-owned "
+            "part; steady_tail is the same append inside a RUNNING "
             "processingTime query - the continuous-consumer number "
             "(run_paced_drain_continuous pays query start once)"
         ),

@@ -95,6 +95,25 @@ def plan_digest(df: DataFrame) -> PlanDigest:
     )
 
 
+def dump_digest(formatted_plan: str) -> dict:
+    """Node counts from a COMMITTED ``explain("formatted")`` dump
+    (plans/rNN/*_{before,after}.txt). Formatted mode lists every node
+    exactly once as a ``(N) NodeName`` detail header, so counting
+    headers gives true node counts (the tree section would double-count
+    via ReusedExchange references). Round 11: the drift alarm between an
+    OPTIMIZATION_rNN.md plan claim, the committed dump, and the live
+    plan — tests/test_plan_dump_pins.py pins all three together."""
+    heads = re.findall(r"^\((\d+)\) (\w+)", formatted_plan, flags=re.M)
+    names = [n for _, n in heads]
+    return {
+        "exchanges": names.count("Exchange"),
+        "broadcasts": names.count("BroadcastExchange"),
+        "scans": names.count("Scan"),
+        "sort_merge_joins": names.count("SortMergeJoin"),
+        "broadcast_hash_joins": names.count("BroadcastHashJoin"),
+    }
+
+
 def runtime_metrics(df: DataFrame) -> list[dict]:
     """POST-execution metrics from the (AQE-final) physical plan: one row
     per plan node per metric — output rows, shuffle bytes/records, spill
