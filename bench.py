@@ -112,21 +112,33 @@ def _qload_probe() -> float:
     return dt
 
 
+def _ours_module(k: str) -> bool:
+    return k == "__spark_entry__" or k == "etl_demo_spark" or k.startswith(
+        "etl_demo_spark."
+    )
+
+
 def _load_entry_queries(root: str, spark) -> dict:
     """Import a SECOND copy of this repo's __spark_entry__ from `root`
     (a git worktree of another ref) without disturbing the already-imported
     HEAD modules, and return its queries() dict. The ref's closures keep
     references to their own module objects, so both versions coexist in
     one process — which is the whole point of the interleaved A/B: both
-    sides run in the same JVM under the same instantaneous host load."""
+    sides run in the same JVM under the same instantaneous host load.
+
+    CRITICAL detail (round-11 bug fix): many corpus queries import their
+    operators INSIDE the function body (`from etl_demo_spark.text import
+    bm25_scores`), and a function-body import resolves through
+    sys.modules AT CALL TIME. Simply restoring HEAD's modules after
+    loading the ref would make the ref side silently run HEAD's code for
+    every lazily-imported operator — the A/B would compare HEAD against
+    itself. So every returned ref query is wrapped to SWAP the ref's
+    module tree into sys.modules for the duration of the build (the
+    ref package's __path__ points into the worktree, so even
+    first-time lazy submodule imports load ref files), then restore."""
     import importlib
 
-    def _ours(k: str) -> bool:
-        return k == "__spark_entry__" or k == "etl_demo_spark" or k.startswith(
-            "etl_demo_spark."
-        )
-
-    saved = {k: sys.modules.pop(k) for k in list(sys.modules) if _ours(k)}
+    saved = {k: sys.modules.pop(k) for k in list(sys.modules) if _ours_module(k)}
     sys.path.insert(0, root)
     importlib.invalidate_caches()
     try:
@@ -139,14 +151,35 @@ def _load_entry_queries(root: str, spark) -> dict:
         # every optimization this harness verifies lives (PLANSHAPE pins
         # 0 row-Python stages across the registry).
         entry._SHIPPED_SESSIONS.add(id(spark))
-        return entry.queries()
+        ref_queries = entry.queries()
     finally:
         while root in sys.path:
             sys.path.remove(root)
-        for k in [k for k in sys.modules if _ours(k)]:
+        ref_mods = {k: sys.modules[k] for k in list(sys.modules) if _ours_module(k)}
+        for k in ref_mods:
             del sys.modules[k]
         sys.modules.update(saved)
         importlib.invalidate_caches()
+
+    def swapped(fn):
+        def run(spark_, sf_dir_):
+            head_mods = {
+                k: sys.modules.pop(k)
+                for k in list(sys.modules)
+                if _ours_module(k)
+            }
+            sys.modules.update(ref_mods)
+            try:
+                return fn(spark_, sf_dir_)
+            finally:
+                # keep any lazily-imported ref submodule for later calls
+                for k in [k for k in sys.modules if _ours_module(k)]:
+                    ref_mods[k] = sys.modules.pop(k)
+                sys.modules.update(head_mods)
+
+        return run
+
+    return {name: swapped(fn) for name, fn in ref_queries.items()}
 
 
 def _ab_compare(spark, sf_dir: str, head_queries: dict) -> dict:

@@ -32,12 +32,16 @@ that's what the tokens are for.
 
 from __future__ import annotations
 
+import itertools
+import os
 import threading
 
 from pyspark.sql import DataFrame
 
 _LOCK = threading.Lock()
 _LIVE: list[tuple[object, DataFrame]] = []
+_VIEWS: list[tuple[object, object, str]] = []  # (scope, sparkSession, name)
+_VIEW_SEQ = itertools.count()
 _ALL = object()  # sentinel: release regardless of scope
 
 
@@ -55,6 +59,26 @@ def tracked_persist(
     return persisted
 
 
+def tracked_view(df: DataFrame, tag: str, scope: object = None) -> str:
+    """Register ``df`` as a process-unique temp view and track the name
+    for release at the unit-of-work boundary.
+
+    Exists for the one-shot SQL compositions (dedup.py round 11): they
+    need a catalog name to splice a DataFrame into a spark.sql() string.
+    The name must NOT be dropped eagerly — ``dropTempView`` (and the
+    replace in ``createOrReplaceTempView``) runs CacheManager's uncache
+    on the view's plan, which silently UNPERSISTS any just-persisted
+    DataFrame the view wraps (measured: the minhash banded cache died
+    this way and the whole LSH pipeline recomputed once per plan branch
+    — 3 scans became 12). Dropping at :func:`release_persisted` time is
+    safe: the caches are being released there anyway."""
+    name = f"__{tag}_{os.getpid()}_{next(_VIEW_SEQ)}"
+    df.createOrReplaceTempView(name)
+    with _LOCK:
+        _VIEWS.append((scope, df.sparkSession, name))
+    return name
+
+
 def release_persisted(scope: object = _ALL) -> int:
     """Unpersist tracked DataFrames; returns how many were released.
 
@@ -69,15 +93,24 @@ def release_persisted(scope: object = _ALL) -> int:
     with _LOCK:
         if scope is _ALL:
             victims, keep = _LIVE[:], []
+            view_victims, view_keep = _VIEWS[:], []
         else:
             victims = [e for e in _LIVE if e[0] == scope]
             keep = [e for e in _LIVE if e[0] != scope]
+            view_victims = [e for e in _VIEWS if e[0] == scope]
+            view_keep = [e for e in _VIEWS if e[0] != scope]
         _LIVE[:] = keep
+        _VIEWS[:] = view_keep
     n = 0
     for _, df in victims:
         try:
             df.unpersist()
             n += 1
+        except Exception:
+            pass
+    for _, spark, name in view_victims:
+        try:
+            spark.catalog.dropTempView(name)
         except Exception:
             pass
     return n

@@ -20,25 +20,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from etl_demo_spark.cache import tracked_persist
+from etl_demo_spark.cache import tracked_persist, tracked_view
 from etl_demo_spark.ops import spread_for_cpu
 from etl_demo_spark.text import fingerprint, tokens, tokens_sql
 
-# Unique-per-call temp-view names for the one-shot SQL compositions:
-# spark.sql() analyzes EAGERLY (Dataset.ofRows asserts analysis), so the
-# view is resolved to the underlying plan before this function returns and
-# dropping it immediately is safe — no catalog leak, no collision between
-# builds (process-unique counter; sessions are per-process).
-import itertools as _itertools
-import os as _os
-
-_VIEW_SEQ = _itertools.count()
-
-
-def _uview(df: DataFrame, tag: str) -> str:
-    name = f"__{tag}_{_os.getpid()}_{next(_VIEW_SEQ)}"
-    df.createOrReplaceTempView(name)
-    return name
+# The one-shot SQL compositions below splice DataFrames into spark.sql()
+# strings via cache.tracked_view: process-unique temp-view names, dropped
+# at the SAME unit-of-work boundary that releases the persists. NEVER
+# drop these views eagerly — dropTempView uncaches any persisted plan
+# the view matches (see tracked_view's docstring for the measured
+# failure). spark.sql() analyzes eagerly, so the names cannot collide
+# across sequential builds.
 
 
 # --------------------------------------------------------------------------
@@ -280,23 +272,35 @@ def minhash_lsh_candidates(
     # would be pushed below the projection with the whole shingle
     # expression substituted in, recomputing the shingling per row just
     # to test emptiness (measured 0.3 s → 3.0 s on the 5k-doc corpus).
-    docs_v = _uview(df, "mh_docs")
+    # NESTED subqueries, deliberately NOT a WITH-chain: a cached plan that
+    # contains a WithCTE node is never substituted by the CacheManager
+    # when the consuming query carries its own WITH clause (conflicting
+    # cteIds are renumbered inside the view subtree, breaking sameResult
+    # — reproduced minimally in-session, round 11). Each stage is
+    # referenced exactly once, so nesting is semantically identical and
+    # keeps the plan WithCTE-free, which is what lets the banded persist
+    # below actually get used by the self-join and by jaccard_verify.
+    docs_v = tracked_view(df, "mh_docs")
     banded = spark.sql(
         f"""
-        WITH base AS (
-          SELECT `{id_col}` AS id, {tokens_sql(text_col)} AS __toks
-          FROM {docs_v}
-        ),
-        gated AS (SELECT id, __toks FROM base WHERE size(__toks) >= {shingle_k}),
-        sh_t AS (SELECT id, {_shingles_sql("__toks", shingle_k)} AS sh FROM gated),
-        shh_t AS (SELECT id, {_hash_shingles_sql("sh")} AS shh FROM sh_t),
-        sig_t AS (SELECT id, {_minhash_sig_sql("shh", num_hashes)} AS sig FROM shh_t)
         SELECT id, sig,
                explode({_band_keys_sql("sig", bands, rows_per_band)}) AS band_key
-        FROM sig_t
+        FROM (
+          SELECT id, {_minhash_sig_sql("shh", num_hashes)} AS sig
+          FROM (
+            SELECT id, {_hash_shingles_sql("sh")} AS shh
+            FROM (
+              SELECT id, {_shingles_sql("__toks", shingle_k)} AS sh
+              FROM (
+                SELECT `{id_col}` AS id, {tokens_sql(text_col)} AS __toks
+                FROM {docs_v}
+              ) base
+              WHERE size(__toks) >= {shingle_k}
+            ) sh_t
+          ) shh_t
+        ) sig_t
         """
     )
-    spark.catalog.dropTempView(docs_v)
     # Both sides of the self-join read `banded`. Plan-level exchange reuse
     # usually makes that one computation, but AQE can re-plan the two sides
     # independently and recompute the (CPU-dominant) signature stage twice —
@@ -308,7 +312,7 @@ def minhash_lsh_candidates(
     # it at the next unit-of-work boundary (corpus queries do this
     # automatically; iterative per-batch callers call it between batches).
     banded = tracked_persist(banded)
-    band_v = _uview(banded, "mh_band")
+    band_v = tracked_view(banded, "mh_band")
     # self-join + distinct + estimated jaccard (= fraction of equal
     # signature positions) in one statement; CAST(n AS DOUBLE)/CAST(k AS
     # DOUBLE) is the same double division as .cast("double")/lit(float(k))
@@ -326,7 +330,6 @@ def minhash_lsh_candidates(
         )
         """
     )
-    spark.catalog.dropTempView(band_v)
     return pairs
 
 
@@ -361,32 +364,45 @@ def jaccard_verify(
     #   * sh_t keeps __toks a real projected column (tokenizer runs once
     #     per row — see minhash_lsh_candidates);
     #   * jaccard and the threshold filter are the same expressions.
-    cand_v = _uview(candidates, "jv_cand")
-    docs_v = _uview(df, "jv_docs")
+    cand_v = tracked_view(candidates, "jv_cand")
+    docs_v = tracked_view(df, "jv_docs")
+    # sh_t inlined twice (sides a and b) instead of a shared CTE: the old
+    # Dataset form also carried two copies of the shingle subtree (one
+    # per join side), and a WITH clause here would stop the CacheManager
+    # from substituting the persisted candidates (see the WithCTE note in
+    # minhash_lsh_candidates — measured: the whole LSH pipeline re-ran
+    # once per plan branch, 3 scans became 12)
+    # explicit LEFT SEMI JOIN, not an IN-subquery: the subquery rewrite
+    # planned TWO extra LeftSemi joins (one per pushed-down predicate
+    # copy, 4 total) with their exchanges; the explicit form plans one
+    # per side, matching the old Dataset left_semi shape
+    sh_subq = f"""(
+          SELECT id, {_shingles_sql("__toks", shingle_k)} AS sh
+          FROM (
+            SELECT `{id_col}` AS id, {tokens_sql(text_col)} AS __toks
+            FROM (
+              SELECT d.* FROM {docs_v} d
+              LEFT SEMI JOIN (
+                SELECT DISTINCT cid FROM (
+                  SELECT explode(array(id_a, id_b)) AS cid FROM {cand_v}
+                ) exploded
+              ) ids ON d.`{id_col}` = ids.cid
+            ) filtered
+          ) base
+        )"""
     out = spark.sql(
         f"""
-        WITH ids AS (
-          SELECT DISTINCT explode(array(id_a, id_b)) AS cid FROM {cand_v}
-        ),
-        base AS (
-          SELECT `{id_col}` AS id, {tokens_sql(text_col)} AS __toks
-          FROM {docs_v}
-          WHERE `{id_col}` IN (SELECT cid FROM ids)
-        ),
-        sh_t AS (SELECT id, {_shingles_sql("__toks", shingle_k)} AS sh FROM base)
         SELECT * FROM (
           SELECT id_a, id_b,
                  CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE) /
                  CAST(size(array_union(a.sh, b.sh)) AS DOUBLE) AS jaccard
           FROM {cand_v} c
-          JOIN sh_t a ON c.id_a = a.id
-          JOIN sh_t b ON c.id_b = b.id
+          JOIN {sh_subq} a ON c.id_a = a.id
+          JOIN {sh_subq} b ON c.id_b = b.id
         )
         WHERE jaccard >= CAST({threshold!r} AS DOUBLE)
         """
     )
-    spark.catalog.dropTempView(cand_v)
-    spark.catalog.dropTempView(docs_v)
     return out
 
 

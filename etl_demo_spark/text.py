@@ -266,16 +266,33 @@ def bm25_scores(
     # aggregation as a first() aggregate (+8 B on the already-filtered
     # rows) instead of a separate join of the per-doc length table back
     # onto tf (round 10, guide §2.1 — the dl broadcast/shuffle join is
-    # gone at any scale; values identical). Deliberately an AGGREGATE and
-    # not an extra grouping key: the (_id, term) output partitioning is
-    # what lets the downstream pivot's first aggregation skip its own
-    # exchange — keyed-by-(_id, dl, term) was measured to re-shuffle the
-    # scored rows for the pivot, costing back the join it saved.
+    # gone at any scale; values identical).
+    #
+    # Round 11 (guide §2.4 — share one exchange): the occurrence stream is
+    # repartitioned by _id BEFORE the (_id, term) aggregation.
+    # hashpartitioning(_id) satisfies ClusteredDistribution for the
+    # (_id, term) aggregate AND both phases of the downstream pivot
+    # (Clustered(_id, term), then Clustered(_id)), so the tf aggregation
+    # and the whole pivot chain on this single exchange — the old shape
+    # paid a (_id, term) exchange for tf plus an (_id) exchange for the
+    # pivot (plan: 5 shuffles → 4, and the removed one carried the full
+    # scored-row stream). The shuffled rows are raw term occurrences
+    # instead of map-side-combined (doc, term) partials, but the term
+    # filter has already cut the stream to query-term occurrences (tf
+    # per doc is 1–3), so the byte delta is small at any scale.
+    # Deliberately NOT persisted: caching tf would pin the compute once,
+    # but an InMemoryTableScan under AQE reports unknown output
+    # partitioning, which re-inserts BOTH pivot exchanges above the
+    # cache (measured: 5 → 6 exchanges) — worse than recomputing the
+    # already-filtered occurrence aggregation in the dfreq branch, which
+    # the round-10 shape did too (ReuseExchange does not fire across the
+    # differently-pruned branches; see the repo optimization memo).
     tf = (
         toks.select(
             "_id", F.size("_toks").cast("long").alias("dl"), F.explode("_toks").alias("term")
         )
         .where(F.col("term").isin(*query_terms))
+        .repartition("_id")
         .groupBy("_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )

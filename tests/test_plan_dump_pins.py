@@ -14,7 +14,7 @@ from pathlib import Path
 import pytest
 
 import __spark_entry__ as entrymod
-from etl_demo_spark.plans import dump_digest, plan_digest
+from etl_demo_spark.plans import dump_digest
 
 PLANS_R11 = Path(__file__).resolve().parent.parent / "plans" / "r11"
 SF01 = "/root/testdata/sf0.1"
@@ -25,7 +25,16 @@ PINNED = sorted(p.name[: -len("_after.txt")] for p in PLANS_R11.glob("*_after.tx
 @pytest.mark.parametrize("name", PINNED)
 def test_live_plan_matches_committed_after_dump(spark, name):
     dump = dump_digest((PLANS_R11 / f"{name}_after.txt").read_text())
-    live = plan_digest(entrymod.queries()[name](spark, SF01)).as_dict()
+    df = entrymod.queries()[name](spark, SF01)
+    # digest the live plan with the SAME methodology as the dump
+    # (formatted mode lists each node once; the compact toString repeats
+    # cached subtrees per reference site and counts differently)
+    formatted = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    live = dump_digest(formatted)
     for key in ("exchanges", "broadcasts", "scans",
                 "sort_merge_joins", "broadcast_hash_joins"):
         assert live[key] == dump[key], (
