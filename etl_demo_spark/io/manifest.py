@@ -161,6 +161,41 @@ def _vdir(version: int, token: str | None = None) -> str:
     return f"{base}-{token}" if token else base
 
 
+# scheme memo for the local-FS read fast path below: FileSystem.get
+# caches instances per scheme, so the py4j target id is stable and one
+# getScheme() probe per handle suffices
+_FS_SCHEME_MEMO: dict[str, str] = {}
+
+
+def _posix_path_of(fs, path: str) -> str | None:
+    """Return the plain-posix path when ``path`` provably lives on the
+    LOCAL filesystem, else None. Metadata reads through the Hadoop FS
+    API cost ~3 py4j roundtrips (~9 ms each on this host) per small
+    JSON file; a merge commit resolves dozens of immutable manifest
+    files, so on local tables those reads go straight through posix IO
+    (~0.05 ms) — the same JVM-less branch the table-stream reader
+    already uses. Explicit non-file schemes (hdfs://, s3a://…) and
+    scheme-less paths on a non-local default FS keep the JVM path;
+    WRITES always keep the JVM path (atomicity semantics live there)."""
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    if not path.startswith("/"):
+        return None
+    try:
+        key = fs._target_id
+    except Exception:
+        key = None
+    scheme = _FS_SCHEME_MEMO.get(key)
+    if scheme is None:
+        try:
+            scheme = str(fs.getScheme())
+        except Exception:
+            return None
+        if key is not None:
+            _FS_SCHEME_MEMO[key] = scheme
+    return path if scheme == "file" else None
+
+
 def _read_file(fs, jvm, path: str) -> bytes:
     """Read a small (manifest-sized) file through the Hadoop FS API — the
     commons-io helper shipped with the Hadoop client pulls the whole
@@ -180,6 +215,10 @@ def _read_file(fs, jvm, path: str) -> bytes:
         return read_bytes(path, fs)
     if fs is None:
         with open(_strip_scheme(path), "rb") as f:
+            return f.read()
+    posix = _posix_path_of(fs, path)
+    if posix is not None:
+        with open(posix, "rb") as f:
             return f.read()
     stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
     try:
@@ -361,10 +400,19 @@ def _list_dir_versions(fs, jvm, mdir: str) -> list[int]:
         except FileNotFoundError:
             return []
     else:
-        mdir_p = jvm.org.apache.hadoop.fs.Path(mdir)
-        if not fs.exists(mdir_p):
-            return []
-        names = [st.getPath().getName() for st in fs.listStatus(mdir_p)]
+        posix = _posix_path_of(fs, mdir)
+        if posix is not None:
+            import os
+
+            try:
+                names = os.listdir(posix)
+            except FileNotFoundError:
+                return []
+        else:
+            mdir_p = jvm.org.apache.hadoop.fs.Path(mdir)
+            if not fs.exists(mdir_p):
+                return []
+            names = [st.getPath().getName() for st in fs.listStatus(mdir_p)]
     versions = []
     for name in names:
         if name.startswith("v") and name.endswith(".json"):
